@@ -1,0 +1,140 @@
+"""The fact-table build — the reference's flagship query re-expressed.
+
+``fct_daily_store_metrics`` (reference
+``dbt/models/marts/fct_daily_store_metrics.sql:7-32``,
+``local_runner.py:136-156``) is: three per-(key, day) aggregations,
+chained FULL OUTER joins on the composite key, coalesce/fillna defaulting,
+sort, and an incremental MERGE upsert bounded by a 7-day horizon. Here the
+same shape runs over the testdata analogs (orders≈erp_orders,
+events≈web_events, purchase≈converted — FIXTURES.md §3 analogies).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.money import money
+from .joins import daily_event_metrics, daily_order_metrics
+from .registry import demo_query
+
+FACT_ORACLE = """
+    WITH o AS (
+      SELECT o_custkey AS cust_id, CAST(o_orderdate AS DATE) AS dt,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+             CAST(COUNT(*) AS BIGINT) AS order_count
+      FROM orders GROUP BY 1, 2
+    ), p AS (
+      SELECT user_id AS cust_id, CAST(ts AS DATE) AS dt,
+             CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchases
+      FROM events GROUP BY 1, 2
+    ), s AS (
+      SELECT user_id AS cust_id, CAST(ts AS DATE) AS dt,
+             CAST(COUNT(*) AS BIGINT) AS sessions
+      FROM events GROUP BY 1, 2
+    )
+    SELECT COALESCE(o.cust_id, p.cust_id, s.cust_id) AS cust_id,
+           COALESCE(o.dt, p.dt, s.dt) AS dt,
+           COALESCE(o.revenue, 0) AS revenue,
+           COALESCE(o.order_count, 0) AS order_count,
+           COALESCE(p.purchases, 0) AS purchases,
+           COALESCE(s.sessions, 0) AS sessions
+    FROM o
+    FULL OUTER JOIN p ON o.cust_id = p.cust_id AND o.dt = p.dt
+    FULL OUTER JOIN s ON COALESCE(o.cust_id, p.cust_id) = s.cust_id
+                     AND COALESCE(o.dt, p.dt) = s.dt
+"""
+
+
+def build_fact_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship fact build: three aggregates → chained FULL OUTER
+    joins (J2) on the composite (cust_id, dt) key with USING coalescing
+    (J1/P7) → zero-defaulting (P8) → stable ordering (O1).
+
+    Scale notes: all three aggregates and both joins hash-partition on the
+    same (cust_id, dt) key, so Catalyst reuses one exchange per input —
+    the whole fact is two shuffles (orders, events) regardless of data
+    size, and AQE coalesces the post-join partitions.
+    """
+    o = daily_order_metrics(spark, sf_dir).select(
+        "cust_id",
+        "dt",
+        F.col("revenue_dec").cast("double").alias("revenue"),
+        "order_count",
+    )
+    ev = daily_event_metrics(spark, sf_dir)
+    p = ev.select("cust_id", "dt", "purchases")
+    s = ev.select("cust_id", "dt", "sessions")
+    fact = (
+        o.join(p, ["cust_id", "dt"], "full_outer")
+        .join(s, ["cust_id", "dt"], "full_outer")
+        .na.fill(0, ["revenue", "order_count", "purchases", "sessions"])
+    )
+    return fact.orderBy("cust_id", "dt")
+
+
+@demo_query("q_fact_daily", oracle=FACT_ORACLE)
+def q_fact_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return build_fact_daily(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# S8: incremental MERGE upsert (dbt incremental, merge strategy)
+# ---------------------------------------------------------------------------
+
+MERGE_HORIZON = "2001-01-01"  # pinned stand-in for dateadd(day,-7,current_date)
+
+MERGE_ORACLE = f"""
+    WITH existing AS (
+      SELECT o_custkey AS cust_id, CAST(o_orderdate AS DATE) AS dt,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+             CAST(COUNT(*) AS BIGINT) AS order_count
+      FROM orders WHERE o_orderkey % 10 <> 0
+      GROUP BY 1, 2
+    ), fresh AS (
+      SELECT o_custkey AS cust_id, CAST(o_orderdate AS DATE) AS dt,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+             CAST(COUNT(*) AS BIGINT) AS order_count
+      FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '{MERGE_HORIZON}'
+      GROUP BY 1, 2
+    )
+    SELECT cust_id, dt, revenue, order_count
+    FROM existing WHERE dt < DATE '{MERGE_HORIZON}'
+    UNION ALL
+    SELECT cust_id, dt, revenue, order_count FROM fresh
+"""
+
+
+@demo_query("q_merge_upsert", oracle=MERGE_ORACLE)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 incremental MERGE on (key, dt) without Delta (reference
+    fct_daily_store_metrics.sql:1-5 `incremental_strategy='merge'`,
+    unique_key=['store_id','dt']; horizon :34-36).
+
+    Because the fact row is fully recomputed from the horizon's source
+    rows, MERGE ≡ (keep existing rows outside horizon) ∪ (recompute inside
+    horizon) — exactly what dynamic partition overwrite does on a
+    dt-partitioned table. The demo simulates a stale existing table
+    (orders with orderkey%10==0 missing, i.e. late-arriving rows) and
+    merges the fresh horizon: late rows inside the horizon are healed,
+    matching the reference's late-data contract. See plans/merge.py for
+    the materializing writer.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"),
+        F.col("o_custkey").alias("cust_id"),
+        F.col("o_orderdate").cast("date").alias("dt"),
+        money("o_totalprice").alias("price"),
+    )
+
+    def daily(df: DataFrame) -> DataFrame:
+        return df.groupBy("cust_id", "dt").agg(
+            F.sum("price").cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("order_count"),
+        )
+
+    existing = daily(orders.filter(F.col("o_orderkey") % 10 != 0))
+    fresh = daily(orders.filter(F.col("dt") >= F.lit(MERGE_HORIZON)))
+    kept = existing.filter(F.col("dt") < F.lit(MERGE_HORIZON))
+    return kept.unionByName(fresh)

@@ -1,0 +1,260 @@
+"""Joins, sorts, set ops, and window functions (SURVEY.md §2.4–§2.7).
+
+The reference's only joins are FULL OUTER equi-joins on (store_id, dt)
+with USING-style key coalescing (fct_daily_store_metrics.sql:30-32); the
+inner join, top-k, union, and window queries are the mandated extension
+surface (§2.4 note, §2.5, §2.7). Spark's list-of-names join form
+reproduces SQL USING key coalescing exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.money import money
+from .registry import demo_query
+
+
+def daily_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(customer, day) order metrics — the erp_orders aggregation twin
+    (reference fct_daily_store_metrics.sql:7-9). Revenue stays decimal
+    until the caller casts, so downstream sums remain exact."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.col("o_custkey").alias("cust_id"),
+            F.col("o_orderdate").cast("date").alias("dt"),
+            money("o_totalprice").alias("price"),
+        )
+        .groupBy("cust_id", "dt")
+        .agg(
+            F.sum("price").alias("revenue_dec"),
+            F.count(F.lit(1)).alias("order_count"),
+        )
+    )
+
+
+def daily_event_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(user, day) event metrics — the web_events sessions twin
+    (reference fct_daily_store_metrics.sql:16-19) with the filtered
+    purchase count (crm 'converted' twin, :11-14)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.col("user_id").alias("cust_id"),
+            F.col("ts").cast("date").alias("dt"),
+            "event_type",
+        )
+        .groupBy("cust_id", "dt")
+        .agg(
+            F.count_if(F.col("event_type") == "purchase").alias("purchases"),
+            F.count(F.lit(1)).alias("sessions"),
+        )
+    )
+
+
+@demo_query(
+    "q_join_full_outer",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey AS cust_id, CAST(o_orderdate AS DATE) AS dt,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+             CAST(COUNT(*) AS BIGINT) AS order_count
+      FROM orders GROUP BY 1, 2
+    ), e AS (
+      SELECT user_id AS cust_id, CAST(ts AS DATE) AS dt,
+             CAST(COUNT(*) AS BIGINT) AS sessions
+      FROM events GROUP BY 1, 2
+    )
+    SELECT COALESCE(o.cust_id, e.cust_id) AS cust_id,
+           COALESCE(o.dt, e.dt) AS dt,
+           COALESCE(o.revenue, 0) AS revenue,
+           COALESCE(o.order_count, 0) AS order_count,
+           COALESCE(e.sessions, 0) AS sessions
+    FROM o FULL OUTER JOIN e ON o.cust_id = e.cust_id AND o.dt = e.dt
+    """,
+)
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: FULL OUTER equi-join on composite key with USING coalescing +
+    P7/P8 null defaulting (reference fct_daily_store_metrics.sql:24-31).
+
+    Both sides are pre-aggregated on the join key, so the shuffle for the
+    aggregation is reused for the join (same hash partitioning) — at scale
+    this is one shuffle per side, not two.
+    """
+    o = daily_order_metrics(spark, sf_dir).select(
+        "cust_id", "dt", F.col("revenue_dec").cast("double").alias("revenue"), "order_count"
+    )
+    e = daily_event_metrics(spark, sf_dir).select("cust_id", "dt", "sessions")
+    return o.join(e, ["cust_id", "dt"], "full_outer").na.fill(
+        0, ["revenue", "order_count", "sessions"]
+    )
+
+
+@demo_query(
+    "q_join_inner",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+           CAST(o_orderdate AS DATE) AS order_dt,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND CAST(o_orderdate AS DATE) < DATE '1996-03-15'
+      AND CAST(l_shipdate AS DATE) > DATE '1996-03-15'
+    GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension inner equi-join chain, TPC-H Q3 shape (SURVEY.md §2.4:
+    fact↔dimension join is the mandated extension beyond the reference's
+    outer joins).
+
+    customer is small → Catalyst auto-broadcasts it; lineitem⋈orders is
+    the real shuffle. Filters sit below the join so parquet gets them
+    pushed down. Deterministic top-k: exact-decimal revenue + orderkey
+    tie-break.
+    """
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").cast("date") < F.lit("1996-03-15")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").cast("date") > F.lit("1996-03-15")
+    )
+    disc_price = money("l_extendedprice") * money(F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_dt"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "order_dt", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@demo_query(
+    "q_sort_topk",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+    FROM customer
+    ORDER BY c_acctbal DESC, c_custkey
+    LIMIT 25
+    """,
+)
+def q_sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 multi-column sort (reference local_runner.py:155) + extension
+    LIMIT top-k (SURVEY.md §2.5). Spark executes orderBy+limit as a
+    TakeOrderedAndProject — per-partition top-k then driver merge, no full
+    sort — exactly what you want at scale."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select("c_custkey", "c_name", "c_acctbal", "c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    ).limit(25)
+
+
+@demo_query(
+    "q_union",
+    oracle="""
+    SELECT c_custkey AS cust_id FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION
+    SELECT o_custkey AS cust_id FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 set op (extension — explicitly absent from the reference):
+    unionByName + distinct == SQL UNION."""
+    a = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("cust_id"))
+    )
+    b = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("cust_id"))
+    )
+    return a.unionByName(b).distinct()
+
+
+@demo_query(
+    "q_window_rank",
+    oracle="""
+    SELECT user_id, event_id, event_type, CAST(ts AS DATE) AS dt
+    FROM events
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 window extension: dedup-keep-latest via row_number (SURVEY.md
+    §2.7 — makes the reference's implicit last-write-wins merge a
+    first-class query). Deterministic tie-break on event_id."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", F.col("ts").cast("date").alias("dt"))
+    )
+
+
+@demo_query(
+    "q_window_rolling",
+    oracle="""
+    WITH daily AS (
+      SELECT o_custkey AS cust_id, CAST(o_orderdate AS DATE) AS dt,
+             SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS day_rev
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT cust_id, dt,
+           CAST(SUM(day_rev) OVER (
+               PARTITION BY cust_id ORDER BY dt
+               RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS rev_7d,
+           CAST(day_rev AS DOUBLE) AS day_rev
+    FROM daily
+    """,
+)
+def q_window_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 window extension: the reference's 7-day incremental horizon
+    (fct_daily_store_metrics.sql:34-36, README.md:84) as a first-class
+    rolling window — 7-day revenue per customer via rangeBetween over
+    day numbers. Decimal sums keep the window exact."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("cust_id"),
+            F.col("o_orderdate").cast("date").alias("dt"),
+            money("o_totalprice").alias("price"),
+        )
+        .groupBy("cust_id", "dt")
+        .agg(F.sum("price").alias("day_rev"))
+    )
+    w = (
+        Window.partitionBy("cust_id")
+        .orderBy(F.datediff(F.col("dt"), F.lit("1970-01-01")))
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "cust_id",
+        "dt",
+        F.sum("day_rev").over(w).cast("double").alias("rev_7d"),
+        F.col("day_rev").cast("double").alias("day_rev"),
+    )

@@ -1,0 +1,394 @@
+"""Core relational operators (SURVEY.md §2.1–§2.6) as oracle-checked
+demo queries over the driver testdata.
+
+Each query cites the reference operator it re-expresses. All money/float
+aggregates use the exact-decimal pattern (``functions.money``) so Spark and
+the DuckDB oracle produce bit-identical doubles regardless of partial-agg
+ordering — which is also the right posture at 100 TB, where partial/final
+aggregation order is nondeterministic by design.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.money import money, money_avg, money_sum
+from .registry import demo_query
+
+# ---------------------------------------------------------------------------
+# §2.1 scans / sources / sinks
+# ---------------------------------------------------------------------------
+
+
+@demo_query(
+    "q_scan_parquet",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS row_cnt,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS order_cnt,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+    FROM lineitem
+    """,
+)
+def q_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 parquet scan (curated-zone read, reference README.md:12).
+
+    Count + distinct + exact sum over the largest table; `.explain` shows
+    ReadSchema pruned to (l_orderkey, l_quantity) only.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("row_cnt"),
+        F.countDistinct("l_orderkey").alias("order_cnt"),
+        money_sum("l_quantity", "total_qty"),
+    )
+
+
+@demo_query(
+    "q_scan_csv",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS row_cnt,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 CSV scan + S5 CSV sink (reference local_runner.py:52, :159-166).
+
+    Round-trips a lineitem projection through a headered CSV with an
+    explicit read schema (no inference — the engine's contract-first
+    posture, SURVEY.md §1.1) and aggregates the re-read frame; doubles
+    survive the trip exactly (shortest-roundtrip formatting).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    out = os.path.join(tempfile.gettempdir(), "spark_graft_csv_roundtrip")
+    li.write.mode("overwrite").option("header", True).csv(out)
+    back = (
+        spark.read.option("header", True)
+        .schema("l_orderkey BIGINT, l_returnflag STRING, l_quantity DOUBLE")
+        .csv(out)
+    )
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("row_cnt"),
+        money_sum("l_quantity", "total_qty"),
+    )
+
+
+@demo_query(
+    "q_scan_json",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 JSON scan + JSON projection (reference local_runner.py:49-51;
+    metadata map carried opaque at stg_web_events.sql:10 — here we go one
+    step further and project into it with get_json_object)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@demo_query(
+    "q_sink_partitioned",
+    oracle=None,  # layout property — rows-only check (S6/S7)
+)
+def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 partitioned parquet sink + S7 Z-order-approx layout (reference
+    README.md:12: curated zone partitioned by dt/store_id with Z-order).
+
+    Writes daily order metrics partitioned by order-month with
+    range-cluster + sort-within-partitions (Z-order approximation for the
+    2-column case: gives parquet row-group min/max pruning on the sorted
+    keys), re-reads, and returns the aggregate — proving the round trip
+    preserves content while enabling partition pruning on read.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.withColumn("order_month", F.date_format("o_orderdate", "yyyy-MM"))
+        .withColumn("dt", F.col("o_orderdate").cast("date"))
+        .select("order_month", "dt", "o_custkey", money("o_totalprice").alias("price"))
+    )
+    out = os.path.join(tempfile.gettempdir(), "spark_graft_curated_orders")
+    (
+        daily.repartition("order_month")
+        .sortWithinPartitions("dt", "o_custkey")
+        .write.mode("overwrite")
+        .partitionBy("order_month")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    # partition-pruned read: only one month's directories are scanned
+    return (
+        back.filter(F.col("order_month") == "1995-03")
+        .groupBy("dt")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("price").cast("double").alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.2 projection / filters / scalar expressions
+# ---------------------------------------------------------------------------
+
+
+@demo_query(
+    "q_stage_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           CAST(o_orderdate AS DATE) AS dt,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total_price,
+           o_orderpriority
+    FROM orders
+    """,
+)
+def q_stage_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1-P4: staging projection with ordered columns, int casts, decimal
+    money cast, date cast — the stg_erp_orders.sql:3-9 pattern applied to
+    the testdata orders table."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        F.col("o_orderkey"),
+        F.col("o_custkey"),
+        F.col("o_orderstatus"),
+        F.col("o_orderdate").cast("date").alias("dt"),
+        money("o_totalprice").cast("double").alias("total_price"),
+        F.col("o_orderpriority"),
+    )
+
+
+@demo_query(
+    "q_filter_eq",
+    oracle="""
+    SELECT event_id, user_id, CAST(ts AS DATE) AS dt, value
+    FROM events
+    WHERE event_type = 'purchase'
+    """,
+)
+def q_filter_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 equality predicate (reference fct_daily_store_metrics.sql:13
+    status='converted'; analog events.event_type='purchase')."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(F.col("event_type") == F.lit("purchase")).select(
+        "event_id", "user_id", F.col("ts").cast("date").alias("dt"), "value"
+    )
+
+
+@demo_query(
+    "q_filter_range",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_dt,
+           CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1998-06-01'
+      AND CAST(l_shipdate AS DATE) <  DATE '1998-09-01'
+    """,
+)
+def q_filter_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6/P9 date-horizon predicate (reference
+    fct_daily_store_metrics.sql:34-36 — the 7-day incremental window;
+    pinned literal dates for determinism per SURVEY.md §7.3)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ship = F.col("l_shipdate").cast("date")
+    return li.filter(
+        (ship >= F.lit("1998-06-01")) & (ship < F.lit("1998-09-01"))
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        ship.alias("ship_dt"),
+        money("l_extendedprice").cast("double").alias("price"),
+    )
+
+
+@demo_query(
+    "q_regex",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) FILTER (WHERE regexp_matches(text, 'merge.*(join|scan)')) AS BIGINT)
+               AS n_match,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10 regex match (reference email regex, local_runner.py:94-99;
+    crm_leads.json:4)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count_if(F.col("text").rlike("merge.*(join|scan)")).alias("n_match"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+@demo_query(
+    "q_notnull_check",
+    oracle="""
+    SELECT CAST(COUNT(*) FILTER (WHERE event_id IS NULL) AS BIGINT) AS null_event_id,
+           CAST(COUNT(*) FILTER (WHERE user_id IS NULL) AS BIGINT) AS null_user_id,
+           CAST(COUNT(*) FILTER (WHERE props IS NULL) AS BIGINT) AS null_props,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM events
+    """,
+)
+def q_notnull_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11 not-null validation as a single-pass aggregation (reference
+    local_runner.py:81-85; erp_orders.json:4, web_events.json:4-5)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.count_if(F.col("event_id").isNull()).alias("null_event_id"),
+        F.count_if(F.col("user_id").isNull()).alias("null_user_id"),
+        F.count_if(F.col("props").isNull()).alias("null_props"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@demo_query(
+    "q_bound_check",
+    oracle="""
+    SELECT CAST(COUNT(*) FILTER (WHERE l_quantity < 0) AS BIGINT) AS neg_qty,
+           CAST(COUNT(*) FILTER (WHERE l_extendedprice < 0) AS BIGINT) AS neg_price,
+           CAST(MIN(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS min_qty,
+           CAST(MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS min_price
+    FROM lineitem
+    """,
+)
+def q_bound_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12 min-bound validation (reference local_runner.py:87-92;
+    erp_orders.json:5 order_value>=0, products.json:4 price>=0)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count_if(F.col("l_quantity") < 0).alias("neg_qty"),
+        F.count_if(F.col("l_extendedprice") < 0).alias("neg_price"),
+        F.min(money("l_quantity")).cast("double").alias("min_qty"),
+        F.min(money("l_extendedprice")).cast("double").alias("min_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 aggregations
+# ---------------------------------------------------------------------------
+
+
+@demo_query(
+    "q_agg_sum",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - l_discount AS DECIMAL(12,2))
+                    * CAST(1 + l_tax AS DECIMAL(12,2))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A4 grouped multi-aggregate — TPC-H Q1 shape (reference revenue
+    aggregation, fct_daily_store_metrics.sql:8; local_runner.py:137-140).
+
+    Catalyst plans this as partial (map-side) + final hash aggregation —
+    the shape that scales: per-executor combine before the single shuffle
+    on the 6-value group key.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = money("l_extendedprice") * money(F.lit(1) - F.col("l_discount"))
+    charge = disc_price * money(F.lit(1) + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate").cast("date") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            money_sum("l_quantity", "sum_qty"),
+            money_sum("l_extendedprice", "sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            money_avg("l_quantity", "avg_qty"),
+            money_avg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@demo_query(
+    "q_agg_count",
+    oracle="""
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_agg_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 group-by count(*) (reference order_count / sessions,
+    fct_daily_store_metrics.sql:8, :18)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@demo_query(
+    "q_agg_count_filter",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchases,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_agg_count_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 filtered count (reference `count(*) filter (where
+    status='converted')`, fct_daily_store_metrics.sql:13; pandas lambda
+    local_runner.py:143 — here a built-in count_if, no UDF)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count_if(F.col("event_type") == "purchase").alias("purchases"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@demo_query(
+    "q_bool_agg",
+    oracle="""
+    SELECT lang,
+           bool_or(n_chars > 900) AS any_long,
+           bool_and(n_chars > 10) AS all_nonempty,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_bool_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 boolean reductions (reference validation any()/all(),
+    local_runner.py:84, :90, :97)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.bool_or(F.col("n_chars") > 900).alias("any_long"),
+        F.bool_and(F.col("n_chars") > 10).alias("all_nonempty"),
+        F.max("n_chars").alias("max_chars"),
+    )
