@@ -1,0 +1,80 @@
+"""Benchmark harness — times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed via ``df.write.format("noop")`` — unlike
+``count()``, a noop write materializes every output column (count lets
+Catalyst prune the aggregate expressions and would under-measure).
+Per-query wall-clock includes planning + execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+HEADLINE = [
+    "q_agg_sum",
+    "q_fact_daily",
+    "q_join_inner",
+    "q_window_rolling",
+    "q_merge_upsert",
+    "q_agg_count_filter",
+    "q_window_rank",
+    "q_union",
+    "q_scan_parquet",
+    "q_filter_range",
+    # extensions (registered by operator modules as they land)
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_text_quality",
+    "q_token_count",
+    "q_similarity_topk",
+    "q_ngram_jaccard",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    import __spark_entry__ as entrymod
+    from aws_lakehouse_project_spark.session import build_session
+
+    spark = build_session(app_name="bench")
+
+    registry = entrymod.queries()
+    names = [n for n in HEADLINE if n in registry]
+
+    # warm-up: JVM + codegen + file listing, not counted
+    registry["q_scan_parquet"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = registry[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_clock_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
