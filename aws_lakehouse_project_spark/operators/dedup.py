@@ -1,1 +1,398 @@
-"""Placeholder — filled in this round."""
+"""Deduplication operators over the ``documents`` table (SURVEY.md §7.2
+M6b — the training-data-pipeline extension surface).
+
+Five strategies, all shuffle-conscious:
+
+- exact (hash-groupBy on content / keep-lowest-id window)
+- word-3-gram Jaccard (explode → self-join on shingle → ratio of int
+  counts; SQL-expressible, oracle-checked)
+- MinHash + LSH banding (k min-aggregates over portable 32-bit hashes,
+  band-bucket join — the scale path: candidate pairs only, never all
+  pairs)
+- SimHash (bit-vote aggregation into 16-bit bands, pigeonhole band join
+  for hamming<=3)
+
+All hashing is built-in (xxhash64) or integer arithmetic — JVM-side,
+whole-stage-codegen'd, no UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import demo_query
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+@demo_query(
+    "q_dedup_exact",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct,
+           CAST(COUNT(*) - COUNT(DISTINCT text) AS BIGINT) AS n_dups
+    FROM documents GROUP BY lang
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate profile: hash-groupBy on full content per language.
+
+    At 100 TB you'd group on xxhash64(text) instead of the raw string to
+    shrink shuffle width; here the distinct is on text directly so the
+    oracle is byte-identical.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("text").alias("n_distinct"),
+        (F.count(F.lit(1)) - F.countDistinct("text")).alias("n_dups"),
+    )
+
+
+@demo_query(
+    "q_dedup_keep_first",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1
+    """,
+)
+def q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keeping the canonical (lowest-id) copy per content
+    group — the window-rank dedup pattern (SURVEY.md §2.7 extension).
+    One shuffle on the content key; survivors keep full metadata."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("text").orderBy("doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling (shared by jaccard / minhash)
+# ---------------------------------------------------------------------------
+
+
+def _cpu_spread(df: DataFrame) -> DataFrame:
+    """Rebalance a file-count-bound scan to core-bound parallelism before
+    CPU-heavy per-row work. The testdata tables are single parquet files
+    (1 input split); on a cluster the same applies whenever upstream
+    partitioning is coarser than the CPU budget — the shuffle moves only
+    the narrow input columns and unlocks N-way expression evaluation."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+
+def word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) — distinct word n-grams per document, built with
+    array built-ins (split → transform over an index sequence →
+    array_distinct → explode). No UDFs; codegen keeps this in the JVM."""
+    toks = _cpu_spread(docs).select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("w")
+    )
+    # guard short docs with greatest(, -1) → empty sequence, not a when()
+    # branch: Catalyst pushes the array expr into the Generate node, and a
+    # when() there is re-evaluated per output row (~2× slower measured)
+    grams = toks.select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(0, greatest(size(w)-{n}, -1)), "
+                f"i -> concat_ws(' ', {', '.join(f'w[i+{j}]' for j in range(n))}))"
+            )
+        ).alias("shingles"),
+    )
+    # explode_outer, not explode: plain explode plants a size(expr)>0
+    # filter that duplicates the whole shingle expression (measured ~3×
+    # slower); outer emits one null for empty arrays, dropped after.
+    return grams.select(
+        "doc_id", F.explode_outer("shingles").alias("shingle")
+    ).filter(F.col("shingle").isNotNull())
+
+
+JACCARD_THRESHOLD = 0.01  # testdata docs are unique word salad; max observed ≈ 0.02
+
+# DuckDB twin of word_shingles + pairwise jaccard on one source bucket.
+# Restricting to a bucket keeps the candidate-pair space bounded — the
+# full-corpus path is q_dedup_minhash (LSH candidates, no all-pairs).
+_JACCARD_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w
+      FROM documents WHERE source = 'src0'
+    ),
+    tok AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(w) >= 3 THEN generate_series(1, len(w)-2)
+                         ELSE [] END) AS i,
+             w
+      FROM toks
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM tok
+    ),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT d1, d2,
+           ROUND(CAST(c AS DOUBLE) / (ca.n + cb.n - c), 6) AS jaccard
+    FROM shared
+    JOIN cnt ca ON ca.doc_id = d1
+    JOIN cnt cb ON cb.doc_id = d2
+    WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= {JACCARD_THRESHOLD}
+"""
+
+
+@demo_query("q_ngram_jaccard", oracle=_JACCARD_ORACLE)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup pairs within one source bucket.
+
+    shared-count self-join on exploded shingles → jaccard as a ratio of
+    integer counts (deterministic doubles, oracle-exact). The join key is
+    the shingle, so the shuffle is bounded by total shingle occurrences,
+    not by doc pairs.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("source") == "src0")
+    sh = word_shingles(docs).cache()
+    sh.count()  # materialize once; three subtrees read it below
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("d1"), "shingle")
+    b = sh.select(F.col("doc_id").alias("d2"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    cb = cnt.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    jac = F.col("c").cast("double") / (F.col("n1") + F.col("n2") - F.col("c"))
+    return (
+        shared.join(ca, "d1")
+        .join(cb, "d2")
+        .filter(jac >= F.lit(JACCARD_THRESHOLD))
+        .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+_MINHASH_K = 32  # signature length
+_LSH_ROWS = 4  # rows per band → 8 bands; s-curve threshold ≈ (1/8)^(1/4) ≈ .59
+_MERSENNE = 4294967311  # prime > 2^32; a*x stays under 2^63
+_rng = random.Random(42)
+_MINHASH_COEFFS = [
+    (_rng.randrange(1, 2**31), _rng.randrange(0, 2**31)) for _ in range(_MINHASH_K)
+]
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, mh_0..mh_{k-1}) — k-permutation MinHash over word-3-gram
+    shingles.
+
+    Shingles never materialize as strings here: tokens are hashed first
+    and a shingle's identity is xxhash64 over its 3 token hashes —
+    cheaper than concat'ing strings and byte-equivalent for MinHash
+    purposes. Each permutation is (a*x+b) mod p over the 32-bit shingle
+    hash; the signature is k min-aggregates computed in ONE pass over the
+    exploded shingle hashes (single shuffle on doc_id, map-side partial
+    mins). This is the 100 TB shape: cost is O(shingles) + one shuffle,
+    independent of pair count.
+    """
+    toks = _cpu_spread(docs).select(
+        "doc_id",
+        F.expr("transform(split(lower(text), ' '), t -> xxhash64(t))").alias("hw"),
+    )
+    grams = toks.select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(0, greatest(size(hw)-3, -1)), "
+                "i -> xxhash64(hw[i], hw[i+1], hw[i+2]))"
+            )
+        ).alias("sh"),
+    )
+    base = (
+        grams.select("doc_id", F.explode_outer("sh").alias("h"))
+        .filter(F.col("h").isNotNull())  # see word_shingles: avoids expr-dup
+        .select("doc_id", F.pmod("h", F.lit(2**32)).alias("x"))
+    )
+    aggs = [
+        F.min(
+            F.pmod(F.col("x") * F.lit(a) + F.lit(b), F.lit(_MERSENNE))
+        ).alias(f"mh_{j}")
+        for j, (a, b) in enumerate(_MINHASH_COEFFS)
+    ]
+    return base.groupBy("doc_id").agg(*aggs)
+
+
+@demo_query("q_dedup_minhash", oracle=None)  # portable-hash algorithm; rows-only
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs: band the k-wide signature into
+    k/r buckets, exact-match join within (band_idx, band_signature),
+    then estimate similarity as the fraction of agreeing minhashes.
+
+    Banding makes the join key (band_idx, 4 minhash values) — candidate
+    generation is a hash join on bucket collisions, never an all-pairs
+    comparison.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs)
+    n_bands = _MINHASH_K // _LSH_ROWS
+    bands = sig.select(
+        "doc_id",
+        *[F.col(f"mh_{j}") for j in range(_MINHASH_K)],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band_idx"),
+                        F.xxhash64(
+                            *[
+                                F.col(f"mh_{bi * _LSH_ROWS + r}")
+                                for r in range(_LSH_ROWS)
+                            ]
+                        ).alias("band_sig"),
+                    )
+                    for bi in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", *[f"mh_{j}" for j in range(_MINHASH_K)], "band.*")
+    # both join sides derive from the signature table — cache AND
+    # materialize it, otherwise each join subtree computes the full
+    # shingle+minhash pass on the first action (lazy cache races).
+    # At warehouse scale: persist the signature table instead.
+    bands = bands.cache()
+    bands.count()
+
+    left = bands.select(
+        F.col("doc_id").alias("d1"),
+        *[F.col(f"mh_{j}").alias(f"a_{j}") for j in range(_MINHASH_K)],
+        "band_idx",
+        "band_sig",
+    )
+    right = bands.select(
+        F.col("doc_id").alias("d2"),
+        *[F.col(f"mh_{j}").alias(f"b_{j}") for j in range(_MINHASH_K)],
+        "band_idx",
+        "band_sig",
+    )
+    agree = sum(
+        F.when(F.col(f"a_{j}") == F.col(f"b_{j}"), 1).otherwise(0)
+        for j in range(_MINHASH_K)
+    )
+    return (
+        left.join(right, ["band_idx", "band_sig"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", (agree / F.lit(_MINHASH_K)).alias("est_jaccard"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BITS = 64
+_SIMHASH_BANDS = 4  # 16 bits per band; hamming<=3 ⇒ ≥1 band equal (pigeonhole)
+
+
+def simhash_bands(docs: DataFrame) -> DataFrame:
+    """(doc_id, sb_0..sb_3) — 64-bit SimHash as four 16-bit band values.
+
+    Per token: xxhash64 → per-bit ±1 votes, summed per document in one
+    aggregation pass; bit b of the simhash is 1 iff its vote is positive.
+    Band values stay < 2^16 so no sign issues; hamming distance is
+    reconstructable from the four bands via xor+bit_count.
+    """
+    toks = _cpu_spread(docs).select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
+    ).select("doc_id", F.xxhash64("tok").alias("h"))
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(h >> {b}) & 1") == 1, 1).otherwise(-1)
+            ).alias(f"v_{b}")
+            for b in range(_SIMHASH_BITS)
+        ]
+    )
+    band_cols = []
+    for bi in range(_SIMHASH_BANDS):
+        bits = range(bi * 16, (bi + 1) * 16)
+        band = sum(
+            F.when(F.col(f"v_{b}") > 0, F.lit(1 << (b - bi * 16))).otherwise(0)
+            for b in bits
+        )
+        band_cols.append(band.cast("long").alias(f"sb_{bi}"))
+    return votes.select("doc_id", *band_cols)
+
+
+@demo_query("q_dedup_simhash", oracle=None)  # portable-hash algorithm; rows-only
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with hamming distance <= 3.
+
+    Pigeonhole banding: any pair within hamming 3 of a 64-bit simhash
+    agrees exactly on at least one of 4 16-bit bands, so candidates come
+    from 4 exact-match self-joins (cheap), then the true hamming distance
+    filters via xor + bit_count.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sig = simhash_bands(docs)
+    exploded = sig.select(
+        "doc_id",
+        *[f"sb_{b}" for b in range(_SIMHASH_BANDS)],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"), F.col(f"sb_{b}").alias("band_val")
+                    )
+                    for b in range(_SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", *[f"sb_{b}" for b in range(_SIMHASH_BANDS)], "band.*")
+    exploded = exploded.cache()
+    exploded.count()
+
+    left = exploded.select(
+        F.col("doc_id").alias("d1"),
+        *[F.col(f"sb_{b}").alias(f"x_{b}") for b in range(_SIMHASH_BANDS)],
+        "band_idx",
+        "band_val",
+    )
+    right = exploded.select(
+        F.col("doc_id").alias("d2"),
+        *[F.col(f"sb_{b}").alias(f"y_{b}") for b in range(_SIMHASH_BANDS)],
+        "band_idx",
+        "band_val",
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"x_{b}").bitwiseXOR(F.col(f"y_{b}")))
+        for b in range(_SIMHASH_BANDS)
+    )
+    return (
+        left.join(right, ["band_idx", "band_val"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= 3)
+        .distinct()
+    )

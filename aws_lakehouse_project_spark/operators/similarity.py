@@ -1,1 +1,206 @@
-"""Placeholder — filled in this round."""
+"""Similarity search over the ``embeddings`` table (SURVEY.md §7.2 M6c).
+
+Two paths:
+
+- brute-force cosine top-k (the correctness baseline): broadcast the query
+  vector, one scan, TakeOrderedAndProject — O(N·d), no shuffle of the
+  corpus.
+- LSH-bucketed ANN (the scale path): sign-random-projection buckets from
+  deterministic hyperplanes shared with the oracle; search touches only
+  the query's bucket.
+
+All vector math is array built-ins (zip_with + aggregate fold) on doubles.
+Both Spark's ``aggregate`` and DuckDB's ``list_inner_product`` fold
+sequentially left-to-right, so dot products are bit-identical — the
+top-k boundary is therefore deterministic across engines.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import demo_query
+
+_DIM = 64
+_QUERY_VEC_ID = 0
+_TOPK = 20
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product over two array<double> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def as_double(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("array<double>")
+
+
+_TOPK_ORACLE = f"""
+    WITH q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}
+    )
+    SELECT e.vec_id, e.label,
+           ROUND(
+             list_inner_product(e.embedding::DOUBLE[], q.qv)
+             / (sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                * sqrt(list_inner_product(q.qv, q.qv))), 6) AS cosine
+    FROM embeddings e, q
+    WHERE e.vec_id <> {_QUERY_VEC_ID}
+    ORDER BY list_inner_product(e.embedding::DOUBLE[], q.qv)
+             / (sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                * sqrt(list_inner_product(q.qv, q.qv))) DESC,
+             e.vec_id
+    LIMIT {_TOPK}
+"""
+
+
+@demo_query("q_similarity_topk", oracle=_TOPK_ORACLE)
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k for one query vector.
+
+    The query vector is a one-row broadcast cross join (no shuffle of the
+    corpus side); orderBy+limit compiles to TakeOrderedAndProject, i.e.
+    per-partition top-k then a driver merge of k·partitions rows — the
+    correct brute-force shape at any scale.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (
+        emb.filter(F.col("vec_id") == _QUERY_VEC_ID)
+        .select(as_double("embedding").alias("qv"))
+    )
+    e = emb.filter(F.col("vec_id") != _QUERY_VEC_ID).select(
+        "vec_id", "label", as_double("embedding").alias("ev")
+    )
+    joined = e.crossJoin(F.broadcast(q))
+    cosine = dot(F.col("ev"), F.col("qv")) / (
+        F.sqrt(dot(F.col("ev"), F.col("ev"))) * F.sqrt(dot(F.col("qv"), F.col("qv")))
+    )
+    return (
+        joined.select("vec_id", "label", cosine.alias("cos_raw"))
+        .orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+        .limit(_TOPK)
+        .select("vec_id", "label", F.round("cos_raw", 6).alias("cosine"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (scale path)
+# ---------------------------------------------------------------------------
+
+_N_PLANES = 4  # 16 buckets; testdata has 500-2000 vectors → ~30-125 per bucket
+_rng = random.Random(1337)
+# deterministic hyperplanes, shared verbatim with the oracle SQL
+_PLANES = [
+    [round(_rng.uniform(-1.0, 1.0), 6) for _ in range(_DIM)] for _ in range(_N_PLANES)
+]
+
+
+def _bucket_expr(vec: Column) -> Column:
+    """Sign-random-projection bucket id: bit j = (vec · plane_j) > 0."""
+    bits = [
+        F.when(dot(vec, F.array(*[F.lit(w) for w in plane])) > 0, F.lit(1 << j))
+        .otherwise(0)
+        for j, plane in enumerate(_PLANES)
+    ]
+    return sum(bits).cast("int")
+
+
+def _bucket_sql(expr: str) -> str:
+    terms = []
+    for j, plane in enumerate(_PLANES):
+        lit = "[" + ", ".join(repr(w) for w in plane) + "]::DOUBLE[]"
+        terms.append(
+            f"(CASE WHEN list_inner_product({expr}, {lit}) > 0 THEN {1 << j} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+_LSH_ORACLE = f"""
+    WITH q AS (
+      SELECT embedding::DOUBLE[] AS qv,
+             {_bucket_sql("embedding::DOUBLE[]")} AS bucket
+      FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}
+    ),
+    cand AS (
+      SELECT e.vec_id, e.label, e.embedding::DOUBLE[] AS ev, q.qv
+      FROM embeddings e, q
+      WHERE {_bucket_sql("e.embedding::DOUBLE[]")} = q.bucket
+        AND e.vec_id <> {_QUERY_VEC_ID}
+    )
+    SELECT vec_id, label,
+           ROUND(list_inner_product(ev, qv)
+                 / (sqrt(list_inner_product(ev, ev))
+                    * sqrt(list_inner_product(qv, qv))), 6) AS cosine
+    FROM cand
+    ORDER BY list_inner_product(ev, qv)
+             / (sqrt(list_inner_product(ev, ev)) * sqrt(list_inner_product(qv, qv)))
+             DESC, vec_id
+    LIMIT {_TOPK}
+"""
+
+
+@demo_query("q_similarity_lsh", oracle=_LSH_ORACLE)
+def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via sign-random-projection LSH: assign every vector to one of
+    2^N_PLANES buckets (deterministic hyperplanes), then rank only the query's
+    bucket. At 100 TB the bucket column is precomputed at ingest and the
+    table partitioned by it, turning ANN into a partition-pruned scan of
+    ~1/2^N_PLANES of the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    withb = emb.select(
+        "vec_id", "label", as_double("embedding").alias("ev")
+    ).withColumn("bucket", _bucket_expr(F.col("ev")))
+    q = (
+        withb.filter(F.col("vec_id") == _QUERY_VEC_ID)
+        .select(F.col("ev").alias("qv"), F.col("bucket").alias("qbucket"))
+    )
+    cand = withb.join(
+        F.broadcast(q), F.col("bucket") == F.col("qbucket")
+    ).filter(F.col("vec_id") != _QUERY_VEC_ID)
+    cosine = dot(F.col("ev"), F.col("qv")) / (
+        F.sqrt(dot(F.col("ev"), F.col("ev"))) * F.sqrt(dot(F.col("qv"), F.col("qv")))
+    )
+    return (
+        cand.select("vec_id", "label", cosine.alias("cos_raw"))
+        .orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+        .limit(_TOPK)
+        .select("vec_id", "label", F.round("cos_raw", 6).alias("cosine"))
+    )
+
+
+@demo_query(
+    "q_similarity_pairs",
+    oracle=None,  # all-pairs-above-threshold via buckets; rows-only
+)
+def q_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (dedup by embedding): bucket
+    self-join on the LSH bucket, exact cosine filter at 0.99 — candidate
+    generation is per-bucket, never all-pairs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    withb = emb.select("vec_id", as_double("embedding").alias("ev")).withColumn(
+        "bucket", _bucket_expr(F.col("ev"))
+    )
+    a = withb.select(
+        F.col("vec_id").alias("v1"), F.col("ev").alias("e1"), "bucket"
+    )
+    b = withb.select(
+        F.col("vec_id").alias("v2"), F.col("ev").alias("e2"), "bucket"
+    )
+    cosine = dot(F.col("e1"), F.col("e2")) / (
+        F.sqrt(dot(F.col("e1"), F.col("e1"))) * F.sqrt(dot(F.col("e2"), F.col("e2")))
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("v1") < F.col("v2"))
+        .select("v1", "v2", F.round(cosine, 6).alias("cosine"))
+        .filter(F.col("cosine") >= 0.99)
+    )

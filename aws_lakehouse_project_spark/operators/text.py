@@ -1,1 +1,185 @@
-"""Placeholder — filled in this round."""
+"""Text-analysis operators over ``documents`` (SURVEY.md §7.2 M6d):
+language-ID heuristic, quality scoring, token counting, document
+fingerprinting. All built-ins — split/regexp/aggregate expressions stay in
+whole-stage codegen; group-level ratios are ratios of summed integers so
+results are deterministic under any aggregation order (same discipline as
+functions/money.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import demo_query
+
+# shared heuristic vocabulary: high-frequency English function words.
+# documents.text is synthetic word salad, so the heuristic's value here is
+# determinism, not linguistic accuracy — the oracle applies the same rule.
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+_STOP_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+
+@demo_query(
+    "q_text_quality",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id, lang, n_chars,
+             len(string_split(lower(text), ' ')) AS n_tokens,
+             len(list_filter(string_split(lower(text), ' '),
+                             t -> t IN ({_STOP_SQL}))) AS n_stop,
+             length(text) - length(replace(text, ' ', '')) AS n_spaces
+      FROM documents WHERE source IN ('src0', 'src1')
+    )
+    SELECT doc_id, lang,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_stop AS BIGINT) AS n_stop,
+           ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stop_ratio,
+           ROUND(CAST(n_chars - n_spaces AS DOUBLE) / n_tokens, 6) AS avg_word_len
+    FROM feat
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features: token count, stopword count/ratio,
+    average word length (length/punct/stopword heuristics — the classic
+    pretraining quality filters). Per-row arithmetic on identical inputs
+    → oracle-exact doubles."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1")
+    )
+    toks = F.split(F.lower(F.col("text")), " ")
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_tokens = F.size(toks)
+    # note: not array_intersect (it dedups); filter keeps multiplicity
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_spaces = F.length("text") - F.length(F.regexp_replace("text", " ", ""))
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_tokens.cast("long").alias("n_tokens"),
+        n_stop.cast("long").alias("n_stop"),
+        F.round(n_stop.cast("double") / n_tokens, 6).alias("stop_ratio"),
+        F.round(
+            (F.col("n_chars") - n_spaces).cast("double") / n_tokens, 6
+        ).alias("avg_word_len"),
+    )
+
+
+@demo_query(
+    "q_token_count",
+    oracle=f"""
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+           CAST(SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT)
+               AS re_tokens,
+           ROUND(CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*), 6)
+               AS tokens_per_doc
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting at corpus scale: whitespace tokens + regex tokens
+    (the BPE-ish `[a-z0-9]+` word pattern) summed per (lang, source);
+    tokens/doc as a ratio of summed integers (order-independent)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.size(F.split(F.col("text"), " ")).cast("long")
+    re_toks = F.regexp_count(F.lower(F.col("text")), F.lit("[a-z0-9]+")).cast("long")
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(ws).alias("ws_tokens"),
+        F.sum(re_toks).alias("re_tokens"),
+        F.round(F.sum(ws).cast("double") / F.count(F.lit(1)), 6).alias(
+            "tokens_per_doc"
+        ),
+    )
+
+
+_LANG_THRESHOLD = 0.08
+
+
+@demo_query(
+    "q_lang_id",
+    oracle=f"""
+    WITH feat AS (
+      SELECT lang,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+                                  t -> t IN ({_STOP_SQL}))) AS DOUBLE)
+               / len(string_split(lower(text), ' ')) AS stop_ratio
+      FROM documents
+    )
+    SELECT lang,
+           CASE WHEN stop_ratio >= {_LANG_THRESHOLD} THEN 'en' ELSE 'other' END
+             AS predicted,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM feat
+    GROUP BY 1, 2
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID n-gram heuristic: stopword-ratio classifier (English
+    function-word density), reported as a (true lang × predicted)
+    contingency. On real corpora the vocabulary per language drives this;
+    the operator shape (per-doc feature → threshold → contingency
+    aggregate) is the production one."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    ratio = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast(
+        "double"
+    ) / F.size(toks)
+    predicted = F.when(ratio >= _LANG_THRESHOLD, "en").otherwise("other")
+    return docs.select("lang", predicted.alias("predicted")).groupBy(
+        "lang", "predicted"
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+_FP_PRIME = 1_000_000_007
+
+
+@demo_query(
+    "q_fingerprint",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, source,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(lower(text), ' '),
+                   t -> CAST(length(t) * 7 + ascii(substring(t, 1, 1)) AS BIGINT))),
+               (acc, v) -> (acc * 31 + v) % {_FP_PRIME}) AS fp
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_fingerprints,
+           CAST(MIN(fp) AS BIGINT) AS min_fp,
+           CAST(MAX(fp) AS BIGINT) AS max_fp
+    FROM fp GROUP BY source
+    """,
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: a portable rolling hash (Horner fold,
+    base 31 mod 1e9+7) over per-token features, folded left-to-right with
+    F.aggregate — identical arithmetic to the DuckDB list_reduce oracle.
+    Fingerprint collisions per source approximate the dup profile without
+    shuffling full text."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    tok_feature = "CAST(length(t) * 7 + ascii(substring(t, 1, 1)) AS BIGINT)"
+    fp = F.expr(
+        "aggregate(transform(split(lower(text), ' '), "
+        f"t -> {tok_feature}), CAST(0 AS BIGINT), "
+        f"(acc, v) -> (acc * 31 + v) % {_FP_PRIME})"
+    )
+    return (
+        docs.select("doc_id", "source", fp.alias("fp"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp").alias("n_fingerprints"),
+            F.min("fp").alias("min_fp"),
+            F.max("fp").alias("max_fp"),
+        )
+    )
