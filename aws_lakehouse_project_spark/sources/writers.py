@@ -1,0 +1,52 @@
+"""Curated-zone writers (S5-S7, S10).
+
+The reference's curated layout: Parquet partitioned by (dt, store_id)
+with Z-Order clustering (reference README.md:3, :12, :35). Without
+delta-spark, Z-order is approximated writer-side: range-repartition on
+the cluster keys + sortWithinPartitions, which gives parquet row-group
+min/max pruning on those keys — for 2 columns this captures most of
+Z-order's benefit (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+
+
+def write_csv(df: DataFrame, path: str) -> None:
+    """S5 CSV sink (reference local_runner.py:159-166)."""
+    df.write.mode("overwrite").option("header", True).csv(path)
+
+
+def write_partitioned_parquet(
+    df: DataFrame, path: str, partition_cols: Sequence[str], merge_schema: bool = False
+) -> None:
+    """S6 partitioned parquet sink; mergeSchema on read handles S10
+    (`on_schema_change: sync_all_columns`, dbt_project.yml:15)."""
+    writer = df.write.mode("overwrite").partitionBy(*partition_cols)
+    if merge_schema:
+        writer = writer.option("mergeSchema", "true")
+    writer.parquet(path)
+
+
+def write_zorder_approx(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str],
+    cluster_cols: Sequence[str],
+    n_files_per_partition: int = 1,
+) -> None:
+    """S7 Z-order-approximate layout: within each Hive partition, cluster
+    rows by range on the cluster keys and sort within files so parquet
+    row-group stats prune multi-column predicates.
+
+    At 100 TB, `n_files_per_partition` controls file sizing (target
+    ~128-1024 MB per file); locally 1 file per partition keeps the tree
+    small.
+    """
+    clustered = df.repartitionByRange(
+        max(n_files_per_partition, 1), *[*partition_cols, *cluster_cols]
+    ).sortWithinPartitions(*[*partition_cols, *cluster_cols])
+    clustered.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)

@@ -1,0 +1,116 @@
+"""Incremental-merge tests (SURVEY.md §7.2 M4): the dbt
+incremental/merge contract — full build on first run, horizon recompute
+after, idempotent re-runs, late-data healing inside the horizon."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_lakehouse_project_spark.plans.merge import (
+    AntiJoinMergeWriter,
+    PartitionOverwriteMergeWriter,
+    incremental_merge,
+    table_exists,
+)
+
+
+def daily(df):
+    return df.groupBy("store_id", "dt").agg(
+        F.sum("v").cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@pytest.fixture()
+def source(spark):
+    rows = [
+        ("s1", "2024-06-01", 10.0),
+        ("s1", "2024-06-02", 20.0),
+        ("s2", "2024-06-02", 30.0),
+        ("s2", "2024-06-03", 40.0),
+    ]
+    return spark.createDataFrame(rows, "store_id STRING, dt STRING, v DOUBLE")
+
+
+def collect_fact(spark, writer):
+    # partition-column type inference reads dt back as DATE — normalize
+    # to string for comparisons
+    df = writer.read(spark).select("store_id", "dt", "revenue", "n")
+    return sorted((r["store_id"], str(r["dt"]), r["revenue"], r["n"]) for r in df.collect())
+
+
+def test_full_then_merge_then_idempotent(spark, source, tmp_path):
+    path = str(tmp_path / "fact")
+    writer = PartitionOverwriteMergeWriter(path, partition_col="dt")
+    assert not table_exists(path)
+
+    horizon = "2024-06-02"
+    compute_full = lambda: daily(source)
+    compute_horizon = lambda: daily(source.filter(F.col("dt") >= horizon))
+
+    incremental_merge(spark, writer, compute_full, compute_horizon)
+    first = collect_fact(spark, writer)
+    assert len(first) == 4
+
+    # second run takes the merge branch; result must be unchanged
+    incremental_merge(spark, writer, compute_full, compute_horizon)
+    assert collect_fact(spark, writer) == first
+
+
+def test_merge_heals_late_data(spark, source, tmp_path):
+    """A row arriving late inside the horizon updates its partition;
+    partitions outside the horizon are untouched — exactly the
+    reference's 7-day late-data contract (fct sql :34-36)."""
+    path = str(tmp_path / "fact")
+    writer = PartitionOverwriteMergeWriter(path, partition_col="dt")
+    horizon = "2024-06-02"
+
+    stale = source.filter(~((F.col("store_id") == "s2") & (F.col("dt") == "2024-06-02")))
+    writer.write_full(daily(stale))
+    before = dict(
+        ((r["store_id"], str(r["dt"])), (r["revenue"], r["n"]))
+        for r in writer.read(spark).collect()
+    )
+    assert ("s2", "2024-06-02") not in before
+
+    writer.merge(daily(source.filter(F.col("dt") >= horizon)))
+    after = dict(
+        ((r["store_id"], str(r["dt"])), (r["revenue"], r["n"]))
+        for r in writer.read(spark).collect()
+    )
+    assert after[("s2", "2024-06-02")] == (30.0, 1)
+    assert after[("s1", "2024-06-01")] == before[("s1", "2024-06-01")]
+
+
+def test_merge_preserves_untouched_partitions(spark, source, tmp_path):
+    """Dynamic overwrite must only replace partitions present in the
+    fresh frame — 2024-06-01 survives a merge that excludes it."""
+    path = str(tmp_path / "fact")
+    writer = PartitionOverwriteMergeWriter(path, partition_col="dt")
+    writer.write_full(daily(source))
+    writer.merge(daily(source.filter(F.col("dt") == "2024-06-03")))
+    dts = {str(r["dt"]) for r in writer.read(spark).select("dt").distinct().collect()}
+    assert dts == {"2024-06-01", "2024-06-02", "2024-06-03"}
+
+
+def test_anti_join_merge(spark, source, tmp_path):
+    """Key-level upsert: matched keys replaced, unmatched kept, new
+    inserted (Delta MERGE fallback shape)."""
+    path = str(tmp_path / "kv")
+    writer = AntiJoinMergeWriter(path, keys=["store_id", "dt"])
+    writer.write_full(daily(source))
+
+    updates = spark.createDataFrame(
+        [("s1", "2024-06-02", 99.0, 9), ("s3", "2024-06-04", 7.0, 1)],
+        "store_id STRING, dt STRING, revenue DOUBLE, n BIGINT",
+    )
+    writer.merge(spark, updates)
+    got = dict(
+        ((r["store_id"], r["dt"]), (r["revenue"], r["n"]))
+        for r in writer.read(spark).collect()
+    )
+    assert got[("s1", "2024-06-02")] == (99.0, 9)  # replaced
+    assert got[("s3", "2024-06-04")] == (7.0, 1)  # inserted
+    assert got[("s1", "2024-06-01")] == (10.0, 1)  # kept
+    assert len(got) == 5
