@@ -25,10 +25,12 @@ def _registry():
         dedup,
         fact,
         joins,
+        multimodal,
         relational,
         similarity,
         text,
     )
+    from aws_lakehouse_project_spark.streaming import events_stream  # noqa: F401
     from aws_lakehouse_project_spark.operators.registry import ORACLES, QUERIES
 
     return QUERIES, ORACLES

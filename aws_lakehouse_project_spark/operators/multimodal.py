@@ -1,0 +1,123 @@
+"""Multimodal-column plumbing (SURVEY.md §7.2 M6, BASELINE.json north
+star): image/audio/video as opaque ``binary`` columns with typed
+metadata, processed by Arrow-batched Pandas functions via ``mapInPandas``.
+
+The decode step itself is STUBBED — the container has no image/audio
+libraries — but everything Spark-side is real and tested: the schema, the
+partitioning posture, the ``mapInPandas`` batch iterator signature, and a
+deterministic fake feature extractor so pipelines downstream of decode
+can be exercised end-to-end. Swapping ``_fake_features`` for a real
+decoder (PIL/torchvision/ffmpeg) changes no Spark code.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import load_table
+from .registry import demo_query
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType()),  # image | audio | video
+        T.StructField("payload", T.BinaryType()),  # opaque encoded bytes
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+
+FEATURE_DIM = 8
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("features", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def decode_image(payload: bytes) -> "object":
+    """Real image decode — NOT AVAILABLE in this environment (no PIL /
+    cv2). Kept as the single seam a real deployment implements."""
+    raise NotImplementedError(
+        "image decode requires an imaging library (e.g. PIL); "
+        "this environment ships none — use extract_features' fake path"
+    )
+
+
+def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Deterministic stand-in for decode→embed: byte-bucket histogram
+    normalized by length. Stable across runs/partitions, so tests can
+    assert exact values."""
+    if not payload:
+        return [0.0] * dim
+    counts = [0] * dim
+    for b in payload:
+        counts[b % dim] += 1
+    n = float(len(payload))
+    return [c / n for c in counts]
+
+
+def extract_features(media: DataFrame, batch_hint: int = 0) -> DataFrame:
+    """media → per-item feature vectors via mapInPandas.
+
+    The iterator-of-batches signature is the 100 TB shape: Arrow batches
+    stream through the Python worker without materializing a partition,
+    so payload size bounds memory, not row count. Partitioning is
+    whatever upstream chose — callers repartition by size/bucket before
+    this when payloads skew.
+    """
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            feats = [
+                _fake_features(bytes(p)) if p is not None else [0.0] * FEATURE_DIM
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
+                    "features": feats,
+                }
+            )
+
+    return media.select("media_id", "media_type", "payload").mapInPandas(
+        batches, schema=FEATURES_SCHEMA
+    )
+
+
+def documents_as_media(docs: DataFrame) -> DataFrame:
+    """Synthesize a media table from documents: utf-8 payload bytes +
+    typed metadata. Stands in for an image/audio lake table whose binary
+    column came from object storage."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.create_map(
+            F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")
+        ).alias("meta"),
+    )
+
+
+@demo_query("q_multimodal_features", oracle=None)  # Pandas-UDF path; rows-only
+def q_multimodal_features(spark, sf_dir: str) -> DataFrame:
+    """Binary-column pipeline end-to-end: synthesize media from
+    documents, extract features via mapInPandas, aggregate per media
+    bucket. Integer sums only, so the result is order-independent."""
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    feats = extract_features(media)
+    return feats.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.count_if(F.size("features") == FEATURE_DIM).alias("n_feature_vectors"),
+    )

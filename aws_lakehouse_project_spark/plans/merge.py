@@ -58,11 +58,46 @@ class PartitionOverwriteMergeWriter:
     def merge(self, fresh_horizon: DataFrame) -> None:
         """Overwrite exactly the partitions present in ``fresh_horizon``
         (requires spark.sql.sources.partitionOverwriteMode=dynamic, set
-        by the session factory)."""
+        by the session factory).
+
+        Correct ONLY when ``fresh_horizon`` contains every row of every
+        partition it touches (full recompute — the dbt fact's case). For
+        partial updates (e.g. streaming update-mode emissions, which carry
+        only the groups that changed) use ``merge_upsert`` — plain merge
+        would drop the unchanged groups of a touched partition.
+        """
         (
             fresh_horizon.write.mode("overwrite")
             .partitionBy(self.partition_col)
             .parquet(self.path)
+        )
+
+    def merge_upsert(
+        self, spark: SparkSession, updates: DataFrame, keys: Sequence[str]
+    ) -> None:
+        """Key-level MERGE inside touched partitions: rows of touched
+        partitions not matched by ``keys`` survive, matched keys are
+        replaced, new keys insert. Untouched partitions are never read or
+        written — the partition-value list (bounded by the horizon, e.g.
+        7 days) prunes the target scan."""
+        if not table_exists(self.path):
+            self.write_full(updates)
+            return
+        from pyspark.sql import functions as F
+
+        touched = [
+            r[0] for r in updates.select(self.partition_col).distinct().collect()
+        ]
+        existing = self.read(spark).filter(
+            F.col(self.partition_col).cast("string").isin([str(v) for v in touched])
+        )
+        aligned = existing.select(*updates.columns)
+        kept = aligned.join(updates.select(*keys), list(keys), "left_anti")
+        merged = kept.unionByName(updates)
+        # break lineage: the write replaces files the plan reads
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").partitionBy(self.partition_col).parquet(
+            self.path
         )
 
     def read(self, spark: SparkSession) -> DataFrame:
