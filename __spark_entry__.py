@@ -22,6 +22,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def _registry():
     # import for registration side effects
     from aws_lakehouse_project_spark.operators import (  # noqa: F401
+        analytics,
         dedup,
         fact,
         joins,

@@ -1,0 +1,228 @@
+"""Advanced analytics operators (SURVEY.md §2.4/§2.7 extensions): as-of
+join, sessionization, rollup, pivot, approximate distinct.
+
+These are the operators the reference's Athena/Presto surface could
+express but its models never used — mandated extensions, cleanly
+separated. Spark lacks a native as-of join; it is built here as a
+union-tag + window composition (option (a) of the custom-operator
+ladder: composition of existing DataFrame ops — no UDFs, no
+applyInPandas needed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.money import money
+from .registry import demo_query
+
+# ---------------------------------------------------------------------------
+# as-of join
+# ---------------------------------------------------------------------------
+
+_ASOF_ORACLE = """
+    WITH purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), views AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'view'
+    )
+    SELECT p.event_id, p.user_id,
+           p.ts AS purchase_ts,
+           v.ts AS last_view_ts,
+           CAST(epoch_us(p.ts) - epoch_us(v.ts) AS BIGINT) AS gap_us
+    FROM purchases p
+    ASOF LEFT JOIN views v
+      ON p.user_id = v.user_id AND v.ts <= p.ts
+"""
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_value: str = "ts",
+) -> DataFrame:
+    """ASOF LEFT JOIN: for each left row, the right row with the largest
+    ``right_ts`` <= ``left_ts`` within the same ``on`` key.
+
+    Implementation: tag both sides, union, one window pass per key
+    ordered by (ts, side) with a running ``last(right value ignorenulls)``
+    — views at the same timestamp sort before purchases so ties are
+    inclusive, matching ASOF semantics. Cost: one shuffle on the key +
+    one sort — same complexity as a sort-merge join, no range explosion;
+    this is the scalable shape (``pd.merge_asof`` per group via
+    applyInPandas would serialize every partition through Python).
+    """
+    lt = left.select(
+        F.lit(1).alias("_side"),
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.struct(*left.columns).alias("_l"),
+        F.lit(None).cast(right.schema[right_value].dataType).alias("_rv"),
+    )
+    rt = right.select(
+        F.lit(0).alias("_side"),
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(None).cast(lt.schema["_l"].dataType).alias("_l"),
+        F.col(right_value).alias("_rv"),
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts"), F.col("_side"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tagged = lt.unionByName(rt).withColumn(
+        "_asof", F.last("_rv", ignorenulls=True).over(w)
+    )
+    return tagged.filter(F.col("_side") == 1).select("_l.*", F.col("_asof"))
+
+
+@demo_query("q_asof_join", oracle=_ASOF_ORACLE)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every purchase, the user's most recent prior (or simultaneous)
+    view — the canonical event-attribution as-of join."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+    joined = asof_join(purchases, views, on="user_id")
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("_asof").alias("last_view_ts"),
+        (
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.col("_asof"))
+        ).alias("gap_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sessionization
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_MIN = 30
+
+_SESSION_ORACLE = f"""
+    WITH ordered AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN ts - LAG(ts) OVER w > INTERVAL {_SESSION_GAP_MIN} MINUTE
+                    OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, event_id, ts,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM ordered
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end
+    FROM sess GROUP BY user_id, session_id
+"""
+
+
+@demo_query("q_sessionize", oracle=_SESSION_ORACLE)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: a 30-minute inactivity gap starts a new session.
+    lag → gap flag → running sum = session id, then one aggregation —
+    two window passes over the same (user, ts) sort, one shuffle total."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (gap > _SESSION_GAP_MIN * 60 * 1_000_000),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# rollup / pivot / approx
+# ---------------------------------------------------------------------------
+
+
+@demo_query(
+    "q_rollup",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals via ROLLUP (status → status+priority → grand
+    total) — subtotal levels carry NULL group keys in both engines."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.sum(money("o_totalprice")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+_EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]
+
+_PIVOT_ORACLE = f"""
+    SELECT CAST(ts AS DATE) AS dt,
+           {", ".join(
+               f"CAST(COUNT(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS {t}"
+               for t in _EVENT_TYPES
+           )}
+    FROM events GROUP BY 1
+"""
+
+
+@demo_query("q_pivot", oracle=_PIVOT_ORACLE)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event types into daily count columns. The pivot value list
+    is fixed, so Spark needs no discovery pass and the plan is a single
+    hash aggregation (identical to the FILTER-aggregate oracle)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(F.col("ts").cast("date").alias("dt"), "event_type")
+        .groupBy("dt")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, _EVENT_TYPES)
+    )
+
+
+@demo_query("q_approx_distinct", oracle=None)  # sketch values are engine-specific
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimation next to the exact count — the
+    scale path for cardinality metrics (constant memory per group vs a
+    distinct shuffle). Rows-only: HLL estimates differ across engines by
+    design."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
