@@ -52,10 +52,16 @@ def build_fact_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins (J2) on the composite (cust_id, dt) key with USING coalescing
     (J1/P7) → zero-defaulting (P8) → stable ordering (O1).
 
-    Scale notes: all three aggregates and both joins hash-partition on the
-    same (cust_id, dt) key, so Catalyst reuses one exchange per input —
-    the whole fact is two shuffles (orders, events) regardless of data
-    size, and AQE coalesces the post-join partitions.
+    Scale notes: the reference chains three joins because its three
+    metric families come from three tables; here purchases and sessions
+    both derive from events, so they are computed in ONE aggregation pass
+    (multi-aggregate, A4) and the fact is a single full-outer join — two
+    scans, two shuffles total, with the join reusing the aggregations'
+    (cust_id, dt) hash partitioning. The genuine 3-table 3-way chain
+    lives in operators/domain_fact.py. A chained join here would scan
+    events twice and re-shuffle after the first join (coalesced USING
+    keys lose their partitioning lineage) — measured in
+    tests/test_plans.py.
     """
     o = daily_order_metrics(spark, sf_dir).select(
         "cust_id",
@@ -63,13 +69,11 @@ def build_fact_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("revenue_dec").cast("double").alias("revenue"),
         "order_count",
     )
-    ev = daily_event_metrics(spark, sf_dir)
-    p = ev.select("cust_id", "dt", "purchases")
-    s = ev.select("cust_id", "dt", "sessions")
-    fact = (
-        o.join(p, ["cust_id", "dt"], "full_outer")
-        .join(s, ["cust_id", "dt"], "full_outer")
-        .na.fill(0, ["revenue", "order_count", "purchases", "sessions"])
+    ev = daily_event_metrics(spark, sf_dir).select(
+        "cust_id", "dt", "purchases", "sessions"
+    )
+    fact = o.join(ev, ["cust_id", "dt"], "full_outer").na.fill(
+        0, ["revenue", "order_count", "purchases", "sessions"]
     )
     return fact.orderBy("cust_id", "dt")
 

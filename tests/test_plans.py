@@ -1,0 +1,75 @@
+"""Plan-guard tests: lock in the physical-plan properties that matter at
+100 TB (SURVEY.md §4). A regression here is a performance bug even when
+results stay correct."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_DIR
+
+
+def physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_through_date_cast(spark):
+    """cast(l_shipdate AS DATE) >= lit must still reach the parquet scan
+    as a timestamp predicate (Catalyst UnwrapCastInBinaryComparison)."""
+    from aws_lakehouse_project_spark.operators.relational import q_filter_range
+
+    plan = physical_plan(q_filter_range(spark, SF_DIR))
+    assert "DataFilters: [isnotnull(l_shipdate" in plan.replace("\n", " ")
+
+
+def test_column_pruning(spark):
+    """A 3-column aggregate over lineitem must not scan all 11 columns."""
+    from aws_lakehouse_project_spark.operators.relational import q_scan_parquet
+
+    plan = physical_plan(q_scan_parquet(spark, SF_DIR))
+    scan_line = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "l_orderkey" in scan_line and "l_quantity" in scan_line
+    assert "l_extendedprice" not in scan_line  # pruned
+
+
+def test_topk_is_take_ordered(spark):
+    """orderBy().limit(k) must compile to TakeOrderedAndProject —
+    per-partition top-k, not a global sort."""
+    from aws_lakehouse_project_spark.operators.joins import q_sort_topk
+
+    plan = physical_plan(q_sort_topk(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_inner_join_broadcasts_dimension(spark):
+    """The customer side of the Q3-shape join must be broadcast, not
+    shuffled."""
+    from aws_lakehouse_project_spark.operators.joins import q_join_inner
+
+    plan = physical_plan(q_join_inner(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_fact_daily_reuses_aggregation_exchange(spark):
+    """The fact build shuffles each input exactly once: both sides
+    pre-aggregate on (cust_id, dt) and the full-outer join reuses that
+    partitioning (2 hash exchanges; the final orderBy adds only a range
+    exchange)."""
+    from aws_lakehouse_project_spark.operators.fact import build_fact_daily
+
+    plan = physical_plan(build_fact_daily(spark, SF_DIR))
+    n_hash_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_hash_exchanges == 2, f"expected 2 hash exchanges, got {n_hash_exchanges}"
+    # and events must be scanned once, not once per metric family
+    n_event_scans = plan.count("events.parquet")
+    assert n_event_scans == 1, f"expected 1 events scan, got {n_event_scans}"
+
+
+def test_whole_stage_codegen_covers_q1(spark):
+    """The Q1-shape aggregation must run inside WholeStageCodegen (check
+    the AQE-finalized plan — pre-execution it is not yet staged)."""
+    from aws_lakehouse_project_spark.operators.relational import q_agg_sum
+
+    df = q_agg_sum(spark, SF_DIR)
+    df.collect()  # finalize AQE
+    plan = physical_plan(df)
+    # "*(n) HashAggregate" is the WholeStageCodegen marker in plan strings
+    assert "*(1) HashAggregate" in plan and "*(2) HashAggregate" in plan
