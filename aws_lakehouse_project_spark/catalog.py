@@ -43,7 +43,7 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         path = table_path(sf_dir, name)
         if not os.path.exists(path):
             continue
-        df = spark.read.parquet(path)
+        df = load_table(spark, sf_dir, name)  # handles events' nanos ts
         df.createOrReplaceTempView(name)
         out[name] = df
     return out

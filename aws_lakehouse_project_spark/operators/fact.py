@@ -83,6 +83,39 @@ def q_fact_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_fact_daily(spark, sf_dir)
 
 
+@demo_query("q_sql_fact", oracle=FACT_ORACLE)
+def q_sql_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dbt compilation path (SURVEY.md §3.3): the same fact written
+    as pure SQL over registered views — Catalyst produces an equivalent
+    plan either way, proving SQL-surface parity with the DataFrame API.
+    The DECIMAL(12,2)-before-SUM discipline appears verbatim in SQL."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH o AS (
+          SELECT o_custkey AS cust_id, CAST(o_orderdate AS DATE) AS dt,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+                 COUNT(*) AS order_count
+          FROM orders GROUP BY 1, 2
+        ), e AS (
+          SELECT user_id AS cust_id, CAST(ts AS DATE) AS dt,
+                 COUNT_IF(event_type = 'purchase') AS purchases,
+                 COUNT(*) AS sessions
+          FROM events GROUP BY 1, 2
+        )
+        SELECT COALESCE(o.cust_id, e.cust_id) AS cust_id,
+               COALESCE(o.dt, e.dt) AS dt,
+               COALESCE(o.revenue, 0) AS revenue,
+               COALESCE(o.order_count, 0) AS order_count,
+               COALESCE(e.purchases, 0) AS purchases,
+               COALESCE(e.sessions, 0) AS sessions
+        FROM o FULL OUTER JOIN e ON o.cust_id = e.cust_id AND o.dt = e.dt
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # S8: incremental MERGE upsert (dbt incremental, merge strategy)
 # ---------------------------------------------------------------------------

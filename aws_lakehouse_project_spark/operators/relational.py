@@ -290,6 +290,44 @@ def q_bound_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @demo_query(
+    "q_expectation_suite",
+    oracle="""
+    SELECT CAST(COUNT(*) FILTER (WHERE event_id IS NULL) AS BIGINT)
+             AS "expect_column_values_to_not_be_null(event_id)",
+           CAST(COUNT(*) FILTER (WHERE TRY_CAST(value AS DOUBLE) < 0) AS BIGINT)
+             AS "expect_column_values_to_be_between(value)",
+           CAST(COUNT(*) FILTER (
+               WHERE props IS NULL OR NOT regexp_matches(props, '^\\{.*\\}$')
+           ) AS BIGINT)
+             AS "expect_column_values_to_match_regex(props)"
+    FROM events
+    """,
+)
+def q_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 end-to-end: a GE-style suite compiled by quality/expectations
+    into ONE aggregation pass, surfaced as a query so the driver gate
+    exercises the actual compiler (violation counts per expectation,
+    all zero on the clean testdata)."""
+    from ..quality.expectations import Expectation
+
+    suite = [
+        Expectation("expect_column_values_to_not_be_null", {"column": "event_id"}),
+        Expectation(
+            "expect_column_values_to_be_between", {"column": "value", "min_value": 0}
+        ),
+        Expectation(
+            "expect_column_values_to_match_regex",
+            {"column": "props", "regex": r"^\{.*\}$"},
+        ),
+    ]
+    ev = load_table(spark, sf_dir, "events")
+    aggs = [
+        F.count_if(exp.violation_condition()).alias(exp.label()) for exp in suite
+    ]
+    return ev.agg(*aggs)
+
+
+@demo_query(
     "q_agg_sum",
     oracle="""
     SELECT l_returnflag, l_linestatus,

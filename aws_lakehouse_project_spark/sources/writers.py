@@ -31,6 +31,29 @@ def write_partitioned_parquet(
     writer.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    n_buckets: int,
+    bucket_cols: Sequence[str],
+    path: str | None = None,
+) -> None:
+    """Bucketed table write: co-locates rows by hash(bucket_cols) so
+    later joins/aggregations on those keys need NO shuffle (the
+    bucketing metadata lives in the session catalog). At warehouse scale
+    this is how the big fact↔fact joins avoid their exchanges entirely;
+    `n_buckets` should match the downstream parallelism."""
+    writer = (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .format("parquet")
+    )
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table_name)
+
+
 def write_zorder_approx(
     df: DataFrame,
     path: str,

@@ -1,0 +1,80 @@
+"""Writer-layout tests: bucketed join without shuffle (S3/§2.1),
+Z-order-approx clustering (S7), schema evolution on read (S10)."""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key must join with zero Exchange
+    operators — the co-located-join contract."""
+    from aws_lakehouse_project_spark.catalog import load_table
+    from aws_lakehouse_project_spark.sources.writers import write_bucketed
+
+    orders = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(orders, "b_orders", 4, ["o_orderkey"], str(tmp_path / "bo"))
+    write_bucketed(li, "b_lineitem", 4, ["l_orderkey"], str(tmp_path / "bl"))
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force sort-merge: tiny test tables would otherwise broadcast,
+        # which bypasses (and disables) bucketed scans entirely
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_zorder_approx_sorted_within_files(spark, tmp_path):
+    """The Z-order-approx writer must produce files whose rows are
+    sorted on the cluster keys (what enables row-group min/max
+    pruning)."""
+    from aws_lakehouse_project_spark.catalog import load_table
+    from aws_lakehouse_project_spark.sources.writers import write_zorder_approx
+
+    orders = load_table(spark, SF_DIR, "orders").select(
+        F.date_format("o_orderdate", "yyyy").alias("year"),
+        F.col("o_custkey"),
+        F.col("o_orderkey"),
+    )
+    out = str(tmp_path / "zo")
+    write_zorder_approx(orders, out, ["year"], ["o_custkey"])
+    for f in glob.glob(f"{out}/year=*/**/*.parquet", recursive=True):
+        vals = [r["o_custkey"] for r in spark.read.parquet(f).collect()]
+        assert vals == sorted(vals), f"{f} not clustered"
+    # content round-trips
+    assert spark.read.parquet(out).count() == orders.count()
+
+
+def test_schema_evolution_merge_schema(spark, tmp_path):
+    """S10 `on_schema_change: sync_all_columns`: a batch with an added
+    column lands alongside the old files; mergeSchema surfaces the
+    union, with nulls for pre-evolution rows."""
+    from aws_lakehouse_project_spark.sources.writers import write_partitioned_parquet
+
+    out = str(tmp_path / "evo")
+    v1 = spark.createDataFrame([("a", "2024-01-01", 1)], "k STRING, dt STRING, x INT")
+    write_partitioned_parquet(v1, out, ["dt"])
+    v2 = spark.createDataFrame(
+        [("b", "2024-01-02", 2, 9.5)], "k STRING, dt STRING, x INT, y DOUBLE"
+    )
+    v2.write.mode("append").partitionBy("dt").parquet(out)
+
+    back = spark.read.option("mergeSchema", True).parquet(out)
+    assert set(back.columns) == {"k", "dt", "x", "y"}
+    rows = {r["k"]: (r["x"], r["y"]) for r in back.collect()}
+    assert rows == {"a": (1, None), "b": (2, 9.5)}
