@@ -214,6 +214,85 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RANGE_ORACLE = """
+    WITH purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), views AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'view'
+    )
+    SELECT p.event_id, p.user_id,
+           CAST(COUNT(v.ts) AS BIGINT) AS views_prev_hour
+    FROM purchases p
+    LEFT JOIN views v
+      ON p.user_id = v.user_id
+     AND v.ts > p.ts - INTERVAL 1 HOUR
+     AND v.ts <= p.ts
+    GROUP BY p.event_id, p.user_id
+"""
+
+
+@demo_query("q_range_join", oracle=_RANGE_ORACLE)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (SURVEY.md §2.4 extension): views within the hour
+    before each purchase, per user.
+
+    The equi-key (user_id) bounds the range probe, so Catalyst plans a
+    sort-merge join on user_id with the interval as a post-join filter —
+    no cross product. For range joins WITHOUT an equi-key, bucketize the
+    time axis (join on floor(ts/width) ± 1, then filter) to get the same
+    bounded shape; that variant is exercised in tests/test_analytics.py.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("p_ts")
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")
+    )
+    joined = p.join(
+        v,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("v_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("v_ts") <= F.col("p_ts")),
+        "left",
+    )
+    return joined.groupBy("event_id", "user_id").agg(
+        F.count("v_ts").alias("views_prev_hour")
+    )
+
+
+_SALT_BUCKETS = 16
+
+_SALTED_ORACLE = """
+    SELECT event_type,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type
+"""
+
+
+@demo_query("q_salted_agg", oracle=_SALTED_ORACLE)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted two-phase aggregation: a hot group key (event_type
+    has only 5 values — every row hits 5 reducers) is salted into
+    key×16 sub-groups, partially aggregated, then re-aggregated on the
+    true key. Decimal sums make the two-phase result identical to the
+    direct aggregation, which is the oracle. (AQE's skew handling covers
+    joins; aggregation skew is handled by this explicit pattern.)"""
+    ev = load_table(spark, sf_dir, "events")
+    salted = ev.withColumn(
+        "_salt", F.pmod(F.xxhash64("event_id"), F.lit(_SALT_BUCKETS))
+    )
+    partial = salted.groupBy("event_type", "_salt").agg(
+        F.sum(money("value")).alias("pv"),
+        F.count(F.lit(1)).alias("pc"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pv").cast("double").alias("total_value"),
+        F.sum("pc").alias("n_events"),
+    )
+
+
 @demo_query("q_approx_distinct", oracle=None)  # sketch values are engine-specific
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct estimation next to the exact count — the

@@ -1,0 +1,86 @@
+"""Unit tests for analytics operators beyond the oracle harness:
+as-of edge cases, bucketized no-equi-key range join, retry policy."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_asof_ties_are_inclusive(spark):
+    """A right row at exactly the left timestamp must match (v.ts <= p.ts)."""
+    from aws_lakehouse_project_spark.operators.analytics import asof_join
+
+    left = spark.createDataFrame([(1, 100)], "user_id INT, ts INT")
+    right = spark.createDataFrame([(1, 100), (1, 99)], "user_id INT, ts INT")
+    rows = asof_join(left, right, on="user_id").collect()
+    assert rows[0]["_asof"] == 100
+
+
+def test_asof_picks_latest_not_first(spark):
+    from aws_lakehouse_project_spark.operators.analytics import asof_join
+
+    left = spark.createDataFrame([(1, 50), (1, 200)], "user_id INT, ts INT")
+    right = spark.createDataFrame([(1, 10), (1, 60), (1, 150)], "user_id INT, ts INT")
+    got = {r["ts"]: r["_asof"] for r in asof_join(left, right, on="user_id").collect()}
+    assert got == {50: 10, 200: 150}
+
+
+def test_bucketized_range_join_no_equi_key(spark):
+    """Range join without an equi-key: bucketize the range axis, join on
+    bucket ± neighbors, filter exactly — equals the naive theta join on
+    small data, but with a bounded join key at scale."""
+    events = spark.createDataFrame(
+        [(i, i * 7 % 100) for i in range(60)], "id INT, t INT"
+    )
+    windows = spark.createDataFrame(
+        [(0, 10, 25), (1, 40, 55), (2, 90, 99)], "w_id INT, lo INT, hi INT"
+    )
+    width = 16
+    eb = events.withColumn("b", (F.col("t") / width).cast("int"))
+    wb = windows.withColumn(
+        "bs",
+        F.sequence(
+            (F.col("lo") / width).cast("int"), (F.col("hi") / width).cast("int")
+        ),
+    ).withColumn("b", F.explode("bs"))
+    got = (
+        eb.join(wb, "b")
+        .filter((F.col("t") >= F.col("lo")) & (F.col("t") <= F.col("hi")))
+        .select("id", "w_id")
+    )
+    naive = events.join(
+        windows,
+        (F.col("t") >= F.col("lo")) & (F.col("t") <= F.col("hi")),
+    ).select("id", "w_id")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, naive.collect()))
+
+
+def test_retry_policy_retries_transient_not_data_errors(spark, tmp_path):
+    """D5: transient exceptions retry (2 retries); data-quality failures
+    never do (deterministic → fail fast)."""
+    from aws_lakehouse_project_spark.errors import ExpectationFailure
+    from aws_lakehouse_project_spark.pipeline import LakehousePipeline, PipelineConfig
+
+    cfg = PipelineConfig(raw_paths={}, curated_dir=str(tmp_path), retries=2)
+    pipe = LakehousePipeline(spark, cfg)
+
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise OSError("transient")
+        return "ok"
+
+    assert pipe._with_retries(flaky) == "ok"
+    assert calls["n"] == 3
+
+    def data_error():
+        calls["n"] += 1
+        raise ExpectationFailure("bad data")
+
+    calls["n"] = 0
+    with pytest.raises(ExpectationFailure):
+        pipe._with_retries(data_error)
+    assert calls["n"] == 1  # no retry on deterministic failures
