@@ -6,7 +6,7 @@ The decode step itself is STUBBED — the container has no image/audio
 libraries — but everything Spark-side is real and tested: the schema, the
 partitioning posture, the ``mapInPandas`` batch iterator signature, and a
 deterministic fake feature extractor so pipelines downstream of decode
-can be exercised end-to-end. Swapping ``_fake_features`` for a real
+can be exercised end-to-end. Swapping the nested ``fake_features`` for a real
 decoder (PIL/torchvision/ffmpeg) changes no Spark code.
 """
 
@@ -51,19 +51,6 @@ def decode_image(payload: bytes) -> "object":
     )
 
 
-def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
-    """Deterministic stand-in for decode→embed: byte-bucket histogram
-    normalized by length. Stable across runs/partitions, so tests can
-    assert exact values."""
-    if not payload:
-        return [0.0] * dim
-    counts = [0] * dim
-    for b in payload:
-        counts[b % dim] += 1
-    n = float(len(payload))
-    return [c / n for c in counts]
-
-
 def extract_features(media: DataFrame, batch_hint: int = 0) -> DataFrame:
     """media → per-item feature vectors via mapInPandas.
 
@@ -75,10 +62,28 @@ def extract_features(media: DataFrame, batch_hint: int = 0) -> DataFrame:
     """
     import pandas as pd
 
+    # everything the workers run is NESTED here, deliberately:
+    # cloudpickle ships closures by value, while module-level functions
+    # are pickled by reference and break on workers that don't have this
+    # package on their import path (e.g. driver launched from another
+    # cwd without --py-files)
+    dim = FEATURE_DIM
+
+    def fake_features(payload: bytes) -> list[float]:
+        # deterministic stand-in for decode→embed: byte-bucket histogram
+        # normalized by length (stable across runs/partitions)
+        if not payload:
+            return [0.0] * dim
+        counts = [0] * dim
+        for b in payload:
+            counts[b % dim] += 1
+        n = float(len(payload))
+        return [c / n for c in counts]
+
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in it:
             feats = [
-                _fake_features(bytes(p)) if p is not None else [0.0] * FEATURE_DIM
+                fake_features(bytes(p)) if p is not None else [0.0] * dim
                 for p in pdf["payload"]
             ]
             yield pd.DataFrame(

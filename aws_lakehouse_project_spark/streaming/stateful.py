@@ -1,0 +1,102 @@
+"""Stateful streaming operators (SURVEY.md §2.9 extension; pyspark guide
+'Sessionization' / 'Stateful' patterns).
+
+Two shapes:
+
+- ``session_window`` aggregation: Spark's built-in gap-based session
+  windows under a watermark (append mode — a session emits once the
+  watermark passes its close). The streaming twin of
+  ``operators/analytics.q_sessionize``.
+- ``applyInPandasWithState``: arbitrary per-key state for operators the
+  built-ins can't express — here a running per-user purchase counter
+  that survives across micro-batches (checkpointed), the minimal shape
+  of a custom stateful operator (e.g. online feature accumulation).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_GAP = "30 minutes"
+
+
+def sessionize_stream(events: DataFrame, watermark: str = "7 days") -> DataFrame:
+    """Gap-based session aggregation over a stream: one row per closed
+    (user, session) with its span and event count. State size is bounded
+    by open sessions only — closed sessions are evicted at the
+    watermark, which is what makes this run forever at scale."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.session_window("ts", SESSION_GAP).alias("w"),
+            F.col("user_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_if(F.col("event_type") == "purchase").alias("purchases"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "purchases",
+        )
+    )
+
+
+COUNTER_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("total_purchases", T.LongType()),
+        T.StructField("batch_purchases", T.LongType()),
+    ]
+)
+
+COUNTER_STATE_SCHEMA = T.StructType([T.StructField("count", T.LongType())])
+
+
+def purchase_counter_stream(events: DataFrame) -> DataFrame:
+    """Arbitrary stateful op via applyInPandasWithState: per-user totals
+    that persist across micro-batches through the checkpoint. The
+    pattern generalizes to any online accumulator (feature stats,
+    dedup-seen sets backed by sketches, CDC folding).
+
+    The state function is a CLOSURE, deliberately: cloudpickle ships
+    closures by value, so Python workers never need this package on
+    their import path (a module-level function is pickled by reference
+    and fails on workers whose cwd/py-files lack the package).
+    """
+
+    def purchase_counter(key, pdf_iter: Iterator, state: GroupState):
+        import pandas as pd
+
+        batch = 0
+        for pdf in pdf_iter:
+            batch += int((pdf["event_type"] == "purchase").sum())
+        (total,) = state.get if state.exists else (0,)
+        total += batch
+        state.update((total,))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "total_purchases": [total],
+                "batch_purchases": [batch],
+            }
+        )
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            purchase_counter,
+            outputStructType=COUNTER_OUTPUT_SCHEMA,
+            stateStructType=COUNTER_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

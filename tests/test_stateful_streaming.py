@@ -1,0 +1,119 @@
+"""Stateful streaming tests: session_window vs batch sessionization,
+and cross-batch state continuity for applyInPandasWithState."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def _events_stream(spark, path):
+    from aws_lakehouse_project_spark.streaming.events_stream import (
+        EVENTS_RAW_SCHEMA,
+    )
+
+    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(path)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def test_session_window_stream_matches_batch(spark, tmp_path):
+    """Sessions emitted by the streaming session_window (append mode)
+    must match batch sessionization for all sessions the watermark has
+    closed. A synthetic far-future event advances the watermark so every
+    real session closes."""
+    from aws_lakehouse_project_spark.streaming.stateful import sessionize_stream
+
+    drop_dir = tmp_path / "drops"
+    drop_dir.mkdir()
+    shutil.copy(
+        os.path.join(SF_DIR, "events.parquet"), drop_dir / "b1.parquet"
+    )
+    # flush event: far enough that watermark (7d) passes all real data
+    flush_ns = int(dt.datetime(2024, 6, 1).timestamp() * 1e9)
+    spark.createDataFrame(
+        [(999_999, flush_ns, 999_999, "view", 0.0, "{}")],
+        "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING",
+    ).write.parquet(str(drop_dir / "b2.parquet"))
+
+    out = (
+        sessionize_stream(_events_stream(spark, str(drop_dir / "*")))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    out.processAllAvailable()
+    out.stop()
+    got = {
+        (r["user_id"], str(r["session_start"])): (r["n_events"], r["purchases"])
+        for r in spark.sql(
+            "SELECT * FROM sessions_out WHERE user_id < 999999"
+        ).collect()
+    }
+
+    # batch twin: same 30-min gap sessionization
+    from aws_lakehouse_project_spark.operators.analytics import q_sessionize
+
+    batch = {
+        (r["user_id"], str(r["session_start"])): r["n_events"]
+        for r in q_sessionize(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(batch)
+    for k, (n, _p) in got.items():
+        assert n == batch[k], k
+
+
+def test_purchase_counter_state_survives_batches(spark, tmp_path):
+    """applyInPandasWithState: totals accumulate across two file drops
+    through the checkpoint — batch 2's totals include batch 1's."""
+    from aws_lakehouse_project_spark.streaming.stateful import (
+        purchase_counter_stream,
+    )
+
+    src = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    purchases = src.filter(F.col("event_type") == "purchase")
+    drop_dir = tmp_path / "drops"
+    drop_dir.mkdir()
+    b1 = purchases.filter(F.col("event_id") % 2 == 0)
+    b2 = purchases.filter(F.col("event_id") % 2 == 1)
+    b1.write.parquet(str(drop_dir / "b1.parquet"))
+
+    def run():
+        # memory sink can't recover from a checkpoint — collect emitted
+        # rows via foreachBatch, which can
+        emitted: list = []
+
+        def sink(df, _epoch):
+            emitted.extend(df.collect())
+
+        q = (
+            purchase_counter_stream(_events_stream(spark, str(drop_dir / "*")))
+            .writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return {r["user_id"]: r["total_purchases"] for r in emitted}
+
+    first = run()
+    b2.write.parquet(str(drop_dir / "b2.parquet"))
+    second = run()
+
+    want = {
+        r["user_id"]: r["n"]
+        for r in purchases.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # users updated in batch 2 show full totals; users only in batch 1
+    # keep their batch-1 totals (update mode re-emits only changed keys)
+    for uid, total in second.items():
+        assert total == want[uid], uid
+    for uid, total in first.items():
+        assert total <= want[uid]
