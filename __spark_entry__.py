@@ -30,6 +30,7 @@ def _registry():
         relational,
         similarity,
         text,
+        tpch,
     )
     from aws_lakehouse_project_spark.streaming import events_stream  # noqa: F401
     from aws_lakehouse_project_spark.operators.registry import ORACLES, QUERIES
