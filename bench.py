@@ -28,12 +28,16 @@ HEADLINE = [
     "q_union",
     "q_scan_parquet",
     "q_filter_range",
+    "q_tpch_q5",
+    "q_asof_join",
+    "q_sessionize",
     # extensions (registered by operator modules as they land)
     "q_dedup_exact",
     "q_dedup_minhash",
     "q_text_quality",
     "q_token_count",
     "q_similarity_topk",
+    "q_similarity_ivf",
     "q_ngram_jaccard",
 ]
 
