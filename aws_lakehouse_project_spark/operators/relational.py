@@ -69,7 +69,10 @@ def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_returnflag", "l_quantity"
     )
-    out = os.path.join(tempfile.gettempdir(), "spark_graft_csv_roundtrip")
+    # per-process dir: concurrent drivers must not clobber each other
+    out = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_csv_roundtrip_{os.getpid()}"
+    )
     li.write.mode("overwrite").option("header", True).csv(out)
     back = (
         spark.read.option("header", True)
@@ -126,7 +129,9 @@ def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("dt", F.col("o_orderdate").cast("date"))
         .select("order_month", "dt", "o_custkey", money("o_totalprice").alias("price"))
     )
-    out = os.path.join(tempfile.gettempdir(), "spark_graft_curated_orders")
+    out = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_curated_orders_{os.getpid()}"
+    )
     (
         daily.repartition("order_month")
         .sortWithinPartitions("dt", "o_custkey")
