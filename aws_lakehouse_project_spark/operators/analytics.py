@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.money import money
+from ..functions.money import money, money_sum
 from .registry import demo_query
 
 # ---------------------------------------------------------------------------
@@ -308,7 +308,7 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     sibling — §2.6 extension)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
-        F.sum(money("l_quantity")).cast("double").alias("sum_qty"),
+        money_sum("l_quantity", "sum_qty"),
         F.count(F.lit(1)).alias("n_rows"),
     )
 

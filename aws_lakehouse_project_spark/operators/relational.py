@@ -20,6 +20,26 @@ from ..catalog import load_table
 from ..functions.money import money, money_avg, money_sum
 from .registry import demo_query
 
+
+def _scratch_dir(prefix: str) -> str:
+    """Per-process scratch dir under /tmp; sweeps stale siblings (same
+    prefix, mtime > 1 h) so repeated runs don't fill the disk, without
+    touching a concurrently-running process's fresh dir."""
+    import shutil
+    import time
+
+    base = tempfile.gettempdir()
+    cutoff = time.time() - 3600
+    for name in os.listdir(base):
+        if name.startswith(prefix) and not name.endswith(f"_{os.getpid()}"):
+            p = os.path.join(base, name)
+            try:
+                if os.path.getmtime(p) < cutoff:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass
+    return os.path.join(base, f"{prefix}_{os.getpid()}")
+
 # ---------------------------------------------------------------------------
 # §2.1 scans / sources / sinks
 # ---------------------------------------------------------------------------
@@ -70,9 +90,7 @@ def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_returnflag", "l_quantity"
     )
     # per-process dir: concurrent drivers must not clobber each other
-    out = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_csv_roundtrip_{os.getpid()}"
-    )
+    out = _scratch_dir("spark_graft_csv_roundtrip")
     li.write.mode("overwrite").option("header", True).csv(out)
     back = (
         spark.read.option("header", True)
@@ -129,9 +147,7 @@ def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("dt", F.col("o_orderdate").cast("date"))
         .select("order_month", "dt", "o_custkey", money("o_totalprice").alias("price"))
     )
-    out = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_curated_orders_{os.getpid()}"
-    )
+    out = _scratch_dir("spark_graft_curated_orders")
     (
         daily.repartition("order_month")
         .sortWithinPartitions("dt", "o_custkey")
