@@ -25,15 +25,21 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan of one testdata table (S4). Predicate pushdown and
     column pruning are Catalyst's job — callers filter/select lazily."""
-    df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS) parquet, surfaced as long nanos via
-        # spark.sql.legacy.parquet.nanosAsLong; truncate to micros exactly
-        # like DuckDB does (integer div, no double rounding)
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
+        # rejects outright unless nanosAsLong is on. The conf is runtime-
+        # settable, and the driver may hand us a session without it —
+        # set it here so entry()/queries() work on ANY session, then
+        # truncate nanos to micros exactly like DuckDB (integer div).
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(table_path(sf_dir, name))
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

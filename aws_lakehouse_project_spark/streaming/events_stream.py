@@ -43,6 +43,9 @@ EVENTS_RAW_SCHEMA = T.StructType(
 
 def read_events_stream(spark: SparkSession, events_path: str) -> DataFrame:
     """File-source stream over the events drop directory (S2/§2.9)."""
+    # nanos→long mapping needs this conf even with an explicit schema;
+    # runtime-settable, so tolerate sessions the engine didn't build
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
         .option("maxFilesPerTrigger", 1)  # one file drop per micro-batch
