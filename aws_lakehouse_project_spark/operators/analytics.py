@@ -313,6 +313,30 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@demo_query(
+    "q_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.5) AS p50,
+           quantile_cont(l_extendedprice, 0.95) AS p95,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``, bit-identical on the same doubles). The scale
+    path for quantiles is ``percentile_approx`` (t-digest, mergeable,
+    constant memory) — exact percentile materializes each group's
+    values and is for modest group cardinalities."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.5).alias("p50"),
+        F.percentile("l_extendedprice", 0.95).alias("p95"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 @demo_query("q_approx_distinct", oracle=None)  # sketch values are engine-specific
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct estimation next to the exact count — the

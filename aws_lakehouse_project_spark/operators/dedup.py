@@ -308,6 +308,82 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# near-dup clustering (connected components over candidate pairs)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame, a: str = "d1", b: str = "d2", max_iter: int = 20
+) -> DataFrame:
+    """(node, component) — connected components of an undirected pair
+    graph via min-label propagation: every node repeatedly adopts the
+    smallest label among itself and its neighbors until fixpoint. The
+    component id is therefore the smallest node id in the component
+    (deterministic).
+
+    Each iteration is one join + one aggregation — the standard
+    large-graph CC shape (O(diameter) rounds). ``localCheckpoint``
+    breaks lineage per round; without it the plan doubles every
+    iteration and the job dies on plan explosion long before data size
+    matters. Near-dup graphs are piles of tiny cliques, so rounds
+    needed ≈ 2-3 in practice.
+    """
+    edges = (
+        pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .unionByName(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "node")
+            .filter(F.col("u.label") != F.col("l.label"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("node", F.col("label").alias("component"))
+
+
+@demo_query("q_dedup_clusters", oracle=None)  # iterative algorithm; rows-only
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: Jaccard candidate pairs → connected components
+    → cluster profile (component id = smallest doc_id, size, doc list).
+    The keep-one-per-cluster dedup policy is then 'keep node ==
+    component'."""
+    pairs = q_ngram_jaccard(spark, sf_dir)
+    comps = connected_components(pairs)
+    return comps.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sort_array(F.collect_list("node")).alias("doc_ids"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

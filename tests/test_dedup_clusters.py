@@ -1,0 +1,41 @@
+"""Connected-components correctness on crafted graphs."""
+
+from __future__ import annotations
+
+from aws_lakehouse_project_spark.operators.dedup import connected_components
+
+
+def cc(spark, edges):
+    df = spark.createDataFrame(edges, "d1 BIGINT, d2 BIGINT")
+    return {
+        r["node"]: r["component"] for r in connected_components(df).collect()
+    }
+
+
+def test_two_components(spark):
+    got = cc(spark, [(1, 2), (2, 3), (10, 11)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_chain_needs_propagation(spark):
+    """A long chain exercises multi-round propagation (diameter > 1)."""
+    chain = [(i, i + 1) for i in range(0, 12)]
+    got = cc(spark, chain)
+    assert set(got.values()) == {0}
+    assert len(got) == 13
+
+
+def test_cycle_and_singleton_edge(spark):
+    got = cc(spark, [(5, 6), (6, 7), (7, 5), (42, 42)])
+    assert got[5] == got[6] == got[7] == 5
+    assert got[42] == 42
+
+
+def test_cluster_query_runs(spark):
+    from aws_lakehouse_project_spark.operators.dedup import q_dedup_clusters
+    from tests.conftest import SF_DIR
+
+    rows = q_dedup_clusters(spark, SF_DIR).collect()
+    for r in rows:
+        assert r["n_docs"] == len(r["doc_ids"])
+        assert r["component"] == min(r["doc_ids"])
