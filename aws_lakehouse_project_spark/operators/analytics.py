@@ -313,6 +313,40 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_UNPIVOT_ORACLE = """
+    WITH wide AS (
+      SELECT l_returnflag,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS price,
+             CAST(SUM(CAST(l_tax AS DECIMAL(12,2))) AS DOUBLE) AS tax
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, metric, amount
+    FROM wide
+    UNPIVOT (amount FOR metric IN (qty, price, tax))
+"""
+
+
+@demo_query("q_unpivot", oracle=_UNPIVOT_ORACLE)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide per-flag metric columns → long
+    (flag, metric, amount) rows — pivot's inverse (§2.6 extension).
+    Spark's ``unpivot`` is a zero-shuffle projection (each input row
+    expands in place)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        money_sum("l_quantity", "qty"),
+        money_sum("l_extendedprice", "price"),
+        money_sum("l_tax", "tax"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["qty", "price", "tax"],
+        variableColumnName="metric",
+        valueColumnName="amount",
+    )
+
+
 @demo_query(
     "q_percentile",
     oracle="""

@@ -11,34 +11,14 @@ aggregation order is nondeterministic by design.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions.money import money, money_avg, money_sum
+from ..functions.scratch import scratch_dir as _scratch_dir
 from .registry import demo_query
-
-
-def _scratch_dir(prefix: str) -> str:
-    """Per-process scratch dir under /tmp; sweeps stale siblings (same
-    prefix, mtime > 1 h) so repeated runs don't fill the disk, without
-    touching a concurrently-running process's fresh dir."""
-    import shutil
-    import time
-
-    base = tempfile.gettempdir()
-    cutoff = time.time() - 3600
-    for name in os.listdir(base):
-        if name.startswith(prefix) and not name.endswith(f"_{os.getpid()}"):
-            p = os.path.join(base, name)
-            try:
-                if os.path.getmtime(p) < cutoff:
-                    shutil.rmtree(p, ignore_errors=True)
-            except OSError:
-                pass
-    return os.path.join(base, f"{prefix}_{os.getpid()}")
 
 # ---------------------------------------------------------------------------
 # §2.1 scans / sources / sinks

@@ -134,9 +134,10 @@ def q_stream_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact SQL oracle."""
     import os
     import shutil
-    import tempfile
 
-    work = tempfile.mkdtemp(prefix="spark_graft_stream_")
+    from ..functions.scratch import scratch_dir
+
+    work = scratch_dir("spark_graft_stream", unique=True)
     drops = os.path.join(work, "drops")
     os.makedirs(drops)
     shutil.copy(
