@@ -1,0 +1,101 @@
+"""Planted near-duplicate tests: the testdata contains no near-dups, so
+the LSH/SimHash demos legitimately return few/no pairs there. These
+tests plant known duplicates and assert the operators catch them —
+the recall side of the rows-only dedup surface."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden under "
+    "a bright morning sun with dew still on the grass"
+)
+# ~90% shingle overlap: one word changed mid-text
+NEAR = BASE.replace("windowsill", "doorstep")
+# unrelated text, same vocabulary style
+OTHER = (
+    "spark engines shuffle partitioned data across executors while the "
+    "optimizer prunes columns and pushes filters into columnar scans "
+    "before aggregating results for the final stage of the query"
+)
+
+
+def docs_df(spark):
+    rows = [(1, BASE), (2, NEAR), (3, OTHER), (4, BASE)]  # 4 == exact dup of 1
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+def test_minhash_catches_planted_dups(spark):
+    from aws_lakehouse_project_spark.operators.dedup import (
+        _LSH_ROWS,
+        _MINHASH_K,
+        minhash_signatures,
+    )
+
+    sig = {r["doc_id"]: [r[f"mh_{j}"] for j in range(_MINHASH_K)]
+           for r in minhash_signatures(docs_df(spark)).collect()}
+    # exact dup: identical signature
+    assert sig[1] == sig[4]
+    # near dup: high signature agreement (est jaccard)
+    agree = sum(a == b for a, b in zip(sig[1], sig[2])) / _MINHASH_K
+    assert agree >= 0.5, agree
+    # unrelated: low agreement
+    noise = sum(a == b for a, b in zip(sig[1], sig[3])) / _MINHASH_K
+    assert noise <= 0.2, noise
+    # and at least one full band agrees for the near pair → LSH finds it
+    bands_agree = any(
+        sig[1][b * _LSH_ROWS : (b + 1) * _LSH_ROWS]
+        == sig[2][b * _LSH_ROWS : (b + 1) * _LSH_ROWS]
+        for b in range(_MINHASH_K // _LSH_ROWS)
+    )
+    assert bands_agree
+
+
+def test_simhash_hamming_orders_similarity(spark):
+    from aws_lakehouse_project_spark.operators.dedup import simhash_bands
+
+    sig = {r["doc_id"]: [r[f"sb_{b}"] for b in range(4)]
+           for r in simhash_bands(docs_df(spark)).collect()}
+
+    def hamming(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+    assert hamming(sig[1], sig[4]) == 0  # exact dup
+    near = hamming(sig[1], sig[2])
+    far = hamming(sig[1], sig[3])
+    assert near < far, (near, far)
+    assert near <= 6  # one-word change flips few bits
+
+
+def test_jaccard_and_clusters_on_planted(spark):
+    from aws_lakehouse_project_spark.operators.dedup import (
+        connected_components,
+        word_shingles,
+    )
+
+    sh = word_shingles(docs_df(spark))
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("d1"), "shingle")
+    b = sh.select(F.col("doc_id").alias("d2"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    cb = cnt.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    jac = F.col("c").cast("double") / (F.col("n1") + F.col("n2") - F.col("c"))
+    pairs = (
+        shared.join(ca, "d1").join(cb, "d2")
+        .filter(jac >= 0.5)
+        .select("d1", "d2")
+    )
+    got = sorted(map(tuple, pairs.collect()))
+    assert got == [(1, 2), (1, 4), (2, 4)]
+    comps = {
+        r["node"]: r["component"] for r in connected_components(pairs).collect()
+    }
+    assert comps == {1: 1, 2: 1, 4: 1}  # one cluster; doc 3 untouched
