@@ -168,6 +168,30 @@ def q_sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @demo_query(
+    "q_topk_per_group",
+    oracle="""
+    SELECT p_brand, p_partkey, p_name, p_retailprice
+    FROM part
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) <= 3
+    """,
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group (the guide's canonical window pattern): 3 priciest
+    parts per brand via row_number — one shuffle on the group key, no
+    global sort. Deterministic tie-break on the key."""
+    part = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey")
+    )
+    return (
+        part.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("p_brand", "p_partkey", "p_name", "p_retailprice")
+    )
+
+
+@demo_query(
     "q_union",
     oracle="""
     SELECT c_custkey AS cust_id FROM customer WHERE c_mktsegment = 'BUILDING'

@@ -136,6 +136,71 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n_docs"))
 
 
+_TFIDF_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, source, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, source, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks GROUP BY 1, 2, 3
+    ),
+    df AS (
+      SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.source, tf.term,
+             SUM(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df)) AS w
+      FROM tf, n JOIN df ON tf.term = df.term
+      GROUP BY 1, 2
+    )
+    SELECT source, term, ROUND(w, 6) AS tfidf
+    FROM scored
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY source ORDER BY w DESC, term) <= 3
+"""
+
+
+@demo_query("q_tfidf", oracle=_TFIDF_ORACLE)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: term frequency × inverse document frequency, summed per
+    (source, term), top-3 terms per source.
+
+    Determinism: tf and df are integer counts, n_docs a constant —
+    ln(n/df) and the weighted sum run on identical doubles in both
+    engines. Sum order: weights are summed per (source, term) group from
+    per-doc integer tf values — multiplication first keeps each addend
+    identical, and the rounded output tolerates the remaining
+    associativity at 1e-6. df is a broadcast dimension (distinct terms ≪
+    corpus); the only big shuffle is the (doc, term) count."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "source", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()  # scalar; metadata-sized driver value
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .withColumn(
+            "w",
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")),
+        )
+        .groupBy("source", "term")
+        .agg(F.sum("w").alias("w"))
+    )
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("source").orderBy(F.col("w").desc(), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= 3)
+        .select("source", "term", F.round("w", 6).alias("tfidf"))
+    )
+
+
 _FP_PRIME = 1_000_000_007
 
 
