@@ -216,6 +216,117 @@ def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @demo_query(
+    "q_intersect",
+    oracle="""
+    SELECT c_custkey AS cust_id FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 INTERSECT: building-segment customers who placed urgent
+    orders. Catalyst plans this as a left-semi join over distinct sets."""
+    a = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("cust_id"))
+    )
+    b = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("cust_id"))
+    )
+    return a.intersect(b)
+
+
+@demo_query(
+    "q_except",
+    oracle="""
+    SELECT c_custkey AS cust_id FROM customer WHERE c_mktsegment = 'BUILDING'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 EXCEPT: building-segment customers with no urgent orders
+    (set difference ≡ distinct + left-anti join)."""
+    a = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("cust_id"))
+    )
+    b = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("cust_id"))
+    )
+    return a.exceptAll(b).distinct()
+
+
+@demo_query(
+    "q_scalar_subquery",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total_price
+    FROM orders
+    WHERE CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) >
+          (SELECT 1.5 * CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                 / COUNT(*)
+           FROM orders)
+    """,
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery comparison: orders above 1.5x the average price
+    (max/avg ≈ 2.0 in the testdata, so 2x would select ~nothing).
+    The aggregate is a one-row broadcast cross join — the DataFrame
+    equivalent of an uncorrelated scalar subquery. The threshold is
+    2·(exact decimal sum as double)/count — NOT AVG(decimal), whose
+    result scale is engine-specific — so the comparison boundary is
+    bit-identical in both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    avg_price = orders.agg(
+        (
+            F.lit(1.5)
+            * F.sum(money("o_totalprice")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("threshold")
+    )
+    return (
+        orders.crossJoin(F.broadcast(avg_price))
+        .filter(money("o_totalprice").cast("double") > F.col("threshold"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            money("o_totalprice").cast("double").alias("total_price"),
+        )
+    )
+
+
+@demo_query(
+    "q_monthly_trunc",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY 1
+    """,
+)
+def q_monthly_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar rollup via date_trunc: monthly revenue — the standard
+    time-dimension aggregation (partition-pruning key at scale)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+        )
+        .agg(
+            F.sum(money("o_totalprice")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@demo_query(
     "q_window_rank",
     oracle="""
     SELECT user_id, event_id, event_type, CAST(ts AS DATE) AS dt
