@@ -29,6 +29,7 @@ def _registry():
         multimodal,
         relational,
         similarity,
+        stats,
         text,
         tpch,
     )

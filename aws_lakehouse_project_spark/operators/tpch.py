@@ -171,3 +171,102 @@ def q_left_join_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_cust.groupBy("n_orders").agg(
         F.count(F.lit(1)).alias("n_customers")
     )
+
+@demo_query(
+    "q_having",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS BIGINT)) > 200
+    )
+    SELECT c_name, o_orderkey,
+           CAST(o_orderdate AS DATE) AS dt,
+           CAST(o_totalprice AS DOUBLE) AS totalprice,
+           total_qty
+    FROM big
+    JOIN orders   ON o_orderkey = big.l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING over an aggregated group (orders whose
+    total line quantity exceeds a threshold), joined back to the order
+    and customer rows.
+
+    The HAVING filter is just a post-aggregation ``filter`` — Catalyst
+    evaluates it on the aggregate's output before the joins, so only the
+    qualifying ~0.1% of orders ever reach the join. The surviving side is
+    small at any scale, but its size tracks the data (not a fixed dim),
+    so no broadcast hint — AQE picks broadcast at runtime when it fits.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"))
+        .filter(F.col("total_qty") > 200)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("dt"),
+            F.col("o_totalprice").cast("double").alias("totalprice"),
+            "total_qty",
+        )
+    )
+
+
+@demo_query(
+    "q_correlated_subquery",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+             AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#4'
+      AND l.l_quantity < (
+        SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS BIGINT)) AS DOUBLE)
+                      / CAST(COUNT(*) AS DOUBLE))
+        FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: per-group correlated scalar subquery (lines below
+    20% of their part's average quantity), decorrelated into a self-join
+    on the per-part aggregate.
+
+    Scale plan: the brand filter broadcasts into lineitem FIRST, so the
+    per-part average is computed over only the selected parts' lines —
+    identical semantics (the average is per part, and part determines
+    brand) at a fraction of the aggregation input. The tiny per-part
+    aggregate then broadcasts back into the filtered lines. The average
+    is a ratio of exact integer sums, so the 20% threshold compares
+    bit-identical doubles on both engines.
+    """
+    part_keys = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#4")
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    fli = li.join(F.broadcast(part_keys), li.l_partkey == F.col("p_partkey"))
+    avg_q = fli.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        (
+            F.sum(F.col("l_quantity").cast("bigint")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_qty")
+    )
+    return (
+        fli.join(F.broadcast(avg_q), fli.l_partkey == F.col("ap_partkey"))
+        .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
+        .agg(
+            (F.sum(money("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            )
+        )
+    )
