@@ -73,3 +73,62 @@ def test_whole_stage_codegen_covers_q1(spark):
     plan = physical_plan(df)
     # "*(n) HashAggregate" is the WholeStageCodegen marker in plan strings
     assert "*(1) HashAggregate" in plan and "*(2) HashAggregate" in plan
+
+
+def test_grouping_sets_single_expand(spark):
+    """GROUPING SETS must plan one Expand + one shuffle over one scan of
+    the input, not one scan per grain."""
+    from aws_lakehouse_project_spark.operators.stats import q_grouping_sets
+
+    plan = physical_plan(q_grouping_sets(spark, SF_DIR))
+    assert plan.count("Expand") >= 1
+    assert plan.count("customer.parquet") == 1, "each grain re-scanned the table"
+
+
+def test_calendar_fill_broadcasts_daily_metrics(spark):
+    """The date-spine join must broadcast the post-aggregation daily
+    frame — a shuffle join on a ~2.4k-row side is wrong at any scale."""
+    from aws_lakehouse_project_spark.operators.stats import q_calendar_fill
+
+    plan = physical_plan(q_calendar_fill(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_having_filters_before_join(spark):
+    """The HAVING predicate must apply to the aggregate's output before
+    the join back to orders (total_qty filter above the agg, below the
+    join), so only qualifying orders are joined."""
+    from aws_lakehouse_project_spark.operators.tpch import q_having
+
+    plan = physical_plan(q_having(spark, SF_DIR))
+    lines = plan.splitlines()
+    filt = next(i for i, l in enumerate(lines) if "Filter" in l and "total_qty" in l)
+    join = next(i for i, l in enumerate(lines) if "Join" in l)
+    # plan strings print top-down: the join appears above the filter
+    assert join < filt, "HAVING filter did not stay below the join"
+
+
+def test_correlated_subquery_no_shuffle_join(spark):
+    """The decorrelated Q17 plan must broadcast both the part-key filter
+    and the per-part average — lineitem must never shuffle for a join
+    (its only exchange is the per-part aggregation)."""
+    from aws_lakehouse_project_spark.operators.tpch import q_correlated_subquery
+
+    plan = physical_plan(q_correlated_subquery(spark, SF_DIR))
+    # part-keys broadcast appears in both the avg branch and the final
+    # branch, plus the per-part-average broadcast: 3 total
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # lineitem's only exchange is the per-part aggregation shuffle
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_stats_exact_is_single_aggregation(spark):
+    """All six moments must compute in ONE partial+final hash aggregate
+    over one lineitem scan — no per-moment passes."""
+    from aws_lakehouse_project_spark.operators.stats import q_stats_exact
+
+    plan = physical_plan(q_stats_exact(spark, SF_DIR))
+    assert plan.count("lineitem.parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
