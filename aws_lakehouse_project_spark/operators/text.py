@@ -248,3 +248,73 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("fp").alias("max_fp"),
         )
     )
+
+
+@demo_query(
+    "q_corpus_prep",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id, source, text,
+             len(string_split(lower(text), ' ')) AS n_tokens,
+             len(list_filter(string_split(lower(text), ' '),
+                             t -> t IN ({_STOP_SQL}))) AS n_stop
+      FROM documents
+    ), kept AS (
+      SELECT doc_id, source, text, n_tokens
+      FROM feat
+      WHERE n_tokens >= 5
+        AND CAST(n_stop AS DOUBLE) / n_tokens >= {_LANG_THRESHOLD}
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(n_tokens AS BIGINT)) AS BIGINT) AS total_tokens,
+           ROUND(CAST(SUM(CAST(n_tokens AS BIGINT)) AS DOUBLE) / COUNT(*), 6)
+             AS tokens_per_doc
+    FROM kept GROUP BY source
+    """,
+)
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus preparation in one declarative plan:
+    language-ID gate (stopword-ratio >= threshold) → quality gate
+    (minimum token count) → exact dedup keeping the lowest-id copy →
+    per-source token accounting.
+
+    The composition is the point: both filters are per-row expressions
+    that run map-side BEFORE the dedup shuffle, so only quality-passing
+    English docs ever move; the window dedup is the single content-keyed
+    shuffle; the final per-source aggregation re-shuffles only survivor
+    metadata (no text). At 100 TB, partition the dedup by xxhash64(text)
+    and this plan holds unchanged.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    feat = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        n_tokens.alias("n_tokens"),
+        n_stop.alias("n_stop"),
+    )
+    kept = feat.filter(
+        (F.col("n_tokens") >= 5)
+        & (F.col("n_stop").cast("double") / F.col("n_tokens") >= _LANG_THRESHOLD)
+    )
+    w = Window.partitionBy("text").orderBy("doc_id")
+    deduped = (
+        kept.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("source", "n_tokens")
+    )
+    n = F.count(F.lit(1))
+    tot = F.sum(F.col("n_tokens").cast("bigint"))
+    return deduped.groupBy("source").agg(
+        n.alias("n_docs"),
+        tot.alias("total_tokens"),
+        F.round(tot.cast("double") / n, 6).alias("tokens_per_doc"),
+    )

@@ -132,3 +132,24 @@ def test_stats_exact_is_single_aggregation(spark):
     plan = physical_plan(q_stats_exact(spark, SF_DIR))
     assert plan.count("lineitem.parquet") == 1
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_corpus_prep_filters_before_dedup_shuffle(spark):
+    """The lang/quality gates must evaluate on the scan (map-side) and
+    the window dedup must pre-prune via partial WindowGroupLimit BEFORE
+    the content shuffle — only quality-passing docs move, at most one
+    candidate row per (partition, text)."""
+    from aws_lakehouse_project_spark.operators.text import q_corpus_prep
+
+    plan = physical_plan(q_corpus_prep(spark, SF_DIR))
+    lines = plan.splitlines()
+    scan = next(i for i, l in enumerate(lines) if "FileScan parquet" in l)
+    gate = next(i for i, l in enumerate(lines) if "Filter" in l and "0.08" in l)
+    shuffle = next(
+        i for i, l in enumerate(lines) if "Exchange hashpartitioning(text" in l
+    )
+    partial_limit = next(
+        i for i, l in enumerate(lines) if "WindowGroupLimit" in l and "Partial" in l
+    )
+    # top-down plan: scan is the bottom line, shuffle above the partial limit
+    assert shuffle < partial_limit < gate < scan
