@@ -75,6 +75,21 @@ def daily_user_metrics_stream(events: DataFrame, watermark: str = "7 days") -> D
     )
 
 
+def dedup_events_stream(events: DataFrame, watermark: str = "7 days") -> DataFrame:
+    """Streaming exact dedup: turn an at-least-once event feed into an
+    exactly-once one by keeping the first copy of each ``event_id`` seen
+    within the watermark horizon (``dropDuplicatesWithinWatermark``).
+
+    State is one key per event_id inside the horizon, expired by the
+    same 7-day watermark that bounds late data — a redelivery older than
+    the horizon is by contract already outside the merge window. First
+    copies emit immediately in append mode; redeliveries are dropped.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def run_stream_to_merge(
     spark: SparkSession,
     events_path: str,

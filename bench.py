@@ -34,6 +34,7 @@ HEADLINE = [
     # extensions (registered by operator modules as they land)
     "q_dedup_exact",
     "q_dedup_minhash",
+    "q_corpus_prep",
     "q_text_quality",
     "q_token_count",
     "q_similarity_topk",

@@ -117,3 +117,39 @@ def test_purchase_counter_state_survives_batches(spark, tmp_path):
         assert total == want[uid], uid
     for uid, total in first.items():
         assert total <= want[uid]
+
+
+def test_stream_dedup_drops_redelivered_events(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: the same file delivered twice (an
+    at-least-once redelivery) must emit each event_id exactly once, and
+    the survivor set must equal the batch dropDuplicates twin."""
+    from aws_lakehouse_project_spark.streaming.events_stream import (
+        dedup_events_stream,
+    )
+
+    drop_dir = tmp_path / "drops"
+    drop_dir.mkdir()
+    src = os.path.join(SF_DIR, "events.parquet")
+    shutil.copy(src, drop_dir / "b1.parquet")
+    shutil.copy(src, drop_dir / "b2.parquet")  # redelivery of the whole drop
+
+    out = (
+        dedup_events_stream(_events_stream(spark, str(drop_dir / "*")))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .start()
+    )
+    out.processAllAvailable()
+    out.stop()
+
+    got = spark.sql("SELECT event_id FROM dedup_out").collect()
+    got_ids = [r["event_id"] for r in got]
+    assert len(got_ids) == len(set(got_ids)), "a redelivered event was re-emitted"
+
+    batch_ids = {
+        r["event_id"]
+        for r in spark.read.parquet(src).select("event_id").distinct().collect()
+    }
+    assert set(got_ids) == batch_ids
