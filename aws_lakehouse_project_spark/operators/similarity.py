@@ -63,8 +63,7 @@ _TOPK_ORACLE = f"""
 """
 
 
-@demo_query("q_similarity_topk", oracle=_TOPK_ORACLE)
-def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def brute_topk(emb: DataFrame, query_vec_id: int, k: int = _TOPK) -> DataFrame:
     """Brute-force cosine top-k for one query vector.
 
     The query vector is a one-row broadcast cross join (no shuffle of the
@@ -72,12 +71,11 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-partition top-k then a driver merge of k·partitions rows — the
     correct brute-force shape at any scale.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
     q = (
-        emb.filter(F.col("vec_id") == _QUERY_VEC_ID)
+        emb.filter(F.col("vec_id") == query_vec_id)
         .select(as_double("embedding").alias("qv"))
     )
-    e = emb.filter(F.col("vec_id") != _QUERY_VEC_ID).select(
+    e = emb.filter(F.col("vec_id") != query_vec_id).select(
         "vec_id", "label", as_double("embedding").alias("ev")
     )
     joined = e.crossJoin(F.broadcast(q))
@@ -87,9 +85,15 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.select("vec_id", "label", cosine.alias("cos_raw"))
         .orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
-        .limit(_TOPK)
+        .limit(k)
         .select("vec_id", "label", F.round("cos_raw", 6).alias("cosine"))
     )
+
+
+@demo_query("q_similarity_topk", oracle=_TOPK_ORACLE)
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k baseline (see ``brute_topk``)."""
+    return brute_topk(load_table(spark, sf_dir, "embeddings"), _QUERY_VEC_ID)
 
 
 # ---------------------------------------------------------------------------
@@ -148,33 +152,37 @@ _LSH_ORACLE = f"""
 """
 
 
-@demo_query("q_similarity_lsh", oracle=_LSH_ORACLE)
-def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def lsh_topk(emb: DataFrame, query_vec_id: int, k: int = _TOPK) -> DataFrame:
     """ANN via sign-random-projection LSH: assign every vector to one of
     2^N_PLANES buckets (deterministic hyperplanes), then rank only the query's
     bucket. At 100 TB the bucket column is precomputed at ingest and the
     table partitioned by it, turning ANN into a partition-pruned scan of
     ~1/2^N_PLANES of the corpus."""
-    emb = load_table(spark, sf_dir, "embeddings")
     withb = emb.select(
         "vec_id", "label", as_double("embedding").alias("ev")
     ).withColumn("bucket", _bucket_expr(F.col("ev")))
     q = (
-        withb.filter(F.col("vec_id") == _QUERY_VEC_ID)
+        withb.filter(F.col("vec_id") == query_vec_id)
         .select(F.col("ev").alias("qv"), F.col("bucket").alias("qbucket"))
     )
     cand = withb.join(
         F.broadcast(q), F.col("bucket") == F.col("qbucket")
-    ).filter(F.col("vec_id") != _QUERY_VEC_ID)
+    ).filter(F.col("vec_id") != query_vec_id)
     cosine = dot(F.col("ev"), F.col("qv")) / (
         F.sqrt(dot(F.col("ev"), F.col("ev"))) * F.sqrt(dot(F.col("qv"), F.col("qv")))
     )
     return (
         cand.select("vec_id", "label", cosine.alias("cos_raw"))
         .orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
-        .limit(_TOPK)
+        .limit(k)
         .select("vec_id", "label", F.round("cos_raw", 6).alias("cosine"))
     )
+
+
+@demo_query("q_similarity_lsh", oracle=_LSH_ORACLE)
+def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (see ``lsh_topk``)."""
+    return lsh_topk(load_table(spark, sf_dir, "embeddings"), _QUERY_VEC_ID)
 
 
 # ---------------------------------------------------------------------------
@@ -219,8 +227,12 @@ _IVF_ORACLE = f"""
 """
 
 
-@demo_query("q_similarity_ivf", oracle=_IVF_ORACLE)
-def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivf_topk(
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int = _TOPK,
+    nprobe: int = _IVF_NPROBE,
+) -> DataFrame:
     """IVF ANN: assign every vector to its nearest of k coarse-quantizer
     centroids (here: the first k vectors, a deterministic stand-in for
     k-means — the assignment/probe machinery is identical), then search
@@ -232,7 +244,6 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized)."""
     from pyspark.sql import Window
 
-    emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select("vec_id", "label", as_double("embedding").alias("v"))
     c = (
         emb.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= _IVF_K))
@@ -252,27 +263,33 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", "label", "v", "cid")
     )
-    qv = e.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+    qv = e.filter(F.col("vec_id") == query_vec_id).select(
         F.col("v").alias("qvec")
     )
     probe = (
         c.crossJoin(F.broadcast(qv))
         .withColumn("sim", cos(F.col("qvec"), F.col("cv")))
         .orderBy(F.col("sim").desc(), F.col("cid"))
-        .limit(_IVF_NPROBE)
+        .limit(nprobe)
         .select("cid")
     )
     cand = assign.join(F.broadcast(probe), "cid").filter(
-        F.col("vec_id") != _QUERY_VEC_ID
+        F.col("vec_id") != query_vec_id
     )
     scored = cand.crossJoin(F.broadcast(qv)).withColumn(
         "cos_raw", cos(F.col("v"), F.col("qvec"))
     )
     return (
         scored.orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
-        .limit(_TOPK)
+        .limit(k)
         .select("vec_id", "label", F.round("cos_raw", 6).alias("cosine"))
     )
+
+
+@demo_query("q_similarity_ivf", oracle=_IVF_ORACLE)
+def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer ANN (see ``ivf_topk``)."""
+    return ivf_topk(load_table(spark, sf_dir, "embeddings"), _QUERY_VEC_ID)
 
 
 @demo_query(

@@ -1,0 +1,65 @@
+"""ANN quality tests: recall of the scale paths against the brute-force
+baseline. Correctness of each operator's output is oracle-checked in
+test_oracle_diff; these tests check the *approximation* is actually
+useful — better than randomly sampling the same candidate fraction, and
+able to find planted near-duplicates (the dedup use case)."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+_QUERY_IDS = [0, 17, 123, 250, 400]
+_K = 20
+
+
+def _load(spark):
+    from aws_lakehouse_project_spark.catalog import load_table
+
+    return load_table(spark, SF_DIR, "embeddings")
+
+
+def test_ivf_recall_beats_candidate_fraction(spark):
+    """IVF with nprobe=2 of 8 lists scans ~25% of the corpus; random
+    sampling of that fraction would get recall@20 ≈ 0.25. The coarse
+    quantizer must do better on average (measured ~0.39 on this corpus)."""
+    from aws_lakehouse_project_spark.operators.similarity import (
+        brute_topk,
+        ivf_topk,
+    )
+
+    emb = _load(spark).cache()
+    recalls = []
+    for qid in _QUERY_IDS:
+        brute = {r["vec_id"] for r in brute_topk(emb, qid, _K).collect()}
+        ivf = {r["vec_id"] for r in ivf_topk(emb, qid, _K).collect()}
+        recalls.append(len(brute & ivf) / len(brute))
+    mean = sum(recalls) / len(recalls)
+    assert mean >= 0.30, f"IVF mean recall {mean:.3f} (per-query {recalls})"
+
+
+def test_lsh_finds_planted_near_duplicate(spark):
+    """Sign-random-projection LSH exists for near-dup detection: a
+    planted vector at cosine ≈ 1 to the query MUST land in the query's
+    bucket and rank first. (On this corpus's random vectors the top-20
+    neighbors sit near cosine ~0.3, where 4-plane SRP collision is ~2×
+    random — too weak to assert; the high-similarity regime is the
+    operator's contract.)"""
+    from aws_lakehouse_project_spark.operators.similarity import lsh_topk
+
+    emb = _load(spark).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    qrow = emb.filter(F.col("vec_id") == 0).collect()[0]
+    rng = random.Random(42)
+    planted = [0.7 * x + rng.uniform(-1e-3, 1e-3) for x in qrow["embedding"]]
+    extra = spark.createDataFrame(
+        [(9_999, qrow["label"], planted)], schema=emb.schema
+    )
+    top = lsh_topk(emb.unionByName(extra), 0, _K).collect()
+    assert top, "LSH returned no candidates"
+    assert top[0]["vec_id"] == 9_999, [r["vec_id"] for r in top[:3]]
+    assert top[0]["cosine"] > 0.999
