@@ -323,3 +323,33 @@ def q_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("v1", "v2", F.round(cosine, 6).alias("cosine"))
         .filter(F.col("cosine") >= 0.40)
     )
+
+
+_ANN_JOIN_ORACLE = f"""
+    SELECT t.vec_id, t.cosine, d.lang, d.source,
+           CAST(d.n_chars AS BIGINT) AS n_chars
+    FROM ({_TOPK_ORACLE}) t
+    JOIN documents d ON d.doc_id = t.vec_id
+"""
+
+
+@demo_query("q_ann_join_docs", oracle=_ANN_JOIN_ORACLE)
+def q_ann_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval composite: cosine top-k over embeddings, then join the
+    k survivors back to ``documents`` for their metadata — the
+    vector-search → document-fetch pattern every retrieval pipeline runs.
+
+    The k-row result side broadcasts into the documents join, so the
+    fetch costs one pruned scan of documents regardless of corpus size;
+    at 100 TB both tables share the id as sort/partition key and the
+    fetch becomes a partition-pruned point lookup per survivor.
+    """
+    top = brute_topk(load_table(spark, sf_dir, "embeddings"), _QUERY_VEC_ID)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", F.col("n_chars").cast("bigint").alias("n_chars")
+    )
+    return (
+        F.broadcast(top.select("vec_id", "cosine"))
+        .join(docs, F.col("doc_id") == F.col("vec_id"))
+        .select("vec_id", "cosine", "lang", "source", "n_chars")
+    )
