@@ -335,3 +335,84 @@ def q_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
+
+
+@demo_query(
+    "q_quantile_filter",
+    oracle="""
+    WITH cutoff AS (
+      SELECT lang, quantile_cont(n_chars, 0.25) AS p25
+      FROM documents GROUP BY lang
+    )
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(CAST(d.n_chars AS BIGINT)) AS BIGINT) AS total_chars
+    FROM documents d JOIN cutoff c ON d.lang = c.lang
+    WHERE d.n_chars >= c.p25
+    GROUP BY d.lang
+    """,
+)
+def q_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive quality filter: drop each language's shortest quartile
+    (documents below the per-language p25 of n_chars) — thresholds that
+    track the corpus instead of hand-tuned constants.
+
+    The per-language cutoff is a tiny aggregate (one row per language)
+    broadcast back into the scan, so the filter costs one pass; exact
+    ``percentile`` ≡ DuckDB ``quantile_cont`` bitwise, making the
+    boundary deterministic. At 100 TB swap in percentile_approx and the
+    plan is unchanged.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cutoff = docs.groupBy(F.col("lang").alias("c_lang")).agg(
+        F.percentile("n_chars", 0.25).alias("p25")
+    )
+    return (
+        docs.join(F.broadcast(cutoff), docs.lang == F.col("c_lang"))
+        .filter(F.col("n_chars") >= F.col("p25"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum(F.col("n_chars").cast("bigint")).alias("total_chars"),
+        )
+    )
+
+
+@demo_query(
+    "q_stratified_sample",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE (lang = 'en'  AND md5(CAST(doc_id AS VARCHAR)) LIKE '0%')
+       OR (lang <> 'en' AND (md5(CAST(doc_id AS VARCHAR)) LIKE '0%'
+                             OR md5(CAST(doc_id AS VARCHAR)) LIKE '1%'
+                             OR md5(CAST(doc_id AS VARCHAR)) LIKE '2%'
+                             OR md5(CAST(doc_id AS VARCHAR)) LIKE '3%'))
+    GROUP BY source
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: rebalance a corpus by keeping
+    ~1/16 of the dominant language and ~1/4 of the rest, both via md5
+    prefix splits (reproducible across engines, runs, and partitionings
+    — the property ``df.sample``'s seeded RNG does not give).
+
+    Pure per-row map-side predicate: no shuffle until the per-source
+    aggregation, and the strata rates are data-independent so the plan
+    is identical at any scale.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string")).substr(1, 1)
+    keep = (
+        (F.col("lang") == "en") & (h == "0")
+    ) | ((F.col("lang") != "en") & h.isin("0", "1", "2", "3"))
+    return (
+        docs.filter(keep)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_chars").cast("bigint")).alias("total_chars"),
+        )
+    )
