@@ -318,3 +318,57 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         tot.alias("total_tokens"),
         F.round(tot.cast("double") / n, 6).alias("tokens_per_doc"),
     )
+
+
+_PACK_BUDGET = 2048
+
+
+@demo_query(
+    "q_pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), packed AS (
+      SELECT source, n_tokens,
+             CAST(FLOOR(
+               CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+                    - n_tokens AS DOUBLE) / {_PACK_BUDGET}) AS BIGINT) AS pack_id
+      FROM toks
+    )
+    SELECT source, pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+    FROM packed GROUP BY source, pack_id
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents, in deterministic doc_id order
+    within each source shard, to consecutive fixed-token-budget packs
+    (pack_id = the budget bucket the doc's cumulative token count starts
+    in) — the standard pretraining step that turns ragged documents into
+    uniform training sequences.
+
+    One window shuffle keyed by source computes the running token count;
+    the pack assignment is a per-row expression on top. At 100 TB the
+    shard key is the natural partition (each source's packing is
+    independent), so packs parallelize across shards with no global
+    coordination.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    toks = docs.select("source", "doc_id", n_tokens.alias("n_tokens"))
+    w = Window.partitionBy("source").orderBy("doc_id")
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    pack_id = F.floor(start.cast("double") / _PACK_BUDGET).cast("bigint")
+    return (
+        toks.withColumn("pack_id", pack_id)
+        .groupBy("source", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+        )
+    )
