@@ -153,3 +153,26 @@ def test_corpus_prep_filters_before_dedup_shuffle(spark):
     )
     # top-down plan: scan is the bottom line, shuffle above the partial limit
     assert shuffle < partial_limit < gate < scan
+
+
+def test_quantile_filter_broadcasts_cutoffs(spark):
+    """The per-language p25 cutoff (one row per language) must broadcast
+    back into the documents scan — never shuffle documents for the
+    threshold join."""
+    from aws_lakehouse_project_spark.operators.stats import q_quantile_filter
+
+    plan = physical_plan(q_quantile_filter(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_pack_sequences_single_window_shuffle(spark):
+    """Sequence packing must cost one shard-keyed window shuffle plus
+    the final aggregation — and the final groupBy(source, pack_id) can
+    reuse the window's source partitioning, so exactly one hash
+    exchange overall."""
+    from aws_lakehouse_project_spark.operators.text import q_pack_sequences
+
+    plan = physical_plan(q_pack_sequences(spark, SF_DIR))
+    n = plan.count("Exchange hashpartitioning")
+    assert n == 1, f"expected 1 hash exchange, got {n}"
