@@ -84,3 +84,16 @@ def test_retry_policy_retries_transient_not_data_errors(spark, tmp_path):
     with pytest.raises(ExpectationFailure):
         pipe._with_retries(data_error)
     assert calls["n"] == 1  # no retry on deterministic failures
+
+
+def test_approx_distinct_error_bound(spark):
+    """HLL++ (default rsd 0.05) must estimate each group's distinct
+    order count within 8% of the exact value — the estimates are
+    engine-specific (hence rows-only in the driver gate) but their
+    accuracy is the operator's contract (observed ≤5.7% here)."""
+    from aws_lakehouse_project_spark.operators.analytics import q_approx_distinct
+    from tests.conftest import SF_DIR
+
+    for r in q_approx_distinct(spark, SF_DIR).collect():
+        err = abs(r["approx_orders"] - r["exact_orders"]) / r["exact_orders"]
+        assert err <= 0.08, (r["l_returnflag"], r["approx_orders"], r["exact_orders"])
