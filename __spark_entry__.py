@@ -20,20 +20,28 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _registry():
-    # import for registration side effects
+    # Import for registration side effects. ORDER MATTERS: the driver
+    # verifies the first 50 registered queries per round, so modules whose
+    # queries lack a CORRECTNESS row from the previous round register
+    # first (round 1 checked positions 1-50 = analytics..similarity; round
+    # 2 rotates stats/text/tpch/streaming to the front — their round-1
+    # positions were 51+).
     from aws_lakehouse_project_spark.operators import (  # noqa: F401
-        analytics,
-        dedup,
-        fact,
-        joins,
-        multimodal,
-        relational,
-        similarity,
         stats,
         text,
         tpch,
     )
     from aws_lakehouse_project_spark.streaming import events_stream  # noqa: F401
+    from aws_lakehouse_project_spark.operators import (  # noqa: F401
+        similarity,
+        dedup,
+        evolution,
+        multimodal,
+        fact,
+        relational,
+        joins,
+        analytics,
+    )
     from aws_lakehouse_project_spark.operators.registry import ORACLES, QUERIES
 
     return QUERIES, ORACLES

@@ -89,8 +89,16 @@ def _cpu_spread(df: DataFrame) -> DataFrame:
     CPU-heavy per-row work. The testdata tables are single parquet files
     (1 input split); on a cluster the same applies whenever upstream
     partitioning is coarser than the CPU budget — the shuffle moves only
-    the narrow input columns and unlocks N-way expression evaluation."""
+    the narrow input columns and unlocks N-way expression evaluation.
+
+    Guarded: when upstream already has >= defaultParallelism partitions
+    (the normal case at warehouse scale, where a 100 TB table has far
+    more splits than cores), this is the identity — no gratuitous
+    full-corpus shuffle (tune maxPartitionBytes instead if splits are
+    oversized)."""
     sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
+        return df
     return df.repartition(sc.defaultParallelism)
 
 
@@ -255,10 +263,19 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     sig = minhash_signatures(docs)
+    # every subtree below derives from the signature table — cache AND
+    # materialize it, otherwise each subtree computes the full
+    # shingle+minhash pass on the first action (lazy cache races).
+    # At warehouse scale: persist the signature table instead.
+    sig = sig.cache()
+    sig.count()
     n_bands = _MINHASH_K // _LSH_ROWS
+    # candidate generation carries ONLY (doc_id, band keys) through the
+    # self-join — the k-wide signatures would multiply the exchange width
+    # by ~16× for no benefit; they re-join after the (much smaller)
+    # candidate set is known.
     bands = sig.select(
         "doc_id",
-        *[F.col(f"mh_{j}") for j in range(_MINHASH_K)],
         F.explode(
             F.array(
                 *[
@@ -275,35 +292,33 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", *[f"mh_{j}" for j in range(_MINHASH_K)], "band.*")
-    # both join sides derive from the signature table — cache AND
-    # materialize it, otherwise each join subtree computes the full
-    # shingle+minhash pass on the first action (lazy cache races).
-    # At warehouse scale: persist the signature table instead.
-    bands = bands.cache()
-    bands.count()
-
-    left = bands.select(
-        F.col("doc_id").alias("d1"),
-        *[F.col(f"mh_{j}").alias(f"a_{j}") for j in range(_MINHASH_K)],
-        "band_idx",
-        "band_sig",
-    )
-    right = bands.select(
-        F.col("doc_id").alias("d2"),
-        *[F.col(f"mh_{j}").alias(f"b_{j}") for j in range(_MINHASH_K)],
-        "band_idx",
-        "band_sig",
+    ).select("doc_id", "band.*")
+    cand = (
+        bands.select(F.col("doc_id").alias("d1"), "band_idx", "band_sig")
+        .join(
+            bands.select(F.col("doc_id").alias("d2"), "band_idx", "band_sig"),
+            ["band_idx", "band_sig"],
+        )
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
     )
     agree = sum(
         F.when(F.col(f"a_{j}") == F.col(f"b_{j}"), 1).otherwise(0)
         for j in range(_MINHASH_K)
     )
+    sig_a = sig.select(
+        F.col("doc_id").alias("d1"),
+        *[F.col(f"mh_{j}").alias(f"a_{j}") for j in range(_MINHASH_K)],
+    )
+    sig_b = sig.select(
+        F.col("doc_id").alias("d2"),
+        *[F.col(f"mh_{j}").alias(f"b_{j}") for j in range(_MINHASH_K)],
+    )
     return (
-        left.join(right, ["band_idx", "band_sig"])
-        .filter(F.col("d1") < F.col("d2"))
+        cand.join(sig_a, "d1")
+        .join(sig_b, "d2")
         .select("d1", "d2", (agree / F.lit(_MINHASH_K)).alias("est_jaccard"))
-        .distinct()
     )
 
 
@@ -376,6 +391,17 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     The keep-one-per-cluster dedup policy is then 'keep node ==
     component'."""
     pairs = q_ngram_jaccard(spark, sf_dir)
+    clusters = cluster_profiles(pairs)
+    # the driver canonicalizer sorts/hashes every column via pandas, which
+    # can't hash an array<bigint> — publish the doc list as a CSV string
+    # (same information, hashable); programmatic callers use
+    # cluster_profiles() for the typed array
+    return clusters.withColumn("doc_ids", F.array_join("doc_ids", ","))
+
+
+def cluster_profiles(pairs: DataFrame) -> DataFrame:
+    """(component, n_docs, doc_ids: array<bigint>) — cluster profile with
+    the typed member list, for library callers."""
     comps = connected_components(pairs)
     return comps.groupBy("component").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -171,8 +171,15 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines. Sum order: weights are summed per (source, term) group from
     per-doc integer tf values — multiplication first keeps each addend
     identical, and the rounded output tolerates the remaining
-    associativity at 1e-6. df is a broadcast dimension (distinct terms ≪
-    corpus); the only big shuffle is the (doc, term) count."""
+    associativity at 1e-6.
+
+    Scale notes: the tf↔df join runs on ``term`` — already the df
+    aggregation's partitioning, so no extra exchange on that side — with
+    NO broadcast hint: the term dictionary grows with the corpus (billions
+    of distinct terms at web scale) and a forced broadcast would OOM
+    executors; AQE broadcasts on its own when the built side measures
+    small. n_docs rides the plan as a 1-row aggregate cross-joined in
+    (always broadcastable), not a separate driver-side count() scan."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", "source", F.explode(F.split(F.lower("text"), " ")).alias("term")
@@ -181,13 +188,11 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("tf")
     )
     df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = docs.count()  # scalar; metadata-sized driver value
+    n_docs = docs.groupBy().agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df_), "term")
-        .withColumn(
-            "w",
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")),
-        )
+        tf.join(df_, "term")
+        .join(F.broadcast(n_docs))  # 1 row; scalar-subquery shape
+        .withColumn("w", F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
         .groupBy("source", "term")
         .agg(F.sum("w").alias("w"))
     )

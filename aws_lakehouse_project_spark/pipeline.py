@@ -15,10 +15,12 @@ Also implements the dbt-level checks: post-build not-null schema tests
 
 from __future__ import annotations
 
+import datetime as _dt
 import json
 import logging
 import os
 import time
+from collections.abc import Callable
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -27,7 +29,7 @@ from pyspark.sql import functions as F
 from .errors import EngineError, ExpectationFailure
 from .operators.domain_fact import build_fct_daily_store_metrics
 from .operators.staging import STAGING_TRANSFORMS
-from .quality.expectations import DOMAIN_SUITES, Expectation, validate
+from .quality.expectations import DOMAIN_SUITES, QUARANTINE_KEY, Expectation, validate
 from .schemas import DOMAIN_RAW_SCHEMAS
 from .sources.readers import read_csv, read_jsonl, split_corrupt
 from .sources.writers import write_csv, write_partitioned_parquet
@@ -41,6 +43,13 @@ DOMAIN_FORMATS = {
     "products": "csv",
 }
 
+# D5 alerting seams (reference airflow/dags/lakehouse_pipelines.py:50-73:
+# Slack on_failure_callback, email sla_miss_callback). Called with
+# (domain, stage, exception) / (domain, elapsed_seconds); the default
+# implementations just log, like the reference's stubs print.
+FailureCallback = Callable[[str, str, Exception], None]
+SlaMissCallback = Callable[[str, float], None]
+
 
 @dataclass
 class PipelineConfig:
@@ -52,6 +61,10 @@ class PipelineConfig:
     freshness_error_hours: float = 24.0
     publish_views: bool = True
     extra_suites: dict[str, list[Expectation]] = field(default_factory=dict)
+    # D5: reference DEFAULT_ARGS sla=60min (:46); None disables the check
+    sla_seconds: float | None = None
+    on_failure: FailureCallback | None = None
+    on_sla_miss: SlaMissCallback | None = None
 
 
 class LakehousePipeline:
@@ -61,32 +74,46 @@ class LakehousePipeline:
         self.spark = spark
         self.config = config
         self.staged: dict[str, DataFrame] = {}
+        # D6: per-stage input→output edges, emitted with the manifest
+        self.lineage: list[dict] = []
+
+    def _edge(self, stage: str, inputs: list[str], outputs: list[str]) -> None:
+        self.lineage.append({"stage": stage, "inputs": inputs, "outputs": outputs})
 
     # -- stage 1: ingest ---------------------------------------------------
 
     def ingest(self, domain: str) -> DataFrame:
         """Schema-enforced raw read (replaces the Glue crawler trigger,
-        reference :76-79); corrupt rows are quarantined, not fatal."""
+        reference :76-79). Returns the parsed frame cached WITH the
+        corrupt-record column still aboard — corrupt rows are quarantined
+        (counted inside validate's single aggregation, no extra scan) and
+        dropped by validate, not fatal."""
         path = self.config.raw_paths[domain]
         schema = DOMAIN_RAW_SCHEMAS[domain]
         if DOMAIN_FORMATS[domain] == "jsonl":
             raw = read_jsonl(self.spark, path, schema)
         else:
             raw = read_csv(self.spark, path, schema)
-        clean, bad = split_corrupt(raw)
-        n_bad = bad.count()
-        if n_bad:
-            log.warning("%s: %d corrupt raw rows quarantined", domain, n_bad)
-        return clean
+        self._edge(f"ingest_{domain}", [path], [f"raw_{domain}"])
+        # cache: validate aggregates it, transform projects it, and Spark
+        # refuses to query the corrupt column straight off a file scan
+        return raw.cache()
 
     # -- stage 2: validate -------------------------------------------------
 
     def validate(self, domain: str, raw: DataFrame) -> DataFrame:
-        """GE-checkpoint twin (reference :82-85): the domain suite runs as
-        one aggregation; violations raise ExpectationFailure."""
+        """GE-checkpoint twin (reference :82-85): the domain suite AND the
+        corrupt-row quarantine count run as one aggregation; violations
+        raise ExpectationFailure. Returns the clean (corrupt-free)
+        frame."""
         suite = self.config.extra_suites.get(domain, DOMAIN_SUITES[domain])
-        validate(raw, suite, name=domain)
-        return raw
+        counts = validate(raw, suite, name=domain, count_quarantined=True)
+        n_bad = counts.get(QUARANTINE_KEY, 0)
+        if n_bad:
+            log.warning("%s: %d corrupt raw rows quarantined", domain, n_bad)
+        self._edge(f"validate_{domain}", [f"raw_{domain}"], [f"valid_{domain}"])
+        clean, _bad = split_corrupt(raw)
+        return clean
 
     # -- stage 3: transform ------------------------------------------------
 
@@ -96,6 +123,7 @@ class LakehousePipeline:
         staged = STAGING_TRANSFORMS[domain](raw)
         staged.createOrReplaceTempView(f"stg_{domain}")
         self.staged[domain] = staged
+        self._edge(f"transform_{domain}", [f"valid_{domain}"], [f"stg_{domain}"])
         return staged
 
     # -- stage 4: publish --------------------------------------------------
@@ -109,6 +137,7 @@ class LakehousePipeline:
         write_partitioned_parquet(staged, out, ["dt"])
         if self.config.publish_views:
             self.spark.read.parquet(out).createOrReplaceTempView(f"curated_{domain}")
+        self._edge(f"publish_{domain}", [f"stg_{domain}"], [out])
         return out
 
     # -- orchestration -----------------------------------------------------
@@ -127,13 +156,46 @@ class LakehousePipeline:
                 time.sleep(self.config.retry_delay_sec)
         raise last  # type: ignore[misc]
 
+    def _alert_failure(self, domain: str, stage: str, exc: Exception) -> None:
+        """D5 on-failure alert (reference :50-59 Slack callback): invoked
+        on any stage failure, then the failure propagates (the callback
+        must never mask it — its own errors are swallowed and logged)."""
+        log.error("%s: stage %s failed: %s", domain, stage, exc)
+        if self.config.on_failure is not None:
+            try:
+                self.config.on_failure(domain, stage, exc)
+            except Exception:
+                log.exception("on_failure callback itself failed")
+
+    def _check_sla(self, domain: str, elapsed_sec: float) -> None:
+        """D5 SLA-miss alert (reference :62-73 + sla=60min at :46)."""
+        sla = self.config.sla_seconds
+        if sla is not None and elapsed_sec > sla:
+            log.warning("%s: SLA miss: %.1fs > %.1fs", domain, elapsed_sec, sla)
+            if self.config.on_sla_miss is not None:
+                try:
+                    self.config.on_sla_miss(domain, elapsed_sec)
+                except Exception:
+                    log.exception("on_sla_miss callback itself failed")
+
     def run_domain(self, domain: str) -> DataFrame:
         """ingest → validate → transform → publish (linear chain, gated
-        like trigger_rule=ALL_SUCCESS — any raise stops the chain)."""
-        raw = self._with_retries(self.ingest, domain)
-        valid = self.validate(domain, raw)
-        staged = self.transform(domain, valid)
-        self._with_retries(self.publish, domain, staged)
+        like trigger_rule=ALL_SUCCESS — any raise stops the chain after
+        alerting)."""
+        t0 = time.monotonic()
+        stage = "ingest"
+        try:
+            raw = self._with_retries(self.ingest, domain)
+            stage = "validate"
+            valid = self.validate(domain, raw)
+            stage = "transform"
+            staged = self.transform(domain, valid)
+            stage = "publish"
+            self._with_retries(self.publish, domain, staged)
+        except Exception as exc:
+            self._alert_failure(domain, stage, exc)
+            raise
+        self._check_sla(domain, time.monotonic() - t0)
         return staged
 
     def run_all(self) -> DataFrame:
@@ -151,6 +213,11 @@ class LakehousePipeline:
         fact_dir = os.path.join(self.config.curated_dir, "fct_daily_store_metrics")
         write_csv(fact, os.path.join(fact_dir, "csv"))
         write_partitioned_parquet(fact, os.path.join(fact_dir, "parquet"), ["dt"])
+        self._edge(
+            "build_fct_daily_store_metrics",
+            ["stg_erp_orders", "stg_crm_leads", "stg_web_events"],
+            ["fct_daily_store_metrics", fact_dir],
+        )
         self.emit_manifest()
         return fact
 
@@ -176,13 +243,15 @@ class LakehousePipeline:
         max_dt = staged.agg(F.max("dt").alias("m")).collect()[0]["m"]
         if max_dt is None:
             return "error"
-        lag_hours = (
-            F.lit(now_dt).cast("timestamp").cast("long")
-            - F.lit(str(max_dt)).cast("timestamp").cast("long")
-        )
-        lag = self.spark.range(1).select((lag_hours / 3600.0).alias("h")).collect()[0][
-            "h"
-        ]
+        # driver-side datetime arithmetic on the two scalars — no Spark job
+        now = _dt.datetime.fromisoformat(now_dt)
+        if isinstance(max_dt, _dt.datetime):
+            loaded = max_dt
+        elif isinstance(max_dt, _dt.date):
+            loaded = _dt.datetime.combine(max_dt, _dt.time.min)
+        else:
+            loaded = _dt.datetime.fromisoformat(str(max_dt))
+        lag = (now - loaded).total_seconds() / 3600.0
         if lag > self.config.freshness_error_hours:
             return "error"
         if lag > self.config.freshness_warn_hours:
@@ -190,12 +259,16 @@ class LakehousePipeline:
         return "ok"
 
     def emit_manifest(self) -> str:
-        """D7 docs/manifest twin: JSON of published tables + schemas."""
+        """D7 docs/manifest twin: JSON of published tables + schemas, plus
+        the D6 per-stage lineage edges (reference terraform/main.tf:101-108
+        configures OpenLineage; here edges are recorded as each stage
+        runs)."""
         manifest = {
             "tables": {
                 f"stg_{d}": [f.name for f in df.schema.fields]
                 for d, df in self.staged.items()
-            }
+            },
+            "lineage": self.lineage,
         }
         path = os.path.join(self.config.curated_dir, "manifest.json")
         os.makedirs(self.config.curated_dir, exist_ok=True)

@@ -119,11 +119,10 @@ class AntiJoinMergeWriter:
         target = spark.read.parquet(self.path)
         kept = target.join(updates.select(*self.keys), self.keys, "left_anti")
         merged = kept.unionByName(updates)
-        # write via a temp dir: the plan reads the same files it replaces
-        tmp = self.path.rstrip("/") + "__tmp_merge"
-        merged.write.mode("overwrite").parquet(tmp)
-        final = spark.read.parquet(tmp)
-        final.write.mode("overwrite").parquet(self.path)
+        # break lineage before overwriting the files the plan reads
+        # (same device as merge_upsert; no tmp-directory copy left behind)
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(self.path)
 
     def read(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.path)

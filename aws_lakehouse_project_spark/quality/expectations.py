@@ -75,14 +75,30 @@ def suite_from_ge_json(doc: dict) -> list[Expectation]:
     ]
 
 
-def validate(df: DataFrame, suite: list[Expectation], name: str = "") -> dict[str, int]:
+QUARANTINE_KEY = "quarantined_corrupt_rows"
+
+
+def validate(
+    df: DataFrame,
+    suite: list[Expectation],
+    name: str = "",
+    count_quarantined: bool = False,
+) -> dict[str, int]:
     """Run a whole suite; raise ExpectationFailure on any violation.
 
     Returns per-expectation violation counts on success (all zeros).
     Ordered-column expectations check driver-side; all row expectations
     fold into a single agg() — one pass over the data regardless of suite
     size.
+
+    ``count_quarantined=True`` (for frames still carrying the raw-scan
+    corrupt-record column): corrupt rows are excluded from every row
+    expectation — they are quarantined, not violations — and their count
+    rides the same single aggregation under ``QUARANTINE_KEY`` (never
+    raises). This is how the pipeline avoids a second scan just to count
+    the quarantine.
     """
+    quarantine = count_quarantined and CORRUPT_COL in df.columns
     row_exps: list[Expectation] = []
     for exp in suite:
         if exp.expectation_type == "expect_table_columns_to_match_ordered_list":
@@ -98,12 +114,17 @@ def validate(df: DataFrame, suite: list[Expectation], name: str = "") -> dict[st
     counts: dict[str, int] = {
         exp.label(): 0 for exp in suite if exp.violation_condition() is None
     }
-    if row_exps:
+    if row_exps or quarantine:
+        clean_gate = F.col(CORRUPT_COL).isNull() if quarantine else F.lit(True)
         aggs = [
-            F.count_if(exp.violation_condition()).alias(f"v{i}")
+            F.count_if(exp.violation_condition() & clean_gate).alias(f"v{i}")
             for i, exp in enumerate(row_exps)
         ]
+        if quarantine:
+            aggs.append(F.count_if(~clean_gate).alias("q"))
         row = df.agg(*aggs).collect()[0]
+        if quarantine:
+            counts[QUARANTINE_KEY] = row["q"]
         for i, exp in enumerate(row_exps):
             n = row[f"v{i}"]
             counts[exp.label()] = n

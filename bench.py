@@ -17,6 +17,22 @@ import sys
 import time
 
 
+def _cpu_times() -> tuple[int, int]:
+    """(total_jiffies, steal_jiffies) from /proc/stat — sampled around the
+    timed loop so the recorded number is the steal%% of THIS window, not a
+    box-lifetime average. The host shows intermittent hypervisor CPU
+    steal (BASELINE.md); publishing it beside each round's timings keeps
+    round-over-round ratios interpretable."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return sum(vals), steal
+    except OSError:
+        return 0, 0
+
+
 HEADLINE = [
     "q_agg_sum",
     "q_fact_daily",
@@ -70,6 +86,7 @@ def main() -> None:
                 print(f"# warm-up {name} failed: {exc}", file=sys.stderr)
     registry["q_scan_parquet"](spark, sf_dir).collect()
 
+    cpu0, steal0 = _cpu_times()
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()
@@ -77,6 +94,10 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+    cpu1, steal1 = _cpu_times()
+    steal_pct = (
+        round(100.0 * (steal1 - steal0) / (cpu1 - cpu0), 2) if cpu1 > cpu0 else None
+    )
 
     total = round(sum(timings.values()), 3)
     print(
@@ -87,6 +108,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "steal_pct": steal_pct,
             }
         )
     )
