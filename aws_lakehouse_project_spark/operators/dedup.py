@@ -253,15 +253,21 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
 
 @demo_query("q_dedup_minhash", oracle=None)  # portable-hash algorithm; rows-only
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH candidate pairs: band the k-wide signature into
-    k/r buckets, exact-match join within (band_idx, band_signature),
-    then estimate similarity as the fraction of agreeing minhashes.
+    """MinHash+LSH candidate pairs over the documents table; see
+    minhash_pairs for the algorithm and scale shape."""
+    return minhash_pairs(load_table(spark, sf_dir, "documents"))
 
-    Banding makes the join key (band_idx, 4 minhash values) — candidate
-    generation is a hash join on bucket collisions, never an all-pairs
-    comparison.
+
+def minhash_pairs(docs: DataFrame) -> DataFrame:
+    """(d1, d2, est_jaccard) — MinHash+LSH candidate pairs: band the
+    k-wide signature into k/r buckets, exact-match join within
+    (band_idx, band_signature), then estimate similarity as the fraction
+    of agreeing minhashes.
+
+    Banding makes the join key (band_idx, hash of r minhash values) —
+    candidate generation is a hash join on bucket collisions, never an
+    all-pairs comparison.
     """
-    docs = load_table(spark, sf_dir, "documents")
     sig = minhash_signatures(docs)
     # every subtree below derives from the signature table — cache AND
     # materialize it, otherwise each subtree computes the full

@@ -173,13 +173,18 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical, and the rounded output tolerates the remaining
     associativity at 1e-6.
 
-    Scale notes: the tf↔df join runs on ``term`` — already the df
-    aggregation's partitioning, so no extra exchange on that side — with
-    NO broadcast hint: the term dictionary grows with the corpus (billions
-    of distinct terms at web scale) and a forced broadcast would OOM
-    executors; AQE broadcasts on its own when the built side measures
-    small. n_docs rides the plan as a 1-row aggregate cross-joined in
-    (always broadcastable), not a separate driver-side count() scan."""
+    Scale notes: document frequency is NOT a join against a
+    vocabulary-sized dimension (billions of distinct terms at web scale —
+    a forced broadcast there OOMs executors, and even a shuffle join
+    recomputes the whole tf subtree). Because doc_id is unique, df is
+    simply the tf table's row count per term — one unbounded window over
+    ``term``, whose partitioning the final (source, term) aggregation
+    then reuses (term ⊆ (source, term) satisfies the clustered
+    distribution): the corpus is scanned once and shuffled twice, total.
+    n_docs rides the plan as a 1-row aggregate cross-joined in (the one
+    justified broadcast hint), not a separate driver-side count() scan."""
+    from pyspark.sql import Window
+
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", "source", F.explode(F.split(F.lower("text"), " ")).alias("term")
@@ -187,17 +192,14 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = toks.groupBy("doc_id", "source", "term").agg(
         F.count(F.lit(1)).alias("tf")
     )
-    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = docs.groupBy().agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     scored = (
-        tf.join(df_, "term")
+        tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
         .join(F.broadcast(n_docs))  # 1 row; scalar-subquery shape
         .withColumn("w", F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
         .groupBy("source", "term")
         .agg(F.sum("w").alias("w"))
     )
-    from pyspark.sql import Window
-
     win = Window.partitionBy("source").orderBy(F.col("w").desc(), F.col("term"))
     return (
         scored.withColumn("rn", F.row_number().over(win))

@@ -120,6 +120,112 @@ def test_pipeline_validation_aborts(spark, raw_paths, tmp_path):
     assert "erp_orders" not in pipe.staged
 
 
+def test_failure_callback_fires_and_failure_propagates(spark, raw_paths, tmp_path):
+    """D5 alerting seam (reference airflow DAG :50-59 Slack callback): a
+    stage failure invokes on_failure(domain, stage, exc) and still
+    raises."""
+    from aws_lakehouse_project_spark.errors import ExpectationFailure
+    from aws_lakehouse_project_spark.pipeline import LakehousePipeline, PipelineConfig
+
+    bad = tmp_path / "bad_orders.csv"
+    bad.write_text(
+        "order_id,customer_id,store_id,dt,order_value,status\n"
+        "2001,C01,store_01,2024-06-01,-5.00,shipped\n"
+    )
+    alerts = []
+    cfg = PipelineConfig(
+        raw_paths=dict(raw_paths, erp_orders=str(bad)),
+        curated_dir=str(tmp_path / "c3"),
+        on_failure=lambda domain, stage, exc: alerts.append((domain, stage, type(exc))),
+    )
+    pipe = LakehousePipeline(spark, cfg)
+    with pytest.raises(ExpectationFailure):
+        pipe.run_domain("erp_orders")
+    assert alerts == [("erp_orders", "validate", ExpectationFailure)]
+
+
+def test_failure_callback_errors_never_mask_the_failure(spark, raw_paths, tmp_path):
+    from aws_lakehouse_project_spark.errors import ExpectationFailure
+    from aws_lakehouse_project_spark.pipeline import LakehousePipeline, PipelineConfig
+
+    bad = tmp_path / "bad_orders.csv"
+    bad.write_text(
+        "order_id,customer_id,store_id,dt,order_value,status\n"
+        "2001,C01,store_01,2024-06-01,-5.00,shipped\n"
+    )
+
+    def broken_callback(domain, stage, exc):
+        raise RuntimeError("alert transport down")
+
+    cfg = PipelineConfig(
+        raw_paths=dict(raw_paths, erp_orders=str(bad)),
+        curated_dir=str(tmp_path / "c4"),
+        on_failure=broken_callback,
+    )
+    with pytest.raises(ExpectationFailure):  # not the callback's RuntimeError
+        LakehousePipeline(spark, cfg).run_domain("erp_orders")
+
+
+def test_sla_miss_callback(spark, raw_paths, tmp_path):
+    """D5 SLA seam (reference :62-73, sla=60min): sla_seconds=0 forces a
+    miss; the callback receives (domain, elapsed) and the run succeeds."""
+    from aws_lakehouse_project_spark.pipeline import LakehousePipeline, PipelineConfig
+
+    misses = []
+    cfg = PipelineConfig(
+        raw_paths=raw_paths,
+        curated_dir=str(tmp_path / "c5"),
+        sla_seconds=0.0,
+        on_sla_miss=lambda domain, sec: misses.append((domain, sec)),
+    )
+    LakehousePipeline(spark, cfg).run_domain("erp_orders")
+    assert len(misses) == 1
+    assert misses[0][0] == "erp_orders" and misses[0][1] > 0.0
+
+
+def test_manifest_lineage_edges(spark, raw_paths, tmp_path):
+    """D6: the manifest records per-stage input→output edges, ending at
+    the fact build reading all three staged inputs."""
+    import json
+
+    from aws_lakehouse_project_spark.pipeline import LakehousePipeline, PipelineConfig
+
+    cfg = PipelineConfig(raw_paths=raw_paths, curated_dir=str(tmp_path / "c6"))
+    pipe = LakehousePipeline(spark, cfg)
+    pipe.run_all()
+    manifest = json.loads((tmp_path / "c6" / "manifest.json").read_text())
+    edges = {e["stage"]: e for e in manifest["lineage"]}
+    # 4 domains × 4 stages + fact build
+    assert len(manifest["lineage"]) == 17
+    assert edges["ingest_erp_orders"]["inputs"] == [raw_paths["erp_orders"]]
+    assert edges["transform_web_events"]["outputs"] == ["stg_web_events"]
+    fact = edges["build_fct_daily_store_metrics"]
+    assert fact["inputs"] == ["stg_erp_orders", "stg_crm_leads", "stg_web_events"]
+    assert "fct_daily_store_metrics" in fact["outputs"]
+
+
+def test_quarantine_counted_in_validation_pass(spark, tmp_path):
+    """Corrupt rows are counted inside validate's single aggregation
+    (QUARANTINE_KEY), excluded from row expectations, and dropped from
+    the returned clean frame."""
+    from aws_lakehouse_project_spark.quality.expectations import (
+        DOMAIN_SUITES,
+        QUARANTINE_KEY,
+        validate,
+    )
+    from aws_lakehouse_project_spark.schemas import WEB_EVENTS_RAW
+    from aws_lakehouse_project_spark.sources.readers import read_jsonl
+
+    p = tmp_path / "events.json"
+    p.write_text(WEB_EVENTS_JSONL + "\nnot json at all{{{\n")
+    raw = read_jsonl(spark, str(p), WEB_EVENTS_RAW).cache()
+    counts = validate(raw, DOMAIN_SUITES["web_events"], count_quarantined=True)
+    assert counts[QUARANTINE_KEY] == 1
+    # the corrupt row has NULL event_id but must NOT trip the not-null
+    # expectation — it is quarantined, not a violation
+    assert counts["expect_column_values_to_not_be_null(event_id)"] == 0
+
+
 def test_corrupt_rows_quarantined(spark, tmp_path):
     """Malformed JSON lines land in _corrupt_record, not in the clean
     frame (contract-first ingest, SURVEY.md §1.1)."""

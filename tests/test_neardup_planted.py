@@ -69,6 +69,66 @@ def test_simhash_hamming_orders_similarity(spark):
     assert near <= 6  # one-word change flips few bits
 
 
+def _shingle_set(text: str) -> set[str]:
+    w = text.split(" ")
+    return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+
+def test_minhash_lsh_recall_matches_scurve_prediction(spark):
+    """Quantitative recall bound: plant 40 near-dup pairs (~5% token
+    edits) in a seeded synthetic corpus; LSH must recover them at no
+    less than the banding s-curve's predicted recall (mean over pairs of
+    1-(1-s^r)^b at each pair's exact jaccard) minus sampling slack, and
+    est_jaccard must track the exact shingle jaccard on recovered
+    pairs."""
+    import random
+
+    from aws_lakehouse_project_spark.operators.dedup import (
+        _LSH_ROWS,
+        _MINHASH_K,
+        minhash_pairs,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"w{i:03d}" for i in range(500)]
+    n_words, n_pairs = 80, 40
+    rows, exact = [], {}
+    for i in range(n_pairs):
+        words = [rng.choice(vocab) for _ in range(n_words)]
+        dup = list(words)
+        for pos in rng.sample(range(n_words), 4):  # 4/80 = 5% token edits
+            dup[pos] = rng.choice(vocab)
+        rows.append((i, " ".join(words)))
+        rows.append((1000 + i, " ".join(dup)))
+        a, b = _shingle_set(" ".join(words)), _shingle_set(" ".join(dup))
+        exact[(i, 1000 + i)] = len(a & b) / len(a | b)
+
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    found = {
+        (r["d1"], r["d2"]): r["est_jaccard"] for r in minhash_pairs(docs).collect()
+    }
+
+    n_bands = _MINHASH_K // _LSH_ROWS
+    predicted = sum(
+        1.0 - (1.0 - s**_LSH_ROWS) ** n_bands for s in exact.values()
+    ) / len(exact)
+    recovered = [p for p in exact if p in found]
+    recall = len(recovered) / len(exact)
+    # sampling slack: 40 Bernoulli trials + hash-function randomness
+    assert recall >= predicted - 0.15, (recall, predicted)
+    assert recall >= 0.6  # absolute floor: 5% edits are near-dups, full stop
+
+    # estimator quality on the recovered pairs: est ≈ exact jaccard
+    # (k=32 signature ⇒ std ≈ sqrt(s(1-s)/32) ≈ 0.08 at s≈0.75)
+    errs = [abs(found[p] - exact[p]) for p in recovered]
+    assert sum(errs) / len(errs) <= 0.12, sorted(errs)[-3:]
+
+    # precision: unrelated random-salad docs must not collide (any
+    # stray pair would need 4 agreeing minhashes in one band)
+    false_pos = [p for p in found if p not in exact]
+    assert len(false_pos) <= 2, false_pos
+
+
 def test_jaccard_and_clusters_on_planted(spark):
     from aws_lakehouse_project_spark.operators.dedup import (
         connected_components,

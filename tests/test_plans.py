@@ -166,6 +166,51 @@ def test_quantile_filter_broadcasts_cutoffs(spark):
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
 
+def test_tfidf_no_vocabulary_join(spark):
+    """Document frequency must come from a window over term — not a join
+    against the vocabulary-sized term dimension (whose forced broadcast
+    would OOM at corpus scale). The ONLY hint is the 1-row n_docs scalar;
+    the corpus is scanned once for tf plus one pruned scan for n_docs."""
+    from aws_lakehouse_project_spark.operators.text import q_tfidf
+
+    qe = q_tfidf(spark, SF_DIR)._jdf.queryExecution()
+    assert qe.analyzed().toString().count("ResolvedHint") == 1
+    plan = qe.executedPlan().toString()
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert plan.count("FileScan") == 2
+    # final (source, term) aggregation reuses the term window's
+    # partitioning: tf agg + term window + ranking window = 3 exchanges
+    assert plan.count("Exchange hashpartitioning") == 3
+
+
+def test_cpu_spread_is_identity_when_well_partitioned(spark):
+    """The pre-shingling rebalance must not force a full-corpus shuffle
+    when upstream already has >= core-count partitions (the normal case
+    at warehouse scale)."""
+    from aws_lakehouse_project_spark.operators.dedup import _cpu_spread
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    wide = docs.repartition(spark.sparkContext.defaultParallelism)
+    assert _cpu_spread(wide) is wide  # no-op, no Exchange inserted
+    assert (
+        _cpu_spread(docs).rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+
+
+def test_minhash_band_join_carries_only_keys(spark):
+    """LSH candidate generation must move only (doc_id, band keys)
+    through the self-join — the 32-wide signatures re-join AFTER the
+    candidate set is known. A projection feeding the band join that
+    still carries mh_* columns widens the exchange ~16×."""
+    from aws_lakehouse_project_spark.operators.dedup import q_dedup_minhash
+
+    plan = physical_plan(q_dedup_minhash(spark, SF_DIR))
+    band_projects = [l for l in plan.splitlines() if ".band_sig" in l]
+    assert band_projects, "band projection not found in plan"
+    assert all("mh_" not in l for l in band_projects), band_projects
+
+
 def test_pack_sequences_single_window_shuffle(spark):
     """Sequence packing must cost one shard-keyed window shuffle plus
     the final aggregation — and the final groupBy(source, pack_id) can
