@@ -431,3 +431,23 @@ def q_bool_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_and(F.col("n_chars") > 10).alias("all_nonempty"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+@demo_query("q_scan_orc", oracle=None)  # ORC round trip — DuckDB reads no ORC
+def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink round trip (columnar-format breadth beyond
+    parquet/CSV/JSON): write order metrics as ORC, re-read, aggregate.
+    Spark's native ORC reader gives the same predicate pushdown and
+    column pruning as parquet; the demo returns per-status order counts
+    and exact-decimal revenue so the round trip is value-checked by the
+    rows-only gate plus pytest."""
+    orders = load_table(spark, sf_dir, "orders")
+    out = _scratch_dir("spark_graft_orc_roundtrip")
+    orders.select(
+        "o_orderkey", "o_orderstatus", money("o_totalprice").alias("price")
+    ).write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("price").cast("double").alias("revenue"),
+    )

@@ -353,3 +353,43 @@ def q_ann_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(docs, F.col("doc_id") == F.col("vec_id"))
         .select("vec_id", "cosine", "lang", "source", "n_chars")
     )
+
+
+@demo_query(
+    "q_embedding_centroids",
+    oracle="""
+    WITH flat AS (
+      SELECT label,
+             unnest(embedding) AS val,
+             unnest(range(len(embedding))) AS pos
+      FROM embeddings
+    )
+    SELECT label,
+           CAST(pos AS INTEGER) AS pos,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           ROUND(CAST(SUM(CAST(ROUND(CAST(val AS DOUBLE) * 1e7) AS BIGINT))
+                      AS DOUBLE) / 1e7 / COUNT(*), 6) AS centroid_val
+    FROM flat GROUP BY label, pos
+    """,
+)
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids in long format (label, dimension,
+    mean) — the training step behind the IVF coarse quantizer and the
+    class-prototype baseline.
+
+    Cross-row float sums are partition-order-dependent, so the mean is
+    computed over values quantized to 1e-7 (exact integer sums →
+    deterministic on any engine/partitioning; a float's ×1e7 product is
+    never exactly half-integer, so the rounding itself is
+    engine-agnostic). One posexplode + one (label, pos) aggregation —
+    the shuffle carries dims × labels rows, not vectors.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+    qval = F.round(F.col("val").cast("double") * 1e7).cast("bigint")
+    return flat.groupBy("label", "pos").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(
+            F.sum(qval).cast("double") / F.lit(1e7) / F.count(F.lit(1)), 6
+        ).alias("centroid_val"),
+    )

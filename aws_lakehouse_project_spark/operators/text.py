@@ -379,3 +379,124 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("pack_tokens"),
         )
     )
+
+
+@demo_query(
+    "q_repetition",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split(lower(text), ' ') AS w FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, lang,
+             unnest(CASE WHEN len(w) >= 3 THEN generate_series(1, len(w)-2)
+                         ELSE [] END) AS i,
+             w
+      FROM toks
+    ),
+    sh AS (
+      SELECT doc_id, lang, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM tok
+    ),
+    per_doc AS (
+      SELECT doc_id, COUNT(*) AS n_sh, COUNT(DISTINCT shingle) AS d_sh
+      FROM sh GROUP BY doc_id
+    ),
+    alldocs AS (
+      SELECT d.lang, COALESCE(p.n_sh, 0) AS n_sh, COALESCE(p.d_sh, 0) AS d_sh
+      FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_sh) AS BIGINT) AS total_shingles,
+           CAST(SUM(n_sh - d_sh) AS BIGINT) AS dup_shingles,
+           CAST(COUNT(*) FILTER (WHERE n_sh > d_sh) AS BIGINT) AS docs_with_repeats,
+           ROUND(CAST(SUM(n_sh - d_sh) AS DOUBLE) / SUM(n_sh), 6) AS dup_ratio
+    FROM alldocs GROUP BY lang
+    """,
+)
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality filter (the Gopher-style duplicate-n-gram
+    signal): per document, total vs distinct word-3-gram counts; per
+    language, the corpus repetition profile.
+
+    The per-doc counts are pure array expressions on the scan — total =
+    size of the shingle index range, distinct = size(array_distinct(...))
+    — so the only shuffle is the final per-language aggregation of five
+    integers. dup_ratio is a ratio of summed integers (deterministic
+    under any aggregation order).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.lower(F.col("text")), " ")
+    sh_expr = F.expr(
+        "transform(sequence(0, greatest(size(w)-3, -1)), "
+        "i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+    )
+    feat = docs.select(
+        "lang",
+        w.alias("w"),
+    ).select(
+        "lang",
+        F.when(F.size("w") >= 3, F.size("w") - 2).otherwise(0).alias("n_sh"),
+        F.when(F.size("w") >= 3, F.size(F.array_distinct(sh_expr)))
+        .otherwise(0)
+        .alias("d_sh"),
+    )
+    dup = F.col("n_sh") - F.col("d_sh")
+    return feat.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_sh").cast("bigint")).alias("total_shingles"),
+        F.sum(dup.cast("bigint")).alias("dup_shingles"),
+        F.count_if(dup > 0).alias("docs_with_repeats"),
+        F.round(
+            F.sum(dup.cast("bigint")).cast("double")
+            / F.sum(F.col("n_sh").cast("bigint")),
+            6,
+        ).alias("dup_ratio"),
+    )
+
+
+@demo_query(
+    "q_pii_scrub",
+    oracle="""
+    WITH scrub AS (
+      SELECT event_type, props,
+             len(regexp_extract_all(props, '[0-9]{2,}')) AS n_hits,
+             regexp_replace(props, '[0-9]{2,}', '<NUM>', 'g') AS redacted
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(n_hits) AS BIGINT) AS total_hits,
+           CAST(COUNT(*) FILTER (WHERE n_hits > 0) AS BIGINT) AS rows_with_hits,
+           CAST(SUM(length(props)) AS BIGINT) AS chars_before,
+           CAST(SUM(length(redacted)) AS BIGINT) AS chars_after
+    FROM scrub GROUP BY event_type
+    """,
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style scrubbing over semi-structured logs: detect multi-digit
+    runs in the events props JSON, redact them, and account for the
+    redaction per event type (hit counts, affected rows, byte savings).
+
+    The detect+redact is two regexp expressions evaluated map-side on the
+    scan; only six integers per event type reach the aggregation — the
+    shape of a compliance scrub over petabytes of logs. (On the synthetic
+    corpus the digit-run pattern stands in for SSN/phone patterns, which
+    are plain alternations in the same expression slot.)
+    """
+    ev = load_table(spark, sf_dir, "events")
+    pattern = "[0-9]{2,}"
+    scrub = ev.select(
+        "event_type",
+        F.length("props").alias("len_before"),
+        F.regexp_count("props", F.lit(pattern)).alias("n_hits"),
+        F.length(F.regexp_replace("props", pattern, "<NUM>")).alias("len_after"),
+    )
+    return scrub.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("n_hits").cast("bigint")).alias("total_hits"),
+        F.count_if(F.col("n_hits") > 0).alias("rows_with_hits"),
+        F.sum(F.col("len_before").cast("bigint")).alias("chars_before"),
+        F.sum(F.col("len_after").cast("bigint")).alias("chars_after"),
+    )

@@ -270,3 +270,106 @@ def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@demo_query(
+    "q_tpch_q3",
+    oracle="""
+    SELECT l_orderkey, o_orderdate,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND CAST(o_orderdate AS DATE) < DATE '1995-03-15'
+      AND CAST(l_shipdate  AS DATE) > DATE '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): unshipped BUILDING-segment
+    orders ranked by open revenue, top 10.
+
+    The segment filter semi-joins customer into orders before the
+    lineitem join, so only qualifying orders' lines aggregate; the
+    top-10 compiles to TakeOrderedAndProject (per-partition heaps, no
+    global sort). No broadcast hints: customer and the filtered orders
+    both grow with scale — AQE promotes either side to broadcast when
+    its measured size actually fits. Tie-break on l_orderkey keeps LIMIT
+    deterministic for the oracle. (Testdata orders carry no
+    o_shippriority column — the grouping drops that key, otherwise the
+    classic query.)
+    """
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").cast("date") < F.lit("1995-03-15")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").cast("date") > F.lit("1995-03-15")
+    )
+    disc_price = money("l_extendedprice") * money(F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(
+            orders.join(cust, orders.o_custkey == cust.c_custkey, "left_semi"),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@demo_query(
+    "q_tpch_q10",
+    oracle="""
+    SELECT c_custkey, c_name, n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
+      AND CAST(o_orderdate AS DATE) <  DATE '1995-04-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): customers who returned
+    goods in 1995Q1, ranked by lost revenue, top 20.
+
+    lineitem is pre-filtered to returned lines map-side; orders
+    pre-filtered to the quarter. Only nation (25 rows, scale-constant)
+    gets a broadcast hint — customer grows with the corpus, so its join
+    is left to the planner/AQE. The shuffles are the lineitem↔orders
+    and customer joins plus the final per-customer aggregation; the
+    top-20 is TakeOrderedAndProject.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate").cast("date") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1995-04-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    disc_price = money("l_extendedprice") * money(F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )

@@ -90,32 +90,59 @@ def dedup_events_stream(events: DataFrame, watermark: str = "7 days") -> DataFra
     )
 
 
+def sliding_type_metrics_stream(
+    events: DataFrame, watermark: str = "7 days"
+) -> DataFrame:
+    """Watermarked SLIDING-window aggregation: trailing-7-day metrics per
+    event type, advancing daily — the rolling-horizon view of the same
+    late-data contract (each event contributes to 7 overlapping
+    windows). Spark maintains one state row per (window, type); the
+    watermark expires windows more than 7 days behind the stream."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "7 days", "1 day").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(money("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("win.start").cast("date").alias("win_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def run_stream_to_merge(
     spark: SparkSession,
     events_path: str,
     target_path: str,
     checkpoint_path: str,
     watermark: str = "7 days",
+    agg_builder=None,
+    keys: tuple[str, ...] = ("dt", "cust_id"),
+    partition_col: str = "dt",
 ) -> PartitionOverwriteMergeWriter:
     """Drive the stream to completion (for file drops available now) and
-    MERGE each micro-batch's updated days into the target fact.
+    MERGE each micro-batch's updated groups into the target fact.
 
-    Update output mode emits refreshed (dt, cust_id) rows per batch;
-    foreachBatch overwrites exactly the touched dt partitions — the
-    streaming equivalent of the reference's incremental merge. The
-    checkpoint gives exactly-once across restarts.
+    Update output mode emits refreshed key rows per batch; foreachBatch
+    overwrites exactly the touched partitions — the streaming equivalent
+    of the reference's incremental merge. The checkpoint gives
+    exactly-once across restarts. ``agg_builder`` defaults to the daily
+    per-user aggregation; the sliding-window variant passes its own.
     """
-    writer = PartitionOverwriteMergeWriter(target_path, partition_col="dt")
-    agg = daily_user_metrics_stream(
-        read_events_stream(spark, events_path), watermark=watermark
-    )
+    writer = PartitionOverwriteMergeWriter(target_path, partition_col=partition_col)
+    build = agg_builder or daily_user_metrics_stream
+    agg = build(read_events_stream(spark, events_path), watermark=watermark)
 
     def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        # update mode emits only the CHANGED (dt, cust_id) groups — merge
-        # at key level so unchanged groups in a touched day survive
-        writer.merge_upsert(batch_df.sparkSession, batch_df, ["dt", "cust_id"])
+        # update mode emits only the CHANGED key groups — merge at key
+        # level so unchanged groups in a touched partition survive
+        writer.merge_upsert(batch_df.sparkSession, batch_df, list(keys))
 
     query = (
         agg.writeStream.outputMode("update")
@@ -169,5 +196,54 @@ def q_stream_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cust_id",
         "sessions",
         "purchases",
+        "total_value",
+    )
+
+
+_SLIDING_ORACLE = """
+    SELECT CAST(CAST(ts AS DATE) - CAST(t.k AS INTEGER) AS DATE) AS win_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events CROSS JOIN range(0, 7) t(k)
+    GROUP BY 1, 2
+"""
+
+
+@demo_query("q_stream_sliding", oracle=_SLIDING_ORACLE)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 sliding-window streaming: trailing-7-day per-type metrics
+    advancing daily, driven to completion over the events table as one
+    file drop and merged via foreachBatch.
+
+    Exact SQL oracle: an event at timestamp t falls in the 7 day-aligned
+    windows starting date(t)-6 .. date(t), so the batch equivalent is a
+    7-row fanout per event (CROSS JOIN range(0,7)) aggregated by
+    (window_start, type) — same decimal-exact value sums.
+    """
+    import os
+    import shutil
+
+    from ..functions.scratch import scratch_dir
+
+    work = scratch_dir("spark_graft_stream_sliding", unique=True)
+    drops = os.path.join(work, "drops")
+    os.makedirs(drops)
+    shutil.copy(
+        os.path.join(sf_dir, "events.parquet"), os.path.join(drops, "events.parquet")
+    )
+    writer = run_stream_to_merge(
+        spark,
+        drops,
+        target_path=os.path.join(work, "fact"),
+        checkpoint_path=os.path.join(work, "ckpt"),
+        agg_builder=sliding_type_metrics_stream,
+        keys=("win_start", "event_type"),
+        partition_col="win_start",
+    )
+    return writer.read(spark).select(
+        F.col("win_start").cast("date").alias("win_start"),
+        "event_type",
+        "n_events",
         "total_value",
     )
