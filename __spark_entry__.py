@@ -37,6 +37,7 @@ def _registry():
         dedup,
         evolution,
         multimodal,
+        corpus,
         fact,
         relational,
         joins,

@@ -1,0 +1,214 @@
+"""Corpus-hygiene operators for training-data pipelines: benchmark
+contamination detection, cross-document chunk duplication accounting, and
+heavy-hitter token statistics.
+
+These extend the reference's quality gates (`local_runner.py:62-104`'s
+expectation DSL validates rows; these validate the *corpus*) with the
+checks an LLM-data pipeline runs before training: is an eval benchmark
+leaked into the training split, how much of the corpus is copy-pasted
+boilerplate, and what does the token distribution look like. All are
+built-in expressions — shingling/chunking happen map-side on the scan and
+only bounded aggregates shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import demo_query
+
+# Benchmark membership for the demo: a deterministic ~1% slice of the
+# corpus stands in for an eval set (real pipelines join against the actual
+# benchmark corpus; the plan shape is identical).
+_BENCH_PRED = "doc_id % 97 = 0"
+
+
+def ngram_overlap(
+    docs: DataFrame, bench: DataFrame, n: int = 13
+) -> DataFrame:
+    """Training docs sharing at least one word-``n``-gram with ``bench``.
+
+    Returns (doc_id, source, n_shared) where n_shared counts distinct
+    leaked n-grams. The benchmark side of the join is an eval suite —
+    thousands of rows, not billions — so its distinct-shingle set
+    broadcasts and the training corpus is never shuffled: shingles are
+    generated map-side (transform over a sequence), the broadcast hash
+    join filters them map-side, and the only exchange is the final
+    per-doc aggregation of survivors (a tiny fraction of the corpus).
+    At 100 TB the default 13-gram window (WaT/GPT-3 convention) makes
+    collisions rare enough that the survivor set stays small.
+    """
+    def shingles(df: DataFrame) -> DataFrame:
+        w = F.split(F.lower(F.col("text")), " ")
+        expr = F.expr(
+            f"transform(sequence(0, greatest(size(w)-{n}, -1)), "
+            f"i -> concat_ws(' ', slice(w, i+1, {n})))"
+        )
+        return (
+            df.select("doc_id", "source", w.alias("w"))
+            .select("doc_id", "source", F.explode(expr).alias("s"))
+        )
+
+    bench_sh = F.broadcast(shingles(bench).select("s").distinct())
+    train_sh = shingles(docs).dropDuplicates(["doc_id", "s"])
+    return (
+        train_sh.join(bench_sh, "s")
+        .groupBy("doc_id", "source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+
+
+@demo_query(
+    "q_contamination",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, string_split(lower(text), ' ') AS w FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, source,
+             w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS s
+      FROM (SELECT doc_id, source, w,
+                   unnest(CASE WHEN len(w) >= 4
+                               THEN generate_series(1, len(w)-3) ELSE [] END) AS i
+            FROM toks)
+    ),
+    bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+    train AS (SELECT DISTINCT doc_id, source, s FROM sh WHERE doc_id % 97 <> 0)
+    SELECT t.doc_id, t.source, CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM train t JOIN bench b USING (s)
+    GROUP BY t.doc_id, t.source
+    """,
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination report: training documents sharing a word
+    4-gram with the (deterministic ~1%) benchmark slice. 4-grams, not the
+    production 13, because the synthetic corpus draws from a ~30-word
+    vocabulary — the plan is the same, only the collision rate differs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.expr(_BENCH_PRED))
+    train = docs.filter(~F.expr(_BENCH_PRED))
+    return ngram_overlap(train, bench, n=4)
+
+
+def chunk_dup_profile(docs: DataFrame, chunk: int = 50) -> DataFrame:
+    """Per-source cross-document chunk-duplication profile.
+
+    Splits each document into non-overlapping ``chunk``-token windows,
+    counts how many chunk *instances* also occur in some other document,
+    and aggregates the duplication ratio per source — the signal used to
+    strip boilerplate (headers, license blocks, navigation chrome) that
+    exact whole-doc dedup misses.
+
+    Two shuffles, both on bounded keys: chunk-string frequency (combiner
+    shrinks it to distinct chunks) and the per-source rollup (one row per
+    source). Chunk generation is a map-side array expression.
+    """
+    w = F.split(F.lower(F.col("text")), " ")
+    expr = F.expr(
+        f"transform(sequence(0, int(floor(size(w)/{chunk}))-1), "
+        f"i -> concat_ws(' ', slice(w, i*{chunk}+1, {chunk})))"
+    )
+    chunks = (
+        docs.select("doc_id", "source", w.alias("w"))
+        .select("doc_id", "source", F.explode(expr).alias("c"))
+    )
+    freq = chunks.groupBy("c").agg(
+        F.countDistinct("doc_id").alias("n_docs_with")
+    )
+    return (
+        chunks.join(freq, "c")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.count_if(F.col("n_docs_with") > 1).alias("dup_chunks"),
+            F.round(
+                F.count_if(F.col("n_docs_with") > 1).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("dup_ratio"),
+        )
+    )
+
+
+@demo_query(
+    "q_chunk_dedup",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, string_split(lower(text), ' ') AS w FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, source,
+             array_to_string(list_slice(w, (i-1)*3+1, (i-1)*3+3), ' ') AS c
+      FROM (SELECT doc_id, source, w,
+                   unnest(CASE WHEN len(w) >= 3
+                               THEN generate_series(1, CAST(floor(len(w)/3) AS BIGINT))
+                               ELSE [] END) AS i
+            FROM toks)
+    ),
+    freq AS (SELECT c, COUNT(DISTINCT doc_id) AS n_docs_with FROM chunks GROUP BY c)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(*) FILTER (WHERE n_docs_with > 1) AS BIGINT) AS dup_chunks,
+           ROUND(CAST(COUNT(*) FILTER (WHERE n_docs_with > 1) AS DOUBLE)
+                 / COUNT(*), 6) AS dup_ratio
+    FROM chunks JOIN freq USING (c)
+    GROUP BY source
+    """,
+)
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document chunk-duplication ratios per source (3-token chunks
+    so the ~30-word synthetic vocabulary yields visible collisions; real
+    corpora use ~50)."""
+    return chunk_dup_profile(load_table(spark, sf_dir, "documents"), chunk=3)
+
+
+@demo_query(
+    "q_zipf",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents
+    ),
+    counts AS (SELECT token, COUNT(*) AS freq FROM tok GROUP BY token),
+    ranked AS (
+      SELECT token, freq,
+             ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS rank,
+             SUM(freq) OVER () AS total
+      FROM counts
+    )
+    SELECT CAST(rank AS INT) AS rank, token, CAST(freq AS BIGINT) AS freq,
+           ROUND(CAST(freq AS DOUBLE) / total, 8) AS rel_freq
+    FROM ranked WHERE rank <= 20
+    """,
+)
+def q_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters: top-20 tokens by frequency with their rank
+    and relative frequency — the vocabulary sanity check (Zipf curve head)
+    run before tokenizer training.
+
+    Token explosion and partial counts are map-side; the distinct-token
+    table (vocabulary-sized, not corpus-sized) is what shuffles. The
+    top-20 cut is ``orderBy().limit()`` — TakeOrderedAndProject, a per-
+    partition heap + driver merge, never a single-partition sort of the
+    vocabulary — and the corpus token total rides in as a 1-row broadcast.
+    The only global window (rank assignment) runs over the 20 surviving
+    rows. Ties broken by token so the cut is deterministic.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    total = counts.agg(F.sum("freq").alias("total"))
+    top20 = counts.orderBy(F.desc("freq"), F.asc("token")).limit(20)
+    return top20.crossJoin(F.broadcast(total)).select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("freq"), F.asc("token")))
+        .alias("rank"),
+        "token",
+        F.col("freq").cast("bigint").alias("freq"),
+        F.round(F.col("freq").cast("double") / F.col("total"), 8).alias("rel_freq"),
+    )

@@ -1,0 +1,88 @@
+"""Corpus-hygiene operators: planted-case semantics + plan-shape guards."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_lakehouse_project_spark.operators.corpus import (
+    chunk_dup_profile,
+    ngram_overlap,
+    q_zipf,
+)
+from tests.conftest import SF_DIR
+from tests.test_plans import physical_plan
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_ngram_overlap_detects_planted_leak(spark):
+    bench = _docs(spark, [(100, "eval", "alpha beta gamma delta epsilon")])
+    train = _docs(
+        spark,
+        [
+            # copies the bench 4-gram "beta gamma delta epsilon"
+            (1, "web", "intro beta gamma delta epsilon outro filler"),
+            # shares words but no 4-gram
+            (2, "web", "beta delta gamma epsilon alpha beta delta"),
+            (3, "web", "totally unrelated words in this one here"),
+        ],
+    )
+    hits = {r["doc_id"]: r["n_shared"] for r in ngram_overlap(train, bench, n=4).collect()}
+    assert hits == {1: 1}
+
+
+def test_ngram_overlap_counts_distinct_shared_shingles(spark):
+    bench = _docs(spark, [(100, "eval", "a b c d e")])  # 4-grams: "a b c d","b c d e"
+    train = _docs(spark, [(1, "web", "x a b c d e y"), (2, "web", "q w e r t")])
+    out = {r["doc_id"]: r["n_shared"] for r in ngram_overlap(train, bench, n=4).collect()}
+    assert out == {1: 2}
+
+
+def test_ngram_overlap_bench_side_broadcasts(spark):
+    bench = _docs(spark, [(100, "eval", "a b c d e")])
+    train = _docs(spark, [(1, "web", "x a b c d e y")])
+    plan = physical_plan(ngram_overlap(train, bench, n=4))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_chunk_dup_profile_planted(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "s1", "a b c x y z"),  # chunks(3): "a b c", "x y z"
+            (2, "s1", "a b c p q r"),  # "a b c" duplicated across docs
+            (3, "s2", "m n o"),
+        ],
+    )
+    out = {r["source"]: r for r in chunk_dup_profile(docs, chunk=3).collect()}
+    assert out["s1"]["n_chunks"] == 4
+    assert out["s1"]["dup_chunks"] == 2  # both instances of "a b c"
+    assert abs(out["s1"]["dup_ratio"] - 0.5) < 1e-9
+    assert out["s2"]["dup_chunks"] == 0
+
+
+def test_zipf_top20_is_take_ordered_not_global_sort(spark):
+    df = q_zipf(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    rows = df.collect()
+    assert len(rows) == 20
+    assert [r["rank"] for r in rows] == list(range(1, 21))
+    freqs = [r["freq"] for r in rows]
+    assert freqs == sorted(freqs, reverse=True)
+    assert abs(sum(r["rel_freq"] for r in rows)) <= 1.0 + 1e-9
+
+
+def test_contamination_rate_is_small_but_nonzero(spark):
+    from aws_lakehouse_project_spark.operators.corpus import q_contamination
+
+    out = q_contamination(spark, SF_DIR).collect()
+    n_train = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .filter(~F.expr("doc_id % 97 = 0"))
+        .count()
+    )
+    assert 0 < len(out) < 0.2 * n_train
