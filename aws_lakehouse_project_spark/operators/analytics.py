@@ -383,3 +383,135 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_orderkey").alias("exact_orders"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# window-function breadth: distribution ranks, frame navigation, lateral
+# explode — §2.7 extensions beyond rank/lag/cumsum
+# ---------------------------------------------------------------------------
+
+
+@demo_query(
+    "q_ntile",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderpriority,
+             o_totalprice,
+             NTILE(4) OVER w AS quartile,
+             PERCENT_RANK() OVER w AS pr,
+             CUME_DIST() OVER w AS cd
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice, o_orderkey)
+    )
+    SELECT o_orderpriority, CAST(quartile AS INT) AS quartile,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(MIN(o_totalprice), 2) AS min_price,
+           ROUND(MAX(o_totalprice), 2) AS max_price,
+           ROUND(AVG(pr), 6) AS avg_pct_rank,
+           ROUND(AVG(cd), 6) AS avg_cume_dist
+    FROM ranked GROUP BY o_orderpriority, quartile
+    """,
+)
+def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows (NTILE quartiles, PERCENT_RANK, CUME_DIST)
+    partitioned by order priority — the value-banding shape used for
+    price-tier assignment. The window partitions on a bounded key so no
+    global sort exists; ties broken by o_orderkey make every rank
+    deterministic. The follow-up aggregation reuses the window's
+    (priority) hash partitioning."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    ranked = orders.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return ranked.groupBy("o_orderpriority", "quartile").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.round(F.avg("pr"), 6).alias("avg_pct_rank"),
+        F.round(F.avg("cd"), 6).alias("avg_cume_dist"),
+    )
+
+
+@demo_query(
+    "q_first_last",
+    oracle="""
+    WITH nav AS (
+      SELECT o_custkey,
+             FIRST_VALUE(o_totalprice) OVER w AS first_price,
+             LAST_VALUE(o_totalprice) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS last_price,
+             NTH_VALUE(o_totalprice, 2) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS second_price,
+             COUNT(*) OVER (PARTITION BY o_custkey) AS n_orders,
+             ROW_NUMBER() OVER w AS rn
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    )
+    SELECT o_custkey,
+           ROUND(first_price, 2) AS first_price,
+           ROUND(last_price, 2) AS last_price,
+           ROUND(second_price, 2) AS second_price,
+           CAST(n_orders AS BIGINT) AS n_orders
+    FROM nav WHERE rn = 1
+    """,
+)
+def q_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-navigation windows: each customer's first, last, and second
+    order value (FIRST_VALUE / LAST_VALUE / NTH_VALUE with an explicit
+    unbounded frame — the default frame would stop at CURRENT ROW and
+    silently return the running last). One shuffle on o_custkey serves
+    all five window expressions plus the rn=1 collapse."""
+    orders = load_table(spark, sf_dir, "orders")
+    order_w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    full_w = order_w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    nav = orders.select(
+        "o_custkey",
+        F.first("o_totalprice").over(order_w).alias("first_raw"),
+        F.last("o_totalprice").over(full_w).alias("last_raw"),
+        F.nth_value("o_totalprice", 2).over(full_w).alias("second_raw"),
+        F.count(F.lit(1)).over(Window.partitionBy("o_custkey")).alias("n_orders"),
+        F.row_number().over(order_w).alias("rn"),
+    )
+    return nav.filter(F.col("rn") == 1).select(
+        "o_custkey",
+        F.round("first_raw", 2).alias("first_price"),
+        F.round("last_raw", 2).alias("last_price"),
+        F.round("second_raw", 2).alias("second_price"),
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+    )
+
+
+@demo_query(
+    "q_explode_pos",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w
+      FROM documents WHERE doc_id < 5
+    )
+    SELECT doc_id, CAST(i AS INT) AS pos, w[i] AS token
+    FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM toks)
+    """,
+)
+def q_explode_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional lateral explode (LATERAL VIEW posexplode): token stream
+    with 1-based positions for a bounded document slice — the
+    tokenize-with-offsets shape used to build training-example index
+    tables. Generation is map-side on the scan (one output row per array
+    element, no shuffle at all)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 5)
+    w = F.split(F.lower(F.col("text")), " ")
+    return docs.select("doc_id", F.posexplode(w).alias("pos0", "token")).select(
+        "doc_id",
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+        "token",
+    )

@@ -176,8 +176,10 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     not by doc pairs.
     """
     docs = load_table(spark, sf_dir, "documents").filter(F.col("source") == "src0")
-    sh = word_shingles(docs).cache()
-    sh.count()  # materialize once; three subtrees read it below
+    # materialize once (three subtrees read it below); localCheckpoint
+    # not cache() so the blocks free with the result instead of pinning
+    # executor storage for the session
+    sh = word_shingles(docs).localCheckpoint(eager=True)
     cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("d1"), "shingle")
     b = sh.select(F.col("doc_id").alias("d2"), "shingle")
@@ -273,12 +275,13 @@ def minhash_pairs(docs: DataFrame) -> DataFrame:
     all-pairs comparison.
     """
     sig = minhash_signatures(docs)
-    # every subtree below derives from the signature table — cache AND
-    # materialize it, otherwise each subtree computes the full
-    # shingle+minhash pass on the first action (lazy cache races).
-    # At warehouse scale: persist the signature table instead.
-    sig = sig.cache()
-    sig.count()
+    # every subtree below derives from the signature table — materialize
+    # it once (eager localCheckpoint), otherwise each subtree recomputes
+    # the full shingle+minhash pass. localCheckpoint, not cache(): the
+    # blocks are released when the result goes out of scope instead of
+    # pinning executor storage for the session (a cache here leaks into
+    # every later query). At warehouse scale: persist to a table instead.
+    sig = sig.localCheckpoint(eager=True)
     n_bands = _MINHASH_K // _LSH_ROWS
     # candidate generation carries ONLY (doc_id, band keys) through the
     # self-join — the k-wide signatures would multiply the exchange width
@@ -357,7 +360,7 @@ def connected_components(
         pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
         .unionByName(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
         .distinct()
-        .cache()
+        .localCheckpoint(eager=True)  # reread every round; frees with GC
     )
     labels = (
         edges.select(F.col("src").alias("node"))
@@ -486,8 +489,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", *[f"sb_{b}" for b in range(_SIMHASH_BANDS)], "band.*")
-    exploded = exploded.cache()
-    exploded.count()
+    exploded = exploded.localCheckpoint(eager=True)
 
     left = exploded.select(
         F.col("doc_id").alias("d1"),

@@ -126,3 +126,43 @@ def q_multimodal_features(spark, sf_dir: str) -> DataFrame:
         F.sum("n_bytes").alias("total_bytes"),
         F.count_if(F.size("features") == FEATURE_DIM).alias("n_feature_vectors"),
     )
+
+
+@demo_query(
+    "q_scan_binaryfile",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(length(text)) AS BIGINT) AS total_bytes,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct
+    FROM documents WHERE doc_id < 8
+    """,
+)
+def q_scan_binaryfile(spark, sf_dir: str) -> DataFrame:
+    """``binaryFile`` source — the ingest path for media blobs: each file
+    becomes one row of (path, modificationTime, length, content). Stages
+    a bounded document slice as .bin files, reads them back, and reduces
+    to content statistics (bytes + distinct-payload count), which a SQL
+    oracle can compute from the same text — proving the binary round-trip
+    is byte-exact. At scale the source parallelizes over files and
+    supports pathGlobFilter/recursiveFileLookup partition discovery; pair
+    with maxPartitionBytes so a partition holds a bounded payload volume.
+    """
+    import os
+
+    from ..functions.scratch import scratch_dir
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 8)
+        .select("doc_id", "text")
+    )
+    work = scratch_dir("spark_graft_binaryfile", unique=True)
+    for row in docs.collect():  # bounded slice: 8 rows staged driver-side
+        with open(os.path.join(work, f"{row['doc_id']}.bin"), "wb") as fh:
+            fh.write(row["text"].encode("utf-8"))
+    blobs = spark.read.format("binaryFile").load(work)
+    return blobs.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum(F.length("content")).cast("bigint").alias("total_bytes"),
+        F.countDistinct(F.md5("content")).alias("n_distinct"),
+    )

@@ -95,9 +95,12 @@ class LakehousePipeline:
         else:
             raw = read_csv(self.spark, path, schema)
         self._edge(f"ingest_{domain}", [path], [f"raw_{domain}"])
-        # cache: validate aggregates it, transform projects it, and Spark
-        # refuses to query the corrupt column straight off a file scan
-        return raw.cache()
+        # materialize: validate aggregates it, transform projects it, and
+        # Spark refuses to query the corrupt column straight off a file
+        # scan. localCheckpoint (not cache) truncates the lineage so every
+        # downstream derivative is corrupt-column-legal, and the blocks
+        # free with GC instead of pinning storage for the session.
+        return raw.localCheckpoint(eager=True)
 
     # -- stage 2: validate -------------------------------------------------
 

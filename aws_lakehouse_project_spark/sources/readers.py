@@ -61,9 +61,11 @@ def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     if CORRUPT_COL not in df.columns:
         return df, df.sparkSession.createDataFrame([], df.schema)
     # Spark refuses to query the corrupt column straight off a raw file
-    # scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — cache the parsed frame
-    # first, as its own error message prescribes
-    df = df.cache()
+    # scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — materialize the parsed
+    # frame first. localCheckpoint rather than the error message's
+    # cache(): lineage truncation makes every derivative legal too, and
+    # the blocks free with GC instead of pinning session storage.
+    df = df.localCheckpoint(eager=True)
     clean = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     bad = df.filter(F.col(CORRUPT_COL).isNotNull())
     return clean, bad

@@ -247,3 +247,104 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     )
+
+
+def attribution_join_stream(
+    events: DataFrame,
+    lookback: str = "1 hour",
+    watermark: str = "7 days",
+) -> DataFrame:
+    """Watermarked stream-stream self-join: each purchase matched to the
+    same user's view events within a trailing ``lookback`` interval — the
+    streaming attribution shape (which ad/view gets credit for a sale).
+
+    Both sides carry a watermark and the join condition bounds view_ts to
+    [purchase_ts - lookback, purchase_ts], so Spark can expire join state
+    as the watermark advances: state per side is only the lookback + late
+    horizon, not the whole stream. Inner joins emit matches immediately
+    in append mode; nothing waits on watermark advancement.
+    """
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    joined = purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {lookback}")),
+        "inner",
+    )
+    return joined.select(
+        "purchase_id",
+        F.col("p_user").alias("user_id"),
+        "purchase_ts",
+        "view_id",
+        "view_ts",
+        ((F.unix_micros("purchase_ts") - F.unix_micros("view_ts")) / 1_000_000)
+        .cast("bigint")
+        .alias("gap_s"),
+    )
+
+
+_JOIN_ORACLE = """
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           p.ts AS purchase_ts,
+           v.event_id AS view_id,
+           v.ts AS view_ts,
+           CAST(floor((epoch_us(p.ts) - epoch_us(v.ts)) / 1000000) AS BIGINT) AS gap_s
+    FROM events p JOIN events v
+      ON p.user_id = v.user_id
+     AND v.ts <= p.ts
+     AND v.ts >= p.ts - INTERVAL 24 HOURS
+    WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+"""
+
+
+@demo_query("q_stream_join", oracle=_JOIN_ORACLE)
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 stream-stream interval join driven to completion over the
+    events table as one file drop, collected through an append-mode
+    parquet sink. A single complete drop means no match is ever dropped
+    by the watermark, so the result must equal the batch interval join —
+    the DuckDB oracle."""
+    import os
+    import shutil
+
+    from ..functions.scratch import scratch_dir
+
+    work = scratch_dir("spark_graft_stream_join", unique=True)
+    drops = os.path.join(work, "drops")
+    os.makedirs(drops)
+    shutil.copy(
+        os.path.join(sf_dir, "events.parquet"), os.path.join(drops, "events.parquet")
+    )
+    out = os.path.join(work, "matches")
+    joined = attribution_join_stream(
+        read_events_stream(spark, drops), lookback="24 hours"
+    )
+    query = (
+        joined.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .start()
+    )
+    query.processAllAvailable()
+    query.stop()
+    return spark.read.parquet(out)

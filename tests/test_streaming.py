@@ -141,3 +141,70 @@ def test_decode_stub_raises(spark):
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_stream_join_equals_batch_interval_join(spark, tmp_path):
+    """Stream-stream attribution join over one complete drop must equal
+    the batch interval join (inner join, nothing watermark-dropped)."""
+    import shutil
+
+    from aws_lakehouse_project_spark.catalog import load_table
+    from aws_lakehouse_project_spark.streaming.events_stream import (
+        attribution_join_stream,
+        read_events_stream,
+    )
+
+    drop_dir = tmp_path / "drops"
+    drop_dir.mkdir()
+    shutil.copy(os.path.join(SF_DIR, "events.parquet"), drop_dir / "events.parquet")
+
+    out = str(tmp_path / "matches")
+    q = (
+        attribution_join_stream(
+            read_events_stream(spark, str(drop_dir)), lookback="24 hours"
+        )
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.read.parquet(out)
+
+    ev = load_table(spark, SF_DIR, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+    )
+    want = (
+        p.join(
+            v,
+            (p.user_id == v.v_user)
+            & (F.col("view_ts") <= F.col("purchase_ts"))
+            & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 24 hours")),
+        )
+        .select(
+            "purchase_id",
+            "user_id",
+            "purchase_ts",
+            "view_id",
+            "view_ts",
+            (
+                (F.unix_micros("purchase_ts") - F.unix_micros("view_ts")) / 1_000_000
+            )
+            .cast("bigint")
+            .alias("gap_s"),
+        )
+    )
+    got_rows = sorted((tuple(r) for r in got.select(*want.columns).collect()))
+    want_rows = sorted((tuple(r) for r in want.collect()))
+    assert len(got_rows) > 0
+    assert got_rows == want_rows
