@@ -514,3 +514,72 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 3)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# fuzzy entity matching (blocked edit-distance join)
+# ---------------------------------------------------------------------------
+
+
+def fuzzy_name_pairs(
+    df: DataFrame,
+    key: str,
+    name: str,
+    block_len: int = 16,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Entity-resolution candidate pairs: names within ``max_dist`` edits
+    of each other, found by a *blocked* self-join — records pair only
+    inside a (prefix, length) block, never all-against-all.
+
+    This is the string twin of the LSH pattern: the block key bounds the
+    self-join to records that can plausibly match (an edit distance ≤ d
+    pair shares a prefix unless the edit is in the first characters —
+    production blocking unions a few complementary keys: prefix, suffix,
+    phonetic). The levenshtein evaluation — the expensive part — runs
+    only on in-block pairs, map-side after the block-key join.
+    """
+    blocked = df.select(
+        F.col(key).alias("k"),
+        F.col(name).alias("nm"),
+        F.struct(
+            F.substring(F.col(name), 1, block_len).alias("prefix"),
+            F.length(F.col(name)).alias("len"),
+        ).alias("blk"),
+    )
+    a = blocked.select(
+        F.col("k").alias("k1"), F.col("nm").alias("n1"), "blk"
+    )
+    b = blocked.select(
+        F.col("k").alias("k2"), F.col("nm").alias("n2"), "blk"
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("k1") < F.col("k2"))
+        .withColumn("dist", F.levenshtein("n1", "n2"))
+        .filter(F.col("dist") <= max_dist)
+        .select("k1", "k2", "n1", "n2", F.col("dist").cast("int").alias("dist"))
+    )
+
+
+@demo_query(
+    "q_fuzzy_match",
+    oracle="""
+    WITH blocked AS (
+      SELECT c_custkey AS k, c_name AS nm,
+             substr(c_name, 1, 16) AS prefix, length(c_name) AS len
+      FROM customer
+    )
+    SELECT a.k AS k1, b.k AS k2, a.nm AS n1, b.nm AS n2,
+           CAST(levenshtein(a.nm, b.nm) AS INT) AS dist
+    FROM blocked a JOIN blocked b
+      ON a.prefix = b.prefix AND a.len = b.len AND a.k < b.k
+    WHERE levenshtein(a.nm, b.nm) <= 1
+    """,
+)
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance matching over customer names (see
+    ``fuzzy_name_pairs``)."""
+    return fuzzy_name_pairs(
+        load_table(spark, sf_dir, "customer"), key="c_custkey", name="c_name"
+    )

@@ -1,0 +1,141 @@
+"""Dimension-maintenance operators: SCD Type-2 versioning from a change
+feed, and a referential-integrity audit across the star schema.
+
+The reference maintains its only dimension-ish table by full merge
+(``fct_daily_store_metrics.sql:1-5``); warehouse practice around that
+pattern needs two more tools: building a *versioned* dimension from raw
+change events (SCD2 — the shape behind every `dim_customer_history`),
+and auditing foreign-key orphans before publishing (the join-level
+extension of the reference's expectation gates, `local_runner.py:62-104`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import demo_query
+
+
+def scd2_from_events(
+    events: DataFrame,
+    key: str = "user_id",
+    attr: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Collapse a change feed into SCD Type-2 rows: one row per
+    (key, consecutive run of equal ``attr``), with [valid_from, valid_to)
+    effective ranges and an is_current flag.
+
+    Two window passes over the same (key × time) ordering — Spark plans
+    ONE shuffle on the key and evaluates both windows in a single
+    WindowExec pipeline, so the cost at any scale is the one partition-by
+    exchange. The feed is processed where it lands; no driver state.
+    """
+    order = Window.partitionBy(key).orderBy(ts_col, tiebreak)
+    changed = F.col(attr) != F.lag(attr).over(order)
+    runs = events.select(
+        key,
+        ts_col,
+        tiebreak,
+        attr,
+        F.when(F.lag(attr).over(order).isNull() | changed, 1)
+        .otherwise(0)
+        .alias("is_change"),
+    ).filter(F.col("is_change") == 1)
+    next_from = F.lead(ts_col).over(order)
+    return runs.select(
+        F.col(key),
+        F.col(attr),
+        F.col(ts_col).alias("valid_from"),
+        next_from.alias("valid_to"),
+        next_from.isNull().alias("is_current"),
+    )
+
+
+@demo_query(
+    "q_scd2",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             LAG(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+      SELECT user_id, ts, event_id, event_type
+      FROM ordered
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id, event_type,
+           ts AS valid_from,
+           LEAD(ts) OVER w AS valid_to,
+           LEAD(ts) OVER w IS NULL AS is_current
+    FROM runs
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 build from the events change feed: each user's
+    consecutive runs of equal event_type become versioned rows with
+    effective ranges (see ``scd2_from_events``)."""
+    return scd2_from_events(load_table(spark, sf_dir, "events"))
+
+
+_FK_EDGES = [
+    # (name, child table, child key, parent table, parent key)
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+]
+
+
+def ri_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per foreign-key edge of the star schema:
+    (fk, n_child_rows, n_orphans). Orphans are counted with a LEFT ANTI
+    join against the parent's key projection — the parent side is its
+    distinct keys only (dimension-sized, broadcast for nation/customer),
+    and each child table is scanned once per edge with only the key
+    column read (column pruning). The audit is the join-level
+    complement of the reference's per-column expectation gates.
+    """
+    parts = []
+    for name, child, ckey, parent, pkey in _FK_EDGES:
+        c = load_table(spark, sf_dir, child).select(F.col(ckey).alias("k"))
+        p = load_table(spark, sf_dir, parent).select(F.col(pkey).alias("k")).distinct()
+        orphans = c.join(p, "k", "left_anti")
+        parts.append(
+            c.agg(
+                F.lit(name).alias("fk"),
+                F.count(F.lit(1)).alias("n_child_rows"),
+            ).crossJoin(orphans.agg(F.count(F.lit(1)).alias("n_orphans")))
+        )
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    return out
+
+
+_RI_ORACLE_PARTS = " UNION ALL ".join(
+    f"""
+    SELECT '{name}' AS fk,
+           CAST(COUNT(*) AS BIGINT) AS n_child_rows,
+           CAST(COUNT(*) FILTER (
+             WHERE NOT EXISTS (SELECT 1 FROM {parent} p WHERE p.{pkey} = c.{ckey})
+           ) AS BIGINT) AS n_orphans
+    FROM {child} c
+    """
+    for name, child, ckey, parent, pkey in _FK_EDGES
+)
+
+
+@demo_query("q_ri_audit", oracle=_RI_ORACLE_PARTS)
+def q_ri_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across all six FK edges (see
+    ``ri_audit``)."""
+    return ri_audit(spark, sf_dir)

@@ -482,3 +482,46 @@ def q_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("corr_xy"),
     )
+
+
+@demo_query(
+    "q_histogram",
+    oracle="""
+    WITH binned AS (
+      SELECT LEAST(CAST(floor(o_totalprice / 60000.0) AS INTEGER), 9) AS bin,
+             o_totalprice
+      FROM orders
+    )
+    SELECT CAST(bin AS INT) AS bin,
+           CAST(bin * 60000.0 AS DOUBLE) AS lo,
+           CAST(CASE WHEN bin = 9 THEN 'inf' ELSE CAST((bin+1) * 60000.0 AS VARCHAR)
+                END AS VARCHAR) AS hi,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM binned GROUP BY bin
+    """,
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width numeric histogram (width_bucket shape): order values
+    binned into ten 60k-wide buckets with an overflow top bin.
+
+    Binning is one map-side integer expression on the scan; the shuffle
+    carries ten partial-aggregate rows per task regardless of data size —
+    the plan that holds at any scale. Fixed bounds (not data-dependent
+    min/max) keep it one pass; an adaptive variant composes this with the
+    broadcast-quantile pattern of q_quantile_filter."""
+    orders = load_table(spark, sf_dir, "orders")
+    bin_ = F.least(F.floor(F.col("o_totalprice") / 60000.0).cast("int"), F.lit(9))
+    binned = orders.select(bin_.alias("bin"), "o_totalprice")
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(money("o_totalprice")).cast("double").alias("total"),
+    ).select(
+        F.col("bin").cast("int").alias("bin"),
+        (F.col("bin") * 60000.0).cast("double").alias("lo"),
+        F.when(F.col("bin") == 9, F.lit("inf"))
+        .otherwise(((F.col("bin") + 1) * 60000.0).cast("string"))
+        .alias("hi"),
+        "n_orders",
+        "total",
+    )
