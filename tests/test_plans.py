@@ -221,3 +221,44 @@ def test_pack_sequences_single_window_shuffle(spark):
     plan = physical_plan(q_pack_sequences(spark, SF_DIR))
     n = plan.count("Exchange hashpartitioning")
     assert n == 1, f"expected 1 hash exchange, got {n}"
+
+
+def test_scd2_single_shuffle(spark):
+    """Both SCD2 window passes share one (user_id) exchange — the feed is
+    shuffled exactly once."""
+    from aws_lakehouse_project_spark.operators.dimensions import q_scd2
+
+    plan = physical_plan(q_scd2(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_tpch_q19_pushes_single_side_implications(spark):
+    """Catalyst extracts the per-side implications of the disjunctive
+    predicate and pushes them below the join as scan filters."""
+    from aws_lakehouse_project_spark.operators.tpch import q_tpch_q19
+
+    plan = physical_plan(q_tpch_q19(spark, SF_DIR))
+    # part scan carries a brand filter; lineitem scan carries a quantity
+    # range — neither table reaches the join unfiltered
+    assert "PushedFilters: [" in plan
+    assert "p_brand" in plan.split("Scan parquet")[1] or "p_brand" in plan
+    assert "l_quantity" in plan
+
+
+def test_ri_audit_broadcasts_dimension_keys(spark):
+    """Small-parent FK edges (nation) check via broadcast, not a shuffle
+    of the child."""
+    from aws_lakehouse_project_spark.operators.dimensions import q_ri_audit
+
+    plan = physical_plan(q_ri_audit(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_fuzzy_match_is_blocked_join(spark):
+    """The fuzzy self-join keys on the block struct (hash join on blk),
+    and levenshtein is evaluated post-join — never a cartesian product."""
+    from aws_lakehouse_project_spark.operators.dedup import q_fuzzy_match
+
+    plan = physical_plan(q_fuzzy_match(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

