@@ -73,3 +73,49 @@ def write_zorder_approx(
         max(n_files_per_partition, 1), *[*partition_cols, *cluster_cols]
     ).sortWithinPartitions(*[*partition_cols, *cluster_cols])
     clustered.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def compact_table(
+    spark,
+    path: str,
+    target_rows_per_file: int,
+    sort_within: Sequence[str] = (),
+) -> tuple[int, int]:
+    """Small-file compaction: rewrite a parquet directory into
+    ceil(rows / target_rows_per_file) files, optionally re-sorting rows
+    within files to restore cluster locality (the maintenance half of the
+    reference's Z-order story, README.md:107 'OPTIMIZE'-style upkeep).
+
+    Streaming sinks and incremental merges accrete small files; scans
+    then pay per-file open/footer costs and lose row-group pruning. The
+    rewrite is one job: read → repartition to the target file count
+    (repartitionByRange when a sort is requested, so files stay
+    range-disjoint) → atomic swap via a staged directory. Returns
+    (files_before, files_after). At warehouse scale this runs per
+    partition directory, parallel across partitions, with target sized
+    to the HDFS/S3 block sweet spot instead of a row count.
+    """
+    import math
+    import os
+    import shutil
+
+    files_before = sum(
+        1 for n in os.listdir(path) if n.endswith(".parquet") or n.endswith(".orc")
+    )
+    df = spark.read.parquet(path)
+    n_rows = df.count()
+    n_files = max(1, math.ceil(n_rows / max(1, target_rows_per_file)))
+    if sort_within:
+        compacted = df.repartitionByRange(n_files, *sort_within).sortWithinPartitions(
+            *sort_within
+        )
+    else:
+        compacted = df.coalesce(n_files) if n_files < files_before else df.repartition(
+            n_files
+        )
+    staged = path.rstrip("/") + ".__compact__"
+    compacted.write.mode("overwrite").parquet(staged)
+    shutil.rmtree(path)
+    os.replace(staged, path)
+    files_after = sum(1 for n in os.listdir(path) if n.endswith(".parquet"))
+    return files_before, files_after

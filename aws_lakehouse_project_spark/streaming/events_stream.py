@@ -348,3 +348,83 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     query.processAllAvailable()
     query.stop()
     return spark.read.parquet(out)
+
+
+def enrich_stream_static(
+    events: DataFrame, dim: DataFrame, watermark: str = "7 days"
+) -> DataFrame:
+    """Stream-static enrichment: the event stream joined to a batch
+    dimension (here: customers) with a per-segment windowed rollup.
+
+    The static side is re-planned per micro-batch (picking up dimension
+    updates between batches) and needs no watermark — only stream-stream
+    joins hold join state. Spark broadcasts the dimension when it fits,
+    so the stream side never shuffles for the join; the only stateful op
+    is the windowed aggregation."""
+    enriched = events.join(
+        dim.select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        ),
+        "user_id",
+    )
+    return (
+        enriched.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("day"), "segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(money("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("day.start").cast("date").alias("dt"),
+            "segment",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+_ENRICH_ORACLE = """
+    SELECT CAST(ts AS DATE) AS dt,
+           c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY 1, 2
+"""
+
+
+@demo_query("q_stream_enrich", oracle=_ENRICH_ORACLE)
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 stream-static join driven to completion over one file drop and
+    merged via foreachBatch; equals the batch join+rollup (the oracle)."""
+    import os
+    import shutil
+
+    from ..catalog import load_table
+    from ..functions.scratch import scratch_dir
+
+    work = scratch_dir("spark_graft_stream_enrich", unique=True)
+    drops = os.path.join(work, "drops")
+    os.makedirs(drops)
+    shutil.copy(
+        os.path.join(sf_dir, "events.parquet"), os.path.join(drops, "events.parquet")
+    )
+    dim = load_table(spark, sf_dir, "customer")
+    writer = run_stream_to_merge(
+        spark,
+        drops,
+        target_path=os.path.join(work, "fact"),
+        checkpoint_path=os.path.join(work, "ckpt"),
+        agg_builder=lambda ev, watermark: enrich_stream_static(
+            ev, dim, watermark=watermark
+        ),
+        keys=("dt", "segment"),
+        partition_col="dt",
+    )
+    return writer.read(spark).select(
+        F.col("dt").cast("date").alias("dt"),
+        "segment",
+        "n_events",
+        "total_value",
+    )

@@ -78,3 +78,33 @@ def test_schema_evolution_merge_schema(spark, tmp_path):
     assert set(back.columns) == {"k", "dt", "x", "y"}
     rows = {r["k"]: (r["x"], r["y"]) for r in back.collect()}
     assert rows == {"a": (1, None), "b": (2, 9.5)}
+
+
+def test_compact_table_merges_small_files(spark, tmp_path):
+    """A fragmented table compacts to the expected file count with
+    identical contents, and range-sorted compaction keeps files
+    range-disjoint."""
+    from aws_lakehouse_project_spark.sources.writers import compact_table
+
+    path = str(tmp_path / "frag")
+    df = spark.range(0, 1000).selectExpr("id", "id % 7 AS grp")
+    df.repartition(40).write.parquet(path)  # 40 shards of ~25 rows
+
+    before, after = compact_table(spark, path, target_rows_per_file=500, sort_within=["id"])
+    assert before == 40
+    assert after == 2
+
+    back = spark.read.parquet(path)
+    assert back.count() == 1000
+    assert back.agg({"id": "sum"}).collect()[0][0] == 499500
+    # range-disjoint files: per-file max < next file's min
+    import os
+    ranges = []
+    for name in sorted(os.listdir(path)):
+        if name.endswith(".parquet"):
+            part = spark.read.parquet(os.path.join(path, name))
+            lo, hi = part.agg({"id": "min"}).collect()[0][0], part.agg({"id": "max"}).collect()[0][0]
+            ranges.append((lo, hi))
+    ranges.sort()
+    for (_, hi1), (lo2, _) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2
