@@ -13,6 +13,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def write_csv(df: DataFrame, path: str) -> None:
@@ -119,3 +120,73 @@ def compact_table(
     os.replace(staged, path)
     files_after = sum(1 for n in os.listdir(path) if n.endswith(".parquet"))
     return files_before, files_after
+
+
+def zorder_value(cols: Sequence, mins: Sequence[float], maxs: Sequence[float], bits: int = 16):
+    """Bit-interleaved Z-order key over numeric columns (true Morton
+    order, not the lexicographic approximation): each column is linearly
+    scaled to a ``bits``-wide integer over its [min, max] range, then the
+    columns' bits are interleaved so nearby (x, y) pairs share long
+    z-value prefixes in BOTH dimensions.
+
+    Pure integer Column arithmetic — shiftleft/or over 2·bits terms,
+    whole-stage-codegen'd, no UDFs. min/max come from a one-row aggregate
+    of the input (reference README.md:12's curated-layout Z-order claim,
+    done for real)."""
+    scaled = []
+    top = (1 << bits) - 1
+    for c, lo, hi in zip(cols, mins, maxs):
+        span = (hi - lo) or 1.0
+        s = F.least(
+            F.lit(top),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * top).cast(
+                    "long"
+                ),
+            ),
+        )
+        scaled.append(s)
+    z = F.lit(0).cast("long")
+    n = len(scaled)
+    for i in range(bits):
+        for j, s in enumerate(scaled):
+            bit = F.shiftright(s, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * n + j))
+    return z
+
+
+def write_zorder(
+    df: DataFrame,
+    path: str,
+    cluster_cols: Sequence[str],
+    n_files: int = 8,
+    bits: int = 16,
+) -> None:
+    """True Z-order clustered write: range-partition and sort by the
+    Morton key so every file covers a compact hyper-rectangle of the
+    cluster space — multi-column min/max pruning works for predicates on
+    ANY clustered column, where a lexicographic sort only prunes the
+    leading one.
+
+    One aggregate for the per-column ranges (driver-side, 1 row), one
+    range exchange on the z key. The z column is dropped before write;
+    projection after sort preserves row order."""
+    stats = df.agg(
+        *[
+            f
+            for c in cluster_cols
+            for f in (F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}"))
+        ]
+    ).collect()[0]
+    mins = [float(stats[f"lo_{c}"]) for c in cluster_cols]
+    maxs = [float(stats[f"hi_{c}"]) for c in cluster_cols]
+    z = zorder_value(list(cluster_cols), mins, maxs, bits=bits)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(max(n_files, 1), "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -108,3 +108,47 @@ def test_compact_table_merges_small_files(spark, tmp_path):
     ranges.sort()
     for (_, hi1), (lo2, _) in zip(ranges, ranges[1:]):
         assert hi1 < lo2
+
+
+def test_zorder_files_cover_compact_rectangles(spark, tmp_path):
+    """True Z-order: every output file covers a compact (x, y) rectangle,
+    so min/max pruning works on BOTH columns. The lexicographic sort
+    (write_zorder_approx) clusters only the leading column — its files
+    span the full y range. Quantified: mean per-file y-span under Z-order
+    must be a fraction of the lexicographic writer's."""
+    import os
+
+    from aws_lakehouse_project_spark.sources.writers import (
+        write_zorder,
+        write_zorder_approx,
+    )
+
+    # uniform 64x64 grid — worst case for single-column clustering
+    grid = spark.range(0, 64 * 64).selectExpr(
+        "CAST(id % 64 AS DOUBLE) AS x", "CAST(id DIV 64 AS DOUBLE) AS y"
+    )
+
+    def mean_y_span(path: str) -> float:
+        spans = []
+        for name in sorted(os.listdir(path)):
+            if name.endswith(".parquet"):
+                part = spark.read.parquet(os.path.join(path, name))
+                row = part.agg({"y": "min"}).collect()[0][0], part.agg(
+                    {"y": "max"}
+                ).collect()[0][0]
+                spans.append(row[1] - row[0])
+        assert len(spans) >= 8
+        return sum(spans) / len(spans)
+
+    zpath = str(tmp_path / "zorder")
+    write_zorder(grid, zpath, ["x", "y"], n_files=16)
+    lexpath = str(tmp_path / "lex")
+    write_zorder_approx(grid, lexpath, [], ["x", "y"], n_files_per_partition=16)
+
+    z_span = mean_y_span(zpath)
+    lex_span = mean_y_span(lexpath)
+    # 16 z-order files over a 64x64 grid ≈ 16x16 tiles → y-span ~16;
+    # lexicographic files each span nearly all 64 y values
+    assert z_span < lex_span / 2, (z_span, lex_span)
+    # content preserved
+    assert spark.read.parquet(zpath).count() == 64 * 64
