@@ -58,6 +58,7 @@ def _registry():
         dimensions,
         evolution,
         fact,
+        grouped,
         joins,
         multimodal,
         relational,

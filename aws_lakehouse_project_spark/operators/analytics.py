@@ -515,3 +515,101 @@ def q_explode_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pos0") + 1).cast("int").alias("pos"),
         "token",
     )
+
+
+@demo_query(
+    "q_funnel",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(ts) FILTER (WHERE event_type = 'view') AS t_view,
+             MIN(ts) FILTER (WHERE event_type = 'click') AS t_click,
+             MIN(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(t_view) AS BIGINT) AS step_view,
+           CAST(COUNT(CASE WHEN t_click > t_view THEN 1 END) AS BIGINT)
+             AS step_click,
+           CAST(COUNT(CASE WHEN t_purchase > t_click AND t_click > t_view
+                      THEN 1 END) AS BIGINT) AS step_purchase
+    FROM per_user
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase): a user
+    advances a step only if the step's FIRST occurrence is strictly after
+    the previous step's first occurrence — the sequential-pattern shape
+    behind product funnels.
+
+    One aggregation computes all three first-occurrence timestamps
+    (conditional MIN, map-side partial), one more row-level expression
+    ranks the funnel; no joins, no window, one shuffle on user_id.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    first = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))  # noqa: E731
+    per_user = ev.groupBy("user_id").agg(
+        first("view").alias("t_view"),
+        first("click").alias("t_click"),
+        first("purchase").alias("t_purchase"),
+    )
+    did_click = F.col("t_click") > F.col("t_view")
+    did_purchase = (F.col("t_purchase") > F.col("t_click")) & did_click
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("step_view"),
+        F.count(F.when(did_click, 1)).alias("step_click"),
+        F.count(F.when(did_purchase, 1)).alias("step_purchase"),
+    )
+
+
+@demo_query(
+    "q_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id,
+             date_trunc('week', f.first_day) AS cohort_week,
+             CAST(floor(date_diff('day', date_trunc('week', f.first_day),
+                                  CAST(e.ts AS DATE)) / 7) AS INT) AS week_offset
+      FROM events e JOIN firsts f USING (user_id)
+    )
+    SELECT CAST(cohort_week AS DATE) AS cohort_week, week_offset,
+           CAST(COUNT(*) AS BIGINT) AS active_users
+    FROM activity
+    WHERE week_offset BETWEEN 0 AND 8
+    GROUP BY 1, 2
+    """,
+)
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen week, counted
+    once per (cohort, week-offset) they were active in — the
+    week-N-retention table behind every growth dashboard.
+
+    Two shuffles on user_id (first-seen aggregation, then the
+    distinct-activity dedup reuses the same key partitioning) plus the
+    final small (cohort × offset) rollup. The first-seen side is
+    per-user — dimension-sized — so AQE broadcasts it back onto events.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day")
+    )
+    cohort = F.date_trunc("week", F.col("first_day")).cast("date")
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            cohort.alias("cohort_week"),
+            F.floor(
+                F.datediff(F.col("ts").cast("date"), cohort) / 7
+            ).cast("int").alias("week_offset"),
+        )
+        .filter(F.col("week_offset").between(0, 8))
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("active_users")
+    )

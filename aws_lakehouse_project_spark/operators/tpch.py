@@ -486,3 +486,86 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@demo_query(
+    "q_tpch_q14",
+    oracle="""
+    SELECT CAST(EXTRACT(month FROM l_shipdate) AS INT) AS ship_month,
+           CAST(ROUND(100.00 * SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(1 - l_discount AS DECIMAL(12,2))
+                 ELSE 0 END)
+               / SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                     * CAST(1 - l_discount AS DECIMAL(12,2))), 4) AS DOUBLE)
+             AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1
+    """,
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): promo revenue share per ship
+    month — the conditional-aggregation-ratio pattern.
+
+    part is dimension-sized relative to lineitem so the join broadcasts;
+    both the conditional and total sums ride ONE aggregation pass
+    (map-side partials), and the ratio of two exact decimal sums is a
+    deterministic double on any engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = money("l_extendedprice") * money(F.lit(1) - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(12,2)")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.month("l_shipdate").cast("int").alias("ship_month"))
+        .agg(
+            F.round(
+                (F.lit(100.00) * F.sum(promo) / F.sum(rev)).cast("double"), 4
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@demo_query(
+    "q_tpch_q22",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT AVG(c_acctbal) AS a FROM customer WHERE c_acctbal > 0.00
+    )
+    SELECT substr(c_name, 10, 2) AS cntrycode,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE)
+             AS totacctbal
+    FROM customer, avg_bal
+    WHERE c_acctbal > a
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY 1
+    """,
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): customers with
+    above-average positive balance and NO orders, grouped by a name-
+    derived country code — scalar subquery + anti join + substring
+    grouping in one query.
+
+    The average is a 1-row broadcast; the anti join keys on o_custkey
+    (orders' key projection only crosses the exchange). Customers that
+    survive both gates are a small fraction, so the final rollup is
+    cheap at any scale."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.00).agg(
+        F.avg("c_acctbal").alias("a")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti")
+        .groupBy(F.substring("c_name", 10, 2).alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum(money("c_acctbal")), 2).cast("double").alias("totacctbal"),
+        )
+    )

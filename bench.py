@@ -58,6 +58,20 @@ HEADLINE = [
     "q_ngram_jaccard",
 ]
 
+# round-2 additions: timed and reported, but kept OUT of the headline
+# total so round-over-round ratios stay comparable to BASELINE.md's
+# 21-query quiet-host number
+EXTRA = [
+    "q_scd2",
+    "q_funnel",
+    "q_retention",
+    "q_contamination",
+    "q_zipf",
+    "q_tpch_q7",
+    "q_fuzzy_match",
+    "q_histogram",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -77,7 +91,7 @@ def main() -> None:
     # it at sf0.1 would just measure the JIT, not the engine)
     warm_sf = "/root/testdata/sf0.001"
     if os.path.isdir(warm_sf):
-        for name in names:
+        for name in names + [n for n in EXTRA if n in registry]:
             try:
                 registry[name](spark, warm_sf).write.format("noop").mode(
                     "overwrite"
@@ -94,6 +108,12 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+    extra: dict[str, float] = {}
+    for name in [n for n in EXTRA if n in registry]:
+        t0 = time.perf_counter()
+        registry[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        extra[name] = round(time.perf_counter() - t0, 3)
+        print(f"# extra {name}: {extra[name]:.3f}s", file=sys.stderr)
     cpu1, steal1 = _cpu_times()
     steal_pct = (
         round(100.0 * (steal1 - steal0) / (cpu1 - cpu0), 2) if cpu1 > cpu0 else None
@@ -107,6 +127,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "extra_queries": extra,
                 "sf": sf,
                 "steal_pct": steal_pct,
             }
