@@ -393,3 +393,35 @@ def q_window_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("day_rev").over(w).cast("double").alias("rev_7d"),
         F.col("day_rev").cast("double").alias("day_rev"),
     )
+
+
+@demo_query(
+    "q_nullsafe_join",
+    oracle="""
+    WITH a AS (
+      SELECT n_nationkey AS k1, nullif(n_regionkey, 1) AS r1 FROM nation
+    ), b AS (
+      SELECT n_nationkey AS k2, nullif(n_regionkey, 1) AS r2 FROM nation
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(*) FILTER (WHERE r1 IS NULL) AS BIGINT) AS null_pairs
+    FROM a JOIN b ON r1 IS NOT DISTINCT FROM r2 AND k1 < k2
+    """,
+)
+def q_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` ≡ IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing — the semantics needed when a
+    'not yet assigned' bucket must still co-group. Spark plans `<=>` as
+    an ordinary equi-join key (hash on a null-aware wrapper), so the
+    strategy/shuffle story is identical to `=`."""
+    nation = load_table(spark, sf_dir, "nation")
+    r = F.nullif(F.col("n_regionkey"), F.lit(1))
+    a = nation.select(F.col("n_nationkey").alias("k1"), r.alias("r1"))
+    b = nation.select(F.col("n_nationkey").alias("k2"), r.alias("r2"))
+    joined = a.join(
+        b, F.col("r1").eqNullSafe(F.col("r2")) & (F.col("k1") < F.col("k2"))
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.count_if(F.col("r1").isNull()).alias("null_pairs"),
+    )

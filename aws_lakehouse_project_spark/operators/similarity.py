@@ -393,3 +393,62 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(qval).cast("double") / F.lit(1e7) / F.count(F.lit(1)), 6
         ).alias("centroid_val"),
     )
+
+
+@demo_query(
+    "q_embedding_quantize",
+    oracle="""
+    WITH q AS (
+      SELECT label,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale,
+             embedding
+      FROM embeddings
+    ),
+    err AS (
+      SELECT label,
+             CAST(ROUND(list_avg(list_transform(embedding,
+                   x -> pow(CAST(x AS DOUBLE)
+                            - ROUND(CAST(x AS DOUBLE) / scale * 127) * scale / 127,
+                            2))) * 1e12) AS BIGINT) AS mse_pico
+      FROM q WHERE scale > 0
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(mse_pico) AS BIGINT) AS total_mse_pico
+    FROM err GROUP BY label
+    """,
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization with reconstruction-error accounting:
+    per vector, symmetric max-abs scaling to [-127, 127] and the
+    round-trip MSE; per label, exact integer totals of the per-vector
+    error (quantized to picounits so cross-row float summation order
+    cannot perturb the result — same discipline as the centroid op).
+
+    Everything is per-row higher-order array math on the scan
+    (transform/aggregate fold in both engines evaluates in element
+    order → deterministic doubles); the only shuffle carries one
+    (label, n, mse) row per label. This is the storage-shrink step
+    (4 bytes → 1 byte/dim) run before shipping embeddings to ANN
+    serving."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    with_scale = emb.select(
+        "label", as_double("embedding").alias("v")
+    ).withColumn(
+        "scale", F.array_max(F.transform(F.col("v"), lambda x: F.abs(x)))
+    ).filter(F.col("scale") > 0)
+    qerr = F.transform(
+        F.col("v"),
+        lambda x: F.pow(
+            x - F.round(x / F.col("scale") * 127) * F.col("scale") / 127, F.lit(2)
+        ),
+    )
+    mse = F.aggregate(qerr, F.lit(0.0), lambda acc, e: acc + e) / F.size(F.col("v"))
+    per_vec = with_scale.select(
+        "label",
+        F.round(mse * 1e12).cast("bigint").alias("mse_pico"),
+    )
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum("mse_pico").cast("bigint").alias("total_mse_pico"),
+    )

@@ -525,3 +525,40 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         "total",
     )
+
+
+@demo_query(
+    "q_ratio_to_report",
+    oracle="""
+    WITH rev AS (
+      SELECT l_returnflag, l_linestatus,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS revenue
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT l_returnflag, l_linestatus,
+           CAST(revenue AS DOUBLE) AS revenue,
+           ROUND(CAST(revenue AS DOUBLE) / CAST(SUM(revenue) OVER () AS DOUBLE), 8)
+             AS share
+    FROM rev
+    """,
+)
+def q_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total (RATIO_TO_REPORT): each (returnflag, linestatus)
+    group's share of total revenue. The global window runs over the
+    POST-aggregation table (six rows — group-key cardinality, not data
+    size), so the single-partition window is free at any scale; both
+    numerator and denominator are exact decimal sums."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(money("l_extendedprice")).alias("revenue")
+    )
+    return rev.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("revenue").cast("double").alias("revenue"),
+        F.round(
+            F.col("revenue").cast("double")
+            / F.sum("revenue").over(Window.partitionBy()).cast("double"),
+            8,
+        ).alias("share"),
+    )

@@ -97,3 +97,42 @@ def test_approx_distinct_error_bound(spark):
     for r in q_approx_distinct(spark, SF_DIR).collect():
         err = abs(r["approx_orders"] - r["exact_orders"]) / r["exact_orders"]
         assert err <= 0.08, (r["l_returnflag"], r["approx_orders"], r["exact_orders"])
+
+
+def test_funnel_ordering_semantics(spark):
+    """A user only advances the funnel when first occurrences are in
+    strict order: purchase-before-click must not count as a purchase
+    conversion."""
+    import datetime as dt
+
+    from aws_lakehouse_project_spark.operators.analytics import q_funnel
+
+    base = dt.datetime(2024, 1, 1)
+    t = lambda m: base + dt.timedelta(minutes=m)  # noqa: E731
+    rows = [
+        # u1: clean view(0) -> click(1) -> purchase(2): converts fully
+        (1, t(0), 1, "view", 1.0, "{}"),
+        (2, t(1), 1, "click", 1.0, "{}"),
+        (3, t(2), 1, "purchase", 1.0, "{}"),
+        # u2: purchase(0) BEFORE view(1)/click(2): no purchase conversion
+        (4, t(0), 2, "purchase", 1.0, "{}"),
+        (5, t(1), 2, "view", 1.0, "{}"),
+        (6, t(2), 2, "click", 1.0, "{}"),
+        # u3: view only
+        (7, t(0), 3, "view", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    # drive the same logic through a temp parquet dir so q_funnel's
+    # load_table contract holds
+    import tempfile, os
+    work = tempfile.mkdtemp(prefix="funnel_test")
+    df.write.mode("overwrite").parquet(os.path.join(work, "events.parquet"))
+    out = q_funnel(spark, work).collect()[0]
+    assert out["n_users"] == 3
+    assert out["step_view"] == 3
+    assert out["step_click"] == 2  # u1 and u2 clicked after first view
+    assert out["step_purchase"] == 1  # only u1 purchased after click
