@@ -175,3 +175,81 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     fresh = daily(orders.filter(F.col("dt") >= F.lit(MERGE_HORIZON)))
     kept = existing.filter(F.col("dt") < F.lit(MERGE_HORIZON))
     return kept.unionByName(fresh)
+
+
+MERGE_DELETE_BASE = "2000-10-01"  # bounded base window: ~90 dt-partitions
+
+MERGE_DELETE_ORACLE = f"""
+    WITH daily AS (
+      SELECT o_custkey AS cust_id,
+             CAST(o_orderdate AS DATE) AS dt,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+             CAST(COUNT(*) AS BIGINT) AS order_count
+      FROM orders
+      WHERE CAST(o_orderdate AS DATE) >= DATE '{MERGE_DELETE_BASE}'
+      GROUP BY 1, 2
+    )
+    SELECT cust_id, dt, revenue, order_count
+    FROM daily WHERE dt < DATE '{MERGE_HORIZON}'
+    UNION ALL
+    SELECT cust_id, dt, revenue * 2 AS revenue, order_count
+    FROM daily WHERE dt >= DATE '{MERGE_HORIZON}' AND cust_id % 3 <> 0
+"""
+
+
+@demo_query("q_merge_delete", oracle=MERGE_DELETE_ORACLE)
+def q_merge_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 extension: FULL MERGE from a change feed (WHEN MATCHED THEN
+    UPDATE / DELETE + WHEN NOT MATCHED THEN INSERT) driven through the
+    real materializing writer, not simulated — the demo builds the fact
+    on disk, applies a horizon change feed (every third customer's rows
+    deleted, the rest corrected to doubled revenue), and returns the
+    re-read table. Only the horizon's dt-partitions are read or
+    rewritten (plans/merge.py::merge_apply)."""
+    import os
+
+    from ..functions.scratch import scratch_dir
+    from ..plans.merge import PartitionOverwriteMergeWriter, merge_apply
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("cust_id"),
+            F.col("o_orderdate").cast("date").alias("dt"),
+            money("o_totalprice").alias("price"),
+        )
+        .filter(F.col("dt") >= F.lit(MERGE_DELETE_BASE))
+    )
+    daily = orders.groupBy("cust_id", "dt").agg(
+        F.sum("price").cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("order_count"),
+    )
+    # partitioned writers order columns (data..., partition): keep dt last
+    daily = daily.select("cust_id", "revenue", "order_count", "dt")
+
+    work = scratch_dir("spark_graft_merge_delete", unique=True)
+    writer = PartitionOverwriteMergeWriter(os.path.join(work, "fact"), partition_col="dt")
+    writer.write_full(daily)
+
+    changes = (
+        daily.filter(F.col("dt") >= F.lit(MERGE_HORIZON))
+        .withColumn(
+            "op",
+            F.when(F.col("cust_id") % 3 == 0, F.lit("delete")).otherwise(
+                F.lit("upsert")
+            ),
+        )
+        .withColumn(
+            "revenue",
+            F.when(F.col("op") == "upsert", F.col("revenue") * 2).otherwise(
+                F.col("revenue")
+            ),
+        )
+    )
+    merge_apply(writer, spark, changes, keys=["cust_id", "dt"])
+    return writer.read(spark).select(
+        "cust_id",
+        F.col("dt").cast("date").alias("dt"),
+        "revenue",
+        F.col("order_count").cast("bigint").alias("order_count"),
+    )

@@ -140,3 +140,49 @@ def incremental_merge(
         writer.write_full(compute_full())
     else:
         writer.merge(compute_horizon())
+
+
+def merge_apply(
+    writer: PartitionOverwriteMergeWriter,
+    spark: SparkSession,
+    changes: DataFrame,
+    keys: Sequence[str],
+    op_col: str = "op",
+) -> None:
+    """Full MERGE semantics from a change feed: rows with ``op='delete'``
+    remove their key, ``op='upsert'`` replaces-or-inserts — WHEN MATCHED
+    THEN UPDATE/DELETE + WHEN NOT MATCHED THEN INSERT, the Delta
+    ``MERGE INTO`` contract the reference's dbt strategy implies but
+    never exercises (dbt merge only upserts).
+
+    Same partition discipline as ``merge_upsert``: only partitions
+    present in the change feed are read or rewritten; within them one
+    anti-join on the full change-key set removes matched AND deleted
+    rows, then upserts union back in.
+    """
+    from pyspark.sql import functions as F
+
+    upserts = changes.filter(F.col(op_col) == "upsert").drop(op_col)
+    if not table_exists(writer.path):
+        writer.write_full(upserts)
+        return
+    pcol = writer.partition_col
+    touched = [r[0] for r in changes.select(pcol).distinct().collect()]
+    existing = writer.read(spark).filter(
+        F.col(pcol).cast("string").isin([str(v) for v in touched])
+    )
+    aligned = existing.select(*upserts.columns)
+    kept = aligned.join(changes.select(*keys).distinct(), list(keys), "left_anti")
+    merged = kept.unionByName(upserts).localCheckpoint(eager=True)
+    merged.write.mode("overwrite").partitionBy(pcol).parquet(writer.path)
+    # dynamic partition overwrite only rewrites partitions PRESENT in the
+    # output — a touched partition whose every row was deleted emits no
+    # rows and would silently keep its old files. Drop those explicitly
+    # (the set is bounded by the change feed's partition list).
+    import shutil
+
+    surviving = {str(r[0]) for r in merged.select(pcol).distinct().collect()}
+    for v in touched:
+        if str(v) not in surviving:
+            part_dir = os.path.join(writer.path, f"{pcol}={v}")
+            shutil.rmtree(part_dir, ignore_errors=True)

@@ -114,3 +114,38 @@ def test_anti_join_merge(spark, source, tmp_path):
     assert got[("s3", "2024-06-04")] == (7.0, 1)  # inserted
     assert got[("s1", "2024-06-01")] == (10.0, 1)  # kept
     assert len(got) == 5
+
+
+def test_merge_apply_deletes_including_emptied_partitions(spark, tmp_path):
+    """Full MERGE semantics: upserts replace/insert, deletes remove —
+    and a partition whose EVERY row is deleted must disappear (dynamic
+    partition overwrite alone would silently keep its old files)."""
+    from aws_lakehouse_project_spark.plans.merge import (
+        PartitionOverwriteMergeWriter,
+        merge_apply,
+    )
+
+    writer = PartitionOverwriteMergeWriter(str(tmp_path / "t"), partition_col="dt")
+    base = spark.createDataFrame(
+        [(1, 10.0, "d1"), (2, 20.0, "d1"), (3, 30.0, "d2"), (4, 40.0, "d3")],
+        "k int, v double, dt string",
+    )
+    writer.write_full(base)
+
+    changes = spark.createDataFrame(
+        [
+            (1, 11.0, "d1", "upsert"),   # update in d1
+            (2, 0.0, "d1", "delete"),    # delete in d1 (partition survives)
+            (3, 0.0, "d2", "delete"),    # d2 fully emptied -> must vanish
+            (5, 50.0, "d1", "upsert"),   # insert into d1
+        ],
+        "k int, v double, dt string, op string",
+    )
+    merge_apply(writer, spark, changes, keys=["k", "dt"])
+
+    got = {(r["k"], r["v"], r["dt"]) for r in writer.read(spark).collect()}
+    assert got == {
+        (1, 11.0, "d1"),   # updated
+        (5, 50.0, "d1"),   # inserted
+        (4, 40.0, "d3"),   # untouched partition intact
+    }
