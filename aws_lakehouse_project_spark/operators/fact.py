@@ -253,3 +253,55 @@ def q_merge_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         F.col("order_count").cast("bigint").alias("order_count"),
     )
+
+
+TABLE_DIFF_ORACLE = f"""
+    WITH newt AS (
+      SELECT o_custkey AS cust_id, CAST(o_orderdate AS DATE) AS dt,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+             CAST(COUNT(*) AS BIGINT) AS order_count
+      FROM orders WHERE o_orderkey % 10 <> 0
+      GROUP BY 1, 2
+    ), oldt AS (
+      SELECT o_custkey AS cust_id, CAST(o_orderdate AS DATE) AS dt,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+             CAST(COUNT(*) AS BIGINT) AS order_count
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT COALESCE(n.cust_id, o.cust_id) AS cust_id,
+           COALESCE(n.dt, o.dt) AS dt,
+           COALESCE(n.revenue, o.revenue) AS revenue,
+           COALESCE(n.order_count, o.order_count) AS order_count,
+           CASE WHEN n.cust_id IS NULL THEN 'delete' ELSE 'upsert' END AS op
+    FROM oldt o
+    FULL OUTER JOIN newt n ON o.cust_id = n.cust_id AND o.dt = n.dt
+    WHERE n.cust_id IS NULL OR o.cust_id IS NULL
+       OR n.revenue <> o.revenue OR n.order_count <> o.order_count
+"""
+
+
+@demo_query("q_table_diff", oracle=TABLE_DIFF_ORACLE)
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed generation (plans/merge.py::table_diff): diff the
+    full daily fact against a version with every tenth order retracted —
+    upserts where group values changed, deletes where groups vanished.
+    ``merge_apply(table_diff(old, new)) ≡ new`` is the tested round-trip
+    contract (Delta CDF → MERGE on plain parquet)."""
+    from ..plans.merge import table_diff
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"),
+        F.col("o_custkey").alias("cust_id"),
+        F.col("o_orderdate").cast("date").alias("dt"),
+        money("o_totalprice").alias("price"),
+    )
+
+    def daily(df: DataFrame) -> DataFrame:
+        return df.groupBy("cust_id", "dt").agg(
+            F.sum("price").cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("order_count"),
+        )
+
+    old = daily(orders)
+    new = daily(orders.filter(F.col("o_orderkey") % 10 != 0))
+    return table_diff(old, new, keys=["cust_id", "dt"])

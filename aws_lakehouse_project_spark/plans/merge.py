@@ -186,3 +186,54 @@ def merge_apply(
         if str(v) not in surviving:
             part_dir = os.path.join(writer.path, f"{pcol}={v}")
             shutil.rmtree(part_dir, ignore_errors=True)
+
+
+def table_diff(
+    old: DataFrame, new: DataFrame, keys: Sequence[str], op_col: str = "op"
+) -> DataFrame:
+    """Change-data-feed generation: diff two table versions into the
+    minimal change feed that ``merge_apply`` turns back into ``new`` —
+    ``upsert`` rows for keys added or value-changed, ``delete`` rows for
+    keys that vanished. Unchanged keys emit nothing.
+
+    One full-outer join on the key columns (both sides shuffle once on
+    the same key — co-partitioned); change detection is a null-safe
+    comparison of every non-key column, evaluated map-side post-join.
+    ``merge_apply(table_diff(old, new)) ≡ new`` is the round-trip
+    contract (tested), which is exactly Delta's CDF → MERGE pipeline
+    expressed on plain parquet.
+    """
+    from pyspark.sql import functions as F
+
+    vals = [c for c in new.columns if c not in keys]
+    o = old.select(
+        *[F.col(k).alias(f"k_{k}") for k in keys],
+        *[F.col(c).alias(f"o_{c}") for c in vals],
+        F.lit(True).alias("in_old"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"k_{k}") for k in keys],
+        *[F.col(c).alias(f"n_{c}") for c in vals],
+        F.lit(True).alias("in_new"),
+    )
+    joined = o.join(n, [f"k_{k}" for k in keys], "full_outer")
+    changed = F.lit(False)
+    for c in vals:
+        changed = changed | ~F.col(f"o_{c}").eqNullSafe(F.col(f"n_{c}"))
+    status = (
+        F.when(F.col("in_new").isNull(), F.lit("delete"))
+        .when(F.col("in_old").isNull() | changed, F.lit("upsert"))
+        .otherwise(F.lit(None))
+    )
+    out_vals = [
+        F.coalesce(F.col(f"n_{c}"), F.col(f"o_{c}")).alias(c) for c in vals
+    ]
+    return (
+        joined.withColumn(op_col, status)
+        .filter(F.col(op_col).isNotNull())
+        .select(
+            *[F.col(f"k_{k}").alias(k) for k in keys],
+            *out_vals,
+            op_col,
+        )
+    )

@@ -149,3 +149,38 @@ def test_merge_apply_deletes_including_emptied_partitions(spark, tmp_path):
         (5, 50.0, "d1"),   # inserted
         (4, 40.0, "d3"),   # untouched partition intact
     }
+
+
+def test_table_diff_roundtrip_reproduces_new(spark, tmp_path):
+    """CDF contract: applying table_diff(old, new) onto old yields
+    exactly new — inserts, updates, deletes, emptied partitions and all."""
+    from aws_lakehouse_project_spark.plans.merge import (
+        PartitionOverwriteMergeWriter,
+        merge_apply,
+        table_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, 10.0, "d1"), (2, 20.0, "d1"), (3, 30.0, "d2"), (4, 40.0, "d3")],
+        "k int, v double, dt string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, 10.0, "d1"),   # unchanged -> no change row
+            (2, 25.0, "d1"),   # updated
+            (4, 40.0, "d3"),   # unchanged
+            (5, 50.0, "d4"),   # inserted (new partition)
+            # k=3 deleted -> d2 emptied
+        ],
+        "k int, v double, dt string",
+    )
+    diff = table_diff(old, new, keys=["k", "dt"])
+    ops = {(r["k"], r["op"]) for r in diff.collect()}
+    assert ops == {(2, "upsert"), (5, "upsert"), (3, "delete")}
+
+    writer = PartitionOverwriteMergeWriter(str(tmp_path / "t"), partition_col="dt")
+    writer.write_full(old)
+    merge_apply(writer, spark, diff.select("k", "v", "dt", "op"), keys=["k", "dt"])
+    got = {(r["k"], r["v"], r["dt"]) for r in writer.read(spark).collect()}
+    want = {(r["k"], r["v"], r["dt"]) for r in new.collect()}
+    assert got == want
