@@ -68,6 +68,9 @@ class PartitionOverwriteMergeWriter:
         """
         (
             fresh_horizon.write.mode("overwrite")
+            # per-write option, NOT session conf: the writer must behave
+            # identically on sessions the engine didn't configure
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy(self.partition_col)
             .parquet(self.path)
         )
@@ -96,9 +99,9 @@ class PartitionOverwriteMergeWriter:
         merged = kept.unionByName(updates)
         # break lineage: the write replaces files the plan reads
         merged = merged.localCheckpoint(eager=True)
-        merged.write.mode("overwrite").partitionBy(self.partition_col).parquet(
-            self.path
-        )
+        merged.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy(self.partition_col).parquet(self.path)
 
     def read(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.path)
@@ -174,7 +177,9 @@ def merge_apply(
     aligned = existing.select(*upserts.columns)
     kept = aligned.join(changes.select(*keys).distinct(), list(keys), "left_anti")
     merged = kept.unionByName(upserts).localCheckpoint(eager=True)
-    merged.write.mode("overwrite").partitionBy(pcol).parquet(writer.path)
+    merged.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy(pcol).parquet(writer.path)
     # dynamic partition overwrite only rewrites partitions PRESENT in the
     # output — a touched partition whose every row was deleted emits no
     # rows and would silently keep its old files. Drop those explicitly
