@@ -184,3 +184,33 @@ def test_table_diff_roundtrip_reproduces_new(spark, tmp_path):
     got = {(r["k"], r["v"], r["dt"]) for r in writer.read(spark).collect()}
     want = {(r["k"], r["v"], r["dt"]) for r in new.collect()}
     assert got == want
+
+
+def test_merge_survives_static_session_overwrite_mode(spark, tmp_path):
+    """The writers must not depend on session-level
+    partitionOverwriteMode=dynamic: with the session forced to 'static'
+    (Spark's default), a key-level merge must still leave untouched
+    partitions intact (per-write option regression guard)."""
+    from aws_lakehouse_project_spark.plans.merge import (
+        PartitionOverwriteMergeWriter,
+        merge_apply,
+    )
+
+    key = "spark.sql.sources.partitionOverwriteMode"
+    before = spark.conf.get(key)
+    spark.conf.set(key, "static")
+    try:
+        writer = PartitionOverwriteMergeWriter(str(tmp_path / "t"), partition_col="dt")
+        writer.write_full(
+            spark.createDataFrame(
+                [(1, 1.0, "d1"), (2, 2.0, "d2")], "k int, v double, dt string"
+            )
+        )
+        changes = spark.createDataFrame(
+            [(1, 9.0, "d1", "upsert")], "k int, v double, dt string, op string"
+        )
+        merge_apply(writer, spark, changes, keys=["k", "dt"])
+        got = {(r["k"], r["v"], r["dt"]) for r in writer.read(spark).collect()}
+        assert got == {(1, 9.0, "d1"), (2, 2.0, "d2")}  # d2 must survive
+    finally:
+        spark.conf.set(key, before)
