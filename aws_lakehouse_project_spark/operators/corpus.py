@@ -35,10 +35,13 @@ def ngram_overlap(
     thousands of rows, not billions — so its distinct-shingle set
     broadcasts and the training corpus is never shuffled: shingles are
     generated map-side (transform over a sequence), the broadcast hash
-    join filters them map-side, and the only exchange is the final
-    per-doc aggregation of survivors (a tiny fraction of the corpus).
-    At 100 TB the default 13-gram window (WaT/GPT-3 convention) makes
-    collisions rare enough that the survivor set stays small.
+    join filters them map-side, and the ONLY corpus-side exchange is the
+    final per-doc aggregation of surviving (doc, shingle) pairs — a tiny
+    fraction of the corpus. countDistinct dedups inside that one
+    aggregation; deduping before the join would shuffle every shingle of
+    the corpus for nothing. At 100 TB the default 13-gram window
+    (WaT/GPT-3 convention) makes collisions rare enough that the
+    survivor set stays small.
     """
     def shingles(df: DataFrame) -> DataFrame:
         w = F.split(F.lower(F.col("text")), " ")
@@ -52,11 +55,10 @@ def ngram_overlap(
         )
 
     bench_sh = F.broadcast(shingles(bench).select("s").distinct())
-    train_sh = shingles(docs).dropDuplicates(["doc_id", "s"])
     return (
-        train_sh.join(bench_sh, "s")
+        shingles(docs).join(bench_sh, "s")
         .groupBy("doc_id", "source")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .agg(F.countDistinct("s").alias("n_shared"))
     )
 
 

@@ -86,3 +86,16 @@ def test_contamination_rate_is_small_but_nonzero(spark):
         .count()
     )
     assert 0 < len(out) < 0.2 * n_train
+
+
+def test_contamination_single_corpus_shuffle(spark):
+    """The corpus side must shuffle exactly once (the survivor
+    aggregation) — deduping shingles before the broadcast filter would
+    shuffle the whole corpus."""
+    from aws_lakehouse_project_spark.operators.corpus import q_contamination
+
+    plan = physical_plan(q_contamination(spark, SF_DIR))
+    # distinct-agg plans as partial+final over ONE logical exchange pair
+    # on the corpus side, plus the (tiny) bench-side distinct
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "BroadcastHashJoin" in plan
