@@ -139,3 +139,70 @@ def q_ri_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit across all six FK edges (see
     ``ri_audit``)."""
     return ri_audit(spark, sf_dir)
+
+
+@demo_query(
+    "q_scd2_lookup",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             LAG(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+      SELECT user_id, ts, event_id, event_type FROM ordered
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    ),
+    dim AS (
+      SELECT user_id, event_type AS state,
+             ts AS valid_from,
+             LEAD(ts) OVER w AS valid_to
+      FROM runs
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT d.state,
+           e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events e JOIN dim d
+      ON e.user_id = d.user_id
+     AND e.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+    GROUP BY 1, 2
+    """,
+)
+def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join: every event matched to the SCD2
+    dimension version valid AT ITS TIMESTAMP — the feature-store
+    primitive that prevents label leakage (training rows must see the
+    dimension as it was, not as it is).
+
+    The dimension derives from the same change feed (scd2_from_events),
+    so the fact↔version match is a range join on (user_id, ts ∈
+    [valid_from, valid_to)). Spark plans the equi-key (user_id) as the
+    join key with the range as a post-join filter; both sides arrive
+    already partitioned by user_id from their windows/aggregations. At
+    scale, bucketing both tables on the key makes this co-located, and a
+    version's validity range is bounded by the key's change cadence —
+    the per-key version list a join task sees stays dimension-sized.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    dim = scd2_from_events(ev).select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        "valid_from",
+        "valid_to",
+    )
+    matched = ev.join(
+        dim,
+        (ev.user_id == dim.user_id)
+        & (ev.ts >= dim.valid_from)
+        & (dim.valid_to.isNull() | (ev.ts < dim.valid_to)),
+    )
+    from ..functions.money import money
+
+    return matched.groupBy("state", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(money("value")).cast("double").alias("total_value"),
+    )
