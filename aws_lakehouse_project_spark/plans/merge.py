@@ -242,3 +242,31 @@ def table_diff(
             op_col,
         )
     )
+
+
+def backfill(
+    writer: PartitionOverwriteMergeWriter,
+    compute_for_partition: "callable",
+    partition_values: Sequence,
+) -> int:
+    """Backfill orchestration: recompute and merge a list of partition
+    values one at a time — the manual `airflow dags backfill` twin for
+    the reference's catchup=False DAGs (reference
+    ``airflow/dags/lakehouse_pipelines.py:107``: missed intervals are
+    NOT auto-rerun, so history repair is an explicit backfill).
+
+    Each partition merges independently and idempotently (dynamic
+    per-write overwrite of exactly that partition), so a failed backfill
+    resumes by re-running the remaining list — no state to clean. At
+    warehouse scale, run slices concurrently from a driver pool; the
+    writes land in disjoint partition directories. Returns the number of
+    partitions written.
+    """
+    n = 0
+    for v in partition_values:
+        df = compute_for_partition(v)
+        df.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy(writer.partition_col).parquet(writer.path)
+        n += 1
+    return n

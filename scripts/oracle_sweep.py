@@ -1,7 +1,12 @@
 """Driver-gate rehearsal: run every registered query + its DuckDB oracle
 at an arbitrary scale factor and report row/schema/value mismatches.
 
-Usage: python scripts/oracle_sweep.py [sf_dir] [--only name1,name2]
+Usage: python scripts/oracle_sweep.py [sf_dir] [--only name1,name2] [--plain]
+
+``--plain`` runs on a default unconfigured SparkSession instead of the
+engine's build_session — rehearsing a driver that applies none of the
+engine's conf (AQE, UTC, overwrite mode). Writers and queries must pass
+either way.
 """
 
 from __future__ import annotations
@@ -23,9 +28,14 @@ def main() -> int:
 
     import __spark_entry__ as entrymod
 
-    from aws_lakehouse_project_spark.session import build_session
+    if "--plain" in sys.argv:
+        from pyspark.sql import SparkSession
 
-    spark = build_session(app_name="oracle-sweep")
+        spark = SparkSession.builder.master("local[8]").appName("oracle-sweep-plain").getOrCreate()
+    else:
+        from aws_lakehouse_project_spark.session import build_session
+
+        spark = build_session(app_name="oracle-sweep")
     q = entrymod.queries()
     o = entrymod.oracle_sql()
 

@@ -214,3 +214,30 @@ def test_merge_survives_static_session_overwrite_mode(spark, tmp_path):
         assert got == {(1, 9.0, "d1"), (2, 2.0, "d2")}  # d2 must survive
     finally:
         spark.conf.set(key, before)
+
+
+def test_backfill_repairs_missing_partitions_idempotently(spark, tmp_path):
+    """Backfilling a list of missing days fills exactly those partitions;
+    re-running the same backfill is a no-op byte-wise (same contents)."""
+    from aws_lakehouse_project_spark.plans.merge import (
+        PartitionOverwriteMergeWriter,
+        backfill,
+    )
+
+    source = spark.createDataFrame(
+        [(k, float(k), f"d{k % 4}") for k in range(40)], "k int, v double, dt string"
+    )
+    writer = PartitionOverwriteMergeWriter(str(tmp_path / "t"), partition_col="dt")
+    # initial load is missing d2 and d3
+    writer.write_full(source.filter("dt IN ('d0','d1')"))
+
+    compute = lambda day: source.filter(source.dt == day)  # noqa: E731
+    n = backfill(writer, compute, ["d2", "d3"])
+    assert n == 2
+    got = {(r["k"], r["dt"]) for r in writer.read(spark).collect()}
+    want = {(r["k"], r["dt"]) for r in source.collect()}
+    assert got == want
+
+    backfill(writer, compute, ["d2", "d3"])  # idempotent re-run
+    again = {(r["k"], r["dt"]) for r in writer.read(spark).collect()}
+    assert again == want
