@@ -569,3 +569,161 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(money("c_acctbal")), 2).cast("double").alias("totacctbal"),
         )
     )
+
+
+@demo_query(
+    "q_tpch_q8",
+    oracle="""
+    WITH all_nations AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(1 - l_discount AS DECIMAL(12,2)) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      JOIN region   ON n1.n_regionkey = r_regionkey
+      JOIN part     ON l_partkey = p_partkey
+      WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+    )
+    SELECT o_year,
+           ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_1'
+                               THEN volume ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(volume) AS DOUBLE), 8) AS mkt_share
+    FROM all_nations GROUP BY o_year
+    """,
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): one nation's share of the
+    yearly promo-part volume sold into one region's market — an
+    8-table join feeding a conditional-ratio aggregation.
+
+    nation/region/part predicates ride their broadcast joins so the big
+    lineitem↔orders exchange carries only the region+type survivors;
+    the share is a ratio of two exact decimal sums from ONE aggregation
+    pass (no second scan, no join-back)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    part = load_table(spark, sf_dir, "part")
+
+    n1 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    vol = money("l_extendedprice") * money(F.lit(1) - F.col("l_discount"))
+    all_nations = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            F.col("c_rk") == F.col("r_regionkey"),
+        )
+        .join(
+            F.broadcast(part.filter(F.col("p_type") == "PROMO")),
+            li.l_partkey == part.p_partkey,
+        )
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            vol.alias("volume"),
+            "supp_nation",
+        )
+    )
+    nat_vol = F.when(F.col("supp_nation") == "NATION_1", F.col("volume")).otherwise(
+        F.lit(0).cast("decimal(12,2)")
+    )
+    # divide as doubles: Spark's decimal-division scale rules would
+    # truncate the ratio below the 8 decimals the report keeps; both
+    # operands are exact decimal sums, so the double quotient is
+    # deterministic on any engine
+    return all_nations.groupBy("o_year").agg(
+        F.round(
+            F.sum(nat_vol).cast("double") / F.sum("volume").cast("double"), 8
+        ).alias("mkt_share")
+    )
+
+
+@demo_query(
+    "q_tpch_q21",
+    oracle="""
+    SELECT s_name,
+           CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM lineitem l1
+    JOIN supplier ON l1.l_suppkey = s_suppkey
+    JOIN orders   ON l1.l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'F'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate >= l1.l_shipdate
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): in finished
+    multi-supplier orders, the supplier who shipped strictly last —
+    EXISTS (another supplier participated) + NOT EXISTS (anyone else
+    shipped as late), the chained semi/anti self-join pattern.
+    (l_shipdate stands in for the reference benchmark's receipt/commit
+    lateness columns, which this testdata does not carry.)
+
+    Both subqueries key on l_orderkey, so Spark evaluates them as a
+    LeftSemi and a LeftAnti join sharing the lineitem exchange; orders'
+    status filter prunes before its join; the final top-20 compiles to
+    TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+
+    l1 = li.select("l_orderkey", "l_suppkey", "l_shipdate")
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("o3"),
+        F.col("l_suppkey").alias("s3"),
+        F.col("l_shipdate").alias("d3"),
+    )
+    waiting = (
+        l1.join(
+            orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
+            l1.l_orderkey == F.col("o_orderkey"),
+        )
+        .join(
+            l2,
+            (F.col("o2") == l1.l_orderkey) & (F.col("s2") != l1.l_suppkey),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("o3") == l1.l_orderkey)
+            & (F.col("s3") != l1.l_suppkey)
+            & (F.col("d3") >= l1.l_shipdate),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(F.broadcast(supp), waiting.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
