@@ -727,3 +727,86 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(20)
     )
+
+
+@demo_query(
+    "q_tpch_q6",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+      AND l_discount BETWEEN 0.02 AND 0.04
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecasting revenue change): the all-filter
+    single-aggregate scan. Every predicate reaches the parquet reader as
+    a pushed filter (date range through the cast, discount range,
+    quantity bound) so row groups outside the year never decompress; the
+    aggregation is one partial+final pass with no grouping key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sel = li.filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1997-01-01"))
+        & F.col("l_discount").between(0.02, 0.04)
+        & (F.col("l_quantity") < 24)
+    )
+    return sel.agg(
+        F.sum(money("l_extendedprice") * money("l_discount"))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@demo_query(
+    "q_tpch_q15",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE)
+               AS total_revenue
+      FROM lineitem
+      WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): quarterly per-supplier revenue
+    compared against its own maximum — the view + scalar-subquery
+    pattern. The revenue aggregation runs ONCE and is reused for both
+    the max (1-row broadcast) and the equality filter; the supplier
+    dimension broadcasts onto the one-or-few surviving rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate").cast("date") < F.lit("1996-04-01"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(money("l_extendedprice") * money(F.lit(1) - F.col("l_discount")))
+            .cast("double")
+            .alias("total_revenue")
+        )
+        # reused by the max subquery AND the filter — materialize once
+        .localCheckpoint(eager=True)
+    )
+    top = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (
+        revenue.crossJoin(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
