@@ -214,3 +214,76 @@ def q_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("freq").cast("bigint").alias("freq"),
         F.round(F.col("freq").cast("double") / F.col("total"), 8).alias("rel_freq"),
     )
+
+
+@demo_query(
+    "q_vocab_encode",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ),
+    vocab AS (
+      SELECT token,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) AS token_id
+      FROM tok GROUP BY token
+    ),
+    pos_tok AS (
+      SELECT doc_id, i AS pos, w[i] AS token
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS w,
+                   unnest(generate_series(1, len(string_split(lower(text), ' ')))) AS i
+            FROM documents)
+      WHERE doc_id < 20
+    )
+    SELECT p.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           string_agg(v.token_id, ',' ORDER BY p.pos) AS token_ids
+    FROM pos_tok p JOIN vocab v USING (token)
+    GROUP BY p.doc_id
+    """,
+)
+def q_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-apply: build a frequency-ranked vocabulary over the
+    corpus (token_id = rank, ties broken lexically) and encode a bounded
+    document slice into its ID sequence — the vocabulary-encoding step
+    between corpus prep and sequence packing in a training pipeline.
+
+    The vocabulary is vocabulary-sized, not corpus-sized, so it
+    broadcasts; encoding is then a map-side hash-join of the positional
+    token stream against the broadcast dict plus one groupBy(doc) that
+    rebuilds sequences from (pos, id) pairs — order restored by
+    sort_array on the struct, so the result is identical under any
+    partitioning. IDs ride as a CSV string (driver-hashable; the array
+    form is one split() away)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+    )
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            "token",
+            F.row_number()
+            .over(Window.orderBy(F.desc("freq"), F.asc("token")))
+            .alias("token_id"),
+        )
+    )
+    pos_tok = (
+        docs.filter(F.col("doc_id") < 20)
+        .select("doc_id", F.posexplode(F.split(F.lower(F.col("text")), " ")).alias("pos0", "token"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
+    )
+    encoded = pos_tok.join(F.broadcast(vocab.select("token", "token_id")), "token")
+    return encoded.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("pos", "token_id"))
+                ),
+                lambda s: s["token_id"].cast("string"),
+            ),
+        ).alias("token_ids"),
+    )
