@@ -24,6 +24,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # row yet (round-1 positions 51+, the round-1 `err` row, and everything
 # added in round 2) precede the round-1-verified ones. Rotate this list
 # each round as rows come back green.
+#
+# ROUND-3 ROTATION QUEUE — registered after the 50-slot window filled,
+# so they have no driver row yet; promote them to the top next round:
+# q_stream_enrich, q_funnel, q_retention, q_tpch_q14, q_tpch_q22,
+# q_grouped_ols, q_embedding_quantize, q_nullsafe_join,
+# q_ratio_to_report, q_merge_delete, q_table_diff, q_scd2_lookup,
+# q_tpch_q8, q_tpch_q21, q_tpch_q6, q_tpch_q15, q_vocab_encode
+# (all verified vs oracles at sf0.001/sf0.01/sf0.1 by
+# scripts/oracle_sweep.py and tests/test_oracle_diff.py this round).
 _VERIFY_FIRST = [
     # round-1 unverified (registry positions 51+ last round)
     "q_stats_exact", "q_window_lag", "q_window_cumsum", "q_grouping_sets",

@@ -99,3 +99,27 @@ def test_contamination_single_corpus_shuffle(spark):
     # on the corpus side, plus the (tiny) bench-side distinct
     assert plan.count("Exchange hashpartitioning") <= 3
     assert "BroadcastHashJoin" in plan
+
+
+def test_fuzzy_match_finds_planted_typo_in_block(spark):
+    """Blocked edit-distance matching: a one-character typo inside the
+    block prefix's tail is found; a name differing in its FIRST character
+    lands in another block and is (by documented blocking design) missed."""
+    from aws_lakehouse_project_spark.operators.dedup import fuzzy_name_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "Customer#000000001"),
+            (2, "Customer#000000002"),   # 1 edit from #1 — same block
+            (3, "Customer#0000000XX"),   # 2 edits from #1 — beyond max_dist
+            (4, "Xustomer#000000001"),   # 1 edit but in char 1 → other block
+        ],
+        "k long, nm string",
+    )
+    pairs = {
+        (r["k1"], r["k2"], r["dist"])
+        for r in fuzzy_name_pairs(df, key="k", name="nm", max_dist=1).collect()
+    }
+    assert (1, 2, 1) in pairs
+    assert all(not (a == 1 and b == 4) for a, b, _ in pairs)
+    assert all(d <= 1 for _, _, d in pairs)
