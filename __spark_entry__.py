@@ -30,7 +30,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # q_stream_enrich, q_funnel, q_retention, q_tpch_q14, q_tpch_q22,
 # q_grouped_ols, q_embedding_quantize, q_nullsafe_join,
 # q_ratio_to_report, q_merge_delete, q_table_diff, q_scd2_lookup,
-# q_tpch_q8, q_tpch_q21, q_tpch_q6, q_tpch_q15, q_vocab_encode
+# q_tpch_q8, q_tpch_q21, q_tpch_q6, q_tpch_q15, q_vocab_encode, q_mixture
 # (all verified vs oracles at sf0.001/sf0.01/sf0.1 by
 # scripts/oracle_sweep.py and tests/test_oracle_diff.py this round).
 _VERIFY_FIRST = [

@@ -287,3 +287,81 @@ def q_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("token_ids"),
     )
+
+
+@demo_query(
+    "q_mixture",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source,
+             len(string_split(lower(text), ' ')) AS n_tokens,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               / 4294967296.0 AS hash_frac
+      FROM documents
+    ),
+    totals AS (
+      SELECT source, SUM(n_tokens) AS tokens_total FROM toks GROUP BY source
+    ),
+    budget AS (SELECT MIN(tokens_total) AS b FROM totals),
+    rates AS (
+      SELECT source, tokens_total,
+             CAST(b AS DOUBLE) / tokens_total AS rate
+      FROM totals, budget
+    )
+    SELECT t.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(r.tokens_total AS BIGINT) AS tokens_total,
+           ROUND(r.rate, 6) AS rate,
+           CAST(COUNT(*) FILTER (WHERE t.hash_frac < r.rate) AS BIGINT) AS docs_kept,
+           CAST(SUM(n_tokens) FILTER (WHERE t.hash_frac < r.rate) AS BIGINT)
+             AS tokens_kept
+    FROM toks t JOIN rates r USING (source)
+    GROUP BY t.source, r.tokens_total, r.rate
+    """,
+)
+def q_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing: equalize each source's token budget to the smallest
+    source's total (uniform mixture) by computing per-source sampling
+    rates and applying them with a deterministic hash fraction — the
+    pretraining-mix step that follows corpus prep.
+
+    The per-source totals are a 1-row-per-source aggregate; the budget is
+    a 1-row broadcast; the keep/drop decision is a map-side predicate
+    (md5-fraction < rate) identical on any engine, run, or partitioning —
+    a reshuffle never changes which documents survive. Two shuffles
+    total, both on the bounded source key.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.lower(F.col("text")), " ")).alias("n_tokens"),
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("bigint")
+            / F.lit(4294967296.0)
+        ).alias("hash_frac"),
+    )
+    totals = toks.groupBy("source").agg(
+        F.sum("n_tokens").alias("tokens_total")
+    )
+    budget = totals.agg(F.min("tokens_total").alias("b"))
+    rates = totals.crossJoin(F.broadcast(budget)).select(
+        "source",
+        "tokens_total",
+        (F.col("b").cast("double") / F.col("tokens_total")).alias("rate"),
+    )
+    joined = toks.join(F.broadcast(rates), "source")
+    kept = F.col("hash_frac") < F.col("rate")
+    return joined.groupBy("source", "tokens_total", "rate").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(kept).alias("docs_kept"),
+        F.sum(F.when(kept, F.col("n_tokens"))).cast("bigint").alias("tokens_kept"),
+    ).select(
+        "source",
+        "n_docs",
+        F.col("tokens_total").cast("bigint").alias("tokens_total"),
+        F.round("rate", 6).alias("rate"),
+        "docs_kept",
+        "tokens_kept",
+    )
