@@ -165,6 +165,22 @@ def merge_apply(
     """
     from pyspark.sql import functions as F
 
+    if op_col not in changes.columns:
+        raise ValueError(
+            f"merge_apply: change feed has no '{op_col}' column "
+            f"(columns: {changes.columns})"
+        )
+    bad_ops = (
+        changes.select(op_col)
+        .filter(~F.col(op_col).isin("upsert", "delete"))
+        .limit(1)
+        .collect()
+    )
+    if bad_ops:
+        raise ValueError(
+            f"merge_apply: unknown op {bad_ops[0][0]!r} — expected 'upsert' or "
+            "'delete' (a silently ignored op would drop changes)"
+        )
     upserts = changes.filter(F.col(op_col) == "upsert").drop(op_col)
     if not table_exists(writer.path):
         writer.write_full(upserts)
@@ -191,6 +207,16 @@ def merge_apply(
         if str(v) not in surviving:
             part_dir = os.path.join(writer.path, f"{pcol}={v}")
             shutil.rmtree(part_dir, ignore_errors=True)
+    # a merge that deleted EVERY remaining row leaves a directory with no
+    # data files — unreadable (parquet cannot infer a schema). Write the
+    # (empty, schema-bearing) merged frame flat so the table stays a
+    # valid empty table; the next write_full/merge re-partitions it.
+    if not any(
+        f.endswith(".parquet")
+        for _, _, files in os.walk(writer.path)
+        for f in files
+    ):
+        merged.write.mode("overwrite").parquet(writer.path)
 
 
 def table_diff(

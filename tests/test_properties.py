@@ -230,3 +230,73 @@ def test_scd2_tiles_each_timeline(spark, feed):
                 assert covering[-1]["event_type"] in attrs_at_ts or (
                     covering[-1]["event_type"] == attr
                 )
+
+
+diff_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),   # key
+        st.integers(min_value=0, max_value=99),  # value
+        st.integers(min_value=0, max_value=3),   # partition day index
+    ),
+    min_size=0,
+    max_size=20,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(old_rows=diff_rows, new_rows=diff_rows)
+@settings(**SLOW)
+def test_table_diff_roundtrip_property(spark, old_rows, new_rows, tmp_path_factory):
+    """For ANY old/new versions: applying table_diff(old, new) onto old
+    reproduces new exactly (inserts, updates, deletes, moved-partition
+    keys, emptied partitions)."""
+    from aws_lakehouse_project_spark.plans.merge import (
+        PartitionOverwriteMergeWriter,
+        merge_apply,
+        table_diff,
+    )
+
+    schema = "k int, v int, dt string"
+    old = spark.createDataFrame(
+        [(k, v, f"d{d}") for k, v, d in old_rows], schema
+    )
+    new = spark.createDataFrame(
+        [(k, v, f"d{d}") for k, v, d in new_rows], schema
+    )
+    # keys are (k, dt): a key that moved partition appears as delete+insert
+    diff = table_diff(old, new, keys=["k", "dt"])
+
+    path = str(tmp_path_factory.mktemp("roundtrip") / "t")
+    writer = PartitionOverwriteMergeWriter(path, partition_col="dt")
+    if old_rows:
+        writer.write_full(old)
+        merge_apply(writer, spark, diff.select("k", "v", "dt", "op"), keys=["k", "dt"])
+        got = {tuple(r) for r in writer.read(spark).select("k", "v", "dt").collect()}
+    else:
+        # empty old: the diff is pure upserts; applying to a missing
+        # target is the initial load
+        if [r for r in diff.collect()]:
+            merge_apply(writer, spark, diff.select("k", "v", "dt", "op"), keys=["k", "dt"])
+            got = {tuple(r) for r in writer.read(spark).select("k", "v", "dt").collect()}
+        else:
+            got = set()
+    want = {tuple(r) for r in new.collect()}
+    assert got == want
+
+
+def test_merge_apply_rejects_unknown_ops(spark, tmp_path):
+    import pytest
+
+    from aws_lakehouse_project_spark.plans.merge import (
+        PartitionOverwriteMergeWriter,
+        merge_apply,
+    )
+
+    writer = PartitionOverwriteMergeWriter(str(tmp_path / "t"), partition_col="dt")
+    changes = spark.createDataFrame(
+        [(1, 1.0, "d1", "UPSERT")], "k int, v double, dt string, op string"
+    )
+    with pytest.raises(ValueError, match="unknown op"):
+        merge_apply(writer, spark, changes, keys=["k", "dt"])
+    with pytest.raises(ValueError, match="no 'op' column"):
+        merge_apply(writer, spark, changes.drop("op"), keys=["k", "dt"])
