@@ -262,3 +262,25 @@ def test_fuzzy_match_is_blocked_join(spark):
     plan = physical_plan(q_fuzzy_match(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q8_broadcasts_all_dimensions(spark):
+    """Q8's nation/region/part sides must broadcast — only the
+    lineitem/orders/customer/supplier spine may shuffle."""
+    from aws_lakehouse_project_spark.operators.tpch import q_tpch_q8
+
+    plan = physical_plan(q_tpch_q8(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q21_semi_and_anti_share_order_key(spark):
+    """Q21's EXISTS/NOT EXISTS plan as LeftSemi + LeftAnti joins — no
+    aggregate-subquery rewrite, no cartesian."""
+    from aws_lakehouse_project_spark.operators.tpch import q_tpch_q21
+
+    plan = physical_plan(q_tpch_q21(spark, SF_DIR))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
