@@ -19,7 +19,24 @@ from ..functions.scratch import scratch_dir
 from .registry import demo_query
 
 
-@demo_query("q_schema_evolution", oracle=None)  # layout/metadata property; rows-only
+@demo_query(
+    "q_schema_evolution",
+    # the evolved inventory is fully derivable: the union schema's
+    # columns/dtypes are fixed by construction and the null-backfill
+    # count equals the batch-2 row count — so the mergeSchema semantics
+    # are value-verified against SQL, not just rows-counted
+    oracle="""
+    SELECT 'month' AS col_name, 'string' AS dtype,
+           CAST(COUNT(*) AS BIGINT) AS n_nonnull FROM orders
+    UNION ALL
+    SELECT 'o_orderkey', 'bigint', CAST(COUNT(*) AS BIGINT) FROM orders
+    UNION ALL
+    SELECT 'price', 'double', CAST(COUNT(*) AS BIGINT) FROM orders
+    UNION ALL
+    SELECT 'priority', 'string', CAST(COUNT(*) AS BIGINT)
+    FROM orders WHERE strftime(o_orderdate, '%Y-%m') >= '1996-01'
+    """,
+)
 def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-batch mergeSchema round trip returning the evolved column
     inventory with per-column null profile.

@@ -114,11 +114,26 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
     )
 
 
-@demo_query("q_multimodal_features", oracle=None)  # Pandas-UDF path; rows-only
+@demo_query(
+    "q_multimodal_features",
+    # the Arrow path's OUTPUT is SQL-derivable even though its execution
+    # is Python: payloads are utf-8 text bytes (ASCII corpus → length ≡
+    # chars) and the deterministic fake extractor emits one FEATURE_DIM
+    # vector per item — so the aggregate is fully oracle-checkable
+    oracle="""
+    SELECT 'image' AS media_type,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(length(text)) AS BIGINT) AS total_bytes,
+           CAST(COUNT(*) AS BIGINT) AS n_feature_vectors
+    FROM documents
+    """,
+)
 def q_multimodal_features(spark, sf_dir: str) -> DataFrame:
     """Binary-column pipeline end-to-end: synthesize media from
     documents, extract features via mapInPandas, aggregate per media
-    bucket. Integer sums only, so the result is order-independent."""
+    bucket. Integer sums only, so the result is order-independent — and
+    SQL-derivable, so the Arrow path is value-verified, not just
+    rows-counted."""
     media = documents_as_media(load_table(spark, sf_dir, "documents"))
     feats = extract_features(media)
     return feats.groupBy("media_type").agg(

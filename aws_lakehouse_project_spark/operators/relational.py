@@ -109,7 +109,18 @@ def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @demo_query(
     "q_sink_partitioned",
-    oracle=None,  # layout property — rows-only check (S6/S7)
+    # the round trip must preserve CONTENT exactly, and the pruned-month
+    # aggregate is SQL-derivable from the source — so the sink demo is
+    # value-verified, not just rows-counted; the layout properties
+    # (sorted-within-files, partition dirs) stay covered by test_writers
+    oracle="""
+    SELECT CAST(o_orderdate AS DATE) AS dt,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE strftime(o_orderdate, '%Y-%m') = '1995-03'
+    GROUP BY 1
+    """,
 )
 def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6 partitioned parquet sink + S7 Z-order-approx layout (reference
@@ -433,14 +444,24 @@ def q_bool_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@demo_query("q_scan_orc", oracle=None)  # ORC round trip — DuckDB reads no ORC
+@demo_query(
+    "q_scan_orc",
+    # DuckDB reads no ORC, but the round trip must preserve CONTENT —
+    # the aggregate is derivable from the parquet source, so a content
+    # mismatch anywhere in the ORC write/read path fails the hash
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
 def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC source/sink round trip (columnar-format breadth beyond
     parquet/CSV/JSON): write order metrics as ORC, re-read, aggregate.
     Spark's native ORC reader gives the same predicate pushdown and
-    column pruning as parquet; the demo returns per-status order counts
-    and exact-decimal revenue so the round trip is value-checked by the
-    rows-only gate plus pytest."""
+    column pruning as parquet; the oracle recomputes the aggregate from
+    the parquet source, so the ORC round trip is value-verified."""
     orders = load_table(spark, sf_dir, "orders")
     out = _scratch_dir("spark_graft_orc_roundtrip")
     orders.select(
