@@ -300,3 +300,36 @@ def test_merge_apply_rejects_unknown_ops(spark, tmp_path):
         merge_apply(writer, spark, changes, keys=["k", "dt"])
     with pytest.raises(ValueError, match="no 'op' column"):
         merge_apply(writer, spark, changes.drop("op"), keys=["k", "dt"])
+
+
+compact_params = st.tuples(
+    st.integers(min_value=1, max_value=500),   # n_rows
+    st.integers(min_value=1, max_value=200),   # target rows per file
+    st.integers(min_value=1, max_value=12),    # initial shards
+)
+
+
+@given(params=compact_params)
+@settings(**SLOW)
+def test_compact_table_preserves_content(spark, params, tmp_path_factory):
+    """Compaction must preserve content exactly for any (row count,
+    target size, initial fragmentation) combination, and never produce
+    more files than ceil(rows/target)+1."""
+    import math
+    import os
+
+    from aws_lakehouse_project_spark.sources.writers import compact_table
+
+    n_rows, target, shards = params
+    path = str(tmp_path_factory.mktemp("compact") / "t")
+    spark.range(0, n_rows).selectExpr("id", "id % 5 AS grp").repartition(
+        shards
+    ).write.parquet(path)
+
+    _, after = compact_table(spark, path, target_rows_per_file=target, sort_within=["id"])
+    back = spark.read.parquet(path)
+    assert back.count() == n_rows
+    assert back.agg({"id": "sum"}).collect()[0][0] == n_rows * (n_rows - 1) // 2
+    n_files = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    assert n_files == after
+    assert n_files <= math.ceil(n_rows / target) + 1
