@@ -153,3 +153,82 @@ def test_stream_dedup_drops_redelivered_events(spark, tmp_path):
         for r in spark.read.parquet(src).select("event_id").distinct().collect()
     }
     assert set(got_ids) == batch_ids
+
+
+def test_transform_with_state_totals_survive_batches(spark, tmp_path):
+    """transformWithStateInPandas: per-user running totals accumulate
+    across two file drops through the checkpoint, and the final emission
+    equals the batch aggregation over the union — with integer-cent
+    state so batch boundaries cannot perturb the totals. Skips where the
+    API's protobuf dependency is absent (this container)."""
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf", reason="transformWithState needs protobuf"
+    )
+    from aws_lakehouse_project_spark.streaming.stateful import (
+        running_totals_stream,
+    )
+
+    src = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    drop_dir = tmp_path / "drops"
+    drop_dir.mkdir()
+    half1 = src.filter(F.col("event_id") % 2 == 0)
+    half2 = src.filter(F.col("event_id") % 2 == 1)
+    half1.write.parquet(str(drop_dir / "b1.parquet"))
+
+    collected: dict[int, tuple] = {}
+
+    def run():
+        q = (
+            running_totals_stream(_events_stream(spark, str(drop_dir / "*")))
+            .writeStream.outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_twstate"))
+            .foreachBatch(
+                lambda df, _eid: collected.update(
+                    {
+                        r["user_id"]: (r["n_events"], r["total_cents"])
+                        for r in df.collect()
+                    }
+                )
+            )
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run()
+    half2.write.parquet(str(drop_dir / "b2.parquet"))
+    run()  # same checkpoint: state resumes, batch 2 folds into batch 1
+
+    want = {
+        r["user_id"]: (r["n"], r["cents"])
+        for r in src.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+        .collect()
+    }
+    assert collected == want
+
+
+def test_running_totals_raises_clear_error_without_protobuf(spark):
+    """In environments without protobuf the operator fails fast with an
+    actionable message instead of a mid-query worker crash."""
+    import pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        pytest.skip("protobuf present — gate inactive")
+    except ImportError:
+        pass
+    from aws_lakehouse_project_spark.streaming.stateful import (
+        running_totals_stream,
+    )
+
+    ev = spark.createDataFrame(
+        [(1, 1.0)], "user_id long, value double"
+    )
+    with pytest.raises(ImportError, match="purchase_counter_stream"):
+        running_totals_stream(ev)
