@@ -59,7 +59,11 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority", "priority"
     )
 
-    out = scratch_dir("spark_graft_schema_evo")
+    # unique per invocation: the two-batch overwrite+append sequence is
+    # NOT idempotent against leftover state (under dynamic partition
+    # overwrite, batch 1's overwrite clears only its own months, so a
+    # re-run would append batch 2 on top of the previous run's copy)
+    out = scratch_dir("spark_graft_schema_evo", unique=True)
     v1.write.mode("overwrite").partitionBy("month").parquet(out)
     v2.write.mode("append").partitionBy("month").parquet(out)
 
