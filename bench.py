@@ -63,13 +63,19 @@ HEADLINE = [
 # 21-query quiet-host number
 EXTRA = [
     "q_scd2",
+    "q_scd2_lookup",
     "q_funnel",
     "q_retention",
     "q_contamination",
     "q_zipf",
+    "q_vocab_encode",
+    "q_mixture",
     "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q21",
     "q_fuzzy_match",
     "q_histogram",
+    "q_embedding_quantize",
 ]
 
 
