@@ -19,6 +19,9 @@ MATERIALIZING = [
     "q_schema_evolution",
     "q_scan_binaryfile",
     "q_stream_daily",
+    "q_stream_sliding",
+    "q_stream_enrich",
+    "q_table_diff",
 ]
 
 
