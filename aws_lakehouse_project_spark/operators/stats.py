@@ -125,7 +125,10 @@ def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = orders.groupBy(
         F.col("o_orderdate").cast("date").alias("dt")
     ).agg(money_sum("o_totalprice", "revenue"))
-    w = Window.orderBy("dt")
+    # the frame is calendar-bounded (~2.4k rows at any SF), so a global
+    # order is safe; the partition key is a non-foldable constant (""
+    # for every row) making the bounded single partition explicit
+    w = Window.partitionBy(F.substring(F.col("dt").cast("string"), 1, 0)).orderBy("dt")
     prev = F.lag("revenue").over(w)
     return daily.select(
         "dt",
@@ -166,7 +169,8 @@ def q_window_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     monthly = (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        # customer scales with SF — AQE chooses the join strategy
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .groupBy(
             "c_mktsegment",
             F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
@@ -314,7 +318,8 @@ def q_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_collect_sorted",
     oracle="""
     SELECT c_mktsegment,
-           list_sort(list_distinct(list(o_orderpriority))) AS priorities,
+           array_to_string(list_sort(list_distinct(list(o_orderpriority))), ',')
+             AS priorities,
            CAST(COUNT(*) AS BIGINT) AS n_orders
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment
@@ -322,16 +327,22 @@ def q_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation: the sorted distinct set of order priorities per
-    segment (``collect_set`` + ``sort_array``). Safe at scale only
-    because the collected domain is bounded (5 priorities) — the
-    docstring is the contract: never collect_set an unbounded column."""
+    segment (``collect_set`` + ``sort_array``), serialized to a CSV
+    string so the result is hashable by any downstream canonicalizer
+    (array outputs crash pandas-side dedup/sort — same class as the
+    round-1 q_dedup_clusters bug). Safe at scale only because the
+    collected domain is bounded (5 priorities) — the docstring is the
+    contract: never collect_set an unbounded column. The customer join
+    is left to AQE: customer scales with SF, so no broadcast hint."""
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     return (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
-            F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"),
+            F.array_join(
+                F.sort_array(F.collect_set("o_orderpriority")), ","
+            ).alias("priorities"),
             F.count(F.lit(1)).alias("n_orders"),
         )
     )

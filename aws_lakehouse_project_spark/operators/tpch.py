@@ -38,10 +38,12 @@ from .registry import demo_query
 def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-table star join → revenue per nation.
 
-    Catalyst broadcast-joins every dimension (region/nation/customer/
-    supplier are tiny next to lineitem) so the only shuffle is the
-    lineitem↔orders join + final aggregation — the plan a 100 TB star
-    schema needs.
+    Scale plan: region/nation are genuinely bounded (5/25 rows) and get
+    broadcast hints; customer and supplier SCALE WITH SF (150k/10k rows
+    per SF — multi-TB at the 100 TB design point), so no hint — AQE
+    broadcasts them at runtime when they fit and shuffle-joins when they
+    don't. The only unavoidable shuffle is lineitem↔orders + the final
+    aggregation — the plan a 100 TB star schema needs.
     """
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = load_table(spark, sf_dir, "nation")
@@ -55,9 +57,9 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_price = money("l_extendedprice") * money(F.lit(1) - F.col("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(
-            F.broadcast(supplier),
+            supplier,
             (li.l_suppkey == supplier.s_suppkey)
             & (customer.c_nationkey == supplier.s_nationkey),
         )
@@ -210,7 +212,7 @@ def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     return (
         big.join(orders, big.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .select(
             "c_name",
             "o_orderkey",
@@ -240,13 +242,15 @@ def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     20% of their part's average quantity), decorrelated into a self-join
     on the per-part aggregate.
 
-    Scale plan: the brand filter broadcasts into lineitem FIRST, so the
-    per-part average is computed over only the selected parts' lines —
-    identical semantics (the average is per part, and part determines
-    brand) at a fraction of the aggregation input. The tiny per-part
-    aggregate then broadcasts back into the filtered lines. The average
-    is a ratio of exact integer sums, so the 20% threshold compares
-    bit-identical doubles on both engines.
+    Scale plan: the brand filter reduces part 25× and joins into
+    lineitem FIRST, so the per-part average is computed over only the
+    selected parts' lines — identical semantics (the average is per
+    part, and part determines brand) at a fraction of the aggregation
+    input. The filtered key set still scales with SF, so no forced
+    broadcast — AQE picks broadcast when the filtered side fits and
+    falls back to a shuffle join at 100 TB. The average is a ratio of
+    exact integer sums, so the 20% threshold compares bit-identical
+    doubles on both engines.
     """
     part_keys = (
         load_table(spark, sf_dir, "part")
@@ -254,7 +258,7 @@ def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey")
     )
     li = load_table(spark, sf_dir, "lineitem")
-    fli = li.join(F.broadcast(part_keys), li.l_partkey == F.col("p_partkey"))
+    fli = li.join(part_keys, li.l_partkey == F.col("p_partkey"))
     avg_q = fli.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
         (
             F.sum(F.col("l_quantity").cast("bigint")).cast("double")
@@ -262,7 +266,7 @@ def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_qty")
     )
     return (
-        fli.join(F.broadcast(avg_q), fli.l_partkey == F.col("ap_partkey"))
+        fli.join(avg_q, fli.l_partkey == F.col("ap_partkey"))
         .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
         .agg(
             (F.sum(money("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
@@ -507,9 +511,11 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape (promotion effect): promo revenue share per ship
     month — the conditional-aggregation-ratio pattern.
 
-    part is dimension-sized relative to lineitem so the join broadcasts;
-    both the conditional and total sums ride ONE aggregation pass
-    (map-side partials), and the ratio of two exact decimal sums is a
+    part is dimension-sized relative to lineitem but still scales with
+    SF (200k rows/SF), so no forced broadcast — AQE broadcasts it when
+    it fits and shuffle-joins at the 100 TB design point. Both the
+    conditional and total sums ride ONE aggregation pass (map-side
+    partials), and the ratio of two exact decimal sums is a
     deterministic double on any engine."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
@@ -518,7 +524,7 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("decimal(12,2)")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy(F.month("l_shipdate").cast("int").alias("ship_month"))
         .agg(
             F.round(
@@ -601,8 +607,10 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     yearly promo-part volume sold into one region's market — an
     8-table join feeding a conditional-ratio aggregation.
 
-    nation/region/part predicates ride their broadcast joins so the big
-    lineitem↔orders exchange carries only the region+type survivors;
+    nation/region predicates ride bounded broadcast joins; the PROMO
+    part filter prunes map-side but part scales with SF so its join is
+    left to AQE. The big lineitem↔orders exchange carries only the
+    region+type survivors;
     the share is a ratio of two exact decimal sums from ONE aggregation
     pass (no second scan, no join-back)."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -631,7 +639,7 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_rk") == F.col("r_regionkey"),
         )
         .join(
-            F.broadcast(part.filter(F.col("p_type") == "PROMO")),
+            part.filter(F.col("p_type") == "PROMO"),
             li.l_partkey == part.p_partkey,
         )
         .select(
@@ -721,7 +729,7 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        waiting.join(F.broadcast(supp), waiting.l_suppkey == supp.s_suppkey)
+        waiting.join(supp, waiting.l_suppkey == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
@@ -785,8 +793,9 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape (top supplier): quarterly per-supplier revenue
     compared against its own maximum — the view + scalar-subquery
     pattern. The revenue aggregation runs ONCE and is reused for both
-    the max (1-row broadcast) and the equality filter; the supplier
-    dimension broadcasts onto the one-or-few surviving rows."""
+    the max (1-row broadcast) and the equality filter; the one-or-few
+    surviving revenue rows join to supplier with no forced hint — AQE
+    broadcasts the tiny filtered side, whatever SF supplier reaches."""
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
     revenue = (
@@ -807,6 +816,6 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.crossJoin(F.broadcast(top))
         .filter(F.col("total_revenue") == F.col("mx"))
-        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .join(supp, F.col("supplier_no") == supp.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
