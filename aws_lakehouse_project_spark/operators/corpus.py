@@ -45,9 +45,15 @@ def ngram_overlap(
     """
     def shingles(df: DataFrame) -> DataFrame:
         w = F.split(F.lower(F.col("text")), " ")
+        # docs shorter than n tokens yield NO shingles (the CASE guard
+        # matters: Spark's sequence(0, -1) is a DESCENDING [0,-1], so the
+        # unguarded form emitted slice(w, 0, n) and crashed; the oracle's
+        # CASE WHEN len(w)>=n ... ELSE [] is mirrored here)
         expr = F.expr(
-            f"transform(sequence(0, greatest(size(w)-{n}, -1)), "
-            f"i -> concat_ws(' ', slice(w, i+1, {n})))"
+            f"CASE WHEN size(w) >= {n} THEN "
+            f"transform(sequence(1, size(w)-{n}+1), "
+            f"i -> concat_ws(' ', slice(w, i, {n}))) "
+            f"ELSE array() END"
         )
         return (
             df.select("doc_id", "source", w.alias("w"))
@@ -109,9 +115,14 @@ def chunk_dup_profile(docs: DataFrame, chunk: int = 50) -> DataFrame:
     source). Chunk generation is a map-side array expression.
     """
     w = F.split(F.lower(F.col("text")), " ")
+    # docs shorter than one chunk yield NO chunks (guard mirrors the
+    # oracle; unguarded sequence(0,-1) is DESCENDING [0,-1] in Spark,
+    # which emitted a bogus partial chunk plus a from-the-end slice)
     expr = F.expr(
-        f"transform(sequence(0, int(floor(size(w)/{chunk}))-1), "
-        f"i -> concat_ws(' ', slice(w, i*{chunk}+1, {chunk})))"
+        f"CASE WHEN size(w) >= {chunk} THEN "
+        f"transform(sequence(0, int(size(w)/{chunk})-1), "
+        f"i -> concat_ws(' ', slice(w, i*{chunk}+1, {chunk}))) "
+        f"ELSE array() END"
     )
     chunks = (
         docs.select("doc_id", "source", w.alias("w"))

@@ -53,7 +53,15 @@ class PartitionOverwriteMergeWriter:
         self.partition_col = partition_col
 
     def write_full(self, df: DataFrame) -> None:
-        df.write.mode("overwrite").partitionBy(self.partition_col).parquet(self.path)
+        # full refresh = STATIC overwrite (overriding the session's
+        # dynamic mode): the whole table is replaced, including stale
+        # partitions absent from df and any root-level flat files left
+        # by a delete-everything merge (dynamic mode would only clear
+        # matching partition dirs, and the leftover flat files would
+        # break partition discovery on the next read)
+        df.write.mode("overwrite").option(
+            "partitionOverwriteMode", "static"
+        ).partitionBy(self.partition_col).parquet(self.path)
 
     def merge(self, fresh_horizon: DataFrame) -> None:
         """Overwrite exactly the partitions present in ``fresh_horizon``

@@ -91,7 +91,11 @@ def compact_table(
     then pay per-file open/footer costs and lose row-group pruning. The
     rewrite is one job: read → repartition to the target file count
     (repartitionByRange when a sort is requested, so files stay
-    range-disjoint) → atomic swap via a staged directory. Returns
+    range-disjoint) → swap via a staged directory (the old tree is moved
+    aside BEFORE the staged tree moves in, so a crash at any point
+    leaves either the old or the new table intact — never neither; the
+    rename pair is not a single atomic operation, an object-store
+    production build would commit via a manifest instead). Returns
     (files_before, files_after). At warehouse scale this runs per
     partition directory, parallel across partitions, with target sized
     to the HDFS/S3 block sweet spot instead of a row count.
@@ -100,9 +104,12 @@ def compact_table(
     import os
     import shutil
 
-    files_before = sum(
-        1 for n in os.listdir(path) if n.endswith(".parquet") or n.endswith(".orc")
-    )
+    def count_data_files(p: str) -> int:
+        # one predicate for before AND after, so the returned pair is
+        # comparable even on mixed-format directories
+        return sum(1 for n in os.listdir(p) if n.endswith(".parquet"))
+
+    files_before = count_data_files(path)
     df = spark.read.parquet(path)
     n_rows = df.count()
     n_files = max(1, math.ceil(n_rows / max(1, target_rows_per_file)))
@@ -116,9 +123,21 @@ def compact_table(
         )
     staged = path.rstrip("/") + ".__compact__"
     compacted.write.mode("overwrite").parquet(staged)
-    shutil.rmtree(path)
-    os.replace(staged, path)
-    files_after = sum(1 for n in os.listdir(path) if n.endswith(".parquet"))
+    # crash-safe swap: park the old tree first, then move the staged
+    # tree in; only after both renames succeed is the old tree deleted.
+    # A crash between the renames leaves the table recoverable at
+    # path.__old__ instead of lost.
+    old = path.rstrip("/") + ".__old__"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.replace(path, old)
+    try:
+        os.replace(staged, path)
+    except BaseException:
+        os.replace(old, path)  # roll back so the table never vanishes
+        raise
+    shutil.rmtree(old)
+    files_after = count_data_files(path)
     return files_before, files_after
 
 
@@ -132,7 +151,16 @@ def zorder_value(cols: Sequence, mins: Sequence[float], maxs: Sequence[float], b
     Pure integer Column arithmetic — shiftleft/or over 2·bits terms,
     whole-stage-codegen'd, no UDFs. min/max come from a one-row aggregate
     of the input (reference README.md:12's curated-layout Z-order claim,
-    done for real)."""
+    done for real).
+
+    The interleaved key must fit a signed 64-bit long: at
+    ``len(cols) * bits > 63`` the top shift lands on the sign bit, so
+    high-coordinate rows would sort FIRST and destroy locality —
+    ``bits`` is scaled down to ``63 // len(cols)`` when the requested
+    width would overflow (keys stay non-negative at any column count)."""
+    n_cols = max(1, len(cols))
+    if n_cols * bits > 63:
+        bits = 63 // n_cols
     scaled = []
     top = (1 << bits) - 1
     for c, lo, hi in zip(cols, mins, maxs):

@@ -123,3 +123,48 @@ def test_fuzzy_match_finds_planted_typo_in_block(spark):
     assert (1, 2, 1) in pairs
     assert all(not (a == 1 and b == 4) for a, b, _ in pairs)
     assert all(d <= 1 for _, _, d in pairs)
+
+
+def test_ngram_overlap_short_docs_yield_no_shingles(spark):
+    """Docs shorter than n tokens must contribute nothing — not crash
+    (Spark's sequence(0, -1) is DESCENDING, so the unguarded index
+    expression evaluated slice(w, 0, n)) and not diverge from the
+    oracle, which emits no shingles for short docs."""
+    bench = _docs(spark, [(100, "eval", "a b"), (101, "eval", "a b c d e")])
+    train = _docs(
+        spark,
+        [
+            (1, "web", "a"),                  # 1 token < n
+            (2, "web", "a b c"),              # 3 tokens < n
+            (3, "web", "x a b c d e y"),      # real 4-gram leak
+            (4, "web", ""),                   # empty text → [""]
+        ],
+    )
+    out = {r["doc_id"]: r["n_shared"] for r in ngram_overlap(train, bench, n=4).collect()}
+    assert out == {3: 2}
+
+
+def test_chunk_dup_profile_short_docs_yield_no_chunks(spark):
+    """Docs with fewer than `chunk` tokens emit no chunks, and docs with
+    a trailing partial window emit only their full chunks — matching the
+    oracle, which generates nothing for the remainder."""
+    docs = _docs(
+        spark,
+        [
+            (1, "s1", "a b"),            # < chunk: no chunks
+            (2, "s1", "a b c d"),        # 1 full chunk "a b c", drop "d"
+            (3, "s1", "a b c"),          # duplicates doc 2's chunk
+        ],
+    )
+    out = {r["source"]: r for r in chunk_dup_profile(docs, chunk=3).collect()}
+    assert out["s1"]["n_chunks"] == 2
+    assert out["s1"]["dup_chunks"] == 2
+
+
+def test_chunk_dup_profile_chunk_one_on_empty_tokens(spark):
+    """chunk=1 on an empty-text doc must not crash (split('') → [''],
+    one 1-token chunk of the empty string — same as the oracle)."""
+    docs = _docs(spark, [(1, "s1", ""), (2, "s1", "a")])
+    out = {r["source"]: r for r in chunk_dup_profile(docs, chunk=1).collect()}
+    assert out["s1"]["n_chunks"] == 2
+    assert out["s1"]["dup_chunks"] == 0

@@ -241,3 +241,49 @@ def test_backfill_repairs_missing_partitions_idempotently(spark, tmp_path):
     backfill(writer, compute, ["d2", "d3"])  # idempotent re-run
     again = {(r["k"], r["dt"]) for r in writer.read(spark).collect()}
     assert again == want
+
+
+def test_write_full_after_delete_everything_merge(spark, tmp_path):
+    """A merge that deletes EVERY row leaves a flat empty table; the
+    next write_full must fully replace it — static overwrite clears the
+    root-level flat files, so partition discovery on the re-read never
+    sees 'conflicting directory structures'."""
+    from aws_lakehouse_project_spark.plans.merge import (
+        PartitionOverwriteMergeWriter,
+        merge_apply,
+    )
+
+    writer = PartitionOverwriteMergeWriter(str(tmp_path / "t"), partition_col="dt")
+    base = spark.createDataFrame(
+        [(1, 10.0, "d1"), (2, 20.0, "d2")], "k int, v double, dt string"
+    )
+    writer.write_full(base)
+    deletes = spark.createDataFrame(
+        [(1, 0.0, "d1", "delete"), (2, 0.0, "d2", "delete")],
+        "k int, v double, dt string, op string",
+    )
+    merge_apply(writer, spark, deletes, keys=["k", "dt"])
+    assert writer.read(spark).count() == 0  # valid empty table
+
+    writer.write_full(base)
+    got = {(r["k"], r["v"], r["dt"]) for r in writer.read(spark).collect()}
+    assert got == {(1, 10.0, "d1"), (2, 20.0, "d2")}
+
+
+def test_write_full_replaces_stale_partitions(spark, tmp_path):
+    """write_full is a FULL refresh: partitions absent from the new
+    frame must not survive from the old table (dynamic overwrite would
+    keep them; write_full forces static)."""
+    from aws_lakehouse_project_spark.plans.merge import PartitionOverwriteMergeWriter
+
+    writer = PartitionOverwriteMergeWriter(str(tmp_path / "t"), partition_col="dt")
+    writer.write_full(
+        spark.createDataFrame(
+            [(1, 1.0, "d1"), (2, 2.0, "d2")], "k int, v double, dt string"
+        )
+    )
+    writer.write_full(
+        spark.createDataFrame([(3, 3.0, "d3")], "k int, v double, dt string")
+    )
+    got = {(r["k"], r["dt"]) for r in writer.read(spark).collect()}
+    assert got == {(3, "d3")}

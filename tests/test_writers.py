@@ -186,3 +186,43 @@ def test_zorder_three_columns(spark, tmp_path):
     for c, vals in spans.items():
         assert len(vals) >= 8
         assert sum(vals) / len(vals) <= 12, (c, vals)
+
+
+def test_zorder_value_never_negative_with_many_columns(spark):
+    """4+ cluster columns at the default 16 bits would shift past bit 63
+    (sign bit) — zorder_value must scale bits down so every key stays
+    non-negative and high-coordinate rows keep sorting last."""
+    from pyspark.sql import functions as F
+
+    from aws_lakehouse_project_spark.sources.writers import zorder_value
+
+    df = spark.range(0, 256).select(
+        (F.col("id") % 4).alias("a"),
+        ((F.col("id") / 4).cast("long") % 4).alias("b"),
+        ((F.col("id") / 16).cast("long") % 4).alias("c"),
+        ((F.col("id") / 64).cast("long") % 4).alias("d"),
+    )
+    z = zorder_value(["a", "b", "c", "d"], [0.0] * 4, [3.0] * 4, bits=16)
+    rows = df.withColumn("z", z).collect()
+    assert all(r["z"] >= 0 for r in rows)
+    zmax = {(r["a"], r["b"], r["c"], r["d"]): r["z"] for r in rows}
+    # the all-max corner must carry the largest key (sign-bit overflow
+    # would have made it the smallest)
+    assert zmax[(3, 3, 3, 3)] == max(r["z"] for r in rows)
+    assert zmax[(0, 0, 0, 0)] == min(r["z"] for r in rows)
+
+
+def test_compact_table_counts_same_extensions_both_sides(spark, tmp_path):
+    """files_before/files_after use one predicate (.parquet), so the
+    pair is comparable; the swap leaves no staging/backup directories."""
+    import os
+
+    from aws_lakehouse_project_spark.sources.writers import compact_table
+
+    path = str(tmp_path / "t")
+    spark.range(0, 100).repartition(10).write.parquet(path)
+    before, after = compact_table(spark, path, target_rows_per_file=100)
+    assert before == 10 and after == 1
+    assert not os.path.exists(path + ".__compact__")
+    assert not os.path.exists(path + ".__old__")
+    assert spark.read.parquet(path).count() == 100
