@@ -530,32 +530,48 @@ def fuzzy_name_pairs(
 ) -> DataFrame:
     """Entity-resolution candidate pairs: names within ``max_dist`` edits
     of each other, found by a *blocked* self-join — records pair only
-    inside a (prefix, length) block, never all-against-all.
+    inside a (prefix, length) OR a (suffix, length) block, never
+    all-against-all.
 
-    This is the string twin of the LSH pattern: the block key bounds the
-    self-join to records that can plausibly match (an edit distance ≤ d
-    pair shares a prefix unless the edit is in the first characters —
-    production blocking unions a few complementary keys: prefix, suffix,
-    phonetic). The levenshtein evaluation — the expensive part — runs
-    only on in-block pairs, map-side after the block-key join.
+    This is the string twin of the LSH pattern: the union of the two
+    complementary block keys is the pigeonhole — a same-length pair
+    within 1 edit differs at a single position, which cannot be inside
+    both the first ``block_len`` and the last ``block_len`` characters
+    (for names longer than 2·block_len with several interior edits,
+    production adds a phonetic key). Two block-key self-joins run
+    independently; the suffix join drops prefix-equal pairs map-side, so
+    the result sets are DISJOINT by construction and the union needs no
+    dedup shuffle — levenshtein, the expensive part, runs map-side on
+    in-block pairs only. Length rides in both block keys to keep blocks
+    bounded, which restricts recall to same-length (substitution) edits
+    — the documented trade.
     """
-    blocked = df.select(
-        F.col(key).alias("k"),
-        F.col(name).alias("nm"),
-        F.struct(
-            F.substring(F.col(name), 1, block_len).alias("prefix"),
-            F.length(F.col(name)).alias("len"),
-        ).alias("blk"),
+    def pairs_on(blk_col) -> DataFrame:
+        blocked = df.select(
+            F.col(key).alias("k"), F.col(name).alias("nm"), blk_col.alias("blk")
+        )
+        a = blocked.select(F.col("k").alias("k1"), F.col("nm").alias("n1"), "blk")
+        b = blocked.select(F.col("k").alias("k2"), F.col("nm").alias("n2"), "blk")
+        return a.join(b, "blk").filter(F.col("k1") < F.col("k2"))
+
+    length = F.length(F.col(name))
+    prefix_blk = F.struct(
+        F.substring(F.col(name), 1, block_len).alias("sub"), length.alias("len")
     )
-    a = blocked.select(
-        F.col("k").alias("k1"), F.col("nm").alias("n1"), "blk"
+    suffix_blk = F.struct(
+        F.expr(
+            f"substring({name}, greatest(length({name})-{block_len - 1}, 1), "
+            f"{block_len})"
+        ).alias("sub"),
+        length.alias("len"),
     )
-    b = blocked.select(
-        F.col("k").alias("k2"), F.col("nm").alias("n2"), "blk"
+    by_prefix = pairs_on(prefix_blk)
+    by_suffix = pairs_on(suffix_blk).filter(
+        # disjointness: anything the prefix key already pairs is skipped
+        F.substring("n1", 1, block_len) != F.substring("n2", 1, block_len)
     )
     return (
-        a.join(b, "blk")
-        .filter(F.col("k1") < F.col("k2"))
+        by_prefix.unionByName(by_suffix)
         .withColumn("dist", F.levenshtein("n1", "n2"))
         .filter(F.col("dist") <= max_dist)
         .select("k1", "k2", "n1", "n2", F.col("dist").cast("int").alias("dist"))
@@ -565,21 +581,32 @@ def fuzzy_name_pairs(
 @demo_query(
     "q_fuzzy_match",
     oracle="""
-    WITH blocked AS (
+    WITH pre AS (
       SELECT c_custkey AS k, c_name AS nm,
-             substr(c_name, 1, 16) AS prefix, length(c_name) AS len
+             substr(c_name, 1, 16) AS sub, length(c_name) AS len
       FROM customer
+    ),
+    suf AS (
+      SELECT c_custkey AS k, c_name AS nm,
+             substr(c_name, greatest(length(c_name) - 15, 1), 16) AS sub,
+             length(c_name) AS len
+      FROM customer
+    ),
+    cand AS (
+      SELECT a.k AS k1, b.k AS k2, a.nm AS n1, b.nm AS n2
+      FROM pre a JOIN pre b ON a.sub = b.sub AND a.len = b.len AND a.k < b.k
+      UNION ALL
+      SELECT a.k, b.k, a.nm, b.nm
+      FROM suf a JOIN suf b ON a.sub = b.sub AND a.len = b.len AND a.k < b.k
+      WHERE substr(a.nm, 1, 16) <> substr(b.nm, 1, 16)
     )
-    SELECT a.k AS k1, b.k AS k2, a.nm AS n1, b.nm AS n2,
-           CAST(levenshtein(a.nm, b.nm) AS INT) AS dist
-    FROM blocked a JOIN blocked b
-      ON a.prefix = b.prefix AND a.len = b.len AND a.k < b.k
-    WHERE levenshtein(a.nm, b.nm) <= 1
+    SELECT k1, k2, n1, n2, CAST(levenshtein(n1, n2) AS INT) AS dist
+    FROM cand WHERE levenshtein(n1, n2) <= 1
     """,
 )
 def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked edit-distance matching over customer names (see
-    ``fuzzy_name_pairs``)."""
+    """Blocked edit-distance matching over customer names with unioned
+    prefix+suffix block keys (see ``fuzzy_name_pairs``)."""
     return fuzzy_name_pairs(
         load_table(spark, sf_dir, "customer"), key="c_custkey", name="c_name"
     )

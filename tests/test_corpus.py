@@ -102,27 +102,30 @@ def test_contamination_single_corpus_shuffle(spark):
 
 
 def test_fuzzy_match_finds_planted_typo_in_block(spark):
-    """Blocked edit-distance matching: a one-character typo inside the
-    block prefix's tail is found; a name differing in its FIRST character
-    lands in another block and is (by documented blocking design) missed."""
+    """Blocked edit-distance matching with unioned prefix+suffix keys: a
+    typo in the prefix's tail is found via the prefix block, a typo in
+    the FIRST character (which prefix-only blocking provably missed) is
+    found via the suffix block, each matched pair emits exactly once,
+    and ≥2-edit names stay excluded."""
     from aws_lakehouse_project_spark.operators.dedup import fuzzy_name_pairs
 
     df = spark.createDataFrame(
         [
             (1, "Customer#000000001"),
-            (2, "Customer#000000002"),   # 1 edit from #1 — same block
+            (2, "Customer#000000002"),   # 1 edit from #1 — prefix block
             (3, "Customer#0000000XX"),   # 2 edits from #1 — beyond max_dist
-            (4, "Xustomer#000000001"),   # 1 edit but in char 1 → other block
+            (4, "Xustomer#000000001"),   # 1 edit in char 1 — suffix block
         ],
         "k long, nm string",
     )
-    pairs = {
-        (r["k1"], r["k2"], r["dist"])
-        for r in fuzzy_name_pairs(df, key="k", name="nm", max_dist=1).collect()
-    }
-    assert (1, 2, 1) in pairs
-    assert all(not (a == 1 and b == 4) for a, b, _ in pairs)
+    rows = fuzzy_name_pairs(df, key="k", name="nm", max_dist=1).collect()
+    pairs = {(r["k1"], r["k2"], r["dist"]) for r in rows}
+    assert (1, 2, 1) in pairs          # prefix-tail edit: prefix block
+    assert (1, 4, 1) in pairs          # first-char edit: suffix block
     assert all(d <= 1 for _, _, d in pairs)
+    assert all(not (a == 1 and b == 3) for a, b, _ in pairs)
+    # short names (< 2*block_len) are caught by BOTH keys — still one row
+    assert len(rows) == len(pairs)
 
 
 def test_ngram_overlap_short_docs_yield_no_shingles(spark):
