@@ -20,40 +20,36 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver verifies the FIRST 50 registered queries per round, so the
-# registry is emitted priority-first: queries with no green CORRECTNESS
-# row yet (round-1 positions 51+, the round-1 `err` row, and everything
-# added in round 2) precede the round-1-verified ones. Rotate this list
-# each round as rows come back green.
+# registry is emitted priority-first: queries with no driver CORRECTNESS
+# row yet come first, then queries whose implementation changed this
+# round (re-verify), then slots for queries added this round. Rotate
+# this list each round as rows come back green.
 #
-# ROUND-3 ROTATION QUEUE — registered after the 50-slot window filled,
-# so they have no driver row yet; promote them to the top next round:
-# q_stream_enrich, q_funnel, q_retention, q_tpch_q14, q_tpch_q22,
-# q_grouped_ols, q_embedding_quantize, q_nullsafe_join,
-# q_ratio_to_report, q_merge_delete, q_table_diff, q_scd2_lookup,
-# q_tpch_q8, q_tpch_q21, q_tpch_q6, q_tpch_q15, q_vocab_encode, q_mixture
-# (all verified vs oracles at sf0.001/sf0.01/sf0.1 by
-# scripts/oracle_sweep.py and tests/test_oracle_diff.py this round).
+# Ledger after r1+r2: 91 green rows, 7 rows-only, 1 err
+# (q_collect_sorted — array output, fixed this round), 18 never windowed.
 _VERIFY_FIRST = [
-    # round-1 unverified (registry positions 51+ last round)
-    "q_stats_exact", "q_window_lag", "q_window_cumsum", "q_grouping_sets",
-    "q_sample_hash", "q_calendar_fill", "q_array_stats", "q_collect_sorted",
-    "q_quantile_filter", "q_stratified_sample",
-    "q_text_quality", "q_token_count", "q_lang_id", "q_tfidf",
-    "q_fingerprint", "q_corpus_prep", "q_pack_sequences",
-    "q_tpch_q5", "q_semi_join", "q_anti_join", "q_distinct_agg",
-    "q_left_join_hist", "q_having", "q_correlated_subquery",
-    "q_stream_daily", "q_ann_join_docs",
-    # round-1 err row (array output fixed)
-    "q_dedup_clusters",
-    # new in round 2 — no driver row yet
-    "q_embedding_centroids", "q_corr_regression", "q_repetition",
-    "q_pii_scrub", "q_tpch_q3", "q_tpch_q10", "q_stream_sliding",
-    "q_scan_orc", "q_schema_evolution",
+    # the r2 err row, fixed (array_join'd output)
+    "q_collect_sorted",
+    # never driver-windowed (r2 rotation queue, __spark_entry__ r2:29-35)
+    "q_stream_enrich", "q_funnel", "q_retention",
+    "q_tpch_q14", "q_tpch_q22", "q_tpch_q6", "q_tpch_q8",
+    "q_tpch_q15", "q_tpch_q21",
+    "q_grouped_ols", "q_embedding_quantize", "q_nullsafe_join",
+    "q_ratio_to_report", "q_merge_delete", "q_table_diff",
+    "q_scd2_lookup", "q_vocab_encode", "q_mixture",
+    # r1 rows-only, oracle-upgraded in r2 — first oracle-checked row
+    "q_multimodal_features", "q_sink_partitioned",
+    # implementation changed this round — re-verify green rows:
+    # broadcast hints dropped (AQE decides now)
+    "q_join_inner", "q_window_cumsum", "q_tpch_q5", "q_tpch_q10",
+    "q_tpch_q19",
+    # short-document sequence() guard in corpus.py
     "q_contamination", "q_chunk_dedup", "q_zipf",
-    "q_ntile", "q_first_last", "q_explode_pos",
-    "q_stream_join", "q_scan_binaryfile",
-    "q_scd2", "q_ri_audit", "q_tpch_q7", "q_tpch_q19",
-    "q_histogram", "q_fuzzy_match",
+    # second (suffix, length) block key
+    "q_fuzzy_match",
+    # merge writer rework (static overwrite on full refresh)
+    "q_merge_upsert",
+    # new queries added in round 3 are appended here as they land
 ]
 
 
