@@ -20,36 +20,32 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver verifies the FIRST 50 registered queries per round, so the
-# registry is emitted priority-first: queries with no driver CORRECTNESS
-# row yet come first, then queries whose implementation changed this
-# round (re-verify), then slots for queries added this round. Rotate
-# this list each round as rows come back green.
+# registry is emitted priority-first: queries broken-then-fixed this
+# round come first (their green must be re-earned on the current data),
+# then queries added this round, then the stalest green rows (rotation:
+# no query's latest driver row should age past two rounds).
 #
-# Ledger after r1+r2: 91 green rows, 7 rows-only, 1 err
-# (q_collect_sorted — array output, fixed this round), 18 never windowed.
+# Ledger after r1-r3: all 117 have rows; 30 queries' latest row is r1,
+# 37 are r2, 50 are r3. Round 4 re-verifies the 6 ts-regression fixes +
+# new queries + the 30 r1-stale rows.
 _VERIFY_FIRST = [
-    # the r2 err row, fixed (array_join'd output)
-    "q_collect_sorted",
-    # never driver-windowed (r2 rotation queue, __spark_entry__ r2:29-35)
-    "q_stream_enrich", "q_funnel", "q_retention",
-    "q_tpch_q14", "q_tpch_q22", "q_tpch_q6", "q_tpch_q8",
-    "q_tpch_q15", "q_tpch_q21",
-    "q_grouped_ols", "q_embedding_quantize", "q_nullsafe_join",
-    "q_ratio_to_report", "q_merge_delete", "q_table_diff",
-    "q_scd2_lookup", "q_vocab_encode", "q_mixture",
-    # r1 rows-only, oracle-upgraded in r2 — first oracle-checked row
-    "q_multimodal_features", "q_sink_partitioned",
-    # implementation changed this round — re-verify green rows:
-    # broadcast hints dropped (AQE decides now)
-    "q_join_inner", "q_window_cumsum", "q_tpch_q5", "q_tpch_q10",
-    "q_tpch_q19",
-    # short-document sequence() guard in corpus.py
-    "q_contamination", "q_chunk_dedup", "q_zipf",
-    # second (suffix, length) block key
-    "q_fuzzy_match",
-    # merge writer rework (static overwrite on full refresh)
-    "q_merge_upsert",
-    # new queries added in round 3 are appended here as they land
+    # TIMESTAMP_NTZ regression fixes (catalog.normalize_ts + streaming
+    # schema inference) — r3 err/mismatch rows and stale greens on the
+    # regenerated data; all six must re-earn green in r4
+    "q_stream_daily", "q_stream_sliding", "q_stream_join",
+    "q_stream_enrich", "q_asof_join", "q_sessionize",
+    # new queries added in round 4 (appended as they land)
+    "q_freshness", "q_anti_join_quality", "q_lang_mix",
+    "q_length_histogram", "q_tpch_q1", "q_stream_dedup",
+    # stalest rows: latest driver row is r1 — rotate through the window
+    "q_agg_count", "q_agg_count_filter", "q_agg_sum", "q_bool_agg",
+    "q_bound_check", "q_except", "q_expectation_suite", "q_fact_daily",
+    "q_filter_eq", "q_filter_range", "q_intersect", "q_join_full_outer",
+    "q_monthly_trunc", "q_notnull_check", "q_regex", "q_scalar_subquery",
+    "q_scan_csv", "q_scan_json", "q_scan_parquet", "q_similarity_ivf",
+    "q_similarity_lsh", "q_similarity_pairs", "q_similarity_topk",
+    "q_sort_topk", "q_sql_fact", "q_stage_orders", "q_topk_per_group",
+    "q_union", "q_window_rank", "q_window_rolling",
 ]
 
 

@@ -22,23 +22,41 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to session-zoned TIMESTAMP whatever
+    parquet physical type the testdata generator used this round:
+
+    - TIMESTAMP(NANOS) read as long (``nanosAsLong``) → truncate to
+      micros (integer div, exactly like DuckDB) and re-type;
+    - TIMESTAMP_MICROS with ``isAdjustedToUTC=0`` → Spark 4 reads
+      TIMESTAMP_NTZ; the session is pinned UTC (session.py), so a plain
+      cast is value-preserving;
+    - already TIMESTAMP → no-op.
+
+    Works on both batch and streaming DataFrames (pure column rewrite).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    dt = df.schema[col].dataType
+    if isinstance(dt, T.LongType):
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if isinstance(dt, T.TimestampNTZType):
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan of one testdata table (S4). Predicate pushdown and
     column pruning are Catalyst's job — callers filter/select lazily."""
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
-        # rejects outright unless nanosAsLong is on. The conf is runtime-
-        # settable, and the driver may hand us a session without it —
-        # set it here so entry()/queries() work on ANY session, then
-        # truncate nanos to micros exactly like DuckDB (integer div).
-        from pyspark.sql import functions as F
-        from pyspark.sql import types as T
-
+        # events.ts encoding has varied across testdata regenerations
+        # (TIMESTAMP(NANOS) in r1-r2, TIMESTAMP_MICROS NTZ since r3).
+        # nanosAsLong is runtime-settable and harmless for micros data —
+        # set it so entry()/queries() work on ANY session, then let
+        # normalize_ts sort out whichever type actually arrived.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(table_path(sf_dir, name))
-        if isinstance(df.schema["ts"].dataType, T.LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
+        return normalize_ts(spark.read.parquet(table_path(sf_dir, name)))
     return spark.read.parquet(table_path(sf_dir, name))
 
 

@@ -610,3 +610,38 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_name_pairs(
         load_table(spark, sf_dir, "customer"), key="c_custkey", name="c_name"
     )
+
+
+@demo_query(
+    "q_dedup_anti_join",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_victims,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_removed
+    FROM documents d
+    WHERE EXISTS (SELECT 1 FROM documents b
+                  WHERE b.text = d.text AND b.doc_id < d.doc_id)
+    GROUP BY lang
+    """,
+)
+def q_dedup_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup expressed as a LEFT ANTI join — the victims report
+    (per-language count and bytes removed) for rows that are NOT the
+    canonical lowest-id copy of their content group.
+
+    The anti-join formulation is the one you compose into a pipeline at
+    scale: derive the canonical-id set once (groupBy content → min id,
+    one shuffle whose width is the min-id aggregate, not the corpus),
+    then anti-join the corpus against it on the ID ONLY — a
+    long-vs-long join, broadcastable when the dup rate is low, with no
+    second shuffle of document text (contrast q_dedup_keep_first's
+    window, which re-sorts the full rows inside each content group)."""
+    docs = load_table(spark, sf_dir, "documents")
+    canon_ids = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select(
+        "doc_id"
+    )
+    victims = docs.join(canon_ids, "doc_id", "left_anti")
+    return victims.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_victims"),
+        F.sum("n_chars").alias("chars_removed"),
+    )

@@ -472,3 +472,58 @@ def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("price").cast("double").alias("revenue"),
     )
+
+
+@demo_query(
+    "q_freshness",
+    oracle="""
+    WITH f AS (
+      SELECT 'events' AS src, max(ts) AS loaded_at FROM events
+      UNION ALL
+      SELECT 'orders' AS src, max(o_orderdate) AS loaded_at FROM orders
+    ),
+    lagged AS (
+      SELECT src,
+             (epoch_us(TIMESTAMP '2024-01-31 06:00:00') - epoch_us(loaded_at))
+               / 3600000000.0 AS lag_h
+      FROM f
+    )
+    SELECT src,
+           CAST(ROUND(lag_h, 3) AS DOUBLE) AS lag_hours,
+           CASE WHEN lag_h > 24 THEN 'error'
+                WHEN lag_h > 12 THEN 'warn'
+                ELSE 'ok' END AS status
+    FROM lagged
+    """,
+)
+def q_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 source freshness AS A QUERY (reference ``dbt/models/staging/
+    schema.yml:10-13`` — ``loaded_at_field`` with warn_after 12h /
+    error_after 24h): per-source max(loaded_at) lag against a fixed
+    as-of instant, classified ok/warn/error.
+
+    The pipeline twin (``pipeline.check_freshness``) returns the status
+    driver-side; this form keeps it relational so it can join into a
+    health dashboard. Each source is a 1-row MAX aggregate (partial+
+    final, no groupBy shuffle at any scale); the union is 2 rows."""
+    from ..catalog import normalize_ts
+
+    ev = load_table(spark, sf_dir, "events")
+    orders = normalize_ts(load_table(spark, sf_dir, "orders"), "o_orderdate")
+    now_us = F.unix_micros(F.lit("2024-01-31 06:00:00").cast("timestamp"))
+
+    def lagged(df: DataFrame, src: str, col: str) -> DataFrame:
+        return df.agg(F.max(col).alias("loaded_at")).select(
+            F.lit(src).alias("src"),
+            ((now_us - F.unix_micros("loaded_at")) / 3600000000.0).alias("lag_h"),
+        )
+
+    f = lagged(ev, "events", "ts").unionAll(lagged(orders, "orders", "o_orderdate"))
+    return f.select(
+        "src",
+        F.round(F.col("lag_h"), 3).cast("double").alias("lag_hours"),
+        F.when(F.col("lag_h") > 24, "error")
+        .when(F.col("lag_h") > 12, "warn")
+        .otherwise("ok")
+        .alias("status"),
+    )

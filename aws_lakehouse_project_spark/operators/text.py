@@ -500,3 +500,73 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("len_before").cast("bigint")).alias("chars_before"),
         F.sum(F.col("len_after").cast("bigint")).alias("chars_after"),
     )
+
+
+@demo_query(
+    "q_lang_mix",
+    oracle="""
+    WITH per_lang AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM per_lang)
+    SELECT lang, n_docs, n_tokens,
+           CAST(ROUND(CAST(n_tokens AS DOUBLE) / total_tokens, 6) AS DOUBLE)
+             AS token_share
+    FROM per_lang, tot
+    """,
+)
+def q_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus language mixture: per-language doc/token counts and each
+    language's share of total tokens — the report that drives mixture
+    reweighting for a training run (cf. q_mixture, which SAMPLES to
+    target weights; this MEASURES the as-is mix).
+
+    One shuffle (groupBy lang, ~10s of groups after map-side combine);
+    the total is a 1-row broadcast cross join, so the share division
+    never reshuffles. Token counts are exact integers; the single
+    int/int division is reproducible across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_lang = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens"),
+    )
+    total = per_lang.agg(F.sum("n_tokens").alias("total_tokens"))
+    return per_lang.crossJoin(F.broadcast(total)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens").cast("double") / F.col("total_tokens"), 6)
+        .cast("double")
+        .alias("token_share"),
+    )
+
+
+@demo_query(
+    "q_length_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(n_chars / 100) * 100 AS BIGINT) AS bucket_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram in fixed 100-char buckets — the
+    length-distribution profile a corpus-prep pipeline checks before
+    choosing truncation/packing thresholds.
+
+    Bucketing is integer arithmetic on an already-materialized column,
+    so the scan reads exactly one int column (ReadSchema pruning) and
+    the aggregate is one partial+final pass over O(buckets) groups."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (F.floor(F.col("n_chars") / 100) * 100).cast("bigint")
+    return docs.groupBy(bucket.alias("bucket_lo")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )

@@ -819,3 +819,59 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(supp, F.col("supplier_no") == supp.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
+
+
+@demo_query(
+    "q_tpch_q1",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE)
+             AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - l_discount AS DECIMAL(12,2))
+                    * CAST(1 + l_tax AS DECIMAL(12,2))) AS DOUBLE)
+             AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+             AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+             AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+             AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary report): THE canonical scan-heavy
+    aggregation — one pushed date filter, eight aggregates over two
+    low-cardinality grouping keys, computed in a single partial+final
+    hash-aggregate pass (map-side combine collapses each task to ~6
+    groups before the shuffle, so shuffle volume is O(groups), not
+    O(rows) — the shape that holds at 100 TB). Averages are derived
+    from the exact-decimal sums divided as double (bit-identical to the
+    oracle, immune to float summation order)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1))
+    disc_price = money("l_extendedprice") * money(F.lit(1) - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate").cast("date") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(money("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(money("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(disc_price * money(F.lit(1) + F.col("l_tax")))
+            .cast("double")
+            .alias("sum_charge"),
+            (F.sum(money("l_quantity")).cast("double") / n).alias("avg_qty"),
+            (F.sum(money("l_extendedprice")).cast("double") / n).alias("avg_price"),
+            (F.sum(money("l_discount")).cast("double") / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )

@@ -21,37 +21,34 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from ..functions.money import money
 from ..operators.registry import demo_query
 from ..plans.merge import PartitionOverwriteMergeWriter
 
-# raw parquet schema of the events table: ts is TIMESTAMP(NANOS) read as
-# long via spark.sql.legacy.parquet.nanosAsLong (see catalog.load_table)
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def read_events_stream(spark: SparkSession, events_path: str) -> DataFrame:
-    """File-source stream over the events drop directory (S2/§2.9)."""
+    """File-source stream over the events drop directory (S2/§2.9).
+
+    The file source needs an explicit schema, but the testdata
+    generator's ``ts`` encoding has changed across rounds
+    (TIMESTAMP(NANOS)-as-long, then TIMESTAMP_MICROS NTZ). Inferring the
+    schema from the files already in the drop directory — a one-time
+    driver-side footer read, no data scan — keeps the stream correct
+    under ANY encoding; ``normalize_ts`` then rewrites ``ts`` to
+    session-zoned TIMESTAMP exactly as the batch path does.
+    """
+    from ..catalog import normalize_ts
+
     # nanos→long mapping needs this conf even with an explicit schema;
     # runtime-settable, so tolerate sessions the engine didn't build
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(events_path).schema
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", 1)  # one file drop per micro-batch
         .parquet(events_path)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_ts(raw)
 
 
 def daily_user_metrics_stream(events: DataFrame, watermark: str = "7 days") -> DataFrame:
@@ -427,4 +424,47 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "segment",
         "n_events",
         "total_value",
+    )
+
+
+_DEDUP_ORACLE = """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1
+"""
+
+
+@demo_query("q_stream_dedup", oracle=_DEDUP_ORACLE)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 streaming exact dedup: the events file delivered TWICE (an
+    at-least-once redelivery) through ``dropDuplicatesWithinWatermark``
+    must emit each event_id exactly once — so the per-type counts of the
+    deduped stream equal the plain batch counts over the single copy
+    (the DuckDB oracle). State is one key per event_id inside the 7-day
+    horizon, expired by the watermark."""
+    import os
+    import shutil
+
+    from ..functions.scratch import scratch_dir
+
+    work = scratch_dir("spark_graft_stream_dedup", unique=True)
+    drops = os.path.join(work, "drops")
+    os.makedirs(drops)
+    src = os.path.join(sf_dir, "events.parquet")
+    shutil.copy(src, os.path.join(drops, "b1.parquet"))
+    shutil.copy(src, os.path.join(drops, "b2.parquet"))  # redelivery
+    out = os.path.join(work, "deduped")
+    query = (
+        dedup_events_stream(read_events_stream(spark, drops))
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .start()
+    )
+    query.processAllAvailable()
+    query.stop()
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
     )

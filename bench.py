@@ -106,26 +106,35 @@ def main() -> None:
                 print(f"# warm-up {name} failed: {exc}", file=sys.stderr)
     registry["q_scan_parquet"](spark, sf_dir).collect()
 
+    def timed(name: str, out: dict) -> None:
+        # per-query fault isolation: one broken query must not abort the
+        # whole bench (round 3 lost its entire BENCH json to a single
+        # analysis error) — record null, keep going, always emit JSON
+        t0 = time.perf_counter()
+        try:
+            registry[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            out[name] = round(time.perf_counter() - t0, 3)
+            print(f"# {name}: {out[name]:.3f}s", file=sys.stderr)
+        except Exception as exc:
+            out[name] = None
+            print(f"# {name} FAILED: {exc}", file=sys.stderr)
+
     cpu0, steal0 = _cpu_times()
-    timings: dict[str, float] = {}
+    timings: dict[str, float | None] = {}
     for name in names:
-        t0 = time.perf_counter()
-        df = registry[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
-    extra: dict[str, float] = {}
+        timed(name, timings)
+    extra: dict[str, float | None] = {}
     for name in [n for n in EXTRA if n in registry]:
-        t0 = time.perf_counter()
-        registry[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        extra[name] = round(time.perf_counter() - t0, 3)
-        print(f"# extra {name}: {extra[name]:.3f}s", file=sys.stderr)
+        timed(name, extra)
     cpu1, steal1 = _cpu_times()
     steal_pct = (
         round(100.0 * (steal1 - steal0) / (cpu1 - cpu0), 2) if cpu1 > cpu0 else None
     )
 
-    total = round(sum(timings.values()), 3)
+    failed = [n for n, v in {**timings, **extra}.items() if v is None]
+    total = round(sum(v for v in timings.values() if v is not None), 3)
     print(
         json.dumps(
             {
@@ -134,6 +143,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "extra_queries": extra,
+                "failed_queries": failed,
                 "sf": sf,
                 "steal_pct": steal_pct,
             }

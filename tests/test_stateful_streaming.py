@@ -14,11 +14,10 @@ from tests.conftest import SF_DIR
 
 def _events_stream(spark, path):
     from aws_lakehouse_project_spark.streaming.events_stream import (
-        EVENTS_RAW_SCHEMA,
+        read_events_stream,
     )
 
-    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(path)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return read_events_stream(spark, path)
 
 
 def test_session_window_stream_matches_batch(spark, tmp_path):
@@ -33,11 +32,12 @@ def test_session_window_stream_matches_batch(spark, tmp_path):
     shutil.copy(
         os.path.join(SF_DIR, "events.parquet"), drop_dir / "b1.parquet"
     )
-    # flush event: far enough that watermark (7d) passes all real data
-    flush_ns = int(dt.datetime(2024, 6, 1).timestamp() * 1e9)
+    # flush event: far enough that watermark (7d) passes all real data.
+    # Written with the SAME ts physical type as the copied testdata file
+    # (TIMESTAMP_NTZ) so the stream's inferred schema holds for both.
     spark.createDataFrame(
-        [(999_999, flush_ns, 999_999, "view", 0.0, "{}")],
-        "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING",
+        [(999_999, dt.datetime(2024, 6, 1), 999_999, "view", 0.0, "{}")],
+        "event_id LONG, ts TIMESTAMP_NTZ, user_id LONG, event_type STRING, value DOUBLE, props STRING",
     ).write.parquet(str(drop_dir / "b2.parquet"))
 
     out = (

@@ -11,13 +11,9 @@ from tests.conftest import SF_DIR
 
 
 def batch_daily_user_metrics(spark, events_path):
-    from aws_lakehouse_project_spark.streaming.events_stream import EVENTS_RAW_SCHEMA
+    from aws_lakehouse_project_spark.catalog import normalize_ts
 
-    ev = (
-        spark.read.schema(EVENTS_RAW_SCHEMA)
-        .parquet(events_path)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    ev = normalize_ts(spark.read.parquet(events_path))
     return (
         ev.groupBy(
             F.col("ts").cast("date").alias("dt"), F.col("user_id").alias("cust_id")
@@ -70,7 +66,9 @@ def test_stream_incremental_file_drops(spark, tmp_path):
     the reference's late-data contract, streaming-shaped."""
     from aws_lakehouse_project_spark.streaming.events_stream import run_stream_to_merge
 
-    src = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    from aws_lakehouse_project_spark.catalog import normalize_ts
+
+    src = normalize_ts(spark.read.parquet(os.path.join(SF_DIR, "events.parquet")))
     drop_dir = tmp_path / "drops"
     # events span 2024-01-01..01-30. Drop 1 holds everything before
     # 01-20 except some held-back rows from 01-15..01-19; drop 2 delivers
@@ -78,11 +76,8 @@ def test_stream_incremental_file_drops(spark, tmp_path):
     # aggregated but INSIDE the 7-day watermark (01-19 max → 01-12), so
     # the stream must heal them — rows later than the watermark would be
     # dropped by design (that's the reference's 7-day contract).
-    # raw read surfaces ts as long nanos (nanosAsLong session conf)
-    import datetime as _dt
-
-    day20 = _dt.datetime(2024, 1, 20).timestamp() * 1e9
-    day15 = _dt.datetime(2024, 1, 15).timestamp() * 1e9
+    day20 = F.lit("2024-01-20").cast("timestamp")
+    day15 = F.lit("2024-01-15").cast("timestamp")
     held_back = (F.col("event_id") % 5 == 0) & (F.col("ts") >= day15)
     early = src.filter((F.col("ts") < day20) & ~held_back)
     late = src.join(early, "event_id", "left_anti")
