@@ -875,3 +875,175 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
             n.alias("count_order"),
         )
     )
+
+
+@demo_query(
+    "q_tpch_q9",
+    oracle="""
+    SELECT n_name AS nation,
+           CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE)
+             AS revenue
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    """,
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit, adapted: the testdata has no
+    partsupp, so profit is discounted revenue): five-way join rolled up
+    by supplier nation × order year for one product family.
+
+    Scale plan: the p_name LIKE filter prunes part BEFORE the join (the
+    only predicate in the query — Catalyst pushes it to the part scan),
+    lineitem joins the filtered part keys first so the fact is cut
+    ~10× before the orders join (the widest side), and nation is a
+    25-row broadcast. Year extraction happens post-join on the
+    surviving rows only."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(
+            F.sum(money("l_extendedprice") * money(F.lit(1) - F.col("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@demo_query(
+    "q_tpch_q11",
+    oracle="""
+    WITH per_part AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * CAST(1 - l_discount AS DECIMAL(12,2))) AS value
+      FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT SUM(value) AS total FROM per_part)
+    SELECT l_partkey, CAST(value AS DOUBLE) AS value
+    FROM per_part, tot
+    WHERE value > 0.001 * total
+    """,
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock, adapted to lineitem value):
+    per-part revenue filtered against a FRACTION OF THE GLOBAL TOTAL —
+    the nested-aggregate-threshold pattern.
+
+    The global total re-aggregates the per-part aggregate (tiny), then
+    rejoins as a 1-row broadcast cross join — the same
+    scalar-broadcast discipline as the engine's other global
+    comparisons; the per-part table is never shuffled twice. Exact
+    decimal on both sums so the > comparison is engine-identical."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(money("l_extendedprice") * money(F.lit(1) - F.col("l_discount"))).alias(
+            "value"
+        )
+    )
+    # reused by the total AND the filter — materialize once
+    per_part = per_part.localCheckpoint(eager=True)
+    total = per_part.agg(F.sum("value").alias("total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.lit(0.001) * F.col("total"))
+        .select("l_partkey", F.col("value").cast("double").alias("value"))
+    )
+
+
+@demo_query(
+    "q_tpch_q16",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part JOIN lineitem ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#13' AND p_size IN (1, 2, 3, 4, 5)
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (supplier-part relationship count): DISTINCT
+    supplier count per part attribute group, with an exclusion predicate
+    (<>) and an IN-list — both pushed to the part scan.
+
+    countDistinct expands to a two-phase aggregate (partial distinct on
+    (group, suppkey), then count) — Catalyst plans the expansion; the
+    filtered part side is dimension-small so AQE broadcasts it into
+    lineitem and only surviving lines reach the distinct."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13") & F.col("p_size").isin(1, 2, 3, 4, 5)
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        part.join(li, part.p_partkey == li.l_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@demo_query(
+    "q_tpch_q20",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE '%bolt%'
+        AND CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+      GROUP BY l_suppkey
+      HAVING SUM(CAST(l_quantity AS BIGINT)) > 50
+    )
+    """,
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (excess-inventory suppliers, adapted): IN against
+    an aggregate-filtered subquery — suppliers who shipped more than a
+    threshold volume of one product family in one year — as a LEFT SEMI
+    join on the aggregated keys.
+
+    The subquery side collapses to qualifying supplier keys before the
+    semi join (keys-only shuffle); part prunes via the LIKE filter and
+    the date range reaches the lineitem scan as pushed predicates."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%bolt%"))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1997-01-01"))
+    )
+    qualifying = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    return supp.join(
+        qualifying, supp.s_suppkey == qualifying.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")

@@ -76,6 +76,13 @@ EXTRA = [
     "q_fuzzy_match",
     "q_histogram",
     "q_embedding_quantize",
+    # round-4 additions
+    "q_tpch_q1",
+    "q_tpch_q9",
+    "q_tpch_q11",
+    "q_dedup_anti_join",
+    "q_lang_mix",
+    "q_freshness",
 ]
 
 
