@@ -38,6 +38,7 @@ _VERIFY_FIRST = [
     "q_freshness", "q_dedup_anti_join", "q_lang_mix",
     "q_length_histogram", "q_tpch_q1", "q_stream_dedup",
     "q_tpch_q9", "q_tpch_q11", "q_tpch_q16", "q_tpch_q20",
+    "q_stream_sessions",
     # stalest rows: latest driver row is r1 — rotate through the window
     "q_agg_count", "q_agg_count_filter", "q_agg_sum", "q_bool_agg",
     "q_bound_check", "q_except", "q_expectation_suite", "q_fact_daily",
@@ -69,7 +70,10 @@ def _registry():
         text,
         tpch,
     )
-    from aws_lakehouse_project_spark.streaming import events_stream  # noqa: F401
+    from aws_lakehouse_project_spark.streaming import (  # noqa: F401
+        events_stream,
+        stateful,
+    )
     from aws_lakehouse_project_spark.operators.registry import ORACLES, QUERIES
 
     ordered = [n for n in _VERIFY_FIRST if n in QUERIES] + [

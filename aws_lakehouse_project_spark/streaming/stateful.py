@@ -22,6 +22,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from ..operators.registry import demo_query
+
 SESSION_GAP = "30 minutes"
 
 
@@ -178,4 +180,92 @@ def running_totals_stream(events: DataFrame) -> DataFrame:
         outputStructType=RUNNING_TOTALS_SCHEMA,
         outputMode="Update",
         timeMode="None",
+    )
+
+
+_SESSIONS_ORACLE = """
+    WITH d AS (
+      SELECT user_id, ts, event_type,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts, event_type,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM d
+    )
+    SELECT user_id,
+           CAST(epoch_us(MIN(ts)) AS BIGINT) AS session_start_us,
+           CAST(epoch_us(MAX(ts) + INTERVAL 30 MINUTE) AS BIGINT)
+             AS session_end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+             AS purchases
+    FROM s GROUP BY user_id, sid
+"""
+
+
+@demo_query("q_stream_sessions", oracle=_SESSIONS_ORACLE)
+def q_stream_sessions(spark, sf_dir: str) -> DataFrame:
+    """§2.9 stateful streaming sessions as a driver-checked query: the
+    events table delivered as one drop plus a far-future flush event
+    (which advances the watermark past every real session, closing them
+    all), aggregated by gap-based ``session_window`` in append mode.
+
+    With every session closed, the emitted set must equal batch
+    sessionization — the DuckDB oracle computes the same 30-minute-gap
+    sessions via lag/cumsum windows. Session bounds are emitted as
+    epoch-micros BIGINTs so the comparison is integer-exact. Spark's
+    session_window starts a NEW session when the gap is >= the timeout
+    (window end is exclusive), matching the oracle's >= INTERVAL."""
+    import datetime as dt
+    import os
+    import shutil
+
+    from ..functions.scratch import scratch_dir
+    from ..streaming.events_stream import read_events_stream
+
+    work = scratch_dir("spark_graft_stream_sessions", unique=True)
+    drops = os.path.join(work, "drops")
+    os.makedirs(drops)
+    shutil.copy(
+        os.path.join(sf_dir, "events.parquet"), os.path.join(drops, "b1.parquet")
+    )
+    # flush row written with the SAME ts physical type as the testdata
+    # (TIMESTAMP_NTZ) so the stream's inferred schema holds for both
+    flush_uid = 999_999_999
+    spark.createDataFrame(
+        [(flush_uid, dt.datetime(2024, 6, 1), flush_uid, "view", 0.0, "{}")],
+        "event_id LONG, ts TIMESTAMP_NTZ, user_id LONG, event_type STRING,"
+        " value DOUBLE, props STRING",
+    ).write.parquet(os.path.join(drops, "b2.parquet"))
+
+    out = os.path.join(work, "sessions")
+    query = (
+        # glob, not bare dir: the flush drop is a Spark-written parquet
+        # DIRECTORY, and a directory source does not recurse into it —
+        # the "*" expands both the flat testdata copy and the dir drop
+        sessionize_stream(read_events_stream(spark, os.path.join(drops, "*")))
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .start()
+    )
+    query.processAllAvailable()
+    query.stop()
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("user_id") != flush_uid)
+        .select(
+            "user_id",
+            F.unix_micros("session_start").alias("session_start_us"),
+            F.unix_micros("session_end").alias("session_end_us"),
+            "n_events",
+            "purchases",
+        )
     )
