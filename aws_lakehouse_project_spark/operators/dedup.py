@@ -572,8 +572,12 @@ def fuzzy_name_pairs(
     )
     return (
         by_prefix.unionByName(by_suffix)
-        .withColumn("dist", F.levenshtein("n1", "n2"))
-        .filter(F.col("dist") <= max_dist)
+        # thresholded levenshtein early-exits once the running distance
+        # exceeds max_dist (returns -1): O(len·max_dist) per pair, not
+        # O(len²) — the in-block candidate count is what scales, so the
+        # per-pair cost is the whole operator's cost
+        .withColumn("dist", F.levenshtein("n1", "n2", max_dist))
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
         .select("k1", "k2", "n1", "n2", F.col("dist").cast("int").alias("dist"))
     )
 

@@ -452,3 +452,69 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_vectors"),
         F.sum("mse_pico").cast("bigint").alias("total_mse_pico"),
     )
+
+
+@demo_query("q_similarity_ivf_pruned", oracle=_IVF_ORACLE)
+def q_similarity_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN, the at-scale layout made REAL (the design ``ivf_topk``'s
+    docstring promises): list assignment PRECOMPUTED AT INGEST and the
+    index written as a parquet table PARTITIONED BY LIST ID, so the
+    probe phase physically reads only nprobe/k of the corpus via static
+    partition pruning — `cid IN (...)` reaches the scan as a
+    PartitionFilter, and row groups of unprobed lists are never opened.
+
+    The probe-list collect is k-bounded metadata (nprobe ids out of
+    _IVF_K centroids), the same discipline as broadcasting the
+    centroids themselves. Results are identical to ``q_similarity_ivf``
+    (same oracle): layout changes WHERE the bytes live, not the math."""
+    import os
+
+    from pyspark.sql import Window
+
+    from ..functions.scratch import scratch_dir
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", "label", as_double("embedding").alias("v"))
+    c = emb.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= _IVF_K)).select(
+        F.col("vec_id").alias("cid"), as_double("embedding").alias("cv")
+    )
+
+    def cos(a: Column, b: Column) -> Column:
+        return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+    # ingest: assign each vector to its nearest centroid list and write
+    # the index partitioned by list id (one directory per list)
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cid"))
+    assign = (
+        e.crossJoin(F.broadcast(c))
+        .withColumn("sim", cos(F.col("v"), F.col("cv")))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("cid", "vec_id", "label", "v")
+    )
+    index_path = os.path.join(scratch_dir("spark_graft_ivf_index", unique=True), "idx")
+    assign.write.partitionBy("cid").parquet(index_path)
+
+    # probe: nprobe nearest lists for the query vector — a k-bounded
+    # driver-side list that becomes a static partition filter
+    qv = e.filter(F.col("vec_id") == _QUERY_VEC_ID).select(F.col("v").alias("qvec"))
+    probe_ids = [
+        r["cid"]
+        for r in c.crossJoin(F.broadcast(qv))
+        .withColumn("sim", cos(F.col("qvec"), F.col("cv")))
+        .orderBy(F.col("sim").desc(), F.col("cid"))
+        .limit(_IVF_NPROBE)
+        .select("cid")
+        .collect()
+    ]
+    index = spark.read.parquet(index_path).filter(
+        F.col("cid").isin(probe_ids) & (F.col("vec_id") != _QUERY_VEC_ID)
+    )
+    scored = index.crossJoin(F.broadcast(qv)).withColumn(
+        "cos_raw", cos(F.col("v"), F.col("qvec"))
+    )
+    return (
+        scored.orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+        .limit(_TOPK)
+        .select("vec_id", "label", F.round("cos_raw", 6).alias("cosine"))
+    )

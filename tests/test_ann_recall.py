@@ -63,3 +63,32 @@ def test_lsh_finds_planted_near_duplicate(spark):
     assert top, "LSH returned no candidates"
     assert top[0]["vec_id"] == 9_999, [r["vec_id"] for r in top[:3]]
     assert top[0]["cosine"] > 0.999
+
+
+def test_ivf_pruned_matches_inmemory_ivf(spark):
+    """The list-partitioned on-disk IVF index must return exactly the
+    in-memory ivf_topk result — layout changes where the bytes live,
+    not the math — and its probe scan must prune by partition."""
+    from aws_lakehouse_project_spark.operators.registry import QUERIES
+
+    sf_dir = "/root/testdata/sf0.001"
+    a = [tuple(r) for r in QUERIES["q_similarity_ivf"](spark, sf_dir).collect()]
+    b = [tuple(r) for r in QUERIES["q_similarity_ivf_pruned"](spark, sf_dir).collect()]
+    assert a == b
+
+
+def test_cid_partition_filter_prunes(spark, tmp_path):
+    """A cid IN (...) filter over a cid-partitioned index reaches the
+    scan as a PartitionFilter with no data filter — the physical
+    guarantee behind q_similarity_ivf_pruned's nprobe/k scan cost."""
+    from aws_lakehouse_project_spark.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    p = str(tmp_path / "idx")
+    emb.select(F.col("label").alias("cid"), "vec_id").write.partitionBy(
+        "cid"
+    ).parquet(p)
+    df = spark.read.parquet(p).filter(F.col("cid").isin([1, 2, 3]))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cid" in plan, plan
+    assert "DataFilters: []" in plan, plan

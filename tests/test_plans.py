@@ -328,3 +328,34 @@ def test_no_forced_broadcast_of_sf_scaling_tables():
     assert not offenders, "forced broadcast of SF-scaling table:\n" + "\n".join(
         offenders
     )
+
+
+def test_tpch_q1_pushes_date_filter_and_single_exchange(spark):
+    """Q1: the shipdate cutoff reaches the parquet scan and the eight
+    aggregates compute in ONE partial+final pass — exactly one exchange,
+    keyed on the two grouping columns."""
+    from aws_lakehouse_project_spark.operators.tpch import q_tpch_q1
+
+    plan = physical_plan(q_tpch_q1(spark, SF_DIR)).replace("\n", " ")
+    assert "DataFilters: [isnotnull(l_shipdate" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_tpch_q9_prunes_part_before_join(spark):
+    """Q9: the p_name LIKE filter is applied at the part scan (pushed
+    data filter), so lineitem only ever joins the filtered keys."""
+    from aws_lakehouse_project_spark.operators.tpch import q_tpch_q9
+
+    plan = physical_plan(q_tpch_q9(spark, SF_DIR)).replace("\n", " ")
+    assert "StringContains(p_name,widget)" in plan, plan
+
+
+def test_tpch_q20_aggregates_before_semi_join(spark):
+    """Q20: the qualifying-supplier side collapses to aggregated keys
+    BEFORE the semi join — the join probe carries keys, not lines."""
+    from aws_lakehouse_project_spark.operators.tpch import q_tpch_q20
+
+    plan = final_plan(q_tpch_q20(spark, SF_DIR)).replace("\n", " ")
+    semi = plan.find("LeftSemi")
+    agg = plan.find("HashAggregate", semi)
+    assert semi != -1 and agg != -1, plan
