@@ -38,7 +38,7 @@ _VERIFY_FIRST = [
     "q_freshness", "q_dedup_anti_join", "q_lang_mix",
     "q_length_histogram", "q_tpch_q1", "q_stream_dedup",
     "q_tpch_q9", "q_tpch_q11", "q_tpch_q16", "q_tpch_q20",
-    "q_stream_sessions", "q_similarity_ivf_pruned",
+    "q_stream_sessions", "q_similarity_ivf_pruned", "q_lang_temperature",
     # thresholded levenshtein this round — re-verify
     "q_fuzzy_match",
     # stalest rows: latest driver row is r1 — rotate through the window

@@ -570,3 +570,61 @@ def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+@demo_query(
+    "q_lang_temperature",
+    oracle="""
+    WITH per_lang AS (
+      SELECT lang,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM per_lang),
+    powed AS (
+      SELECT lang, n_tokens,
+             POW(CAST(n_tokens AS DOUBLE) / total, 0.7) AS p_alpha
+      FROM per_lang, tot
+    ),
+    z AS (SELECT SUM(p_alpha) AS z FROM powed)
+    SELECT lang, n_tokens,
+           CAST(ROUND(p_alpha / z, 6) AS DOUBLE) AS sample_prob,
+           CAST(ROUND((p_alpha / z) / (CAST(n_tokens AS DOUBLE)
+                 / (SELECT total FROM tot)), 6) AS DOUBLE) AS upweight
+    FROM powed, z
+    """,
+)
+def q_lang_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based multilingual resampling (the alpha-weighting
+    used for multilingual training mixtures, alpha=0.7): raise each
+    language's token share to alpha, renormalize, and report both the
+    sampling probability and the implied up/down-weight vs natural
+    frequency — low-resource languages upweight, high-resource ones
+    downweight.
+
+    Two 1-row scalar reductions (total tokens, normalizer Z) both rejoin
+    as broadcast cross joins over the ~10-row per-language frame; the
+    only data-scale work is the one token-count aggregation. The pow/
+    div chain runs on identical exact-integer inputs in both engines, so
+    the rounded doubles compare bit-identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_lang = docs.groupBy("lang").agg(
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens")
+    )
+    total = per_lang.agg(F.sum("n_tokens").alias("total"))
+    powed = per_lang.crossJoin(F.broadcast(total)).withColumn(
+        "p_alpha", F.pow(F.col("n_tokens").cast("double") / F.col("total"), 0.7)
+    )
+    z = powed.agg(F.sum("p_alpha").alias("z"))
+    return powed.crossJoin(F.broadcast(z)).select(
+        "lang",
+        "n_tokens",
+        F.round(F.col("p_alpha") / F.col("z"), 6).cast("double").alias("sample_prob"),
+        F.round(
+            (F.col("p_alpha") / F.col("z"))
+            / (F.col("n_tokens").cast("double") / F.col("total")),
+            6,
+        )
+        .cast("double")
+        .alias("upweight"),
+    )
