@@ -20,36 +20,37 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver verifies the FIRST 50 registered queries per round, so the
-# registry is emitted priority-first: queries broken-then-fixed this
-# round come first (their green must be re-earned on the current data),
-# then queries added this round, then the stalest green rows (rotation:
-# no query's latest driver row should age past two rounds).
+# registry is emitted priority-first: queries changed this round come
+# first (their green must be re-earned), then the stalest green rows
+# (rotation: no query's latest driver row should age past two rounds).
 #
-# Ledger after r1-r3: all 117 have rows; 30 queries' latest row is r1,
-# 37 are r2, 50 are r3. Round 4 re-verifies the 6 ts-regression fixes +
-# new queries + the 30 r1-stale rows.
+# Ledger after r1-r4: all 130 have rows; latest-green counts are
+# r4: 49, r3: 42, r2: 34, plus the rows-only set. Round 5 re-verifies
+# the queries whose oracles/semantics changed this round, all 34
+# r2-stale rows, and the head of the r3 cohort.
 _VERIFY_FIRST = [
-    # TIMESTAMP_NTZ regression fixes (catalog.normalize_ts + streaming
-    # schema inference) — r3 err/mismatch rows and stale greens on the
-    # regenerated data; all six must re-earn green in r4
-    "q_stream_daily", "q_stream_sliding", "q_stream_join",
-    "q_stream_enrich", "q_asof_join", "q_sessionize",
-    # new queries added in round 4 (appended as they land)
-    "q_freshness", "q_dedup_anti_join", "q_lang_mix",
-    "q_length_histogram", "q_tpch_q1", "q_stream_dedup",
-    "q_tpch_q9", "q_tpch_q11", "q_tpch_q16", "q_tpch_q20",
-    "q_stream_sessions", "q_similarity_ivf_pruned", "q_lang_temperature",
-    # thresholded levenshtein this round — re-verify
-    "q_fuzzy_match",
-    # stalest rows: latest driver row is r1 — rotate through the window
-    "q_agg_count", "q_agg_count_filter", "q_agg_sum", "q_bool_agg",
-    "q_bound_check", "q_except", "q_expectation_suite", "q_fact_daily",
-    "q_filter_eq", "q_filter_range", "q_intersect", "q_join_full_outer",
-    "q_monthly_trunc", "q_notnull_check", "q_regex", "q_scalar_subquery",
-    "q_scan_csv", "q_scan_json", "q_scan_parquet", "q_similarity_ivf",
-    "q_similarity_lsh", "q_similarity_pairs", "q_similarity_topk",
-    "q_sort_topk", "q_sql_fact", "q_stage_orders", "q_topk_per_group",
-    "q_union", "q_window_rank", "q_window_rolling",
+    # changed in round 5: new oracles (similarity_pairs literal-hyperplane,
+    # approx_distinct bounds-form, dedup_clusters recursive-CTE), pinned
+    # numeric semantics (q11 decimal literal, q20 floor), fuzzy block cap,
+    # normalize_ts signature; minhash/simhash stay rows-only (xxhash64)
+    # but re-earn their rows-only rows here
+    "q_similarity_pairs", "q_approx_distinct", "q_dedup_clusters",
+    "q_tpch_q11", "q_tpch_q20", "q_fuzzy_match", "q_freshness",
+    "q_dedup_minhash", "q_dedup_simhash",
+    # stalest rows: latest driver green is r2 — all 34
+    "q_scd2", "q_ri_audit", "q_schema_evolution", "q_scan_binaryfile",
+    "q_scan_orc", "q_ann_join_docs", "q_embedding_centroids",
+    "q_stats_exact", "q_window_lag", "q_grouping_sets", "q_sample_hash",
+    "q_calendar_fill", "q_array_stats", "q_quantile_filter",
+    "q_stratified_sample", "q_corr_regression", "q_histogram",
+    "q_text_quality", "q_token_count", "q_lang_id", "q_tfidf",
+    "q_fingerprint", "q_corpus_prep", "q_pack_sequences", "q_repetition",
+    "q_pii_scrub", "q_semi_join", "q_anti_join", "q_distinct_agg",
+    "q_left_join_hist", "q_having", "q_correlated_subquery", "q_tpch_q3",
+    "q_tpch_q7",
+    # head of the r3-stale cohort fills the window to 50
+    "q_rollup", "q_pivot", "q_range_join", "q_salted_agg", "q_cube",
+    "q_unpivot", "q_percentile",
 ]
 
 

@@ -22,7 +22,9 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+def normalize_ts(
+    df: DataFrame, col: str = "ts", *, long_is_nanos: bool = True
+) -> DataFrame:
     """Normalize an event-time column to session-zoned TIMESTAMP whatever
     parquet physical type the testdata generator used this round:
 
@@ -31,7 +33,14 @@ def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     - TIMESTAMP_MICROS with ``isAdjustedToUTC=0`` → Spark 4 reads
       TIMESTAMP_NTZ; the session is pinned UTC (session.py), so a plain
       cast is value-preserving;
-    - already TIMESTAMP → no-op.
+    - already TIMESTAMP / TIMESTAMP_NTZ → lossless cast or no-op.
+
+    PRECONDITION for the LongType branch: it assumes a LongType ``col``
+    is nanos-of-epoch produced by ``spark.sql.legacy.parquet.nanosAsLong``
+    decoding of a TIMESTAMP(NANOS) parquet column. Passing a genuine
+    bigint column (an id, a count) would silently produce garbage
+    timestamps — only call this on columns that are event-time by
+    contract, or pass ``long_is_nanos=False`` to make LongType a no-op.
 
     Works on both batch and streaming DataFrames (pure column rewrite).
     """
@@ -39,7 +48,7 @@ def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     from pyspark.sql import types as T
 
     dt = df.schema[col].dataType
-    if isinstance(dt, T.LongType):
+    if isinstance(dt, T.LongType) and long_is_nanos:
         return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
     if isinstance(dt, T.TimestampNTZType):
         return df.withColumn(col, F.col(col).cast("timestamp"))

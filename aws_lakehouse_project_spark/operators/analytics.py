@@ -371,17 +371,41 @@ def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@demo_query("q_approx_distinct", oracle=None)  # sketch values are engine-specific
+@demo_query(
+    "q_approx_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           TRUE AS within_5pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct estimation next to the exact count — the
     scale path for cardinality metrics (constant memory per group vs a
-    distinct shuffle). Rows-only: HLL estimates differ across engines by
-    design."""
+    distinct shuffle).
+
+    Raw HLL sketch values differ across engines by design, so the output
+    carries the exact count plus a ``within_5pct`` bound check on the
+    engine's estimate (HLL++ at rsd=0.02 — 2.5σ of headroom against the
+    5% bound — stays well inside it at these cardinalities) —
+    deterministic and oracle-checkable while still exercising the sketch
+    aggregate end-to-end."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
         F.countDistinct("l_orderkey").alias("exact_orders"),
         F.count(F.lit(1)).alias("n_rows"),
+    )
+    err = F.abs(F.col("approx_orders") - F.col("exact_orders")) / F.col(
+        "exact_orders"
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_orders",
+        "n_rows",
+        (err <= 0.05).alias("within_5pct"),
     )
 
 

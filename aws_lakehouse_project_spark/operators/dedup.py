@@ -397,12 +397,43 @@ def connected_components(
     return labels.select("node", F.col("label").alias("component"))
 
 
-@demo_query("q_dedup_clusters", oracle=None)  # iterative algorithm; rows-only
+# Recursive-CTE twin of connected_components over the (oracle-exact)
+# Jaccard edge set: transitive closure via WITH RECURSIVE, component =
+# min reachable node — same min-label semantics as the Spark iteration.
+_CLUSTERS_ORACLE = f"""
+    WITH RECURSIVE pairs AS (
+      SELECT d1, d2 FROM ({_JACCARD_ORACLE})
+    ),
+    edges AS (
+      SELECT d1 AS src, d2 AS dst FROM pairs
+      UNION
+      SELECT d2 AS src, d1 AS dst FROM pairs
+    ),
+    reach AS (
+      SELECT src AS node, dst AS r FROM edges
+      UNION
+      SELECT re.node, e.dst FROM reach re JOIN edges e ON re.r = e.src
+    ),
+    comp AS (
+      SELECT node, LEAST(node, MIN(r)) AS component FROM reach GROUP BY node
+    )
+    SELECT component,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS doc_ids
+    FROM comp GROUP BY component
+"""
+
+
+@demo_query("q_dedup_clusters", oracle=_CLUSTERS_ORACLE)
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters: Jaccard candidate pairs → connected components
     → cluster profile (component id = smallest doc_id, size, doc list).
     The keep-one-per-cluster dedup policy is then 'keep node ==
-    component'."""
+    component'.
+
+    Oracle-checked: the edge set (q_ngram_jaccard) is engine-portable,
+    and the DuckDB recursive-CTE closure computes the same min-label
+    components the Spark iteration converges to."""
     pairs = q_ngram_jaccard(spark, sf_dir)
     clusters = cluster_profiles(pairs)
     # the driver canonicalizer sorts/hashes every column via pandas, which
@@ -527,6 +558,7 @@ def fuzzy_name_pairs(
     name: str,
     block_len: int = 16,
     max_dist: int = 1,
+    max_block: int | None = 4096,
 ) -> DataFrame:
     """Entity-resolution candidate pairs: names within ``max_dist`` edits
     of each other, found by a *blocked* self-join — records pair only
@@ -545,11 +577,29 @@ def fuzzy_name_pairs(
     in-block pairs only. Length rides in both block keys to keep blocks
     bounded, which restricts recall to same-length (substitution) edits
     — the documented trade.
+
+    ``max_block`` is the skew guard: a block key hot enough to exceed it
+    (data pathology — thousands of same-length names sharing a 16-char
+    prefix) would go quadratic at 100×, so oversize blocks are excluded
+    wholesale rather than salted (salting an edit-distance self-join
+    loses cross-salt pairs anyway, so the cap makes the recall loss
+    explicit and bounded: dropped keys are identifiable by re-running
+    the block-size count). The hot-key set is found by one keys-only
+    aggregate and removed via broadcast anti-join — no extra shuffle of
+    the record side beyond the count itself.
     """
     def pairs_on(blk_col) -> DataFrame:
         blocked = df.select(
             F.col(key).alias("k"), F.col(name).alias("nm"), blk_col.alias("blk")
         )
+        if max_block is not None:
+            hot = (
+                blocked.groupBy("blk")
+                .agg(F.count(F.lit(1)).alias("bw"))
+                .filter(F.col("bw") > max_block)
+                .select("blk")
+            )
+            blocked = blocked.join(F.broadcast(hot), "blk", "left_anti")
         a = blocked.select(F.col("k").alias("k1"), F.col("nm").alias("n1"), "blk")
         b = blocked.select(F.col("k").alias("k2"), F.col("nm").alias("n2"), "blk")
         return a.join(b, "blk").filter(F.col("k1") < F.col("k2"))
@@ -586,15 +636,19 @@ def fuzzy_name_pairs(
     "q_fuzzy_match",
     oracle="""
     WITH pre AS (
-      SELECT c_custkey AS k, c_name AS nm,
-             substr(c_name, 1, 16) AS sub, length(c_name) AS len
-      FROM customer
+      SELECT * FROM (
+        SELECT c_custkey AS k, c_name AS nm,
+               substr(c_name, 1, 16) AS sub, length(c_name) AS len
+        FROM customer
+      ) QUALIFY COUNT(*) OVER (PARTITION BY sub, len) <= 4096
     ),
     suf AS (
-      SELECT c_custkey AS k, c_name AS nm,
-             substr(c_name, greatest(length(c_name) - 15, 1), 16) AS sub,
-             length(c_name) AS len
-      FROM customer
+      SELECT * FROM (
+        SELECT c_custkey AS k, c_name AS nm,
+               substr(c_name, greatest(length(c_name) - 15, 1), 16) AS sub,
+               length(c_name) AS len
+        FROM customer
+      ) QUALIFY COUNT(*) OVER (PARTITION BY sub, len) <= 4096
     ),
     cand AS (
       SELECT a.k AS k1, b.k AS k2, a.nm AS n1, b.nm AS n2

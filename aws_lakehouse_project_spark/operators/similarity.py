@@ -292,10 +292,24 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(load_table(spark, sf_dir, "embeddings"), _QUERY_VEC_ID)
 
 
-@demo_query(
-    "q_similarity_pairs",
-    oracle=None,  # all-pairs-above-threshold via buckets; rows-only
-)
+_PAIRS_ORACLE = f"""
+    WITH b AS (
+      SELECT vec_id, embedding::DOUBLE[] AS ev,
+             {_bucket_sql("embedding::DOUBLE[]")} AS bucket
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT a.vec_id AS v1, c.vec_id AS v2,
+             ROUND(list_inner_product(a.ev, c.ev)
+                   / (sqrt(list_inner_product(a.ev, a.ev))
+                      * sqrt(list_inner_product(c.ev, c.ev))), 6) AS cosine
+      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    )
+    SELECT v1, v2, cosine FROM scored WHERE cosine >= 0.40
+"""
+
+
+@demo_query("q_similarity_pairs", oracle=_PAIRS_ORACLE)
 def q_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (dedup by embedding): bucket
     self-join on the LSH bucket, exact cosine filter — candidate
@@ -303,7 +317,12 @@ def q_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the top tail of the testdata's cosine distribution (max observed
     ~0.51; no true dups are planted), so the demo returns a small
     non-empty set; recall is bounded by the LSH collision probability,
-    which is the ANN trade-off this operator exists to make."""
+    which is the ANN trade-off this operator exists to make.
+
+    Oracle-checked: ``_bucket_expr``'s hyperplanes are literal constants
+    reproduced verbatim by ``_bucket_sql``, and both engines fold the dot
+    product sequentially left-to-right (module docstring), so bucket ids
+    and 6-decimal cosines are engine-identical."""
     emb = load_table(spark, sf_dir, "embeddings")
     withb = emb.select("vec_id", as_double("embedding").alias("ev")).withColumn(
         "bucket", _bucket_expr(F.col("ev"))

@@ -9,6 +9,8 @@ each with a DuckDB oracle and exact-decimal money math.
 
 from __future__ import annotations
 
+import decimal
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -965,9 +967,13 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reused by the total AND the filter — materialize once
     per_part = per_part.localCheckpoint(eager=True)
     total = per_part.agg(F.sum("value").alias("total"))
+    # Decimal literal, not 0.001 (a double): keeps the threshold product
+    # in exact decimal arithmetic like the oracle's 0.001 * total, so a
+    # part value landing near the 0.1% boundary classifies identically.
+    frac = F.lit(decimal.Decimal("0.001"))
     return (
         per_part.crossJoin(F.broadcast(total))
-        .filter(F.col("value") > F.lit(0.001) * F.col("total"))
+        .filter(F.col("value") > frac * F.col("total"))
         .select("l_partkey", F.col("value").cast("double").alias("value"))
     )
 
@@ -1014,7 +1020,7 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
         AND CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
         AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
       GROUP BY l_suppkey
-      HAVING SUM(CAST(l_quantity AS BIGINT)) > 50
+      HAVING SUM(CAST(FLOOR(l_quantity) AS BIGINT)) > 50
     )
     """,
 )
@@ -1039,7 +1045,11 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     qualifying = (
         li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("l_suppkey")
-        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("qty"))
+        # floor() before the integer cast on BOTH engines: Spark's bare
+        # double→bigint cast truncates while DuckDB's rounds half-even,
+        # so the semantics are pinned rather than relying on integral
+        # testdata quantities.
+        .agg(F.sum(F.floor("l_quantity").cast("bigint")).alias("qty"))
         .filter(F.col("qty") > 50)
         .select("l_suppkey")
     )

@@ -165,3 +165,19 @@ TESTDATA_TABLES = (
     "documents",
     "embeddings",
 )
+
+# Static fallback for the events file-source stream when the drop
+# directory is empty/absent at stream-definition time (schema inference
+# needs at least one footer). ``ts`` is TIMESTAMP_NTZ — the generator's
+# current encoding (TIMESTAMP_MICROS, isAdjustedToUTC=0); normalize_ts
+# rewrites it to session-zoned TIMESTAMP either way.
+EVENTS_RAW_FALLBACK_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)

@@ -26,7 +26,9 @@ from ..functions.money import money
 from ..operators.registry import demo_query
 from ..plans.merge import PartitionOverwriteMergeWriter
 
-def read_events_stream(spark: SparkSession, events_path: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession, events_path: str, schema=None
+) -> DataFrame:
     """File-source stream over the events drop directory (S2/§2.9).
 
     The file source needs an explicit schema, but the testdata
@@ -36,15 +38,26 @@ def read_events_stream(spark: SparkSession, events_path: str) -> DataFrame:
     driver-side footer read, no data scan — keeps the stream correct
     under ANY encoding; ``normalize_ts`` then rewrites ``ts`` to
     session-zoned TIMESTAMP exactly as the batch path does.
+
+    When the drop directory is empty or absent at stream-definition time
+    (a normal streaming-startup scenario — files arrive later), inference
+    has nothing to read; the stream then falls back to
+    ``EVENTS_RAW_FALLBACK_SCHEMA`` (current-generation encoding), or to
+    the caller-supplied ``schema`` if given.
     """
     from ..catalog import normalize_ts
+    from ..schemas import EVENTS_RAW_FALLBACK_SCHEMA
 
     # nanos→long mapping needs this conf even with an explicit schema;
     # runtime-settable, so tolerate sessions the engine didn't build
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(events_path).schema
+    if schema is None:
+        try:
+            schema = spark.read.parquet(events_path).schema
+        except Exception:  # empty/absent dir → UNABLE_TO_INFER_SCHEMA / path error
+            schema = EVENTS_RAW_FALLBACK_SCHEMA
     raw = (
-        spark.readStream.schema(raw_schema)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)  # one file drop per micro-batch
         .parquet(events_path)
     )

@@ -141,7 +141,16 @@ def main() -> None:
     )
 
     failed = [n for n, v in {**timings, **extra}.items() if v is None]
-    total = round(sum(v for v in timings.values() if v is not None), 3)
+    # a partial sum must not masquerade as a clean headline number: if
+    # any HEADLINE query failed, value is null (round-over-round totals
+    # only compare when every constituent ran); n_headline_completed
+    # makes partial rounds explicit either way
+    headline_failed = [n for n, v in timings.items() if v is None]
+    total = (
+        round(sum(v for v in timings.values() if v is not None), 3)
+        if not headline_failed
+        else None
+    )
     print(
         json.dumps(
             {
@@ -151,6 +160,10 @@ def main() -> None:
                 "queries": timings,
                 "extra_queries": extra,
                 "failed_queries": failed,
+                "n_headline_completed": sum(
+                    1 for v in timings.values() if v is not None
+                ),
+                "n_headline": len(timings),
                 "sf": sf,
                 "steal_pct": steal_pct,
             }

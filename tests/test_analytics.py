@@ -87,16 +87,18 @@ def test_retry_policy_retries_transient_not_data_errors(spark, tmp_path):
 
 
 def test_approx_distinct_error_bound(spark):
-    """HLL++ (default rsd 0.05) must estimate each group's distinct
-    order count within 8% of the exact value — the estimates are
-    engine-specific (hence rows-only in the driver gate) but their
-    accuracy is the operator's contract (observed ≤5.7% here)."""
+    """HLL++ (rsd 0.02) must estimate each group's distinct order count
+    within 5% of the exact value — the raw estimates are engine-specific,
+    so the query publishes the bound check itself (``within_5pct``) and
+    the oracle pins it TRUE; this test asserts the same contract."""
     from aws_lakehouse_project_spark.operators.analytics import q_approx_distinct
     from tests.conftest import SF_DIR
 
-    for r in q_approx_distinct(spark, SF_DIR).collect():
-        err = abs(r["approx_orders"] - r["exact_orders"]) / r["exact_orders"]
-        assert err <= 0.08, (r["l_returnflag"], r["approx_orders"], r["exact_orders"])
+    rows = q_approx_distinct(spark, SF_DIR).collect()
+    assert rows, "expected one row per l_returnflag group"
+    for r in rows:
+        assert r["within_5pct"], (r["l_returnflag"], r["exact_orders"])
+        assert r["exact_orders"] > 0 and r["n_rows"] >= r["exact_orders"]
 
 
 def test_funnel_ordering_semantics(spark):

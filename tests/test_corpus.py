@@ -128,6 +128,28 @@ def test_fuzzy_match_finds_planted_typo_in_block(spark):
     assert len(rows) == len(pairs)
 
 
+def test_fuzzy_match_hot_block_capped(spark):
+    """Skew guard: a block key exceeding max_block is excluded wholesale
+    (its members emit no pairs), while normal-width blocks still match —
+    a hot 16-char prefix can't go quadratic at scale."""
+    from aws_lakehouse_project_spark.operators.dedup import fuzzy_name_pairs
+
+    # 60 same-length names sharing prefix AND suffix blocks (only the
+    # middle two characters vary) → one hot block of width 60 under both
+    # keys; plus one normal near-dup pair outside it
+    hot = [(i, f"{'A' * 16}{i:02d}{'B' * 16}") for i in range(60)]
+    normal = [(100, "Customer#000000001"), (101, "Customer#000000002")]
+    df = spark.createDataFrame(hot + normal, "k long, nm string")
+
+    capped = fuzzy_name_pairs(df, key="k", name="nm", max_dist=1, max_block=50)
+    pairs = {(r["k1"], r["k2"]) for r in capped.collect()}
+    assert (100, 101) in pairs                      # normal block unaffected
+    assert all(k1 >= 100 for k1, _ in pairs)        # hot block fully excluded
+
+    uncapped = fuzzy_name_pairs(df, key="k", name="nm", max_dist=1, max_block=None)
+    assert len(uncapped.collect()) > len(pairs)     # cap is what removed them
+
+
 def test_ngram_overlap_short_docs_yield_no_shingles(spark):
     """Docs shorter than n tokens must contribute nothing — not crash
     (Spark's sequence(0, -1) is DESCENDING, so the unguarded index
