@@ -497,14 +497,19 @@ def simhash_bands(docs: DataFrame) -> DataFrame:
 
 @demo_query("q_dedup_simhash", oracle=None)  # portable-hash algorithm; rows-only
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs with hamming distance <= 3.
+    """SimHash near-dup pairs with hamming distance <= 3 (see
+    ``simhash_pairs``)."""
+    return simhash_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def simhash_pairs(docs: DataFrame) -> DataFrame:
+    """(d1, d2, hamming) — SimHash near-dup pairs with hamming <= 3.
 
     Pigeonhole banding: any pair within hamming 3 of a 64-bit simhash
     agrees exactly on at least one of 4 16-bit bands, so candidates come
     from 4 exact-match self-joins (cheap), then the true hamming distance
     filters via xor + bit_count.
     """
-    docs = load_table(spark, sf_dir, "documents")
     sig = simhash_bands(docs)
     exploded = sig.select(
         "doc_id",
@@ -702,4 +707,91 @@ def q_dedup_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return victims.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_victims"),
         F.sum("n_chars").alias("chars_removed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# planted-duplicate recall: driver-checkable evidence for the xxhash64
+# paths. The raw minhash/simhash values are engine-specific (hence those
+# queries stay rows-only), but recall on EXACT planted copies is provably
+# 100% regardless of hash choice — an identical text yields an identical
+# signature, so every band collides and the pair must surface. That makes
+# the recall COUNT deterministic and oracle-checkable, exercising the
+# full shingle→signature→band→join machinery end-to-end under the
+# driver's hash gate.
+# ---------------------------------------------------------------------------
+
+_RECALL_OFFSET = 10_000_000  # planted-copy ids: far above any real doc_id
+
+
+def _planted_src0(spark: SparkSession, sf_dir: str, min_tokens: int) -> DataFrame:
+    """src0 documents with at least ``min_tokens`` whitespace tokens
+    (shorter docs yield no 3-gram shingles, so they can never be
+    recalled by construction and are excluded from the plant)."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("source") == "src0")
+        .filter(F.size(F.split(F.lower(F.col("text")), " ")) >= min_tokens)
+        .select("doc_id", "text")
+    )
+
+
+_RECALL_ORACLE = """
+    WITH base AS (
+      SELECT doc_id FROM documents
+      WHERE source = 'src0'
+        AND len(string_split(lower(text), ' ')) >= {min_tokens}
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
+           CAST(COUNT(*) AS BIGINT) AS n_recovered,
+           TRUE AS full_recall
+    FROM base
+"""
+
+
+@demo_query("q_dedup_minhash_recall", oracle=_RECALL_ORACLE.format(min_tokens=3))
+def q_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH recall on planted exact duplicates: every src0 doc
+    (with enough tokens to shingle) gets an identical copy at
+    ``doc_id + _RECALL_OFFSET``; the LSH pipeline must recover every
+    planted pair (est_jaccard 1.0, all bands collide). One row:
+    (n_planted, n_recovered, full_recall) — the oracle pins
+    n_recovered = n_planted."""
+    docs = _planted_src0(spark, sf_dir, min_tokens=3)
+    copies = docs.select(
+        (F.col("doc_id") + _RECALL_OFFSET).alias("doc_id"), "text"
+    )
+    pairs = minhash_pairs(docs.unionByName(copies))
+    recovered = pairs.filter(
+        (F.col("d1") < _RECALL_OFFSET)
+        & (F.col("d2") == F.col("d1") + _RECALL_OFFSET)
+    ).agg(F.count(F.lit(1)).alias("n_recovered"))
+    planted = docs.agg(F.count(F.lit(1)).alias("n_planted"))
+    return planted.crossJoin(recovered).select(
+        "n_planted",
+        "n_recovered",
+        (F.col("n_recovered") == F.col("n_planted")).alias("full_recall"),
+    )
+
+
+@demo_query("q_dedup_simhash_recall", oracle=_RECALL_ORACLE.format(min_tokens=1))
+def q_dedup_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash recall on planted exact duplicates (identical text →
+    identical 64-bit simhash → hamming 0, every band collides). Same
+    deterministic contract as q_dedup_minhash_recall; simhash needs only
+    one token, so the plant covers every src0 doc."""
+    docs = _planted_src0(spark, sf_dir, min_tokens=1)
+    copies = docs.select(
+        (F.col("doc_id") + _RECALL_OFFSET).alias("doc_id"), "text"
+    )
+    pairs = simhash_pairs(docs.unionByName(copies))
+    recovered = pairs.filter(
+        (F.col("d1") < _RECALL_OFFSET)
+        & (F.col("d2") == F.col("d1") + _RECALL_OFFSET)
+    ).agg(F.count(F.lit(1)).alias("n_recovered"))
+    planted = docs.agg(F.count(F.lit(1)).alias("n_planted"))
+    return planted.crossJoin(recovered).select(
+        "n_planted",
+        "n_recovered",
+        (F.col("n_recovered") == F.col("n_planted")).alias("full_recall"),
     )

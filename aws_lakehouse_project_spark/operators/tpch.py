@@ -180,9 +180,10 @@ def q_left_join_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_having",
     oracle="""
     WITH big AS (
-      SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+      SELECT l_orderkey,
+             CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
       FROM lineitem GROUP BY l_orderkey
-      HAVING SUM(CAST(l_quantity AS BIGINT)) > 200
+      HAVING SUM(CAST(FLOOR(l_quantity) AS BIGINT)) > 200
     )
     SELECT c_name, o_orderkey,
            CAST(o_orderdate AS DATE) AS dt,
@@ -207,7 +208,9 @@ def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"))
+        # floor() pins the double→bigint semantics on both engines (see
+        # q_tpch_q20): Spark truncates, DuckDB rounds half-even
+        .agg(F.sum(F.floor("l_quantity").cast("bigint")).alias("total_qty"))
         .filter(F.col("total_qty") > 200)
     )
     orders = load_table(spark, sf_dir, "orders")
@@ -975,6 +978,124 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_part.crossJoin(F.broadcast(total))
         .filter(F.col("value") > frac * F.col("total"))
         .select("l_partkey", F.col("value").cast("double").alias("value"))
+    )
+
+
+@demo_query(
+    "q_tpch_q2",
+    oracle="""
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS cost
+      FROM lineitem GROUP BY 1, 2
+    ),
+    elig AS (
+      SELECT c.l_partkey, c.cost, s.s_acctbal, s.s_name, n.n_name
+      FROM cost c
+      JOIN supplier s ON s.s_suppkey = c.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'
+    ),
+    min_c AS (SELECT l_partkey, MIN(cost) AS min_cost FROM elig GROUP BY 1)
+    SELECT CAST(e.s_acctbal AS DOUBLE) AS s_acctbal, e.s_name, e.n_name,
+           e.l_partkey AS p_partkey, CAST(e.cost AS DOUBLE) AS cost
+    FROM elig e
+    JOIN min_c m ON m.l_partkey = e.l_partkey AND e.cost = m.min_cost
+    JOIN part p ON p.p_partkey = e.l_partkey
+    WHERE p.p_size = 15 AND p.p_type = 'ECONOMY'
+    """,
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): for each qualifying part,
+    the supplier(s) in one region offering the minimum cost — the
+    correlated-MIN-subquery pattern, decorrelated into a per-part
+    aggregate rejoined on equality. Adapted: there is no partsupp table
+    in the testdata, so supply cost derives from lineitem as
+    MIN(l_extendedprice) per (part, supplier) — same shape, same
+    correlated-min semantics (reference has no TPC-H either; this is
+    the engine's standard-suite evidence).
+
+    The MIN is over raw doubles (no arithmetic), so the cost = min_cost
+    equality is engine-identical. Region/nation are fixed-size dims →
+    broadcast; the per-(part,supplier) aggregate is the only data-sized
+    shuffle and is keyed exactly like the downstream joins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("cost")
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    elig = cost.join(supp, cost.l_suppkey == supp.s_suppkey)
+    min_c = elig.groupBy(F.col("l_partkey").alias("mp_partkey")).agg(
+        F.min("cost").alias("min_cost")
+    )
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_size") == 15) & (F.col("p_type") == "ECONOMY"))
+        .select("p_partkey")
+    )
+    return (
+        elig.join(min_c, elig.l_partkey == F.col("mp_partkey"))
+        .filter(F.col("cost") == F.col("min_cost"))
+        .join(parts, elig.l_partkey == F.col("p_partkey"))
+        .select(
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            F.col("cost").cast("double").alias("cost"),
+        )
+    )
+
+
+@demo_query(
+    "q_tpch_q12",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-mode priority split): join orders into
+    a date-bounded lineitem slice, then conditionally count urgent vs
+    non-urgent order priorities per category — the CASE-inside-SUM
+    pivot aggregation. Adapted: the testdata has no l_shipmode, so
+    l_returnflag is the grouping dimension; the conditional-aggregation
+    shape is identical.
+
+    The date range reaches the lineitem scan as a pushed predicate; the
+    join carries only (orderkey, priority) against the pruned slice and
+    the CASE counts fold map-side."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1997-01-01"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~urgent, 1).otherwise(0)).alias("low_line_count"),
+        )
     )
 
 

@@ -83,6 +83,13 @@ EXTRA = [
     "q_dedup_anti_join",
     "q_lang_mix",
     "q_freshness",
+    # round-5 additions
+    "q_tpch_q2",
+    "q_tpch_q12",
+    "q_similarity_pairs",
+    "q_approx_distinct",
+    "q_dedup_minhash_recall",
+    "q_dedup_simhash_recall",
 ]
 
 
