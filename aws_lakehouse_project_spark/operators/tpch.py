@@ -1002,7 +1002,7 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM elig e
     JOIN min_c m ON m.l_partkey = e.l_partkey AND e.cost = m.min_cost
     JOIN part p ON p.p_partkey = e.l_partkey
-    WHERE p.p_size = 15 AND p.p_type = 'ECONOMY'
+    WHERE p.p_size <= 15 AND p.p_type IN ('ECONOMY', 'SMALL')
     """,
 )
 def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1039,7 +1039,7 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     parts = (
         load_table(spark, sf_dir, "part")
-        .filter((F.col("p_size") == 15) & (F.col("p_type") == "ECONOMY"))
+        .filter((F.col("p_size") <= 15) & F.col("p_type").isin("ECONOMY", "SMALL"))
         .select("p_partkey")
     )
     return (

@@ -306,6 +306,30 @@ def test_tpch_q21_semi_and_anti_share_order_key(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_tpch_q2_no_cartesian_and_bounded_broadcasts(spark):
+    """Q2's decorrelated min-cost plan: nation/region ride bounded
+    broadcast hints, the per-(part,supplier) aggregate and its per-part
+    min rejoin are hash joins on their keys — never a cartesian."""
+    from aws_lakehouse_project_spark.operators.tpch import q_tpch_q2
+
+    plan = physical_plan(q_tpch_q2(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q12_pushes_date_range_to_lineitem_scan(spark):
+    """Q12's date window must reach the lineitem parquet scan as pushed
+    filters; the conditional counts are a plain hash aggregate (no
+    expand, no cartesian)."""
+    from aws_lakehouse_project_spark.operators.tpch import q_tpch_q12
+
+    plan = physical_plan(q_tpch_q12(spark, SF_DIR))
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_no_forced_broadcast_of_sf_scaling_tables():
     """Static lint: customer (150k rows/SF), supplier (10k/SF) and part
     (200k/SF) grow linearly with data size — a forced F.broadcast() hint
