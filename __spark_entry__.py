@@ -41,8 +41,9 @@ _VERIFY_FIRST = [
     # paths — oracle-checked though the hashes themselves are not portable
     "q_dedup_minhash_recall", "q_dedup_simhash_recall",
     # new in round 5: Q2 + Q12 complete the 22 TPC-H shapes; q_having's
-    # quantity cast was floor-pinned like Q20, so it re-earns green
-    "q_tpch_q2", "q_tpch_q12", "q_having",
+    # quantity cast was floor-pinned like Q20, so it re-earns green;
+    # approx_quantile is the bounds-form quantile-sketch twin
+    "q_tpch_q2", "q_tpch_q12", "q_having", "q_approx_quantile",
     # stalest rows: latest driver green is r2 — all 34
     "q_scd2", "q_ri_audit", "q_schema_evolution", "q_scan_binaryfile",
     "q_scan_orc", "q_ann_join_docs", "q_embedding_centroids",
@@ -55,7 +56,7 @@ _VERIFY_FIRST = [
     "q_left_join_hist", "q_correlated_subquery", "q_tpch_q3",
     "q_tpch_q7",
     # head of the r3-stale cohort fills the window to 50
-    "q_rollup", "q_pivot", "q_range_join",
+    "q_rollup", "q_pivot",
 ]
 
 

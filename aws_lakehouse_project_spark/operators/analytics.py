@@ -372,6 +372,40 @@ def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @demo_query(
+    "q_approx_quantile",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.5) AS p50,
+           quantile_cont(l_extendedprice, 0.95) AS p95,
+           TRUE AS approx_within_1pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile sketch (``percentile_approx``, Greenwald-Khanna at
+    accuracy 10000) beside the exact interpolated percentile — the
+    mergeable constant-memory scale path for quantiles, verified the
+    same way as q_approx_distinct: sketch estimates are engine-specific,
+    so the published columns are the exact values plus a bound check on
+    the sketch (observed relative error ≤0.08% at every SF; the 1%
+    bound has >10× headroom). Spark's exact ``percentile`` ≡ DuckDB
+    ``quantile_cont`` bit-identically on the same doubles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.5).alias("p50"),
+        F.percentile("l_extendedprice", 0.95).alias("p95"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("a50"),
+        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("a95"),
+    )
+    ok = (F.abs(F.col("a50") - F.col("p50")) / F.col("p50") <= 0.01) & (
+        F.abs(F.col("a95") - F.col("p95")) / F.col("p95") <= 0.01
+    )
+    return agg.select(
+        "l_returnflag", "p50", "p95", ok.alias("approx_within_1pct")
+    )
+
+
+@demo_query(
     "q_approx_distinct",
     oracle="""
     SELECT l_returnflag,

@@ -88,6 +88,7 @@ EXTRA = [
     "q_tpch_q12",
     "q_similarity_pairs",
     "q_approx_distinct",
+    "q_approx_quantile",
     "q_dedup_minhash_recall",
     "q_dedup_simhash_recall",
 ]
