@@ -28,6 +28,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # r4: 49, r3: 42, r2: 34, plus the rows-only set. Round 5 re-verifies
 # the queries whose oracles/semantics changed this round, all 34
 # r2-stale rows, and the head of the r3 cohort.
+#
+# ROUND-6 ROTATION NOTE: after r5's window lands, the stalest rows are
+# the ~35 r3-green queries NOT in this list (r3 cohort minus the
+# q_rollup/q_pivot fills) — they must head the r6 window alongside any
+# r6 changes, or they age past the two-round staleness bound.
 _VERIFY_FIRST = [
     # changed in round 5: new oracles (similarity_pairs literal-hyperplane,
     # approx_distinct bounds-form, dedup_clusters recursive-CTE), pinned
@@ -44,6 +49,9 @@ _VERIFY_FIRST = [
     # quantity cast was floor-pinned like Q20, so it re-earns green;
     # approx_quantile is the bounds-form quantile-sketch twin
     "q_tpch_q2", "q_tpch_q12", "q_having", "q_approx_quantile",
+    # new in round 5: bucketed co-located join as a query (content-parity
+    # oracle; zero-exchange plan pinned by tests/test_plans.py)
+    "q_bucketed_join",
     # stalest rows: latest driver green is r2 — all 34
     "q_scd2", "q_ri_audit", "q_schema_evolution", "q_scan_binaryfile",
     "q_scan_orc", "q_ann_join_docs", "q_embedding_centroids",
@@ -56,7 +64,7 @@ _VERIFY_FIRST = [
     "q_left_join_hist", "q_correlated_subquery", "q_tpch_q3",
     "q_tpch_q7",
     # head of the r3-stale cohort fills the window to 50
-    "q_rollup", "q_pivot",
+    "q_rollup",
 ]
 
 

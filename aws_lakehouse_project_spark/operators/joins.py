@@ -426,3 +426,66 @@ def q_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"),
         F.count_if(F.col("r1").isNull()).alias("null_pairs"),
     )
+
+
+@demo_query(
+    "q_bucketed_join",
+    # the oracle recomputes the same result straight from the parquet
+    # sources, so any corruption in the bucketed write/read/join path
+    # fails the hash — same content-parity discipline as q_scan_orc
+    oracle="""
+    WITH per_o AS (
+      SELECT o.o_orderkey,
+             COUNT(l.l_orderkey) AS n_lines,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS rev
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+      GROUP BY o.o_orderkey
+    )
+    SELECT CAST(n_lines AS INT) AS n_lines,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(rev) AS DOUBLE) AS revenue
+    FROM per_o GROUP BY n_lines
+    """,
+)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located fact-to-fact join via bucketing (the §2.1/S6 scale
+    technique as a QUERY): both sides are written ``bucketBy`` the join
+    key, so the join AND the per-key aggregation read bucket-aligned
+    files with no data-sized exchange — at 100 TB this is how the big
+    fact↔fact joins drop their shuffles entirely (bucket count sized to
+    cluster parallelism at ingest, amortized over every later join).
+    The plan guard (tests/test_plans.py) pins the zero-exchange shape;
+    only the final few-row histogram aggregate exchanges."""
+    import os
+
+    from ..functions.scratch import scratch_dir
+    from ..sources.writers import write_bucketed
+
+    orders_f = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", money("l_extendedprice").alias("rev")
+    )
+    base = scratch_dir("spark_graft_bucketed_join")
+    write_bucketed(orders_f, "q_bucketed_orders", 8, ["o_orderkey"],
+                   os.path.join(base, "orders"))
+    write_bucketed(li, "q_bucketed_lineitem", 8, ["l_orderkey"],
+                   os.path.join(base, "lineitem"))
+    bo = spark.table("q_bucketed_orders")
+    bl = spark.table("q_bucketed_lineitem")
+    per_o = (
+        bo.join(bl, bo.o_orderkey == bl.l_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("rev").alias("rev"),
+        )
+    )
+    return per_o.groupBy(F.col("n_lines").cast("int").alias("n_lines")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("rev").cast("double").alias("revenue"),
+    )

@@ -89,6 +89,7 @@ EXTRA = [
     "q_similarity_pairs",
     "q_approx_distinct",
     "q_approx_quantile",
+    "q_bucketed_join",
     "q_dedup_minhash_recall",
     "q_dedup_simhash_recall",
 ]

@@ -330,6 +330,24 @@ def test_tpch_q12_pushes_date_range_to_lineitem_scan(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_bucketed_join_query_reads_bucketed_scans(spark):
+    """q_bucketed_join's join + per-key aggregation must run on
+    bucket-aligned scans: both parquet scans report Bucketed: true and
+    the only exchange in the executed plan is the final few-row
+    histogram aggregate."""
+    import re
+
+    from aws_lakehouse_project_spark.operators.joins import q_bucketed_join
+
+    df = q_bucketed_join(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert plan.count("Bucketed: true") == 2
+    assert len(re.findall(r"Exchange (?:hash|range|Single)", plan)) <= 1
+
+
 def test_no_forced_broadcast_of_sf_scaling_tables():
     """Static lint: customer (150k rows/SF), supplier (10k/SF) and part
     (200k/SF) grow linearly with data size — a forced F.broadcast() hint
