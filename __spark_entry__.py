@@ -30,9 +30,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # r2-stale rows, and the head of the r3 cohort.
 #
 # ROUND-6 ROTATION NOTE: after r5's window lands, the stalest rows are
-# the ~35 r3-green queries NOT in this list (r3 cohort minus the
-# q_rollup/q_pivot fills) — they must head the r6 window alongside any
-# r6 changes, or they age past the two-round staleness bound.
+# the 41 r3-green queries NOT in this list (the r3 cohort minus the
+# q_rollup fill) — they must head the r6 window alongside any r6
+# changes, or they age past the two-round staleness bound.
 _VERIFY_FIRST = [
     # changed in round 5: new oracles (similarity_pairs literal-hyperplane,
     # approx_distinct bounds-form, dedup_clusters recursive-CTE), pinned
@@ -52,7 +52,8 @@ _VERIFY_FIRST = [
     # new in round 5: bucketed co-located join as a query (content-parity
     # oracle; zero-exchange plan pinned by tests/test_plans.py)
     "q_bucketed_join",
-    # stalest rows: latest driver green is r2 — all 34
+    # stalest rows: latest driver green is r2 — 33 of the 34 here (the
+    # 34th, q_having, re-earns green in the changed-queries head above)
     "q_scd2", "q_ri_audit", "q_schema_evolution", "q_scan_binaryfile",
     "q_scan_orc", "q_ann_join_docs", "q_embedding_centroids",
     "q_stats_exact", "q_window_lag", "q_grouping_sets", "q_sample_hash",

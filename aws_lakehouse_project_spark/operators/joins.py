@@ -458,6 +458,7 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     The plan guard (tests/test_plans.py) pins the zero-exchange shape;
     only the final few-row histogram aggregate exchanges."""
     import os
+    import zlib
 
     from ..functions.scratch import scratch_dir
     from ..sources.writers import write_bucketed
@@ -470,13 +471,20 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", money("l_extendedprice").alias("rev")
     )
-    base = scratch_dir("spark_graft_bucketed_join")
-    write_bucketed(orders_f, "q_bucketed_orders", 8, ["o_orderkey"],
+    # table names carry an sf_dir fingerprint: the catalog entry is
+    # session-global, so a fixed name would let a later call with a
+    # different sf_dir clobber the tables under an earlier (lazy)
+    # DataFrame that still references them
+    tag = zlib.crc32(sf_dir.encode()) & 0xFFFFFFFF
+    t_orders = f"q_bucketed_orders_{tag:08x}"
+    t_lineitem = f"q_bucketed_lineitem_{tag:08x}"
+    base = scratch_dir(f"spark_graft_bucketed_join_{tag:08x}")
+    write_bucketed(orders_f, t_orders, 8, ["o_orderkey"],
                    os.path.join(base, "orders"))
-    write_bucketed(li, "q_bucketed_lineitem", 8, ["l_orderkey"],
+    write_bucketed(li, t_lineitem, 8, ["l_orderkey"],
                    os.path.join(base, "lineitem"))
-    bo = spark.table("q_bucketed_orders")
-    bl = spark.table("q_bucketed_lineitem")
+    bo = spark.table(t_orders)
+    bl = spark.table(t_lineitem)
     per_o = (
         bo.join(bl, bo.o_orderkey == bl.l_orderkey)
         .groupBy("o_orderkey")

@@ -1033,7 +1033,12 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("s_suppkey", "s_acctbal", "s_name", "n_name")
     )
-    elig = cost.join(supp, cost.l_suppkey == supp.s_suppkey)
+    # reused by the per-part min AND the final rejoin — materialize once
+    # (same discipline as q_tpch_q11's per_part; without this, a session
+    # without AQE exchange reuse recomputes the lineitem aggregate twice)
+    elig = cost.join(supp, cost.l_suppkey == supp.s_suppkey).localCheckpoint(
+        eager=True
+    )
     min_c = elig.groupBy(F.col("l_partkey").alias("mp_partkey")).agg(
         F.min("cost").alias("min_cost")
     )

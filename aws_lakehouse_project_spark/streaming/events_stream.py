@@ -52,9 +52,18 @@ def read_events_stream(
     # runtime-settable, so tolerate sessions the engine didn't build
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     if schema is None:
+        from pyspark.errors import AnalysisException
+
         try:
             schema = spark.read.parquet(events_path).schema
-        except Exception:  # empty/absent dir → UNABLE_TO_INFER_SCHEMA / path error
+        except AnalysisException as exc:
+            # fall back ONLY for the empty/absent-directory startup case;
+            # any other analysis error (corrupt footer, permissions) must
+            # stay loud — silently substituting the static schema there
+            # would mask a real read problem
+            cond = exc.getErrorClass() or ""
+            if not ("UNABLE_TO_INFER_SCHEMA" in cond or "PATH_NOT_FOUND" in cond):
+                raise
             schema = EVENTS_RAW_FALLBACK_SCHEMA
     raw = (
         spark.readStream.schema(schema)

@@ -325,8 +325,11 @@ def test_tpch_q12_pushes_date_range_to_lineitem_scan(spark):
     from aws_lakehouse_project_spark.operators.tpch import q_tpch_q12
 
     plan = physical_plan(q_tpch_q12(spark, SF_DIR))
-    assert "PushedFilters: [" in plan
-    assert "l_shipdate" in plan
+    # assert the RANGE itself is pushed (an empty PushedFilters or a bare
+    # IsNotNull would satisfy weaker checks); Catalyst unwraps the date
+    # cast into a pushable timestamp comparison
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_shipdate" in plan
     assert "CartesianProduct" not in plan
 
 
@@ -339,11 +342,7 @@ def test_bucketed_join_query_reads_bucketed_scans(spark):
 
     from aws_lakehouse_project_spark.operators.joins import q_bucketed_join
 
-    df = q_bucketed_join(spark, SF_DIR)
-    df.collect()
-    plan = df._jdf.queryExecution().executedPlan().toString().split(
-        "== Initial Plan =="
-    )[0]
+    plan = final_plan(q_bucketed_join(spark, SF_DIR))
     assert plan.count("Bucketed: true") == 2
     assert len(re.findall(r"Exchange (?:hash|range|Single)", plan)) <= 1
 
