@@ -30,9 +30,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # r2-stale rows, and the head of the r3 cohort.
 #
 # ROUND-6 ROTATION NOTE: after r5's window lands, the stalest rows are
-# the 41 r3-green queries NOT in this list (the r3 cohort minus the
-# q_rollup fill) — they must head the r6 window alongside any r6
-# changes, or they age past the two-round staleness bound.
+# the 42 r3-green queries NOT in this list — they must head the r6
+# window alongside any r6 changes, or they age past the two-round
+# staleness bound.
 _VERIFY_FIRST = [
     # changed in round 5: new oracles (similarity_pairs literal-hyperplane,
     # approx_distinct bounds-form, dedup_clusters recursive-CTE), pinned
@@ -50,8 +50,9 @@ _VERIFY_FIRST = [
     # approx_quantile is the bounds-form quantile-sketch twin
     "q_tpch_q2", "q_tpch_q12", "q_having", "q_approx_quantile",
     # new in round 5: bucketed co-located join as a query (content-parity
-    # oracle; zero-exchange plan pinned by tests/test_plans.py)
-    "q_bucketed_join",
+    # oracle; zero-exchange plan pinned by tests/test_plans.py) and batch
+    # IVF ANN (per-query top-k for a whole query set in one pass)
+    "q_bucketed_join", "q_similarity_batch_ivf",
     # stalest rows: latest driver green is r2 — 33 of the 34 here (the
     # 34th, q_having, re-earns green in the changed-queries head above)
     "q_scd2", "q_ri_audit", "q_schema_evolution", "q_scan_binaryfile",
@@ -64,8 +65,6 @@ _VERIFY_FIRST = [
     "q_pii_scrub", "q_semi_join", "q_anti_join", "q_distinct_agg",
     "q_left_join_hist", "q_correlated_subquery", "q_tpch_q3",
     "q_tpch_q7",
-    # head of the r3-stale cohort fills the window to 50
-    "q_rollup",
 ]
 
 

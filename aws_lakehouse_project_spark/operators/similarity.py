@@ -537,3 +537,109 @@ def q_similarity_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_TOPK)
         .select("vec_id", "label", F.round("cos_raw", 6).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# batch ANN: many queries in one pass (the production retrieval shape)
+# ---------------------------------------------------------------------------
+
+_BATCH_Q = 5  # query set: vec_ids 0.._BATCH_Q-1
+_BATCH_TOPK = 5
+
+_BATCH_IVF_ORACLE = f"""
+    WITH c AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id BETWEEN 1 AND {_IVF_K}
+    ),
+    e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    assign AS (
+      SELECT e.vec_id, e.label, e.v, c.cid
+      FROM e, c
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY {_COS.format(a="e.v", b="c.cv")} DESC, c.cid
+      ) = 1
+    ),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {_BATCH_Q}),
+    probe AS (
+      SELECT q.qid, q.qv, c.cid
+      FROM c, q
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY q.qid
+        ORDER BY {_COS.format(a="q.qv", b="c.cv")} DESC, c.cid
+      ) <= {_IVF_NPROBE}
+    ),
+    cand AS (
+      SELECT p.qid, a.vec_id, a.label, a.v, p.qv
+      FROM assign a JOIN probe p ON a.cid = p.cid
+      WHERE a.vec_id <> p.qid
+    )
+    SELECT CAST(qid AS BIGINT) AS qid, vec_id, label,
+           ROUND({_COS.format(a="v", b="qv")}, 6) AS cosine
+    FROM cand
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY qid ORDER BY {_COS.format(a="v", b="qv")} DESC, vec_id
+    ) <= {_BATCH_TOPK}
+"""
+
+
+@demo_query("q_similarity_batch_ivf", oracle=_BATCH_IVF_ORACLE)
+def q_similarity_batch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch IVF ANN — top-k per query for a whole QUERY SET in one pass,
+    which is how production retrieval actually runs (requests arrive in
+    batches, not one vector at a time).
+
+    Shape: the corpus is assigned to coarse lists once (amortized at
+    ingest — same assignment as q_similarity_ivf); the query batch and
+    its per-query probe lists are metadata-sized broadcasts (Q·nprobe
+    rows); candidates are only the union of probed lists tagged per
+    query, so the ranking shuffle carries ~Q·(nprobe/k) of the corpus
+    hashed by query id — per-reducer load is one query's candidate set,
+    inherently balanced for any batch size. Never a corpus×queries
+    all-pairs."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", "label", as_double("embedding").alias("v"))
+    c = emb.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= _IVF_K)).select(
+        F.col("vec_id").alias("cid"), as_double("embedding").alias("cv")
+    )
+
+    def cos(a: Column, b: Column) -> Column:
+        return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), F.col("cid")
+    )
+    assign = (
+        e.crossJoin(F.broadcast(c))
+        .withColumn("sim", cos(F.col("v"), F.col("cv")))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "v", "cid")
+    )
+    q = e.filter(F.col("vec_id") < _BATCH_Q).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    w_probe = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid"))
+    probe = (
+        q.crossJoin(F.broadcast(c))
+        .withColumn("sim", cos(F.col("qv"), F.col("cv")))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= _IVF_NPROBE)
+        .select("qid", "qv", "cid")
+    )
+    cand = assign.join(F.broadcast(probe), "cid").filter(
+        F.col("vec_id") != F.col("qid")
+    )
+    w_rank = Window.partitionBy("qid").orderBy(
+        F.col("cos_raw").desc(), F.col("vec_id")
+    )
+    return (
+        cand.withColumn("cos_raw", cos(F.col("v"), F.col("qv")))
+        .withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= _BATCH_TOPK)
+        .select(
+            "qid", "vec_id", "label", F.round("cos_raw", 6).alias("cosine")
+        )
+    )

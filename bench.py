@@ -90,6 +90,7 @@ EXTRA = [
     "q_approx_distinct",
     "q_approx_quantile",
     "q_bucketed_join",
+    "q_similarity_batch_ivf",
     "q_dedup_minhash_recall",
     "q_dedup_simhash_recall",
 ]

@@ -54,3 +54,20 @@ def test_events_ts_values_survive_normalization(spark):
         .collect()[0]
     )
     assert (row["lo"], row["hi"]) == (lo, hi)
+
+
+def test_normalize_ts_long_gating(spark):
+    """The LongType branch assumes nanos-of-epoch by contract;
+    long_is_nanos=False must leave a genuine bigint column untouched
+    (the silent-garbage hazard the gate exists to prevent)."""
+    from pyspark.sql import types as T
+
+    from aws_lakehouse_project_spark.catalog import normalize_ts
+
+    df = spark.createDataFrame([(1700000000_000_000_000,), (42,)], "ts long")
+    gated = normalize_ts(df, "ts", long_is_nanos=False)
+    assert isinstance(gated.schema["ts"].dataType, T.LongType)
+    assert {r["ts"] for r in gated.collect()} == {1700000000_000_000_000, 42}
+
+    converted = normalize_ts(df, "ts")  # default: nanos contract applies
+    assert isinstance(converted.schema["ts"].dataType, T.TimestampType)
