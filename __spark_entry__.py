@@ -53,6 +53,11 @@ _VERIFY_FIRST = [
     # oracle; zero-exchange plan pinned by tests/test_plans.py) and batch
     # IVF ANN (per-query top-k for a whole query set in one pass)
     "q_bucketed_join", "q_similarity_batch_ivf",
+    # new in round 5 (continuation): semantic decontamination (train/eval
+    # embedding split) and the skew-salted shuffle join — both displace
+    # the two stalest r2 rows (q_tpch_q3/q7) past the 50-query window;
+    # those two join the r6 rotation head
+    "q_semantic_decontam", "q_skew_salted_join",
     # stalest rows: latest driver green is r2 — 33 of the 34 here (the
     # 34th, q_having, re-earns green in the changed-queries head above)
     "q_scd2", "q_ri_audit", "q_schema_evolution", "q_scan_binaryfile",

@@ -497,3 +497,57 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("rev").cast("double").alias("revenue"),
     )
+
+
+_SALT_FANOUT = 8
+
+_SKEW_JOIN_ORACLE = """
+    SELECT s_nationkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_nationkey
+"""
+
+
+@demo_query("q_skew_salted_join", oracle=_SKEW_JOIN_ORACLE)
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted shuffle join: the fact side's join key is salted into
+    ``key × _SALT_FANOUT`` sub-keys and the dimension side is replicated
+    once per salt, so a hot supplier's rows land on _SALT_FANOUT
+    reducers instead of one.
+
+    This is the manual pattern for when AQE's skew-join splitting can't
+    help: the dimension is too big to broadcast at the target scale and
+    the skew lives in the JOIN itself (e.g. streaming microbatches or a
+    non-AQE engine). The ``shuffle_hash`` hint pins the shuffle-join
+    shape the pattern exists for — with a broadcast the salt would be
+    dead weight (that regime is q_join_inner's). Replication cost is
+    |dim| × fanout rows of KEYS ONLY payload (here 2 columns), traded
+    against the hot key's single-reducer wall-clock. Decimal sums make
+    the salted two-phase result bit-identical to the unsalted oracle
+    join. Companion: q_salted_agg (aggregation-side skew), AQE skew
+    handling (tests/test_plans.py)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    salted_li = li.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(_SALT_FANOUT)).cast(
+            "int"
+        ),
+    )
+    replicated = supp.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(_SALT_FANOUT)]))
+    )
+    joined = salted_li.hint("shuffle_hash").join(
+        replicated,
+        (salted_li.l_suppkey == replicated.s_suppkey)
+        & (salted_li._salt == replicated._salt),
+    )
+    return joined.groupBy("s_nationkey").agg(
+        F.sum(money("l_extendedprice")).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )

@@ -643,3 +643,85 @@ def q_similarity_batch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qid", "vec_id", "label", F.round("cos_raw", 6).alias("cosine")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic decontamination (train/eval split)
+# ---------------------------------------------------------------------------
+
+_EVAL_LABEL = 9  # the held-out split: ~10% of vectors in every testdata SF
+_DECONTAM_T = 0.30  # cosine threshold; top tail of the corpus distribution
+
+
+_DECONTAM_ORACLE = f"""
+    WITH b AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS ev,
+             {_bucket_sql("embedding::DOUBLE[]")} AS bucket
+      FROM embeddings
+    ),
+    tr AS (SELECT * FROM b WHERE label <> {_EVAL_LABEL}),
+    ev AS (SELECT * FROM b WHERE label = {_EVAL_LABEL}),
+    contaminated AS (
+      SELECT DISTINCT tr.vec_id, tr.label
+      FROM tr JOIN ev ON tr.bucket = ev.bucket
+      WHERE ROUND({_COS.format(a="tr.ev", b="ev.ev")}, 6) >= {_DECONTAM_T}
+    )
+    SELECT t.label,
+           CAST(COUNT(*) AS BIGINT) AS n_train,
+           CAST(COUNT(c.vec_id) AS BIGINT) AS n_contaminated,
+           CAST(COUNT(*) - COUNT(c.vec_id) AS BIGINT) AS n_clean
+    FROM tr t LEFT JOIN contaminated c ON t.vec_id = c.vec_id
+    GROUP BY t.label
+"""
+
+
+@demo_query("q_semantic_decontam", oracle=_DECONTAM_ORACLE)
+def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-based decontamination: drop training vectors that are
+    semantically too close to any held-out eval vector (the SemDeDup /
+    eval-leakage guard every pretraining pipeline runs before training).
+
+    Shape: both splits get the deterministic sign-random-projection
+    bucket (same literal hyperplanes as q_similarity_pairs); candidates
+    are the train↔eval BUCKET join — at 100 TB the eval side is tiny
+    and broadcast, and the bucket equality prunes the probe to
+    ~1/2^n_planes of each side, never train×eval all-pairs. Flagged ids
+    are a distinct key set, removed with a LEFT ANTI join keyed on
+    vec_id only (the corpus payload never reships). Output is the
+    per-label survival report (n_train / n_contaminated / n_clean).
+
+    Oracle-checked end-to-end: the hyperplanes are literals reproduced
+    by ``_bucket_sql`` and both engines fold dot products sequentially
+    (module docstring), so bucket ids and the 6-decimal cosine
+    threshold boundary are engine-identical."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    withb = emb.select(
+        "vec_id", "label", as_double("embedding").alias("ev")
+    ).withColumn("bucket", _bucket_expr(F.col("ev")))
+    train = withb.filter(F.col("label") != _EVAL_LABEL)
+    hold = withb.filter(F.col("label") == _EVAL_LABEL).select(
+        F.col("ev").alias("hv"), "bucket"
+    )
+    cosine = dot(F.col("ev"), F.col("hv")) / (
+        F.sqrt(dot(F.col("ev"), F.col("ev"))) * F.sqrt(dot(F.col("hv"), F.col("hv")))
+    )
+    contaminated = (
+        train.join(F.broadcast(hold), "bucket")
+        .filter(F.round(cosine, 6) >= _DECONTAM_T)
+        .select("vec_id")
+        .distinct()
+    )
+    flagged = train.join(contaminated, "vec_id", "left_semi").groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_contaminated")
+    )
+    totals = train.groupBy("label").agg(F.count(F.lit(1)).alias("n_train"))
+    return (
+        totals.join(flagged, "label", "left")
+        .withColumn("n_contaminated", F.coalesce("n_contaminated", F.lit(0)))
+        .select(
+            "label",
+            "n_train",
+            "n_contaminated",
+            (F.col("n_train") - F.col("n_contaminated")).alias("n_clean"),
+        )
+    )

@@ -400,3 +400,28 @@ def test_tpch_q20_aggregates_before_semi_join(spark):
     semi = plan.find("LeftSemi")
     agg = plan.find("HashAggregate", semi)
     assert semi != -1 and agg != -1, plan
+
+
+def test_skew_salted_join_is_shuffle_join_on_salted_key(spark):
+    """The salted join must actually plan as a shuffle join (the hint
+    pins it) — a broadcast would make the salt dead weight — and the
+    replicated dimension must carry only its two key/payload columns."""
+    from aws_lakehouse_project_spark.operators.joins import q_skew_salted_join
+
+    plan = final_plan(q_skew_salted_join(spark, SF_DIR)).replace("\n", " ")
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "s_name" not in plan  # dim pruned to (s_suppkey, s_nationkey)
+
+
+def test_semantic_decontam_broadcasts_eval_side(spark):
+    """The held-out split is ~10% of the corpus and must be the
+    broadcast side of the bucket join; the train side never reships
+    for the flag join (semi join on vec_id keys only)."""
+    from aws_lakehouse_project_spark.operators.similarity import (
+        q_semantic_decontam,
+    )
+
+    plan = final_plan(q_semantic_decontam(spark, SF_DIR)).replace("\n", " ")
+    assert "BroadcastHashJoin" in plan
+    assert "LeftSemi" in plan
