@@ -795,3 +795,193 @@ def q_dedup_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_recovered",
         (F.col("n_recovered") == F.col("n_planted")).alias("full_recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# portable MinHash: the fully driver-verifiable variant. The production
+# path above hashes with engine-native xxhash64 (fastest, rows-only by
+# necessity); this twin derives every hash from md5 — computable
+# bit-identically in DuckDB — so the SIGNATURE VALUES, the band keys,
+# the candidate set, and the estimated Jaccard all hash-match the
+# oracle. Same algorithm, portable arithmetic: the oracle checks the
+# whole shingle→permute→min→band→join→estimate pipeline, not just
+# planted-copy recall counts.
+# ---------------------------------------------------------------------------
+
+_PMH_K = 16  # signature length
+_PMH_ROWS = 4  # rows per band → 4 bands; threshold ≈ (1/4)^(1/4) ≈ .71
+_PMH_P = 1_000_000_007  # prime ≈ 2^30: a*x + b stays far under 2^63
+_pmh_rng = random.Random(7)
+_PMH_COEFFS = [
+    (_pmh_rng.randrange(1, 2**30), _pmh_rng.randrange(0, 2**30))
+    for _ in range(_PMH_K)
+]
+_PMH_OFFSET = 20_000_000  # truncated-copy ids: disjoint from real doc_ids
+_PMH_MIN_MATCH = 8  # report pairs agreeing on ≥ half the signature
+
+
+def _pmh_oracle() -> str:
+    p = _PMH_P
+    mins = ",\n           ".join(
+        f"MIN(({a}*x + {b}) % {p}) AS m{j}"
+        for j, (a, b) in enumerate(_PMH_COEFFS)
+    )
+    bands = "\n      UNION ALL\n".join(
+        "      SELECT doc_id, {j} AS band, {key} AS bsig FROM sig".format(
+            j=j,
+            key=" || ',' || ".join(
+                f"m{4 * j + r}::VARCHAR" for r in range(_PMH_ROWS)
+            ),
+        )
+        for j in range(_PMH_K // _PMH_ROWS)
+    )
+    agree = " + ".join(f"CAST(s1.m{j} = s2.m{j} AS INT)" for j in range(_PMH_K))
+    return f"""
+    WITH base_docs AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w
+      FROM documents
+      WHERE source = 'src0' AND len(string_split(lower(text), ' ')) >= 10
+    ),
+    corpus AS (
+      SELECT doc_id, w FROM base_docs
+      UNION ALL
+      SELECT doc_id + {_PMH_OFFSET},
+             w[1:CAST(FLOOR(4 * len(w) / 5) AS BIGINT)]
+      FROM base_docs
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+      FROM (SELECT doc_id, w,
+                   unnest(CASE WHEN len(w) >= 3
+                               THEN generate_series(1, len(w)-2)
+                               ELSE [] END) AS i
+            FROM corpus)
+    ),
+    hashed AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % {p} AS x
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id,
+           {mins}
+      FROM hashed GROUP BY doc_id
+    ),
+    bands AS (
+{bands}
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
+                   AND a.doc_id < b.doc_id
+    )
+    SELECT p.d1, p.d2,
+           CAST({agree} AS BIGINT) AS n_match,
+           CAST({agree} AS DOUBLE) / {_PMH_K}.0 AS est_jaccard
+    FROM pairs p
+    JOIN sig s1 ON s1.doc_id = p.d1
+    JOIN sig s2 ON s2.doc_id = p.d2
+    WHERE {agree} >= {_PMH_MIN_MATCH}
+    """
+
+
+@demo_query("q_dedup_minhash_portable", oracle=_pmh_oracle())
+def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH with PORTABLE hashes: the full pipeline — word-3-gram
+    shingles, md5-derived base hash, 16 literal (a·x+b) mod p
+    permutations, 4 bands of 4, band-key candidate join, agreement
+    estimate — produces engine-identical values, so the driver verifies
+    the signature arithmetic itself (the xxhash64 production path above
+    can only be rows-only). Near-dups are planted in-query: every
+    qualifying src0 doc gets an 80%-prefix copy, whose true shingle
+    Jaccard (≈0.7) sits at the band s-curve threshold — so the output
+    exercises both collision and agreement arithmetic, not just exact
+    copies.
+
+    Same scale shape as minhash_pairs: candidates join on
+    (band, band-signature) keys only, never all-pairs; the estimate
+    re-joins the signature table on the candidate ids. md5-per-shingle
+    costs ~3× xxhash64 (bench extras) — the price of portability, paid
+    only in this verification twin."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("source") == "src0")
+        .select("doc_id", F.split(F.lower("text"), " ").alias("w"))
+        .filter(F.size("w") >= 10)
+    )
+    copies = docs.select(
+        (F.col("doc_id") + _PMH_OFFSET).alias("doc_id"),
+        F.slice(F.col("w"), 1, F.floor(F.size("w") * 4 / 5).cast("int")).alias("w"),
+    )
+    corpus = docs.unionByName(copies)
+    grams = corpus.select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(0, greatest(size(w)-3, -1)), "
+                "i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+            )
+        ).alias("sh"),
+    )
+    hashed = (
+        grams.select("doc_id", F.explode_outer("sh").alias("g"))
+        .filter(F.col("g").isNotNull())
+        .select(
+            "doc_id",
+            (
+                F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long")
+                % F.lit(_PMH_P)
+            ).alias("x"),
+        )
+    )
+    sig = hashed.groupBy("doc_id").agg(
+        *[
+            F.min((F.col("x") * F.lit(a) + F.lit(b)) % F.lit(_PMH_P)).alias(
+                f"m{j}"
+            )
+            for j, (a, b) in enumerate(_PMH_COEFFS)
+        ]
+    )
+    n_bands = _PMH_K // _PMH_ROWS
+    stack = "stack({n}, {args}) as (band, bsig)".format(
+        n=n_bands,
+        args=", ".join(
+            "{j}, concat_ws(',', {cols})".format(
+                j=j,
+                cols=", ".join(f"m{4 * j + r}" for r in range(_PMH_ROWS)),
+            )
+            for j in range(n_bands)
+        ),
+    )
+    bands = sig.selectExpr("doc_id", stack)
+    a = bands.select(F.col("doc_id").alias("d1"), "band", "bsig")
+    b = bands.select(F.col("doc_id").alias("d2"), "band", "bsig")
+    pairs = (
+        a.join(b, ["band", "bsig"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+    s1 = sig.select(
+        F.col("doc_id").alias("d1"),
+        *[F.col(f"m{j}").alias(f"a{j}") for j in range(_PMH_K)],
+    )
+    s2 = sig.select(
+        F.col("doc_id").alias("d2"),
+        *[F.col(f"m{j}").alias(f"b{j}") for j in range(_PMH_K)],
+    )
+    agree = sum(
+        (F.col(f"a{j}") == F.col(f"b{j}")).cast("int") for j in range(_PMH_K)
+    )
+    return (
+        pairs.join(s1, "d1")
+        .join(s2, "d2")
+        .select(
+            "d1",
+            "d2",
+            agree.cast("bigint").alias("n_match"),
+            (agree.cast("double") / F.lit(float(_PMH_K))).alias("est_jaccard"),
+        )
+        .filter(F.col("n_match") >= _PMH_MIN_MATCH)
+    )
