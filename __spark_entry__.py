@@ -58,9 +58,10 @@ _VERIFY_FIRST = [
     # the two stalest r2 rows (q_tpch_q3/q7) past the 50-query window;
     # those two join the r6 rotation head
     "q_semantic_decontam", "q_skew_salted_join",
-    # portable-md5 MinHash twin: the signature VALUES are oracle-checked
-    # (displaces q_tpch_q3's r2-stale row into the r6 head)
-    "q_dedup_minhash_portable",
+    # portable-md5 MinHash/SimHash twins: the signature VALUES are
+    # oracle-checked (displace q_tpch_q3/q7's r2-stale rows into the r6
+    # head)
+    "q_dedup_minhash_portable", "q_dedup_simhash_portable",
     # stalest rows: latest driver green is r2 — 33 of the 34 here (the
     # 34th, q_having, re-earns green in the changed-queries head above)
     "q_scd2", "q_ri_audit", "q_schema_evolution", "q_scan_binaryfile",

@@ -985,3 +985,138 @@ def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_match") >= _PMH_MIN_MATCH)
     )
+
+
+# ---------------------------------------------------------------------------
+# portable SimHash: md5-twin of the xxhash64 simhash path above, same
+# rationale as q_dedup_minhash_portable — the 32-bit signature VALUES,
+# the 4×8-bit band candidate set, and the hamming distances are all
+# engine-identical, so the driver verifies the sign-sum arithmetic
+# itself, not just planted recall.
+# ---------------------------------------------------------------------------
+
+_PSH_BITS = 32
+_PSH_BANDS = 4  # 8-bit band keys
+_PSH_HAM = 3  # report threshold
+
+
+def _psh_oracle() -> str:
+    bits = ", ".join(
+        f"CASE WHEN SUM(tf * (2*((x >> {j}) & 1) - 1)) > 0 "
+        f"THEN {1 << j}::BIGINT ELSE 0 END AS b{j}"
+        for j in range(_PSH_BITS)
+    )
+    s_sum = " + ".join(f"b{j}" for j in range(_PSH_BITS))
+    return f"""
+    WITH base_docs AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w
+      FROM documents
+      WHERE source = 'src0' AND len(string_split(lower(text), ' ')) >= 10
+    ),
+    corpus AS (
+      SELECT doc_id, w FROM base_docs
+      UNION ALL
+      SELECT doc_id + {_PMH_OFFSET},
+             w[1:CAST(FLOOR(4 * len(w) / 5) AS BIGINT)]
+      FROM base_docs
+    ),
+    tf AS (
+      SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(w) AS t FROM corpus)
+      GROUP BY doc_id, t
+    ),
+    hx AS (
+      SELECT doc_id, tf,
+             CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) AS x
+      FROM tf
+    ),
+    sig0 AS (SELECT doc_id, {bits} FROM hx GROUP BY doc_id),
+    sh AS (SELECT doc_id, {s_sum} AS s FROM sig0),
+    bk AS (
+      SELECT doc_id, s, band, (s >> (band * 8)) & 255 AS key
+      FROM (SELECT doc_id, s, unnest([0, 1, 2, 3]) AS band FROM sh)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, a.s AS sim1, b.doc_id AS d2, b.s AS sim2
+      FROM bk a
+      JOIN bk b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT d1, d2, sim1, sim2,
+           CAST(bit_count(CAST(xor(sim1, sim2) AS BIGINT)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(CAST(xor(sim1, sim2) AS BIGINT)) <= {_PSH_HAM}
+    """
+
+
+@demo_query("q_dedup_simhash_portable", oracle=_psh_oracle())
+def q_dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash with PORTABLE hashes: tf-weighted sign-sum over
+    md5-derived 32-bit token hashes, banded into 4×8-bit keys for
+    candidate generation, hamming ≤ 3 refinement — every intermediate
+    (signature values, candidate set, distances) hash-matches the
+    DuckDB oracle. Planted 80%-prefix copies land at hamming 1-7, so
+    the threshold boundary is exercised from both sides alongside
+    organic near-collisions of the small synthetic vocabulary.
+
+    Same scale shape as the xxhash64 path: candidates come from the
+    band-key equi-join (each doc appears in 4 buckets), never all-pairs;
+    the refinement is integer xor/popcount on the joined signatures."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("source") == "src0")
+        .select("doc_id", F.split(F.lower("text"), " ").alias("w"))
+        .filter(F.size("w") >= 10)
+    )
+    copies = docs.select(
+        (F.col("doc_id") + _PMH_OFFSET).alias("doc_id"),
+        F.slice(F.col("w"), 1, F.floor(F.size("w") * 4 / 5).cast("int")).alias("w"),
+    )
+    corpus = docs.unionByName(copies)
+    tf = (
+        corpus.select("doc_id", F.explode("w").alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    hx = tf.select(
+        "doc_id",
+        "tf",
+        F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long").alias("x"),
+    )
+    bit_aggs = [
+        F.when(
+            F.sum(
+                F.col("tf")
+                * (2 * F.shiftright(F.col("x"), j).bitwiseAND(F.lit(1)) - 1)
+            )
+            > 0,
+            F.lit(1 << j).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias(f"b{j}")
+        for j in range(_PSH_BITS)
+    ]
+    sig0 = hx.groupBy("doc_id").agg(*bit_aggs)
+    sh = sig0.select(
+        "doc_id", sum(F.col(f"b{j}") for j in range(_PSH_BITS)).alias("s")
+    )
+    bk = sh.select(
+        "doc_id",
+        "s",
+        F.explode(F.array(*[F.lit(i) for i in range(_PSH_BANDS)])).alias("band"),
+    ).withColumn(
+        "key", F.expr("shiftright(s, band * 8) & 255")
+    )
+    a = bk.select(
+        F.col("doc_id").alias("d1"), F.col("s").alias("sim1"), "band", "key"
+    )
+    b = bk.select(
+        F.col("doc_id").alias("d2"), F.col("s").alias("sim2"), "band", "key"
+    )
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", "sim1", "sim2")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sim1").bitwiseXOR(F.col("sim2"))).cast("bigint")
+    return cand.withColumn("hamming", ham).filter(F.col("hamming") <= _PSH_HAM)
