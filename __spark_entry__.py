@@ -54,13 +54,13 @@ _VERIFY_FIRST = [
     # IVF ANN (per-query top-k for a whole query set in one pass)
     "q_bucketed_join", "q_similarity_batch_ivf",
     # new in round 5 (continuation): semantic decontamination (train/eval
-    # embedding split) and the skew-salted shuffle join — both displace
-    # the two stalest r2 rows (q_tpch_q3/q7) past the 50-query window;
-    # those two join the r6 rotation head
+    # embedding split) and the skew-salted shuffle join
     "q_semantic_decontam", "q_skew_salted_join",
     # portable-md5 MinHash/SimHash twins: the signature VALUES are
-    # oracle-checked (displace q_tpch_q3/q7's r2-stale rows into the r6
-    # head)
+    # oracle-checked. The 4 round-5-continuation additions displace the
+    # 4 stalest r2 rows (q_left_join_hist, q_correlated_subquery,
+    # q_tpch_q3, q_tpch_q7) past the 50-query window — those join the
+    # r6 rotation head.
     "q_dedup_minhash_portable", "q_dedup_simhash_portable",
     # stalest rows: latest driver green is r2 — 33 of the 34 here (the
     # 34th, q_having, re-earns green in the changed-queries head above)

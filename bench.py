@@ -93,6 +93,11 @@ EXTRA = [
     "q_similarity_batch_ivf",
     "q_dedup_minhash_recall",
     "q_dedup_simhash_recall",
+    # round-5 continuation additions
+    "q_semantic_decontam",
+    "q_skew_salted_join",
+    "q_dedup_minhash_portable",
+    "q_dedup_simhash_portable",
 ]
 
 
