@@ -56,12 +56,14 @@ _VERIFY_FIRST = [
     # new in round 5 (continuation): semantic decontamination (train/eval
     # embedding split) and the skew-salted shuffle join
     "q_semantic_decontam", "q_skew_salted_join",
-    # portable-md5 MinHash/SimHash twins: the signature VALUES are
-    # oracle-checked. The 4 round-5-continuation additions displace the
-    # 4 stalest r2 rows (q_left_join_hist, q_correlated_subquery,
-    # q_tpch_q3, q_tpch_q7) past the 50-query window — those join the
-    # r6 rotation head.
+    # portable-md5 MinHash/SimHash twins (signature VALUES oracle-
+    # checked) and Lloyd's k-means (iterative algorithm, exact-decimal
+    # centroid updates). The 5 round-5-continuation additions displace
+    # the 5 stalest r2 rows (q_distinct_agg, q_left_join_hist,
+    # q_correlated_subquery, q_tpch_q3, q_tpch_q7) past the 50-query
+    # window — those join the r6 rotation head.
     "q_dedup_minhash_portable", "q_dedup_simhash_portable",
+    "q_kmeans_assign",
     # stalest rows: latest driver green is r2 — 33 of the 34 here (the
     # 34th, q_having, re-earns green in the changed-queries head above)
     "q_scd2", "q_ri_audit", "q_schema_evolution", "q_scan_binaryfile",

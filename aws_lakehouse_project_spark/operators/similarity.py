@@ -725,3 +725,134 @@ def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_train") - F.col("n_contaminated")).alias("n_clean"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k-means (Lloyd's) — training the IVF coarse quantizer. Iterative
+# algorithms are normally the canonical "rows-only" case; this one is
+# fully oracle-checked by pinning the nondeterminism: fixed init
+# (vec_id 1..k), a FIXED number of unrolled iterations, exact-decimal
+# component sums for the centroid update (order-independent, unlike
+# float sums), and 6-decimal rounding of each new centroid before the
+# next assignment — every engine computes bit-identical centroids, so
+# assignments match exactly.
+# ---------------------------------------------------------------------------
+
+_KM_K = 4
+_KM_ITERS = 2
+
+_KM_DIST = (
+    "(list_inner_product({x}, {x}) - 2 * list_inner_product({x}, {c})"
+    " + list_inner_product({c}, {c}))"
+)
+
+
+def _km_oracle() -> str:
+    p = ""
+    prev = "c0"
+    assign_tpl = """
+    a{i} AS (
+      SELECT e.vec_id, e.v, c.cid
+      FROM e, {prev} c
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY {dist}, c.cid
+      ) = 1
+    )"""
+    update_tpl = """
+    m{i} AS (
+      SELECT cid, dim,
+             ROUND(CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE)
+                   / COUNT(*), 6) AS m
+      FROM (SELECT cid, unnest(v) AS x,
+                   generate_subscripts(v, 1) AS dim
+            FROM a{i})
+      GROUP BY cid, dim
+    ),
+    c{i} AS (
+      SELECT cid, list(m ORDER BY dim) AS cv FROM m{i} GROUP BY cid
+    )"""
+    for i in range(1, _KM_ITERS + 1):
+        p += "," + assign_tpl.format(
+            i=i, prev=prev, dist=_KM_DIST.format(x="e.v", c="c.cv")
+        )
+        if i < _KM_ITERS:
+            p += "," + update_tpl.format(i=i)
+        prev = f"c{i}"
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    c0 AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings
+      WHERE vec_id BETWEEN 1 AND {_KM_K}
+    ){p}
+    SELECT vec_id, CAST(cid AS BIGINT) AS cid FROM a{_KM_ITERS}
+    """
+
+
+@demo_query("q_kmeans_assign", oracle=_km_oracle())
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means over the embeddings table — the
+    training step that produces a real IVF coarse quantizer (the other
+    IVF queries use fixed seed centroids; this one LEARNS them).
+
+    Per iteration: (1) assign — broadcast the k centroid arrays, argmin
+    of the dot-product-expanded squared distance, deterministic cid
+    tie-break; (2) update — posexplode assigned vectors to (cid, dim,
+    component), sum components as DECIMAL(18,9) (exact, ORDER-
+    INDEPENDENT — float sums would differ between engines and across
+    partitionings), divide by count, round to 6 decimals, rebuild the
+    centroid array with a sort-by-dim collect. ``localCheckpoint``
+    truncates lineage per iteration (the standard iterative-algorithm
+    discipline — without it the plan doubles per round).
+
+    Scale shape: each iteration is one broadcast join over the corpus +
+    one aggregation whose output is k×d rows (tiny); the corpus is
+    scanned once per iteration and never reshuffled. Output is the
+    final assignment (vec_id, cid), engine-identical because every
+    centroid component is a rounded exact-decimal mean."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", as_double("embedding").alias("v"))
+    cent = (
+        emb.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= _KM_K))
+        .select(F.col("vec_id").alias("cid"), as_double("embedding").alias("cv"))
+    )
+
+    def dist2(x: Column, c: Column) -> Column:
+        return dot(x, x) - 2 * dot(x, c) + dot(c, c)
+
+    from pyspark.sql import Window
+
+    assign = None
+    for it in range(1, _KM_ITERS + 1):
+        w = Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("cid"))
+        assign = (
+            e.crossJoin(F.broadcast(cent))
+            .withColumn("d2", dist2(F.col("v"), F.col("cv")))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "v", "cid")
+        )
+        if it == _KM_ITERS:
+            break
+        comps = assign.select(
+            "cid", F.posexplode("v").alias("dim", "x")
+        ).select(
+            "cid", (F.col("dim") + 1).alias("dim"), F.col("x").cast("decimal(18,9)").alias("xd")
+        )
+        means = comps.groupBy("cid", "dim").agg(
+            F.round(
+                F.sum("xd").cast("double") / F.count(F.lit(1)), 6
+            ).alias("m")
+        )
+        cent = (
+            means.groupBy("cid")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(dim, m))), s -> s.m)"
+                ).alias("cv")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return assign.select("vec_id", F.col("cid").cast("bigint").alias("cid"))

@@ -98,6 +98,7 @@ EXTRA = [
     "q_skew_salted_join",
     "q_dedup_minhash_portable",
     "q_dedup_simhash_portable",
+    "q_kmeans_assign",
 ]
 
 
