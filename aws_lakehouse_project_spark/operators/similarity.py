@@ -856,3 +856,93 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return assign.select("vec_id", F.col("cid").cast("bigint").alias("cid"))
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup, end-to-end: cosine pair edges →
+# connected components → cluster profile (keep-one-per-cluster policy =
+# "keep vec == component"). Composes two independently-verified pieces:
+# the literal-hyperplane bucket pairs (q_similarity_pairs) and the CC
+# iteration (operators/dedup.py::connected_components), with the
+# recursive-CTE closure as the oracle.
+# ---------------------------------------------------------------------------
+
+_SEMCLUSTER_T = 0.30  # looser than q_similarity_pairs: richer components
+
+_SEM_EDGES_SQL = f"""
+      SELECT a.vec_id AS d1, c.vec_id AS d2
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS ev,
+                   {_bucket_sql("embedding::DOUBLE[]")} AS bucket
+            FROM embeddings) a
+      JOIN (SELECT vec_id, embedding::DOUBLE[] AS ev,
+                   {_bucket_sql("embedding::DOUBLE[]")} AS bucket
+            FROM embeddings) c
+        ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+      WHERE ROUND({_COS.format(a="a.ev", b="c.ev")}, 6) >= {_SEMCLUSTER_T}
+"""
+
+_SEMCLUSTER_ORACLE = f"""
+    WITH RECURSIVE pairs AS (
+{_SEM_EDGES_SQL}
+    ),
+    edges AS (
+      SELECT d1 AS src, d2 AS dst FROM pairs
+      UNION
+      SELECT d2 AS src, d1 AS dst FROM pairs
+    ),
+    reach AS (
+      SELECT src AS node, dst AS r FROM edges
+      UNION
+      SELECT re.node, e.dst FROM reach re JOIN edges e ON re.r = e.src
+    ),
+    comp AS (
+      SELECT node, LEAST(node, MIN(r)) AS component FROM reach GROUP BY node
+    )
+    SELECT component,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS vec_ids
+    FROM comp GROUP BY component
+"""
+
+
+@demo_query("q_dedup_clusters_semantic", oracle=_SEMCLUSTER_ORACLE)
+def q_dedup_clusters_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup clusters over embeddings (SemDeDup shape):
+    LSH-bucketed cosine pairs (threshold {t}) → min-label connected
+    components → per-cluster profile. Dedup policy downstream is "keep
+    the component representative" — one LEFT SEMI join on
+    (vec_id = component) keys.
+
+    Scale shape: edges come from the bucket self-join (never all-pairs);
+    CC is one join + one aggregation per round with localCheckpoint
+    lineage truncation (see connected_components); the profile
+    aggregation shuffles component ids, not vectors.""".format(
+        t=_SEMCLUSTER_T
+    )
+    from .dedup import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    withb = emb.select("vec_id", as_double("embedding").alias("ev")).withColumn(
+        "bucket", _bucket_expr(F.col("ev"))
+    )
+    a = withb.select(F.col("vec_id").alias("d1"), F.col("ev").alias("e1"), "bucket")
+    b = withb.select(F.col("vec_id").alias("d2"), F.col("ev").alias("e2"), "bucket")
+    cosine = dot(F.col("e1"), F.col("e2")) / (
+        F.sqrt(dot(F.col("e1"), F.col("e1"))) * F.sqrt(dot(F.col("e2"), F.col("e2")))
+    )
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("d1") < F.col("d2"))
+        .filter(F.round(cosine, 6) >= _SEMCLUSTER_T)
+        .select("d1", "d2")
+    )
+    comps = connected_components(pairs)
+    return (
+        comps.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.array_join(
+                F.sort_array(F.collect_list("node")), ","
+            ).alias("vec_ids"),
+        )
+    )

@@ -99,6 +99,7 @@ EXTRA = [
     "q_dedup_minhash_portable",
     "q_dedup_simhash_portable",
     "q_kmeans_assign",
+    "q_dedup_clusters_semantic",
 ]
 
 
