@@ -573,3 +573,95 @@ def q_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             8,
         ).alias("share"),
     )
+
+
+@demo_query(
+    "q_interpolate",
+    oracle="""
+    WITH spine AS (
+      SELECT CAST(d AS DATE) AS dt
+      FROM (SELECT UNNEST(generate_series(DATE '1995-01-01', DATE '1995-03-31',
+                                          INTERVAL 1 DAY)) AS d)
+    ), daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS dt,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS rev
+      FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1
+    ), grid AS (
+      SELECT spine.dt, rev FROM spine LEFT JOIN daily ON spine.dt = daily.dt
+    ), ctx AS (
+      SELECT dt, rev,
+             last_value(rev IGNORE NULLS) OVER w_prev AS pv,
+             last_value(CASE WHEN rev IS NOT NULL THEN dt END IGNORE NULLS)
+               OVER w_prev AS pd,
+             first_value(rev IGNORE NULLS) OVER w_next AS nv,
+             first_value(CASE WHEN rev IS NOT NULL THEN dt END IGNORE NULLS)
+               OVER w_next AS nd
+      FROM grid
+      WINDOW
+        w_prev AS (ORDER BY dt ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_next AS (ORDER BY dt ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT dt,
+           ROUND(CASE
+             WHEN rev IS NOT NULL THEN rev
+             WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+               pv + (nv - pv) * CAST(dt - pd AS DOUBLE) / CAST(nd - pd AS DOUBLE)
+             ELSE COALESCE(pv, nv)
+           END, 6) AS revenue,
+           rev IS NULL AS interpolated
+    FROM ctx
+    """,
+)
+def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over calendar gaps: days with no urgent-order
+    revenue get the straight line between the nearest known neighbors
+    (constant extrapolation at the edges) — the time-series repair step
+    after q_calendar_fill's zero-fill, for metrics where zero is wrong.
+
+    The carry-forward/carry-backward pair is two IGNORE NULLS window
+    scans over the POST-AGGREGATION daily grid (≤ one row per calendar
+    day at any corpus scale — the documented free-at-scale post-agg
+    window class; partition by a series key for the multi-series
+    variant). Interpolation weights are exact day differences; the
+    result rounds identically on both engines."""
+    spine = spark.range(1).select(
+        F.explode_outer(
+            F.expr("sequence(DATE'1995-01-01', DATE'1995-03-31', interval 1 day)")
+        ).alias("dt")
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("dt")).agg(
+        money_sum("o_totalprice", "rev")
+    )
+    grid = spine.join(F.broadcast(daily), "dt", "left").select(
+        "dt", F.col("rev").cast("double").alias("rev")
+    )
+    w_prev = Window.orderBy("dt").rowsBetween(Window.unboundedPreceding, 0)
+    w_next = Window.orderBy("dt").rowsBetween(0, Window.unboundedFollowing)
+    known_dt = F.when(F.col("rev").isNotNull(), F.col("dt"))
+    ctx = grid.select(
+        "dt",
+        "rev",
+        F.last("rev", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(known_dt, ignorenulls=True).over(w_prev).alias("pd"),
+        F.first("rev", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(known_dt, ignorenulls=True).over(w_next).alias("nd"),
+    )
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        F.datediff(F.col("dt"), F.col("pd")).cast("double")
+        / F.datediff(F.col("nd"), F.col("pd")).cast("double")
+    )
+    return ctx.select(
+        "dt",
+        F.round(
+            F.when(F.col("rev").isNotNull(), F.col("rev"))
+            .when(
+                F.col("pv").isNotNull() & F.col("nv").isNotNull(), interp
+            )
+            .otherwise(F.coalesce("pv", "nv")),
+            6,
+        ).alias("revenue"),
+        F.col("rev").isNull().alias("interpolated"),
+    )

@@ -628,3 +628,60 @@ def q_lang_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("upweight"),
     )
+
+
+@demo_query(
+    "q_token_entropy",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS t
+      FROM documents
+    ),
+    cnt AS (
+      SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY source, t
+    ),
+    tot AS (
+      SELECT source, CAST(SUM(c) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS vocab
+      FROM cnt GROUP BY source
+    )
+    SELECT cnt.source, n AS n_tokens, vocab AS vocab_size,
+           ROUND(ln(CAST(n AS DOUBLE))
+                 - SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+                   / CAST(n AS DOUBLE), 6) AS entropy_nats
+    FROM cnt JOIN tot ON cnt.source = tot.source
+    GROUP BY cnt.source, n, vocab
+    """,
+)
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution entropy per source — the corpus-diversity
+    signal quality pipelines track (low entropy ⇒ templated or
+    repetitive sources; pairs with q_repetition's within-doc signal).
+
+    Computed from exact integer counts in closed form,
+    H = ln(N) − (Σ c·ln c)/N, so the only float work is ~vocab-size
+    ln/multiply terms, rounded to 6 decimals — the same ln-portability
+    envelope q_tfidf established. Shape: one explode + two
+    aggregations; the exchange carries (source, token) counts, never
+    raw text."""
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select("source", F.explode(F.split(F.lower("text"), " ")).alias("t"))
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = cnt.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"), F.count(F.lit(1)).alias("vocab_size")
+    )
+    ent = cnt.join(tot, "source").groupBy(
+        "source", "n_tokens", "vocab_size"
+    ).agg(
+        F.round(
+            F.log(F.col("n_tokens").cast("double"))
+            - F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double")))
+            / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("entropy_nats")
+    )
+    return ent

@@ -100,6 +100,8 @@ EXTRA = [
     "q_dedup_simhash_portable",
     "q_kmeans_assign",
     "q_dedup_clusters_semantic",
+    "q_token_entropy",
+    "q_interpolate",
 ]
 
 
