@@ -686,9 +686,10 @@ def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     are the train↔eval BUCKET join — at 100 TB the eval side is tiny
     and broadcast, and the bucket equality prunes the probe to
     ~1/2^n_planes of each side, never train×eval all-pairs. Flagged ids
-    are a distinct key set, removed with a LEFT ANTI join keyed on
-    vec_id only (the corpus payload never reships). Output is the
-    per-label survival report (n_train / n_contaminated / n_clean).
+    are a distinct key set joined back on vec_id only (LEFT SEMI for
+    this report; the removal itself is the same join LEFT ANTI — either
+    way the corpus payload never reships). Output is the per-label
+    survival report (n_train / n_contaminated / n_clean).
 
     Oracle-checked end-to-end: the hyperplanes are literals reproduced
     by ``_bucket_sql`` and both engines fold dot products sequentially
