@@ -909,7 +909,7 @@ _SEMCLUSTER_ORACLE = f"""
 @demo_query("q_dedup_clusters_semantic", oracle=_SEMCLUSTER_ORACLE)
 def q_dedup_clusters_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic near-dup clusters over embeddings (SemDeDup shape):
-    LSH-bucketed cosine pairs (threshold {t}) → min-label connected
+    LSH-bucketed cosine pairs (threshold 0.30) → min-label connected
     components → per-cluster profile. Dedup policy downstream is "keep
     the component representative" — one LEFT SEMI join on
     (vec_id = component) keys.
@@ -917,9 +917,7 @@ def q_dedup_clusters_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: edges come from the bucket self-join (never all-pairs);
     CC is one join + one aggregation per round with localCheckpoint
     lineage truncation (see connected_components); the profile
-    aggregation shuffles component ids, not vectors.""".format(
-        t=_SEMCLUSTER_T
-    )
+    aggregation shuffles component ids, not vectors."""
     from .dedup import connected_components
 
     emb = load_table(spark, sf_dir, "embeddings")
