@@ -902,8 +902,9 @@ def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same scale shape as minhash_pairs: candidates join on
     (band, band-signature) keys only, never all-pairs; the estimate
     re-joins the signature table on the candidate ids. md5-per-shingle
-    costs ~3× xxhash64 (bench extras) — the price of portability, paid
-    only in this verification twin."""
+    is slower than xxhash64 (string hex + bigint parse vs one native
+    64-bit hash) — the price of portability, paid only in this
+    verification twin; the production path stays engine-native."""
     docs = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("source") == "src0")
