@@ -58,16 +58,19 @@ _VERIFY_FIRST = [
     "q_semantic_decontam", "q_skew_salted_join",
     # portable-md5 MinHash/SimHash twins (signature VALUES oracle-
     # checked), Lloyd's k-means (iterative algorithm, exact-decimal
-    # centroid updates), SemDeDup clusters, token entropy, and linear
-    # interpolation. The 8 round-5-continuation additions displace the
-    # 8 stalest r2 rows (q_pii_scrub, q_semi_join, q_anti_join,
-    # q_distinct_agg, q_left_join_hist, q_correlated_subquery,
-    # q_tpch_q3, q_tpch_q7) past the 50-query window — those join the
-    # r6 rotation head.
+    # centroid updates), SemDeDup clusters, token entropy, linear
+    # interpolation, and the frame-sample/resize media ops. The 10
+    # round-5-continuation additions displace the 10 stalest r2 rows
+    # (q_pack_sequences, q_repetition, q_pii_scrub, q_semi_join,
+    # q_anti_join, q_distinct_agg, q_left_join_hist,
+    # q_correlated_subquery, q_tpch_q3, q_tpch_q7) past the 50-query
+    # window — those join the r6 rotation head.
     "q_dedup_minhash_portable", "q_dedup_simhash_portable",
     "q_kmeans_assign", "q_dedup_clusters_semantic",
     # corpus-diversity entropy + time-series linear interpolation
     "q_token_entropy", "q_interpolate",
+    # frame-sample + resize complete the mandated media-op family
+    "q_multimodal_frames", "q_multimodal_resize",
     # stalest rows: latest driver green is r2 — 33 of the 34 here (the
     # 34th, q_having, re-earns green in the changed-queries head above)
     "q_scd2", "q_ri_audit", "q_schema_evolution", "q_scan_binaryfile",

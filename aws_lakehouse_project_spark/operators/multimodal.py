@@ -181,3 +181,163 @@ def q_scan_binaryfile(spark, sf_dir: str) -> DataFrame:
         F.sum(F.length("content")).cast("bigint").alias("total_bytes"),
         F.countDistinct(F.md5("content")).alias("n_distinct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# frame sampling + resize — the remaining mandated media ops. Same
+# contract as extract_features: the byte-level transform runs in the
+# Python worker over streaming Arrow batches (where a real ffmpeg/PIL
+# call would go), while the frame/stride arithmetic is deterministic so
+# the OUTPUT is byte-exact SQL-derivable (ASCII payloads: char slicing
+# ≡ byte slicing).
+# ---------------------------------------------------------------------------
+
+FRAME_BYTES = 64  # fixed "frame" width in the fake container format
+FRAME_STRIDE = 4  # keep every 4th frame
+RESIZE_STRIDE = 4  # keep every 4th byte ("downsample")
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_len", T.LongType()),
+        T.StructField("frame_md5", T.StringType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame) -> DataFrame:
+    """1→N frame sampling via mapInPandas: split each payload into
+    FRAME_BYTES-wide frames, keep every FRAME_STRIDE-th, emit one row
+    per kept frame. The output explodes INSIDE the Arrow batch loop —
+    no driver materialization, memory bounded by batch payload bytes.
+    A real video pipeline swaps the byte-slice for a keyframe decode;
+    the Spark plumbing (iterator signature, 1→N fan-out, schema) is
+    exactly this."""
+    import hashlib
+
+    import pandas as pd
+
+    fb, fs = FRAME_BYTES, FRAME_STRIDE
+
+    def batches(it):
+        for pdf in it:
+            ids, idxs, lens, digs = [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                p = bytes(p) if p is not None else b""
+                for i in range(0, (len(p) + fb - 1) // fb):
+                    if i % fs:
+                        continue
+                    fr = p[i * fb : (i + 1) * fb]
+                    ids.append(mid)
+                    idxs.append(i)
+                    lens.append(len(fr))
+                    digs.append(hashlib.md5(fr).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": idxs,
+                    "frame_len": lens,
+                    "frame_md5": digs,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=FRAMES_SCHEMA
+    )
+
+
+@demo_query(
+    "q_multimodal_frames",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id AS media_id,
+             unnest(generate_series(0,
+               CAST(FLOOR((length(text) - 1) / {FRAME_BYTES}) AS BIGINT))) AS i,
+             text
+      FROM documents WHERE source = 'src0'
+    )
+    SELECT media_id, i AS frame_idx,
+           CAST(length(substr(text, i * {FRAME_BYTES} + 1, {FRAME_BYTES}))
+                AS BIGINT) AS frame_len,
+           md5(substr(text, i * {FRAME_BYTES} + 1, {FRAME_BYTES})) AS frame_md5
+    FROM f WHERE i % {FRAME_STRIDE} = 0
+    """,
+)
+def q_multimodal_frames(spark, sf_dir: str) -> DataFrame:
+    """Frame-sampling pipeline over one source bucket: media synthesis →
+    mapInPandas frame explode → per-frame rows. Every emitted frame's
+    md5 is hash-checked against the SQL byte-slicing twin, so the Arrow
+    1→N path is value-verified frame-for-frame."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source") == "src0"
+    )
+    return sample_frames(documents_as_media(docs))
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("orig_bytes", T.LongType()),
+        T.StructField("resized_bytes", T.LongType()),
+        T.StructField("resized_md5", T.StringType()),
+    ]
+)
+
+
+def resize_media(media: DataFrame) -> DataFrame:
+    """Stride-downsample each payload (every RESIZE_STRIDE-th byte) in
+    the Python worker — the stand-in for a real thumbnail/resample
+    kernel, with the same Arrow-batch memory posture as
+    extract_features."""
+    import hashlib
+
+    import pandas as pd
+
+    rs = RESIZE_STRIDE
+
+    def batches(it):
+        for pdf in it:
+            orig = [bytes(p) if p is not None else b"" for p in pdf["payload"]]
+            small = [p[::rs] for p in orig]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "orig_bytes": [len(p) for p in orig],
+                    "resized_bytes": [len(s) for s in small],
+                    "resized_md5": [hashlib.md5(s).hexdigest() for s in small],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=RESIZED_SCHEMA
+    )
+
+
+@demo_query(
+    "q_multimodal_resize",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id AS media_id, length(text) AS n,
+             string_agg(substr(text, i, 1), '' ORDER BY i) AS small
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, length(text), {RESIZE_STRIDE}))
+                     AS i
+            FROM documents WHERE source = 'src0')
+      GROUP BY doc_id, length(text), text
+    )
+    SELECT media_id, CAST(n AS BIGINT) AS orig_bytes,
+           CAST(length(small) AS BIGINT) AS resized_bytes,
+           md5(small) AS resized_md5
+    FROM s
+    """,
+)
+def q_multimodal_resize(spark, sf_dir: str) -> DataFrame:
+    """Resize pipeline over one source bucket: every payload stride-
+    downsampled in the Arrow worker; output md5s hash-match the SQL
+    every-Nth-char reconstruction, so the resize path is value-verified
+    byte-for-byte."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source") == "src0"
+    )
+    return resize_media(documents_as_media(docs))

@@ -102,6 +102,8 @@ EXTRA = [
     "q_dedup_clusters_semantic",
     "q_token_entropy",
     "q_interpolate",
+    "q_multimodal_frames",
+    "q_multimodal_resize",
 ]
 
 
