@@ -945,3 +945,100 @@ def q_dedup_clusters_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("vec_ids"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the compression layer a 100 TB embedding
+# store actually ships — each vector becomes m sub-space code ids
+# (here 4×log2(k) bits instead of 64 floats). Codebooks are fixed seed
+# subvectors (training them is q_kmeans_assign's job); encoding is
+# argmin over dot-expanded L2 per subspace, deterministic tie-break, so
+# codes AND the reconstruction error are engine-identical.
+# ---------------------------------------------------------------------------
+
+_PQ_M = 4  # subspaces
+_PQ_DSUB = _DIM // _PQ_M
+_PQ_K = 4  # centroids per subspace: codebook = subvectors of vec_id 1..4
+
+
+def _pq_oracle() -> str:
+    sub_cols = []
+    for s in range(_PQ_M):
+        lo = s * _PQ_DSUB + 1
+        hi = (s + 1) * _PQ_DSUB
+        dists = []
+        for c in range(1, _PQ_K + 1):
+            x = f"(e.v[{lo}:{hi}])"
+            cv = f"(c{c}.v[{lo}:{hi}])"
+            dists.append(
+                f"(list_inner_product({x}, {x})"
+                f" - 2 * list_inner_product({x}, {cv})"
+                f" + list_inner_product({cv}, {cv}))"
+            )
+        best = f"LEAST({', '.join(dists)})"
+        code = "CASE " + " ".join(
+            f"WHEN {d} = {best} THEN {c}" for c, d in zip(range(1, _PQ_K + 1), dists)
+        ) + " END"
+        sub_cols.append((code, best))
+    codes = ",\n           ".join(
+        f"CAST({c} AS BIGINT) AS code{s}" for s, (c, _) in enumerate(sub_cols)
+    )
+    err = " + ".join(b for _, b in sub_cols)
+    froms = ", ".join(
+        f"(SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = {c}) c{c}"
+        for c in range(1, _PQ_K + 1)
+    )
+    return f"""
+    SELECT e.vec_id,
+           {codes},
+           ROUND({err}, 6) AS recon_err
+    FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) e, {froms}
+    """
+
+
+@demo_query("q_pq_encode", oracle=_pq_oracle())
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-encode every embedding: 4 subspaces × 16 dims, 4-entry fixed
+    codebooks (seed subvectors), per-subspace argmin with CASE-on-
+    minimum semantics (the smallest code id wins exact distance ties,
+    matching the oracle's WHEN ordering). Output is (vec_id, 4 code
+    ids, summed reconstruction error).
+
+    Scale shape: codebooks are a 1-row broadcast (all m×k centroid
+    slices); encoding is a single scan with pure expression work — the
+    exact shape that PQ-compresses a 100 TB embedding store in one
+    pass. Distances are dot-expanded sequential folds (engine-
+    identical), so codes and errors hash-match the oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", as_double("embedding").alias("v"))
+    cb = (
+        emb.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= _PQ_K))
+        .select(F.col("vec_id").alias("cid"), as_double("embedding").alias("cv"))
+        .groupBy()
+        .pivot("cid", list(range(1, _PQ_K + 1)))
+        .agg(F.first("cv"))
+    )  # 1 row: columns "1".."4" = codebook vectors
+    joined = e.crossJoin(F.broadcast(cb))
+
+    def sub(col: Column, s: int) -> Column:
+        return F.slice(col, s * _PQ_DSUB + 1, _PQ_DSUB)
+
+    out_cols = [F.col("vec_id")]
+    err_terms = []
+    for s in range(_PQ_M):
+        x = sub(F.col("v"), s)
+        dists = []
+        for c in range(1, _PQ_K + 1):
+            cv = sub(F.col(str(c)), s)
+            dists.append(dot(x, x) - 2 * dot(x, cv) + dot(cv, cv))
+        best = F.least(*dists)
+        code = F.when(dists[0] == best, 1)
+        for c in range(1, _PQ_K):
+            code = code.when(dists[c] == best, c + 1)
+        out_cols.append(code.cast("bigint").alias(f"code{s}"))
+        err_terms.append(best)
+    err = err_terms[0]
+    for t in err_terms[1:]:
+        err = err + t
+    out_cols.append(F.round(err, 6).alias("recon_err"))
+    return joined.select(*out_cols)

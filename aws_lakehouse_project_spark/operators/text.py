@@ -685,3 +685,57 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("entropy_nats")
     )
     return ent
+
+
+@demo_query(
+    "q_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+      FROM documents
+    ),
+    uni AS (
+      SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY t
+    ),
+    n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(SUM(ln(CAST(c AS DOUBLE) / n)) / COUNT(*), 6)
+             AS avg_logprob
+    FROM tok JOIN uni USING (t), n
+    GROUP BY doc_id, n
+    """,
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model log-probability per document — the
+    perplexity-style quality filter (CCNet shape: score every document
+    against a corpus LM, filter the tail). avg_logprob = Σ ln(c_t/N) /
+    n_tokens from exact integer counts; documents full of rare tokens
+    score low.
+
+    Scale shape: the unigram table is an aggregation keyed by token
+    (vocabulary-sized, shuffles counts not text); scoring joins tokens
+    back to it — AQE broadcasts the vocab side when it fits, which a
+    real-corpus unigram table (≈ millions of rows) does on any
+    executor. The corpus total is a 1-row broadcast. Float work is one
+    ln + one division per distinct (doc, token), summed per doc and
+    rounded inside the q_tfidf-established envelope."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("t")
+    )
+    uni = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    n = uni.agg(F.sum("c").alias("n"))
+    return (
+        tok.join(uni, "t")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum(F.log(F.col("c").cast("double") / F.col("n")))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )

@@ -104,6 +104,8 @@ EXTRA = [
     "q_interpolate",
     "q_multimodal_frames",
     "q_multimodal_resize",
+    "q_pq_encode",
+    "q_unigram_logprob",
 ]
 
 
