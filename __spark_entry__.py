@@ -60,20 +60,21 @@ _VERIFY_FIRST = [
     # checked), Lloyd's k-means (iterative algorithm, exact-decimal
     # centroid updates), SemDeDup clusters, token entropy, linear
     # interpolation, the frame-sample/resize media ops, PQ encoding,
-    # and unigram-LM scoring. The 12 round-5-continuation additions
-    # displace the 12 stalest r2 rows (q_fingerprint, q_corpus_prep,
-    # q_pack_sequences, q_repetition, q_pii_scrub, q_semi_join,
-    # q_anti_join, q_distinct_agg, q_left_join_hist,
-    # q_correlated_subquery, q_tpch_q3, q_tpch_q7) past the 50-query
-    # window — those join the r6 rotation head.
+    # unigram-LM scoring, and quarantine ingest. The 13 round-5-
+    # continuation additions displace the 13 stalest r2 rows (q_tfidf,
+    # q_fingerprint, q_corpus_prep, q_pack_sequences, q_repetition,
+    # q_pii_scrub, q_semi_join, q_anti_join, q_distinct_agg,
+    # q_left_join_hist, q_correlated_subquery, q_tpch_q3, q_tpch_q7)
+    # past the 50-query window — those join the r6 rotation head.
     "q_dedup_minhash_portable", "q_dedup_simhash_portable",
     "q_kmeans_assign", "q_dedup_clusters_semantic",
     # corpus-diversity entropy + time-series linear interpolation
     "q_token_entropy", "q_interpolate",
     # frame-sample + resize complete the mandated media-op family
     "q_multimodal_frames", "q_multimodal_resize",
-    # PQ compression + unigram-LM quality scoring
-    "q_pq_encode", "q_unigram_logprob",
+    # PQ compression + unigram-LM quality scoring + corrupt-record
+    # quarantine ingest
+    "q_pq_encode", "q_unigram_logprob", "q_quarantine",
     # stalest rows: latest driver green is r2 — 33 of the 34 here (the
     # 34th, q_having, re-earns green in the changed-queries head above)
     "q_scd2", "q_ri_audit", "q_schema_evolution", "q_scan_binaryfile",

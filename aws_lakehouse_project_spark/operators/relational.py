@@ -527,3 +527,64 @@ def q_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("ok")
         .alias("status"),
     )
+
+
+@demo_query(
+    "q_quarantine",
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM documents WHERE doc_id < 40 AND doc_id % 5 <> 0
+    GROUP BY lang
+    UNION ALL
+    SELECT '__quarantined__' AS lang, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM documents WHERE doc_id < 40 AND doc_id % 5 = 0
+    """,
+)
+def q_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-record quarantine ingest (the lakehouse bad-records
+    pattern): stage a JSON-lines batch where every 5th record is
+    malformed, read it PERMISSIVE with a corrupt-record column
+    (``read_jsonl``), route rows via ``split_corrupt``, and report
+    clean counts per lang beside the quarantined count. No row is
+    dropped silently — clean + quarantined = staged, and the oracle
+    pins both sides from the same deterministic corruption rule.
+
+    Scale shape: quarantine is a column-null predicate on the parsed
+    scan (map-side, no extra pass); the corrupt payload retains the
+    raw line for replay. The staged slice is bounded (40 rows
+    driver-side); production reads the same reader against the lake
+    path."""
+    import os
+
+    from ..functions.scratch import scratch_dir
+    from ..sources.readers import read_jsonl, split_corrupt
+    from pyspark.sql import types as T
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 40)
+        .select("doc_id", "lang")
+    )
+    work = scratch_dir("spark_graft_quarantine", unique=True)
+    path = os.path.join(work, "batch.jsonl")
+    with open(path, "w") as fh:
+        for row in docs.collect():  # bounded slice: 40 rows staged
+            if row["doc_id"] % 5 == 0:
+                fh.write('{"doc_id": %d, "lang": oops-not-json\n' % row["doc_id"])
+            else:
+                fh.write(
+                    '{"doc_id": %d, "lang": "%s"}\n' % (row["doc_id"], row["lang"])
+                )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    clean, bad = split_corrupt(read_jsonl(spark, path, schema))
+    per_lang = clean.groupBy("lang").agg(F.count(F.lit(1)).alias("n_rows"))
+    quarantined = bad.agg(
+        F.lit("__quarantined__").alias("lang"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return per_lang.unionByName(quarantined)

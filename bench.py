@@ -106,6 +106,7 @@ EXTRA = [
     "q_multimodal_resize",
     "q_pq_encode",
     "q_unigram_logprob",
+    "q_quarantine",
 ]
 
 
