@@ -30,9 +30,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # r2-stale rows, and the head of the r3 cohort.
 #
 # ROUND-6 ROTATION NOTE: after r5's window lands, the stalest rows are
-# the 42 r3-green queries NOT in this list — they must head the r6
+# the 42 r3-green queries NOT in this list PLUS the 13 r2-stale rows the
+# round-5-continuation additions displaced past position 50 (named in
+# the comment inside the list below) — together they must head the r6
 # window alongside any r6 changes, or they age past the two-round
-# staleness bound.
+# staleness bound. 13 brand-new continuation queries (decontam through
+# quarantine) sit inside the r5 window and earn first rows this round.
 _VERIFY_FIRST = [
     # changed in round 5: new oracles (similarity_pairs literal-hyperplane,
     # approx_distinct bounds-form, dedup_clusters recursive-CTE), pinned
