@@ -425,3 +425,40 @@ def test_semantic_decontam_broadcasts_eval_side(spark):
     plan = final_plan(q_semantic_decontam(spark, SF_DIR)).replace("\n", " ")
     assert "BroadcastHashJoin" in plan
     assert "LeftSemi" in plan
+
+
+def test_pq_encode_single_scan_no_shuffle_of_corpus(spark):
+    """PQ encoding must be one corpus scan with the codebook as a 1-row
+    broadcast — a shuffle or sort-merge join here would reship the
+    embedding store it exists to compress."""
+    from aws_lakehouse_project_spark.operators.similarity import q_pq_encode
+
+    plan = final_plan(q_pq_encode(spark, SF_DIR)).replace("\n", " ")
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row codebook
+
+
+def test_unigram_logprob_shuffles_counts_not_text(spark):
+    """The vocab join and per-doc aggregation must never carry the raw
+    text column past the scan — only (doc_id, token) and counts."""
+    from aws_lakehouse_project_spark.operators.text import q_unigram_logprob
+
+    plan = final_plan(q_unigram_logprob(spark, SF_DIR)).replace("\n", " ")
+    exchanges = [
+        seg for seg in plan.split("Exchange") if seg.startswith(" hashpartitioning")
+    ]
+    assert exchanges, plan
+    assert all("text#" not in seg.split(")")[0] for seg in exchanges)
+
+
+def test_multimodal_frames_single_python_boundary_no_shuffle(spark):
+    """Frame sampling is a pure mapInPandas fan-out: exactly one Arrow
+    boundary, zero exchanges — payload bytes never shuffle."""
+    from aws_lakehouse_project_spark.operators.multimodal import (
+        q_multimodal_frames,
+    )
+
+    plan = final_plan(q_multimodal_frames(spark, SF_DIR)).replace("\n", " ")
+    assert plan.count("MapInPandas") == 1
+    assert "Exchange" not in plan
