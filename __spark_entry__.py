@@ -76,8 +76,9 @@ _VERIFY_FIRST = [
     # frame-sample + resize complete the mandated media-op family
     "q_multimodal_frames", "q_multimodal_resize",
     # PQ compression + unigram-LM quality scoring + corrupt-record
-    # quarantine ingest
+    # quarantine ingest (batch + streaming dead-letter routing)
     "q_pq_encode", "q_unigram_logprob", "q_quarantine",
+    "q_stream_quarantine",
     # stalest rows: latest driver green is r2 — 33 of the 34 here (the
     # 34th, q_having, re-earns green in the changed-queries head above)
     "q_scd2", "q_ri_audit", "q_schema_evolution", "q_scan_binaryfile",

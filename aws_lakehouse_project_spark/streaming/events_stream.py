@@ -490,3 +490,98 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+_STREAM_QUAR_ORACLE = """
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM documents WHERE doc_id < 200 AND doc_id % 5 <> 0
+    GROUP BY lang
+    UNION ALL
+    SELECT '__quarantined__' AS lang, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM documents WHERE doc_id < 200 AND doc_id % 5 = 0
+"""
+
+
+@demo_query("q_stream_quarantine", oracle=_STREAM_QUAR_ORACLE)
+def q_stream_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corrupt-record quarantine: a JSON-lines drop directory
+    (two micro-batch files, every 5th record malformed by a
+    deterministic rule) is read PERMISSIVE with a corrupt-record
+    column; ``foreachBatch`` routes each micro-batch to TWO sinks —
+    clean rows append to the lake table, corrupt raw lines append to a
+    quarantine table for replay. The multi-sink routing is the pattern
+    exactly-once ingestion jobs use when one stream must feed both the
+    table and a dead-letter queue.
+
+    Nothing is dropped silently: clean + quarantined = staged, and the
+    oracle pins both from the same corruption rule. State is zero (no
+    aggregation in the stream); throughput is bounded by the JSON parse,
+    which is per-batch parallel over the file splits."""
+    import os
+
+    from ..functions.scratch import scratch_dir
+    from ..sources.readers import CORRUPT_COL, split_corrupt
+    from ..catalog import load_table
+    from pyspark.sql import types as T
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "lang")
+    )
+    work = scratch_dir("spark_graft_stream_quar", unique=True)
+    drops = os.path.join(work, "drops")
+    os.makedirs(drops)
+    rows = docs.collect()  # bounded slice: 200 rows staged driver-side
+    half = len(rows) // 2
+    for bi, chunk in enumerate((rows[:half], rows[half:])):
+        with open(os.path.join(drops, f"b{bi}.jsonl"), "w") as fh:
+            for row in chunk:
+                if row["doc_id"] % 5 == 0:
+                    fh.write(
+                        '{"doc_id": %d, "lang": oops-not-json\n' % row["doc_id"]
+                    )
+                else:
+                    fh.write(
+                        '{"doc_id": %d, "lang": "%s"}\n'
+                        % (row["doc_id"], row["lang"])
+                    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField(CORRUPT_COL, T.StringType()),
+        ]
+    )
+    raw = (
+        spark.readStream.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .option("maxFilesPerTrigger", 1)  # two real micro-batches
+        .json(drops)
+    )
+    clean_out = os.path.join(work, "clean")
+    quar_out = os.path.join(work, "quarantine")
+
+    def route(batch_df: DataFrame, _batch_id: int) -> None:
+        clean, bad = split_corrupt(batch_df)
+        clean.write.mode("append").parquet(clean_out)
+        bad.select(CORRUPT_COL).write.mode("append").parquet(quar_out)
+
+    query = (
+        raw.writeStream.foreachBatch(route)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .start()
+    )
+    query.processAllAvailable()
+    query.stop()
+    per_lang = (
+        spark.read.parquet(clean_out)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    quarantined = spark.read.parquet(quar_out).agg(
+        F.lit("__quarantined__").alias("lang"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return per_lang.unionByName(quarantined)

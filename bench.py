@@ -107,6 +107,7 @@ EXTRA = [
     "q_pq_encode",
     "q_unigram_logprob",
     "q_quarantine",
+    "q_stream_quarantine",
 ]
 
 
