@@ -63,12 +63,13 @@ _VERIFY_FIRST = [
     # checked), Lloyd's k-means (iterative algorithm, exact-decimal
     # centroid updates), SemDeDup clusters, token entropy, linear
     # interpolation, the frame-sample/resize media ops, PQ encoding,
-    # unigram-LM scoring, and quarantine ingest. The 13 round-5-
-    # continuation additions displace the 13 stalest r2 rows (q_tfidf,
-    # q_fingerprint, q_corpus_prep, q_pack_sequences, q_repetition,
-    # q_pii_scrub, q_semi_join, q_anti_join, q_distinct_agg,
-    # q_left_join_hist, q_correlated_subquery, q_tpch_q3, q_tpch_q7)
-    # past the 50-query window — those join the r6 rotation head.
+    # unigram-LM scoring, and quarantine ingest (batch + streaming).
+    # The 14 round-5-continuation additions displace the 14 stalest r2
+    # rows (q_lang_id, q_tfidf, q_fingerprint, q_corpus_prep,
+    # q_pack_sequences, q_repetition, q_pii_scrub, q_semi_join,
+    # q_anti_join, q_distinct_agg, q_left_join_hist,
+    # q_correlated_subquery, q_tpch_q3, q_tpch_q7) past the 50-query
+    # window — those join the r6 rotation head.
     "q_dedup_minhash_portable", "q_dedup_simhash_portable",
     "q_kmeans_assign", "q_dedup_clusters_semantic",
     # corpus-diversity entropy + time-series linear interpolation
