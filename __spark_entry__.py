@@ -63,13 +63,14 @@ _VERIFY_FIRST = [
     # checked), Lloyd's k-means (iterative algorithm, exact-decimal
     # centroid updates), SemDeDup clusters, token entropy, linear
     # interpolation, the frame-sample/resize media ops, PQ encoding,
-    # unigram-LM scoring, and quarantine ingest (batch + streaming).
-    # The 14 round-5-continuation additions displace the 14 stalest r2
-    # rows (q_lang_id, q_tfidf, q_fingerprint, q_corpus_prep,
-    # q_pack_sequences, q_repetition, q_pii_scrub, q_semi_join,
-    # q_anti_join, q_distinct_agg, q_left_join_hist,
-    # q_correlated_subquery, q_tpch_q3, q_tpch_q7) past the 50-query
-    # window — those join the r6 rotation head.
+    # unigram-LM scoring, quarantine ingest (batch + streaming), BM25,
+    # and RAG chunking. The 16 round-5-continuation additions displace
+    # the 16 stalest r2 rows (q_text_quality, q_token_count, q_lang_id,
+    # q_tfidf, q_fingerprint, q_corpus_prep, q_pack_sequences,
+    # q_repetition, q_pii_scrub, q_semi_join, q_anti_join,
+    # q_distinct_agg, q_left_join_hist, q_correlated_subquery,
+    # q_tpch_q3, q_tpch_q7) past the 50-query window — those join the
+    # r6 rotation head.
     "q_dedup_minhash_portable", "q_dedup_simhash_portable",
     "q_kmeans_assign", "q_dedup_clusters_semantic",
     # corpus-diversity entropy + time-series linear interpolation
@@ -80,6 +81,8 @@ _VERIFY_FIRST = [
     # quarantine ingest (batch + streaming dead-letter routing)
     "q_pq_encode", "q_unigram_logprob", "q_quarantine",
     "q_stream_quarantine",
+    # lexical retrieval + RAG chunking
+    "q_bm25", "q_chunk_windows",
     # stalest rows: latest driver green is r2 — 33 of the 34 here (the
     # 34th, q_having, re-earns green in the changed-queries head above)
     "q_scd2", "q_ri_audit", "q_schema_evolution", "q_scan_binaryfile",

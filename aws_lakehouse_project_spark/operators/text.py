@@ -739,3 +739,182 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+_BM25_TERMS = ["spark", "table", "query"]  # deterministic demo query
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    # per-term score columns summed as one fixed expression — float
+    # addition order is pinned on both engines (see q_bm25 docstring)
+    per_term = []
+    for i, t in enumerate(_BM25_TERMS):
+        per_term.append(
+            f"COALESCE(MAX(CASE WHEN t = '{t}' THEN"
+            f" idf * tf * ({_BM25_K1} + 1)"
+            f" / (tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))"
+            f" END), 0.0) AS s{i}"
+        )
+    cols = ",\n             ".join(per_term)
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+      FROM documents
+    ),
+    dl AS (
+      SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM tok GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, t, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM tok WHERE t IN ({terms}) GROUP BY doc_id, t
+    ),
+    df AS (
+      SELECT t, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY t
+    ),
+    scored AS (
+      SELECT tf.doc_id, tf.t, tf.tf, dl.dl, stats.avgdl,
+             ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1) AS idf
+      FROM tf
+      JOIN df USING (t), stats
+      JOIN dl ON dl.doc_id = tf.doc_id
+    ),
+    pivoted AS (
+      SELECT doc_id,
+             {cols}
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, ROUND(s0 + s1 + s2, 6) AS bm25
+    FROM pivoted WHERE s0 + s1 + s2 > 0
+    """
+
+
+@demo_query("q_bm25", oracle=_bm25_oracle())
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance scoring for a fixed query over the corpus — the
+    lexical-retrieval twin of the ANN queries (hybrid retrieval runs
+    both and fuses). Okapi BM25 with k1=1.2, b=0.75: idf from exact
+    document frequencies, per-term saturation from exact term
+    frequencies and document lengths.
+
+    Determinism: each query term's partial score lands in its own
+    pivoted column (conditional aggregate) and the total is the FIXED
+    expression s0+s1+s2 — float addition order is pinned on both
+    engines, unlike a SUM over term rows whose order an engine may
+    choose. ln/division stay in the q_tfidf-established envelope.
+
+    Scale shape: tf is an aggregation keyed on (doc, term) over the
+    query terms only (map-side filtered); df and corpus stats are
+    metadata-sized broadcasts; no shuffle carries text."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("t")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("double").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        tok.filter(F.col("t").isin(_BM25_TERMS))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    df = tf.groupBy("t").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df), "t")
+        .crossJoin(F.broadcast(stats))
+        .join(dl, "doc_id")
+        .withColumn(
+            "idf",
+            F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1),
+        )
+        .withColumn(
+            "s",
+            F.col("idf")
+            * F.col("tf")
+            * (_BM25_K1 + 1)
+            / (
+                F.col("tf")
+                + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    pivoted = scored.groupBy("doc_id").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("t") == t, F.col("s"))), F.lit(0.0)
+            ).alias(f"s{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ]
+    )
+    total = F.col("s0") + F.col("s1") + F.col("s2")
+    return pivoted.filter(total > 0).select(
+        "doc_id", F.round(total, 6).alias("bm25")
+    )
+
+
+_CHUNK_W = 32  # tokens per chunk
+_CHUNK_STRIDE = 24  # 8-token overlap between adjacent chunks
+
+
+@demo_query(
+    "q_chunk_windows",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w
+      FROM documents WHERE source = 'src0'
+    ),
+    chunks AS (
+      SELECT doc_id,
+             CAST(i / {_CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+             w[i + 1 : i + {_CHUNK_W}] AS c
+      FROM (SELECT doc_id, w,
+                   unnest(generate_series(0, len(w) - 1, {_CHUNK_STRIDE}))
+                     AS i
+            FROM toks)
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(len(c) AS BIGINT) AS n_tokens,
+           md5(array_to_string(c, ' ')) AS chunk_md5
+    FROM chunks
+    """,
+)
+def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping chunk windows for retrieval indexing (the RAG
+    chunking step): each document becomes ⌈len/stride⌉ windows of up to
+    32 tokens starting every 24 tokens (8-token overlap keeps context
+    across boundaries; the final window may be short). Every chunk's
+    md5 hash-matches the SQL slicing twin, so the window arithmetic is
+    value-verified chunk-for-chunk.
+
+    All array built-ins (split → sequence → slice inside transform →
+    posexplode) — no shuffle at all: chunking is a map-side 1→N
+    expansion, the shape that feeds the embedding stage at any corpus
+    size."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source") == "src0"
+    )
+    toks = docs.select("doc_id", F.split(F.lower("text"), " ").alias("w"))
+    chunks = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(w) - 1, {_CHUNK_STRIDE}), "
+                f"i -> slice(w, i + 1, {_CHUNK_W}))"
+            )
+        ).alias("chunk_idx", "c"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.size("c").cast("bigint").alias("n_tokens"),
+        F.md5(F.array_join("c", " ")).alias("chunk_md5"),
+    )

@@ -108,6 +108,8 @@ EXTRA = [
     "q_unigram_logprob",
     "q_quarantine",
     "q_stream_quarantine",
+    "q_bm25",
+    "q_chunk_windows",
 ]
 
 
