@@ -81,8 +81,8 @@ _VERIFY_FIRST = [
     # quarantine ingest (batch + streaming dead-letter routing)
     "q_pq_encode", "q_unigram_logprob", "q_quarantine",
     "q_stream_quarantine",
-    # lexical retrieval + RAG chunking
-    "q_bm25", "q_chunk_windows",
+    # lexical retrieval + RAG chunking + hybrid fusion
+    "q_bm25", "q_chunk_windows", "q_hybrid_rrf",
     # stalest rows: latest driver green is r2 — 33 of the 34 here (the
     # 34th, q_having, re-earns green in the changed-queries head above)
     "q_scd2", "q_ri_audit", "q_schema_evolution", "q_scan_binaryfile",

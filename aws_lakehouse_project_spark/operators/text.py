@@ -918,3 +918,70 @@ def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("c").cast("bigint").alias("n_tokens"),
         F.md5(F.array_join("c", " ")).alias("chunk_md5"),
     )
+
+
+_RRF_K = 60
+_RRF_TOPK = 10
+
+
+def _rrf_oracle() -> str:
+    from .similarity import _TOPK_ORACLE
+
+    return f"""
+    WITH lex AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r
+      FROM ({_bm25_oracle()})
+    ),
+    sem AS (
+      SELECT vec_id AS doc_id,
+             ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS r
+      FROM ({_TOPK_ORACLE})
+    ),
+    fused AS (
+      SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+             ROUND(COALESCE(1.0 / ({_RRF_K} + lex.r), 0.0)
+                   + COALESCE(1.0 / ({_RRF_K} + sem.r), 0.0), 9) AS rrf
+      FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+    )
+    SELECT doc_id, rrf FROM fused
+    ORDER BY rrf DESC, doc_id LIMIT {_RRF_TOPK}
+    """
+
+
+@demo_query("q_hybrid_rrf", oracle=_rrf_oracle())
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval fusion: reciprocal-rank fusion (k=60) of the
+    BM25 lexical ranking (q_bm25) and the cosine ANN ranking
+    (q_similarity_topk; doc_id ≡ vec_id in the testdata) — the standard
+    two-channel retrieval stack, fused without score calibration
+    because RRF only consumes RANKS. Ranks are integers with doc-id
+    tie-breaks and the fused score is a fixed two-term expression, so
+    the top-k boundary is engine-exact.
+
+    Scale shape: both channels end in k-row ranked lists (metadata-
+    sized); the fusion join touches k+k rows regardless of corpus
+    size."""
+    from pyspark.sql import Window
+
+    from ..catalog import load_table as _lt
+    from .similarity import _QUERY_VEC_ID, brute_topk
+
+    lex = q_bm25(spark, sf_dir).withColumn(
+        "r", F.row_number().over(Window.orderBy(F.col("bm25").desc(), "doc_id"))
+    ).select("doc_id", F.col("r").alias("lex_r"))
+    sem = brute_topk(_lt(spark, sf_dir, "embeddings"), _QUERY_VEC_ID).withColumn(
+        "r", F.row_number().over(Window.orderBy(F.col("cosine").desc(), "vec_id"))
+    ).select(F.col("vec_id").alias("doc_id"), F.col("r").alias("sem_r"))
+    fused = (
+        lex.join(sem, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(1.0 / (_RRF_K + F.col("lex_r")), F.lit(0.0))
+                + F.coalesce(1.0 / (_RRF_K + F.col("sem_r")), F.lit(0.0)),
+                9,
+            ).alias("rrf"),
+        )
+    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(_RRF_TOPK)

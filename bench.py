@@ -110,6 +110,7 @@ EXTRA = [
     "q_stream_quarantine",
     "q_bm25",
     "q_chunk_windows",
+    "q_hybrid_rrf",
 ]
 
 
