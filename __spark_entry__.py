@@ -64,13 +64,13 @@ _VERIFY_FIRST = [
     # centroid updates), SemDeDup clusters, token entropy, linear
     # interpolation, the frame-sample/resize media ops, PQ encoding,
     # unigram-LM scoring, quarantine ingest (batch + streaming), BM25,
-    # and RAG chunking. The 16 round-5-continuation additions displace
-    # the 16 stalest r2 rows (q_text_quality, q_token_count, q_lang_id,
-    # q_tfidf, q_fingerprint, q_corpus_prep, q_pack_sequences,
-    # q_repetition, q_pii_scrub, q_semi_join, q_anti_join,
-    # q_distinct_agg, q_left_join_hist, q_correlated_subquery,
-    # q_tpch_q3, q_tpch_q7) past the 50-query window — those join the
-    # r6 rotation head.
+    # RAG chunking, and hybrid RRF fusion. The 17 round-5-continuation
+    # additions displace the 17 stalest r2 rows (q_histogram,
+    # q_text_quality, q_token_count, q_lang_id, q_tfidf, q_fingerprint,
+    # q_corpus_prep, q_pack_sequences, q_repetition, q_pii_scrub,
+    # q_semi_join, q_anti_join, q_distinct_agg, q_left_join_hist,
+    # q_correlated_subquery, q_tpch_q3, q_tpch_q7) past the 50-query
+    # window — those join the r6 rotation head.
     "q_dedup_minhash_portable", "q_dedup_simhash_portable",
     "q_kmeans_assign", "q_dedup_clusters_semantic",
     # corpus-diversity entropy + time-series linear interpolation
