@@ -64,13 +64,17 @@ _VERIFY_FIRST = [
     # centroid updates), SemDeDup clusters, token entropy, linear
     # interpolation, the frame-sample/resize media ops, PQ encoding,
     # unigram-LM scoring, quarantine ingest (batch + streaming), BM25,
-    # RAG chunking, and hybrid RRF fusion. The 17 round-5-continuation
-    # additions displace the 17 stalest r2 rows (q_histogram,
-    # q_text_quality, q_token_count, q_lang_id, q_tfidf, q_fingerprint,
-    # q_corpus_prep, q_pack_sequences, q_repetition, q_pii_scrub,
-    # q_semi_join, q_anti_join, q_distinct_agg, q_left_join_hist,
-    # q_correlated_subquery, q_tpch_q3, q_tpch_q7) past the 50-query
-    # window — those join the r6 rotation head.
+    # RAG chunking, hybrid RRF fusion, recall@k eval, and asymmetric
+    # containment. The 19 round-5-continuation additions displace the
+    # 19 stalest r2 rows (q_stratified_sample, q_corr_regression,
+    # q_histogram, q_text_quality, q_token_count, q_lang_id, q_tfidf,
+    # q_fingerprint, q_corpus_prep, q_pack_sequences, q_repetition,
+    # q_pii_scrub, q_semi_join, q_anti_join, q_distinct_agg,
+    # q_left_join_hist, q_correlated_subquery, q_tpch_q3, q_tpch_q7)
+    # past the 50-query window — those join the r6 rotation head. Every
+    # displaced row WAS re-verified this session by the full sf0.01
+    # driver-contract run + the sf0.1 sweep (BASELINE.md), so the
+    # displacement risk is pytest/sweep-mitigated, not blind.
     "q_dedup_minhash_portable", "q_dedup_simhash_portable",
     "q_kmeans_assign", "q_dedup_clusters_semantic",
     # corpus-diversity entropy + time-series linear interpolation
@@ -81,8 +85,10 @@ _VERIFY_FIRST = [
     # quarantine ingest (batch + streaming dead-letter routing)
     "q_pq_encode", "q_unigram_logprob", "q_quarantine",
     "q_stream_quarantine",
-    # lexical retrieval + RAG chunking + hybrid fusion
-    "q_bm25", "q_chunk_windows", "q_hybrid_rrf",
+    # lexical retrieval + RAG chunking + hybrid fusion + eval + the
+    # asymmetric containment relation
+    "q_bm25", "q_chunk_windows", "q_hybrid_rrf", "q_rank_eval",
+    "q_dedup_containment",
     # stalest rows: latest driver green is r2 — 33 of the 34 here (the
     # 34th, q_having, re-earns green in the changed-queries head above)
     "q_scd2", "q_ri_audit", "q_schema_evolution", "q_scan_binaryfile",

@@ -1139,3 +1139,109 @@ def q_dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ham = F.bit_count(F.col("sim1").bitwiseXOR(F.col("sim2"))).cast("bigint")
     return cand.withColumn("hamming", ham).filter(F.col("hamming") <= _PSH_HAM)
+
+
+# ---------------------------------------------------------------------------
+# n-gram containment — the ASYMMETRIC near-dup relation jaccard misses:
+# an excerpt shares only a fraction of the longer doc's shingles
+# (low jaccard) but nearly all of ITS OWN (high containment). This is
+# how partial-copy / quote-extraction dedup actually works.
+# ---------------------------------------------------------------------------
+
+_CONTAIN_T = 0.5
+_CONTAIN_OFFSET = 30_000_000  # planted-excerpt ids
+
+
+_CONTAIN_ORACLE = f"""
+    WITH base_docs AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w
+      FROM documents
+      WHERE source = 'src0' AND len(string_split(lower(text), ' ')) >= 15
+    ),
+    corpus AS (
+      SELECT doc_id, w FROM base_docs
+      UNION ALL
+      SELECT doc_id + {_CONTAIN_OFFSET},
+             w[1:CAST(FLOOR(3 * len(w) / 5) AS BIGINT)]
+      FROM base_docs
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+      FROM (SELECT doc_id, w,
+                   unnest(CASE WHEN len(w) >= 3
+                               THEN generate_series(1, len(w)-2)
+                               ELSE [] END) AS i
+            FROM corpus)
+    ),
+    cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS inner_id, b.doc_id AS outer_id,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM sh a JOIN sh b USING (g)
+      WHERE a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT inner_id, outer_id,
+           ROUND(CAST(c AS DOUBLE) / ci.n, 6) AS containment
+    FROM shared
+    JOIN cnt ci ON ci.doc_id = inner_id
+    WHERE CAST(c AS DOUBLE) / ci.n >= {_CONTAIN_T}
+"""
+
+
+@demo_query("q_dedup_containment", oracle=_CONTAIN_ORACLE)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram containment pairs (|sh(inner) ∩ sh(outer)| / |sh(inner)|
+    ≥ 0.5) over one source bucket plus planted 60%-prefix excerpts —
+    every planted excerpt is fully contained in its original
+    (containment 1.0 by the prefix property) while jaccard would score
+    it ~0.6, which is exactly the asymmetry this operator exists to
+    catch. Ratio of integer counts → oracle-exact doubles.
+
+    Scale shape: same as q_ngram_jaccard — the self-join keys on the
+    shingle, so the shuffle is bounded by shingle occurrences, never
+    doc pairs; the denominator join ships per-doc counts only."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("source") == "src0")
+        .select("doc_id", F.split(F.lower("text"), " ").alias("w"))
+        .filter(F.size("w") >= 15)
+    )
+    excerpts = docs.select(
+        (F.col("doc_id") + _CONTAIN_OFFSET).alias("doc_id"),
+        F.slice(F.col("w"), 1, F.floor(F.size("w") * 3 / 5).cast("int")).alias("w"),
+    )
+    corpus = docs.unionByName(excerpts)
+    grams = corpus.select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(0, greatest(size(w)-3, -1)), "
+                "i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+            )
+        ).alias("sh"),
+    )
+    sh = (
+        grams.select("doc_id", F.explode_outer("sh").alias("g"))
+        .filter(F.col("g").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("inner_id"), "g")
+    b = sh.select(F.col("doc_id").alias("outer_id"), "g")
+    shared = (
+        a.join(b, "g")
+        .filter(F.col("inner_id") != F.col("outer_id"))
+        .groupBy("inner_id", "outer_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ci = cnt.select(F.col("doc_id").alias("inner_id"), F.col("n").alias("ni"))
+    return (
+        shared.join(ci, "inner_id")
+        .withColumn(
+            "containment",
+            F.round(F.col("c").cast("double") / F.col("ni"), 6),
+        )
+        .filter(F.col("c").cast("double") / F.col("ni") >= _CONTAIN_T)
+        .select("inner_id", "outer_id", "containment")
+    )

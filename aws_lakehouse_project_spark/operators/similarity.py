@@ -1042,3 +1042,58 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         err = err + t
     out_cols.append(F.round(err, 6).alias("recon_err"))
     return joined.select(*out_cols)
+
+
+# ---------------------------------------------------------------------------
+# retrieval evaluation: recall@k of the ANN paths against the exact
+# brute-force ranking — the metric that decides nprobe/band trade-offs
+# in production. Both rankings are already oracle-verified; the eval
+# itself is set arithmetic over their id sets, so it is oracle-exact.
+# ---------------------------------------------------------------------------
+
+_RANK_EVAL_ORACLE = f"""
+    WITH exact_ids AS (SELECT vec_id FROM ({_TOPK_ORACLE})),
+    lsh_ids AS (SELECT vec_id FROM ({_LSH_ORACLE})),
+    ivf_ids AS (SELECT vec_id FROM ({_IVF_ORACLE}))
+    SELECT 'lsh' AS method, CAST({_TOPK} AS BIGINT) AS k,
+           CAST((SELECT COUNT(*) FROM lsh_ids JOIN exact_ids USING (vec_id))
+                AS BIGINT) AS n_overlap,
+           ROUND((SELECT COUNT(*) FROM lsh_ids JOIN exact_ids USING (vec_id))
+                 / CAST({_TOPK} AS DOUBLE), 6) AS recall_at_k
+    UNION ALL
+    SELECT 'ivf' AS method, CAST({_TOPK} AS BIGINT) AS k,
+           CAST((SELECT COUNT(*) FROM ivf_ids JOIN exact_ids USING (vec_id))
+                AS BIGINT) AS n_overlap,
+           ROUND((SELECT COUNT(*) FROM ivf_ids JOIN exact_ids USING (vec_id))
+                 / CAST({_TOPK} AS DOUBLE), 6) AS recall_at_k
+"""
+
+
+@demo_query("q_rank_eval", oracle=_RANK_EVAL_ORACLE)
+def q_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k report for both ANN paths (LSH buckets, IVF nprobe)
+    against the exact brute-force top-k — the production dial for
+    bucket-count / nprobe tuning, as a query. Each method's id set
+    semi-joins the exact set (k-row broadcasts); recall is a ratio of
+    integer counts, so the report is oracle-exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = brute_topk(emb, _QUERY_VEC_ID).select("vec_id")
+    rows = []
+    for method, topk_df in (
+        ("lsh", lsh_topk(emb, _QUERY_VEC_ID)),
+        ("ivf", ivf_topk(emb, _QUERY_VEC_ID)),
+    ):
+        overlap = topk_df.select("vec_id").join(
+            F.broadcast(exact), "vec_id", "left_semi"
+        )
+        rows.append(
+            overlap.agg(
+                F.lit(method).alias("method"),
+                F.lit(_TOPK).cast("bigint").alias("k"),
+                F.count(F.lit(1)).alias("n_overlap"),
+                F.round(
+                    F.count(F.lit(1)) / F.lit(float(_TOPK)), 6
+                ).alias("recall_at_k"),
+            )
+        )
+    return rows[0].unionByName(rows[1])

@@ -111,6 +111,8 @@ EXTRA = [
     "q_bm25",
     "q_chunk_windows",
     "q_hybrid_rrf",
+    "q_rank_eval",
+    "q_dedup_containment",
 ]
 
 
