@@ -333,3 +333,93 @@ def test_compact_table_preserves_content(spark, params, tmp_path_factory):
     n_files = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
     assert n_files == after
     assert n_files <= math.ceil(n_rows / target) + 1
+
+
+docs_strategy = st.lists(
+    st.lists(
+        st.sampled_from(["a", "bb", "ccc", "data", "spark", "x9"]),
+        min_size=1,
+        max_size=90,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(docs=docs_strategy)
+@settings(**SLOW)
+def test_chunk_windows_cover_every_token_exactly(spark, docs):
+    """Window arithmetic invariants for ANY token list: chunk count =
+    ceil(len/stride); every chunk ≤ 32 tokens; chunk i starts at
+    i*stride; concatenating each chunk's FIRST stride tokens (plus the
+    final chunk's tail) reconstructs the document byte-for-byte."""
+    from aws_lakehouse_project_spark.operators.text import (
+        _CHUNK_STRIDE,
+        _CHUNK_W,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id LONG, text STRING",
+    )
+    toks = df.select("doc_id", F.split(F.lower("text"), " ").alias("w"))
+    chunks = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(w) - 1, {_CHUNK_STRIDE}), "
+                f"i -> slice(w, i + 1, {_CHUNK_W}))"
+            )
+        ).alias("chunk_idx", "c"),
+    ).collect()
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_idx"]] = r["c"]
+    for i, want in enumerate(docs):
+        got = by_doc[i]
+        n = len(want)
+        expect_chunks = (n + _CHUNK_STRIDE - 1) // _CHUNK_STRIDE
+        assert sorted(got) == list(range(expect_chunks))
+        rebuilt = []
+        for j in range(expect_chunks):
+            c = got[j]
+            assert len(c) <= _CHUNK_W
+            assert c == [w.lower() for w in want[j * _CHUNK_STRIDE :][: len(c)]]
+            rebuilt.extend(
+                c if j == expect_chunks - 1 else c[:_CHUNK_STRIDE]
+            )
+        # overlapping tails drop out; stride-prefixes + final tail == doc
+        assert rebuilt[: len(want)] == [w.lower() for w in want]
+
+
+@given(docs=docs_strategy)
+@settings(**SLOW)
+def test_containment_of_prefix_excerpt_is_one(spark, docs):
+    """The prefix property behind q_dedup_containment's plant: for ANY
+    document with ≥ 3 tokens, a prefix excerpt's distinct-shingle set is
+    a subset of the original's, so containment is exactly 1.0."""
+    rows = []
+    for i, toks in enumerate(docs):
+        if len(toks) < 5:
+            continue
+        keep = max(3, (3 * len(toks)) // 5)
+        rows.append((2 * i, " ".join(toks)))
+        rows.append((2 * i + 1, " ".join(toks[:keep])))
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    grams = df.select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(0, greatest(size(split(lower(text), ' '))-3, -1)), "
+                "i -> concat_ws(' ', split(lower(text), ' ')[i], "
+                "split(lower(text), ' ')[i+1], split(lower(text), ' ')[i+2]))"
+            )
+        ).alias("sh"),
+    ).collect()
+    sets = {r["doc_id"]: set(r["sh"]) for r in grams}
+    for i in range(0, max(sets) + 1, 2):
+        if i + 1 in sets and sets[i + 1]:
+            inter = len(sets[i + 1] & sets[i])
+            assert inter == len(sets[i + 1])  # containment == 1.0
