@@ -1,19 +1,24 @@
 """Deduplication operators over the ``documents`` table (SURVEY.md §7.2
 M6b — the training-data-pipeline extension surface).
 
-Five strategies, all shuffle-conscious:
+The strategies, all shuffle-conscious:
 
-- exact (hash-groupBy on content / keep-lowest-id window)
-- word-3-gram Jaccard (explode → self-join on shingle → ratio of int
-  counts; SQL-expressible, oracle-checked)
-- MinHash + LSH banding (k min-aggregates over portable 32-bit hashes,
-  band-bucket join — the scale path: candidate pairs only, never all
-  pairs)
+- exact (hash-groupBy on content / keep-lowest-id window / LEFT ANTI
+  victims report)
+- word-3-gram Jaccard and its asymmetric containment twin (explode →
+  self-join on shingle → ratio of int counts; SQL-expressible,
+  oracle-checked)
+- MinHash + LSH banding (k min-aggregates, band-bucket join — the scale
+  path: candidate pairs only, never all pairs), with an md5-portable
+  twin whose signature VALUES are oracle-checked
 - SimHash (bit-vote aggregation into 16-bit bands, pigeonhole band join
-  for hamming<=3)
+  for hamming<=3), same portable-twin arrangement
+- connected-components clustering (min-label propagation + pointer
+  jumping) and blocked fuzzy (thresholded-levenshtein) matching
 
-All hashing is built-in (xxhash64) or integer arithmetic — JVM-side,
-whole-stage-codegen'd, no UDFs anywhere.
+All hashing is built-in (xxhash64 on the production paths, md5 on the
+verification twins) or integer arithmetic — JVM-side, whole-stage-
+codegen'd, no UDFs anywhere.
 """
 
 from __future__ import annotations
