@@ -131,16 +131,26 @@ def main() -> None:
     # warm-up: run every headline query once at the smallest SF so JVM
     # JIT + whole-stage-codegen compilation is amortized out of the
     # timed runs (compile cost is constant, not data-dependent — timing
-    # it at sf0.1 would just measure the JIT, not the engine)
+    # it at sf0.1 would just measure the JIT, not the engine).
+    # HEADLINE-ONLY here: extras warm separately AFTER the headline
+    # loop, so the headline total always follows the same ~21-query
+    # warm-up as the recorded baselines — warming the (growing) extras
+    # list first was measured to drift headline totals upward purely
+    # from in-session accumulation (BASELINE.md round-5 continuation).
     warm_sf = "/root/testdata/sf0.001"
-    if os.path.isdir(warm_sf):
-        for name in names + [n for n in EXTRA if n in registry]:
+
+    def warm(some_names: list) -> None:
+        if not os.path.isdir(warm_sf):
+            return
+        for name in some_names:
             try:
                 registry[name](spark, warm_sf).write.format("noop").mode(
                     "overwrite"
                 ).save()
             except Exception as exc:  # keep benching even if warm-up trips
                 print(f"# warm-up {name} failed: {exc}", file=sys.stderr)
+
+    warm(names)
     registry["q_scan_parquet"](spark, sf_dir).collect()
 
     def timed(name: str, out: dict) -> None:
@@ -162,6 +172,7 @@ def main() -> None:
     timings: dict[str, float | None] = {}
     for name in names:
         timed(name, timings)
+    warm([n for n in EXTRA if n in registry])  # after headline timing
     extra: dict[str, float | None] = {}
     for name in [n for n in EXTRA if n in registry]:
         timed(name, extra)
