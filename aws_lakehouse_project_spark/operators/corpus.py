@@ -406,3 +406,56 @@ def q_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         "docs_kept",
         "tokens_kept",
     )
+
+
+_BPE_TOPK = 20
+
+
+@demo_query(
+    "q_bpe_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ),
+    pairs AS (
+      SELECT w[i] || ' ' || w[i+1] AS pair
+      FROM (SELECT doc_id, w,
+                   unnest(CASE WHEN len(w) >= 2
+                               THEN generate_series(1, len(w)-1)
+                               ELSE [] END) AS i
+            FROM toks)
+    )
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM pairs GROUP BY pair
+    ORDER BY n_occurrences DESC, pair
+    LIMIT {_BPE_TOPK}
+    """,
+)
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-pair frequency ranking — the inner loop of BPE tokenizer
+    training (count adjacent-symbol pairs corpus-wide, merge the top
+    pair, repeat). One iteration as a query: the top-20 adjacent token
+    pairs by exact occurrence count, deterministic pair tie-break.
+
+    Scale shape: pair generation is a map-side transform over the token
+    array (no shuffle); the count is one partial+final aggregation
+    keyed on the pair string; the top-k compiles to
+    TakeOrderedAndProject. At 100 TB this is exactly the counting job a
+    distributed BPE trainer runs per merge round — the merge-apply step
+    between rounds is q_vocab_encode's broadcast-dictionary shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split(F.lower("text"), " ").alias("w"))
+    pairs = toks.select(
+        F.explode_outer(
+            F.expr(
+                "transform(sequence(0, greatest(size(w)-2, -1)), "
+                "i -> concat_ws(' ', w[i], w[i+1]))"
+            )
+        ).alias("pair")
+    ).filter(F.col("pair").isNotNull())
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "pair")
+        .limit(_BPE_TOPK)
+    )

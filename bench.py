@@ -113,6 +113,7 @@ EXTRA = [
     "q_hybrid_rrf",
     "q_rank_eval",
     "q_dedup_containment",
+    "q_bpe_pairs",
 ]
 
 
