@@ -64,16 +64,17 @@ _VERIFY_FIRST = [
     # centroid updates), SemDeDup clusters, token entropy, linear
     # interpolation, the frame-sample/resize media ops, PQ encoding,
     # unigram-LM scoring, quarantine ingest (batch + streaming), BM25,
-    # RAG chunking, hybrid RRF fusion, recall@k eval, and asymmetric
-    # containment. The 19 round-5-continuation additions displace the
-    # 19 stalest r2 rows (q_stratified_sample, q_corr_regression,
-    # q_histogram, q_text_quality, q_token_count, q_lang_id, q_tfidf,
-    # q_fingerprint, q_corpus_prep, q_pack_sequences, q_repetition,
-    # q_pii_scrub, q_semi_join, q_anti_join, q_distinct_agg,
-    # q_left_join_hist, q_correlated_subquery, q_tpch_q3, q_tpch_q7)
-    # past the 50-query window — those join the r6 rotation head. Every
-    # displaced row WAS re-verified this session by the full sf0.01
-    # driver-contract run + the sf0.1 sweep (BASELINE.md), so the
+    # RAG chunking, hybrid RRF fusion, recall@k eval, asymmetric
+    # containment, and BPE pair counting. The 20 round-5-continuation
+    # additions displace the 20 stalest r2 rows (q_quantile_filter,
+    # q_stratified_sample, q_corr_regression, q_histogram,
+    # q_text_quality, q_token_count, q_lang_id, q_tfidf, q_fingerprint,
+    # q_corpus_prep, q_pack_sequences, q_repetition, q_pii_scrub,
+    # q_semi_join, q_anti_join, q_distinct_agg, q_left_join_hist,
+    # q_correlated_subquery, q_tpch_q3, q_tpch_q7) past the 50-query
+    # window — those join the r6 rotation head. Every displaced row WAS
+    # re-verified this session by the full sf0.01 driver-contract run +
+    # the sf0.1 sweep + the plain full sweep (BASELINE.md), so the
     # displacement risk is pytest/sweep-mitigated, not blind.
     "q_dedup_minhash_portable", "q_dedup_simhash_portable",
     "q_kmeans_assign", "q_dedup_clusters_semantic",
