@@ -89,7 +89,7 @@ _VERIFY_FIRST = [
     # lexical retrieval + RAG chunking + hybrid fusion + eval + the
     # asymmetric containment relation
     "q_bm25", "q_chunk_windows", "q_hybrid_rrf", "q_rank_eval",
-    "q_dedup_containment", "q_bpe_pairs",
+    "q_dedup_containment", "q_bpe_pairs", "q_json_flatten",
     # stalest rows: latest driver green is r2 — 33 of the 34 here (the
     # 34th, q_having, re-earns green in the changed-queries head above)
     "q_scd2", "q_ri_audit", "q_schema_evolution", "q_scan_binaryfile",

@@ -588,3 +588,96 @@ def q_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
     )
     return per_lang.unionByName(quarantined)
+
+
+@demo_query(
+    "q_json_flatten",
+    oracle="""
+    SELECT lang, tag_k,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(tag_v) AS BIGINT) AS sum_v
+    FROM (
+      SELECT lang, 'len' AS tag_k, n_chars AS tag_v
+      FROM documents WHERE doc_id < 30
+      UNION ALL
+      SELECT lang, 'id' AS tag_k, doc_id AS tag_v
+      FROM documents WHERE doc_id < 30
+    )
+    GROUP BY lang, tag_k
+    """,
+)
+def q_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-JSON flattening: a staged JSONL batch with an object field
+    containing an ARRAY OF STRUCTS (`meta.tags[]`) is read with an
+    explicit nested schema, exploded, and projected by dot-path — the
+    semi-structured ingest shape (S2's nested-metadata claim, one level
+    deeper). The oracle reconstructs the same (lang, tag, value) rows
+    relationally from the source table, so the nested read + explode +
+    dot-path pipeline is value-verified.
+
+    Scale shape: explode is a map-side generator; the aggregation is
+    one partial+final pass keyed on (lang, tag). Schema-first parsing
+    (no inference pass) is what makes streaming/batch JSON ingest
+    single-scan at any volume."""
+    import json as _json
+    import os
+
+    from ..functions.scratch import scratch_dir
+    from pyspark.sql import types as T
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 30)
+        .select("doc_id", "lang", "n_chars")
+    )
+    work = scratch_dir("spark_graft_json_flatten", unique=True)
+    path = os.path.join(work, "batch.jsonl")
+    with open(path, "w") as fh:
+        for row in docs.collect():  # bounded slice: 30 rows staged
+            fh.write(
+                _json.dumps(
+                    {
+                        "doc_id": row["doc_id"],
+                        "meta": {
+                            "lang": row["lang"],
+                            "tags": [
+                                {"k": "len", "v": row["n_chars"]},
+                                {"k": "id", "v": row["doc_id"]},
+                            ],
+                        },
+                    }
+                )
+                + "\n"
+            )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField(
+                "meta",
+                T.StructType(
+                    [
+                        T.StructField("lang", T.StringType()),
+                        T.StructField(
+                            "tags",
+                            T.ArrayType(
+                                T.StructType(
+                                    [
+                                        T.StructField("k", T.StringType()),
+                                        T.StructField("v", T.LongType()),
+                                    ]
+                                )
+                            ),
+                        ),
+                    ]
+                ),
+            ),
+        ]
+    )
+    nested = spark.read.schema(schema).json(path)
+    flat = nested.select(
+        F.col("meta.lang").alias("lang"), F.explode("meta.tags").alias("tag")
+    ).select("lang", F.col("tag.k").alias("tag_k"), F.col("tag.v").alias("tag_v"))
+    return flat.groupBy("lang", "tag_k").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("tag_v").alias("sum_v"),
+    )

@@ -114,6 +114,7 @@ EXTRA = [
     "q_rank_eval",
     "q_dedup_containment",
     "q_bpe_pairs",
+    "q_json_flatten",
 ]
 
 
