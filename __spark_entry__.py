@@ -65,12 +65,13 @@ _VERIFY_FIRST = [
     # interpolation, the frame-sample/resize media ops, PQ encoding,
     # unigram-LM scoring, quarantine ingest (batch + streaming), BM25,
     # RAG chunking, hybrid RRF fusion, recall@k eval, asymmetric
-    # containment, and BPE pair counting. The 20 round-5-continuation
-    # additions displace the 20 stalest r2 rows (q_quantile_filter,
-    # q_stratified_sample, q_corr_regression, q_histogram,
-    # q_text_quality, q_token_count, q_lang_id, q_tfidf, q_fingerprint,
-    # q_corpus_prep, q_pack_sequences, q_repetition, q_pii_scrub,
-    # q_semi_join, q_anti_join, q_distinct_agg, q_left_join_hist,
+    # containment, BPE pair counting, and nested-JSON flatten. The 21
+    # round-5-continuation additions displace the 21 stalest r2 rows
+    # (q_array_stats, q_quantile_filter, q_stratified_sample,
+    # q_corr_regression, q_histogram, q_text_quality, q_token_count,
+    # q_lang_id, q_tfidf, q_fingerprint, q_corpus_prep,
+    # q_pack_sequences, q_repetition, q_pii_scrub, q_semi_join,
+    # q_anti_join, q_distinct_agg, q_left_join_hist,
     # q_correlated_subquery, q_tpch_q3, q_tpch_q7) past the 50-query
     # window — those join the r6 rotation head. Every displaced row WAS
     # re-verified this session by the full sf0.01 driver-contract run +
