@@ -445,11 +445,17 @@ def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     between rounds is q_vocab_encode's broadcast-dictionary shape."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.split(F.lower("text"), " ").alias("w"))
+    # sequence(0, -1) is NOT empty in Spark (step defaults to -1 when
+    # start > stop, yielding [0, -1]), so a 1-token doc must hit the
+    # explicit empty-array branch — under ANSI mode w[-1+1=0]/w[-1]
+    # would otherwise throw INVALID_ARRAY_INDEX at runtime.
     pairs = toks.select(
         F.explode_outer(
             F.expr(
-                "transform(sequence(0, greatest(size(w)-2, -1)), "
-                "i -> concat_ws(' ', w[i], w[i+1]))"
+                "CASE WHEN size(w) >= 2 THEN "
+                "transform(sequence(0, size(w)-2), "
+                "i -> concat_ws(' ', w[i], w[i+1])) "
+                "ELSE array() END"
             )
         ).alias("pair")
     ).filter(F.col("pair").isNotNull())

@@ -111,17 +111,25 @@ def word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, shingle) — distinct word n-grams per document, built with
     array built-ins (split → transform over an index sequence →
     array_distinct → explode). No UDFs; codegen keeps this in the JVM."""
-    toks = _cpu_spread(docs).select(
-        "doc_id", F.split(F.lower(F.col("text")), " ").alias("w")
+    # Pre-filter docs shorter than n tokens instead of guarding inside
+    # the transform: Spark's sequence(0, -1) is a DESCENDING [0, -1]
+    # (step defaults to -1 when start > stop), so the old
+    # greatest(size-n, -1) idiom produced index -1 and w[i+j] throws
+    # INVALID_ARRAY_INDEX under Spark 4's default ANSI mode. The filter
+    # is map-side, keeps the array expr unguarded (a when() inside the
+    # Generate node is re-evaluated per output row, ~2× slower
+    # measured), and is semantics-preserving: short docs yield zero
+    # shingles either way.
+    toks = (
+        _cpu_spread(docs)
+        .select("doc_id", F.split(F.lower(F.col("text")), " ").alias("w"))
+        .filter(F.size("w") >= n)
     )
-    # guard short docs with greatest(, -1) → empty sequence, not a when()
-    # branch: Catalyst pushes the array expr into the Generate node, and a
-    # when() there is re-evaluated per output row (~2× slower measured)
     grams = toks.select(
         "doc_id",
         F.array_distinct(
             F.expr(
-                f"transform(sequence(0, greatest(size(w)-{n}, -1)), "
+                f"transform(sequence(0, size(w)-{n}), "
                 f"i -> concat_ws(' ', {', '.join(f'w[i+{j}]' for j in range(n))}))"
             )
         ).alias("shingles"),
@@ -235,15 +243,23 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     SLOWER: higher-order array lambdas drop out of whole-stage codegen
     into interpreted evaluation; explode+min stays codegen'd.)
     """
-    toks = _cpu_spread(docs).select(
-        "doc_id",
-        F.expr("transform(split(lower(text), ' '), t -> xxhash64(t))").alias("hw"),
+    # size>=3 pre-filter: see word_shingles — sequence(0,-1) is [0,-1]
+    # in Spark, and hw[-1] throws under ANSI; short docs yield no grams.
+    toks = (
+        _cpu_spread(docs)
+        .select(
+            "doc_id",
+            F.expr("transform(split(lower(text), ' '), t -> xxhash64(t))").alias(
+                "hw"
+            ),
+        )
+        .filter(F.size("hw") >= 3)
     )
     grams = toks.select(
         "doc_id",
         F.array_distinct(
             F.expr(
-                "transform(sequence(0, greatest(size(hw)-3, -1)), "
+                "transform(sequence(0, size(hw)-3), "
                 "i -> xxhash64(hw[i], hw[i+1], hw[i+2]))"
             )
         ).alias("sh"),
@@ -938,12 +954,15 @@ def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + _PMH_OFFSET).alias("doc_id"),
         F.slice(F.col("w"), 1, F.floor(F.size("w") * 4 / 5).cast("int")).alias("w"),
     )
-    corpus = docs.unionByName(copies)
+    # size>=3 always holds here (upstream token-count filter × slice
+    # fraction), but keep the explicit guard: sequence(0,-1) is [0,-1]
+    # in Spark and w[-1] throws under ANSI mode.
+    corpus = docs.unionByName(copies).filter(F.size("w") >= 3)
     grams = corpus.select(
         "doc_id",
         F.array_distinct(
             F.expr(
-                "transform(sequence(0, greatest(size(w)-3, -1)), "
+                "transform(sequence(0, size(w)-3), "
                 "i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
             )
         ).alias("sh"),
@@ -1216,12 +1235,15 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + _CONTAIN_OFFSET).alias("doc_id"),
         F.slice(F.col("w"), 1, F.floor(F.size("w") * 3 / 5).cast("int")).alias("w"),
     )
-    corpus = docs.unionByName(excerpts)
+    # size>=3 always holds here (size>=15 upstream × 3/5 slice), but
+    # keep the explicit guard: sequence(0,-1) is [0,-1] in Spark and
+    # w[-1] throws under ANSI mode.
+    corpus = docs.unionByName(excerpts).filter(F.size("w") >= 3)
     grams = corpus.select(
         "doc_id",
         F.array_distinct(
             F.expr(
-                "transform(sequence(0, greatest(size(w)-3, -1)), "
+                "transform(sequence(0, size(w)-3), "
                 "i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
             )
         ).alias("sh"),

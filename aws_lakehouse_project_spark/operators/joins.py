@@ -542,8 +542,11 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     replicated = supp.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(_SALT_FANOUT)]))
     )
-    joined = salted_li.hint("shuffle_hash").join(
-        replicated,
+    # The shuffle_hash hint goes on the REPLICATED DIMENSION so Spark
+    # builds the hash table from the |dim|×fanout side, never from a
+    # fact partition — at 100 TB the fact side must stream, not build.
+    joined = salted_li.join(
+        replicated.hint("shuffle_hash"),
         (salted_li.l_suppkey == replicated.s_suppkey)
         & (salted_li._salt == replicated._salt),
     )

@@ -298,14 +298,33 @@ def resize_media(media: DataFrame) -> DataFrame:
 
     def batches(it):
         for pdf in it:
-            orig = [bytes(p) if p is not None else b"" for p in pdf["payload"]]
+            # Empty/null payloads yield NO row — mirrors the SQL twin,
+            # whose generate_series(1, 0, stride) produces no rows so
+            # the doc drops out of the GROUP BY entirely.
+            rows = [
+                (mid, bytes(p))
+                for mid, p in zip(pdf["media_id"], pdf["payload"])
+                if p is not None and len(p) > 0
+            ]
+            orig = [p for _, p in rows]
             small = [p[::rs] for p in orig]
             yield pd.DataFrame(
                 {
-                    "media_id": pdf["media_id"],
-                    "orig_bytes": [len(p) for p in orig],
-                    "resized_bytes": [len(s) for s in small],
-                    "resized_md5": [hashlib.md5(s).hexdigest() for s in small],
+                    # explicit int64 dtype so an all-filtered (empty)
+                    # batch still Arrow-converts to the long schema
+                    "media_id": pd.Series(
+                        [mid for mid, _ in rows], dtype="int64"
+                    ),
+                    "orig_bytes": pd.Series(
+                        [len(p) for p in orig], dtype="int64"
+                    ),
+                    "resized_bytes": pd.Series(
+                        [len(s) for s in small], dtype="int64"
+                    ),
+                    "resized_md5": pd.Series(
+                        [hashlib.md5(s).hexdigest() for s in small],
+                        dtype="object",
+                    ),
                 }
             )
 

@@ -428,8 +428,11 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     w = F.split(F.lower(F.col("text")), " ")
+    # Only evaluated under the F.when(size>=3) guard below (CaseWhen is
+    # lazy), so the unguarded bound is safe; sequence(0,-1) would be
+    # [0,-1] in Spark and w[-1] throws under ANSI if ever unguarded.
     sh_expr = F.expr(
-        "transform(sequence(0, greatest(size(w)-3, -1)), "
+        "transform(sequence(0, size(w)-3), "
         "i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
     )
     feat = docs.select(

@@ -193,3 +193,26 @@ def test_chunk_dup_profile_chunk_one_on_empty_tokens(spark):
     out = {r["source"]: r for r in chunk_dup_profile(docs, chunk=1).collect()}
     assert out["s1"]["n_chunks"] == 2
     assert out["s1"]["dup_chunks"] == 0
+
+
+def test_resize_media_drops_empty_payloads(spark):
+    """Zero-length (and null) payloads must emit NO row from the Arrow
+    resize path — the SQL twin's generate_series(1, 0, stride) produces
+    no rows, so an emitted md5-of-empty row would silently diverge from
+    the oracle. Regression for the r5 ADVICE finding (multimodal.py)."""
+    from aws_lakehouse_project_spark.operators.multimodal import (
+        documents_as_media,
+        resize_media,
+    )
+
+    rows = [
+        (1, "src0", "hello world payload", "en"),
+        (2, "src0", "", "en"),  # empty payload
+        (3, "src0", None, "en"),  # null payload
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string, lang string"
+    )
+    out = {r["media_id"]: r for r in resize_media(documents_as_media(docs)).collect()}
+    assert set(out) == {1}
+    assert out[1]["orig_bytes"] == len("hello world payload")

@@ -159,3 +159,42 @@ def test_jaccard_and_clusters_on_planted(spark):
         r["node"]: r["component"] for r in connected_components(pairs).collect()
     }
     assert comps == {1: 1, 2: 1, 4: 1}  # one cluster; doc 3 untouched
+
+
+def test_shingle_primitives_survive_short_docs_under_ansi(spark):
+    """1-token and empty docs must yield ZERO shingles/signatures, not
+    crash: Spark's sequence(0, -1) is a DESCENDING [0, -1] (step
+    defaults to -1 when start > stop), so an unguarded index transform
+    evaluates w[-1] — INVALID_ARRAY_INDEX under Spark 4's default ANSI
+    mode. Regression for the r5 ADVICE finding (corpus.py:451 and the
+    same idiom in dedup.py)."""
+    from aws_lakehouse_project_spark.operators.dedup import (
+        minhash_signatures,
+        word_shingles,
+    )
+
+    rows = [(1, "one"), (2, ""), (3, "two words"), (4, BASE)]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    sh = word_shingles(docs).collect()
+    assert {r["doc_id"] for r in sh} == {4}  # short docs contribute nothing
+    sig = minhash_signatures(docs).collect()
+    assert {r["doc_id"] for r in sig} == {4}
+
+
+def test_bpe_pairs_single_token_docs_emit_no_pairs(spark, tmp_path):
+    """A 1-token doc has no adjacent pair: the CASE guard must emit an
+    empty array (sequence(0, -1) would be [0, -1] and w[-1] throws
+    under ANSI). Mirrors the DuckDB oracle's len(w)>=2 CASE."""
+    from aws_lakehouse_project_spark.operators.corpus import q_bpe_pairs
+
+    rows = [
+        (1, "src0", "solo", "en"),
+        (2, "src0", "", "en"),
+        (3, "src0", "a b a b", "en"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id LONG, source STRING, text STRING, lang STRING"
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r["pair"]: r["n_occurrences"] for r in q_bpe_pairs(spark, str(tmp_path)).collect()}
+    assert out == {"a b": 2, "b a": 1}

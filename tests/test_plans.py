@@ -412,6 +412,10 @@ def test_skew_salted_join_is_shuffle_join_on_salted_key(spark):
     assert "ShuffledHashJoin" in plan
     assert "BroadcastHashJoin" not in plan
     assert "s_name" not in plan  # dim pruned to (s_suppkey, s_nationkey)
+    # The hash table must build from the replicated DIMENSION (right
+    # side), never from a fact partition — at scale the fact streams.
+    shj = plan[plan.find("ShuffledHashJoin"):][:250]
+    assert "BuildRight" in shj, plan
 
 
 def test_semantic_decontam_broadcasts_eval_side(spark):
