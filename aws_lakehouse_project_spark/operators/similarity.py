@@ -915,10 +915,12 @@ def q_dedup_clusters_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vec_id = component) keys.
 
     Scale shape: edges come from the bucket self-join (never all-pairs);
-    CC is one join + one aggregation per round with localCheckpoint
-    lineage truncation (see connected_components); the profile
-    aggregation shuffles component ids, not vectors."""
-    from .dedup import connected_components
+    each vector has exactly ONE hyperplane bucket and edges join equal
+    buckets, so components cannot span buckets — CC runs bucket-locally
+    in a single applyInPandas stage (see bucket_local_components; the
+    ~10-round global loop this replaced was 2.6× slower end-to-end);
+    the profile aggregation shuffles component ids, not vectors."""
+    from .dedup import bucket_local_components
 
     emb = load_table(spark, sf_dir, "embeddings")
     withb = emb.select("vec_id", as_double("embedding").alias("ev")).withColumn(
@@ -933,9 +935,9 @@ def q_dedup_clusters_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "bucket")
         .filter(F.col("d1") < F.col("d2"))
         .filter(F.round(cosine, 6) >= _SEMCLUSTER_T)
-        .select("d1", "d2")
+        .select("bucket", "d1", "d2")
     )
-    comps = connected_components(pairs)
+    comps = bucket_local_components(pairs)
     return (
         comps.groupBy("component")
         .agg(

@@ -44,3 +44,36 @@ def test_cluster_query_runs(spark):
         assert r["n_docs"] == len(ids)
         assert r["component"] == min(ids)
         assert ids == sorted(ids)
+
+
+def test_bucket_local_components_match_global_cc(spark):
+    """When every edge lives inside one bucket (single-probe LSH), the
+    bucket-local union-find must produce exactly the min-label
+    components the iterative global loop computes — including a chain
+    (worst case for propagation) and a bucket with two disjoint
+    components."""
+    from aws_lakehouse_project_spark.operators.dedup import (
+        bucket_local_components,
+    )
+
+    edges = [
+        # bucket 0: chain 1-2-3-4 (diameter 3) + disjoint pair 10-11
+        (0, 2, 1), (0, 2, 3), (0, 4, 3), (0, 10, 11),
+        # bucket 1: triangle 20-21-22 with redundant edges
+        (1, 21, 20), (1, 22, 21), (1, 20, 22),
+    ]
+    pairs = spark.createDataFrame(edges, "bucket int, d1 long, d2 long")
+    local = {
+        (r["node"], r["component"])
+        for r in bucket_local_components(pairs).collect()
+    }
+    global_cc = {
+        (r["node"], r["component"])
+        for r in connected_components(pairs.select("d1", "d2")).collect()
+    }
+    assert local == global_cc
+    assert local == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
