@@ -24,85 +24,49 @@ def entry(spark: SparkSession) -> DataFrame:
 # first (their green must be re-earned), then the stalest green rows
 # (rotation: no query's latest driver row should age past two rounds).
 #
-# Ledger after r1-r4: all 130 have rows; latest-green counts are
-# r4: 49, r3: 42, r2: 34, plus the rows-only set. Round 5 re-verifies
-# the queries whose oracles/semantics changed this round, all 34
-# r2-stale rows, and the head of the r3 cohort.
+# Ledger after r1-r5 (CORRECTNESS union): 158 queries, latest-green
+# counts r5: 48, r4: 45, r3: 42, r2: 21, plus the 2 rows-only-by-design
+# (q_dedup_minhash / q_dedup_simhash, re-rowed each round they appear).
 #
-# ROUND-6 ROTATION NOTE: after r5's window lands, the stalest rows are
-# the 42 r3-green queries NOT in this list PLUS the 13 r2-stale rows the
-# round-5-continuation additions displaced past position 50 (named in
-# the comment inside the list below) — together they must head the r6
-# window alongside any r6 changes, or they age past the two-round
-# staleness bound. 13 brand-new continuation queries (decontam through
-# quarantine) sit inside the r5 window and earn first rows this round.
+# ROUND-6 WINDOW (this list): 11 queries changed by the r6 fixes (ANSI
+# short-doc guards in the shingle/pair transforms, resize empty-payload
+# skip, skew-join build side, bucket-local CC) lead; then ALL 21
+# r2-stale rows; then the head of the r3 cohort, merge-writer core
+# first (q_merge_upsert/q_merge_delete/q_table_diff/q_sink_partitioned/
+# q_join_inner guard SURVEY §2's S6/S8/J1 machinery).
+#
+# ROUND-7 ROTATION NOTE: the 22 r3-green rows that did NOT fit this
+# window (q_contamination, q_chunk_dedup, q_zipf, q_ntile, q_first_last,
+# q_explode_pos, q_tpch_q19, q_funnel, q_retention, q_tpch_q14,
+# q_tpch_q22, q_tpch_q6, q_tpch_q8, q_tpch_q15, q_tpch_q21,
+# q_grouped_ols, q_embedding_quantize, q_nullsafe_join,
+# q_ratio_to_report, q_scd2_lookup, q_vocab_encode, q_mixture) MUST
+# head the r7 window together with the r4 cohort (45 rows, green since
+# r4) — budget all 50 slots for rotation unless r7 changes queries.
 _VERIFY_FIRST = [
-    # changed in round 5: new oracles (similarity_pairs literal-hyperplane,
-    # approx_distinct bounds-form, dedup_clusters recursive-CTE), pinned
-    # numeric semantics (q11 decimal literal, q20 floor), fuzzy block cap,
-    # normalize_ts signature; minhash/simhash stay rows-only (xxhash64)
-    # but re-earn their rows-only rows here
-    "q_similarity_pairs", "q_approx_distinct", "q_dedup_clusters",
-    "q_tpch_q11", "q_tpch_q20", "q_fuzzy_match", "q_freshness",
-    "q_dedup_minhash", "q_dedup_simhash",
-    # new in round 5: deterministic planted-copy recall for the xxhash64
-    # paths — oracle-checked though the hashes themselves are not portable
-    "q_dedup_minhash_recall", "q_dedup_simhash_recall",
-    # new in round 5: Q2 + Q12 complete the 22 TPC-H shapes; q_having's
-    # quantity cast was floor-pinned like Q20, so it re-earns green;
-    # approx_quantile is the bounds-form quantile-sketch twin
-    "q_tpch_q2", "q_tpch_q12", "q_having", "q_approx_quantile",
-    # new in round 5: bucketed co-located join as a query (content-parity
-    # oracle; zero-exchange plan pinned by tests/test_plans.py) and batch
-    # IVF ANN (per-query top-k for a whole query set in one pass)
-    "q_bucketed_join", "q_similarity_batch_ivf",
-    # new in round 5 (continuation): semantic decontamination (train/eval
-    # embedding split) and the skew-salted shuffle join
-    "q_semantic_decontam", "q_skew_salted_join",
-    # portable-md5 MinHash/SimHash twins (signature VALUES oracle-
-    # checked), Lloyd's k-means (iterative algorithm, exact-decimal
-    # centroid updates), SemDeDup clusters, token entropy, linear
-    # interpolation, the frame-sample/resize media ops, PQ encoding,
-    # unigram-LM scoring, quarantine ingest (batch + streaming), BM25,
-    # RAG chunking, hybrid RRF fusion, recall@k eval, asymmetric
-    # containment, BPE pair counting, and nested-JSON flatten. The 21
-    # round-5-continuation additions displace the 21 stalest r2 rows
-    # (q_array_stats, q_quantile_filter, q_stratified_sample,
-    # q_corr_regression, q_histogram, q_text_quality, q_token_count,
-    # q_lang_id, q_tfidf, q_fingerprint, q_corpus_prep,
-    # q_pack_sequences, q_repetition, q_pii_scrub, q_semi_join,
-    # q_anti_join, q_distinct_agg, q_left_join_hist,
-    # q_correlated_subquery, q_tpch_q3, q_tpch_q7) past the 50-query
-    # window — those join the r6 rotation head. Every displaced row WAS
-    # re-verified this session by the full sf0.01 driver-contract run +
-    # the sf0.1 sweep + the plain full sweep (BASELINE.md), so the
-    # displacement risk is pytest/sweep-mitigated, not blind.
-    "q_dedup_minhash_portable", "q_dedup_simhash_portable",
-    "q_kmeans_assign", "q_dedup_clusters_semantic",
-    # corpus-diversity entropy + time-series linear interpolation
-    "q_token_entropy", "q_interpolate",
-    # frame-sample + resize complete the mandated media-op family
-    "q_multimodal_frames", "q_multimodal_resize",
-    # PQ compression + unigram-LM quality scoring + corrupt-record
-    # quarantine ingest (batch + streaming dead-letter routing)
-    "q_pq_encode", "q_unigram_logprob", "q_quarantine",
-    "q_stream_quarantine",
-    # lexical retrieval + RAG chunking + hybrid fusion + eval + the
-    # asymmetric containment relation
-    "q_bm25", "q_chunk_windows", "q_hybrid_rrf", "q_rank_eval",
-    "q_dedup_containment", "q_bpe_pairs", "q_json_flatten",
-    # stalest rows: latest driver green is r2 — 33 of the 34 here (the
-    # 34th, q_having, re-earns green in the changed-queries head above)
-    "q_scd2", "q_ri_audit", "q_schema_evolution", "q_scan_binaryfile",
-    "q_scan_orc", "q_ann_join_docs", "q_embedding_centroids",
-    "q_stats_exact", "q_window_lag", "q_grouping_sets", "q_sample_hash",
-    "q_calendar_fill", "q_array_stats", "q_quantile_filter",
-    "q_stratified_sample", "q_corr_regression", "q_histogram",
-    "q_text_quality", "q_token_count", "q_lang_id", "q_tfidf",
-    "q_fingerprint", "q_corpus_prep", "q_pack_sequences", "q_repetition",
-    "q_pii_scrub", "q_semi_join", "q_anti_join", "q_distinct_agg",
-    "q_left_join_hist", "q_correlated_subquery", "q_tpch_q3",
-    "q_tpch_q7",
+    # changed in round 6 — re-earn green (ANSI guards touched the
+    # shingle/gram transforms these build on; clusters_semantic moved
+    # to bucket-local CC; resize drops empty payloads; skew join build
+    # side flipped; minhash stays rows-only by design)
+    "q_bpe_pairs", "q_multimodal_resize", "q_skew_salted_join",
+    "q_ngram_jaccard", "q_dedup_clusters", "q_dedup_clusters_semantic",
+    "q_dedup_minhash", "q_dedup_minhash_recall",
+    "q_dedup_minhash_portable", "q_dedup_containment", "q_repetition",
+    # all 20 remaining r2-stale rows (q_repetition above is the 21st)
+    "q_array_stats", "q_quantile_filter", "q_stratified_sample",
+    "q_corr_regression", "q_histogram", "q_text_quality",
+    "q_token_count", "q_lang_id", "q_tfidf", "q_fingerprint",
+    "q_corpus_prep", "q_pack_sequences", "q_pii_scrub", "q_semi_join",
+    "q_anti_join", "q_distinct_agg", "q_left_join_hist",
+    "q_correlated_subquery", "q_tpch_q3", "q_tpch_q7",
+    # r3 cohort head (19 slots): merge-writer core first, then the
+    # relational/window/TPC-H r3 rows
+    "q_merge_upsert", "q_merge_delete", "q_table_diff",
+    "q_sink_partitioned", "q_join_inner", "q_rollup", "q_pivot",
+    "q_range_join", "q_salted_agg", "q_cube", "q_unpivot",
+    "q_percentile", "q_dedup_exact", "q_dedup_keep_first",
+    "q_multimodal_features", "q_window_cumsum", "q_collect_sorted",
+    "q_tpch_q5", "q_tpch_q10",
 ]
 
 

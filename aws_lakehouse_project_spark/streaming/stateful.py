@@ -131,6 +131,8 @@ def running_totals_stream(events: DataFrame) -> DataFrame:
     the documented seam (validated via its test wherever protobuf
     exists); ``purchase_counter_stream`` is the environment-portable
     stateful path and carries the cross-batch parity coverage here.
+    (Round 6: a ``pip download protobuf`` probe confirmed the sandbox
+    has no package-index network access, so the gate stands.)
     """
     try:
         from google.protobuf import descriptor  # noqa: F401
