@@ -101,26 +101,51 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _N_PLANES = 4  # 16 buckets; testdata has 500-2000 vectors → ~30-125 per bucket
+_MAX_PLANES = 12  # master list; callers slice a prefix
 _rng = random.Random(1337)
-# deterministic hyperplanes, shared verbatim with the oracle SQL
+# deterministic hyperplanes, shared verbatim with the oracle SQL. The
+# master list extends the SAME seeded stream row-by-row, so the first
+# _N_PLANES rows are bit-identical to every earlier round's planes (the
+# oracle literals never move) while scale-aware callers can take a
+# longer prefix: bucket-occupancy stays constant only if the bit count
+# grows with log2(corpus) — n_planes = log2(N / target_bucket_size).
+# The cost of more bits is recall at a given cosine threshold
+# (p(θ)^n_planes, p = 1 - θ/π); the production corrective is multi-band
+# LSH (b independent bands OR-ed together — the layout minhash_pairs
+# already ships), not holding the bucket count fixed while N grows.
 _PLANES = [
-    [round(_rng.uniform(-1.0, 1.0), 6) for _ in range(_DIM)] for _ in range(_N_PLANES)
+    [round(_rng.uniform(-1.0, 1.0), 6) for _ in range(_DIM)] for _ in range(_MAX_PLANES)
 ]
 
 
-def _bucket_expr(vec: Column) -> Column:
+def _bucket_expr(vec: Column, n_planes: int = _N_PLANES) -> Column:
     """Sign-random-projection bucket id: bit j = (vec · plane_j) > 0."""
     bits = [
         F.when(dot(vec, F.array(*[F.lit(w) for w in plane])) > 0, F.lit(1 << j))
         .otherwise(0)
-        for j, plane in enumerate(_PLANES)
+        for j, plane in enumerate(_PLANES[:n_planes])
     ]
     return sum(bits).cast("int")
 
 
+def planes_for(n_vectors: int, target_occupancy: int = 125) -> int:
+    """Scale rule for the sign-LSH bit count: enough hyperplanes that
+    the EXPECTED bucket occupancy stays ~target (n_planes =
+    ceil(log2(N / target))), floored at the oracle default. Callers at
+    10× corpus pass ``n_planes=planes_for(df.count())`` to keep the
+    bucket self-join linear in N instead of quadratic-in-occupancy
+    (BASELINE.md round-6 soak: 16 fixed buckets at 10× vectors made
+    q_similarity_pairs 94× slower; +3 bits restored ~linear)."""
+    import math
+
+    if n_vectors <= target_occupancy:
+        return _N_PLANES
+    return max(_N_PLANES, min(_MAX_PLANES, math.ceil(math.log2(n_vectors / target_occupancy))))
+
+
 def _bucket_sql(expr: str) -> str:
     terms = []
-    for j, plane in enumerate(_PLANES):
+    for j, plane in enumerate(_PLANES[:_N_PLANES]):
         lit = "[" + ", ".join(repr(w) for w in plane) + "]::DOUBLE[]"
         terms.append(
             f"(CASE WHEN list_inner_product({expr}, {lit}) > 0 THEN {1 << j} ELSE 0 END)"
@@ -323,9 +348,18 @@ def q_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproduced verbatim by ``_bucket_sql``, and both engines fold the dot
     product sequentially left-to-right (module docstring), so bucket ids
     and 6-decimal cosines are engine-identical."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity_pairs(load_table(spark, sf_dir, "embeddings"))
+
+
+def similarity_pairs(
+    emb: DataFrame, threshold: float = 0.40, n_planes: int = _N_PLANES
+) -> DataFrame:
+    """(v1, v2, cosine) bucket-joined near-dup pairs. ``n_planes`` is
+    the scale knob (see ``planes_for``): the demo keeps the oracle's 4
+    literal planes; a 10×-bigger corpus needs +log2(10)≈3 bits to hold
+    bucket occupancy — and therefore join cost per vector — constant."""
     withb = emb.select("vec_id", as_double("embedding").alias("ev")).withColumn(
-        "bucket", _bucket_expr(F.col("ev"))
+        "bucket", _bucket_expr(F.col("ev"), n_planes)
     )
     a = withb.select(
         F.col("vec_id").alias("v1"), F.col("ev").alias("e1"), "bucket"
@@ -340,7 +374,7 @@ def q_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "bucket")
         .filter(F.col("v1") < F.col("v2"))
         .select("v1", "v2", F.round(cosine, 6).alias("cosine"))
-        .filter(F.col("cosine") >= 0.40)
+        .filter(F.col("cosine") >= threshold)
     )
 
 
@@ -695,10 +729,16 @@ def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     by ``_bucket_sql`` and both engines fold dot products sequentially
     (module docstring), so bucket ids and the 6-decimal cosine
     threshold boundary are engine-identical."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_decontam(load_table(spark, sf_dir, "embeddings"))
+
+
+def semantic_decontam(emb: DataFrame, n_planes: int = _N_PLANES) -> DataFrame:
+    """Per-label decontamination survival report. ``n_planes`` scales
+    the bucket count with the corpus (``planes_for``); the demo keeps
+    the oracle's 4 literal planes."""
     withb = emb.select(
         "vec_id", "label", as_double("embedding").alias("ev")
-    ).withColumn("bucket", _bucket_expr(F.col("ev")))
+    ).withColumn("bucket", _bucket_expr(F.col("ev"), n_planes))
     train = withb.filter(F.col("label") != _EVAL_LABEL)
     hold = withb.filter(F.col("label") == _EVAL_LABEL).select(
         F.col("ev").alias("hv"), "bucket"
@@ -920,11 +960,21 @@ def q_dedup_clusters_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     in a single applyInPandas stage (see bucket_local_components; the
     ~10-round global loop this replaced was 2.6× slower end-to-end);
     the profile aggregation shuffles component ids, not vectors."""
+    return semantic_clusters(load_table(spark, sf_dir, "embeddings"))
+
+
+def semantic_clusters(
+    emb: DataFrame,
+    threshold: float = _SEMCLUSTER_T,
+    n_planes: int = _N_PLANES,
+) -> DataFrame:
+    """(component, n_vecs, vec_ids) SemDeDup cluster profile. ``n_planes``
+    scales the bucket count with the corpus (``planes_for``); the demo
+    keeps the oracle's 4 literal planes."""
     from .dedup import bucket_local_components
 
-    emb = load_table(spark, sf_dir, "embeddings")
     withb = emb.select("vec_id", as_double("embedding").alias("ev")).withColumn(
-        "bucket", _bucket_expr(F.col("ev"))
+        "bucket", _bucket_expr(F.col("ev"), n_planes)
     )
     a = withb.select(F.col("vec_id").alias("d1"), F.col("ev").alias("e1"), "bucket")
     b = withb.select(F.col("vec_id").alias("d2"), F.col("ev").alias("e2"), "bucket")
@@ -934,7 +984,7 @@ def q_dedup_clusters_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         a.join(b, "bucket")
         .filter(F.col("d1") < F.col("d2"))
-        .filter(F.round(cosine, 6) >= _SEMCLUSTER_T)
+        .filter(F.round(cosine, 6) >= threshold)
         .select("bucket", "d1", "d2")
     )
     comps = bucket_local_components(pairs)

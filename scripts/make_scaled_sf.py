@@ -15,9 +15,14 @@ out of the quadratic paths:
   (7*rep) % dim — cosine structure within a replica is exactly
   preserved (rotation is a common permutation), cross-replica cosine
   decorrelates, LSH buckets re-randomize.
-- customer names: two appended replica chars keep cross-replica
-  levenshtein > 1 so the fuzzy-match block cap isn't flooded with
-  distance-1 twins.
+- customer/supplier names: REGENERATED from the offset key
+  (``Customer#%09d``) exactly as a genuinely bigger TPC-H would number
+  them — an earlier draft suffixed replica tags, which kept the
+  16-char name prefix identical across replicas and merged the
+  fuzzy-match blocks 9x (sum of block-size² grew 82x; q_fuzzy_match
+  measured 64x for 10x data, a pure generator artifact). Renumbering
+  keeps prefix-block sizes constant so block counts, not block sizes,
+  grow with scale.
 - facts/dims: dense 0..N-1 keys shift by rep*N per table, foreign keys
   shift in lockstep; dates/values/status columns are untouched so
   date-horizon filters select a proportional slice.
@@ -70,8 +75,8 @@ def main() -> None:
         "customer",
         f"""
         SELECT c_custkey + rep*{COUNTS['customer']} AS c_custkey,
-               CASE WHEN rep = 0 THEN c_name
-                    ELSE c_name || ' ' || repeat(chr(CAST(97 + rep AS INTEGER)), 2) END AS c_name,
+               'Customer#' || lpad(CAST(c_custkey + rep*{COUNTS['customer']}
+                                        AS VARCHAR), 9, '0') AS c_name,
                c_nationkey, c_acctbal, c_mktsegment
         FROM '{SRC}/customer.parquet', r
         """,
@@ -80,7 +85,9 @@ def main() -> None:
         "supplier",
         f"""
         SELECT s_suppkey + rep*{COUNTS['supplier']} AS s_suppkey,
-               s_name, s_nationkey, s_acctbal
+               'Supplier#' || lpad(CAST(s_suppkey + rep*{COUNTS['supplier']}
+                                        AS VARCHAR), 9, '0') AS s_name,
+               s_nationkey, s_acctbal
         FROM '{SRC}/supplier.parquet', r
         """,
     )

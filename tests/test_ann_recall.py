@@ -92,3 +92,43 @@ def test_cid_partition_filter_prunes(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [cid" in plan, plan
     assert "DataFilters: []" in plan, plan
+
+
+def test_planes_for_scale_rule():
+    """Bit count grows with log2(N/occupancy), floored at the oracle
+    default and capped at the master list."""
+    from aws_lakehouse_project_spark.operators.similarity import (
+        _MAX_PLANES,
+        _N_PLANES,
+        _PLANES,
+        planes_for,
+    )
+
+    assert planes_for(100) == _N_PLANES
+    assert planes_for(2_000) == _N_PLANES      # sf0.1 regime: 16 buckets
+    assert planes_for(20_000) == 8             # 10x corpus: 256 buckets
+    assert planes_for(10**9) == _MAX_PLANES    # capped by the master list
+    assert len(_PLANES) == _MAX_PLANES
+
+
+def test_scaled_planes_refine_default_buckets(spark):
+    """An 8-plane bucket is a strict refinement of the 4-plane bucket
+    (same seeded stream, prefix bits shared), so the scaled candidate
+    pair set must be a subset of the default one — the scale knob can
+    only prune candidates, never invent them."""
+    from aws_lakehouse_project_spark.catalog import load_table
+    from aws_lakehouse_project_spark.operators.similarity import (
+        similarity_pairs,
+    )
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    default = {
+        (r["v1"], r["v2"]) for r in similarity_pairs(emb, threshold=0.2).collect()
+    }
+    scaled = {
+        (r["v1"], r["v2"])
+        for r in similarity_pairs(emb, threshold=0.2, n_planes=8).collect()
+    }
+    assert scaled <= default
+    assert default  # non-trivial at the loosened threshold
