@@ -28,19 +28,21 @@ def entry(spark: SparkSession) -> DataFrame:
 # counts r5: 48, r4: 45, r3: 42, r2: 21, plus the 2 rows-only-by-design
 # (q_dedup_minhash / q_dedup_simhash, re-rowed each round they appear).
 #
-# ROUND-6 WINDOW (this list): 11 queries changed by the r6 fixes (ANSI
+# ROUND-6 WINDOW (this list): 12 queries changed by the r6 fixes (ANSI
 # short-doc guards in the shingle/pair transforms, resize empty-payload
-# skip, skew-join build side, bucket-local CC) lead; then ALL 21
+# skip, skew-join build side, bucket-local CC, chunk-dedup re-plan)
+# lead; then ALL 21
 # r2-stale rows; then the head of the r3 cohort, merge-writer core
 # first (q_merge_upsert/q_merge_delete/q_table_diff/q_sink_partitioned/
 # q_join_inner guard SURVEY §2's S6/S8/J1 machinery).
 #
-# ROUND-7 ROTATION NOTE: the 22 r3-green rows that did NOT fit this
+# ROUND-7 ROTATION NOTE: the 23 r3-green rows that did NOT fit this
 # window (q_contamination, q_chunk_dedup, q_zipf, q_ntile, q_first_last,
 # q_explode_pos, q_tpch_q19, q_funnel, q_retention, q_tpch_q14,
 # q_tpch_q22, q_tpch_q6, q_tpch_q8, q_tpch_q15, q_tpch_q21,
 # q_grouped_ols, q_embedding_quantize, q_nullsafe_join,
-# q_ratio_to_report, q_scd2_lookup, q_vocab_encode, q_mixture) MUST
+# q_ratio_to_report, q_scd2_lookup, q_vocab_encode, q_mixture,
+# q_tpch_q10) MUST
 # head the r7 window together with the r4 cohort (45 rows, green since
 # r4) — budget all 50 slots for rotation unless r7 changes queries.
 _VERIFY_FIRST = [
@@ -52,6 +54,9 @@ _VERIFY_FIRST = [
     "q_ngram_jaccard", "q_dedup_clusters", "q_dedup_clusters_semantic",
     "q_dedup_minhash", "q_dedup_minhash_recall",
     "q_dedup_minhash_portable", "q_dedup_containment", "q_repetition",
+    # changed in round 6 (registry-soak follow-up): chunk dedup
+    # re-planned to the (chunk, source)-grain aggregate join
+    "q_chunk_dedup",
     # all 20 remaining r2-stale rows (q_repetition above is the 21st)
     "q_array_stats", "q_quantile_filter", "q_stratified_sample",
     "q_corr_regression", "q_histogram", "q_text_quality",
@@ -66,7 +71,7 @@ _VERIFY_FIRST = [
     "q_range_join", "q_salted_agg", "q_cube", "q_unpivot",
     "q_percentile", "q_dedup_exact", "q_dedup_keep_first",
     "q_multimodal_features", "q_window_cumsum", "q_collect_sorted",
-    "q_tpch_q5", "q_tpch_q10",
+    "q_tpch_q5",
 ]
 
 

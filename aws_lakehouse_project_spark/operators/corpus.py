@@ -110,9 +110,17 @@ def chunk_dup_profile(docs: DataFrame, chunk: int = 50) -> DataFrame:
     strip boilerplate (headers, license blocks, navigation chrome) that
     exact whole-doc dedup misses.
 
-    Two shuffles, both on bounded keys: chunk-string frequency (combiner
-    shrinks it to distinct chunks) and the per-source rollup (one row per
-    source). Chunk generation is a map-side array expression.
+    One corpus-sized shuffle total: chunk instances aggregate straight
+    to (chunk, source) grain — n_inst + distinct-doc count — and since
+    every doc belongs to exactly ONE source, the global
+    docs-containing-chunk count is the SUM of the per-source distinct
+    counts, so the cross-source combine and the flag join both run on
+    the distinct-chunk table (vocabulary-sized), never on instances.
+    (The previous shape joined the full instance stream against the
+    frequency table — a second corpus-wide shuffle that made the query
+    scale at ~10.5x for 10x data in the round-6 registry soak; this
+    shape re-measured at ~3x, in line with the linear cohort.) Chunk
+    generation is a map-side array expression.
     """
     w = F.split(F.lower(F.col("text")), " ")
     # docs shorter than one chunk yield NO chunks (guard mirrors the
@@ -128,18 +136,22 @@ def chunk_dup_profile(docs: DataFrame, chunk: int = 50) -> DataFrame:
         docs.select("doc_id", "source", w.alias("w"))
         .select("doc_id", "source", F.explode(expr).alias("c"))
     )
-    freq = chunks.groupBy("c").agg(
-        F.countDistinct("doc_id").alias("n_docs_with")
+    per_cs = chunks.groupBy("c", "source").agg(
+        F.count(F.lit(1)).alias("n_inst"),
+        F.countDistinct("doc_id").alias("nd_src"),
     )
+    # doc_id ⊂ exactly one source ⇒ global distinct-doc count per chunk
+    # is the sum of the per-source distinct counts
+    per_c = per_cs.groupBy("c").agg(F.sum("nd_src").alias("n_docs_with"))
+    dup_inst = F.when(F.col("n_docs_with") > 1, F.col("n_inst")).otherwise(0)
     return (
-        chunks.join(freq, "c")
+        per_cs.join(per_c, "c")
         .groupBy("source")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
-            F.count_if(F.col("n_docs_with") > 1).alias("dup_chunks"),
+            F.sum("n_inst").cast("bigint").alias("n_chunks"),
+            F.sum(dup_inst).cast("bigint").alias("dup_chunks"),
             F.round(
-                F.count_if(F.col("n_docs_with") > 1).cast("double")
-                / F.count(F.lit(1)),
+                F.sum(dup_inst).cast("double") / F.sum("n_inst"),
                 6,
             ).alias("dup_ratio"),
         )
