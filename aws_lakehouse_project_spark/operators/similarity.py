@@ -101,7 +101,7 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _N_PLANES = 4  # 16 buckets; testdata has 500-2000 vectors → ~30-125 per bucket
-_MAX_PLANES = 12  # master list; callers slice a prefix
+_MAX_PLANES = 32  # master list; callers slice a prefix (bands × bits ≤ 32)
 _rng = random.Random(1337)
 # deterministic hyperplanes, shared verbatim with the oracle SQL. The
 # master list extends the SAME seeded stream row-by-row, so the first
@@ -373,6 +373,73 @@ def similarity_pairs(
     return (
         a.join(b, "bucket")
         .filter(F.col("v1") < F.col("v2"))
+        .select("v1", "v2", F.round(cosine, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def similarity_pairs_banded(
+    emb: DataFrame,
+    threshold: float = 0.40,
+    bands: int = 4,
+    bits: int = 8,
+) -> DataFrame:
+    """(v1, v2, cosine) near-dup pairs via MULTI-BAND sign-LSH — the
+    production recall corrective for scaled-up single-band bucketing
+    (same OR-of-ANDs layout as ``minhash_pairs``): band j hashes planes
+    [j*bits, (j+1)*bits); a pair is a candidate if ANY band agrees, so
+    per-band recall p^bits becomes 1-(1-p^bits)^bands while per-band
+    occupancy — and therefore join cost — stays the N/2^bits of the
+    occupancy-corrected single band. ``bands*bits`` ≤ ``_MAX_PLANES``.
+
+    Shape (mirrors minhash_pairs exactly): the band table carries
+    (vec_id, band, bucket) keys ONLY — one self-join on (band, bucket),
+    distinct candidate ids, then embeddings re-join for the exact
+    cosine filter, so vectors never ride through the candidate
+    explosion. Precision is exact (every emitted pair passes the true
+    cosine threshold); only recall is probabilistic.
+    """
+    if bands * bits > _MAX_PLANES:
+        raise ValueError(
+            f"bands*bits={bands * bits} exceeds the {_MAX_PLANES}-plane "
+            "master list"
+        )
+    base = emb.select("vec_id", as_double("embedding").alias("ev"))
+    band_cols = [
+        F.struct(
+            F.lit(j).alias("band"),
+            sum(
+                (
+                    F.when(
+                        dot(F.col("ev"), F.array(*[F.lit(w) for w in plane])) > 0,
+                        F.lit(1 << i),
+                    ).otherwise(0)
+                )
+                for i, plane in enumerate(_PLANES[j * bits : (j + 1) * bits])
+            ).cast("int").alias("bucket"),
+        )
+        for j in range(bands)
+    ]
+    keyed = base.select(
+        "vec_id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    cand = (
+        keyed.alias("a")
+        .join(keyed.alias("b"), ["band", "bucket"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("v1"), F.col("b.vec_id").alias("v2")
+        )
+        .distinct()
+    )
+    e1 = base.select(F.col("vec_id").alias("v1"), F.col("ev").alias("e1"))
+    e2 = base.select(F.col("vec_id").alias("v2"), F.col("ev").alias("e2"))
+    cosine = dot(F.col("e1"), F.col("e2")) / (
+        F.sqrt(dot(F.col("e1"), F.col("e1"))) * F.sqrt(dot(F.col("e2"), F.col("e2")))
+    )
+    return (
+        cand.join(e1, "v1")
+        .join(e2, "v2")
         .select("v1", "v2", F.round(cosine, 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )

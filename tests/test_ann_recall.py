@@ -107,7 +107,8 @@ def test_planes_for_scale_rule():
     assert planes_for(100) == _N_PLANES
     assert planes_for(2_000) == _N_PLANES      # sf0.1 regime: 16 buckets
     assert planes_for(20_000) == 8             # 10x corpus: 256 buckets
-    assert planes_for(10**9) == _MAX_PLANES    # capped by the master list
+    assert planes_for(10**9) == 23             # log2(1e9/125) rounded up
+    assert planes_for(10**12) == _MAX_PLANES   # capped by the master list
     assert len(_PLANES) == _MAX_PLANES
 
 
@@ -132,3 +133,48 @@ def test_scaled_planes_refine_default_buckets(spark):
     }
     assert scaled <= default
     assert default  # non-trivial at the loosened threshold
+
+
+def test_banded_pairs_beat_single_band_recall(spark):
+    """Plant near-duplicate vector pairs (tiny perturbation, cosine
+    ~0.99+) in a random corpus: 4 bands x 8 bits must recover MORE of
+    the planted pairs than one 8-bit band alone (OR-of-ANDs recall
+    1-(1-p^8)^4 > p^8), and every emitted pair must pass the exact
+    cosine threshold (precision stays exact). Deterministic seed."""
+    import random as _random
+
+    from aws_lakehouse_project_spark.operators.similarity import (
+        similarity_pairs,
+        similarity_pairs_banded,
+    )
+
+    rng = _random.Random(7)
+    rows = []
+    n_planted = 40
+    for i in range(n_planted):
+        v = [rng.gauss(0, 1) for _ in range(64)]
+        w = [x + rng.gauss(0, 0.02) for x in v]  # near-dup twin
+        rows.append((2 * i, v, 0))
+        rows.append((2 * i + 1, w, 0))
+    for i in range(200):  # background noise, decorrelated
+        rows.append((1000 + i, [rng.gauss(0, 1) for _ in range(64)], 1))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    planted = {(2 * i, 2 * i + 1) for i in range(n_planted)}
+
+    single = {
+        (r["v1"], r["v2"])
+        for r in similarity_pairs(emb, threshold=0.9, n_planes=8).collect()
+    }
+    banded_rows = similarity_pairs_banded(
+        emb, threshold=0.9, bands=4, bits=8
+    ).collect()
+    banded = {(r["v1"], r["v2"]) for r in banded_rows}
+
+    assert len(banded & planted) > len(single & planted)
+    assert len(banded & planted) >= 0.9 * n_planted  # 1-(1-p^8)^4 is high at cos~0.999
+    assert all(r["cosine"] >= 0.9 for r in banded_rows)  # exact precision
+    # band 0 of the banded layout IS the single-band bucketing: banded
+    # candidates must be a superset of the single-band pairs
+    assert single <= banded
