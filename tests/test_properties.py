@@ -423,3 +423,46 @@ def test_containment_of_prefix_excerpt_is_one(spark, docs):
         if i + 1 in sets and sets[i + 1]:
             inter = len(sets[i + 1] & sets[i])
             assert inter == len(sets[i + 1])  # containment == 1.0
+
+
+edges_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),    # bucket
+        st.integers(min_value=0, max_value=11),   # node a (within-bucket id)
+        st.integers(min_value=0, max_value=11),   # node b
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(**SLOW)
+@given(edges_strategy)
+def test_bucket_local_cc_equals_global_cc(spark, edges):
+    """For ANY edge set where each edge lives in one bucket and node ids
+    are bucket-scoped (the single-probe LSH contract), the bucket-local
+    union-find must compute exactly the global min-label components."""
+    from aws_lakehouse_project_spark.operators.dedup import (
+        bucket_local_components,
+        connected_components,
+    )
+
+    # scope node ids to their bucket (node = bucket*100 + local id) so
+    # the single-probe invariant — components never span buckets — holds
+    # by construction, and drop self-loops (a pair join never emits
+    # d1 == d2)
+    scoped = [
+        (b, b * 100 + x, b * 100 + y) for b, x, y in edges if x != y
+    ]
+    if not scoped:
+        return
+    pairs = spark.createDataFrame(scoped, "bucket int, d1 long, d2 long")
+    local = {
+        (r["node"], r["component"])
+        for r in bucket_local_components(pairs).collect()
+    }
+    global_cc = {
+        (r["node"], r["component"])
+        for r in connected_components(pairs.select("d1", "d2")).collect()
+    }
+    assert local == global_cc
