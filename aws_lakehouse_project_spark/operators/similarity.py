@@ -358,18 +358,24 @@ def similarity_pairs(
     the scale knob (see ``planes_for``): the demo keeps the oracle's 4
     literal planes; a 10×-bigger corpus needs +log2(10)≈3 bits to hold
     bucket occupancy — and therefore join cost per vector — constant."""
-    withb = emb.select("vec_id", as_double("embedding").alias("ev")).withColumn(
-        "bucket", _bucket_expr(F.col("ev"), n_planes)
+    # norms hoisted to per-VECTOR columns before the join: inside the
+    # join projection sqrt(dot(e,e)) is re-evaluated per candidate PAIR
+    # (occupancy× the work, in interpreted higher-order folds — see
+    # ``dot``); same expression per row ⇒ bit-identical cosines
+    withb = (
+        emb.select("vec_id", as_double("embedding").alias("ev"))
+        .withColumn("bucket", _bucket_expr(F.col("ev"), n_planes))
+        .withColumn("nrm", F.sqrt(dot(F.col("ev"), F.col("ev"))))
     )
     a = withb.select(
-        F.col("vec_id").alias("v1"), F.col("ev").alias("e1"), "bucket"
+        F.col("vec_id").alias("v1"), F.col("ev").alias("e1"),
+        F.col("nrm").alias("n1"), "bucket",
     )
     b = withb.select(
-        F.col("vec_id").alias("v2"), F.col("ev").alias("e2"), "bucket"
+        F.col("vec_id").alias("v2"), F.col("ev").alias("e2"),
+        F.col("nrm").alias("n2"), "bucket",
     )
-    cosine = dot(F.col("e1"), F.col("e2")) / (
-        F.sqrt(dot(F.col("e1"), F.col("e1"))) * F.sqrt(dot(F.col("e2"), F.col("e2")))
-    )
+    cosine = dot(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2"))
     return (
         a.join(b, "bucket")
         .filter(F.col("v1") < F.col("v2"))
@@ -432,11 +438,16 @@ def similarity_pairs_banded(
         )
         .distinct()
     )
-    e1 = base.select(F.col("vec_id").alias("v1"), F.col("ev").alias("e1"))
-    e2 = base.select(F.col("vec_id").alias("v2"), F.col("ev").alias("e2"))
-    cosine = dot(F.col("e1"), F.col("e2")) / (
-        F.sqrt(dot(F.col("e1"), F.col("e1"))) * F.sqrt(dot(F.col("e2"), F.col("e2")))
+    normed = base.withColumn("nrm", F.sqrt(dot(F.col("ev"), F.col("ev"))))
+    e1 = normed.select(
+        F.col("vec_id").alias("v1"), F.col("ev").alias("e1"),
+        F.col("nrm").alias("n1"),
     )
+    e2 = normed.select(
+        F.col("vec_id").alias("v2"), F.col("ev").alias("e2"),
+        F.col("nrm").alias("n2"),
+    )
+    cosine = dot(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2"))
     return (
         cand.join(e1, "v1")
         .join(e2, "v2")
@@ -803,16 +814,17 @@ def semantic_decontam(emb: DataFrame, n_planes: int = _N_PLANES) -> DataFrame:
     """Per-label decontamination survival report. ``n_planes`` scales
     the bucket count with the corpus (``planes_for``); the demo keeps
     the oracle's 4 literal planes."""
-    withb = emb.select(
-        "vec_id", "label", as_double("embedding").alias("ev")
-    ).withColumn("bucket", _bucket_expr(F.col("ev"), n_planes))
+    # per-vector norm hoist: see similarity_pairs (bit-identical)
+    withb = (
+        emb.select("vec_id", "label", as_double("embedding").alias("ev"))
+        .withColumn("bucket", _bucket_expr(F.col("ev"), n_planes))
+        .withColumn("nrm", F.sqrt(dot(F.col("ev"), F.col("ev"))))
+    )
     train = withb.filter(F.col("label") != _EVAL_LABEL)
     hold = withb.filter(F.col("label") == _EVAL_LABEL).select(
-        F.col("ev").alias("hv"), "bucket"
+        F.col("ev").alias("hv"), F.col("nrm").alias("hn"), "bucket"
     )
-    cosine = dot(F.col("ev"), F.col("hv")) / (
-        F.sqrt(dot(F.col("ev"), F.col("ev"))) * F.sqrt(dot(F.col("hv"), F.col("hv")))
-    )
+    cosine = dot(F.col("ev"), F.col("hv")) / (F.col("nrm") * F.col("hn"))
     contaminated = (
         train.join(F.broadcast(hold), "bucket")
         .filter(F.round(cosine, 6) >= _DECONTAM_T)
@@ -1040,14 +1052,21 @@ def semantic_clusters(
     keeps the oracle's 4 literal planes."""
     from .dedup import bucket_local_components
 
-    withb = emb.select("vec_id", as_double("embedding").alias("ev")).withColumn(
-        "bucket", _bucket_expr(F.col("ev"), n_planes)
+    # per-vector norm hoist: see similarity_pairs (bit-identical)
+    withb = (
+        emb.select("vec_id", as_double("embedding").alias("ev"))
+        .withColumn("bucket", _bucket_expr(F.col("ev"), n_planes))
+        .withColumn("nrm", F.sqrt(dot(F.col("ev"), F.col("ev"))))
     )
-    a = withb.select(F.col("vec_id").alias("d1"), F.col("ev").alias("e1"), "bucket")
-    b = withb.select(F.col("vec_id").alias("d2"), F.col("ev").alias("e2"), "bucket")
-    cosine = dot(F.col("e1"), F.col("e2")) / (
-        F.sqrt(dot(F.col("e1"), F.col("e1"))) * F.sqrt(dot(F.col("e2"), F.col("e2")))
+    a = withb.select(
+        F.col("vec_id").alias("d1"), F.col("ev").alias("e1"),
+        F.col("nrm").alias("n1"), "bucket",
     )
+    b = withb.select(
+        F.col("vec_id").alias("d2"), F.col("ev").alias("e2"),
+        F.col("nrm").alias("n2"), "bucket",
+    )
+    cosine = dot(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2"))
     pairs = (
         a.join(b, "bucket")
         .filter(F.col("d1") < F.col("d2"))
