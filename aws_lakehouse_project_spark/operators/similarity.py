@@ -74,13 +74,16 @@ def brute_topk(emb: DataFrame, query_vec_id: int, k: int = _TOPK) -> DataFrame:
     q = (
         emb.filter(F.col("vec_id") == query_vec_id)
         .select(as_double("embedding").alias("qv"))
+        # query norm rides in the 1-row broadcast instead of being
+        # re-folded per corpus row (bit-identical: same expression)
+        .withColumn("qn", F.sqrt(dot(F.col("qv"), F.col("qv"))))
     )
     e = emb.filter(F.col("vec_id") != query_vec_id).select(
         "vec_id", "label", as_double("embedding").alias("ev")
     )
     joined = e.crossJoin(F.broadcast(q))
     cosine = dot(F.col("ev"), F.col("qv")) / (
-        F.sqrt(dot(F.col("ev"), F.col("ev"))) * F.sqrt(dot(F.col("qv"), F.col("qv")))
+        F.sqrt(dot(F.col("ev"), F.col("ev"))) * F.col("qn")
     )
     return (
         joined.select("vec_id", "label", cosine.alias("cos_raw"))
@@ -189,12 +192,14 @@ def lsh_topk(emb: DataFrame, query_vec_id: int, k: int = _TOPK) -> DataFrame:
     q = (
         withb.filter(F.col("vec_id") == query_vec_id)
         .select(F.col("ev").alias("qv"), F.col("bucket").alias("qbucket"))
+        # query norm in the broadcast, not re-folded per candidate
+        .withColumn("qn", F.sqrt(dot(F.col("qv"), F.col("qv"))))
     )
     cand = withb.join(
         F.broadcast(q), F.col("bucket") == F.col("qbucket")
     ).filter(F.col("vec_id") != query_vec_id)
     cosine = dot(F.col("ev"), F.col("qv")) / (
-        F.sqrt(dot(F.col("ev"), F.col("ev"))) * F.sqrt(dot(F.col("qv"), F.col("qv")))
+        F.sqrt(dot(F.col("ev"), F.col("ev"))) * F.col("qn")
     )
     return (
         cand.select("vec_id", "label", cosine.alias("cos_raw"))
@@ -269,31 +274,40 @@ def ivf_topk(
     sized)."""
     from pyspark.sql import Window
 
-    e = emb.select("vec_id", "label", as_double("embedding").alias("v"))
+    # norms hoisted per vector/centroid: the k-way centroid crossJoin
+    # re-folded both norms per (row, centroid) pair — ~3x the necessary
+    # interpreted array-fold work. Same expressions ⇒ bit-identical.
+    e = emb.select(
+        "vec_id", "label", as_double("embedding").alias("v")
+    ).withColumn("vn", F.sqrt(dot(F.col("v"), F.col("v"))))
     c = (
         emb.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= _IVF_K))
         .select(F.col("vec_id").alias("cid"), as_double("embedding").alias("cv"))
+        .withColumn("cn", F.sqrt(dot(F.col("cv"), F.col("cv"))))
     )
-
-    def cos(a: Column, b: Column) -> Column:
-        return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.col("sim").desc(), F.col("cid")
     )
     assign = (
         e.crossJoin(F.broadcast(c))
-        .withColumn("sim", cos(F.col("v"), F.col("cv")))
+        .withColumn(
+            "sim",
+            dot(F.col("v"), F.col("cv")) / (F.col("vn") * F.col("cn")),
+        )
         .withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "label", "v", "cid")
+        .select("vec_id", "label", "v", "vn", "cid")
     )
     qv = e.filter(F.col("vec_id") == query_vec_id).select(
-        F.col("v").alias("qvec")
+        F.col("v").alias("qvec"), F.col("vn").alias("qn")
     )
     probe = (
         c.crossJoin(F.broadcast(qv))
-        .withColumn("sim", cos(F.col("qvec"), F.col("cv")))
+        .withColumn(
+            "sim",
+            dot(F.col("qvec"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+        )
         .orderBy(F.col("sim").desc(), F.col("cid"))
         .limit(nprobe)
         .select("cid")
@@ -302,7 +316,8 @@ def ivf_topk(
         F.col("vec_id") != query_vec_id
     )
     scored = cand.crossJoin(F.broadcast(qv)).withColumn(
-        "cos_raw", cos(F.col("v"), F.col("qvec"))
+        "cos_raw",
+        dot(F.col("v"), F.col("qvec")) / (F.col("vn") * F.col("qn")),
     )
     return (
         scored.orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
@@ -605,34 +620,43 @@ def q_similarity_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.scratch import scratch_dir
 
     emb = load_table(spark, sf_dir, "embeddings")
-    e = emb.select("vec_id", "label", as_double("embedding").alias("v"))
-    c = emb.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= _IVF_K)).select(
-        F.col("vec_id").alias("cid"), as_double("embedding").alias("cv")
+    # norms hoisted per vector/centroid (see ivf_topk — bit-identical);
+    # vn is PERSISTED into the index so probes never re-fold it
+    e = emb.select(
+        "vec_id", "label", as_double("embedding").alias("v")
+    ).withColumn("vn", F.sqrt(dot(F.col("v"), F.col("v"))))
+    c = (
+        emb.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= _IVF_K))
+        .select(F.col("vec_id").alias("cid"), as_double("embedding").alias("cv"))
+        .withColumn("cn", F.sqrt(dot(F.col("cv"), F.col("cv"))))
     )
-
-    def cos(a: Column, b: Column) -> Column:
-        return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
     # ingest: assign each vector to its nearest centroid list and write
     # the index partitioned by list id (one directory per list)
     w_assign = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cid"))
     assign = (
         e.crossJoin(F.broadcast(c))
-        .withColumn("sim", cos(F.col("v"), F.col("cv")))
+        .withColumn(
+            "sim", dot(F.col("v"), F.col("cv")) / (F.col("vn") * F.col("cn"))
+        )
         .withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
-        .select("cid", "vec_id", "label", "v")
+        .select("cid", "vec_id", "label", "v", "vn")
     )
     index_path = os.path.join(scratch_dir("spark_graft_ivf_index", unique=True), "idx")
     assign.write.partitionBy("cid").parquet(index_path)
 
     # probe: nprobe nearest lists for the query vector — a k-bounded
     # driver-side list that becomes a static partition filter
-    qv = e.filter(F.col("vec_id") == _QUERY_VEC_ID).select(F.col("v").alias("qvec"))
+    qv = e.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("v").alias("qvec"), F.col("vn").alias("qn")
+    )
     probe_ids = [
         r["cid"]
         for r in c.crossJoin(F.broadcast(qv))
-        .withColumn("sim", cos(F.col("qvec"), F.col("cv")))
+        .withColumn(
+            "sim", dot(F.col("qvec"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+        )
         .orderBy(F.col("sim").desc(), F.col("cid"))
         .limit(_IVF_NPROBE)
         .select("cid")
@@ -642,7 +666,7 @@ def q_similarity_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cid").isin(probe_ids) & (F.col("vec_id") != _QUERY_VEC_ID)
     )
     scored = index.crossJoin(F.broadcast(qv)).withColumn(
-        "cos_raw", cos(F.col("v"), F.col("qvec"))
+        "cos_raw", dot(F.col("v"), F.col("qvec")) / (F.col("vn") * F.col("qn"))
     )
     return (
         scored.orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
@@ -712,34 +736,42 @@ def q_similarity_batch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
-    e = emb.select("vec_id", "label", as_double("embedding").alias("v"))
-    c = emb.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= _IVF_K)).select(
-        F.col("vec_id").alias("cid"), as_double("embedding").alias("cv")
+    # norms hoisted per vector/centroid/query (see ivf_topk —
+    # bit-identical); qn rides inside the broadcast probe table
+    e = emb.select(
+        "vec_id", "label", as_double("embedding").alias("v")
+    ).withColumn("vn", F.sqrt(dot(F.col("v"), F.col("v"))))
+    c = (
+        emb.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= _IVF_K))
+        .select(F.col("vec_id").alias("cid"), as_double("embedding").alias("cv"))
+        .withColumn("cn", F.sqrt(dot(F.col("cv"), F.col("cv"))))
     )
-
-    def cos(a: Column, b: Column) -> Column:
-        return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.col("sim").desc(), F.col("cid")
     )
     assign = (
         e.crossJoin(F.broadcast(c))
-        .withColumn("sim", cos(F.col("v"), F.col("cv")))
+        .withColumn(
+            "sim", dot(F.col("v"), F.col("cv")) / (F.col("vn") * F.col("cn"))
+        )
         .withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "label", "v", "cid")
+        .select("vec_id", "label", "v", "vn", "cid")
     )
     q = e.filter(F.col("vec_id") < _BATCH_Q).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
+        F.col("vn").alias("qn"),
     )
     w_probe = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid"))
     probe = (
         q.crossJoin(F.broadcast(c))
-        .withColumn("sim", cos(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "sim", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+        )
         .withColumn("rn", F.row_number().over(w_probe))
         .filter(F.col("rn") <= _IVF_NPROBE)
-        .select("qid", "qv", "cid")
+        .select("qid", "qv", "qn", "cid")
     )
     cand = assign.join(F.broadcast(probe), "cid").filter(
         F.col("vec_id") != F.col("qid")
@@ -748,7 +780,9 @@ def q_similarity_batch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cos_raw").desc(), F.col("vec_id")
     )
     return (
-        cand.withColumn("cos_raw", cos(F.col("v"), F.col("qv")))
+        cand.withColumn(
+            "cos_raw", dot(F.col("v"), F.col("qv")) / (F.col("vn") * F.col("qn"))
+        )
         .withColumn("rnk", F.row_number().over(w_rank))
         .filter(F.col("rnk") <= _BATCH_TOPK)
         .select(
