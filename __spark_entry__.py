@@ -28,23 +28,25 @@ def entry(spark: SparkSession) -> DataFrame:
 # counts r5: 48, r4: 45, r3: 42, r2: 21, plus the 2 rows-only-by-design
 # (q_dedup_minhash / q_dedup_simhash, re-rowed each round they appear).
 #
-# ROUND-6 WINDOW (this list): 12 queries changed by the r6 fixes (ANSI
+# ROUND-6 WINDOW (this list): 19 queries changed by the r6 fixes (ANSI
 # short-doc guards in the shingle/pair transforms, resize empty-payload
-# skip, skew-join build side, bucket-local CC, chunk-dedup re-plan)
-# lead; then ALL 21
-# r2-stale rows; then the head of the r3 cohort, merge-writer core
-# first (q_merge_upsert/q_merge_delete/q_table_diff/q_sink_partitioned/
-# q_join_inner guard SURVEY §2's S6/S8/J1 machinery).
+# skip, skew-join build side, bucket-local CC, chunk-dedup re-plan,
+# ANN norm hoisting) lead; then ALL 21 r2-stale rows; then the head of
+# the r3 cohort, merge-writer core first (q_merge_upsert/q_merge_delete/
+# q_table_diff/q_sink_partitioned/q_join_inner guard SURVEY §2's
+# S6/S8/J1 machinery).
 #
-# ROUND-7 ROTATION NOTE: the 23 r3-green rows that did NOT fit this
-# window (q_contamination, q_chunk_dedup, q_zipf, q_ntile, q_first_last,
-# q_explode_pos, q_tpch_q19, q_funnel, q_retention, q_tpch_q14,
-# q_tpch_q22, q_tpch_q6, q_tpch_q8, q_tpch_q15, q_tpch_q21,
-# q_grouped_ols, q_embedding_quantize, q_nullsafe_join,
-# q_ratio_to_report, q_scd2_lookup, q_vocab_encode, q_mixture,
-# q_tpch_q10) MUST
-# head the r7 window together with the r4 cohort (45 rows, green since
-# r4) — budget all 50 slots for rotation unless r7 changes queries.
+# ROUND-7 ROTATION NOTE: 29 r3-green rows did NOT fit this window
+# (q_contamination, q_zipf, q_ntile, q_first_last, q_explode_pos,
+# q_tpch_q19, q_funnel, q_retention, q_tpch_q14, q_tpch_q22, q_tpch_q6,
+# q_tpch_q8, q_tpch_q15, q_tpch_q21, q_grouped_ols,
+# q_embedding_quantize, q_nullsafe_join, q_ratio_to_report,
+# q_scd2_lookup, q_vocab_encode, q_mixture, q_tpch_q10, q_unpivot,
+# q_percentile, q_dedup_exact, q_dedup_keep_first,
+# q_multimodal_features, q_window_cumsum, q_collect_sorted, q_tpch_q5
+# minus q_unpivot, which kept its slot) — they MUST head the r7 window together with the r4 cohort (45 rows,
+# green since r4); budget all 50 slots for rotation unless r7 changes
+# queries.
 _VERIFY_FIRST = [
     # changed in round 6 — re-earn green (ANSI guards touched the
     # shingle/gram transforms these build on; clusters_semantic moved
@@ -55,8 +57,12 @@ _VERIFY_FIRST = [
     "q_dedup_minhash", "q_dedup_minhash_recall",
     "q_dedup_minhash_portable", "q_dedup_containment", "q_repetition",
     # changed in round 6 (registry-soak follow-up): chunk dedup
-    # re-planned to the (chunk, source)-grain aggregate join
-    "q_chunk_dedup",
+    # re-planned to the (chunk, source)-grain aggregate join, and the
+    # whole ANN family got per-vector/query norm hoisting
+    # (bit-identical cosines, fresh-process re-verified)
+    "q_chunk_dedup", "q_similarity_topk", "q_similarity_lsh",
+    "q_similarity_ivf", "q_similarity_ivf_pruned",
+    "q_similarity_batch_ivf", "q_ann_join_docs", "q_rank_eval",
     # all 20 remaining r2-stale rows (q_repetition above is the 21st)
     "q_array_stats", "q_quantile_filter", "q_stratified_sample",
     "q_corr_regression", "q_histogram", "q_text_quality",
@@ -64,14 +70,11 @@ _VERIFY_FIRST = [
     "q_corpus_prep", "q_pack_sequences", "q_pii_scrub", "q_semi_join",
     "q_anti_join", "q_distinct_agg", "q_left_join_hist",
     "q_correlated_subquery", "q_tpch_q3", "q_tpch_q7",
-    # r3 cohort head (19 slots): merge-writer core first, then the
-    # relational/window/TPC-H r3 rows
+    # r3 cohort head (10 slots): merge-writer core first, then the
+    # heaviest-traffic relational r3 rows
     "q_merge_upsert", "q_merge_delete", "q_table_diff",
     "q_sink_partitioned", "q_join_inner", "q_rollup", "q_pivot",
     "q_range_join", "q_salted_agg", "q_cube", "q_unpivot",
-    "q_percentile", "q_dedup_exact", "q_dedup_keep_first",
-    "q_multimodal_features", "q_window_cumsum", "q_collect_sorted",
-    "q_tpch_q5",
 ]
 
 
