@@ -41,12 +41,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # q_tpch_q19, q_funnel, q_retention, q_tpch_q14, q_tpch_q22, q_tpch_q6,
 # q_tpch_q8, q_tpch_q15, q_tpch_q21, q_grouped_ols,
 # q_embedding_quantize, q_nullsafe_join, q_ratio_to_report,
-# q_scd2_lookup, q_vocab_encode, q_mixture, q_tpch_q10, q_unpivot,
-# q_percentile, q_dedup_exact, q_dedup_keep_first,
-# q_multimodal_features, q_window_cumsum, q_collect_sorted, q_tpch_q5
-# minus q_unpivot, which kept its slot) — they MUST head the r7 window together with the r4 cohort (45 rows,
-# green since r4); budget all 50 slots for rotation unless r7 changes
-# queries.
+# q_scd2_lookup, q_vocab_encode, q_mixture, q_tpch_q10, q_percentile,
+# q_dedup_exact, q_dedup_keep_first, q_multimodal_features,
+# q_window_cumsum, q_collect_sorted, q_tpch_q5) — they MUST head the
+# r7 window together with the r4 cohort (45 rows, green since r4);
+# budget all 50 slots for rotation unless r7 changes queries.
 _VERIFY_FIRST = [
     # changed in round 6 — re-earn green (ANSI guards touched the
     # shingle/gram transforms these build on; clusters_semantic moved
