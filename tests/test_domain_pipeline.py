@@ -237,3 +237,21 @@ def test_corrupt_rows_quarantined(spark, tmp_path):
     clean, bad = split_corrupt(read_jsonl(spark, str(p), WEB_EVENTS_RAW))
     assert clean.count() == 4
     assert bad.count() == 1
+
+
+def test_verify_window_invariants():
+    """The driver checks the FIRST 50 registered queries each round:
+    the priority list must stay exactly 50 long, duplicate-free, and
+    fully registered, and every name must carry an oracle or be one of
+    the two rows-only-by-design hash demos."""
+    import __spark_entry__ as entrymod
+
+    head = entrymod._VERIFY_FIRST
+    assert len(head) == 50
+    assert len(set(head)) == 50
+    q, o = entrymod.queries(), entrymod.oracle_sql()
+    assert all(n in q for n in head)
+    rows_only = {n for n in q if n not in o}
+    assert rows_only == {"q_dedup_minhash", "q_dedup_simhash"}
+    # emission order starts with the priority list verbatim
+    assert list(q)[:50] == head
