@@ -466,3 +466,16 @@ def test_multimodal_frames_single_python_boundary_no_shuffle(spark):
     plan = final_plan(q_multimodal_frames(spark, SF_DIR)).replace("\n", " ")
     assert plan.count("MapInPandas") == 1
     assert "Exchange" not in plan
+
+
+def test_approx_distinct_plans_without_expand(spark):
+    """Mixing countDistinct with plain aggregates makes Catalyst plan an
+    Expand that doubles the fact stream (measured 10x wall-clock at the
+    100x soak). The split exact/sketch formulation must stay
+    Expand-free."""
+    from aws_lakehouse_project_spark.operators.analytics import (
+        q_approx_distinct,
+    )
+
+    plan = final_plan(q_approx_distinct(spark, SF_DIR)).replace("\n", " ")
+    assert "Expand" not in plan, plan
