@@ -28,7 +28,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # counts r5: 48, r4: 45, r3: 42, r2: 21, plus the 2 rows-only-by-design
 # (q_dedup_minhash / q_dedup_simhash, re-rowed each round they appear).
 #
-# ROUND-6 WINDOW (this list): 20 queries changed by the r6 fixes (ANSI
+# ROUND-6 WINDOW (this list): 22 queries changed by the r6 fixes (ANSI
 # short-doc guards in the shingle/pair transforms, resize empty-payload
 # skip, skew-join build side, bucket-local CC, chunk-dedup re-plan,
 # ANN norm hoisting) lead; then ALL 21 r2-stale rows; then the head of
@@ -36,12 +36,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # q_table_diff/q_sink_partitioned/q_join_inner guard SURVEY §2's
 # S6/S8/J1 machinery).
 #
-# ROUND-7 ROTATION NOTE: 30 r3-green rows did NOT fit this window
+# ROUND-7 ROTATION NOTE: 31 r3-green rows did NOT fit this window
 # (q_contamination, q_zipf, q_ntile, q_first_last, q_explode_pos,
 # q_tpch_q19, q_funnel, q_retention, q_tpch_q14, q_tpch_q22, q_tpch_q6,
 # q_tpch_q8, q_tpch_q15, q_tpch_q21, q_grouped_ols,
 # q_embedding_quantize, q_nullsafe_join, q_ratio_to_report,
-# q_scd2_lookup, q_vocab_encode, q_mixture, q_tpch_q10, q_unpivot,
+# q_scd2_lookup, q_vocab_encode, q_mixture, q_tpch_q10, q_unpivot, q_cube,
 # q_percentile,
 # q_dedup_exact, q_dedup_keep_first, q_multimodal_features,
 # q_window_cumsum, q_collect_sorted, q_tpch_q5) — they MUST head the
@@ -63,9 +63,11 @@ _VERIFY_FIRST = [
     "q_chunk_dedup", "q_similarity_topk", "q_similarity_lsh",
     "q_similarity_ivf", "q_similarity_ivf_pruned",
     "q_similarity_batch_ivf", "q_ann_join_docs", "q_rank_eval",
-    # changed in round 6: Expand-free exact/sketch split (104s -> 10s
-    # at the 100x soak)
-    "q_approx_distinct",
+    # changed in round 6: Expand-free re-plans (mixed-distinct
+    # aggregates planned a stream-doubling Expand; q_approx_distinct
+    # 104s -> 10s, q_distinct_agg -22%, q_dedup_exact -19% at sf10).
+    # q_distinct_agg already sits in the r2-stale block below.
+    "q_approx_distinct", "q_dedup_exact",
     # all 20 remaining r2-stale rows (q_repetition above is the 21st)
     "q_array_stats", "q_quantile_filter", "q_stratified_sample",
     "q_corr_regression", "q_histogram", "q_text_quality",
@@ -77,7 +79,7 @@ _VERIFY_FIRST = [
     # heaviest-traffic relational r3 rows
     "q_merge_upsert", "q_merge_delete", "q_table_diff",
     "q_sink_partitioned", "q_join_inner", "q_rollup", "q_pivot",
-    "q_range_join", "q_salted_agg", "q_cube",
+    "q_range_join", "q_salted_agg",
 ]
 
 

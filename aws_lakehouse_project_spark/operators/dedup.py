@@ -54,10 +54,17 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle is byte-identical.
     """
     docs = load_table(spark, sf_dir, "documents")
-    return docs.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.countDistinct("text").alias("n_distinct"),
-        (F.count(F.lit(1)) - F.countDistinct("text")).alias("n_dups"),
+    # Two-level instead of mixed distinct+plain (the mixed form plans an
+    # Expand that doubles the corpus stream — BASELINE.md r6): per
+    # (lang, text) counts collapse duplicates map-side, then the rollup
+    # aggregates group-count vs instance-sum per language.
+    per_text = docs.groupBy("lang", "text").agg(
+        F.count(F.lit(1)).alias("n_copies")
+    )
+    return per_text.groupBy("lang").agg(
+        F.sum("n_copies").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        (F.sum("n_copies") - F.count(F.lit(1))).alias("n_dups"),
     )
 
 

@@ -138,15 +138,32 @@ def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multiple distinct aggregates in one group-by (TPC-H Q16 shape) —
-    Spark expands to a single multi-phase plan; at scale prefer
-    approx_count_distinct (q_approx_distinct) where exactness isn't
-    required."""
+    """Multiple distinct aggregates over one group key (TPC-H Q16
+    shape). The naive one-agg form makes Catalyst plan a 3-way Expand
+    (one duplicated stream per distinct column plus one for the plain
+    count — BASELINE.md r6); instead each distinct column gets its own
+    two-level aggregate (map-side-combined (flag, key) partials → tiny
+    rollup) and the flag-level results join on the handful of group
+    rows. At scale prefer approx_count_distinct (q_approx_distinct)
+    where exactness isn't required."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_suppkey").alias("n_suppliers"),
-        F.countDistinct("l_partkey").alias("n_parts"),
-        F.count(F.lit(1)).alias("n_rows"),
+    supp = (
+        li.groupBy("l_returnflag", "l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum("n").alias("n_rows"),
+        )
+    )
+    parts = (
+        li.groupBy("l_returnflag", "l_partkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+    return supp.join(parts, "l_returnflag").select(
+        "l_returnflag", "n_suppliers", "n_parts", "n_rows"
     )
 
 
