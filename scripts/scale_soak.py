@@ -29,6 +29,7 @@ def main() -> None:
         semantic_clusters,
         semantic_decontam,
         similarity_pairs,
+        similarity_pairs_banded,
     )
     from aws_lakehouse_project_spark.session import build_session
 
@@ -50,6 +51,10 @@ def main() -> None:
     timed("semantic_decontam_scaled", lambda: semantic_decontam(emb, n_planes=k))
     timed("semantic_clusters_default", lambda: semantic_clusters(emb))
     timed("semantic_clusters_scaled", lambda: semantic_clusters(emb, n_planes=k))
+    timed(
+        "similarity_pairs_banded_2xk",
+        lambda: similarity_pairs_banded(emb, bands=2, bits=k),
+    )
     cust = load_table(spark, sf_dir, "customer")
     timed(
         "fuzzy_match",
