@@ -24,62 +24,49 @@ def entry(spark: SparkSession) -> DataFrame:
 # first (their green must be re-earned), then the stalest green rows
 # (rotation: no query's latest driver row should age past two rounds).
 #
-# Ledger after r1-r5 (CORRECTNESS union): 158 queries, latest-green
-# counts r5: 48, r4: 45, r3: 42, r2: 21, plus the 2 rows-only-by-design
-# (q_dedup_minhash / q_dedup_simhash, re-rowed each round they appear).
+# ROUND-7 WINDOW (this list): 4 NEW queries lead — the scale-safe LSH
+# configurations registered this round (occupancy-corrected planes_for
+# bit counts with a masked-sum dynamic-plane oracle, and the 2x8-band
+# OR layout); they clear the r6 verdict's three `weak` marks by giving
+# the 100 TB configuration its own driver-green rows. Then the ENTIRE
+# r3-stale cohort (30 rows, per the r6 rotation note), then the 16 most
+# machinery-guarding r4 rows (all 7 streaming parity queries, the
+# scan/fact/staging/expectation core, and the two heaviest TPC-H
+# joins). Ledger entering r7 (CORRECTNESS union): 158 queries,
+# latest-green r6: 50, r5: 37, r4: 41, r3: 30.
 #
-# ROUND-6 WINDOW (this list): 22 queries changed by the r6 fixes (ANSI
-# short-doc guards in the shingle/pair transforms, resize empty-payload
-# skip, skew-join build side, bucket-local CC, chunk-dedup re-plan,
-# ANN norm hoisting) lead; then ALL 21 r2-stale rows; then the head of
-# the r3 cohort, merge-writer core first (q_merge_upsert/q_merge_delete/
-# q_table_diff/q_sink_partitioned/q_join_inner guard SURVEY §2's
-# S6/S8/J1 machinery).
-#
-# ROUND-7 ROTATION NOTE: 31 r3-green rows did NOT fit this window
-# (q_contamination, q_zipf, q_ntile, q_first_last, q_explode_pos,
-# q_tpch_q19, q_funnel, q_retention, q_tpch_q14, q_tpch_q22, q_tpch_q6,
-# q_tpch_q8, q_tpch_q15, q_tpch_q21, q_grouped_ols,
-# q_embedding_quantize, q_nullsafe_join, q_ratio_to_report,
-# q_scd2_lookup, q_vocab_encode, q_mixture, q_tpch_q10, q_unpivot, q_cube,
-# q_percentile,
-# q_dedup_exact, q_dedup_keep_first, q_multimodal_features,
-# q_window_cumsum, q_collect_sorted, q_tpch_q5) — they MUST head the
-# r7 window together with the r4 cohort (45 rows, green since r4);
-# budget all 50 slots for rotation unless r7 changes queries.
+# ROUND-8 ROTATION NOTE: 25 r4-green rows did NOT fit this window
+# (q_agg_count, q_agg_count_filter, q_agg_sum, q_asof_join, q_bool_agg,
+# q_bound_check, q_dedup_anti_join, q_except, q_filter_eq,
+# q_filter_range, q_intersect, q_join_full_outer, q_lang_mix,
+# q_lang_temperature, q_length_histogram, q_monthly_trunc,
+# q_notnull_check, q_regex, q_scalar_subquery, q_sort_topk,
+# q_topk_per_group, q_tpch_q16, q_union, q_window_rank,
+# q_window_rolling) — they MUST head the r8 window; the rest of the
+# slots go to the stalest r5 rows.
 _VERIFY_FIRST = [
-    # changed in round 6 — re-earn green (ANSI guards touched the
-    # shingle/gram transforms these build on; clusters_semantic moved
-    # to bucket-local CC; resize drops empty payloads; skew join build
-    # side flipped; minhash stays rows-only by design)
-    "q_bpe_pairs", "q_multimodal_resize", "q_skew_salted_join",
-    "q_ngram_jaccard", "q_dedup_clusters", "q_dedup_clusters_semantic",
-    "q_dedup_minhash", "q_dedup_minhash_recall",
-    "q_dedup_minhash_portable", "q_dedup_containment", "q_repetition",
-    # changed in round 6 (registry-soak follow-up): chunk dedup
-    # re-planned to the (chunk, source)-grain aggregate join, and the
-    # whole ANN family got per-vector/query norm hoisting
-    # (bit-identical cosines, fresh-process re-verified)
-    "q_chunk_dedup", "q_similarity_topk", "q_similarity_lsh",
-    "q_similarity_ivf", "q_similarity_ivf_pruned",
-    "q_similarity_batch_ivf", "q_ann_join_docs", "q_rank_eval",
-    # changed in round 6: Expand-free re-plans (mixed-distinct
-    # aggregates planned a stream-doubling Expand; q_approx_distinct
-    # 104s -> 10s, q_distinct_agg -22%, q_dedup_exact -19% at sf10).
-    # q_distinct_agg already sits in the r2-stale block below.
-    "q_approx_distinct", "q_dedup_exact",
-    # all 20 remaining r2-stale rows (q_repetition above is the 21st)
-    "q_array_stats", "q_quantile_filter", "q_stratified_sample",
-    "q_corr_regression", "q_histogram", "q_text_quality",
-    "q_token_count", "q_lang_id", "q_tfidf", "q_fingerprint",
-    "q_corpus_prep", "q_pack_sequences", "q_pii_scrub", "q_semi_join",
-    "q_anti_join", "q_distinct_agg", "q_left_join_hist",
-    "q_correlated_subquery", "q_tpch_q3", "q_tpch_q7",
-    # r3 cohort head (10 slots): merge-writer core first, then the
-    # heaviest-traffic relational r3 rows
-    "q_merge_upsert", "q_merge_delete", "q_table_diff",
-    "q_sink_partitioned", "q_join_inner", "q_rollup", "q_pivot",
-    "q_range_join", "q_salted_agg",
+    # NEW in round 7 — first driver rows for the scale-safe sign-LSH
+    # configs (similarity.py: planes_for masked-sum oracles + banded)
+    "q_similarity_pairs_scaled", "q_similarity_pairs_banded",
+    "q_semantic_decontam_scaled", "q_dedup_clusters_semantic_scaled",
+    # full r3-stale cohort (30 rows, green since r3, re-swept every
+    # round since — rotation per the r6 verdict's top item)
+    "q_contamination", "q_zipf", "q_ntile", "q_first_last",
+    "q_explode_pos", "q_tpch_q19", "q_funnel", "q_retention",
+    "q_tpch_q14", "q_tpch_q22", "q_tpch_q6", "q_tpch_q8", "q_tpch_q15",
+    "q_tpch_q21", "q_grouped_ols", "q_embedding_quantize",
+    "q_nullsafe_join", "q_ratio_to_report", "q_scd2_lookup",
+    "q_vocab_encode", "q_mixture", "q_tpch_q10", "q_unpivot", "q_cube",
+    "q_percentile", "q_dedup_keep_first", "q_multimodal_features",
+    "q_window_cumsum", "q_collect_sorted", "q_tpch_q5",
+    # r4 cohort head (16 slots): the streaming parity family first
+    # (stream ≡ batch oracles guard the whole §2.9 extension), then
+    # the ingest/fact/quality core, then the heaviest TPC-H joins
+    "q_stream_daily", "q_stream_sliding", "q_stream_sessions",
+    "q_stream_dedup", "q_stream_join", "q_stream_enrich",
+    "q_sessionize", "q_scan_csv", "q_scan_json", "q_scan_parquet",
+    "q_sql_fact", "q_fact_daily", "q_stage_orders",
+    "q_expectation_suite", "q_tpch_q1", "q_tpch_q9",
 ]
 
 

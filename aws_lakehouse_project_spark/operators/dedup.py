@@ -58,6 +58,12 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Expand that doubles the corpus stream — BASELINE.md r6): per
     # (lang, text) counts collapse duplicates map-side, then the rollup
     # aggregates group-count vs instance-sum per language.
+    # PRECONDITION: text is non-null (true of the generator). A NULL
+    # text would count as its own (lang, NULL) group here, whereas
+    # COUNT(DISTINCT text) — the replaced form and the oracle — ignores
+    # NULLs; a nullable source needs .filter(text IS NOT NULL) on the
+    # inner groupBy first. Same note applies to the two-level re-plans
+    # in tpch.py::q_distinct_agg and analytics.py::q_approx_distinct.
     per_text = docs.groupBy("lang", "text").agg(
         F.count(F.lit(1)).alias("n_copies")
     )

@@ -105,6 +105,10 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _N_PLANES = 4  # 16 buckets; testdata has 500-2000 vectors → ~30-125 per bucket
 _MAX_PLANES = 32  # master list; callers slice a prefix (bands × bits ≤ 32)
+# Hard cap on planes per single bucket id: bit j contributes 2^j and the
+# id is a 32-bit int, so 32 planes would put 2^31 in bit 31 and overflow
+# the ANSI int cast for ~half the vectors. 31 bits ≤ 2^31-1 always fits.
+_CAP_PLANES = 31
 _rng = random.Random(1337)
 # deterministic hyperplanes, shared verbatim with the oracle SQL. The
 # master list extends the SAME seeded stream row-by-row, so the first
@@ -123,6 +127,11 @@ _PLANES = [
 
 def _bucket_expr(vec: Column, n_planes: int = _N_PLANES) -> Column:
     """Sign-random-projection bucket id: bit j = (vec · plane_j) > 0."""
+    if n_planes > _CAP_PLANES:
+        raise ValueError(
+            f"n_planes={n_planes} > {_CAP_PLANES}: bit {n_planes - 1} would "
+            "overflow the 32-bit bucket id (ANSI CAST_OVERFLOW)"
+        )
     bits = [
         F.when(dot(vec, F.array(*[F.lit(w) for w in plane])) > 0, F.lit(1 << j))
         .otherwise(0)
@@ -143,15 +152,59 @@ def planes_for(n_vectors: int, target_occupancy: int = 125) -> int:
 
     if n_vectors <= target_occupancy:
         return _N_PLANES
-    return max(_N_PLANES, min(_MAX_PLANES, math.ceil(math.log2(n_vectors / target_occupancy))))
+    # cap at _CAP_PLANES (31), not the 32-row master list: a 32-plane
+    # bucket id would overflow its int cast (see _bucket_expr)
+    return max(_N_PLANES, min(_CAP_PLANES, math.ceil(math.log2(n_vectors / target_occupancy))))
 
 
-def _bucket_sql(expr: str) -> str:
+def _plane_lit(plane: list[float]) -> str:
+    return "[" + ", ".join(repr(w) for w in plane) + "]::DOUBLE[]"
+
+
+def _bucket_sql(expr: str, n_planes: int = _N_PLANES, offset: int = 0) -> str:
+    """DuckDB twin of ``_bucket_expr`` over planes [offset, offset+n)."""
     terms = []
-    for j, plane in enumerate(_PLANES[:_N_PLANES]):
-        lit = "[" + ", ".join(repr(w) for w in plane) + "]::DOUBLE[]"
+    for i, plane in enumerate(_PLANES[offset : offset + n_planes]):
         terms.append(
-            f"(CASE WHEN list_inner_product({expr}, {lit}) > 0 THEN {1 << j} ELSE 0 END)"
+            f"(CASE WHEN list_inner_product({expr}, {_plane_lit(plane)}) > 0"
+            f" THEN {1 << i} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+# --- data-dependent plane count (the planes_for scale rule, in SQL) --------
+#
+# The scaled oracle queries must agree with ``planes_for`` at EVERY SF the
+# sweeps run (sf0.001 … sf10), so the oracle derives n_planes from
+# COUNT(*) with the same formula, and the bucket id is a masked sum over
+# the full 31-plane master prefix: term j contributes only when j < npl.
+# Both engines divide as doubles and call libm log2, so the ceil boundary
+# is bit-identical.
+
+_SCALED_TARGET = 30  # occupancy target for the registered *scaled* demos:
+# small enough that the driver's sf0.01 corpus (500 vectors) already
+# needs 5 planes (> the 4-plane demo) and sf0.1 needs 7 — the rule is
+# exercised, not floored. Production default stays planes_for's 125.
+
+
+def _np_sql(target: int = _SCALED_TARGET) -> str:
+    """CTE body computing the planes_for(count, target) scalar as npl."""
+    return (
+        f"SELECT GREATEST({_N_PLANES}, LEAST({_CAP_PLANES}, "
+        f"CAST(CEIL(LOG2(COUNT(*) / CAST({target} AS DOUBLE))) AS INTEGER)"
+        f")) AS npl FROM embeddings"
+    )
+
+
+def _bucket_sql_masked(expr: str, np_ref: str = "npl") -> str:
+    """Masked-sum bucket id: identical to ``_bucket_sql(expr, npl)`` for
+    any npl ≤ 31, with npl supplied at query time (cross-joined CTE)."""
+    terms = []
+    for j, plane in enumerate(_PLANES[:_CAP_PLANES]):
+        terms.append(
+            f"(CASE WHEN {j} < {np_ref} AND "
+            f"list_inner_product({expr}, {_plane_lit(plane)}) > 0"
+            f" THEN {1 << j} ELSE 0 END)"
         )
     return "(" + " + ".join(terms) + ")"
 
@@ -425,6 +478,11 @@ def similarity_pairs_banded(
             f"bands*bits={bands * bits} exceeds the {_MAX_PLANES}-plane "
             "master list"
         )
+    if bits > _CAP_PLANES:
+        raise ValueError(
+            f"bits={bits} > {_CAP_PLANES}: bit {bits - 1} would overflow "
+            "the per-band 32-bit bucket id (ANSI CAST_OVERFLOW)"
+        )
     base = emb.select("vec_id", as_double("embedding").alias("ev"))
     band_cols = [
         F.struct(
@@ -468,6 +526,92 @@ def similarity_pairs_banded(
         .join(e2, "v2")
         .select("v1", "v2", F.round(cosine, 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scale-safe near-dup configs, oracle-checked (the configurations the
+# 100 TB claims rest on — BASELINE.md r6 soak measured the fixed 4-plane
+# demo quadratic-in-occupancy at 10×; these register the correctives).
+# ---------------------------------------------------------------------------
+
+_SCALED_PAIRS_T = 0.30  # scaled demos keep the richer 0.30 tail so the
+# higher-plane buckets still surface non-empty candidate sets at sf0.01
+
+_PAIRS_SCALED_ORACLE = f"""
+    WITH np AS ({_np_sql()}),
+    b AS (
+      SELECT vec_id, embedding::DOUBLE[] AS ev,
+             {_bucket_sql_masked("embedding::DOUBLE[]")} AS bucket
+      FROM embeddings, np
+    ),
+    scored AS (
+      SELECT a.vec_id AS v1, c.vec_id AS v2,
+             ROUND(list_inner_product(a.ev, c.ev)
+                   / (sqrt(list_inner_product(a.ev, a.ev))
+                      * sqrt(list_inner_product(c.ev, c.ev))), 6) AS cosine
+      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    )
+    SELECT v1, v2, cosine FROM scored WHERE cosine >= {_SCALED_PAIRS_T}
+"""
+
+
+@demo_query("q_similarity_pairs_scaled", oracle=_PAIRS_SCALED_ORACLE)
+def q_similarity_pairs_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Occupancy-corrected near-dup pairs: the SAME operator as
+    q_similarity_pairs but with the bit count derived from the corpus by
+    ``planes_for`` — the configuration that stays linear as N grows
+    (BASELINE.md r6: fixed 16 buckets went 94× at 10×; +3 bits restored
+    ~linear). The oracle computes n_planes from COUNT(*) with the same
+    GREATEST/LEAST/CEIL/LOG2 formula and masks the 31-term plane sum, so
+    the rule itself — not just one frozen config — is engine-checked at
+    every SF the sweeps run (500 vectors → 5 planes, 2 000 → 7)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    # corpus-size scalar: at 100 TB this is ingest-time metadata, not a
+    # per-query scan; here one count() against the parquet footer stats
+    n = planes_for(emb.count(), _SCALED_TARGET)
+    return similarity_pairs(emb, threshold=_SCALED_PAIRS_T, n_planes=n)
+
+
+_BANDED_BANDS = 2
+_BANDED_BITS = 8
+
+
+def _banded_oracle() -> str:
+    b0 = _bucket_sql("embedding::DOUBLE[]", _BANDED_BITS, offset=0)
+    b1 = _bucket_sql("embedding::DOUBLE[]", _BANDED_BITS, offset=_BANDED_BITS)
+    return f"""
+    WITH b AS (
+      SELECT vec_id, embedding::DOUBLE[] AS ev,
+             {b0} AS b0, {b1} AS b1
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT a.vec_id AS v1, c.vec_id AS v2,
+             ROUND(list_inner_product(a.ev, c.ev)
+                   / (sqrt(list_inner_product(a.ev, a.ev))
+                      * sqrt(list_inner_product(c.ev, c.ev))), 6) AS cosine
+      FROM b a JOIN b c
+        ON (a.b0 = c.b0 OR a.b1 = c.b1) AND a.vec_id < c.vec_id
+    )
+    SELECT v1, v2, cosine FROM scored WHERE cosine >= {_SCALED_PAIRS_T}
+"""
+
+
+@demo_query("q_similarity_pairs_banded", oracle=_banded_oracle())
+def q_similarity_pairs_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-band sign-LSH near-dup pairs (2 bands × 8 bits): the
+    production recall corrective — per-band occupancy (and join cost)
+    stays that of an occupancy-corrected single band while recall
+    doubles via the OR of two independent bands. The oracle joins on
+    (band0 match OR band1 match), which is exactly the OR-of-ANDs the
+    banded candidate union computes; precision is exact on both sides
+    (every emitted pair passes the true cosine threshold)."""
+    return similarity_pairs_banded(
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=_SCALED_PAIRS_T,
+        bands=_BANDED_BANDS,
+        bits=_BANDED_BITS,
     )
 
 
@@ -844,6 +988,42 @@ def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_decontam(load_table(spark, sf_dir, "embeddings"))
 
 
+_DECONTAM_SCALED_ORACLE = f"""
+    WITH np AS ({_np_sql()}),
+    b AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS ev,
+             {_bucket_sql_masked("embedding::DOUBLE[]")} AS bucket
+      FROM embeddings, np
+    ),
+    tr AS (SELECT * FROM b WHERE label <> {_EVAL_LABEL}),
+    ev AS (SELECT * FROM b WHERE label = {_EVAL_LABEL}),
+    contaminated AS (
+      SELECT DISTINCT tr.vec_id, tr.label
+      FROM tr JOIN ev ON tr.bucket = ev.bucket
+      WHERE ROUND({_COS.format(a="tr.ev", b="ev.ev")}, 6) >= {_DECONTAM_T}
+    )
+    SELECT t.label,
+           CAST(COUNT(*) AS BIGINT) AS n_train,
+           CAST(COUNT(c.vec_id) AS BIGINT) AS n_contaminated,
+           CAST(COUNT(*) - COUNT(c.vec_id) AS BIGINT) AS n_clean
+    FROM tr t LEFT JOIN contaminated c ON t.vec_id = c.vec_id
+    GROUP BY t.label
+"""
+
+
+@demo_query("q_semantic_decontam_scaled", oracle=_DECONTAM_SCALED_ORACLE)
+def q_semantic_decontam_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination at the occupancy-corrected bit count (the scale
+    config of q_semantic_decontam): ``planes_for(COUNT(*), 30)`` on both
+    engines — see q_similarity_pairs_scaled for the masked-sum oracle
+    device. Survival-report shape is unchanged (one row per train
+    label), so this row stays stable across SFs while the bucket rule
+    it certifies varies with the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = planes_for(emb.count(), _SCALED_TARGET)
+    return semantic_decontam(emb, n_planes=n)
+
+
 def semantic_decontam(emb: DataFrame, n_planes: int = _N_PLANES) -> DataFrame:
     """Per-label decontamination survival report. ``n_planes`` scales
     the bucket count with the corpus (``planes_for``); the demo keeps
@@ -1074,6 +1254,56 @@ def q_dedup_clusters_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~10-round global loop this replaced was 2.6× slower end-to-end);
     the profile aggregation shuffles component ids, not vectors."""
     return semantic_clusters(load_table(spark, sf_dir, "embeddings"))
+
+
+_SEM_EDGES_SCALED_SQL = f"""
+      SELECT a.vec_id AS d1, c.vec_id AS d2
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS ev,
+                   {_bucket_sql_masked("embedding::DOUBLE[]")} AS bucket
+            FROM embeddings, np) a
+      JOIN (SELECT vec_id, embedding::DOUBLE[] AS ev,
+                   {_bucket_sql_masked("embedding::DOUBLE[]")} AS bucket
+            FROM embeddings, np) c
+        ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+      WHERE ROUND({_COS.format(a="a.ev", b="c.ev")}, 6) >= {_SEMCLUSTER_T}
+"""
+
+_SEMCLUSTER_SCALED_ORACLE = f"""
+    WITH RECURSIVE np AS ({_np_sql()}),
+    pairs AS (
+{_SEM_EDGES_SCALED_SQL}
+    ),
+    edges AS (
+      SELECT d1 AS src, d2 AS dst FROM pairs
+      UNION
+      SELECT d2 AS src, d1 AS dst FROM pairs
+    ),
+    reach AS (
+      SELECT src AS node, dst AS r FROM edges
+      UNION
+      SELECT re.node, e.dst FROM reach re JOIN edges e ON re.r = e.src
+    ),
+    comp AS (
+      SELECT node, LEAST(node, MIN(r)) AS component FROM reach GROUP BY node
+    )
+    SELECT component,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS vec_ids
+    FROM comp GROUP BY component
+"""
+
+
+@demo_query("q_dedup_clusters_semantic_scaled", oracle=_SEMCLUSTER_SCALED_ORACLE)
+def q_dedup_clusters_semantic_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup clusters at the occupancy-corrected bit count (the scale
+    config of q_dedup_clusters_semantic): ``planes_for(COUNT(*), 30)``
+    planes on both engines via the masked-sum oracle device (see
+    q_similarity_pairs_scaled). Edges still join equal buckets only, so
+    components stay bucket-local and CC runs in the single
+    bucket_local_components stage at any plane count."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = planes_for(emb.count(), _SCALED_TARGET)
+    return semantic_clusters(emb, n_planes=n)
 
 
 def semantic_clusters(

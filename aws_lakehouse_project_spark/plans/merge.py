@@ -42,6 +42,42 @@ def table_exists(path: str) -> bool:
     )
 
 
+# Control-plane guard: the touched-partition list is the ONE driver-side
+# collect in the merge path that grows with data. It is bounded by design
+# (dt-partitioned fact, 7-day horizon → a handful of values), but a
+# mis-partitioned 100 TB run — partition_col accidentally a key-like
+# column — would collect millions of values and kill the driver with an
+# opaque OOM. Cap it and fail loudly with the misconfiguration named.
+MAX_TOUCHED_PARTITIONS = 10_000
+
+
+def collect_touched_partitions(
+    df: DataFrame, pcol: str, cap: int | None = None
+) -> list:
+    """Distinct ``pcol`` values of ``df`` as a driver-side list, failing
+    fast (before the full collect) if there are more than ``cap``
+    (default: module-level MAX_TOUCHED_PARTITIONS, resolved at call time
+    so deployments can raise it deliberately)."""
+    if cap is None:
+        cap = MAX_TOUCHED_PARTITIONS
+    vals = [r[0] for r in df.select(pcol).distinct().limit(cap + 1).collect()]
+    if len(vals) > cap:
+        raise ValueError(
+            f"merge: change feed touches > {cap} distinct '{pcol}' "
+            "partitions — partition_col is almost certainly a key-like "
+            "column, not a partition column; merging would rewrite the "
+            "whole table partition-by-partition and the partition list "
+            "itself would exhaust the driver. Fix partition_col or raise "
+            "MAX_TOUCHED_PARTITIONS deliberately."
+        )
+    import logging
+
+    logging.getLogger(__name__).info(
+        "merge: %d touched %s partition(s)", len(vals), pcol
+    )
+    return vals
+
+
 class PartitionOverwriteMergeWriter:
     """MERGE via dynamic partition overwrite on the horizon's partitions.
 
@@ -99,9 +135,7 @@ class PartitionOverwriteMergeWriter:
             return
         from pyspark.sql import functions as F
 
-        touched = [
-            r[0] for r in updates.select(self.partition_col).distinct().collect()
-        ]
+        touched = collect_touched_partitions(updates, self.partition_col)
         existing = self.read(spark).filter(
             F.col(self.partition_col).cast("string").isin([str(v) for v in touched])
         )
@@ -305,7 +339,7 @@ def merge_apply(
         writer.write_full(upserts)
         return
     pcol = writer.partition_col
-    touched = [r[0] for r in changes.select(pcol).distinct().collect()]
+    touched = collect_touched_partitions(changes, pcol)
     existing = writer.read(spark).filter(
         F.col(pcol).cast("string").isin([str(v) for v in touched])
     )
@@ -321,7 +355,8 @@ def merge_apply(
     # (the set is bounded by the change feed's partition list).
     import shutil
 
-    surviving = {str(r[0]) for r in merged.select(pcol).distinct().collect()}
+    # surviving ⊆ touched partitions, so the same cap bounds this list
+    surviving = {str(v) for v in collect_touched_partitions(merged, pcol)}
     for v in touched:
         if str(v) not in surviving:
             part_dir = os.path.join(writer.path, f"{pcol}={v}")

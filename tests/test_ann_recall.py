@@ -98,6 +98,7 @@ def test_planes_for_scale_rule():
     """Bit count grows with log2(N/occupancy), floored at the oracle
     default and capped at the master list."""
     from aws_lakehouse_project_spark.operators.similarity import (
+        _CAP_PLANES,
         _MAX_PLANES,
         _N_PLANES,
         _PLANES,
@@ -108,8 +109,31 @@ def test_planes_for_scale_rule():
     assert planes_for(2_000) == _N_PLANES      # sf0.1 regime: 16 buckets
     assert planes_for(20_000) == 8             # 10x corpus: 256 buckets
     assert planes_for(10**9) == 23             # log2(1e9/125) rounded up
-    assert planes_for(10**12) == _MAX_PLANES   # capped by the master list
-    assert len(_PLANES) == _MAX_PLANES
+    # capped at 31, NOT the 32-row master list: bit 31 would contribute
+    # 2^31 and overflow the int bucket id under ANSI (ADVICE r6)
+    assert planes_for(10**12) == _CAP_PLANES == 31
+    assert len(_PLANES) == _MAX_PLANES == 32
+
+
+def test_bucket_id_overflow_guards():
+    """32 planes can never reach a single int bucket id: _bucket_expr
+    and the per-band bit width both refuse, BEFORE any Spark job, so the
+    failure is a named ValueError instead of a runtime CAST_OVERFLOW on
+    ~half the vectors (ADVICE r6 medium)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as _F
+
+    from aws_lakehouse_project_spark.operators.similarity import (
+        _bucket_expr,
+        similarity_pairs_banded,
+    )
+
+    with _pytest.raises(ValueError, match="overflow"):
+        _bucket_expr(_F.col("ev"), n_planes=32)
+    _bucket_expr(_F.col("ev"), n_planes=31)  # boundary: fine
+
+    with _pytest.raises(ValueError, match="overflow"):
+        similarity_pairs_banded(None, bands=1, bits=32)
 
 
 def test_scaled_planes_refine_default_buckets(spark):

@@ -349,3 +349,45 @@ def test_delta_merge_matches_partition_overwrite_strategy(tmp_path):
     got_delta = {tuple(r) for r in delta.read(spark).select("k", "v", "dt").collect()}
     got_po = {tuple(r) for r in po.read(spark).select("k", "v", "dt").collect()}
     assert got_delta == got_po == {(1, 11.0, "d1"), (2, 20.0, "d1"), (4, 40.0, "d2")}
+
+
+def test_touched_partition_guard_caps_key_like_partition_col(spark, tmp_path):
+    """A change feed whose partition_col is key-like (more distinct
+    values than the cap) must fail loudly BEFORE the driver-side list
+    collects — the mis-partitioned-100TB degradation mode (VERDICT r6
+    item 8), not a silent driver OOM."""
+    from aws_lakehouse_project_spark.plans.merge import (
+        collect_touched_partitions,
+    )
+
+    wide = spark.range(50).select(
+        F.concat(F.lit("k"), F.col("id")).alias("dt"),
+        F.lit(1.0).alias("v"),
+    )
+    with pytest.raises(ValueError, match="touches > 8 distinct"):
+        collect_touched_partitions(wide, "dt", cap=8)
+
+    # under the cap: returns the full list untruncated
+    vals = collect_touched_partitions(wide, "dt", cap=50)
+    assert len(vals) == 50
+
+    # and the guard is wired through merge_upsert: seed a table, then
+    # merge an over-wide update set against a tiny cap
+    from aws_lakehouse_project_spark.plans import merge as merge_mod
+
+    writer = PartitionOverwriteMergeWriter(str(tmp_path / "fact"))
+    seed = spark.createDataFrame(
+        [("s1", "2024-06-01", 1.0)], "store_id STRING, dt STRING, v DOUBLE"
+    )
+    writer.write_full(seed)
+    old_cap = merge_mod.MAX_TOUCHED_PARTITIONS
+    merge_mod.MAX_TOUCHED_PARTITIONS = 8
+    try:
+        with pytest.raises(ValueError, match="partition_col"):
+            writer.merge_upsert(
+                spark,
+                wide.select(F.lit("s1").alias("store_id"), "dt", "v"),
+                keys=["store_id", "dt"],
+            )
+    finally:
+        merge_mod.MAX_TOUCHED_PARTITIONS = old_cap
