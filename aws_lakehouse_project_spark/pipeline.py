@@ -277,4 +277,57 @@ class LakehousePipeline:
         os.makedirs(self.config.curated_dir, exist_ok=True)
         with open(path, "w") as fh:
             json.dump(manifest, fh, indent=2)
+        self.emit_openlineage()
+        return path
+
+    # OpenLineage constants (public spec, openlineage.io/spec)
+    _OL_SCHEMA_URL = "https://openlineage.io/spec/1-0-5/OpenLineage.json"
+    _OL_NAMESPACE = "aws_lakehouse_project_spark"
+
+    def emit_openlineage(self) -> str:
+        """D6, OpenLineage-shaped: the same per-stage edges as RunEvent
+        JSON (eventType COMPLETE, job + input/output datasets, schema
+        facet on staged outputs) — the wire format the reference's
+        lineage backend consumes (terraform/main.tf:101-108 configures
+        an OpenLineage endpoint). Written as a JSON array; a deployment
+        posts each element to its collector instead."""
+        import uuid
+
+        schemas = {
+            f"stg_{d}": [f.name for f in df.schema.fields]
+            for d, df in self.staged.items()
+        }
+
+        def dataset(name: str) -> dict:
+            ds: dict = {"namespace": self._OL_NAMESPACE, "name": name}
+            if name in schemas:
+                ds["facets"] = {
+                    "schema": {
+                        "fields": [{"name": c} for c in schemas[name]]
+                    }
+                }
+            return ds
+
+        run_id = str(uuid.uuid4())
+        now = _dt.datetime.now(_dt.timezone.utc).isoformat()
+        events = [
+            {
+                "eventType": "COMPLETE",
+                "eventTime": now,
+                "run": {"runId": run_id},
+                "job": {
+                    "namespace": self._OL_NAMESPACE,
+                    "name": edge["stage"],
+                },
+                "inputs": [dataset(n) for n in edge["inputs"]],
+                "outputs": [dataset(n) for n in edge["outputs"]],
+                "producer": self._OL_NAMESPACE,
+                "schemaURL": self._OL_SCHEMA_URL,
+            }
+            for edge in self.lineage
+        ]
+        path = os.path.join(self.config.curated_dir, "openlineage.json")
+        os.makedirs(self.config.curated_dir, exist_ok=True)
+        with open(path, "w") as fh:
+            json.dump(events, fh, indent=2)
         return path

@@ -51,6 +51,18 @@ def build_session(
         # testdata events.ts is parquet TIMESTAMP(NANOS), which Spark's
         # reader rejects; read as long and convert in catalog.load_table
         "spark.sql.legacy.parquet.nanosAsLong": "true",
+        # streaming state OFF-heap: the default HDFSBackedStateStore
+        # keeps every loaded state map on the JVM heap and unloads
+        # terminated queries' providers only at the next maintenance
+        # tick — consecutive 10M-event stateful runs in one JVM OOM'd
+        # the 8g heap (r7 stream-soak reproducer of the r6 "transient
+        # cancellation"). RocksDB is also the only state backend that
+        # holds 100 TB-scale keyed state: memory is bounded per
+        # partition regardless of key cardinality.
+        "spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        ),
         "spark.ui.enabled": "false",
     }
     if extra_conf:

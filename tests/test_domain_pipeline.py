@@ -204,6 +204,34 @@ def test_manifest_lineage_edges(spark, raw_paths, tmp_path):
     assert "fct_daily_store_metrics" in fact["outputs"]
 
 
+def test_openlineage_run_events(spark, raw_paths, tmp_path):
+    """D6 wire format: emit_manifest also writes OpenLineage-shaped
+    RunEvents — one COMPLETE event per stage edge, same 4-domain graph,
+    dataset schema facets on the staged outputs (the format the
+    reference's lineage backend consumes, terraform/main.tf:101-108)."""
+    import json
+
+    from aws_lakehouse_project_spark.pipeline import LakehousePipeline, PipelineConfig
+
+    cfg = PipelineConfig(raw_paths=raw_paths, curated_dir=str(tmp_path / "ol"))
+    pipe = LakehousePipeline(spark, cfg)
+    pipe.run_all()
+    events = json.loads((tmp_path / "ol" / "openlineage.json").read_text())
+    assert len(events) == 17  # 4 domains x 4 stages + fact build
+    by_job = {e["job"]["name"]: e for e in events}
+    assert all(e["eventType"] == "COMPLETE" for e in events)
+    assert all(e["schemaURL"].startswith("https://openlineage.io/") for e in events)
+    assert len({e["run"]["runId"] for e in events}) == 1  # one run
+    fact = by_job["build_fct_daily_store_metrics"]
+    assert [d["name"] for d in fact["inputs"]] == [
+        "stg_erp_orders", "stg_crm_leads", "stg_web_events",
+    ]
+    # staged datasets carry a schema facet with the published columns
+    stg = fact["inputs"][0]
+    cols = [f["name"] for f in stg["facets"]["schema"]["fields"]]
+    assert "store_id" in cols and "dt" in cols
+
+
 def test_quarantine_counted_in_validation_pass(spark, tmp_path):
     """Corrupt rows are counted inside validate's single aggregation
     (QUARANTINE_KEY), excluded from row expectations, and dropped from

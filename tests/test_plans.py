@@ -479,3 +479,38 @@ def test_approx_distinct_plans_without_expand(spark):
 
     plan = final_plan(q_approx_distinct(spark, SF_DIR)).replace("\n", " ")
     assert "Expand" not in plan, plan
+
+
+def test_scaled_lsh_pairs_no_cartesian_and_banded_ships_keys_only(spark):
+    """The scale-safe LSH configs registered in r7 must keep the demo
+    family's plan shape: candidate generation is an equality join on
+    bucket keys (never CartesianProduct / BNL over vectors), and the
+    banded variant's (band, bucket) self-join must not carry the
+    embedding arrays — vectors re-join only after the distinct
+    candidate ids are known."""
+    from aws_lakehouse_project_spark.operators.similarity import (
+        q_dedup_clusters_semantic_scaled,
+        q_semantic_decontam_scaled,
+        q_similarity_pairs_banded,
+        q_similarity_pairs_scaled,
+    )
+
+    for q in (
+        q_similarity_pairs_scaled,
+        q_semantic_decontam_scaled,
+        q_dedup_clusters_semantic_scaled,
+    ):
+        plan = physical_plan(q(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, q.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, q.__name__
+
+    plan = physical_plan(q_similarity_pairs_banded(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # the band-key self-join: joins on (band, bucket); the build/stream
+    # projections feeding it must not include the ev vector column
+    join_lines = [
+        l for l in plan.splitlines()
+        if "Join" in l and "band" in l and "bucket" in l
+    ]
+    assert join_lines, "band-bucket join not found in plan"
+    assert all("ev" not in l.split("Join")[1] for l in join_lines), join_lines
