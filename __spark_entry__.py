@@ -26,7 +26,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # ROUND-7 WINDOW (this list): 4 NEW queries lead — the scale-safe LSH
 # configurations registered this round (occupancy-corrected planes_for
-# bit counts with a masked-sum dynamic-plane oracle, and the 2x8-band
+# bit counts with a masked-sum dynamic-plane oracle, and the 2-band
 # OR layout); they clear the r6 verdict's three `weak` marks by giving
 # the 100 TB configuration its own driver-green rows. Then the ENTIRE
 # r3-stale cohort (30 rows, per the r6 rotation note), then the 16 most

@@ -434,7 +434,9 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collapse ~4 lineitems/order map-side, then one tiny rollup — and
     # the HLL sketch aggregates the scan directly; the flag-level join
     # is a handful of rows. Same values, one Expand-free pass each
-    # (measured 104 s → ~9 s at sf10).
+    # (measured 104 s → ~9 s at sf10). PRECONDITION: l_orderkey is
+    # non-null (a NULL would become its own inner group where
+    # COUNT(DISTINCT) drops it — see dedup.py::q_dedup_exact).
     per_order = li.groupBy("l_returnflag", "l_orderkey").agg(
         F.count(F.lit(1)).alias("n_lines")
     )

@@ -574,17 +574,46 @@ def q_similarity_pairs_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BANDED_BANDS = 2
-_BANDED_BITS = 8
+# per-band bit width cap: 2 bands must fit the 32-row master list
+_BANDED_MAX_BITS = _MAX_PLANES // _BANDED_BANDS
+
+
+def banded_bits_for(n_vectors: int, target_occupancy: int = _SCALED_TARGET) -> int:
+    """Occupancy-corrected per-band bit width for the 2-band layout:
+    the same ``planes_for`` rule, capped so both bands fit the master
+    list. A FIXED bit width is the same quadratic trap banding exists
+    to avoid — at 100× corpus, 8-bit bands went quadratic-in-occupancy
+    and spilled out the r7 soak box; bits must grow with log2(N)."""
+    return min(_BANDED_MAX_BITS, planes_for(n_vectors, target_occupancy))
+
+
+def _band_bucket_sql_masked(expr: str, band: int, nb_ref: str = "nb") -> str:
+    """DuckDB twin of band ``band``'s bucket id at runtime bit width
+    ``nb_ref``: plane j belongs to band b iff b*nb <= j < (b+1)*nb,
+    contributing bit weight 2^(j - b*nb) — expressed with integer
+    shifts so any nb ≤ 16 uses the identical plane slice and weights
+    as similarity_pairs_banded's _PLANES[b*bits:(b+1)*bits] slicing."""
+    terms = []
+    for j, plane in enumerate(_PLANES):
+        terms.append(
+            f"(CASE WHEN {j} >= {band} * {nb_ref} AND {j} < {band + 1} * {nb_ref}"
+            f" AND list_inner_product({expr}, {_plane_lit(plane)}) > 0"
+            f" THEN CAST((CAST(1 AS BIGINT) << {j}) >> ({band} * {nb_ref})"
+            f" AS INTEGER) ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
 
 
 def _banded_oracle() -> str:
-    b0 = _bucket_sql("embedding::DOUBLE[]", _BANDED_BITS, offset=0)
-    b1 = _bucket_sql("embedding::DOUBLE[]", _BANDED_BITS, offset=_BANDED_BITS)
+    b0 = _band_bucket_sql_masked("embedding::DOUBLE[]", 0)
+    b1 = _band_bucket_sql_masked("embedding::DOUBLE[]", 1)
     return f"""
-    WITH b AS (
+    WITH np AS ({_np_sql()}),
+    nb AS (SELECT LEAST({_BANDED_MAX_BITS}, npl) AS nb FROM np),
+    b AS (
       SELECT vec_id, embedding::DOUBLE[] AS ev,
              {b0} AS b0, {b1} AS b1
-      FROM embeddings
+      FROM embeddings, nb
     ),
     scored AS (
       SELECT a.vec_id AS v1, c.vec_id AS v2,
@@ -600,18 +629,24 @@ def _banded_oracle() -> str:
 
 @demo_query("q_similarity_pairs_banded", oracle=_banded_oracle())
 def q_similarity_pairs_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-band sign-LSH near-dup pairs (2 bands × 8 bits): the
-    production recall corrective — per-band occupancy (and join cost)
-    stays that of an occupancy-corrected single band while recall
-    doubles via the OR of two independent bands. The oracle joins on
-    (band0 match OR band1 match), which is exactly the OR-of-ANDs the
-    banded candidate union computes; precision is exact on both sides
-    (every emitted pair passes the true cosine threshold)."""
+    """Multi-band sign-LSH near-dup pairs at the occupancy-corrected
+    per-band bit width (2 bands × banded_bits_for(N) bits): per-band
+    occupancy — and join cost — stays that of the occupancy-corrected
+    single band while recall doubles via the OR of two independent
+    bands. Both the Spark side and the oracle derive the bit width from
+    COUNT(*) (masked shift-weighted plane sums in SQL), so the banded
+    scale rule itself is engine-checked: 500 vectors → 2×5 bands,
+    2 000 → 2×7. The oracle joins on (band0 match OR band1 match) —
+    exactly the OR-of-ANDs the banded candidate union computes;
+    precision is exact on both sides (every emitted pair passes the
+    true cosine threshold)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bits = banded_bits_for(emb.count())
     return similarity_pairs_banded(
-        load_table(spark, sf_dir, "embeddings"),
+        emb,
         threshold=_SCALED_PAIRS_T,
         bands=_BANDED_BANDS,
-        bits=_BANDED_BITS,
+        bits=bits,
     )
 
 

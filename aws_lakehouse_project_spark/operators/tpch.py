@@ -145,7 +145,12 @@ def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-level aggregate (map-side-combined (flag, key) partials → tiny
     rollup) and the flag-level results join on the handful of group
     rows. At scale prefer approx_count_distinct (q_approx_distinct)
-    where exactness isn't required."""
+    where exactness isn't required.
+
+    PRECONDITION (shared by every two-level distinct re-plan, see
+    dedup.py::q_dedup_exact): the distinct column must be non-null —
+    the inner groupBy counts a NULL as its own group where
+    COUNT(DISTINCT) ignores it. True of l_suppkey/l_partkey here."""
     li = load_table(spark, sf_dir, "lineitem")
     supp = (
         li.groupBy("l_returnflag", "l_suppkey")

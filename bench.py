@@ -115,6 +115,12 @@ EXTRA = [
     "q_dedup_containment",
     "q_bpe_pairs",
     "q_json_flatten",
+    # round-7 additions: the scale-safe LSH configs (occupancy-corrected
+    # planes_for single-band + 2-band) registered as oracle queries this round
+    "q_similarity_pairs_scaled",
+    "q_similarity_pairs_banded",
+    "q_semantic_decontam_scaled",
+    "q_dedup_clusters_semantic_scaled",
 ]
 
 
