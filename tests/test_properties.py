@@ -466,3 +466,31 @@ def test_bucket_local_cc_equals_global_cc(spark, edges):
         for r in connected_components(pairs.select("d1", "d2")).collect()
     }
     assert local == global_cc
+
+
+@given(n=st.integers(min_value=1, max_value=10**13))
+@settings(max_examples=300, deadline=None)
+def test_planes_for_sql_python_parity(n):
+    """The masked dynamic-plane oracles (q_similarity_pairs_scaled and
+    family) stand on one device: DuckDB's
+    GREATEST(4, LEAST(31, CEIL(LOG2(n/30.0)))) must equal Python's
+    planes_for(n, 30) for EVERY corpus size, including exact
+    power-of-two boundaries where a libm disagreement would flip the
+    ceil. Same for the banded width LEAST(16, npl) = banded_bits_for."""
+    import duckdb
+
+    from aws_lakehouse_project_spark.operators.similarity import (
+        _SCALED_TARGET,
+        banded_bits_for,
+        planes_for,
+    )
+
+    sql = (
+        f"SELECT GREATEST(4, LEAST(31, CAST(CEIL(LOG2({n} / "
+        f"CAST({_SCALED_TARGET} AS DOUBLE))) AS INTEGER))), "
+        f"LEAST(16, GREATEST(4, LEAST(31, CAST(CEIL(LOG2({n} / "
+        f"CAST({_SCALED_TARGET} AS DOUBLE))) AS INTEGER))))"
+    )
+    got_np, got_nb = duckdb.sql(sql).fetchone()
+    assert got_np == planes_for(n, _SCALED_TARGET), n
+    assert got_nb == banded_bits_for(n), n
