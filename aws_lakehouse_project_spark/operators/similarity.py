@@ -161,13 +161,15 @@ def _plane_lit(plane: list[float]) -> str:
     return "[" + ", ".join(repr(w) for w in plane) + "]::DOUBLE[]"
 
 
-def _bucket_sql(expr: str, n_planes: int = _N_PLANES, offset: int = 0) -> str:
-    """DuckDB twin of ``_bucket_expr`` over planes [offset, offset+n)."""
+def _bucket_sql(expr: str) -> str:
+    """DuckDB twin of ``_bucket_expr`` at the oracle-default 4 planes.
+    Dynamic plane counts go through ``_bucket_sql_masked`` /
+    ``_band_bucket_sql_masked`` instead."""
     terms = []
-    for i, plane in enumerate(_PLANES[offset : offset + n_planes]):
+    for j, plane in enumerate(_PLANES[:_N_PLANES]):
         terms.append(
             f"(CASE WHEN list_inner_product({expr}, {_plane_lit(plane)}) > 0"
-            f" THEN {1 << i} ELSE 0 END)"
+            f" THEN {1 << j} ELSE 0 END)"
         )
     return "(" + " + ".join(terms) + ")"
 
@@ -188,11 +190,14 @@ _SCALED_TARGET = 30  # occupancy target for the registered *scaled* demos:
 
 
 def _np_sql(target: int = _SCALED_TARGET) -> str:
-    """CTE body computing the planes_for(count, target) scalar as npl."""
+    """CTE body computing the planes_for(count, target) scalar as npl.
+    GREATEST(COUNT(*), 1) guards LOG2(0) on an empty table — Python's
+    planes_for short-circuits n <= target to the 4-plane floor, and
+    log2(1/target) < 0 lands on the same floor here."""
     return (
         f"SELECT GREATEST({_N_PLANES}, LEAST({_CAP_PLANES}, "
-        f"CAST(CEIL(LOG2(COUNT(*) / CAST({target} AS DOUBLE))) AS INTEGER)"
-        f")) AS npl FROM embeddings"
+        f"CAST(CEIL(LOG2(GREATEST(COUNT(*), 1) / CAST({target} AS DOUBLE))) "
+        f"AS INTEGER))) AS npl FROM embeddings"
     )
 
 

@@ -267,10 +267,7 @@ class LakehousePipeline:
         configures OpenLineage; here edges are recorded as each stage
         runs)."""
         manifest = {
-            "tables": {
-                f"stg_{d}": [f.name for f in df.schema.fields]
-                for d, df in self.staged.items()
-            },
+            "tables": self._staged_schemas(),
             "lineage": self.lineage,
         }
         path = os.path.join(self.config.curated_dir, "manifest.json")
@@ -280,9 +277,28 @@ class LakehousePipeline:
         self.emit_openlineage()
         return path
 
-    # OpenLineage constants (public spec, openlineage.io/spec)
-    _OL_SCHEMA_URL = "https://openlineage.io/spec/1-0-5/OpenLineage.json"
+    # OpenLineage constants (public spec, openlineage.io/spec). Per the
+    # 1-0-5 spec: a RunEvent's schemaURL must reference the RunEvent
+    # definition, producer must be a URI identifying the producing code,
+    # and every facet carries _producer/_schemaURL.
+    _OL_SCHEMA_URL = (
+        "https://openlineage.io/spec/1-0-5/OpenLineage.json#/definitions/RunEvent"
+    )
+    _OL_PRODUCER = "https://github.com/aws-lakehouse-project-spark/engine"
+    _OL_SCHEMA_FACET_URL = (
+        "https://openlineage.io/spec/facets/1-0-0/SchemaDatasetFacet.json"
+        "#/$defs/SchemaDatasetFacet"
+    )
     _OL_NAMESPACE = "aws_lakehouse_project_spark"
+
+    def _staged_schemas(self) -> dict[str, list[str]]:
+        """Published column lists per staged table (shared by the
+        manifest and the OpenLineage schema facets — one source so the
+        two artifacts can never disagree)."""
+        return {
+            f"stg_{d}": [f.name for f in df.schema.fields]
+            for d, df in self.staged.items()
+        }
 
     def emit_openlineage(self) -> str:
         """D6, OpenLineage-shaped: the same per-stage edges as RunEvent
@@ -293,17 +309,16 @@ class LakehousePipeline:
         posts each element to its collector instead."""
         import uuid
 
-        schemas = {
-            f"stg_{d}": [f.name for f in df.schema.fields]
-            for d, df in self.staged.items()
-        }
+        schemas = self._staged_schemas()
 
         def dataset(name: str) -> dict:
             ds: dict = {"namespace": self._OL_NAMESPACE, "name": name}
             if name in schemas:
                 ds["facets"] = {
                     "schema": {
-                        "fields": [{"name": c} for c in schemas[name]]
+                        "_producer": self._OL_PRODUCER,
+                        "_schemaURL": self._OL_SCHEMA_FACET_URL,
+                        "fields": [{"name": c} for c in schemas[name]],
                     }
                 }
             return ds
@@ -321,7 +336,7 @@ class LakehousePipeline:
                 },
                 "inputs": [dataset(n) for n in edge["inputs"]],
                 "outputs": [dataset(n) for n in edge["outputs"]],
-                "producer": self._OL_NAMESPACE,
+                "producer": self._OL_PRODUCER,
                 "schemaURL": self._OL_SCHEMA_URL,
             }
             for edge in self.lineage

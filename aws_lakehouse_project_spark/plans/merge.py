@@ -29,10 +29,13 @@ Two strategies behind one interface:
 
 from __future__ import annotations
 
+import logging
 import os
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+
+log = logging.getLogger(__name__)
 
 
 def table_exists(path: str) -> bool:
@@ -52,12 +55,13 @@ MAX_TOUCHED_PARTITIONS = 10_000
 
 
 def collect_touched_partitions(
-    df: DataFrame, pcol: str, cap: int | None = None
+    df: DataFrame, pcol: str, cap: int | None = None, label: str = "touched"
 ) -> list:
     """Distinct ``pcol`` values of ``df`` as a driver-side list, failing
     fast (before the full collect) if there are more than ``cap``
     (default: module-level MAX_TOUCHED_PARTITIONS, resolved at call time
-    so deployments can raise it deliberately)."""
+    so deployments can raise it deliberately). ``label`` names which set
+    is being collected in the log line (touched vs surviving)."""
     if cap is None:
         cap = MAX_TOUCHED_PARTITIONS
     vals = [r[0] for r in df.select(pcol).distinct().limit(cap + 1).collect()]
@@ -70,11 +74,7 @@ def collect_touched_partitions(
             "itself would exhaust the driver. Fix partition_col or raise "
             "MAX_TOUCHED_PARTITIONS deliberately."
         )
-    import logging
-
-    logging.getLogger(__name__).info(
-        "merge: %d touched %s partition(s)", len(vals), pcol
-    )
+    log.info("merge: %d %s %s partition(s)", len(vals), label, pcol)
     return vals
 
 
@@ -356,7 +356,10 @@ def merge_apply(
     import shutil
 
     # surviving ⊆ touched partitions, so the same cap bounds this list
-    surviving = {str(v) for v in collect_touched_partitions(merged, pcol)}
+    surviving = {
+        str(v)
+        for v in collect_touched_partitions(merged, pcol, label="surviving")
+    }
     for v in touched:
         if str(v) not in surviving:
             part_dir = os.path.join(writer.path, f"{pcol}={v}")

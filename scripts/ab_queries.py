@@ -14,11 +14,16 @@ import os
 import sys
 import time
 
-QUERIES = os.environ.get(
-    "AB_QUERIES",
-    "q_dedup_simhash_portable,q_kmeans_assign,q_window_rolling",
-).split(",")
+QUERIES = [
+    q.strip()
+    for q in os.environ.get(
+        "AB_QUERIES",
+        "q_dedup_simhash_portable,q_kmeans_assign,q_window_rolling",
+    ).split(",")
+    if q.strip()
+]
 REPS = int(os.environ.get("AB_REPS", "3"))
+WARM_SF = os.environ.get("AB_WARM_SF_DIR", "/root/testdata/sf0.001")
 
 
 def main() -> None:
@@ -30,10 +35,11 @@ def main() -> None:
     spark = build_session(app_name="ab-queries")
     registry = entrymod.queries()
 
-    for name in QUERIES:  # warm-up: JIT + codegen amortized out
-        registry[name](spark, "/root/testdata/sf0.001").write.format(
-            "noop"
-        ).mode("overwrite").save()
+    if os.path.isdir(WARM_SF):  # warm-up: JIT + codegen amortized out
+        for name in QUERIES:
+            registry[name](spark, WARM_SF).write.format("noop").mode(
+                "overwrite"
+            ).save()
 
     out: dict[str, list[float]] = {n: [] for n in QUERIES}
     for _ in range(REPS):

@@ -115,11 +115,13 @@ def test_planes_for_scale_rule():
     assert len(_PLANES) == _MAX_PLANES == 32
 
 
-def test_bucket_id_overflow_guards():
+def test_bucket_id_overflow_guards(spark):
     """32 planes can never reach a single int bucket id: _bucket_expr
     and the per-band bit width both refuse, BEFORE any Spark job, so the
     failure is a named ValueError instead of a runtime CAST_OVERFLOW on
-    ~half the vectors (ADVICE r6 medium)."""
+    ~half the vectors (ADVICE r6 medium). The spark fixture is needed
+    because F.col requires an active SparkContext even to build the
+    unexecuted Column expression."""
     import pytest as _pytest
     from pyspark.sql import functions as _F
 

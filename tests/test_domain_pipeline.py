@@ -220,7 +220,15 @@ def test_openlineage_run_events(spark, raw_paths, tmp_path):
     assert len(events) == 17  # 4 domains x 4 stages + fact build
     by_job = {e["job"]["name"]: e for e in events}
     assert all(e["eventType"] == "COMPLETE" for e in events)
-    assert all(e["schemaURL"].startswith("https://openlineage.io/") for e in events)
+    # spec compliance: RunEvent schemaURL references the definition,
+    # producer is a URI, every facet carries _producer/_schemaURL
+    assert all(e["schemaURL"].endswith("#/definitions/RunEvent") for e in events)
+    assert all(e["producer"].startswith("https://") for e in events)
+    for e in events:
+        for ds in e["inputs"] + e["outputs"]:
+            for facet in ds.get("facets", {}).values():
+                assert facet["_producer"].startswith("https://")
+                assert facet["_schemaURL"].startswith("https://")
     assert len({e["run"]["runId"] for e in events}) == 1  # one run
     fact = by_job["build_fct_daily_store_metrics"]
     assert [d["name"] for d in fact["inputs"]] == [

@@ -468,29 +468,42 @@ def test_bucket_local_cc_equals_global_cc(spark, edges):
     assert local == global_cc
 
 
-@given(n=st.integers(min_value=1, max_value=10**13))
+@given(n=st.integers(min_value=0, max_value=10**13))
 @settings(max_examples=300, deadline=None)
 def test_planes_for_sql_python_parity(n):
     """The masked dynamic-plane oracles (q_similarity_pairs_scaled and
-    family) stand on one device: DuckDB's
-    GREATEST(4, LEAST(31, CEIL(LOG2(n/30.0)))) must equal Python's
-    planes_for(n, 30) for EVERY corpus size, including exact
-    power-of-two boundaries where a libm disagreement would flip the
-    ceil. Same for the banded width LEAST(16, npl) = banded_bits_for."""
+    family) stand on one device: the PRODUCTION ``_np_sql()`` string —
+    run verbatim over an n-row stand-in embeddings relation — must
+    equal Python's planes_for(n, 30) for EVERY corpus size, including
+    n=0 (the LOG2(0) guard) and exact power-of-two boundaries where a
+    libm disagreement would flip the ceil. Same for the banded width
+    LEAST(16, npl) = banded_bits_for."""
     import duckdb
 
     from aws_lakehouse_project_spark.operators.similarity import (
+        _BANDED_MAX_BITS,
         _SCALED_TARGET,
+        _np_sql,
         banded_bits_for,
         planes_for,
     )
 
-    sql = (
-        f"SELECT GREATEST(4, LEAST(31, CAST(CEIL(LOG2({n} / "
-        f"CAST({_SCALED_TARGET} AS DOUBLE))) AS INTEGER))), "
-        f"LEAST(16, GREATEST(4, LEAST(31, CAST(CEIL(LOG2({n} / "
-        f"CAST({_SCALED_TARGET} AS DOUBLE))) AS INTEGER))))"
-    )
-    got_np, got_nb = duckdb.sql(sql).fetchone()
+    con = duckdb.connect()
+    if n <= 100_000:
+        # _np_sql only touches COUNT(*), so an n-row range is a faithful
+        # embeddings stand-in — the exact production SQL text runs
+        con.execute(f"CREATE VIEW embeddings AS SELECT * FROM range({n})")
+        np_sql = _np_sql()
+    else:
+        # counting a 10^13-row relation is the slow part, not the point:
+        # splice the literal count into the otherwise-unchanged
+        # production string so the formula text still comes from _np_sql
+        np_sql = _np_sql().replace("COUNT(*)", str(n)).replace(
+            "FROM embeddings", ""
+        )
+    got_np = con.execute(np_sql).fetchone()[0]
+    got_nb = con.execute(
+        f"WITH np AS ({np_sql}) SELECT LEAST({_BANDED_MAX_BITS}, npl) FROM np"
+    ).fetchone()[0]
     assert got_np == planes_for(n, _SCALED_TARGET), n
     assert got_nb == banded_bits_for(n), n
