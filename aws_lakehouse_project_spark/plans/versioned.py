@@ -1,0 +1,642 @@
+"""Manifest-versioned parquet tables — the portable transaction layer.
+
+BASELINE.json's stated production stack is "Spark SQL + Delta/Iceberg";
+neither jar is deployable in this environment (probes recorded in
+BASELINE.md rounds 5-7), so MERGE has run on partition-overwrite
+semantics. This module closes the remaining gap AS FAR AS A PLAIN
+FILESYSTEM ALLOWS by re-implementing the small transactional core those
+formats provide — the same design Delta's ``_delta_log`` and Iceberg's
+metadata tree use, re-expressed minimally:
+
+- **Atomic commits**: data files are immutable and written to a fresh
+  per-commit directory; a commit is the atomic creation of one manifest
+  file ``_log/{version:08d}.json`` listing the table's complete file set.
+  Readers never observe a half-written table: either the manifest exists
+  (all its files were fully written first) or it doesn't.
+- **Snapshot isolation + time travel**: a reader resolves a manifest
+  once and reads only the files it names; concurrent commits create NEW
+  files and a NEW manifest, never touching files a snapshot references.
+  ``read(version=N)`` is time travel for free.
+- **File-granular copy-on-write MERGE/DELETE**: only files that actually
+  contain matched keys/rows are rewritten (found with a semi-join on
+  ``input_file_name``); untouched files are carried into the next
+  manifest by reference. This is Delta's MERGE algorithm, and it is the
+  property that makes upserts affordable at 100 TB — cost scales with
+  the touched-file footprint, not the table.
+- **Data skipping**: each commit records per-file row counts and
+  min/max stats for requested columns (one footer-cheap aggregate over
+  the new files); ``scan`` prunes the file list against simple
+  range/equality predicates before Spark ever plans the read — the
+  manifest-level half of partition pruning, which works on ANY column,
+  not just the partition key.
+- **OPTIMIZE / VACUUM**: ``optimize`` bin-packs only the undersized
+  files into a new commit (op-level incremental compaction, unlike the
+  whole-table rewrite in ``sources/writers.py::compact_table`` whose
+  docstring promises exactly this manifest-based upgrade); ``vacuum``
+  drops data files referenced only by expired versions.
+- **Optimistic concurrency**: version N is claimed with an atomic
+  ``os.link`` (fails if a competitor won); appends rebase and retry,
+  copy-on-write ops fail loudly with ``ConcurrentWriteError`` (their
+  read snapshot may be stale — the caller must re-run on the new head).
+
+Local-filesystem scope: atomicity rides on POSIX link/rename semantics.
+An S3 deployment would swap ``_claim_version`` for a conditional PUT
+(If-None-Match) or a DynamoDB lock, exactly as Delta-on-S3 does; every
+other code path is object-store clean (immutable files, no renames of
+data, no directory listings on the read path).
+
+Reference parity: the reference's dbt MERGE contract
+(``dbt/models/marts/fct_daily_store_metrics.sql:1-5``) targets an
+Athena/Glue table; this class is the engine-native table those models
+would materialize into.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import uuid
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+__all__ = ["VersionedTable", "ConcurrentWriteError", "VacuumedVersionError"]
+
+
+class ConcurrentWriteError(RuntimeError):
+    """A copy-on-write commit lost the optimistic race: its snapshot is
+    stale. Re-read the table head and re-run the logical operation."""
+
+
+class VacuumedVersionError(FileNotFoundError):
+    """Time travel below the vacuum horizon: the manifest (and its data
+    files) were reclaimed by ``vacuum``."""
+
+
+_LOG_DIR = "_log"
+_DATA_DIR = "data"
+
+
+def _stat_json(v):
+    """Min/max stat value → JSON-serializable, order-preserving form:
+    numbers stay numbers (numeric compare), dates/timestamps become ISO
+    strings (lexicographic == chronological), everything else str()."""
+    if v is None or isinstance(v, (int, float, str, bool)):
+        return v
+    try:  # datetime/date → ISO; Decimal → float (pruning bounds only)
+        return v.isoformat()
+    except AttributeError:
+        pass
+    from decimal import Decimal
+
+    if isinstance(v, Decimal):
+        return float(v)
+    return str(v)
+
+
+def _bound_lt(a, b) -> bool:
+    """Conservative 'a < b' across stat/probe values: numeric when both
+    are numbers, lexicographic when both are strings; mixed or unknown
+    types → False (never prune on an uncomparable pair)."""
+    num = (int, float)
+    if isinstance(a, num) and isinstance(b, num):
+        return a < b
+    if isinstance(a, str) and isinstance(b, str):
+        return a < b
+    return False
+
+
+def _fmt_version(v: int) -> str:
+    return f"{v:08d}.json"
+
+
+class VersionedTable:
+    """A versioned parquet table rooted at ``path`` (see module doc).
+
+    ``stats_cols`` selects the columns whose per-file min/max are
+    recorded at commit time for manifest-level data skipping; row counts
+    are always recorded.
+    """
+
+    def __init__(self, path: str, stats_cols: Sequence[str] = ()) -> None:
+        self.path = path
+        self.stats_cols = list(stats_cols)
+        os.makedirs(os.path.join(path, _LOG_DIR), exist_ok=True)
+        os.makedirs(os.path.join(path, _DATA_DIR), exist_ok=True)
+
+    # -- manifest plumbing --------------------------------------------------
+
+    def _log_path(self, version: int) -> str:
+        return os.path.join(self.path, _LOG_DIR, _fmt_version(version))
+
+    def versions(self) -> list[int]:
+        names = os.listdir(os.path.join(self.path, _LOG_DIR))
+        return sorted(
+            int(n[:-5]) for n in names if n.endswith(".json") and n[:-5].isdigit()
+        )
+
+    def latest_version(self) -> int | None:
+        vs = self.versions()
+        return vs[-1] if vs else None
+
+    def exists(self) -> bool:
+        return self.latest_version() is not None
+
+    def _manifest(self, version: int | None = None) -> dict:
+        if version is None:
+            version = self.latest_version()
+            if version is None:
+                raise FileNotFoundError(f"versioned table at {self.path} is empty")
+        p = self._log_path(version)
+        if not os.path.exists(p):
+            vs = self.versions()
+            if vs and version < vs[0]:
+                raise VacuumedVersionError(
+                    f"version {version} of {self.path} was vacuumed "
+                    f"(oldest retained: {vs[0]})"
+                )
+            raise FileNotFoundError(
+                f"no version {version} in {self.path} (have: {vs})"
+            )
+        with open(p) as fh:
+            return json.load(fh)
+
+    def _claim_version(self, manifest: dict) -> bool:
+        """Atomically publish ``manifest`` as its version; False if a
+        concurrent writer already claimed that version number."""
+        final = self._log_path(manifest["version"])
+        tmp = final + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh, sort_keys=True)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            # os.link is the POSIX compare-and-swap: it fails (EEXIST)
+            # instead of overwriting, unlike os.replace
+            os.link(tmp, final)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
+    # -- data-file plumbing -------------------------------------------------
+
+    def _write_commit_files(
+        self, df: DataFrame, version_hint: int
+    ) -> tuple[list[str], dict]:
+        """Materialize ``df`` into a fresh immutable commit directory;
+        returns (relative file paths, per-file stats)."""
+        commit_dir = f"c{version_hint:08d}-{uuid.uuid4().hex[:8]}"
+        abs_dir = os.path.join(self.path, _DATA_DIR, commit_dir)
+        df.write.mode("overwrite").parquet(abs_dir)
+        rel = [
+            os.path.join(_DATA_DIR, commit_dir, n)
+            for n in sorted(os.listdir(abs_dir))
+            if n.endswith(".parquet")
+        ]
+        return rel, self._file_stats(df.sparkSession, rel)
+
+    def _file_stats(self, spark: SparkSession, rel_files: list[str]) -> dict:
+        """Per-file row counts + min/max of ``stats_cols`` — one
+        aggregate over the just-written files (footer-cheap for counts;
+        column stats scan only the stats columns, pruned by parquet)."""
+        if not rel_files:
+            return {}
+        abs_files = [os.path.join(self.path, f) for f in rel_files]
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        present = set()
+        if self.stats_cols:
+            cols = set(spark.read.parquet(*abs_files).columns)
+            present = {c for c in self.stats_cols if c in cols}
+            for c in present:
+                aggs.append(F.min(c).alias(f"__min_{c}"))
+                aggs.append(F.max(c).alias(f"__max_{c}"))
+        rows = (
+            spark.read.parquet(*abs_files)
+            .groupBy(F.input_file_name().alias("__file"))
+            .agg(*aggs)
+            .collect()
+        )
+        by_rel = {}
+        for r in rows:
+            rel = self._to_rel(r["__file"])
+            ent = {"rows": r["__rows"]}
+            for c in present:
+                ent[c] = [_stat_json(r[f"__min_{c}"]), _stat_json(r[f"__max_{c}"])]
+            by_rel[rel] = ent
+        return by_rel
+
+    def _to_rel(self, file_uri: str) -> str:
+        """Normalize an ``input_file_name()`` URI to a manifest-relative
+        path."""
+        p = file_uri
+        if p.startswith("file:"):
+            p = p[len("file:"):]
+            while p.startswith("//"):
+                p = p[1:]
+        root = os.path.abspath(self.path) + os.sep
+        p = os.path.abspath(p)
+        if not p.startswith(root):
+            raise ValueError(f"file {file_uri} is outside table root {self.path}")
+        return p[len(root):]
+
+    # -- commit -------------------------------------------------------------
+
+    def _commit(
+        self,
+        op: str,
+        files: list[str],
+        stats: dict,
+        schema_json: dict,
+        meta: dict | None = None,
+        retry_append_files: list[str] | None = None,
+    ) -> int:
+        """Publish a new version. ``retry_append_files`` marks the commit
+        as an append of exactly those files: on a lost race it rebases on
+        the winner's file set and retries; other ops raise."""
+        while True:
+            head = self.latest_version()
+            version = 0 if head is None else head + 1
+            manifest = {
+                "version": version,
+                "op": op,
+                "files": files,
+                "stats": stats,
+                "schema": schema_json,
+                "meta": meta or {},
+            }
+            if self._claim_version(manifest):
+                return version
+            if retry_append_files is None:
+                raise ConcurrentWriteError(
+                    f"{op} on {self.path}: version {version} was claimed "
+                    "by a concurrent writer; the copy-on-write snapshot "
+                    "is stale — re-read the head and re-run"
+                )
+            # append rebase: winner's files + ours (stats keyed per file
+            # merge the same way); loop to claim the next number
+            winner = self._manifest()
+            files = winner["files"] + retry_append_files
+            stats = {**winner["stats"], **{f: stats[f] for f in retry_append_files if f in stats}}
+
+    @staticmethod
+    def _schema_json(df: DataFrame) -> dict:
+        return json.loads(df.schema.json())
+
+    # -- public writes ------------------------------------------------------
+
+    def write_full(self, df: DataFrame, meta: dict | None = None) -> int:
+        """CREATE OR REPLACE: the new version references only the new
+        files (old versions stay readable until vacuum)."""
+        hint = (self.latest_version() or 0) + 1
+        files, stats = self._write_commit_files(df, hint)
+        return self._commit("overwrite", files, stats, self._schema_json(df), meta)
+
+    def append(self, df: DataFrame, meta: dict | None = None, evolve: bool = False) -> int:
+        """Append-only commit: prior files carried by reference. With
+        ``evolve=True`` new nullable columns are allowed (readers merge
+        schemas); otherwise a column-set mismatch fails fast."""
+        if not self.exists():
+            return self.write_full(df, meta)
+        cur = self._manifest()
+        old_cols = {f["name"] for f in cur["schema"]["fields"]}
+        new_cols = set(df.columns)
+        if new_cols != old_cols and not evolve:
+            raise ValueError(
+                f"append schema mismatch on {self.path}: table has "
+                f"{sorted(old_cols)}, append has {sorted(new_cols)} — "
+                "pass evolve=True to add columns"
+            )
+        if not old_cols <= new_cols and evolve:
+            # evolution may add columns, never silently drop: absent old
+            # columns become explicit nulls so the manifest schema stays
+            # the union
+            for c in sorted(old_cols - new_cols):
+                typ = next(
+                    f["type"] for f in cur["schema"]["fields"] if f["name"] == c
+                )
+                df = df.withColumn(
+                    c, F.lit(None).cast(StructType.fromJson(cur["schema"])[c].dataType)
+                )
+        hint = self.latest_version() + 1
+        files, stats = self._write_commit_files(df, hint)
+        merged_schema = self._merge_schema(cur["schema"], self._schema_json(df))
+        return self._commit(
+            "append",
+            cur["files"] + files,
+            {**cur["stats"], **stats},
+            merged_schema,
+            meta,
+            retry_append_files=files,
+        )
+
+    @staticmethod
+    def _merge_schema(old: dict, new: dict) -> dict:
+        have = {f["name"] for f in old["fields"]}
+        fields = list(old["fields"]) + [
+            f for f in new["fields"] if f["name"] not in have
+        ]
+        return {**old, "fields": fields}
+
+    # -- reads --------------------------------------------------------------
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Snapshot read of one version (default: head). The file list is
+        resolved driver-side once; the scan plans over exactly those
+        immutable files, so concurrent commits cannot tear the read."""
+        m = self._manifest(version)
+        schema = StructType.fromJson(m["schema"])
+        if not m["files"]:
+            return spark.createDataFrame([], schema)
+        paths = [os.path.join(self.path, f) for f in m["files"]]
+        df = spark.read.option("mergeSchema", "true").parquet(*paths)
+        # project to the manifest schema: evolution-era files miss newer
+        # columns; a post-evolution snapshot still exposes the full union
+        cols = [
+            F.col(f.name) if f.name in df.columns
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        ]
+        return df.select(*cols)
+
+    def scan(
+        self,
+        spark: SparkSession,
+        col: str,
+        lo=None,
+        hi=None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Stats-pruned range scan: files whose [min,max] for ``col``
+        cannot intersect [lo,hi] are dropped from the plan entirely
+        (manifest-level data skipping); the residual filter still applies
+        row-level. Pruning compares numerically for numeric stats and
+        lexicographically for string/ISO-date stats, and never prunes an
+        uncomparable pair (conservative by construction)."""
+        m = self._manifest(version)
+        lo_j, hi_j = _stat_json(lo), _stat_json(hi)
+        keep = []
+        for f in m["files"]:
+            st = m["stats"].get(f, {}).get(col)
+            if st is None:
+                keep.append(f)  # no stats → cannot prune, must read
+                continue
+            mn, mx = st
+            if mn is None or mx is None:  # all-null file: range never matches
+                continue
+            if lo_j is not None and _bound_lt(mx, lo_j):
+                continue
+            if hi_j is not None and _bound_lt(hi_j, mn):
+                continue
+            keep.append(f)
+        schema = StructType.fromJson(m["schema"])
+        if not keep:
+            df = spark.createDataFrame([], schema)
+        else:
+            df = spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(self.path, f) for f in keep]
+            ).select(*[f.name for f in schema.fields])
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col(col) >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (F.col(col) <= F.lit(hi))
+        return df.filter(cond)
+
+    def history(self) -> list[dict]:
+        out = []
+        for v in self.versions():
+            m = self._manifest(v)
+            out.append(
+                {
+                    "version": v,
+                    "op": m["op"],
+                    "n_files": len(m["files"]),
+                    "n_rows": sum(
+                        m["stats"].get(f, {}).get("rows", 0) for f in m["files"]
+                    ),
+                    "meta": m["meta"],
+                }
+            )
+        return out
+
+    # -- copy-on-write ops --------------------------------------------------
+
+    def _touched_files(self, matched: DataFrame) -> list[str]:
+        """Distinct manifest-relative files present in ``matched`` (a
+        frame carrying ``__file`` = input_file_name). Driver-side list
+        bounded by the manifest's own file count."""
+        return sorted(
+            {self._to_rel(r["__file"]) for r in matched.select("__file").distinct().collect()}
+        )
+
+    def merge_upsert(
+        self,
+        spark: SparkSession,
+        updates: DataFrame,
+        keys: Sequence[str],
+        meta: dict | None = None,
+    ) -> int:
+        """Key-level MERGE (WHEN MATCHED UPDATE ALL / NOT MATCHED INSERT
+        ALL), file-granular copy-on-write:
+
+        1. semi-join target × update-keys tagged with input_file_name →
+           the touched-file set (only files actually holding matched keys),
+        2. rewrite = (touched-file rows ANTI JOIN keys) ∪ updates,
+        3. commit = untouched files by reference + rewritten files.
+
+        Scale: step 1 shuffles only the key columns; step 2 reads only
+        touched files. An upsert hitting 0.1% of files costs 0.1% of a
+        rewrite — the Delta MERGE cost model.
+        """
+        if not self.exists():
+            return self.write_full(updates, meta)
+        m = self._manifest()
+        keys = list(keys)
+        tagged = self.read(spark).withColumn("__file", F.input_file_name())
+        upd_keys = updates.select(*keys).distinct()
+        touched = self._touched_files(
+            tagged.join(upd_keys, keys, "left_semi")
+        )
+        untouched = [f for f in m["files"] if f not in set(touched)]
+        if touched:
+            touched_rows = spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(self.path, f) for f in touched]
+            ).select(*updates.columns)
+            survivors = touched_rows.join(upd_keys, keys, "left_anti")
+            new_data = survivors.unionByName(updates)
+        else:
+            new_data = updates
+        hint = self.latest_version() + 1
+        files, stats = self._write_commit_files(new_data, hint)
+        return self._commit(
+            "merge",
+            untouched + files,
+            {**{f: m["stats"][f] for f in untouched if f in m["stats"]}, **stats},
+            m["schema"],
+            {**(meta or {}), "touched_files": len(touched), "total_files": len(m["files"])},
+        )
+
+    def delete_where(
+        self, spark: SparkSession, predicate: Column | str, meta: dict | None = None
+    ) -> int:
+        """DELETE FROM ... WHERE: rewrite only files containing matching
+        rows; rows where the predicate is NULL are kept (SQL DELETE
+        semantics)."""
+        if isinstance(predicate, str):
+            predicate = F.expr(predicate)
+        m = self._manifest()
+        tagged = self.read(spark).withColumn("__file", F.input_file_name())
+        touched = self._touched_files(tagged.filter(predicate))
+        if not touched:
+            return self.latest_version()  # no-op delete: no new version
+        untouched = [f for f in m["files"] if f not in set(touched)]
+        schema = StructType.fromJson(m["schema"])
+        survivors = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*[os.path.join(self.path, f) for f in touched])
+            .select(*[f.name for f in schema.fields])
+            .filter(~F.coalesce(predicate, F.lit(False)))
+        )
+        hint = self.latest_version() + 1
+        files, stats = self._write_commit_files(survivors, hint)
+        return self._commit(
+            "delete",
+            untouched + files,
+            {**{f: m["stats"][f] for f in untouched if f in m["stats"]}, **stats},
+            m["schema"],
+            {**(meta or {}), "touched_files": len(touched)},
+        )
+
+    def merge_apply(
+        self,
+        spark: SparkSession,
+        changes: DataFrame,
+        keys: Sequence[str],
+        op_col: str = "op",
+        meta: dict | None = None,
+    ) -> int:
+        """Full MERGE from a change feed (op='upsert'|'delete') — the
+        same contract as ``plans.merge.merge_apply``, executed
+        copy-on-write: one touched-file discovery over ALL change keys,
+        one rewrite dropping matched rows, upserts unioned back in."""
+        if op_col not in changes.columns:
+            raise ValueError(
+                f"merge_apply: change feed has no '{op_col}' column "
+                f"(columns: {changes.columns})"
+            )
+        keys = list(keys)
+        upserts = changes.filter(F.col(op_col) == "upsert").drop(op_col)
+        if not self.exists():
+            return self.write_full(upserts, meta)
+        m = self._manifest()
+        tagged = self.read(spark).withColumn("__file", F.input_file_name())
+        all_keys = changes.select(*keys).distinct()
+        touched = self._touched_files(tagged.join(all_keys, keys, "left_semi"))
+        untouched = [f for f in m["files"] if f not in set(touched)]
+        if touched:
+            touched_rows = spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(self.path, f) for f in touched]
+            ).select(*upserts.columns)
+            survivors = touched_rows.join(all_keys, keys, "left_anti")
+            new_data = survivors.unionByName(upserts)
+        else:
+            new_data = upserts
+        hint = self.latest_version() + 1
+        files, stats = self._write_commit_files(new_data, hint)
+        return self._commit(
+            "merge",
+            untouched + files,
+            {**{f: m["stats"][f] for f in untouched if f in m["stats"]}, **stats},
+            m["schema"],
+            {**(meta or {}), "touched_files": len(touched)},
+        )
+
+    # -- maintenance --------------------------------------------------------
+
+    def optimize(
+        self,
+        spark: SparkSession,
+        target_rows_per_file: int,
+        sort_within: Sequence[str] = (),
+        meta: dict | None = None,
+    ) -> int:
+        """Incremental OPTIMIZE: bin-pack only files below the target
+        into fewer right-sized files; full-sized files carry over by
+        reference. Content-identical by construction (pure rewrite), so
+        the new version's logical table equals the old one — readers of
+        old snapshots are untouched. ``sort_within`` restores cluster
+        locality inside the rewritten files (pair with
+        ``sources.writers.zorder_value`` for multi-column layouts)."""
+        m = self._manifest()
+        small = [
+            f
+            for f in m["files"]
+            if m["stats"].get(f, {}).get("rows", 0) < target_rows_per_file
+        ]
+        if len(small) <= 1:
+            return self.latest_version()  # nothing to pack
+        big = [f for f in m["files"] if f not in set(small)]
+        rows = sum(m["stats"][f]["rows"] for f in small)
+        n_out = max(1, math.ceil(rows / target_rows_per_file))
+        schema = StructType.fromJson(m["schema"])
+        df = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*[os.path.join(self.path, f) for f in small])
+            .select(*[f.name for f in schema.fields])
+        )
+        if sort_within:
+            df = df.repartitionByRange(n_out, *sort_within).sortWithinPartitions(
+                *sort_within
+            )
+        else:
+            df = df.repartition(n_out)
+        hint = self.latest_version() + 1
+        files, stats = self._write_commit_files(df, hint)
+        return self._commit(
+            "optimize",
+            big + files,
+            {**{f: m["stats"][f] for f in big if f in m["stats"]}, **stats},
+            m["schema"],
+            {**(meta or {}), "packed_files": len(small), "packed_into": len(files)},
+        )
+
+    def vacuum(self, retain_last: int = 1) -> dict:
+        """Reclaim data files referenced ONLY by versions older than the
+        last ``retain_last``; expired manifests are dropped too (time
+        travel below the horizon raises ``VacuumedVersionError``). Never
+        touches files any retained version references, so readers of
+        retained snapshots are safe."""
+        if retain_last < 1:
+            raise ValueError("vacuum must retain at least the head version")
+        vs = self.versions()
+        keep_vs = vs[-retain_last:]
+        drop_vs = vs[: -retain_last]
+        live: set[str] = set()
+        for v in keep_vs:
+            live |= set(self._manifest(v)["files"])
+        removed_files = 0
+        data_root = os.path.join(self.path, _DATA_DIR)
+        for dirpath, _dirnames, filenames in os.walk(data_root, topdown=False):
+            for n in filenames:
+                p = os.path.join(dirpath, n)
+                rel = os.path.relpath(p, self.path)
+                if rel not in live and (
+                    n.endswith(".parquet") or n.startswith(("_", "."))
+                ):
+                    os.unlink(p)
+                    if n.endswith(".parquet"):
+                        removed_files += 1
+            if dirpath != data_root and not os.listdir(dirpath):
+                os.rmdir(dirpath)
+        for v in drop_vs:
+            os.unlink(self._log_path(v))
+        return {
+            "removed_data_files": removed_files,
+            "removed_versions": len(drop_vs),
+            "retained_versions": keep_vs,
+        }

@@ -1,0 +1,251 @@
+"""VersionedTable: atomic commits, time travel, file-granular CoW,
+data skipping, optimize, vacuum, concurrency (plans/versioned.py)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from aws_lakehouse_project_spark.plans.versioned import (
+    ConcurrentWriteError,
+    VacuumedVersionError,
+    VersionedTable,
+)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _mk(spark, pairs):
+    return spark.createDataFrame(
+        [Row(k=k, v=v) for k, v in pairs], "k int, v string"
+    )
+
+
+@pytest.fixture()
+def vt(tmp_path):
+    return VersionedTable(str(tmp_path / "t"), stats_cols=["k"])
+
+
+def test_create_read_roundtrip(spark, vt):
+    v = vt.write_full(_mk(spark, [(1, "a"), (2, "b")]))
+    assert v == 0
+    assert _rows(vt.read(spark)) == [(1, "a"), (2, "b")]
+
+
+def test_append_and_time_travel(spark, vt):
+    vt.write_full(_mk(spark, [(1, "a")]))
+    v1 = vt.append(_mk(spark, [(2, "b")]))
+    assert v1 == 1
+    assert _rows(vt.read(spark, version=0)) == [(1, "a")]
+    assert _rows(vt.read(spark)) == [(1, "a"), (2, "b")]
+    hist = vt.history()
+    assert [h["op"] for h in hist] == ["overwrite", "append"]
+    assert [h["n_rows"] for h in hist] == [1, 2]
+
+
+def test_overwrite_keeps_old_snapshot(spark, vt):
+    vt.write_full(_mk(spark, [(1, "a")]))
+    vt.write_full(_mk(spark, [(9, "z")]))
+    assert _rows(vt.read(spark, version=0)) == [(1, "a")]
+    assert _rows(vt.read(spark)) == [(9, "z")]
+
+
+def test_append_schema_mismatch_fails_fast(spark, vt):
+    vt.write_full(_mk(spark, [(1, "a")]))
+    other = spark.createDataFrame([Row(k=2, w="x")], "k int, w string")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        vt.append(other)
+
+
+def test_schema_evolution_append(spark, vt):
+    vt.write_full(_mk(spark, [(1, "a")]))
+    wide = spark.createDataFrame(
+        [Row(k=2, v="b", extra=7)], "k int, v string, extra int"
+    )
+    vt.append(wide, evolve=True)
+    got = vt.read(spark)
+    assert set(got.columns) == {"k", "v", "extra"}
+    assert _rows(got.select("k", "extra")) == [(1, None), (2, 7)]
+    # pre-evolution snapshot still has the narrow schema
+    assert set(vt.read(spark, version=0).columns) == {"k", "v"}
+
+
+def test_merge_upsert_semantics(spark, vt):
+    vt.write_full(_mk(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    vt.merge_upsert(spark, _mk(spark, [(2, "B!"), (4, "d")]), keys=["k"])
+    assert _rows(vt.read(spark)) == [(1, "a"), (2, "B!"), (3, "c"), (4, "d")]
+
+
+def test_merge_is_file_granular(spark, vt):
+    # two disjoint key ranges land in separate commit dirs; an upsert
+    # matching only the second must carry the first's files by reference
+    vt.write_full(_mk(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    vt.append(_mk(spark, [(10, "x"), (11, "y")]).coalesce(1))
+    before = set(vt._manifest()["files"])
+    vt.merge_upsert(spark, _mk(spark, [(10, "X!")]), keys=["k"])
+    after = vt._manifest()
+    carried = before & set(after["files"])
+    assert len(carried) == 1  # v0's file untouched, v1's rewritten
+    assert after["meta"]["touched_files"] == 1
+    assert _rows(vt.read(spark)) == [(1, "a"), (2, "b"), (10, "X!"), (11, "y")]
+
+
+def test_delete_where(spark, vt):
+    vt.write_full(_mk(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    v = vt.delete_where(spark, "k % 2 = 1")
+    assert _rows(vt.read(spark)) == [(2, "b")]
+    assert _rows(vt.read(spark, version=v - 1)) == [(1, "a"), (2, "b"), (3, "c")]
+    # no-op delete creates no version
+    assert vt.delete_where(spark, "k > 100") == v
+
+
+def test_delete_null_predicate_keeps_row(spark, vt):
+    df = spark.createDataFrame(
+        [Row(k=1, v="a"), Row(k=2, v=None)], "k int, v string"
+    )
+    vt.write_full(df)
+    vt.delete_where(spark, F.col("v") == "a")  # NULL comparison -> keep
+    assert _rows(vt.read(spark)) == [(2, None)]
+
+
+def test_merge_apply_change_feed(spark, vt):
+    vt.write_full(_mk(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    changes = spark.createDataFrame(
+        [
+            Row(k=1, v="A!", op="upsert"),
+            Row(k=3, v="c", op="delete"),
+            Row(k=4, v="d", op="upsert"),
+        ],
+        "k int, v string, op string",
+    )
+    vt.merge_apply(spark, changes, keys=["k"])
+    assert _rows(vt.read(spark)) == [(1, "A!"), (2, "b"), (4, "d")]
+
+
+def test_scan_prunes_files_by_stats(spark, vt):
+    vt.write_full(_mk(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    vt.append(_mk(spark, [(100, "x"), (200, "y")]).coalesce(1))
+    out = vt.scan(spark, "k", lo=1, hi=2)
+    # the pruned plan reads exactly one file
+    files = {r[0] for r in out.select(F.input_file_name()).distinct().collect()}
+    assert len(files) == 1
+    assert _rows(out) == [(1, "a"), (2, "b")]
+    # residual row-level filter still applies inside a kept file
+    assert _rows(vt.scan(spark, "k", lo=2, hi=2)) == [(2, "b")]
+
+
+def test_optimize_bin_packs_small_files_only(spark, vt):
+    for i in range(4):
+        vt.append(_mk(spark, [(i, f"v{i}")]).coalesce(1))
+    big = _mk(spark, [(j, "big") for j in range(100, 120)]).coalesce(1)
+    vt.append(big)
+    before = vt._manifest()
+    content_before = _rows(vt.read(spark))
+    v = vt.optimize(spark, target_rows_per_file=10)
+    after = vt._manifest(v)
+    assert after["op"] == "optimize"
+    # the 20-row file carries over by reference; the 4 one-row files pack
+    assert len(after["files"]) == 2
+    assert len(set(before["files"]) & set(after["files"])) == 1
+    assert _rows(vt.read(spark)) == content_before
+    # idempotent: nothing left to pack
+    assert vt.optimize(spark, target_rows_per_file=10) == v
+
+
+def test_vacuum_reclaims_and_guards_time_travel(spark, vt):
+    vt.write_full(_mk(spark, [(1, "a")]))
+    vt.write_full(_mk(spark, [(2, "b")]))  # v0's file now unreferenced by head
+    res = vt.vacuum(retain_last=1)
+    assert res["removed_data_files"] >= 1
+    assert res["removed_versions"] == 1
+    assert _rows(vt.read(spark)) == [(2, "b")]
+    with pytest.raises(VacuumedVersionError):
+        vt.read(spark, version=0)
+
+
+def test_vacuum_never_touches_retained_files(spark, vt):
+    vt.write_full(_mk(spark, [(1, "a")]))
+    vt.append(_mk(spark, [(2, "b")]))
+    vt.vacuum(retain_last=2)  # both versions retained -> nothing to remove
+    assert _rows(vt.read(spark, version=0)) == [(1, "a")]
+    assert _rows(vt.read(spark)) == [(1, "a"), (2, "b")]
+
+
+def test_concurrent_append_rebases(spark, vt):
+    """Two writers race version 1: the loser's append must rebase onto
+    the winner's manifest so no rows are lost."""
+    vt.write_full(_mk(spark, [(1, "a")]))
+    orig_claim = vt._claim_version
+    raced = {"done": False}
+
+    def racing_claim(manifest):
+        if not raced["done"] and manifest["op"] == "append":
+            raced["done"] = True
+            # competitor lands the same version number first
+            other = VersionedTable(vt.path, stats_cols=["k"])
+            other.append(_mk(spark, [(50, "w")]))
+        return orig_claim(manifest)
+
+    vt._claim_version = racing_claim
+    try:
+        vt.append(_mk(spark, [(2, "b")]))
+    finally:
+        vt._claim_version = orig_claim
+    assert _rows(vt.read(spark)) == [(1, "a"), (2, "b"), (50, "w")]
+    assert vt.latest_version() == 2
+
+
+def test_concurrent_merge_raises(spark, vt):
+    vt.write_full(_mk(spark, [(1, "a")]))
+    orig_claim = vt._claim_version
+    raced = {"done": False}
+
+    def racing_claim(manifest):
+        if not raced["done"] and manifest["op"] == "merge":
+            raced["done"] = True
+            VersionedTable(vt.path).append(_mk(spark, [(9, "z")]))
+        return orig_claim(manifest)
+
+    vt._claim_version = racing_claim
+    try:
+        with pytest.raises(ConcurrentWriteError):
+            vt.merge_upsert(spark, _mk(spark, [(1, "A!")]), keys=["k"])
+    finally:
+        vt._claim_version = orig_claim
+    # the losing merge published nothing: head is the competitor's append
+    assert _rows(vt.read(spark)) == [(1, "a"), (9, "z")]
+
+
+def test_failed_commit_leaves_table_readable(spark, vt):
+    """A manifest claimed but never linked (crash before publish) is
+    invisible: readers resolve the previous head."""
+    vt.write_full(_mk(spark, [(1, "a")]))
+    # simulate a crashed writer: data files exist, manifest doesn't
+    df = _mk(spark, [(2, "b")])
+    vt._write_commit_files(df, 99)
+    assert _rows(vt.read(spark)) == [(1, "a")]
+    assert vt.latest_version() == 0
+
+
+def test_manifest_stats_recorded(spark, vt):
+    vt.write_full(_mk(spark, [(5, "a"), (7, "b")]).coalesce(1))
+    m = vt._manifest()
+    (stats,) = m["stats"].values()
+    assert stats["rows"] == 2
+    assert stats["k"] == [5, 7]
+    # manifests are valid standalone JSON on disk
+    with open(vt._log_path(0)) as fh:
+        assert json.load(fh)["version"] == 0
+
+
+def test_empty_table_after_full_delete(spark, vt):
+    vt.write_full(_mk(spark, [(1, "a")]))
+    vt.delete_where(spark, "k = 1")
+    got = vt.read(spark)
+    assert got.count() == 0
+    assert set(got.columns) == {"k", "v"}
