@@ -24,31 +24,36 @@ def entry(spark: SparkSession) -> DataFrame:
 # first (their green must be re-earned), then the stalest green rows
 # (rotation: no query's latest driver row should age past two rounds).
 #
-# ROUND-7 WINDOW (this list): 4 NEW queries lead — the scale-safe LSH
+# ROUND-7 WINDOW (this list): 7 NEW queries lead — the scale-safe LSH
 # configurations registered this round (occupancy-corrected planes_for
 # bit counts with a masked-sum dynamic-plane oracle, and the 2-band
-# OR layout); they clear the r6 verdict's three `weak` marks by giving
-# the 100 TB configuration its own driver-green rows. Then the ENTIRE
-# r3-stale cohort (30 rows, per the r6 rotation note), then the 16 most
-# machinery-guarding r4 rows (all 7 streaming parity queries, the
-# scan/fact/staging/expectation core, and the two heaviest TPC-H
-# joins). Ledger entering r7 (CORRECTNESS union): 158 queries,
-# latest-green r6: 50, r5: 37, r4: 41, r3: 30.
+# OR layout; they clear the r6 verdict's three `weak` marks by giving
+# the 100 TB configuration its own driver-green rows) plus the three
+# versioned-table (ACID-lite) queries: copy-on-write MERGE, time travel
+# across create/append/DELETE/OPTIMIZE, and the streaming CDC sink
+# committing one table version per micro-batch. Then the ENTIRE
+# r3-stale cohort (30 rows, per the r6 rotation note), then the 13 most
+# machinery-guarding r4 rows (all 7 streaming parity queries and the
+# scan/fact/staging core). Ledger entering r7 (CORRECTNESS union): 158
+# queries, latest-green r6: 50, r5: 37, r4: 41, r3: 30.
 #
-# ROUND-8 ROTATION NOTE: 25 r4-green rows did NOT fit this window
+# ROUND-8 ROTATION NOTE: 28 r4-green rows did NOT fit this window
 # (q_agg_count, q_agg_count_filter, q_agg_sum, q_asof_join, q_bool_agg,
-# q_bound_check, q_dedup_anti_join, q_except, q_filter_eq,
-# q_filter_range, q_intersect, q_join_full_outer, q_lang_mix,
-# q_lang_temperature, q_length_histogram, q_monthly_trunc,
+# q_bound_check, q_dedup_anti_join, q_except, q_expectation_suite,
+# q_filter_eq, q_filter_range, q_intersect, q_join_full_outer,
+# q_lang_mix, q_lang_temperature, q_length_histogram, q_monthly_trunc,
 # q_notnull_check, q_regex, q_scalar_subquery, q_sort_topk,
-# q_topk_per_group, q_tpch_q16, q_union, q_window_rank,
-# q_window_rolling) — they MUST head the r8 window; the rest of the
-# slots go to the stalest r5 rows.
+# q_topk_per_group, q_tpch_q1, q_tpch_q9, q_tpch_q16, q_union,
+# q_window_rank, q_window_rolling) — they MUST head the r8 window; the
+# rest of the slots go to the stalest r5 rows.
 _VERIFY_FIRST = [
     # NEW in round 7 — first driver rows for the scale-safe sign-LSH
     # configs (similarity.py: planes_for masked-sum oracles + banded)
     "q_similarity_pairs_scaled", "q_similarity_pairs_banded",
     "q_semantic_decontam_scaled", "q_dedup_clusters_semantic_scaled",
+    # NEW in round 7 — versioned-table transaction layer
+    # (plans/versioned.py, operators/lakehouse.py)
+    "q_versioned_merge", "q_time_travel", "q_stream_merge",
     # full r3-stale cohort (30 rows, green since r3, re-swept every
     # round since — rotation per the r6 verdict's top item)
     "q_contamination", "q_zipf", "q_ntile", "q_first_last",
@@ -59,14 +64,13 @@ _VERIFY_FIRST = [
     "q_vocab_encode", "q_mixture", "q_tpch_q10", "q_unpivot", "q_cube",
     "q_percentile", "q_dedup_keep_first", "q_multimodal_features",
     "q_window_cumsum", "q_collect_sorted", "q_tpch_q5",
-    # r4 cohort head (16 slots): the streaming parity family first
+    # r4 cohort head (13 slots): the streaming parity family first
     # (stream ≡ batch oracles guard the whole §2.9 extension), then
-    # the ingest/fact/quality core, then the heaviest TPC-H joins
+    # the ingest/fact/staging core
     "q_stream_daily", "q_stream_sliding", "q_stream_sessions",
     "q_stream_dedup", "q_stream_join", "q_stream_enrich",
     "q_sessionize", "q_scan_csv", "q_scan_json", "q_scan_parquet",
     "q_sql_fact", "q_fact_daily", "q_stage_orders",
-    "q_expectation_suite", "q_tpch_q1", "q_tpch_q9",
 ]
 
 
@@ -82,6 +86,7 @@ def _registry():
         fact,
         grouped,
         joins,
+        lakehouse,
         multimodal,
         relational,
         similarity,

@@ -121,6 +121,10 @@ EXTRA = [
     "q_similarity_pairs_banded",
     "q_semantic_decontam_scaled",
     "q_dedup_clusters_semantic_scaled",
+    # round-7 additions: the versioned-table (ACID-lite) transaction layer
+    "q_versioned_merge",
+    "q_time_travel",
+    "q_stream_merge",
 ]
 
 
