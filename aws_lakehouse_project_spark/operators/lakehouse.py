@@ -194,6 +194,165 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TABLE_CHANGES_ORACLE = f"""
+    WITH {_DAILY_CTE},
+    stale AS (
+      SELECT o_custkey AS cust_id, CAST(o_orderdate AS DATE) AS dt,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+             CAST(COUNT(*) AS BIGINT) AS order_count
+      FROM orders WHERE o_orderkey % 10 <> 0 GROUP BY 1, 2
+    ),
+    upd AS (
+      SELECT cust_id, dt, revenue * 2 AS revenue, order_count
+      FROM daily WHERE cust_id % 7 = 0
+    ),
+    v1 AS (
+      SELECT cust_id, dt, revenue, order_count FROM stale WHERE cust_id % 7 <> 0
+      UNION ALL
+      SELECT cust_id, dt, revenue, order_count FROM upd
+    ),
+    ins AS (SELECT * FROM v1 EXCEPT ALL SELECT * FROM stale),
+    del AS (SELECT * FROM stale EXCEPT ALL SELECT * FROM v1)
+    SELECT 'insert' AS change_type, cust_id, dt, revenue, order_count FROM ins
+    UNION ALL
+    SELECT 'delete' AS change_type, cust_id, dt, revenue, order_count FROM del
+"""
+
+
+@demo_query("q_table_changes", oracle=TABLE_CHANGES_ORACLE)
+def q_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed read between two table versions (Delta CDF's
+    ``table_changes``): the q_versioned_merge scenario's v0→v1 diff,
+    computed from the manifests' file diff so only churned files are
+    read — never two full snapshots (``plans/versioned.py::changes``).
+    The oracle is the same net diff as EXCEPT ALL algebra over the two
+    logical states: updates appear as delete+insert pairs, survivor
+    rows copied into rewritten files cancel out, inserts of brand-new
+    keys appear once. A unit test (test_changes_reads_only_churned_
+    files) pins the only-churn scan property; this query pins the
+    row-level semantics against DuckDB."""
+    work = scratch_dir("spark_graft_tablechanges", unique=True)
+    vt = VersionedTable(os.path.join(work, "fact"), stats_cols=["dt"])
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("cust_id"),
+        F.col("o_orderdate").cast("date").alias("dt"),
+        money("o_totalprice").alias("price"),
+    )
+
+    def daily(df: DataFrame) -> DataFrame:
+        return df.groupBy("cust_id", "dt").agg(
+            F.sum("price").cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("order_count"),
+        )
+
+    stale = daily(orders.filter(F.col("o_orderkey") % 10 != 0))
+    upd = (
+        daily(orders)
+        .filter(F.col("cust_id") % 7 == 0)
+        .withColumn("revenue", F.col("revenue") * 2)
+    )
+    v0 = vt.write_full(stale.repartition(4))
+    v1 = vt.merge_upsert(spark, upd, keys=["cust_id", "dt"])
+    return vt.changes(spark, v0, v1).select(
+        F.col("_change_type").alias("change_type"),
+        "cust_id",
+        F.col("dt").cast("date").alias("dt"),
+        "revenue",
+        F.col("order_count").cast("bigint").alias("order_count"),
+    )
+
+
+TABLE_RESTORE_ORACLE = f"""
+    WITH {_DAILY_CTE}
+    SELECT cust_id, dt, revenue, order_count FROM daily
+"""
+
+
+@demo_query("q_table_restore", oracle=TABLE_RESTORE_ORACLE)
+def q_table_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TO VERSION AS OF: a bad DELETE (every fifth customer) is
+    rolled back by re-publishing version 0's file set as a new commit.
+    The restore is asserted METADATA-ONLY (the new manifest references
+    version 0's files verbatim — restoring a 100 TB table is one JSON
+    write), the bad version stays time-travelable, and the head equals
+    the original daily fact (the oracle)."""
+    work = scratch_dir("spark_graft_restore", unique=True)
+    vt = VersionedTable(os.path.join(work, "fact"), stats_cols=["dt"])
+    v0 = vt.write_full(_daily_orders(spark, sf_dir).repartition(4))
+    v1 = vt.delete_where(spark, "cust_id % 5 = 0")
+    v2 = vt.restore(v0)
+    m0, m2 = vt._manifest(v0), vt._manifest(v2)
+    if m2["files"] != m0["files"]:
+        raise AssertionError("restore must reference v0's files verbatim")
+    hist = vt.history()
+    if [h["op"] for h in hist] != ["overwrite", "delete", "restore"]:
+        raise AssertionError(f"unexpected history: {hist}")
+    if not hist[1]["n_rows"] < hist[0]["n_rows"] == hist[2]["n_rows"]:
+        raise AssertionError(f"restore must undo the delete: {hist}")
+    del v1  # the bad version stays time-travelable (unit-tested)
+    return vt.read(spark).select(
+        "cust_id",
+        F.col("dt").cast("date").alias("dt"),
+        "revenue",
+        F.col("order_count").cast("bigint").alias("order_count"),
+    )
+
+
+SCAN_SKIPPING_ORACLE = """
+    WITH daily AS (
+      SELECT o_custkey AS cust_id, CAST(o_orderdate AS DATE) AS dt,
+             COUNT(*) AS order_count
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT dt, CAST(COUNT(*) AS BIGINT) AS n_custs,
+           CAST(SUM(order_count) AS BIGINT) AS total_orders
+    FROM daily
+    WHERE dt BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'
+    GROUP BY dt
+"""
+
+
+@demo_query("q_scan_skipping", oracle=SCAN_SKIPPING_ORACLE)
+def q_scan_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-level data skipping (S4×S7 on the transaction layer):
+    the daily fact is committed range-clustered on ``dt`` so each file
+    covers a disjoint date band and the manifest records per-file
+    [min,max]; a 3-month range ``scan`` then PRUNES non-overlapping
+    files from the plan before Spark sees them (``inputFiles`` is
+    asserted strictly smaller than the table's file set — the query
+    fails if skipping silently stops working). This is the any-column
+    half of partition pruning: at 100 TB it is the difference between
+    reading one date band and reading the table."""
+    work = scratch_dir("spark_graft_skipping", unique=True)
+    vt = VersionedTable(os.path.join(work, "fact"), stats_cols=["dt"])
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("cust_id"),
+            F.col("o_orderdate").cast("date").alias("dt"),
+        )
+        .groupBy("cust_id", "dt")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+    vt.write_full(daily.repartitionByRange(8, "dt").sortWithinPartitions("dt"))
+    import datetime as _dt
+
+    lo, hi = _dt.date(1995, 1, 1), _dt.date(1995, 3, 31)
+    pruned = vt.scan(spark, "dt", lo=lo, hi=hi)
+    n_total = len(vt._manifest()["files"])
+    n_scanned = len(pruned.inputFiles())
+    if not 0 < n_scanned < n_total:
+        raise AssertionError(
+            f"data skipping inert: scanned {n_scanned} of {n_total} files"
+        )
+    return pruned.groupBy("dt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_custs"),
+        F.sum("order_count").cast("bigint").alias("total_orders"),
+    )
+
+
 STREAM_MERGE_ORACLE = """
     SELECT CAST(ts AS DATE) AS dt,
            user_id AS cust_id,

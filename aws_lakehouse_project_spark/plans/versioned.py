@@ -349,19 +349,9 @@ class VersionedTable:
         resolved driver-side once; the scan plans over exactly those
         immutable files, so concurrent commits cannot tear the read."""
         m = self._manifest(version)
-        schema = StructType.fromJson(m["schema"])
-        if not m["files"]:
-            return spark.createDataFrame([], schema)
-        paths = [os.path.join(self.path, f) for f in m["files"]]
-        df = spark.read.option("mergeSchema", "true").parquet(*paths)
         # project to the manifest schema: evolution-era files miss newer
         # columns; a post-evolution snapshot still exposes the full union
-        cols = [
-            F.col(f.name) if f.name in df.columns
-            else F.lit(None).cast(f.dataType).alias(f.name)
-            for f in schema.fields
-        ]
-        return df.select(*cols)
+        return self._read_files(spark, m["files"], StructType.fromJson(m["schema"]))
 
     def scan(
         self,
@@ -406,6 +396,77 @@ class VersionedTable:
         if hi is not None:
             cond = cond & (F.col(col) <= F.lit(hi))
         return df.filter(cond)
+
+    def _read_files(
+        self, spark: SparkSession, rel_files: list[str], schema: StructType
+    ) -> DataFrame:
+        """Read exactly ``rel_files`` projected to ``schema`` (absent
+        evolution-era columns become explicit nulls)."""
+        if not rel_files:
+            return spark.createDataFrame([], schema)
+        df = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(self.path, f) for f in rel_files]
+        )
+        return df.select(
+            *[
+                F.col(f.name) if f.name in df.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ]
+        )
+
+    def changes(
+        self,
+        spark: SparkSession,
+        from_version: int,
+        to_version: int | None = None,
+    ) -> DataFrame:
+        """Row-level change feed between two versions (Delta CDF's
+        ``table_changes``), computed from the manifests' FILE diff: only
+        files added or removed between the versions are read — commits
+        carry untouched files by reference, so the scan cost is
+        proportional to the churn, never the table. At 100 TB an upsert
+        touching 0.1% of files yields a change feed that reads 0.2% of
+        the data (removed + rewritten), not two full snapshots.
+
+        Returns the net multiset diff with a ``_change_type`` column:
+        rows present at ``to_version`` but not ``from_version`` are
+        ``insert``; rows gone are ``delete``. An UPDATE therefore
+        appears as its delete+insert pair (CDF preimage/postimage);
+        survivor rows copied verbatim into rewritten files cancel out
+        via ``exceptAll``. A pure-layout commit (OPTIMIZE) produces an
+        empty feed by construction.
+        """
+        m_from = self._manifest(from_version)
+        m_to = self._manifest(to_version)
+        from_set, to_set = set(m_from["files"]), set(m_to["files"])
+        added = [f for f in m_to["files"] if f not in from_set]
+        removed = [f for f in m_from["files"] if f not in to_set]
+        # the to-version schema is the union after any evolution
+        schema = StructType.fromJson(m_to["schema"])
+        added_rows = self._read_files(spark, added, schema)
+        removed_rows = self._read_files(spark, removed, schema)
+        inserts = added_rows.exceptAll(removed_rows)
+        deletes = removed_rows.exceptAll(added_rows)
+        return inserts.select(
+            F.lit("insert").alias("_change_type"), "*"
+        ).unionByName(deletes.select(F.lit("delete").alias("_change_type"), "*"))
+
+    def restore(self, version: int, meta: dict | None = None) -> int:
+        """RESTORE TABLE ... TO VERSION AS OF: roll the head back to a
+        prior snapshot as a NEW commit that references the old version's
+        files verbatim — metadata-only, so restoring a 100 TB table is
+        one manifest write. History is preserved (the bad versions stay
+        time-travelable until vacuum); raises ``VacuumedVersionError``
+        if the target's files were already reclaimed."""
+        m = self._manifest(version)
+        return self._commit(
+            "restore",
+            m["files"],
+            m["stats"],
+            m["schema"],
+            {**(meta or {}), "restored_version": version},
+        )
 
     def history(self) -> list[dict]:
         out = []

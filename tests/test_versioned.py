@@ -249,3 +249,72 @@ def test_empty_table_after_full_delete(spark, vt):
     got = vt.read(spark)
     assert got.count() == 0
     assert set(got.columns) == {"k", "v"}
+
+
+def test_changes_append_is_pure_insert(spark, vt):
+    vt.write_full(_mk(spark, [(1, "a")]))
+    vt.append(_mk(spark, [(2, "b"), (3, "c")]))
+    ch = _rows(vt.changes(spark, 0, 1))
+    assert ch == [("insert", 2, "b"), ("insert", 3, "c")]
+
+
+def test_changes_merge_emits_update_pair(spark, vt):
+    vt.write_full(_mk(spark, [(1, "a"), (2, "b")]).repartition(2, "k"))
+    vt.merge_upsert(spark, _mk(spark, [(2, "B"), (3, "c")]), keys=["k"])
+    ch = _rows(vt.changes(spark, 0, 1))
+    # update of k=2 is a delete+insert pair; untouched k=1 cancels out
+    assert ch == [("delete", 2, "b"), ("insert", 2, "B"), ("insert", 3, "c")]
+
+
+def test_changes_delete_and_optimize(spark, vt):
+    vt.write_full(_mk(spark, [(1, "a"), (2, "b"), (3, "c")]).repartition(3, "k"))
+    vt.delete_where(spark, "k = 2")
+    v_opt = vt.optimize(spark, target_rows_per_file=10)
+    assert _rows(vt.changes(spark, 0, 1)) == [("delete", 2, "b")]
+    # OPTIMIZE is layout-only: empty change feed across it
+    assert vt.changes(spark, 1, v_opt).count() == 0
+
+
+def test_changes_reads_only_churned_files(spark, vt):
+    """The feed's plan references only added/removed files, never the
+    carried-by-reference majority."""
+    vt.write_full(_mk(spark, [(i, "x") for i in range(8)]).repartition(8, "k"))
+    vt.merge_upsert(spark, _mk(spark, [(0, "y")]), keys=["k"])
+    m0, m1 = vt._manifest(0), vt._manifest(1)
+    churn = set(m1["files"]) ^ set(m0["files"])
+    carried = set(m0["files"]) & set(m1["files"])
+    assert carried  # the test is vacuous unless most files were untouched
+    scanned = {
+        os.path.basename(f) for f in vt.changes(spark, 0, 1).inputFiles()
+    }
+    assert scanned == {os.path.basename(f) for f in churn}
+
+
+def test_changes_duplicate_rows_multiset(spark, vt):
+    """exceptAll semantics: going 2 copies -> 1 copy emits ONE delete."""
+    vt.write_full(_mk(spark, [(1, "a"), (1, "a")]))
+    vt.write_full(_mk(spark, [(1, "a")]))
+    assert _rows(vt.changes(spark, 0, 1)) == [("delete", 1, "a")]
+
+
+def test_restore_is_metadata_only_and_roundtrips(spark, vt):
+    vt.write_full(_mk(spark, [(1, "a"), (2, "b")]))
+    vt.delete_where(spark, "k = 1")
+    v2 = vt.restore(0)
+    assert v2 == 2
+    m0, m2 = vt._manifest(0), vt._manifest(v2)
+    assert m2["files"] == m0["files"]  # no data rewritten
+    assert m2["op"] == "restore" and m2["meta"]["restored_version"] == 0
+    assert _rows(vt.read(spark)) == [(1, "a"), (2, "b")]
+    # the rolled-back version remains time-travelable
+    assert _rows(vt.read(spark, version=1)) == [(2, "b")]
+    # and the restore itself shows in the change feed as re-inserts
+    assert _rows(vt.changes(spark, 1, v2)) == [("insert", 1, "a")]
+
+
+def test_restore_after_vacuum_raises(spark, vt):
+    vt.write_full(_mk(spark, [(1, "a")]))
+    vt.write_full(_mk(spark, [(2, "b")]))
+    vt.vacuum(retain_last=1)
+    with pytest.raises(VacuumedVersionError):
+        vt.restore(0)
