@@ -353,6 +353,111 @@ def q_scan_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+STREAM_CDF_ORACLE = f"""
+    WITH {_DAILY_CTE},
+    stale AS (
+      SELECT o_custkey AS cust_id, CAST(o_orderdate AS DATE) AS dt,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+             CAST(COUNT(*) AS BIGINT) AS order_count
+      FROM orders WHERE o_orderkey % 10 <> 0 GROUP BY 1, 2
+    ),
+    upd AS (
+      SELECT cust_id, dt, revenue * 2 AS revenue, order_count
+      FROM daily WHERE cust_id % 7 = 0
+    ),
+    merged AS (
+      SELECT cust_id, dt, revenue, order_count FROM stale WHERE cust_id % 7 <> 0
+      UNION ALL
+      SELECT cust_id, dt, revenue, order_count FROM upd
+    )
+    SELECT cust_id, dt, revenue, order_count FROM merged WHERE cust_id % 5 <> 0
+"""
+
+
+@demo_query("q_stream_cdf", oracle=STREAM_CDF_ORACLE)
+def q_stream_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC *source* on the transaction layer — the read-side
+    twin of ``q_stream_merge``'s CDC sink (Delta's
+    ``readStream.option("readChangeFeed")``).
+
+    With ``change_feed=True`` every commit materializes its row-level
+    changes under ``_change_data/_commit_version=N/`` at a cost ∝ the
+    commit's churn (``plans/versioned.py::materialize_changes``). Three
+    commits run — stale load, corrective MERGE, DELETE — then the feed
+    is consumed through ``stream_changes`` (a JVM-side parquet file
+    stream: no Python in the data plane, exactly-once per file via the
+    stream checkpoint) into a parquet sink with an availableNow
+    trigger. The streamed rows are replayed consumer-side — last change
+    per key wins, with the insert postimage beating its same-commit
+    delete preimage; keys ending on a delete drop out — and the replay
+    must reconstruct the table head exactly: the oracle is the
+    merge-then-delete algebra in SQL. A guard asserts all three commit
+    versions arrived through the STREAM (a silently-pruned feed can't
+    pass), and the replayed result is built from the sink files, so the
+    value check rides the full materialize→stream→replay path.
+    """
+    from pyspark.sql import Window
+
+    work = scratch_dir("spark_graft_streamcdf", unique=True)
+    vt = VersionedTable(
+        os.path.join(work, "fact"), stats_cols=["dt"], change_feed=True
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("cust_id"),
+        F.col("o_orderdate").cast("date").alias("dt"),
+        money("o_totalprice").alias("price"),
+    )
+
+    def daily(df: DataFrame) -> DataFrame:
+        return df.groupBy("cust_id", "dt").agg(
+            F.sum("price").cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("order_count"),
+        )
+
+    stale = daily(orders.filter(F.col("o_orderkey") % 10 != 0))
+    upd = (
+        daily(orders)
+        .filter(F.col("cust_id") % 7 == 0)
+        .withColumn("revenue", F.col("revenue") * 2)
+    )
+    vt.write_full(stale.repartition(4))
+    vt.merge_upsert(spark, upd, keys=["cust_id", "dt"])
+    vt.delete_where(spark, "cust_id % 5 = 0")
+
+    sink = os.path.join(work, "sink")
+    q = (
+        vt.stream_changes(spark)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    feed = spark.read.schema(vt.changes_schema()).parquet(sink)
+    seen = {r["_commit_version"] for r in feed.select("_commit_version").distinct().collect()}
+    if seen != {0, 1, 2}:
+        raise AssertionError(f"stream delivered commits {sorted(seen)}, want [0, 1, 2]")
+
+    w = Window.partitionBy("cust_id", "dt").orderBy(
+        F.desc("_commit_version"),
+        F.when(F.col("_change_type") == "insert", 1).otherwise(0).desc(),
+    )
+    return (
+        feed.withColumn("__rn", F.row_number().over(w))
+        .filter("__rn = 1 AND _change_type = 'insert'")
+        .select(
+            "cust_id",
+            F.col("dt").cast("date").alias("dt"),
+            "revenue",
+            F.col("order_count").cast("bigint").alias("order_count"),
+        )
+    )
+
+
 STREAM_MERGE_ORACLE = """
     SELECT CAST(ts AS DATE) AS dt,
            user_id AS cust_id,

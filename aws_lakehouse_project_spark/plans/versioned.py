@@ -56,12 +56,13 @@ from __future__ import annotations
 import json
 import math
 import os
+import shutil
 import uuid
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 __all__ = ["VersionedTable", "ConcurrentWriteError", "VacuumedVersionError"]
 
@@ -78,6 +79,7 @@ class VacuumedVersionError(FileNotFoundError):
 
 _LOG_DIR = "_log"
 _DATA_DIR = "data"
+_CDF_DIR = "_change_data"
 
 
 def _stat_json(v):
@@ -121,11 +123,19 @@ class VersionedTable:
     are always recorded.
     """
 
-    def __init__(self, path: str, stats_cols: Sequence[str] = ()) -> None:
+    def __init__(
+        self,
+        path: str,
+        stats_cols: Sequence[str] = (),
+        change_feed: bool = False,
+    ) -> None:
         self.path = path
         self.stats_cols = list(stats_cols)
+        self.change_feed = change_feed
         os.makedirs(os.path.join(path, _LOG_DIR), exist_ok=True)
         os.makedirs(os.path.join(path, _DATA_DIR), exist_ok=True)
+        if change_feed:
+            os.makedirs(os.path.join(path, _CDF_DIR), exist_ok=True)
 
     # -- manifest plumbing --------------------------------------------------
 
@@ -228,6 +238,11 @@ class VersionedTable:
             for c in present:
                 ent[c] = [_stat_json(r[f"__min_{c}"]), _stat_json(r[f"__max_{c}"])]
             by_rel[rel] = ent
+        # zero-row part files never surface in the aggregate (no rows to
+        # tag with input_file_name) — record them explicitly so every
+        # manifest file has a stats entry
+        for f in rel_files:
+            by_rel.setdefault(f, {"rows": 0})
         return by_rel
 
     def _to_rel(self, file_uri: str) -> str:
@@ -294,7 +309,8 @@ class VersionedTable:
         files (old versions stay readable until vacuum)."""
         hint = (self.latest_version() or 0) + 1
         files, stats = self._write_commit_files(df, hint)
-        return self._commit("overwrite", files, stats, self._schema_json(df), meta)
+        v = self._commit("overwrite", files, stats, self._schema_json(df), meta)
+        return self._maybe_cdf(df.sparkSession, v)
 
     def append(self, df: DataFrame, meta: dict | None = None, evolve: bool = False) -> int:
         """Append-only commit: prior files carried by reference. With
@@ -325,7 +341,7 @@ class VersionedTable:
         hint = self.latest_version() + 1
         files, stats = self._write_commit_files(df, hint)
         merged_schema = self._merge_schema(cur["schema"], self._schema_json(df))
-        return self._commit(
+        v = self._commit(
             "append",
             cur["files"] + files,
             {**cur["stats"], **stats},
@@ -333,6 +349,7 @@ class VersionedTable:
             meta,
             retry_append_files=files,
         )
+        return self._maybe_cdf(df.sparkSession, v)
 
     @staticmethod
     def _merge_schema(old: dict, new: dict) -> dict:
@@ -452,21 +469,122 @@ class VersionedTable:
             F.lit("insert").alias("_change_type"), "*"
         ).unionByName(deletes.select(F.lit("delete").alias("_change_type"), "*"))
 
-    def restore(self, version: int, meta: dict | None = None) -> int:
+    # -- change-data feed ---------------------------------------------------
+
+    def _cdf_version_dir(self, version: int) -> str:
+        return os.path.join(self.path, _CDF_DIR, f"_commit_version={version}")
+
+    def materialize_changes(self, spark: SparkSession, version: int) -> str | None:
+        """Persist ``version``'s row-level change feed under
+        ``_change_data/_commit_version=N/`` (Delta's
+        ``enableChangeDataFeed`` layout: the partition directory carries
+        the commit version; files carry ``_change_type`` + data columns).
+
+        Cost ∝ churn: the feed is ``changes(N-1, N)``, which reads only
+        the files the commit added or removed — never a snapshot. The
+        write is idempotent (overwrite into the version's own
+        directory), so a crash between commit and feed write is repaired
+        by re-calling with the same version. Layout-only commits
+        (OPTIMIZE) have an empty feed by construction and write nothing
+        (returns None); version 0's feed is the initial snapshot as
+        inserts."""
+        m = self._manifest(version)
+        if m["op"] == "optimize":
+            return None
+        if version == 0:
+            feed = self.read(spark, 0).select(
+                F.lit("insert").alias("_change_type"), "*"
+            )
+        else:
+            feed = self.changes(spark, version - 1, version)
+        out = self._cdf_version_dir(version)
+        feed.write.mode("overwrite").parquet(out)
+        return out
+
+    def _maybe_cdf(self, spark: SparkSession | None, version: int) -> int:
+        if self.change_feed:
+            if spark is None:
+                raise ValueError(
+                    f"change_feed is enabled on {self.path}: this "
+                    "operation needs a SparkSession to materialize the "
+                    "version's change feed"
+                )
+            self.materialize_changes(spark, version)
+        return version
+
+    def changes_schema(self, version: int | None = None) -> StructType:
+        """Schema of the change feed: ``_change_type`` + the table's
+        columns + the ``_commit_version`` partition column."""
+        base = StructType.fromJson(self._manifest(version)["schema"])
+        return StructType(
+            [
+                StructField("_change_type", StringType(), False),
+                *base.fields,
+                StructField("_commit_version", LongType(), True),
+            ]
+        )
+
+    def stream_changes(
+        self, spark: SparkSession, max_files_per_trigger: int | None = None
+    ) -> DataFrame:
+        """Structured-Streaming CDC *source* over the materialized change
+        feed — the read-side twin of the ``q_stream_merge`` CDC sink.
+
+        Implemented as a plain JVM-side parquet file stream over
+        ``_change_data/`` (no Python in the data plane): each commit's
+        feed directory is a partition ``_commit_version=N``, new commits
+        surface as new files, and the file source's checkpoint gives
+        exactly-once delivery per file. Consumers order by
+        ``_commit_version`` — a micro-batch may split or coalesce
+        commits (same contract as Delta's CDF stream read), but every
+        change row arrives exactly once and versions arrive
+        monotonically within a single-writer table's directory listing.
+        """
+        if not self.change_feed:
+            raise ValueError(
+                f"versioned table at {self.path} has change_feed=False; "
+                "construct with change_feed=True (and backfill via "
+                "materialize_changes) before streaming"
+            )
+        root = os.path.join(self.path, _CDF_DIR)
+        reader = spark.readStream.schema(self.changes_schema()).option(
+            "basePath", root
+        )
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+        return reader.parquet(root)
+
+    def restore(
+        self,
+        version: int,
+        meta: dict | None = None,
+        spark: SparkSession | None = None,
+    ) -> int:
         """RESTORE TABLE ... TO VERSION AS OF: roll the head back to a
         prior snapshot as a NEW commit that references the old version's
         files verbatim — metadata-only, so restoring a 100 TB table is
         one manifest write. History is preserved (the bad versions stay
         time-travelable until vacuum); raises ``VacuumedVersionError``
-        if the target's files were already reclaimed."""
+        if the target's files were already reclaimed. With
+        ``change_feed`` enabled pass ``spark`` so the rollback's
+        re-insert/delete rows reach the feed (cost ∝ the diff being
+        undone, not the table)."""
+        if self.change_feed and spark is None:
+            # validate BEFORE committing: a post-commit failure would
+            # leave a published version with no feed entry
+            raise ValueError(
+                f"change_feed is enabled on {self.path}: restore needs "
+                "spark= to materialize the rollback's change feed"
+            )
         m = self._manifest(version)
-        return self._commit(
+        v = self._commit(
             "restore",
             m["files"],
             m["stats"],
             m["schema"],
             {**(meta or {}), "restored_version": version},
         )
+        return self._maybe_cdf(spark, v)
 
     def history(self) -> list[dict]:
         out = []
@@ -534,13 +652,14 @@ class VersionedTable:
             new_data = updates
         hint = self.latest_version() + 1
         files, stats = self._write_commit_files(new_data, hint)
-        return self._commit(
+        v = self._commit(
             "merge",
             untouched + files,
             {**{f: m["stats"][f] for f in untouched if f in m["stats"]}, **stats},
             m["schema"],
             {**(meta or {}), "touched_files": len(touched), "total_files": len(m["files"])},
         )
+        return self._maybe_cdf(spark, v)
 
     def delete_where(
         self, spark: SparkSession, predicate: Column | str, meta: dict | None = None
@@ -565,13 +684,14 @@ class VersionedTable:
         )
         hint = self.latest_version() + 1
         files, stats = self._write_commit_files(survivors, hint)
-        return self._commit(
+        v = self._commit(
             "delete",
             untouched + files,
             {**{f: m["stats"][f] for f in untouched if f in m["stats"]}, **stats},
             m["schema"],
             {**(meta or {}), "touched_files": len(touched)},
         )
+        return self._maybe_cdf(spark, v)
 
     def merge_apply(
         self,
@@ -609,13 +729,14 @@ class VersionedTable:
             new_data = upserts
         hint = self.latest_version() + 1
         files, stats = self._write_commit_files(new_data, hint)
-        return self._commit(
+        v = self._commit(
             "merge",
             untouched + files,
             {**{f: m["stats"][f] for f in untouched if f in m["stats"]}, **stats},
             m["schema"],
             {**(meta or {}), "touched_files": len(touched)},
         )
+        return self._maybe_cdf(spark, v)
 
     # -- maintenance --------------------------------------------------------
 
@@ -642,7 +763,7 @@ class VersionedTable:
         if len(small) <= 1:
             return self.latest_version()  # nothing to pack
         big = [f for f in m["files"] if f not in set(small)]
-        rows = sum(m["stats"][f]["rows"] for f in small)
+        rows = sum(m["stats"].get(f, {}).get("rows", 0) for f in small)
         n_out = max(1, math.ceil(rows / target_rows_per_file))
         schema = StructType.fromJson(m["schema"])
         df = (
@@ -658,6 +779,8 @@ class VersionedTable:
             df = df.repartition(n_out)
         hint = self.latest_version() + 1
         files, stats = self._write_commit_files(df, hint)
+        # no _maybe_cdf: a layout-only commit's change feed is empty by
+        # construction (materialize_changes would no-op anyway)
         return self._commit(
             "optimize",
             big + files,
@@ -694,10 +817,16 @@ class VersionedTable:
                         removed_files += 1
             if dirpath != data_root and not os.listdir(dirpath):
                 os.rmdir(dirpath)
+        removed_cdf = 0
         for v in drop_vs:
             os.unlink(self._log_path(v))
+            cdf = self._cdf_version_dir(v)
+            if os.path.isdir(cdf):
+                shutil.rmtree(cdf)
+                removed_cdf += 1
         return {
             "removed_data_files": removed_files,
             "removed_versions": len(drop_vs),
+            "removed_change_feeds": removed_cdf,
             "retained_versions": keep_vs,
         }

@@ -125,6 +125,11 @@ EXTRA = [
     "q_versioned_merge",
     "q_time_travel",
     "q_stream_merge",
+    # round-7 continuation: versioned-table read side + streaming CDC source
+    "q_table_changes",
+    "q_table_restore",
+    "q_scan_skipping",
+    "q_stream_cdf",
 ]
 
 

@@ -318,3 +318,149 @@ def test_restore_after_vacuum_raises(spark, vt):
     vt.vacuum(retain_last=1)
     with pytest.raises(VacuumedVersionError):
         vt.restore(0)
+
+
+# -- change-data feed (materialized CDF + streaming source) -----------------
+
+
+@pytest.fixture()
+def cdf_vt(tmp_path):
+    return VersionedTable(str(tmp_path / "t"), stats_cols=["k"], change_feed=True)
+
+
+def _feed(spark, vt, version=None):
+    import os as _os
+
+    root = _os.path.join(vt.path, "_change_data")
+    df = (
+        spark.read.option("basePath", root)
+        .schema(vt.changes_schema())
+        .parquet(root)
+    )
+    if version is not None:
+        df = df.filter(F.col("_commit_version") == version)
+    return df
+
+
+def test_cdf_materializes_per_commit(spark, cdf_vt):
+    vt = cdf_vt
+    vt.write_full(_mk(spark, [(1, "a"), (2, "b")]))
+    vt.merge_upsert(spark, _mk(spark, [(1, "A"), (3, "c")]), keys=["k"])
+    vt.delete_where(spark, "k = 2")
+    # v0 feed: initial snapshot as inserts
+    assert _rows(_feed(spark, vt, 0).drop("_commit_version")) == [
+        ("insert", 1, "a"),
+        ("insert", 2, "b"),
+    ]
+    # v1 feed: the update pair + the new-key insert == changes(0, 1)
+    assert _rows(_feed(spark, vt, 1).drop("_commit_version")) == _rows(
+        vt.changes(spark, 0, 1)
+    )
+    # v2 feed: one delete
+    assert _rows(_feed(spark, vt, 2).drop("_commit_version")) == [
+        ("delete", 2, "b")
+    ]
+
+
+def test_cdf_optimize_writes_nothing(spark, cdf_vt):
+    vt = cdf_vt
+    vt.write_full(_mk(spark, [(1, "a")]).repartition(4))
+    v = vt.optimize(spark, target_rows_per_file=100)
+    assert not os.path.isdir(vt._cdf_version_dir(v))
+    # but the stream schema/read over the remaining feed still works
+    assert _feed(spark, vt).count() == 1
+
+
+def test_cdf_restore_requires_spark(spark, cdf_vt):
+    vt = cdf_vt
+    vt.write_full(_mk(spark, [(1, "a")]))
+    vt.delete_where(spark, "k = 1")
+    with pytest.raises(ValueError, match="change_feed"):
+        vt.restore(0)
+    v = vt.restore(0, spark=spark)
+    assert _rows(_feed(spark, vt, v).drop("_commit_version")) == [
+        ("insert", 1, "a")
+    ]
+
+
+def test_cdf_materialize_is_idempotent(spark, cdf_vt):
+    vt = cdf_vt
+    vt.write_full(_mk(spark, [(1, "a"), (2, "b")]))
+    before = _rows(_feed(spark, vt, 0))
+    # crash-repair path: re-materializing the same version overwrites
+    # in place, never duplicates
+    vt.materialize_changes(spark, 0)
+    assert _rows(_feed(spark, vt, 0)) == before
+
+
+def test_cdf_replay_reconstructs_head(spark, cdf_vt):
+    """Applying the feed in commit order (last change per key wins;
+    keys whose final change is a delete are absent) rebuilds the head
+    snapshot exactly — the consumer-side contract of a CDC feed."""
+    from pyspark.sql import Window
+
+    vt = cdf_vt
+    vt.write_full(_mk(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    vt.merge_upsert(spark, _mk(spark, [(2, "B"), (4, "d")]), keys=["k"])
+    vt.delete_where(spark, "k = 1")
+    feed = _feed(spark, vt)
+    w = Window.partitionBy("k").orderBy(
+        F.desc("_commit_version"),
+        # within a commit an update is delete+insert: insert is the
+        # postimage and must win the tie
+        F.when(F.col("_change_type") == "insert", 1).otherwise(0).desc(),
+    )
+    head = (
+        feed.withColumn("__rn", F.row_number().over(w))
+        .filter("__rn = 1 AND _change_type = 'insert'")
+        .select("k", "v")
+    )
+    assert _rows(head) == _rows(vt.read(spark))
+
+
+def test_cdf_vacuum_reclaims_expired_feed(spark, cdf_vt):
+    vt = cdf_vt
+    vt.write_full(_mk(spark, [(1, "a")]))
+    vt.write_full(_mk(spark, [(2, "b")]))
+    vt.write_full(_mk(spark, [(3, "c")]))
+    res = vt.vacuum(retain_last=1)
+    assert res["removed_change_feeds"] == 2
+    assert not os.path.isdir(vt._cdf_version_dir(0))
+    assert os.path.isdir(vt._cdf_version_dir(2))
+
+
+def test_stream_changes_requires_change_feed(spark, vt):
+    vt.write_full(_mk(spark, [(1, "a")]))
+    with pytest.raises(ValueError, match="change_feed=True"):
+        vt.stream_changes(spark)
+
+
+def test_stream_changes_incremental_exactly_once(spark, cdf_vt, tmp_path):
+    """The streaming CDC source delivers every commit's rows exactly
+    once across separate availableNow runs sharing a checkpoint."""
+    vt = cdf_vt
+    vt.write_full(_mk(spark, [(1, "a"), (2, "b")]))
+    vt.merge_upsert(spark, _mk(spark, [(1, "A")]), keys=["k"])
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            vt.stream_changes(spark)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    got1 = _rows(spark.read.parquet(sink))
+    assert got1 == _rows(_feed(spark, vt))
+    # a later commit arrives incrementally: second run appends ONLY it
+    vt.delete_where(spark, "k = 2")
+    run_once()
+    got2 = _rows(spark.read.parquet(sink))
+    assert got2 == _rows(_feed(spark, vt))
+    assert len(got2) == len(got1) + 1
