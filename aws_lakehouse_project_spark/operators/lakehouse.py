@@ -353,6 +353,74 @@ def q_scan_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TABLE_CLONE_ORACLE = f"""
+    WITH {_DAILY_CTE},
+    upd AS (
+      SELECT cust_id, dt, revenue * 2 AS revenue, order_count
+      FROM daily WHERE cust_id % 7 = 0 AND cust_id < 300
+    )
+    SELECT cust_id, dt, revenue, order_count FROM daily
+    WHERE NOT (cust_id % 7 = 0 AND cust_id < 300)
+    UNION ALL
+    SELECT cust_id, dt, revenue, order_count FROM upd
+"""
+
+
+@demo_query("q_table_clone", oracle=TABLE_CLONE_ORACLE)
+def q_table_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE TABLE ... SHALLOW CLONE (Delta semantics): a dev/test copy
+    of the production fact that costs ONE manifest write — the clone's
+    version 0 references the source snapshot's files by absolute path,
+    so cloning a 100 TB table moves zero data
+    (``plans/versioned.py::clone``). The clone then takes a corrective
+    MERGE (every seventh customer's revenue doubled) copy-on-write:
+    touched borrowed files are rewritten into the clone's OWN data
+    directory, untouched ones stay borrowed by reference, and the
+    source table is asserted bit-identical afterwards. The oracle is
+    the merge algebra applied to the clone; three structural guards
+    make a silent deep-copy or source mutation fail the query, not just
+    slow it."""
+    work = scratch_dir("spark_graft_clone", unique=True)
+    src = VersionedTable(os.path.join(work, "src"), stats_cols=["cust_id"])
+    # range-clustered by cust_id so the low-key corrective merge below
+    # exercises file-granular CoW across the borrow boundary (a hash
+    # layout would smear the touched keys over every file)
+    v0 = src.write_full(
+        _daily_orders(spark, sf_dir)
+        .repartitionByRange(8, "cust_id")
+        .sortWithinPartitions("cust_id")
+    )
+    src_manifest = src._manifest(v0)
+
+    cl = src.clone(os.path.join(work, "dev"))
+    owned = [
+        f
+        for _, _, fs in os.walk(os.path.join(cl.path, "data"))
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    if owned:
+        raise AssertionError(f"shallow clone copied {len(owned)} data files")
+
+    upd = (
+        _daily_orders(spark, sf_dir)
+        .filter((F.col("cust_id") % 7 == 0) & (F.col("cust_id") < 300))
+        .withColumn("revenue", F.col("revenue") * 2)
+    )
+    cl.merge_upsert(spark, upd, keys=["cust_id", "dt"])
+    m1 = cl._manifest(1)
+    if not any(os.path.isabs(f) for f in m1["files"]):
+        raise AssertionError("clone merge rewrote every borrowed file")
+    if src._manifest(src.latest_version()) != src_manifest:
+        raise AssertionError("clone merge mutated the source table")
+    return cl.read(spark).select(
+        "cust_id",
+        F.col("dt").cast("date").alias("dt"),
+        "revenue",
+        F.col("order_count").cast("bigint").alias("order_count"),
+    )
+
+
 STREAM_CDF_ORACLE = f"""
     WITH {_DAILY_CTE},
     stale AS (

@@ -246,8 +246,10 @@ class VersionedTable:
         return by_rel
 
     def _to_rel(self, file_uri: str) -> str:
-        """Normalize an ``input_file_name()`` URI to a manifest-relative
-        path."""
+        """Normalize an ``input_file_name()`` URI to its manifest key:
+        root-relative for files this table owns, absolute for borrowed
+        files (a shallow clone's manifest references the source table's
+        files by absolute path — see ``clone``)."""
         p = file_uri
         if p.startswith("file:"):
             p = p[len("file:"):]
@@ -256,7 +258,7 @@ class VersionedTable:
         root = os.path.abspath(self.path) + os.sep
         p = os.path.abspath(p)
         if not p.startswith(root):
-            raise ValueError(f"file {file_uri} is outside table root {self.path}")
+            return p
         return p[len(root):]
 
     # -- commit -------------------------------------------------------------
@@ -525,7 +527,10 @@ class VersionedTable:
         )
 
     def stream_changes(
-        self, spark: SparkSession, max_files_per_trigger: int | None = None
+        self,
+        spark: SparkSession,
+        max_files_per_trigger: int | None = None,
+        starting_version: int | None = None,
     ) -> DataFrame:
         """Structured-Streaming CDC *source* over the materialized change
         feed — the read-side twin of the ``q_stream_merge`` CDC sink.
@@ -552,7 +557,13 @@ class VersionedTable:
         )
         if max_files_per_trigger is not None:
             reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-        return reader.parquet(root)
+        out = reader.parquet(root)
+        if starting_version is not None:
+            # Delta's startingVersion: the predicate lands on the
+            # _commit_version PARTITION column, so pruned feed files are
+            # checkpointed without their data ever being read
+            out = out.filter(F.col("_commit_version") >= F.lit(starting_version))
+        return out
 
     def restore(
         self,
@@ -585,6 +596,82 @@ class VersionedTable:
             {**(meta or {}), "restored_version": version},
         )
         return self._maybe_cdf(spark, v)
+
+    def clone(
+        self,
+        dest_path: str,
+        shallow: bool = True,
+        version: int | None = None,
+        stats_cols: Sequence[str] | None = None,
+        change_feed: bool = False,
+    ) -> "VersionedTable":
+        """CREATE TABLE ... CLONE (Delta semantics).
+
+        ``shallow=True`` is metadata-only: the clone's version-0 manifest
+        references the source snapshot's data files BY ABSOLUTE PATH —
+        cloning a 100 TB table writes one JSON manifest and zero data.
+        The clone then evolves independently: copy-on-write MERGE/DELETE
+        rewrite touched files into the clone's own ``data/`` directory
+        while untouched source files stay borrowed by reference, and the
+        clone's ``vacuum`` only ever walks the clone's own directory, so
+        it can never reclaim source data. The one caveat is Delta's own:
+        vacuuming the SOURCE table can remove files a shallow clone
+        still references — deep-clone (or avoid source vacuum) when the
+        clone must outlive the source's retention.
+
+        ``shallow=False`` copies the snapshot's data files byte-for-byte
+        into the clone (same layout, fully independent lifecycle).
+
+        The clone starts a fresh history (its version 0 is the clone
+        commit, ``meta.source``/``meta.source_version`` record
+        provenance); source stats carry over so data skipping works
+        immediately.
+        """
+        m = self._manifest(version)
+        src_version = m["version"]
+        dest = VersionedTable(
+            dest_path,
+            stats_cols=self.stats_cols if stats_cols is None else stats_cols,
+            change_feed=change_feed,
+        )
+        if dest.exists():
+            raise ValueError(f"clone destination {dest_path} already has a table")
+        if shallow:
+            files = [
+                f if os.path.isabs(f) else os.path.abspath(os.path.join(self.path, f))
+                for f in m["files"]
+            ]
+            stats = {
+                nf: m["stats"][f]
+                for f, nf in zip(m["files"], files)
+                if f in m["stats"]
+            }
+        else:
+            files, stats = [], {}
+            for f in m["files"]:
+                src = f if os.path.isabs(f) else os.path.join(self.path, f)
+                rel = os.path.join(
+                    _DATA_DIR, "c00000000-clone", f"{uuid.uuid4().hex}.parquet"
+                )
+                dst = os.path.join(dest_path, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                shutil.copyfile(src, dst)
+                files.append(rel)
+                if f in m["stats"]:
+                    stats[rel] = m["stats"][f]
+        v = dest._commit(
+            "clone",
+            files,
+            stats,
+            m["schema"],
+            {
+                "source": os.path.abspath(self.path),
+                "source_version": src_version,
+                "shallow": shallow,
+            },
+        )
+        assert v == 0
+        return dest
 
     def history(self) -> list[dict]:
         out = []

@@ -130,6 +130,7 @@ EXTRA = [
     "q_table_restore",
     "q_scan_skipping",
     "q_stream_cdf",
+    "q_table_clone",
 ]
 
 

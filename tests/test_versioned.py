@@ -464,3 +464,95 @@ def test_stream_changes_incremental_exactly_once(spark, cdf_vt, tmp_path):
     got2 = _rows(spark.read.parquet(sink))
     assert got2 == _rows(_feed(spark, vt))
     assert len(got2) == len(got1) + 1
+
+
+# -- CLONE (shallow/deep) + startingVersion ---------------------------------
+
+
+def test_shallow_clone_is_metadata_only(spark, vt, tmp_path):
+    vt.write_full(_mk(spark, [(1, "a"), (2, "b")]))
+    cl = vt.clone(str(tmp_path / "cl"))
+    # zero data files under the clone; reads resolve to the source's
+    data_root = os.path.join(cl.path, "data")
+    owned = [
+        f for _, _, fs in os.walk(data_root) for f in fs if f.endswith(".parquet")
+    ]
+    assert owned == []
+    assert _rows(cl.read(spark)) == _rows(vt.read(spark))
+    m = cl._manifest(0)
+    assert m["op"] == "clone" and m["meta"]["shallow"] is True
+    assert m["meta"]["source_version"] == 0
+    assert all(os.path.isabs(f) for f in m["files"])
+
+
+def test_shallow_clone_evolves_independently(spark, vt, tmp_path):
+    vt.write_full(_mk(spark, [(i, "x") for i in range(8)]).repartition(8, "k"))
+    cl = vt.clone(str(tmp_path / "cl"))
+    src_before = _rows(vt.read(spark))
+    cl.merge_upsert(spark, _mk(spark, [(0, "CLONE")]), keys=["k"])
+    # clone sees the change, source is untouched
+    assert ("CLONE" in {v for _, v in _rows(cl.read(spark))})
+    assert _rows(vt.read(spark)) == src_before
+    # CoW stays file-granular across the borrow boundary: most borrowed
+    # files carry by reference, only touched ones were rewritten locally
+    m1 = cl._manifest(1)
+    borrowed = [f for f in m1["files"] if os.path.isabs(f)]
+    local = [f for f in m1["files"] if not os.path.isabs(f)]
+    assert borrowed and local
+
+
+def test_clone_vacuum_never_reclaims_source_files(spark, vt, tmp_path):
+    vt.write_full(_mk(spark, [(1, "a"), (2, "b")]))
+    cl = vt.clone(str(tmp_path / "cl"))
+    cl.write_full(_mk(spark, [(9, "z")]))  # clone v1 drops the borrow
+    cl.vacuum(retain_last=1)
+    # source data intact and readable
+    assert _rows(vt.read(spark)) == [(1, "a"), (2, "b")]
+    assert _rows(cl.read(spark)) == [(9, "z")]
+
+
+def test_clone_time_travel_pins_source_version(spark, vt, tmp_path):
+    vt.write_full(_mk(spark, [(1, "a")]))
+    vt.append(_mk(spark, [(2, "b")]))
+    cl = vt.clone(str(tmp_path / "cl"), version=0)
+    assert _rows(cl.read(spark)) == [(1, "a")]
+
+
+def test_deep_clone_is_independent_of_source(spark, vt, tmp_path):
+    vt.write_full(_mk(spark, [(1, "a"), (2, "b")]))
+    cl = vt.clone(str(tmp_path / "cl"), shallow=False)
+    assert _rows(cl.read(spark)) == [(1, "a"), (2, "b")]
+    m = cl._manifest(0)
+    assert all(not os.path.isabs(f) for f in m["files"])
+    # stats carried: data skipping works on the clone immediately
+    assert all(cl._manifest(0)["stats"][f]["rows"] >= 0 for f in m["files"])
+    # source vacuum/delete cannot affect a deep clone
+    vt.write_full(_mk(spark, [(9, "z")]))
+    vt.vacuum(retain_last=1)
+    assert _rows(cl.read(spark)) == [(1, "a"), (2, "b")]
+
+
+def test_clone_refuses_existing_destination(spark, vt, tmp_path):
+    vt.write_full(_mk(spark, [(1, "a")]))
+    vt.clone(str(tmp_path / "cl"))
+    with pytest.raises(ValueError, match="already has a table"):
+        vt.clone(str(tmp_path / "cl"))
+
+
+def test_stream_changes_starting_version(spark, cdf_vt, tmp_path):
+    vt = cdf_vt
+    vt.write_full(_mk(spark, [(1, "a"), (2, "b")]))
+    vt.merge_upsert(spark, _mk(spark, [(1, "A")]), keys=["k"])
+    vt.delete_where(spark, "k = 2")
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    q = (
+        vt.stream_changes(spark, starting_version=1)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.schema(vt.changes_schema()).parquet(sink)
+    assert {r["_commit_version"] for r in got.select("_commit_version").collect()} == {1, 2}
