@@ -353,14 +353,86 @@ def q_scan_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WAP_CONSTRAINT_ORACLE = f"""
+    WITH {_DAILY_CTE}
+    SELECT cust_id, dt, revenue, order_count FROM daily
+"""
+
+
+@demo_query("q_wap_constraint", oracle=WAP_CONSTRAINT_ORACLE)
+def q_wap_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK constraints + write-audit-publish on the transaction layer
+    (Delta ALTER TABLE ADD CONSTRAINT; Iceberg WAP).
+
+    A stale fact gets ``CHECK (revenue >= 0 AND order_count >= 1)``
+    (validated against existing data in one aggregate). Three gates are
+    then driven in order, and the query FAILS unless each behaves:
+    (1) an append with negated revenue must be rejected by the
+    constraint — enforcement rides the commit's own stats pass, no
+    extra scan (``plans/versioned.py::_file_stats``) — with the head
+    unmoved; (2) a WAP attempt whose audit suite rejects (truncated
+    batch) must delete its staged files and leave the head unmoved —
+    bad data is stopped BEFORE visibility, never rolled back after;
+    (3) the corrected full fact publishes through WAP with a
+    row-count + not-null audit. The oracle is the corrected fact."""
+    from ..plans.versioned import ConstraintViolationError
+
+    work = scratch_dir("spark_graft_wap", unique=True)
+    vt = VersionedTable(os.path.join(work, "fact"), stats_cols=["dt"])
+    full = _daily_orders(spark, sf_dir)
+    stale = full.filter(F.col("cust_id") % 3 != 0)
+    vt.write_full(stale.repartition(4))
+    v_con = vt.add_constraint(
+        spark, "metrics_sane", "revenue >= 0 AND order_count >= 1"
+    )
+
+    poison = full.filter(F.col("cust_id") % 3 == 0).withColumn(
+        "revenue", -F.col("revenue")
+    )
+    try:
+        vt.append(poison)
+        raise AssertionError("negative-revenue append was not rejected")
+    except ConstraintViolationError:
+        pass
+    if vt.latest_version() != v_con:
+        raise AssertionError("rejected append moved the table head")
+
+    expected_rows = full.count()
+
+    def audit_complete(df: DataFrame) -> None:
+        n, nulls = df.agg(
+            F.count(F.lit(1)), F.count_if(F.col("revenue").isNull())
+        ).first()
+        if nulls or n < expected_rows:
+            raise ValueError(f"audit: incomplete batch ({n}/{expected_rows})")
+
+    try:
+        vt.write_audit_publish(spark, stale, audits=[audit_complete])
+        raise AssertionError("truncated WAP batch was not rejected")
+    except ValueError as exc:
+        if "audit" not in str(exc):
+            raise
+    if vt.latest_version() != v_con:
+        raise AssertionError("failed audit moved the table head")
+
+    vt.write_audit_publish(spark, full.repartition(4), audits=[audit_complete])
+    return vt.read(spark).select(
+        "cust_id",
+        F.col("dt").cast("date").alias("dt"),
+        "revenue",
+        F.col("order_count").cast("bigint").alias("order_count"),
+    )
+
+
 TABLE_CLONE_ORACLE = f"""
     WITH {_DAILY_CTE},
+    mx AS (SELECT MAX(cust_id) AS m FROM daily),
     upd AS (
       SELECT cust_id, dt, revenue * 2 AS revenue, order_count
-      FROM daily WHERE cust_id % 7 = 0 AND cust_id < 300
+      FROM daily, mx WHERE cust_id % 7 = 0 AND cust_id * 8 < m
     )
-    SELECT cust_id, dt, revenue, order_count FROM daily
-    WHERE NOT (cust_id % 7 = 0 AND cust_id < 300)
+    SELECT cust_id, dt, revenue, order_count FROM daily, mx
+    WHERE NOT (cust_id % 7 = 0 AND cust_id * 8 < m)
     UNION ALL
     SELECT cust_id, dt, revenue, order_count FROM upd
 """
@@ -402,9 +474,14 @@ def q_table_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     if owned:
         raise AssertionError(f"shallow clone copied {len(owned)} data files")
 
+    # scale-relative low-key cut (lowest eighth of the key space): the
+    # touched keys stay confined to the head of the range layout at
+    # every sf, so the borrowed-files-survive guard below is meaningful
+    # from the sf0.001 fixture suite up through the sf1 soak
+    max_cust = _daily_orders(spark, sf_dir).agg(F.max("cust_id")).first()[0]
     upd = (
         _daily_orders(spark, sf_dir)
-        .filter((F.col("cust_id") % 7 == 0) & (F.col("cust_id") < 300))
+        .filter((F.col("cust_id") % 7 == 0) & (F.col("cust_id") * 8 < max_cust))
         .withColumn("revenue", F.col("revenue") * 2)
     )
     cl.merge_upsert(spark, upd, keys=["cust_id", "dt"])

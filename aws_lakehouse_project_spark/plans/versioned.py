@@ -64,7 +64,12 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
-__all__ = ["VersionedTable", "ConcurrentWriteError", "VacuumedVersionError"]
+__all__ = [
+    "VersionedTable",
+    "ConcurrentWriteError",
+    "ConstraintViolationError",
+    "VacuumedVersionError",
+]
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -75,6 +80,11 @@ class ConcurrentWriteError(RuntimeError):
 class VacuumedVersionError(FileNotFoundError):
     """Time travel below the vacuum horizon: the manifest (and its data
     files) were reclaimed by ``vacuum``."""
+
+
+class ConstraintViolationError(ValueError):
+    """A write contained rows that fail an active CHECK constraint; the
+    commit was aborted and the table head is unchanged."""
 
 
 _LOG_DIR = "_log"
@@ -199,7 +209,11 @@ class VersionedTable:
         self, df: DataFrame, version_hint: int
     ) -> tuple[list[str], dict]:
         """Materialize ``df`` into a fresh immutable commit directory;
-        returns (relative file paths, per-file stats)."""
+        returns (relative file paths, per-file stats). Active CHECK
+        constraints are enforced here — their violation counts ride the
+        stats aggregate (no extra scan); any violation deletes the
+        just-written directory and raises, so every write path is
+        constraint-checked BEFORE a manifest can reference the files."""
         commit_dir = f"c{version_hint:08d}-{uuid.uuid4().hex[:8]}"
         abs_dir = os.path.join(self.path, _DATA_DIR, commit_dir)
         df.write.mode("overwrite").parquet(abs_dir)
@@ -208,14 +222,36 @@ class VersionedTable:
             for n in sorted(os.listdir(abs_dir))
             if n.endswith(".parquet")
         ]
-        return rel, self._file_stats(df.sparkSession, rel)
+        try:
+            return rel, self._file_stats(
+                df.sparkSession, rel, constraints=self.constraints()
+            )
+        except ConstraintViolationError:
+            shutil.rmtree(abs_dir, ignore_errors=True)
+            raise
 
-    def _file_stats(self, spark: SparkSession, rel_files: list[str]) -> dict:
+    def constraints(self) -> dict[str, str]:
+        """Active CHECK constraints (name → SQL expression) from the
+        head manifest; empty for a new table."""
+        if not self.exists():
+            return {}
+        return dict(self._manifest().get("constraints", {}))
+
+    def _file_stats(
+        self,
+        spark: SparkSession,
+        rel_files: list[str],
+        constraints: dict[str, str] | None = None,
+    ) -> dict:
         """Per-file row counts + min/max of ``stats_cols`` — one
         aggregate over the just-written files (footer-cheap for counts;
-        column stats scan only the stats columns, pruned by parquet)."""
+        column stats scan only the stats columns, pruned by parquet).
+        CHECK-constraint violation counts fold into the SAME aggregate
+        (standard SQL semantics: NULL passes, only FALSE violates);
+        any violation raises ``ConstraintViolationError``."""
         if not rel_files:
             return {}
+        cons = list((constraints or {}).items())
         abs_files = [os.path.join(self.path, f) for f in rel_files]
         aggs = [F.count(F.lit(1)).alias("__rows")]
         present = set()
@@ -225,12 +261,29 @@ class VersionedTable:
             for c in present:
                 aggs.append(F.min(c).alias(f"__min_{c}"))
                 aggs.append(F.max(c).alias(f"__max_{c}"))
+        for i, (_, expr) in enumerate(cons):
+            aggs.append(
+                F.count_if(~F.coalesce(F.expr(expr), F.lit(True))).alias(
+                    f"__viol_{i}"
+                )
+            )
         rows = (
             spark.read.parquet(*abs_files)
             .groupBy(F.input_file_name().alias("__file"))
             .agg(*aggs)
             .collect()
         )
+        if cons:
+            bad = {
+                name: n
+                for i, (name, _) in enumerate(cons)
+                if (n := sum(r[f"__viol_{i}"] for r in rows)) > 0
+            }
+            if bad:
+                raise ConstraintViolationError(
+                    f"write to {self.path} violates CHECK constraint(s) "
+                    f"{bad} (violating-row counts); commit aborted"
+                )
         by_rel = {}
         for r in rows:
             rel = self._to_rel(r["__file"])
@@ -271,13 +324,25 @@ class VersionedTable:
         schema_json: dict,
         meta: dict | None = None,
         retry_append_files: list[str] | None = None,
+        constraints: dict[str, str] | None = None,
     ) -> int:
         """Publish a new version. ``retry_append_files`` marks the commit
         as an append of exactly those files: on a lost race it rebases on
-        the winner's file set and retries; other ops raise."""
+        the winner's file set and retries; other ops raise.
+        ``constraints=None`` inherits the head's CHECK constraints;
+        add/drop_constraint pass the updated set explicitly."""
         while True:
             head = self.latest_version()
             version = 0 if head is None else head + 1
+            active = (
+                constraints
+                if constraints is not None
+                else (
+                    dict(self._manifest(head).get("constraints", {}))
+                    if head is not None
+                    else {}
+                )
+            )
             manifest = {
                 "version": version,
                 "op": op,
@@ -285,6 +350,7 @@ class VersionedTable:
                 "stats": stats,
                 "schema": schema_json,
                 "meta": meta or {},
+                "constraints": active,
             }
             if self._claim_version(manifest):
                 return version
@@ -491,8 +557,8 @@ class VersionedTable:
         (returns None); version 0's feed is the initial snapshot as
         inserts."""
         m = self._manifest(version)
-        if m["op"] == "optimize":
-            return None
+        if m["op"] in ("optimize", "set_constraint", "drop_constraint"):
+            return None  # layout/metadata-only: empty feed by construction
         if version == 0:
             feed = self.read(spark, 0).select(
                 F.lit("insert").alias("_change_type"), "*"
@@ -669,9 +735,113 @@ class VersionedTable:
                 "source_version": src_version,
                 "shallow": shallow,
             },
+            constraints=dict(m.get("constraints", {})),
         )
         assert v == 0
         return dest
+
+    # -- CHECK constraints + write-audit-publish ----------------------------
+
+    def add_constraint(self, spark: SparkSession, name: str, expr: str) -> int:
+        """ALTER TABLE ... ADD CONSTRAINT ... CHECK (expr): validates the
+        EXISTING head data in one aggregate (rejecting if any row
+        violates, like Delta), then publishes the constraint as a
+        metadata-only commit. Every later write path enforces it inside
+        the commit's own stats pass — no extra scan per write."""
+        m = self._manifest()
+        cons = dict(m.get("constraints", {}))
+        if name in cons:
+            raise ValueError(f"constraint {name!r} already exists: {cons[name]!r}")
+        viol = (
+            self.read(spark)
+            .agg(F.count_if(~F.coalesce(F.expr(expr), F.lit(True))).alias("v"))
+            .first()["v"]
+        )
+        if viol:
+            raise ConstraintViolationError(
+                f"cannot add CHECK constraint {name!r} ({expr}): "
+                f"{viol} existing row(s) violate it"
+            )
+        cons[name] = expr
+        return self._commit(
+            "set_constraint",
+            m["files"],
+            m["stats"],
+            m["schema"],
+            {"constraint": name, "expr": expr},
+            constraints=cons,
+        )
+
+    def drop_constraint(self, name: str) -> int:
+        """ALTER TABLE ... DROP CONSTRAINT: metadata-only commit."""
+        m = self._manifest()
+        cons = dict(m.get("constraints", {}))
+        if name not in cons:
+            raise ValueError(f"no constraint {name!r} (have: {sorted(cons)})")
+        del cons[name]
+        return self._commit(
+            "drop_constraint",
+            m["files"],
+            m["stats"],
+            m["schema"],
+            {"constraint": name},
+            constraints=cons,
+        )
+
+    def write_audit_publish(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        audits: Sequence,
+        mode: str = "overwrite",
+        meta: dict | None = None,
+    ) -> int:
+        """Iceberg's write-audit-publish (WAP) pattern on the manifest
+        layer: the data is STAGED (files written, constraint-checked,
+        but referenced by no manifest — readers cannot see it), each
+        audit callable runs against exactly the staged files, and only
+        if every audit passes is the snapshot PUBLISHED as an atomic
+        commit. A failing audit deletes the staged files and re-raises
+        — the table head never moves, which is the whole point: bad
+        data is rejected before visibility, not rolled back after.
+
+        ``audits`` are callables taking the staged DataFrame; raise to
+        reject (compose with ``quality.expectations.validate`` for
+        GE-style suites). ``mode`` is ``overwrite`` or ``append``.
+        """
+        if mode not in ("overwrite", "append"):
+            raise ValueError(f"write_audit_publish mode must be overwrite|append, got {mode!r}")
+        hint = (self.latest_version() or 0) + 1
+        files, stats = self._write_commit_files(df, hint)
+        staged = self._read_files(spark, files, df.schema)
+        try:
+            for audit in audits:
+                audit(staged)
+        except Exception:
+            # one staged commit dir by construction — remove it
+            commit_dir = os.path.dirname(os.path.join(self.path, files[0])) if files else None
+            if commit_dir:
+                shutil.rmtree(commit_dir, ignore_errors=True)
+            raise
+        if mode == "append" and self.exists():
+            cur = self._manifest()
+            v = self._commit(
+                "wap_append",
+                cur["files"] + files,
+                {**cur["stats"], **stats},
+                self._merge_schema(cur["schema"], self._schema_json(df)),
+                {**(meta or {}), "audits": len(list(audits))},
+                retry_append_files=files,
+            )
+        else:
+            v = self._commit(
+                "wap_overwrite",
+                files,
+                stats,
+                self._schema_json(df),
+                {**(meta or {}), "audits": len(list(audits))},
+            )
+        return self._maybe_cdf(spark, v)
 
     def history(self) -> list[dict]:
         out = []

@@ -131,6 +131,7 @@ EXTRA = [
     "q_scan_skipping",
     "q_stream_cdf",
     "q_table_clone",
+    "q_wap_constraint",
 ]
 
 

@@ -556,3 +556,127 @@ def test_stream_changes_starting_version(spark, cdf_vt, tmp_path):
     q.awaitTermination(120)
     got = spark.read.schema(vt.changes_schema()).parquet(sink)
     assert {r["_commit_version"] for r in got.select("_commit_version").collect()} == {1, 2}
+
+
+# -- CHECK constraints + write-audit-publish --------------------------------
+
+
+def test_add_constraint_rejects_existing_violations(spark, vt):
+    from aws_lakehouse_project_spark.plans.versioned import (
+        ConstraintViolationError,
+    )
+
+    vt.write_full(_mk(spark, [(1, "a"), (-5, "bad")]))
+    with pytest.raises(ConstraintViolationError, match="1 existing row"):
+        vt.add_constraint(spark, "k_nonneg", "k >= 0")
+    assert vt.latest_version() == 0  # nothing committed
+
+
+def test_constraint_enforced_on_every_write_path(spark, vt):
+    from aws_lakehouse_project_spark.plans.versioned import (
+        ConstraintViolationError,
+    )
+
+    vt.write_full(_mk(spark, [(1, "a"), (2, "b")]))
+    v1 = vt.add_constraint(spark, "k_nonneg", "k >= 0")
+    assert vt._manifest(v1)["op"] == "set_constraint"
+    head = _rows(vt.read(spark))
+    # append, merge, and overwrite all reject; head never moves
+    with pytest.raises(ConstraintViolationError, match="k_nonneg"):
+        vt.append(_mk(spark, [(-1, "x")]))
+    with pytest.raises(ConstraintViolationError, match="k_nonneg"):
+        vt.merge_upsert(spark, _mk(spark, [(2, "B"), (-9, "x")]), keys=["k"])
+    with pytest.raises(ConstraintViolationError, match="k_nonneg"):
+        vt.write_full(_mk(spark, [(-2, "x")]))
+    assert vt.latest_version() == v1
+    assert _rows(vt.read(spark)) == head
+    # no orphaned data files from the aborted writes
+    m = vt._manifest()
+    on_disk = {
+        os.path.join("data", d, f)
+        for d in os.listdir(os.path.join(vt.path, "data"))
+        for f in os.listdir(os.path.join(vt.path, "data", d))
+        if f.endswith(".parquet")
+    }
+    assert on_disk == set(m["files"])
+    # a clean write passes, and NULL passes (SQL CHECK semantics)
+    vt.append(
+        spark.createDataFrame([(None, "n")], "k int, v string")
+    )
+    assert vt.latest_version() == v1 + 1
+
+
+def test_drop_constraint_reopens_the_gate(spark, vt):
+    vt.write_full(_mk(spark, [(1, "a")]))
+    vt.add_constraint(spark, "k_nonneg", "k >= 0")
+    vt.drop_constraint("k_nonneg")
+    vt.append(_mk(spark, [(-1, "x")]))  # no longer rejected
+    assert (-1, "x") in _rows(vt.read(spark))
+    with pytest.raises(ValueError, match="no constraint"):
+        vt.drop_constraint("k_nonneg")
+
+
+def test_constraints_survive_clone(spark, vt, tmp_path):
+    from aws_lakehouse_project_spark.plans.versioned import (
+        ConstraintViolationError,
+    )
+
+    vt.write_full(_mk(spark, [(1, "a")]))
+    vt.add_constraint(spark, "k_nonneg", "k >= 0")
+    cl = vt.clone(str(tmp_path / "cl"))
+    with pytest.raises(ConstraintViolationError):
+        cl.append(_mk(spark, [(-1, "x")]))
+
+
+def test_wap_publishes_only_after_audits_pass(spark, vt):
+    vt.write_full(_mk(spark, [(1, "a")]))
+
+    def audit_rows(df):
+        if df.count() < 2:
+            raise ValueError("audit: too few rows")
+
+    v = vt.write_audit_publish(
+        spark, _mk(spark, [(1, "a"), (2, "b")]), audits=[audit_rows]
+    )
+    assert vt._manifest(v)["op"] == "wap_overwrite"
+    assert _rows(vt.read(spark)) == [(1, "a"), (2, "b")]
+
+
+def test_wap_failed_audit_leaves_no_trace(spark, vt):
+    vt.write_full(_mk(spark, [(1, "a")]))
+    head = vt.latest_version()
+
+    def audit_fail(df):
+        raise ValueError("audit: nope")
+
+    with pytest.raises(ValueError, match="audit: nope"):
+        vt.write_audit_publish(spark, _mk(spark, [(9, "z")]), audits=[audit_fail])
+    assert vt.latest_version() == head
+    assert _rows(vt.read(spark)) == [(1, "a")]
+    # the staged files were deleted, not orphaned
+    m = vt._manifest()
+    on_disk = {
+        os.path.join("data", d, f)
+        for d in os.listdir(os.path.join(vt.path, "data"))
+        for f in os.listdir(os.path.join(vt.path, "data", d))
+        if f.endswith(".parquet")
+    }
+    assert on_disk == set(m["files"])
+
+
+def test_wap_append_mode_and_expectation_suite(spark, vt):
+    from aws_lakehouse_project_spark.quality.expectations import (
+        Expectation,
+        validate,
+    )
+
+    vt.write_full(_mk(spark, [(1, "a")]))
+    suite = [Expectation("expect_column_values_to_not_be_null", {"column": "v"})]
+    v = vt.write_audit_publish(
+        spark,
+        _mk(spark, [(2, "b")]),
+        audits=[lambda df: validate(df, suite, name="wap")],
+        mode="append",
+    )
+    assert vt._manifest(v)["op"] == "wap_append"
+    assert _rows(vt.read(spark)) == [(1, "a"), (2, "b")]
