@@ -603,6 +603,73 @@ def q_stream_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@demo_query("q_table_replicate", oracle=STREAM_CDF_ORACLE)
+def q_table_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous table replication over the change feed
+    (``plans/versioned.py::replicate``): the q_stream_cdf scenario's
+    three commits (stale load → corrective MERGE → DELETE) stream out
+    of the source's materialized CDF and fold into a REPLICA table via
+    ``foreachBatch`` → ``apply_changes`` — per micro-batch the feed is
+    netted per key (latest commit wins, insert postimage beats its
+    same-commit delete preimage) and applied as one atomic
+    copy-on-write commit. Cost ∝ churn end-to-end: feed write, stream
+    read, netting shuffle, and CoW apply all scale with changed rows,
+    never table size — the property that makes a 100 TB replica
+    affordable to keep in sync. The oracle is the merge-then-delete
+    algebra evaluated against the REPLICA's head; a guard asserts the
+    replica actually went through the stream (its history is
+    stream-applied merge commits, not a bulk copy)."""
+    from ..plans.versioned import replicate
+
+    work = scratch_dir("spark_graft_replicate", unique=True)
+    src = VersionedTable(
+        os.path.join(work, "src"), stats_cols=["dt"], change_feed=True
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("cust_id"),
+        F.col("o_orderdate").cast("date").alias("dt"),
+        money("o_totalprice").alias("price"),
+    )
+
+    def daily(df: DataFrame) -> DataFrame:
+        return df.groupBy("cust_id", "dt").agg(
+            F.sum("price").cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("order_count"),
+        )
+
+    stale = daily(orders.filter(F.col("o_orderkey") % 10 != 0))
+    upd = (
+        daily(orders)
+        .filter(F.col("cust_id") % 7 == 0)
+        .withColumn("revenue", F.col("revenue") * 2)
+    )
+    src.write_full(stale.repartition(4))
+    src.merge_upsert(spark, upd, keys=["cust_id", "dt"])
+    src.delete_where(spark, "cust_id % 5 = 0")
+
+    dst = VersionedTable(os.path.join(work, "replica"))
+    q = replicate(
+        spark,
+        src,
+        dst,
+        keys=["cust_id", "dt"],
+        checkpoint_dir=os.path.join(work, "ckpt"),
+    )
+    q.awaitTermination(300)
+
+    ops = [h["op"] for h in dst.history()]
+    if not ops or set(ops) - {"merge", "overwrite"}:
+        raise AssertionError(f"replica history is not stream-applied: {ops}")
+    return dst.read(spark).select(
+        "cust_id",
+        F.col("dt").cast("date").alias("dt"),
+        "revenue",
+        F.col("order_count").cast("bigint").alias("order_count"),
+    )
+
+
 STREAM_MERGE_ORACLE = """
     SELECT CAST(ts AS DATE) AS dt,
            user_id AS cust_id,

@@ -132,6 +132,7 @@ EXTRA = [
     "q_stream_cdf",
     "q_table_clone",
     "q_wap_constraint",
+    "q_table_replicate",
 ]
 
 

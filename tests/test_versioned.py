@@ -680,3 +680,69 @@ def test_wap_append_mode_and_expectation_suite(spark, vt):
     )
     assert vt._manifest(v)["op"] == "wap_append"
     assert _rows(vt.read(spark)) == [(1, "a"), (2, "b")]
+
+
+# -- CDF-driven replication -------------------------------------------------
+
+
+def test_apply_changes_nets_multi_commit_batches(spark, cdf_vt, tmp_path):
+    from aws_lakehouse_project_spark.plans.versioned import (
+        VersionedTable,
+        apply_changes,
+    )
+
+    src = cdf_vt
+    src.write_full(_mk(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    src.merge_upsert(spark, _mk(spark, [(2, "B"), (4, "d")]), keys=["k"])
+    src.delete_where(spark, "k = 1")
+    feed = _feed(spark, src)  # all three commits in ONE batch
+    dst = VersionedTable(str(tmp_path / "dst"))
+    v = apply_changes(spark, dst, feed, keys=["k"])
+    assert v == 0  # one atomic commit
+    assert _rows(dst.read(spark)) == _rows(src.read(spark))
+
+
+def test_apply_changes_empty_batch_is_noop(spark, vt, tmp_path):
+    from aws_lakehouse_project_spark.plans.versioned import apply_changes
+
+    vt.write_full(_mk(spark, [(1, "a")]))
+    empty = spark.createDataFrame(
+        [], "_change_type string, k int, v string, _commit_version long"
+    )
+    assert apply_changes(spark, vt, empty, keys=["k"]) is None
+    assert vt.latest_version() == 0
+
+
+def test_replicate_streams_source_into_dest_incrementally(
+    spark, cdf_vt, tmp_path
+):
+    from aws_lakehouse_project_spark.plans.versioned import (
+        VersionedTable,
+        replicate,
+    )
+
+    src = cdf_vt
+    src.write_full(_mk(spark, [(1, "a"), (2, "b")]))
+    src.merge_upsert(spark, _mk(spark, [(1, "A"), (3, "c")]), keys=["k"])
+    dst = VersionedTable(str(tmp_path / "dst"))
+    ckpt = str(tmp_path / "ckpt")
+
+    q = replicate(spark, src, dst, keys=["k"], checkpoint_dir=ckpt)
+    q.awaitTermination(120)
+    assert _rows(dst.read(spark)) == _rows(src.read(spark))
+
+    # later source commits: a re-run with the SAME checkpoint applies
+    # only the new feed (exactly-once), and the replica converges again
+    src.delete_where(spark, "k = 2")
+    src.merge_upsert(spark, _mk(spark, [(5, "e")]), keys=["k"])
+    v_before = dst.latest_version()
+    q2 = replicate(spark, src, dst, keys=["k"], checkpoint_dir=ckpt)
+    q2.awaitTermination(120)
+    assert _rows(dst.read(spark)) == _rows(src.read(spark))
+    assert dst.latest_version() > v_before
+    # replaying an already-drained feed commits nothing (no empty-batch
+    # churn on the replica)
+    v_stable = dst.latest_version()
+    q3 = replicate(spark, src, dst, keys=["k"], checkpoint_dir=ckpt)
+    q3.awaitTermination(120)
+    assert dst.latest_version() == v_stable
