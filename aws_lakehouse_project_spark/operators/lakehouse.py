@@ -50,6 +50,45 @@ def _daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stale_and_upd(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The shared merge scenario of the versioned-table queries: the
+    STALE daily fact (orders with orderkey%10==0 missing) and the
+    corrective UPDATE set (every seventh customer recomputed from the
+    complete orders with doubled revenue). Keep in lock-step with the
+    %10/%7 literals in the oracles built on _DAILY_CTE."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("cust_id"),
+        F.col("o_orderdate").cast("date").alias("dt"),
+        money("o_totalprice").alias("price"),
+    )
+
+    def daily(df: DataFrame) -> DataFrame:
+        return df.groupBy("cust_id", "dt").agg(
+            F.sum("price").cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("order_count"),
+        )
+
+    stale = daily(orders.filter(F.col("o_orderkey") % 10 != 0))
+    upd = (
+        daily(orders)
+        .filter(F.col("cust_id") % 7 == 0)
+        .withColumn("revenue", F.col("revenue") * 2)
+    )
+    return stale, upd
+
+
+def _await_drained(q, timeout: int = 300) -> None:
+    """availableNow streams must fully drain before the sink is read; a
+    timed-out awaitTermination returns False WITHOUT stopping the query,
+    which would otherwise surface as a nondeterministic partial read."""
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise AssertionError(f"stream did not drain within {timeout}s")
+
+
 _DAILY_CTE = """
     daily AS (
       SELECT o_custkey AS cust_id, CAST(o_orderdate AS DATE) AS dt,
@@ -93,25 +132,7 @@ def q_versioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = scratch_dir("spark_graft_versioned", unique=True)
     vt = VersionedTable(os.path.join(work, "fact"), stats_cols=["dt"])
 
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        F.col("o_custkey").alias("cust_id"),
-        F.col("o_orderdate").cast("date").alias("dt"),
-        money("o_totalprice").alias("price"),
-    )
-
-    def daily(df: DataFrame) -> DataFrame:
-        return df.groupBy("cust_id", "dt").agg(
-            F.sum("price").cast("double").alias("revenue"),
-            F.count(F.lit(1)).alias("order_count"),
-        )
-
-    stale = daily(orders.filter(F.col("o_orderkey") % 10 != 0))
-    upd = (
-        daily(orders)
-        .filter(F.col("cust_id") % 7 == 0)
-        .withColumn("revenue", F.col("revenue") * 2)
-    )
+    stale, upd = _stale_and_upd(spark, sf_dir)
     vt.write_full(stale.repartition(4))
     vt.merge_upsert(spark, upd, keys=["cust_id", "dt"])
     return vt.read(spark).select(
@@ -234,25 +255,7 @@ def q_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = scratch_dir("spark_graft_tablechanges", unique=True)
     vt = VersionedTable(os.path.join(work, "fact"), stats_cols=["dt"])
 
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        F.col("o_custkey").alias("cust_id"),
-        F.col("o_orderdate").cast("date").alias("dt"),
-        money("o_totalprice").alias("price"),
-    )
-
-    def daily(df: DataFrame) -> DataFrame:
-        return df.groupBy("cust_id", "dt").agg(
-            F.sum("price").cast("double").alias("revenue"),
-            F.count(F.lit(1)).alias("order_count"),
-        )
-
-    stale = daily(orders.filter(F.col("o_orderkey") % 10 != 0))
-    upd = (
-        daily(orders)
-        .filter(F.col("cust_id") % 7 == 0)
-        .withColumn("revenue", F.col("revenue") * 2)
-    )
+    stale, upd = _stale_and_upd(spark, sf_dir)
     v0 = vt.write_full(stale.repartition(4))
     v1 = vt.merge_upsert(spark, upd, keys=["cust_id", "dt"])
     return vt.changes(spark, v0, v1).select(
@@ -548,25 +551,7 @@ def q_stream_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(work, "fact"), stats_cols=["dt"], change_feed=True
     )
 
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        F.col("o_custkey").alias("cust_id"),
-        F.col("o_orderdate").cast("date").alias("dt"),
-        money("o_totalprice").alias("price"),
-    )
-
-    def daily(df: DataFrame) -> DataFrame:
-        return df.groupBy("cust_id", "dt").agg(
-            F.sum("price").cast("double").alias("revenue"),
-            F.count(F.lit(1)).alias("order_count"),
-        )
-
-    stale = daily(orders.filter(F.col("o_orderkey") % 10 != 0))
-    upd = (
-        daily(orders)
-        .filter(F.col("cust_id") % 7 == 0)
-        .withColumn("revenue", F.col("revenue") * 2)
-    )
+    stale, upd = _stale_and_upd(spark, sf_dir)
     vt.write_full(stale.repartition(4))
     vt.merge_upsert(spark, upd, keys=["cust_id", "dt"])
     vt.delete_where(spark, "cust_id % 5 = 0")
@@ -580,7 +565,7 @@ def q_stream_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_drained(q)
 
     feed = spark.read.schema(vt.changes_schema()).parquet(sink)
     seen = {r["_commit_version"] for r in feed.select("_commit_version").distinct().collect()}
@@ -626,25 +611,7 @@ def q_table_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(work, "src"), stats_cols=["dt"], change_feed=True
     )
 
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        F.col("o_custkey").alias("cust_id"),
-        F.col("o_orderdate").cast("date").alias("dt"),
-        money("o_totalprice").alias("price"),
-    )
-
-    def daily(df: DataFrame) -> DataFrame:
-        return df.groupBy("cust_id", "dt").agg(
-            F.sum("price").cast("double").alias("revenue"),
-            F.count(F.lit(1)).alias("order_count"),
-        )
-
-    stale = daily(orders.filter(F.col("o_orderkey") % 10 != 0))
-    upd = (
-        daily(orders)
-        .filter(F.col("cust_id") % 7 == 0)
-        .withColumn("revenue", F.col("revenue") * 2)
-    )
+    stale, upd = _stale_and_upd(spark, sf_dir)
     src.write_full(stale.repartition(4))
     src.merge_upsert(spark, upd, keys=["cust_id", "dt"])
     src.delete_where(spark, "cust_id % 5 = 0")
@@ -657,7 +624,7 @@ def q_table_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["cust_id", "dt"],
         checkpoint_dir=os.path.join(work, "ckpt"),
     )
-    q.awaitTermination(300)
+    _await_drained(q)
 
     ops = [h["op"] for h in dst.history()]
     if not ops or set(ops) - {"merge", "overwrite"}:

@@ -144,6 +144,10 @@ class VersionedTable:
         self.path = path
         self.stats_cols = list(stats_cols)
         self.change_feed = change_feed
+        # constraint set the most recent _write_commit_files validated
+        # against; _commit compares it to the active set at claim time
+        # so a concurrently-added constraint can't be bypassed
+        self._validated_constraints: dict[str, str] | None = None
         os.makedirs(os.path.join(path, _LOG_DIR), exist_ok=True)
         os.makedirs(os.path.join(path, _DATA_DIR), exist_ok=True)
         if change_feed:
@@ -224,13 +228,17 @@ class VersionedTable:
             for n in sorted(os.listdir(abs_dir))
             if n.endswith(".parquet")
         ]
+        cons = self.constraints()
         try:
-            return rel, self._file_stats(
-                df.sparkSession, rel, constraints=self.constraints()
-            )
-        except ConstraintViolationError:
+            stats = self._file_stats(df.sparkSession, rel, constraints=cons)
+        except BaseException:
+            # constraint violation OR any stats/analysis failure (e.g. a
+            # constraint referencing a column the frame lacks): never
+            # leave the staged directory orphaned
             shutil.rmtree(abs_dir, ignore_errors=True)
             raise
+        self._validated_constraints = cons
+        return rel, stats
 
     def constraints(self) -> dict[str, str]:
         """Active CHECK constraints (name → SQL expression) from the
@@ -345,6 +353,22 @@ class VersionedTable:
                     else {}
                 )
             )
+            if (
+                constraints is None
+                and self._validated_constraints is not None
+                and active != self._validated_constraints
+            ):
+                # the files were constraint-checked against a set that a
+                # concurrent set/drop_constraint has since changed — the
+                # check may no longer cover the active set, so fail
+                # loudly instead of publishing unvalidated data (this
+                # also guards the append rebase path)
+                raise ConcurrentWriteError(
+                    f"{op} on {self.path}: CHECK constraints changed "
+                    f"concurrently (validated against "
+                    f"{sorted(self._validated_constraints)}, active now "
+                    f"{sorted(active)}); re-run the operation"
+                )
             manifest = {
                 "version": version,
                 "op": op,
@@ -355,6 +379,11 @@ class VersionedTable:
                 "constraints": active,
             }
             if self._claim_version(manifest):
+                if constraints is None:
+                    # this commit consumed the pending validation record;
+                    # explicit-constraint commits (set/drop/clone) leave
+                    # it for the data commit that produced it
+                    self._validated_constraints = None
                 return version
             if retry_append_files is None:
                 raise ConcurrentWriteError(
@@ -619,6 +648,28 @@ class VersionedTable:
                 "construct with change_feed=True (and backfill via "
                 "materialize_changes) before streaming"
             )
+        # completeness guard: every data commit at or above the start
+        # must have a materialized feed, else the replay contract would
+        # silently drop rows (e.g. a shallow clone's version 0, which is
+        # metadata-only by design — backfill with materialize_changes(
+        # spark, 0) or skip it with starting_version)
+        start = starting_version or 0
+        missing = [
+            v
+            for v in self.versions()
+            if v >= start
+            and self._manifest(v)["op"]
+            not in ("optimize", "set_constraint", "drop_constraint")
+            and not os.path.isdir(self._cdf_version_dir(v))
+        ]
+        if missing:
+            raise ValueError(
+                f"versions {missing} of {self.path} have no materialized "
+                "change feed (commits made with change_feed=False, or a "
+                "clone's metadata-only version 0): backfill each with "
+                "materialize_changes(spark, v) or skip them with "
+                "starting_version"
+            )
         root = os.path.join(self.path, _CDF_DIR)
         reader = spark.readStream.schema(self.changes_schema()).option(
             "basePath", root
@@ -647,7 +698,13 @@ class VersionedTable:
         if the target's files were already reclaimed. With
         ``change_feed`` enabled pass ``spark`` so the rollback's
         re-insert/delete rows reach the feed (cost ∝ the diff being
-        undone, not the table)."""
+        undone, not the table).
+
+        If CHECK constraints are active, the restored snapshot is
+        RE-VALIDATED against them (the target version may predate a
+        constraint) — this is the one restore that costs a scan; it is
+        the price of the no-manifest-references-violating-files
+        invariant. Pass ``spark`` whenever constraints are active."""
         if self.change_feed and spark is None:
             # validate BEFORE committing: a post-commit failure would
             # leave a published version with no feed entry
@@ -655,7 +712,36 @@ class VersionedTable:
                 f"change_feed is enabled on {self.path}: restore needs "
                 "spark= to materialize the rollback's change feed"
             )
+        cons = self.constraints()
+        if cons:
+            if spark is None:
+                raise ValueError(
+                    f"CHECK constraints {sorted(cons)} are active on "
+                    f"{self.path}: restore needs spark= to re-validate "
+                    "the restored snapshot against them"
+                )
+            snap = self.read(spark, version)
+            aggs = [
+                F.count_if(~F.coalesce(F.expr(e), F.lit(True))).alias(f"v{i}")
+                for i, e in enumerate(cons.values())
+            ]
+            row = snap.agg(*aggs).first()
+            bad = {
+                name: row[f"v{i}"]
+                for i, name in enumerate(cons)
+                if row[f"v{i}"] > 0
+            }
+            if bad:
+                raise ConstraintViolationError(
+                    f"cannot restore {self.path} to version {version}: "
+                    f"the snapshot violates active CHECK constraint(s) "
+                    f"{bad} — drop the constraint first or restore to a "
+                    "clean version"
+                )
         m = self._manifest(version)
+        # the snapshot was just validated against `cons`; the commit-time
+        # check then catches a constraint added concurrently
+        self._validated_constraints = cons
         v = self._commit(
             "restore",
             m["files"],
@@ -813,6 +899,7 @@ class VersionedTable:
         """
         if mode not in ("overwrite", "append"):
             raise ValueError(f"write_audit_publish mode must be overwrite|append, got {mode!r}")
+        audits = list(audits)  # may be a one-shot iterable
         hint = (self.latest_version() or 0) + 1
         files, stats = self._write_commit_files(df, hint)
         staged = self._read_files(spark, files, df.schema)
@@ -832,7 +919,7 @@ class VersionedTable:
                 cur["files"] + files,
                 {**cur["stats"], **stats},
                 self._merge_schema(cur["schema"], self._schema_json(df)),
-                {**(meta or {}), "audits": len(list(audits))},
+                {**(meta or {}), "audits": len(audits)},
                 retry_append_files=files,
             )
         else:
@@ -841,7 +928,7 @@ class VersionedTable:
                 files,
                 stats,
                 self._schema_json(df),
-                {**(meta or {}), "audits": len(list(audits))},
+                {**(meta or {}), "audits": len(audits)},
             )
         return self._maybe_cdf(spark, v)
 
@@ -1130,9 +1217,16 @@ def apply_changes(
         )
         .drop("__rn", "_change_type", "_commit_version")
     )
-    if net.isEmpty():
-        return None
-    return table.merge_apply(spark, net, keys, op_col="__op")
+    # the netted batch is small (∝ churn) and merge_apply consumes it
+    # several times (key discovery, upsert filter, survivor union) —
+    # materialize once instead of re-running the window shuffle per use
+    net = net.persist()
+    try:
+        if net.isEmpty():
+            return None
+        return table.merge_apply(spark, net, keys, op_col="__op")
+    finally:
+        net.unpersist()
 
 
 def replicate(

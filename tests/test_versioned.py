@@ -746,3 +746,110 @@ def test_replicate_streams_source_into_dest_incrementally(
     q3 = replicate(spark, src, dst, keys=["k"], checkpoint_dir=ckpt)
     q3.awaitTermination(120)
     assert dst.latest_version() == v_stable
+
+
+# -- review-pass regressions (constraint/CDF edge cases) --------------------
+
+
+def test_restore_revalidates_against_active_constraints(spark, vt):
+    from aws_lakehouse_project_spark.plans.versioned import (
+        ConstraintViolationError,
+    )
+
+    vt.write_full(_mk(spark, [(-5, "bad"), (1, "a")]))  # v0: dirty
+    vt.delete_where(spark, "k < 0")  # v1: clean
+    vt.add_constraint(spark, "k_nonneg", "k >= 0")  # v2: passes (head clean)
+    with pytest.raises(ConstraintViolationError, match="restore"):
+        vt.restore(0, spark=spark)
+    # constraints active but no spark: must refuse, not silently skip
+    with pytest.raises(ValueError, match="re-validate"):
+        vt.restore(1)
+    v = vt.restore(1, spark=spark)  # clean target restores fine
+    assert vt._manifest(v)["op"] == "restore"
+
+
+def test_constraint_added_concurrently_with_write_fails_loudly(spark, vt):
+    from aws_lakehouse_project_spark.plans.versioned import (
+        ConcurrentWriteError,
+    )
+
+    vt.write_full(_mk(spark, [(1, "a")]))
+    # simulate: writer validates its files (no constraints yet), then a
+    # concurrent ALTER TABLE ADD CONSTRAINT lands before its commit
+    files, stats = vt._write_commit_files(_mk(spark, [(-1, "x")]), 99)
+    vt.add_constraint(spark, "k_nonneg", "k >= 0")
+    cur = vt._manifest()
+    with pytest.raises(ConcurrentWriteError, match="constraints changed"):
+        vt._commit(
+            "append",
+            cur["files"] + files,
+            {**cur["stats"], **stats},
+            cur["schema"],
+            retry_append_files=files,
+        )
+    # the unvalidated data was never published
+    assert (-1, "x") not in _rows(vt.read(spark))
+
+
+def test_constraint_on_missing_column_cleans_up_stage(spark, vt):
+    vt.write_full(_mk(spark, [(1, "a")]))
+    vt.add_constraint(spark, "k_nonneg", "k >= 0")
+    other = spark.createDataFrame([(1,)], "z int")
+    with pytest.raises(Exception):
+        vt.write_full(other)  # constraint can't resolve on this frame
+    # no orphaned commit directory was left behind
+    m = vt._manifest()
+    on_disk = {
+        os.path.join("data", d, f)
+        for d in os.listdir(os.path.join(vt.path, "data"))
+        for f in os.listdir(os.path.join(vt.path, "data", d))
+        if f.endswith(".parquet")
+    }
+    assert on_disk == set(m["files"])
+
+
+def test_stream_changes_refuses_feedless_versions(spark, vt, tmp_path):
+    # commits made with change_feed=False have no feed; a later
+    # change_feed=True handle must fail loudly, then work after backfill
+    from aws_lakehouse_project_spark.plans.versioned import VersionedTable
+
+    vt.write_full(_mk(spark, [(1, "a")]))
+    vt2 = VersionedTable(vt.path, change_feed=True)
+    with pytest.raises(ValueError, match="no materialized change feed"):
+        vt2.stream_changes(spark)
+    vt2.materialize_changes(spark, 0)
+    assert vt2.stream_changes(spark) is not None  # guard satisfied
+
+
+def test_clone_with_change_feed_streams_after_backfill(spark, vt, tmp_path):
+    from aws_lakehouse_project_spark.plans.versioned import VersionedTable
+
+    vt.write_full(_mk(spark, [(1, "a"), (2, "b")]))
+    cl = vt.clone(str(tmp_path / "cl"), change_feed=True)
+    with pytest.raises(ValueError, match="no materialized change feed"):
+        cl.stream_changes(spark)
+    # explicit backfill (reads the snapshot once — the caller opts into
+    # that cost) or starting_version past the clone commit both work
+    assert cl.stream_changes(spark, starting_version=1) is not None
+    cl.materialize_changes(spark, 0)
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    q = (
+        cl.stream_changes(spark)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.schema(cl.changes_schema()).parquet(sink)
+    assert got.count() == 2  # the cloned snapshot arrived as inserts
+
+
+def test_wap_generator_audits_counted(spark, vt):
+    vt.write_full(_mk(spark, [(1, "a")]))
+    ran = []
+    auds = (a for a in [lambda df: ran.append(1), lambda df: ran.append(2)])
+    v = vt.write_audit_publish(spark, _mk(spark, [(2, "b")]), audits=auds)
+    assert ran == [1, 2]
+    assert vt._manifest(v)["meta"]["audits"] == 2
