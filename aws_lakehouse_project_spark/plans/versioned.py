@@ -1090,21 +1090,33 @@ class VersionedTable:
         self,
         spark: SparkSession,
         target_rows_per_file: int,
-        sort_within: Sequence[str] = (),
+        sort_within: Sequence = (),
         meta: dict | None = None,
+        rewrite_all: bool = False,
     ) -> int:
         """Incremental OPTIMIZE: bin-pack only files below the target
         into fewer right-sized files; full-sized files carry over by
         reference. Content-identical by construction (pure rewrite), so
         the new version's logical table equals the old one — readers of
         old snapshots are untouched. ``sort_within`` restores cluster
-        locality inside the rewritten files (pair with
-        ``sources.writers.zorder_value`` for multi-column layouts)."""
+        locality inside the rewritten files — column names OR Column
+        expressions (pass ``sources.writers.zorder_value(...)`` for a
+        Delta OPTIMIZE ZORDER BY: range-partitioning on the interleaved
+        key gives every rewritten file a narrow range in EVERY z-order
+        dimension, which is what manifest min/max skipping then prunes
+        on).
+
+        ``rewrite_all=True`` rewrites EVERY file, not just undersized
+        ones — Delta's OPTIMIZE ZORDER semantics, where re-clustering is
+        the point and a full-sized-but-badly-clustered file must not be
+        carried by reference; ``target_rows_per_file`` then only sizes
+        the output."""
         m = self._manifest()
         small = [
             f
             for f in m["files"]
-            if m["stats"].get(f, {}).get("rows", 0) < target_rows_per_file
+            if rewrite_all
+            or m["stats"].get(f, {}).get("rows", 0) < target_rows_per_file
         ]
         if len(small) <= 1:
             return self.latest_version()  # nothing to pack

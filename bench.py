@@ -133,6 +133,7 @@ EXTRA = [
     "q_table_clone",
     "q_wap_constraint",
     "q_table_replicate",
+    "q_optimize_zorder",
 ]
 
 

@@ -853,3 +853,24 @@ def test_wap_generator_audits_counted(spark, vt):
     v = vt.write_audit_publish(spark, _mk(spark, [(2, "b")]), audits=auds)
     assert ran == [1, 2]
     assert vt._manifest(v)["meta"]["audits"] == 2
+
+
+def test_optimize_rewrite_all_reclusters_full_sized_files(spark, vt):
+    # two full-sized but badly-clustered files: incremental optimize
+    # carries them; rewrite_all (ZORDER semantics) rewrites both
+    vt.write_full(
+        _mk(spark, [(i, "x") for i in range(100)]).repartition(2)
+    )
+    m0 = vt._manifest()
+    v_inc = vt.optimize(spark, target_rows_per_file=10)
+    assert v_inc == 0  # nothing under target -> no-op, no new version
+    v1 = vt.optimize(
+        spark, target_rows_per_file=50, sort_within=["k"], rewrite_all=True
+    )
+    m1 = vt._manifest(v1)
+    assert not set(m0["files"]) & set(m1["files"])  # every file rewritten
+    # range layout restored: per-file k-ranges are disjoint
+    spans = sorted(m1["stats"][f]["k"] for f in m1["files"])
+    for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2
+    assert _rows(vt.read(spark)) == _rows(vt.read(spark, version=0))
