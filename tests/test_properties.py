@@ -507,3 +507,68 @@ def test_planes_for_sql_python_parity(n):
     ).fetchone()[0]
     assert got_np == planes_for(n, _SCALED_TARGET), n
     assert got_nb == banded_bits_for(n), n
+
+
+# -- versioned-table CDF: replay ≡ head for ANY commit sequence -------------
+
+ops_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["upsert", "delete", "append_new"]),
+        st.sets(st.integers(min_value=0, max_value=9), min_size=1, max_size=4),
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+@given(base=st.sets(st.integers(min_value=0, max_value=9), min_size=1, max_size=8),
+       ops=ops_strategy)
+@settings(**SLOW)
+def test_cdf_replay_reconstructs_head_for_any_history(spark, tmp_path_factory, base, ops):
+    """For ANY sequence of upsert/delete/append commits, applying the
+    materialized change feed in commit order (latest change per key
+    wins; insert postimage beats its same-commit delete preimage)
+    rebuilds the head snapshot exactly — the contract every CDC
+    consumer (q_stream_cdf, q_table_replicate) rests on."""
+    from pyspark.sql import Row, Window
+
+    from aws_lakehouse_project_spark.plans.versioned import VersionedTable
+
+    work = tmp_path_factory.mktemp("cdfprop")
+    vt = VersionedTable(str(work / "t"), change_feed=True)
+
+    def mk(keys, tag):
+        return spark.createDataFrame(
+            [Row(k=k, v=f"{tag}{k}") for k in sorted(keys)], "k int, v string"
+        )
+
+    vt.write_full(mk(base, "b"))
+    for i, (op, keys) in enumerate(ops):
+        if op == "upsert":
+            vt.merge_upsert(spark, mk(keys, f"u{i}_"), keys=["k"])
+        elif op == "delete":
+            pred = " OR ".join(f"k = {k}" for k in keys)
+            vt.delete_where(spark, pred)
+        else:  # append of guaranteed-new keys (shifted out of range)
+            vt.append(mk({k + 100 + 10 * i for k in keys}, f"a{i}_"))
+
+    import os
+
+    root = os.path.join(vt.path, "_change_data")
+    feed = (
+        spark.read.option("basePath", root)
+        .schema(vt.changes_schema())
+        .parquet(root)
+    )
+    w = Window.partitionBy("k").orderBy(
+        F.desc("_commit_version"),
+        F.when(F.col("_change_type") == "insert", 1).otherwise(0).desc(),
+    )
+    head = (
+        feed.withColumn("__rn", F.row_number().over(w))
+        .filter("__rn = 1 AND _change_type = 'insert'")
+        .select("k", "v")
+    )
+    assert sorted(map(tuple, head.collect())) == sorted(
+        map(tuple, vt.read(spark).collect())
+    )
