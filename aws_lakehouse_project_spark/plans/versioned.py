@@ -1147,12 +1147,17 @@ class VersionedTable:
             {**(meta or {}), "packed_files": len(small), "packed_into": len(files)},
         )
 
-    def vacuum(self, retain_last: int = 1) -> dict:
+    def vacuum(self, retain_last: int = 1, dry_run: bool = False) -> dict:
         """Reclaim data files referenced ONLY by versions older than the
         last ``retain_last``; expired manifests are dropped too (time
         travel below the horizon raises ``VacuumedVersionError``). Never
         touches files any retained version references, so readers of
-        retained snapshots are safe."""
+        retained snapshots are safe.
+
+        ``dry_run=True`` (Delta's ``VACUUM ... DRY RUN``) reports the
+        exact reclaim set — file paths, versions, change-feed dirs —
+        without touching anything, so an operator can audit the blast
+        radius before an irreversible delete."""
         if retain_last < 1:
             raise ValueError("vacuum must retain at least the head version")
         vs = self.versions()
@@ -1162,6 +1167,7 @@ class VersionedTable:
         for v in keep_vs:
             live |= set(self._manifest(v)["files"])
         removed_files = 0
+        doomed: list[str] = []
         data_root = os.path.join(self.path, _DATA_DIR)
         for dirpath, _dirnames, filenames in os.walk(data_root, topdown=False):
             for n in filenames:
@@ -1170,20 +1176,26 @@ class VersionedTable:
                 if rel not in live and (
                     n.endswith(".parquet") or n.startswith(("_", "."))
                 ):
-                    os.unlink(p)
                     if n.endswith(".parquet"):
                         removed_files += 1
-            if dirpath != data_root and not os.listdir(dirpath):
+                        doomed.append(rel)
+                    if not dry_run:
+                        os.unlink(p)
+            if not dry_run and dirpath != data_root and not os.listdir(dirpath):
                 os.rmdir(dirpath)
         removed_cdf = 0
         for v in drop_vs:
-            os.unlink(self._log_path(v))
             cdf = self._cdf_version_dir(v)
             if os.path.isdir(cdf):
-                shutil.rmtree(cdf)
                 removed_cdf += 1
+                if not dry_run:
+                    shutil.rmtree(cdf)
+            if not dry_run:
+                os.unlink(self._log_path(v))
         return {
+            "dry_run": dry_run,
             "removed_data_files": removed_files,
+            "removed_files": sorted(doomed),
             "removed_versions": len(drop_vs),
             "removed_change_feeds": removed_cdf,
             "retained_versions": keep_vs,

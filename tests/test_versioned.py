@@ -874,3 +874,19 @@ def test_optimize_rewrite_all_reclusters_full_sized_files(spark, vt):
     for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
         assert hi1 < lo2
     assert _rows(vt.read(spark)) == _rows(vt.read(spark, version=0))
+
+
+def test_vacuum_dry_run_reports_without_deleting(spark, vt):
+    vt.write_full(_mk(spark, [(1, "a")]))
+    vt.write_full(_mk(spark, [(2, "b")]))
+    dry = vt.vacuum(retain_last=1, dry_run=True)
+    assert dry["dry_run"] is True
+    assert dry["removed_versions"] == 1 and dry["removed_data_files"] >= 1
+    assert all(f.startswith("data") for f in dry["removed_files"])
+    # nothing actually touched: old snapshot still readable
+    assert _rows(vt.read(spark, version=0)) == [(1, "a")]
+    # the real vacuum removes exactly what the dry run reported
+    real = vt.vacuum(retain_last=1)
+    assert real["removed_files"] == dry["removed_files"]
+    with pytest.raises(VacuumedVersionError):
+        vt.read(spark, version=0)
