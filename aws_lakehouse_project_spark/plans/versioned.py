@@ -35,9 +35,13 @@ metadata tree use, re-expressed minimally:
   docstring promises exactly this manifest-based upgrade); ``vacuum``
   drops data files referenced only by expired versions.
 - **Optimistic concurrency**: version N is claimed with an atomic
-  ``os.link`` (fails if a competitor won); appends rebase and retry,
-  copy-on-write ops fail loudly with ``ConcurrentWriteError`` (their
-  read snapshot may be stale — the caller must re-run on the new head).
+  ``os.link`` (fails if a competitor won). Blind appends rebase onto
+  the CURRENT head on every claim attempt (the CAS alone can't catch a
+  competitor that committed before our first claim — it would win a
+  fresh version number with a stale file list); copy-on-write ops carry
+  their snapshot version as ``expected_head`` and fail loudly with
+  ``ConcurrentWriteError`` if ANY commit landed since — the caller must
+  re-run on the new head.
 
 Local-filesystem scope: atomicity rides on POSIX link/rename semantics.
 An S3 deployment would swap ``_claim_version`` for a conditional PUT
@@ -335,15 +339,47 @@ class VersionedTable:
         meta: dict | None = None,
         retry_append_files: list[str] | None = None,
         constraints: dict[str, str] | None = None,
+        expected_head: int | None = None,
     ) -> int:
         """Publish a new version. ``retry_append_files`` marks the commit
-        as an append of exactly those files: on a lost race it rebases on
-        the winner's file set and retries; other ops raise.
+        as an append of exactly those files: it is rebased onto the
+        CURRENT head on every attempt — not just after a failed claim —
+        because the version-number CAS alone cannot catch a competitor
+        that committed between this writer's snapshot read and its first
+        claim (the claim would succeed at head+1 with a stale file list
+        and silently drop the competitor's files — found by the 8-writer
+        stress test). Non-append ops raise on any lost race.
+
+        ``expected_head`` is the optimistic-concurrency token for
+        copy-on-write ops: the version their read snapshot came from.
+        If ANY commit landed since — even one that would get a fresh
+        version number — the snapshot-derived file set is stale and the
+        commit raises instead of silently clobbering the competitor.
+
         ``constraints=None`` inherits the head's CHECK constraints;
         add/drop_constraint pass the updated set explicitly."""
+        own_stats = (
+            {f: stats[f] for f in retry_append_files if f in stats}
+            if retry_append_files is not None
+            else {}
+        )
         while True:
             head = self.latest_version()
             version = 0 if head is None else head + 1
+            if expected_head is not None and head != expected_head:
+                raise ConcurrentWriteError(
+                    f"{op} on {self.path}: snapshot read at version "
+                    f"{expected_head} but head is now {head}; the "
+                    "copy-on-write file set is stale — re-read the head "
+                    "and re-run"
+                )
+            if retry_append_files is not None and head is not None:
+                # rebase the blind append onto whatever the head is NOW:
+                # head files + ours, head stats + ours, schema union
+                base = self._manifest(head)
+                files = base["files"] + retry_append_files
+                stats = {**base["stats"], **own_stats}
+                schema_json = self._merge_schema(base["schema"], schema_json)
             active = (
                 constraints
                 if constraints is not None
@@ -391,11 +427,8 @@ class VersionedTable:
                     "by a concurrent writer; the copy-on-write snapshot "
                     "is stale — re-read the head and re-run"
                 )
-            # append rebase: winner's files + ours (stats keyed per file
-            # merge the same way); loop to claim the next number
-            winner = self._manifest()
-            files = winner["files"] + retry_append_files
-            stats = {**winner["stats"], **{f: stats[f] for f in retry_append_files if f in stats}}
+            # lost the claim: loop — the next iteration rebases onto the
+            # winner's head before trying the next version number
 
     @staticmethod
     def _schema_json(df: DataFrame) -> dict:
@@ -740,7 +773,8 @@ class VersionedTable:
                 )
         m = self._manifest(version)
         # the snapshot was just validated against `cons`; the commit-time
-        # check then catches a constraint added concurrently
+        # check then catches a constraint added concurrently, and
+        # expected_head catches any other commit racing the rollback
         self._validated_constraints = cons
         v = self._commit(
             "restore",
@@ -748,6 +782,7 @@ class VersionedTable:
             m["stats"],
             m["schema"],
             {**(meta or {}), "restored_version": version},
+            expected_head=self.latest_version(),
         )
         return self._maybe_cdf(spark, v)
 
@@ -858,6 +893,7 @@ class VersionedTable:
             m["schema"],
             {"constraint": name, "expr": expr},
             constraints=cons,
+            expected_head=m["version"],
         )
 
     def drop_constraint(self, name: str) -> int:
@@ -874,6 +910,7 @@ class VersionedTable:
             m["schema"],
             {"constraint": name},
             constraints=cons,
+            expected_head=m["version"],
         )
 
     def write_audit_publish(
@@ -1004,6 +1041,7 @@ class VersionedTable:
             {**{f: m["stats"][f] for f in untouched if f in m["stats"]}, **stats},
             m["schema"],
             {**(meta or {}), "touched_files": len(touched), "total_files": len(m["files"])},
+            expected_head=m["version"],
         )
         return self._maybe_cdf(spark, v)
 
@@ -1036,6 +1074,7 @@ class VersionedTable:
             {**{f: m["stats"][f] for f in untouched if f in m["stats"]}, **stats},
             m["schema"],
             {**(meta or {}), "touched_files": len(touched)},
+            expected_head=m["version"],
         )
         return self._maybe_cdf(spark, v)
 
@@ -1081,6 +1120,7 @@ class VersionedTable:
             {**{f: m["stats"][f] for f in untouched if f in m["stats"]}, **stats},
             m["schema"],
             {**(meta or {}), "touched_files": len(touched)},
+            expected_head=m["version"],
         )
         return self._maybe_cdf(spark, v)
 
@@ -1145,6 +1185,7 @@ class VersionedTable:
             {**{f: m["stats"][f] for f in big if f in m["stats"]}, **stats},
             m["schema"],
             {**(meta or {}), "packed_files": len(small), "packed_into": len(files)},
+            expected_head=m["version"],
         )
 
     def vacuum(self, retain_last: int = 1, dry_run: bool = False) -> dict:

@@ -890,3 +890,51 @@ def test_vacuum_dry_run_reports_without_deleting(spark, vt):
     assert real["removed_files"] == dry["removed_files"]
     with pytest.raises(VacuumedVersionError):
         vt.read(spark, version=0)
+
+
+def test_concurrent_append_stress_many_writers(spark, vt):
+    """8 threads x 3 appends race on one table: the os.link CAS must
+    serialize every commit (no lost updates, no duplicate versions) and
+    the final head must contain every appended row exactly once."""
+    import threading
+
+    vt.write_full(_mk(spark, [(-1, "base")]))
+    errors = []
+
+    def writer(tid: int) -> None:
+        try:
+            for j in range(3):
+                k = 100 * tid + j
+                vt.append(_mk(spark, [(k, f"w{tid}_{j}")]))
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(t,)) for t in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
+    rows = _rows(vt.read(spark))
+    assert len(rows) == 1 + 8 * 3
+    assert len(set(rows)) == len(rows)  # no duplicates
+    vs = vt.versions()
+    assert vs == sorted(set(vs))  # dense, unique version chain
+    # history row counts are strictly increasing (each append landed)
+    counts = [h["n_rows"] for h in vt.history()]
+    assert counts == sorted(counts) and counts[-1] == 25
+
+
+def test_cow_commit_rejects_any_intervening_commit(spark, vt):
+    """expected_head optimistic concurrency: a CoW commit whose snapshot
+    predates ANY later commit must raise, even though its version-number
+    claim would succeed — without this the competitor's commit would be
+    silently clobbered."""
+    vt.write_full(_mk(spark, [(1, "a")]))
+    m = vt._manifest()  # CoW op reads its snapshot at v0...
+    vt.append(_mk(spark, [(2, "b")]))  # ...competitor lands v1
+    with pytest.raises(ConcurrentWriteError, match="snapshot read at version 0"):
+        vt._commit(
+            "merge", m["files"], m["stats"], m["schema"], expected_head=0
+        )
+    assert _rows(vt.read(spark)) == [(1, "a"), (2, "b")]  # nothing lost
