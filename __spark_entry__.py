@@ -37,15 +37,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # scan/fact/staging core). Ledger entering r7 (CORRECTNESS union): 158
 # queries, latest-green r6: 50, r5: 37, r4: 41, r3: 30.
 #
-# ROUND-8 ROTATION NOTE: EIGHT queries registered late in r7 have no
+# ROUND-8 ROTATION NOTE: NINE queries registered late in r7 have no
 # driver row yet and MUST open the r8 window: q_table_changes (CDF
 # read), q_table_restore, q_scan_skipping, q_stream_cdf (streaming CDC
 # source over the materialized change feed), q_table_clone (shallow
 # clone + CoW merge across the borrow boundary), q_wap_constraint
 # (CHECK constraints + write-audit-publish), q_table_replicate
 # (CDF-stream → foreachBatch replica), q_optimize_zorder (OPTIMIZE
-# ZORDER BY + stats-pruning guard; all lakehouse.py; fresh-process
-# oracle-checked at sf0.001+sf0.01+sf0.1 this round, BASELINE.md).
+# ZORDER BY + stats-pruning guard), q_table_history (DESCRIBE HISTORY
+# audit surface; all lakehouse.py; fresh-process oracle-checked at
+# sf0.001+sf0.01+sf0.1 this round, BASELINE.md).
 # After those, 28 r4-green rows did NOT fit this window
 # (q_agg_count, q_agg_count_filter, q_agg_sum, q_asof_join, q_bool_agg,
 # q_bound_check, q_dedup_anti_join, q_except, q_expectation_suite,

@@ -637,6 +637,59 @@ def q_table_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TABLE_HISTORY_ORACLE = f"""
+    WITH {_DAILY_CTE},
+    stale AS (
+      SELECT o_custkey AS cust_id, CAST(o_orderdate AS DATE) AS dt,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+             CAST(COUNT(*) AS BIGINT) AS order_count
+      FROM orders WHERE o_orderkey % 10 <> 0 GROUP BY 1, 2
+    ),
+    upd AS (
+      SELECT cust_id, dt, revenue * 2 AS revenue, order_count
+      FROM daily WHERE cust_id % 7 = 0
+    ),
+    merged AS (
+      SELECT cust_id, dt FROM stale WHERE cust_id % 7 <> 0
+      UNION ALL
+      SELECT cust_id, dt FROM upd
+    )
+    SELECT CAST(0 AS BIGINT) AS version, 'overwrite' AS op,
+           CAST((SELECT COUNT(*) FROM stale) AS BIGINT) AS n_rows
+    UNION ALL
+    SELECT 1, 'merge', CAST((SELECT COUNT(*) FROM merged) AS BIGINT)
+    UNION ALL
+    SELECT 2, 'delete',
+           CAST((SELECT COUNT(*) FROM merged WHERE cust_id % 5 <> 0) AS BIGINT)
+    UNION ALL
+    SELECT 3, 'restore', CAST((SELECT COUNT(*) FROM merged) AS BIGINT)
+"""
+
+
+@demo_query("q_table_history", oracle=TABLE_HISTORY_ORACLE)
+def q_table_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY on the transaction layer: the audit surface an
+    operator reads before a RESTORE or VACUUM. The shared scenario runs
+    overwrite → MERGE → DELETE → RESTORE and the query returns the
+    history's deterministic core — (version, op, n_rows) per commit,
+    n_rows derived from the manifests' per-file stats, no data scan —
+    with each row's count independently recomputed by the oracle from
+    the orders algebra. A history that dropped a version, misattributed
+    an op, or mis-summed file stats hash-mismatches."""
+    work = scratch_dir("spark_graft_history", unique=True)
+    vt = VersionedTable(os.path.join(work, "fact"), stats_cols=["dt"])
+    stale, upd = _stale_and_upd(spark, sf_dir)
+    v0 = vt.write_full(stale.repartition(4))
+    vt.merge_upsert(spark, upd, keys=["cust_id", "dt"])
+    vt.delete_where(spark, "cust_id % 5 = 0")
+    vt.restore(1, spark=spark)
+    hist = vt.history()
+    return spark.createDataFrame(
+        [(h["version"], h["op"], h["n_rows"]) for h in hist],
+        "version bigint, op string, n_rows bigint",
+    )
+
+
 OPTIMIZE_ZORDER_ORACLE = f"""
     WITH daily AS (
       SELECT o_custkey AS cust_id,

@@ -134,6 +134,7 @@ EXTRA = [
     "q_wap_constraint",
     "q_table_replicate",
     "q_optimize_zorder",
+    "q_table_history",
 ]
 
 
