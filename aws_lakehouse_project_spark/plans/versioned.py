@@ -131,6 +131,24 @@ def _fmt_version(v: int) -> str:
     return f"{v:08d}.json"
 
 
+def _violation_expr(expr: str) -> Column:
+    """Per-row CHECK violation predicate, standard SQL semantics: only
+    FALSE violates; NULL (unknown) passes."""
+    return ~F.coalesce(F.expr(expr), F.lit(True))
+
+
+def _count_violations(df: DataFrame, cons: dict) -> dict:
+    """One aggregate over ``df`` counting violations of every active
+    constraint; returns {name: n_violations} for the non-zero ones."""
+    if not cons:
+        return {}
+    names = list(cons)
+    row = df.agg(
+        *[F.count_if(_violation_expr(cons[n])).alias(f"v{i}") for i, n in enumerate(names)]
+    ).first()
+    return {n: row[f"v{i}"] for i, n in enumerate(names) if row[f"v{i}"] > 0}
+
+
 class VersionedTable:
     """A versioned parquet table rooted at ``path`` (see module doc).
 
@@ -276,11 +294,7 @@ class VersionedTable:
                 aggs.append(F.min(c).alias(f"__min_{c}"))
                 aggs.append(F.max(c).alias(f"__max_{c}"))
         for i, (_, expr) in enumerate(cons):
-            aggs.append(
-                F.count_if(~F.coalesce(F.expr(expr), F.lit(True))).alias(
-                    f"__viol_{i}"
-                )
-            )
+            aggs.append(F.count_if(_violation_expr(expr)).alias(f"__viol_{i}"))
         rows = (
             spark.read.parquet(*abs_files)
             .groupBy(F.input_file_name().alias("__file"))
@@ -753,17 +767,7 @@ class VersionedTable:
                     f"{self.path}: restore needs spark= to re-validate "
                     "the restored snapshot against them"
                 )
-            snap = self.read(spark, version)
-            aggs = [
-                F.count_if(~F.coalesce(F.expr(e), F.lit(True))).alias(f"v{i}")
-                for i, e in enumerate(cons.values())
-            ]
-            row = snap.agg(*aggs).first()
-            bad = {
-                name: row[f"v{i}"]
-                for i, name in enumerate(cons)
-                if row[f"v{i}"] > 0
-            }
+            bad = _count_violations(self.read(spark, version), cons)
             if bad:
                 raise ConstraintViolationError(
                     f"cannot restore {self.path} to version {version}: "
@@ -875,15 +879,11 @@ class VersionedTable:
         cons = dict(m.get("constraints", {}))
         if name in cons:
             raise ValueError(f"constraint {name!r} already exists: {cons[name]!r}")
-        viol = (
-            self.read(spark)
-            .agg(F.count_if(~F.coalesce(F.expr(expr), F.lit(True))).alias("v"))
-            .first()["v"]
-        )
-        if viol:
+        bad = _count_violations(self.read(spark), {name: expr})
+        if bad:
             raise ConstraintViolationError(
                 f"cannot add CHECK constraint {name!r} ({expr}): "
-                f"{viol} existing row(s) violate it"
+                f"{bad[name]} existing row(s) violate it"
             )
         cons[name] = expr
         return self._commit(
