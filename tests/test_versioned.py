@@ -938,3 +938,27 @@ def test_cow_commit_rejects_any_intervening_commit(spark, vt):
             "merge", m["files"], m["stats"], m["schema"], expected_head=0
         )
     assert _rows(vt.read(spark)) == [(1, "a"), (2, "b")]  # nothing lost
+
+
+def test_replicate_surfaces_replica_constraint_violation(spark, cdf_vt, tmp_path):
+    """Composition: a replica with its own CHECK constraint must fail
+    the replication stream LOUDLY when the source feed carries a
+    violating row — never publish it, never drop it silently."""
+    from aws_lakehouse_project_spark.plans.versioned import (
+        VersionedTable,
+        replicate,
+    )
+
+    src = cdf_vt
+    src.write_full(_mk(spark, [(1, "a")]))
+    dst = VersionedTable(str(tmp_path / "dst"))
+    dst.write_full(_mk(spark, [(1, "a")]))
+    dst.add_constraint(spark, "k_nonneg", "k >= 0")
+    src.append(_mk(spark, [(-7, "bad")]))  # violates the REPLICA's rule
+    q = replicate(
+        spark, src, dst, keys=["k"], checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    with pytest.raises(Exception, match="k_nonneg"):
+        q.awaitTermination(120)
+        raise AssertionError("replication published a constraint violation")
+    assert (-7, "bad") not in _rows(dst.read(spark))
