@@ -233,10 +233,19 @@ TABLE_CHANGES_ORACLE = f"""
       SELECT cust_id, dt, revenue, order_count FROM upd
     ),
     ins AS (SELECT * FROM v1 EXCEPT ALL SELECT * FROM stale),
-    del AS (SELECT * FROM stale EXCEPT ALL SELECT * FROM v1)
-    SELECT 'insert' AS change_type, cust_id, dt, revenue, order_count FROM ins
+    del AS (SELECT * FROM stale EXCEPT ALL SELECT * FROM v1),
+    ukeys AS (
+      SELECT cust_id, dt FROM ins INTERSECT SELECT cust_id, dt FROM del
+    )
+    SELECT CASE WHEN u.cust_id IS NOT NULL
+                THEN 'update_postimage' ELSE 'insert' END AS change_type,
+           i.cust_id, i.dt, i.revenue, i.order_count
+    FROM ins i LEFT JOIN ukeys u ON i.cust_id = u.cust_id AND i.dt = u.dt
     UNION ALL
-    SELECT 'delete' AS change_type, cust_id, dt, revenue, order_count FROM del
+    SELECT CASE WHEN u.cust_id IS NOT NULL
+                THEN 'update_preimage' ELSE 'delete' END AS change_type,
+           d.cust_id, d.dt, d.revenue, d.order_count
+    FROM del d LEFT JOIN ukeys u ON d.cust_id = u.cust_id AND d.dt = u.dt
 """
 
 
@@ -247,9 +256,12 @@ def q_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed from the manifests' file diff so only churned files are
     read — never two full snapshots (``plans/versioned.py::changes``).
     The oracle is the same net diff as EXCEPT ALL algebra over the two
-    logical states: updates appear as delete+insert pairs, survivor
-    rows copied into rewritten files cancel out, inserts of brand-new
-    keys appear once. A unit test (test_changes_reads_only_churned_
+    logical states: a key present on both sides of the diff is an
+    update, tagged as its ``update_preimage``/``update_postimage`` pair
+    (Delta CDF's vocabulary, pairable because a MERGE commit records
+    its ``merge_keys`` in the manifest); survivor rows copied into
+    rewritten files cancel out; brand-new keys appear once as
+    ``insert``. A unit test (test_changes_reads_only_churned_
     files) pins the only-churn scan property; this query pins the
     row-level semantics against DuckDB."""
     work = scratch_dir("spark_graft_tablechanges", unique=True)
@@ -572,13 +584,15 @@ def q_stream_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     if seen != {0, 1, 2}:
         raise AssertionError(f"stream delivered commits {sorted(seen)}, want [0, 1, 2]")
 
+    post = F.col("_change_type").isin("insert", "update_postimage")
     w = Window.partitionBy("cust_id", "dt").orderBy(
         F.desc("_commit_version"),
-        F.when(F.col("_change_type") == "insert", 1).otherwise(0).desc(),
+        F.when(post, 1).otherwise(0).desc(),
     )
     return (
         feed.withColumn("__rn", F.row_number().over(w))
-        .filter("__rn = 1 AND _change_type = 'insert'")
+        .filter(F.col("__rn") == 1)
+        .filter(post)
         .select(
             "cust_id",
             F.col("dt").cast("date").alias("dt"),

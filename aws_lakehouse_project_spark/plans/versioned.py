@@ -326,11 +326,21 @@ class VersionedTable:
             by_rel.setdefault(f, {"rows": 0})
         return by_rel
 
-    def _to_rel(self, file_uri: str) -> str:
+    def _borrowed_files(self) -> frozenset:
+        """Absolute-path files the head manifest references — a shallow
+        clone borrowing its source's data (see ``clone``). Empty for
+        ordinary tables."""
+        if not self.exists():
+            return frozenset()
+        return frozenset(f for f in self._manifest()["files"] if os.path.isabs(f))
+
+    def _to_rel(self, file_uri: str, borrowed: frozenset | None = None) -> str:
         """Normalize an ``input_file_name()`` URI to its manifest key:
-        root-relative for files this table owns, absolute for borrowed
-        files (a shallow clone's manifest references the source table's
-        files by absolute path — see ``clone``)."""
+        root-relative for files this table owns; absolute ONLY for files
+        the current manifest already borrows by absolute path (a shallow
+        clone referencing its source — see ``clone``). Any other
+        out-of-root file is a misconfigured path/symlink and fails
+        loudly instead of silently minting an absolute manifest key."""
         p = file_uri
         if p.startswith("file:"):
             p = p[len("file:"):]
@@ -339,7 +349,16 @@ class VersionedTable:
         root = os.path.abspath(self.path) + os.sep
         p = os.path.abspath(p)
         if not p.startswith(root):
-            return p
+            if borrowed is None:
+                borrowed = self._borrowed_files()
+            if p in borrowed:
+                return p
+            raise ValueError(
+                f"file {p} lies outside table root {self.path} and is "
+                "not a borrowed clone file in the current manifest — "
+                "refusing to commit an absolute manifest key (check for "
+                "a misconfigured path or symlinked data directory)"
+            )
         return p[len(root):]
 
     # -- commit -------------------------------------------------------------
@@ -592,13 +611,20 @@ class VersionedTable:
         touching 0.1% of files yields a change feed that reads 0.2% of
         the data (removed + rewritten), not two full snapshots.
 
-        Returns the net multiset diff with a ``_change_type`` column:
-        rows present at ``to_version`` but not ``from_version`` are
-        ``insert``; rows gone are ``delete``. An UPDATE therefore
-        appears as its delete+insert pair (CDF preimage/postimage);
-        survivor rows copied verbatim into rewritten files cancel out
-        via ``exceptAll``. A pure-layout commit (OPTIMIZE) produces an
-        empty feed by construction.
+        Returns the net multiset diff with a ``_change_type`` column
+        carrying Delta CDF's full vocabulary: rows present at
+        ``to_version`` but not ``from_version`` are ``insert``; rows
+        gone are ``delete`` — EXCEPT when the diff spans exactly one
+        MERGE commit, whose manifest records its ``merge_keys``: then a
+        key present on both sides is an update, and its delete/insert
+        pair is tagged ``update_preimage`` / ``update_postimage``
+        (consumers ported from Delta can distinguish an update from an
+        unrelated delete+insert). Multi-version diffs keep the plain
+        insert/delete net-diff semantics — pairing across several
+        commits has no single key contract. Survivor rows copied
+        verbatim into rewritten files cancel out via ``exceptAll``; a
+        pure-layout commit (OPTIMIZE) produces an empty feed by
+        construction.
         """
         m_from = self._manifest(from_version)
         m_to = self._manifest(to_version)
@@ -611,6 +637,31 @@ class VersionedTable:
         removed_rows = self._read_files(spark, removed, schema)
         inserts = added_rows.exceptAll(removed_rows)
         deletes = removed_rows.exceptAll(added_rows)
+        keys = (
+            m_to["meta"].get("merge_keys")
+            if m_to["version"] == m_from["version"] + 1
+            else None
+        )
+        if keys:
+            # distinct keys present on BOTH sides = updates (∝ churn,
+            # never table size; AQE broadcasts the small side)
+            upd_keys = (
+                inserts.select(*keys)
+                .intersect(deletes.select(*keys))
+                .withColumn("__upd", F.lit(1))
+            )
+
+            def _tag(df: DataFrame, upd: str, plain: str) -> DataFrame:
+                return df.join(upd_keys, list(keys), "left").select(
+                    F.when(F.col("__upd").isNotNull(), F.lit(upd))
+                    .otherwise(F.lit(plain))
+                    .alias("_change_type"),
+                    *[f.name for f in schema.fields],
+                )
+
+            return _tag(inserts, "update_postimage", "insert").unionByName(
+                _tag(deletes, "update_preimage", "delete")
+            )
         return inserts.select(
             F.lit("insert").alias("_change_type"), "*"
         ).unionByName(deletes.select(F.lit("delete").alias("_change_type"), "*"))
@@ -633,7 +684,17 @@ class VersionedTable:
         by re-calling with the same version. Layout-only commits
         (OPTIMIZE) have an empty feed by construction and write nothing
         (returns None); version 0's feed is the initial snapshot as
-        inserts."""
+        inserts.
+
+        Each version's feed is coalesced to a SINGLE parquet file: a
+        Structured Streaming file source assigns whole files to
+        micro-batches, so one-file-per-version guarantees a commit can
+        never split across batches (a split could deliver a key's
+        delete-preimage after its insert-postimage was already applied
+        — a replica would permanently lose the row). A commit's feed is
+        churn-sized, not table-sized, so one file holds it comfortably;
+        ``replicate`` additionally folds by whole-version ranges and is
+        correct even for a sharded feed."""
         m = self._manifest(version)
         if m["op"] in ("optimize", "set_constraint", "drop_constraint"):
             return None  # layout/metadata-only: empty feed by construction
@@ -644,7 +705,7 @@ class VersionedTable:
         else:
             feed = self.changes(spark, version - 1, version)
         out = self._cdf_version_dir(version)
-        feed.write.mode("overwrite").parquet(out)
+        feed.coalesce(1).write.mode("overwrite").parquet(out)
         return out
 
     def _maybe_cdf(self, spark: SparkSession | None, version: int) -> int:
@@ -992,8 +1053,12 @@ class VersionedTable:
         """Distinct manifest-relative files present in ``matched`` (a
         frame carrying ``__file`` = input_file_name). Driver-side list
         bounded by the manifest's own file count."""
+        borrowed = self._borrowed_files()
         return sorted(
-            {self._to_rel(r["__file"]) for r in matched.select("__file").distinct().collect()}
+            {
+                self._to_rel(r["__file"], borrowed)
+                for r in matched.select("__file").distinct().collect()
+            }
         )
 
     def merge_upsert(
@@ -1040,7 +1105,12 @@ class VersionedTable:
             untouched + files,
             {**{f: m["stats"][f] for f in untouched if f in m["stats"]}, **stats},
             m["schema"],
-            {**(meta or {}), "touched_files": len(touched), "total_files": len(m["files"])},
+            {
+                **(meta or {}),
+                "touched_files": len(touched),
+                "total_files": len(m["files"]),
+                "merge_keys": keys,
+            },
             expected_head=m["version"],
         )
         return self._maybe_cdf(spark, v)
@@ -1085,11 +1155,16 @@ class VersionedTable:
         keys: Sequence[str],
         op_col: str = "op",
         meta: dict | None = None,
-    ) -> int:
+    ) -> int | None:
         """Full MERGE from a change feed (op='upsert'|'delete') — the
         same contract as ``plans.merge.merge_apply``, executed
         copy-on-write: one touched-file discovery over ALL change keys,
-        one rewrite dropping matched rows, upserts unioned back in."""
+        one rewrite dropping matched rows, upserts unioned back in.
+
+        Returns the new version, or None when the table does not exist
+        yet AND the batch carries no upserts (a delete-only feed against
+        a missing table — e.g. replication started past the initial
+        load — must not publish an empty version-0 overwrite)."""
         if op_col not in changes.columns:
             raise ValueError(
                 f"merge_apply: change feed has no '{op_col}' column "
@@ -1098,6 +1173,8 @@ class VersionedTable:
         keys = list(keys)
         upserts = changes.filter(F.col(op_col) == "upsert").drop(op_col)
         if not self.exists():
+            if upserts.isEmpty():
+                return None
             return self.write_full(upserts, meta)
         m = self._manifest()
         tagged = self.read(spark).withColumn("__file", F.input_file_name())
@@ -1119,7 +1196,7 @@ class VersionedTable:
             untouched + files,
             {**{f: m["stats"][f] for f in untouched if f in m["stats"]}, **stats},
             m["schema"],
-            {**(meta or {}), "touched_files": len(touched)},
+            {**(meta or {}), "touched_files": len(touched), "merge_keys": keys},
             expected_head=m["version"],
         )
         return self._maybe_cdf(spark, v)
@@ -1246,6 +1323,20 @@ class VersionedTable:
 # -- CDF-driven replication --------------------------------------------------
 
 
+def _last_replicated_version(table: VersionedTable) -> int | None:
+    """Highest source ``_commit_version`` already folded into ``table``
+    by ``apply_changes`` — the replication watermark, recovered from
+    commit meta walking history newest-first (bounded by history
+    length; a pure replica finds it in the head manifest)."""
+    if not table.exists():
+        return None
+    for v in reversed(table.versions()):
+        wm = table._manifest(v)["meta"].get("replicated_source_version")
+        if wm is not None:
+            return int(wm)
+    return None
+
+
 def apply_changes(
     spark: SparkSession,
     table: VersionedTable,
@@ -1258,38 +1349,54 @@ def apply_changes(
 
     The batch may span several source commits: per key the net effect
     is computed first — latest ``_commit_version`` wins, and within a
-    commit the insert postimage beats its delete preimage (an update
-    pair) — then the netted feed drives ``merge_apply``'s single
+    commit the insert/update postimage beats its delete/update
+    preimage — then the netted feed drives ``merge_apply``'s single
     copy-on-write pass. Netting shuffles only the batch (∝ churn),
-    never the table; returns the new version, or None for an
-    effectively-empty batch.
+    never the table.
+
+    A replication WATERMARK makes the fold idempotent and
+    duplicate-proof: each apply records the highest source version it
+    folded (``replicated_source_version`` in the commit meta) and
+    silently drops rows at or below the recorded watermark, so a
+    replayed or duplicated batch can never re-apply (or mis-apply) a
+    commit the replica already holds. Returns the new version, or None
+    for an effectively-empty batch.
     """
     from pyspark.sql import Window
 
     keys = list(keys)
+    wm = _last_replicated_version(table)
+    if wm is not None:
+        changes = changes.filter(F.col("_commit_version") > F.lit(wm))
+    post = F.col("_change_type").isin("insert", "update_postimage")
     w = Window.partitionBy(*keys).orderBy(
         F.desc("_commit_version"),
-        F.when(F.col("_change_type") == "insert", 1).otherwise(0).desc(),
+        F.when(post, 1).otherwise(0).desc(),
     )
     net = (
         changes.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .withColumn(
             "__op",
-            F.when(F.col("_change_type") == "insert", F.lit("upsert")).otherwise(
-                F.lit("delete")
-            ),
+            F.when(post, F.lit("upsert")).otherwise(F.lit("delete")),
         )
-        .drop("__rn", "_change_type", "_commit_version")
+        .drop("__rn", "_change_type")
     )
     # the netted batch is small (∝ churn) and merge_apply consumes it
     # several times (key discovery, upsert filter, survivor union) —
     # materialize once instead of re-running the window shuffle per use
     net = net.persist()
     try:
-        if net.isEmpty():
+        hi = net.agg(F.max("_commit_version")).first()[0]
+        if hi is None:
             return None
-        return table.merge_apply(spark, net, keys, op_col="__op")
+        return table.merge_apply(
+            spark,
+            net.drop("_commit_version"),
+            keys,
+            op_col="__op",
+            meta={"replicated_source_version": int(hi)},
+        )
     finally:
         net.unpersist()
 
@@ -1301,14 +1408,30 @@ def replicate(
     keys: Sequence[str],
     checkpoint_dir: str,
     available_now: bool = True,
+    max_files_per_trigger: int | None = None,
 ):
     """Continuous table replication over the change feed: stream the
-    source's materialized CDF (``stream_changes``) and fold each
-    micro-batch into ``dest`` via ``apply_changes`` — one atomic dest
-    commit per non-empty micro-batch, so a reader of the replica always
-    sees a consistent (if slightly older) snapshot. The checkpoint
-    gives exactly-once feed consumption across restarts; re-running
-    with the same checkpoint resumes from the last applied commit.
+    source's materialized CDF (``stream_changes``) and fold WHOLE
+    SOURCE COMMITS into ``dest`` via ``apply_changes`` — one atomic
+    dest commit per non-empty micro-batch, so a reader of the replica
+    always sees a consistent (if slightly older) snapshot. The
+    checkpoint gives exactly-once feed consumption across restarts;
+    re-running with the same checkpoint resumes from the last applied
+    commit.
+
+    Commit-boundary correctness: a file stream's micro-batch boundaries
+    need not respect ``_commit_version`` partitions, and applying a
+    commit's rows in two halves can net an update pair into a bare
+    delete (permanently dropping a live row on the replica). The fold
+    therefore uses the batch only as a TRIGGER carrying the
+    highest-delivered version: it re-reads the complete, materialized
+    feed directories for every source version in
+    ``(replica watermark, max delivered]`` — deterministic version
+    order, whole commits, immune to batch splits/reordering — and
+    ``apply_changes``' watermark skips anything already folded, so
+    overlapping deliveries are harmless. A version whose feed is still
+    being written (no ``_SUCCESS`` marker yet) is deferred along with
+    everything after it; its remaining files trigger a later batch.
 
     This is the Delta pattern ``readStream.option("readChangeFeed")``
     → ``foreachBatch(MERGE)``, with cost ∝ churn end-to-end: the feed
@@ -1322,10 +1445,31 @@ def replicate(
     keys = list(keys)
 
     def _fold(batch: DataFrame, _epoch: int) -> None:
-        apply_changes(spark, dest, batch, keys)
+        hi = batch.agg(F.max("_commit_version")).first()[0]
+        if hi is None:
+            return
+        lo = _last_replicated_version(dest)
+        dirs = []
+        for v in source.versions():
+            if (lo is not None and v <= lo) or v > hi:
+                continue
+            d = source._cdf_version_dir(v)
+            if not os.path.isdir(d):
+                continue  # layout/metadata-only commit: no feed exists
+            if not os.path.exists(os.path.join(d, "_SUCCESS")):
+                break  # feed mid-write: defer this version and later ones
+            dirs.append(d)
+        if not dirs:
+            return
+        feed = (
+            spark.read.schema(source.changes_schema())
+            .option("basePath", os.path.join(source.path, _CDF_DIR))
+            .parquet(*dirs)
+        )
+        apply_changes(spark, dest, feed, keys)
 
     writer = (
-        source.stream_changes(spark)
+        source.stream_changes(spark, max_files_per_trigger=max_files_per_trigger)
         .writeStream.foreachBatch(_fold)
         .option("checkpointLocation", checkpoint_dir)
     )

@@ -527,9 +527,9 @@ ops_strategy = st.lists(
 def test_cdf_replay_reconstructs_head_for_any_history(spark, tmp_path_factory, base, ops):
     """For ANY sequence of upsert/delete/append commits, applying the
     materialized change feed in commit order (latest change per key
-    wins; insert postimage beats its same-commit delete preimage)
-    rebuilds the head snapshot exactly — the contract every CDC
-    consumer (q_stream_cdf, q_table_replicate) rests on."""
+    wins; the insert/update postimage beats its same-commit paired
+    preimage) rebuilds the head snapshot exactly — the contract every
+    CDC consumer (q_stream_cdf, q_table_replicate) rests on."""
     from pyspark.sql import Row, Window
 
     from aws_lakehouse_project_spark.plans.versioned import VersionedTable
@@ -560,13 +560,15 @@ def test_cdf_replay_reconstructs_head_for_any_history(spark, tmp_path_factory, b
         .schema(vt.changes_schema())
         .parquet(root)
     )
+    post = F.col("_change_type").isin("insert", "update_postimage")
     w = Window.partitionBy("k").orderBy(
         F.desc("_commit_version"),
-        F.when(F.col("_change_type") == "insert", 1).otherwise(0).desc(),
+        F.when(post, 1).otherwise(0).desc(),
     )
     head = (
         feed.withColumn("__rn", F.row_number().over(w))
-        .filter("__rn = 1 AND _change_type = 'insert'")
+        .filter(F.col("__rn") == 1)
+        .filter(post)
         .select("k", "v")
     )
     assert sorted(map(tuple, head.collect())) == sorted(

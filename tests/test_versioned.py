@@ -262,8 +262,14 @@ def test_changes_merge_emits_update_pair(spark, vt):
     vt.write_full(_mk(spark, [(1, "a"), (2, "b")]).repartition(2, "k"))
     vt.merge_upsert(spark, _mk(spark, [(2, "B"), (3, "c")]), keys=["k"])
     ch = _rows(vt.changes(spark, 0, 1))
-    # update of k=2 is a delete+insert pair; untouched k=1 cancels out
-    assert ch == [("delete", 2, "b"), ("insert", 2, "B"), ("insert", 3, "c")]
+    # the MERGE commit records merge_keys, so k=2's delete+insert pair
+    # is tagged as Delta CDF's update pre/postimage; brand-new k=3 is a
+    # plain insert; untouched k=1 cancels out
+    assert ch == [
+        ("insert", 3, "c"),
+        ("update_postimage", 2, "B"),
+        ("update_preimage", 2, "b"),
+    ]
 
 
 def test_changes_delete_and_optimize(spark, vt):
@@ -404,15 +410,17 @@ def test_cdf_replay_reconstructs_head(spark, cdf_vt):
     vt.merge_upsert(spark, _mk(spark, [(2, "B"), (4, "d")]), keys=["k"])
     vt.delete_where(spark, "k = 1")
     feed = _feed(spark, vt)
+    post = F.col("_change_type").isin("insert", "update_postimage")
     w = Window.partitionBy("k").orderBy(
         F.desc("_commit_version"),
-        # within a commit an update is delete+insert: insert is the
-        # postimage and must win the tie
-        F.when(F.col("_change_type") == "insert", 1).otherwise(0).desc(),
+        # within a commit the postimage must win the tie over its
+        # paired preimage
+        F.when(post, 1).otherwise(0).desc(),
     )
     head = (
         feed.withColumn("__rn", F.row_number().over(w))
-        .filter("__rn = 1 AND _change_type = 'insert'")
+        .filter(F.col("__rn") == 1)
+        .filter(post)
         .select("k", "v")
     )
     assert _rows(head) == _rows(vt.read(spark))
@@ -962,3 +970,99 @@ def test_replicate_surfaces_replica_constraint_violation(spark, cdf_vt, tmp_path
         q.awaitTermination(120)
         raise AssertionError("replication published a constraint violation")
     assert (-7, "bad") not in _rows(dst.read(spark))
+
+
+# -- round-8 regressions: commit-boundary replication + CDF vocabulary ------
+
+
+def test_apply_changes_watermark_rejects_split_commit(spark, cdf_vt, tmp_path):
+    """The scale failure mode a naive CDC fold has: one commit's update
+    pair split across micro-batches (postimage folded first, preimage
+    arriving later) must NOT net the late preimage into a bare delete.
+    The replication watermark drops rows of already-folded versions, so
+    the replica keeps the live row."""
+    from aws_lakehouse_project_spark.plans.versioned import (
+        VersionedTable,
+        apply_changes,
+    )
+
+    src = cdf_vt
+    src.write_full(_mk(spark, [(1, "a"), (2, "b")]))
+    src.merge_upsert(spark, _mk(spark, [(1, "A")]), keys=["k"])
+    dst = VersionedTable(str(tmp_path / "dst"))
+    apply_changes(spark, dst, _feed(spark, src), keys=["k"])
+    assert _rows(dst.read(spark)) == _rows(src.read(spark))
+    # split / duplicated re-delivery of version 1's preimage alone
+    late = _feed(spark, src, 1).filter("_change_type = 'update_preimage'")
+    assert late.count() == 1  # the scenario is vacuous without it
+    assert apply_changes(spark, dst, late, keys=["k"]) is None
+    assert _rows(dst.read(spark)) == _rows(src.read(spark))
+
+
+def test_merge_apply_delete_only_missing_table_is_noop(spark, tmp_path):
+    """A delete-only feed against a not-yet-created replica (e.g.
+    replication starting past the initial load) must not publish an
+    empty version-0 overwrite."""
+    dst = VersionedTable(str(tmp_path / "dst"))
+    ch = spark.createDataFrame(
+        [Row(op="delete", k=1, v="a")], "op string, k int, v string"
+    )
+    assert dst.merge_apply(spark, ch, keys=["k"]) is None
+    assert not dst.exists()
+
+
+def test_to_rel_rejects_foreign_absolute_path(spark, vt, tmp_path):
+    """Out-of-root files fail loudly unless the manifest already
+    borrows them by absolute path (shallow clones)."""
+    vt.write_full(_mk(spark, [(1, "a")]))
+    foreign = str(tmp_path / "elsewhere" / "x.parquet")
+    with pytest.raises(ValueError, match="outside table root"):
+        vt._to_rel("file://" + foreign)
+    assert vt._to_rel("file://" + foreign, frozenset([foreign])) == foreign
+
+
+def test_cdf_feed_is_single_file_per_version(spark, cdf_vt):
+    """One parquet file per version: a file-stream micro-batch can then
+    never split a commit (files are batch-atomic in the source)."""
+    vt = cdf_vt
+    vt.write_full(_mk(spark, [(i, "x") for i in range(20)]).repartition(8))
+    vt.merge_upsert(
+        spark, _mk(spark, [(1, "y"), (2, "y")]).repartition(4), keys=["k"]
+    )
+    for v in (0, 1):
+        files = [
+            n
+            for n in os.listdir(vt._cdf_version_dir(v))
+            if n.endswith(".parquet")
+        ]
+        assert len(files) == 1, (v, files)
+
+
+def test_replicate_single_file_batches_fold_whole_commits(
+    spark, cdf_vt, tmp_path
+):
+    """maxFilesPerTrigger=1 forces one-file micro-batches; the fold
+    re-reads whole materialized commits in version order, so the
+    replica still converges exactly."""
+    from aws_lakehouse_project_spark.plans.versioned import (
+        VersionedTable,
+        replicate,
+    )
+
+    src = cdf_vt
+    src.write_full(_mk(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    src.merge_upsert(spark, _mk(spark, [(2, "B"), (4, "d")]), keys=["k"])
+    src.delete_where(spark, "k = 1")
+    dst = VersionedTable(str(tmp_path / "dst"))
+    q = replicate(
+        spark,
+        src,
+        dst,
+        keys=["k"],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    assert q.awaitTermination(180)
+    assert _rows(dst.read(spark)) == _rows(src.read(spark))
+    ops = [h["op"] for h in dst.history()]
+    assert ops[0] == "overwrite" and set(ops[1:]) <= {"merge"}
