@@ -101,7 +101,9 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_overlap(train, bench, n=4)
 
 
-def chunk_dup_profile(docs: DataFrame, chunk: int = 50) -> DataFrame:
+def chunk_dup_profile(
+    docs: DataFrame, chunk: int = 50, check_contract: bool = False
+) -> DataFrame:
     """Per-source cross-document chunk-duplication profile.
 
     Splits each document into non-overlapping ``chunk``-token windows,
@@ -121,7 +123,29 @@ def chunk_dup_profile(docs: DataFrame, chunk: int = 50) -> DataFrame:
     scale at ~10.5x for 10x data in the round-6 registry soak; this
     shape re-measured at ~3x, in line with the linear cohort.) Chunk
     generation is a map-side array expression.
+
+    PRECONDITION: each ``doc_id`` belongs to exactly ONE source — the
+    identity that lets the global distinct-doc count be the sum of
+    per-source distinct counts. ``check_contract=True`` verifies it
+    with one doc-grain aggregate over the two key columns (far cheaper
+    than the chunk stream; skipped by default because the documents
+    table guarantees it) and raises ValueError on violation instead of
+    silently inflating ``n_docs_with``.
     """
+    if check_contract:
+        bad = (
+            docs.groupBy("doc_id")
+            .agg(F.countDistinct("source").alias("__ns"))
+            .filter(F.col("__ns") > 1)
+            .limit(1)
+            .count()
+        )
+        if bad:
+            raise ValueError(
+                "chunk_dup_profile: doc_id values repeat across sources — "
+                "the per-source distinct-sum identity does not hold; "
+                "disambiguate doc_ids (e.g. concat(source, doc_id)) first"
+            )
     w = F.split(F.lower(F.col("text")), " ")
     # docs shorter than one chunk yield NO chunks (guard mirrors the
     # oracle; unguarded sequence(0,-1) is DESCENDING [0,-1] in Spark,

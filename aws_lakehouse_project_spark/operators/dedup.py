@@ -57,20 +57,22 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Two-level instead of mixed distinct+plain (the mixed form plans an
     # Expand that doubles the corpus stream — BASELINE.md r6): per
     # (lang, text) counts collapse duplicates map-side, then the rollup
-    # aggregates group-count vs instance-sum per language.
-    # PRECONDITION: text is non-null (true of the generator). A NULL
-    # text would count as its own (lang, NULL) group here, whereas
-    # COUNT(DISTINCT text) — the replaced form and the oracle — ignores
-    # NULLs; a nullable source needs .filter(text IS NOT NULL) on the
-    # inner groupBy first. Same note applies to the two-level re-plans
-    # in tpch.py::q_distinct_agg and analytics.py::q_approx_distinct.
+    # aggregates group-count vs instance-sum per language. NULL-correct
+    # by construction: a NULL text forms its own inner group, so the
+    # rollup counts distincts with count_if(text IS NOT NULL) — exactly
+    # COUNT(DISTINCT)'s NULL-dropping semantics — while n_docs keeps
+    # every row (COUNT(*) semantics). Same pattern in
+    # tpch.py::q_distinct_agg and analytics.py::q_approx_distinct;
+    # nullable-key oracle parity is pinned by
+    # tests/test_nullkey_distinct.py.
     per_text = docs.groupBy("lang", "text").agg(
         F.count(F.lit(1)).alias("n_copies")
     )
+    n_distinct = F.count_if(F.col("text").isNotNull())
     return per_text.groupBy("lang").agg(
         F.sum("n_copies").alias("n_docs"),
-        F.count(F.lit(1)).alias("n_distinct"),
-        (F.sum("n_copies") - F.count(F.lit(1))).alias("n_dups"),
+        n_distinct.alias("n_distinct"),
+        (F.sum("n_copies") - n_distinct).alias("n_dups"),
     )
 
 

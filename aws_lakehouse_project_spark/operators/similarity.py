@@ -391,10 +391,11 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PAIRS_ORACLE = f"""
-    WITH b AS (
+    WITH np AS ({_np_sql()}),
+    b AS (
       SELECT vec_id, embedding::DOUBLE[] AS ev,
-             {_bucket_sql("embedding::DOUBLE[]")} AS bucket
-      FROM embeddings
+             {_bucket_sql_masked("embedding::DOUBLE[]")} AS bucket
+      FROM embeddings, np
     ),
     scored AS (
       SELECT a.vec_id AS v1, c.vec_id AS v2,
@@ -417,20 +418,34 @@ def q_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-empty set; recall is bounded by the LSH collision probability,
     which is the ANN trade-off this operator exists to make.
 
+    The bit count comes from the corpus via ``planes_for`` — the
+    occupancy-corrected configuration. Until round 7 this name pinned
+    4 literal planes (16 buckets); that config is quadratic in
+    occupancy and measured 65.9–69.5× wall at 10× data in the r7 soaks
+    vs 4.3–4.8× corrected, so the fixed form is retired from the
+    registered surface (still callable as
+    ``similarity_pairs(emb, n_planes=4)`` for the contrast).
+
     Oracle-checked: ``_bucket_expr``'s hyperplanes are literal constants
-    reproduced verbatim by ``_bucket_sql``, and both engines fold the dot
-    product sequentially left-to-right (module docstring), so bucket ids
-    and 6-decimal cosines are engine-identical."""
-    return similarity_pairs(load_table(spark, sf_dir, "embeddings"))
+    reproduced verbatim by the masked-sum SQL, the oracle derives the
+    plane count from COUNT(*) with the same GREATEST/LEAST/CEIL/LOG2
+    formula, and both engines fold the dot product sequentially
+    left-to-right (module docstring), so bucket ids and 6-decimal
+    cosines are engine-identical at every SF."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = planes_for(emb.count(), _SCALED_TARGET)
+    return similarity_pairs(emb, n_planes=n)
 
 
 def similarity_pairs(
     emb: DataFrame, threshold: float = 0.40, n_planes: int = _N_PLANES
 ) -> DataFrame:
     """(v1, v2, cosine) bucket-joined near-dup pairs. ``n_planes`` is
-    the scale knob (see ``planes_for``): the demo keeps the oracle's 4
-    literal planes; a 10×-bigger corpus needs +log2(10)≈3 bits to hold
-    bucket occupancy — and therefore join cost per vector — constant."""
+    the scale knob (see ``planes_for``): every registered caller derives
+    it from the corpus size; a 10×-bigger corpus needs +log2(10)≈3 bits
+    to hold bucket occupancy — and therefore join cost per vector —
+    constant. A fixed small n_planes is the quadratic trap the r7 soaks
+    measured (65.9× wall at 10× data for 4 planes)."""
     # norms hoisted to per-VECTOR columns before the join: inside the
     # join projection sqrt(dot(e,e)) is re-evaluated per candidate PAIR
     # (occupancy× the work, in interpreted higher-order folds — see
@@ -1243,56 +1258,18 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SEMCLUSTER_T = 0.30  # looser than q_similarity_pairs: richer components
 
-_SEM_EDGES_SQL = f"""
-      SELECT a.vec_id AS d1, c.vec_id AS d2
-      FROM (SELECT vec_id, embedding::DOUBLE[] AS ev,
-                   {_bucket_sql("embedding::DOUBLE[]")} AS bucket
-            FROM embeddings) a
-      JOIN (SELECT vec_id, embedding::DOUBLE[] AS ev,
-                   {_bucket_sql("embedding::DOUBLE[]")} AS bucket
-            FROM embeddings) c
-        ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-      WHERE ROUND({_COS.format(a="a.ev", b="c.ev")}, 6) >= {_SEMCLUSTER_T}
-"""
 
-_SEMCLUSTER_ORACLE = f"""
-    WITH RECURSIVE pairs AS (
-{_SEM_EDGES_SQL}
-    ),
-    edges AS (
-      SELECT d1 AS src, d2 AS dst FROM pairs
-      UNION
-      SELECT d2 AS src, d1 AS dst FROM pairs
-    ),
-    reach AS (
-      SELECT src AS node, dst AS r FROM edges
-      UNION
-      SELECT re.node, e.dst FROM reach re JOIN edges e ON re.r = e.src
-    ),
-    comp AS (
-      SELECT node, LEAST(node, MIN(r)) AS component FROM reach GROUP BY node
-    )
-    SELECT component,
-           CAST(COUNT(*) AS BIGINT) AS n_vecs,
-           string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS vec_ids
-    FROM comp GROUP BY component
-"""
-
-
-@demo_query("q_dedup_clusters_semantic", oracle=_SEMCLUSTER_ORACLE)
 def q_dedup_clusters_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semantic near-dup clusters over embeddings (SemDeDup shape):
-    LSH-bucketed cosine pairs (threshold 0.30) → min-label connected
-    components → per-cluster profile. Dedup policy downstream is "keep
-    the component representative" — one LEFT SEMI join on
-    (vec_id = component) keys.
-
-    Scale shape: edges come from the bucket self-join (never all-pairs);
-    each vector has exactly ONE hyperplane bucket and edges join equal
-    buckets, so components cannot span buckets — CC runs bucket-locally
-    in a single applyInPandas stage (see bucket_local_components; the
-    ~10-round global loop this replaced was 2.6× slower end-to-end);
-    the profile aggregation shuffles component ids, not vectors."""
+    """UNREGISTERED pedagogical contrast — the fixed-4-plane SemDeDup
+    config this engine shipped until round 7. Kept callable (not on the
+    registered surface) to demonstrate WHY the occupancy correction
+    exists: with a frozen 16-bucket layout, per-bucket occupancy grows
+    linearly with the corpus and the bucket self-join grows
+    quadratically — the r7 registry soaks measured 43.2–44.6× wall at
+    10× data for this form vs 4.3× for the corrected
+    ``q_dedup_clusters_semantic_scaled``, which is the registered,
+    oracle-checked SemDeDup query (identical semantics, ``planes_for``
+    bit count). Use the scaled form for anything bigger than a demo."""
     return semantic_clusters(load_table(spark, sf_dir, "embeddings"))
 
 
@@ -1352,8 +1329,9 @@ def semantic_clusters(
     n_planes: int = _N_PLANES,
 ) -> DataFrame:
     """(component, n_vecs, vec_ids) SemDeDup cluster profile. ``n_planes``
-    scales the bucket count with the corpus (``planes_for``); the demo
-    keeps the oracle's 4 literal planes."""
+    scales the bucket count with the corpus (``planes_for``); the
+    registered query passes planes_for(COUNT(*)) — the 4-plane default
+    exists only for the unregistered pedagogical contrast above."""
     from .dedup import bucket_local_components
 
     # per-vector norm hoist: see similarity_pairs (bit-identical)

@@ -147,17 +147,18 @@ def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows. At scale prefer approx_count_distinct (q_approx_distinct)
     where exactness isn't required.
 
-    PRECONDITION (shared by every two-level distinct re-plan, see
-    dedup.py::q_dedup_exact): the distinct column must be non-null —
-    the inner groupBy counts a NULL as its own group where
-    COUNT(DISTINCT) ignores it. True of l_suppkey/l_partkey here."""
+    NULL-correct by construction (shared by every two-level distinct
+    re-plan, see dedup.py::q_dedup_exact): a NULL key forms its own
+    inner group, so the rollup counts count_if(key IS NOT NULL) —
+    COUNT(DISTINCT)'s NULL-dropping semantics — while n_rows keeps
+    every row; pinned by tests/test_nullkey_distinct.py."""
     li = load_table(spark, sf_dir, "lineitem")
     supp = (
         li.groupBy("l_returnflag", "l_suppkey")
         .agg(F.count(F.lit(1)).alias("n"))
         .groupBy("l_returnflag")
         .agg(
-            F.count(F.lit(1)).alias("n_suppliers"),
+            F.count_if(F.col("l_suppkey").isNotNull()).alias("n_suppliers"),
             F.sum("n").alias("n_rows"),
         )
     )
@@ -165,7 +166,7 @@ def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_returnflag", "l_partkey")
         .agg(F.count(F.lit(1)).alias("n"))
         .groupBy("l_returnflag")
-        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .agg(F.count_if(F.col("l_partkey").isNotNull()).alias("n_parts"))
     )
     return supp.join(parts, "l_returnflag").select(
         "l_returnflag", "n_suppliers", "n_parts", "n_rows"

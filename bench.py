@@ -99,7 +99,8 @@ EXTRA = [
     "q_dedup_minhash_portable",
     "q_dedup_simhash_portable",
     "q_kmeans_assign",
-    "q_dedup_clusters_semantic",
+    # q_dedup_clusters_semantic (fixed 4-plane form) deregistered r8 —
+    # its occupancy-corrected twin below is the registered SemDeDup query
     "q_token_entropy",
     "q_interpolate",
     "q_multimodal_frames",
