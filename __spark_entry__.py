@@ -24,63 +24,62 @@ def entry(spark: SparkSession) -> DataFrame:
 # first (their green must be re-earned), then the stalest green rows
 # (rotation: no query's latest driver row should age past two rounds).
 #
-# ROUND-7 WINDOW (this list): 7 NEW queries lead — the scale-safe LSH
-# configurations registered this round (occupancy-corrected planes_for
-# bit counts with a masked-sum dynamic-plane oracle, and the 2-band
-# OR layout; they clear the r6 verdict's three `weak` marks by giving
-# the 100 TB configuration its own driver-green rows) plus the three
-# versioned-table (ACID-lite) queries: copy-on-write MERGE, time travel
-# across create/append/DELETE/OPTIMIZE, and the streaming CDC sink
-# committing one table version per micro-batch. Then the ENTIRE
-# r3-stale cohort (30 rows, per the r6 rotation note), then the 13 most
-# machinery-guarding r4 rows (all 7 streaming parity queries and the
-# scan/fact/staging core). Ledger entering r7 (CORRECTNESS union): 158
-# queries, latest-green r6: 50, r5: 37, r4: 41, r3: 30.
+# ROUND-8 WINDOW (this list): 1 NEW query leads — the whole domain DAG
+# published through the transaction layer (ingest → GE-validate →
+# stage → WAP-publish with the suite as CHECK constraints → horizon
+# CoW MERGE; q_domain_fact_versioned, the r7 verdict's item 2). Then
+# the 5 queries whose code changed this round and must re-earn green:
+# q_similarity_pairs (re-pointed at the occupancy-corrected planes_for
+# config — the fixed 4-plane form is retired; q_dedup_clusters_semantic
+# is DEREGISTERED in favor of its _scaled twin), the three NULL-correct
+# two-level distinct rewrites (q_dedup_exact, q_distinct_agg,
+# q_approx_distinct), and q_versioned_merge (merge commits now record
+# merge_keys). Then the NINE late-r7 lakehouse queries with no driver
+# row yet (q_table_changes — whose oracle now emits Delta CDF's
+# update_preimage/update_postimage vocabulary — q_table_restore,
+# q_scan_skipping, q_stream_cdf, q_table_clone, q_wap_constraint,
+# q_table_replicate — now folding whole commits with a replication
+# watermark — q_optimize_zorder, q_table_history). Then the ENTIRE
+# 28-row r4-stale cohort (per the r7 rotation note), then the 7
+# stalest r5 rows that fit. Ledger entering r8 (CORRECTNESS union):
+# latest-green r7: 50, r6: 49, r5: 36, r4: 28.
 #
-# ROUND-8 ROTATION NOTE: NINE queries registered late in r7 have no
-# driver row yet and MUST open the r8 window: q_table_changes (CDF
-# read), q_table_restore, q_scan_skipping, q_stream_cdf (streaming CDC
-# source over the materialized change feed), q_table_clone (shallow
-# clone + CoW merge across the borrow boundary), q_wap_constraint
-# (CHECK constraints + write-audit-publish), q_table_replicate
-# (CDF-stream → foreachBatch replica), q_optimize_zorder (OPTIMIZE
-# ZORDER BY + stats-pruning guard), q_table_history (DESCRIBE HISTORY
-# audit surface; all lakehouse.py; fresh-process oracle-checked at
-# sf0.001+sf0.01+sf0.1 this round, BASELINE.md).
-# After those, 28 r4-green rows did NOT fit this window
-# (q_agg_count, q_agg_count_filter, q_agg_sum, q_asof_join, q_bool_agg,
-# q_bound_check, q_dedup_anti_join, q_except, q_expectation_suite,
-# q_filter_eq, q_filter_range, q_intersect, q_join_full_outer,
-# q_lang_mix, q_lang_temperature, q_length_histogram, q_monthly_trunc,
-# q_notnull_check, q_regex, q_scalar_subquery, q_sort_topk,
-# q_topk_per_group, q_tpch_q1, q_tpch_q9, q_tpch_q16, q_union,
-# q_window_rank, q_window_rolling) — they MUST head the r8 window; the
-# rest of the slots go to the stalest r5 rows.
+# ROUND-9 ROTATION NOTE: the r5-stale rows that did NOT fit this
+# window MUST head the r9 window: q_calendar_fill, q_embedding_
+# centroids, q_freshness, q_fuzzy_match, q_grouping_sets, q_having,
+# q_hybrid_rrf, q_interpolate, q_json_flatten, q_kmeans_assign,
+# q_multimodal_frames, q_pq_encode, q_quarantine, q_ri_audit,
+# q_sample_hash, q_scan_binaryfile, q_scan_orc, q_scd2,
+# q_schema_evolution, q_semantic_decontam, q_stats_exact,
+# q_token_entropy, q_tpch_q11, q_tpch_q12, q_tpch_q2, q_tpch_q20,
+# q_unigram_logprob, q_window_lag (28 rows); the remaining ~22 slots
+# go to the then-stalest r6 rows.
 _VERIFY_FIRST = [
-    # NEW in round 7 — first driver rows for the scale-safe sign-LSH
-    # configs (similarity.py: planes_for masked-sum oracles + banded)
-    "q_similarity_pairs_scaled", "q_similarity_pairs_banded",
-    "q_semantic_decontam_scaled", "q_dedup_clusters_semantic_scaled",
-    # NEW in round 7 — versioned-table transaction layer
-    # (plans/versioned.py, operators/lakehouse.py)
-    "q_versioned_merge", "q_time_travel", "q_stream_merge",
-    # full r3-stale cohort (30 rows, green since r3, re-swept every
-    # round since — rotation per the r6 verdict's top item)
-    "q_contamination", "q_zipf", "q_ntile", "q_first_last",
-    "q_explode_pos", "q_tpch_q19", "q_funnel", "q_retention",
-    "q_tpch_q14", "q_tpch_q22", "q_tpch_q6", "q_tpch_q8", "q_tpch_q15",
-    "q_tpch_q21", "q_grouped_ols", "q_embedding_quantize",
-    "q_nullsafe_join", "q_ratio_to_report", "q_scd2_lookup",
-    "q_vocab_encode", "q_mixture", "q_tpch_q10", "q_unpivot", "q_cube",
-    "q_percentile", "q_dedup_keep_first", "q_multimodal_features",
-    "q_window_cumsum", "q_collect_sorted", "q_tpch_q5",
-    # r4 cohort head (13 slots): the streaming parity family first
-    # (stream ≡ batch oracles guard the whole §2.9 extension), then
-    # the ingest/fact/staging core
-    "q_stream_daily", "q_stream_sliding", "q_stream_sessions",
-    "q_stream_dedup", "q_stream_join", "q_stream_enrich",
-    "q_sessionize", "q_scan_csv", "q_scan_json", "q_scan_parquet",
-    "q_sql_fact", "q_fact_daily", "q_stage_orders",
+    # NEW in round 8 — domain pipeline on the transaction layer
+    # (pipeline.py versioned_publish, operators/lakehouse.py)
+    "q_domain_fact_versioned",
+    # CHANGED in round 8 — must re-earn green
+    "q_similarity_pairs", "q_dedup_exact", "q_distinct_agg",
+    "q_approx_distinct", "q_versioned_merge",
+    # late-r7 lakehouse queries, first driver rows (q_table_changes /
+    # q_stream_cdf / q_table_replicate also changed this round: CDF
+    # update vocabulary + commit-atomic replication fold)
+    "q_table_changes", "q_table_restore", "q_scan_skipping",
+    "q_stream_cdf", "q_table_clone", "q_wap_constraint",
+    "q_table_replicate", "q_optimize_zorder", "q_table_history",
+    # full r4-stale cohort (28 rows, per the r7 rotation note)
+    "q_agg_count", "q_agg_count_filter", "q_agg_sum", "q_asof_join",
+    "q_bool_agg", "q_bound_check", "q_dedup_anti_join", "q_except",
+    "q_expectation_suite", "q_filter_eq", "q_filter_range",
+    "q_intersect", "q_join_full_outer", "q_lang_mix",
+    "q_lang_temperature", "q_length_histogram", "q_monthly_trunc",
+    "q_notnull_check", "q_regex", "q_scalar_subquery", "q_sort_topk",
+    "q_topk_per_group", "q_tpch_q1", "q_tpch_q9", "q_tpch_q16",
+    "q_union", "q_window_rank", "q_window_rolling",
+    # stalest r5 rows that fit (7 slots)
+    "q_approx_quantile", "q_bm25", "q_bucketed_join",
+    "q_chunk_windows", "q_dedup_simhash_portable",
+    "q_dedup_simhash_recall", "q_stream_quarantine",
 ]
 
 

@@ -890,3 +890,212 @@ def q_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchases",
         "total_value",
     )
+
+
+# ---------------------------------------------------------------------------
+# The domain DAG on the transaction layer (round 8): ingest → validate →
+# transform → WAP-publish → incremental CoW MERGE, end-to-end.
+# ---------------------------------------------------------------------------
+
+DOMAIN_FACT_HORIZON = "1996-01-01"  # dbt-style recompute horizon: orders
+# span 1992-1998 (split), lead dts sit in 1995 (kept), events in 2024
+# (recomputed) — every merge path is exercised
+
+
+def _write_domain_raw(
+    spark: SparkSession, sf_dir: str, raw_dir: str, stale: bool
+) -> dict[str, str]:
+    """Deterministic raw-zone extracts derived from the testdata tables
+    (so the DuckDB oracle can recompute them): ERP orders from
+    ``orders`` (``stale=True`` drops every tenth order — the
+    late-arriving rows the MERGE later heals), CRM leads from
+    ``customer``, web events from ``events``. CSV/JSONL exactly like
+    the reference's raw zone."""
+    orders = load_table(spark, sf_dir, "orders")
+    erp = orders.select(
+        F.col("o_orderkey").cast("string").alias("order_id"),
+        F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("customer_id"),
+        F.concat(F.lit("store_"), (F.col("o_custkey") % 10).cast("string")).alias(
+            "store_id"
+        ),
+        F.col("o_orderdate").cast("date").cast("string").alias("dt"),
+        money("o_totalprice").cast("string").alias("order_value"),
+        F.lit("shipped").alias("status"),
+    )
+    if stale:
+        erp = erp.filter(F.col("order_id").cast("bigint") % 10 != 0)
+    crm = load_table(spark, sf_dir, "customer").select(
+        F.concat(F.lit("L"), F.col("c_custkey").cast("string")).alias("lead_id"),
+        F.col("c_name").alias("name"),
+        F.concat(
+            F.lit("u"), F.col("c_custkey").cast("string"), F.lit("@example.com")
+        ).alias("email"),
+        F.lit("web").alias("source"),
+        F.when(F.col("c_custkey") % 4 == 0, F.lit("converted"))
+        .otherwise(F.lit("new"))
+        .alias("status"),
+        F.concat(F.lit("store_"), (F.col("c_custkey") % 10).cast("string")).alias(
+            "store_id"
+        ),
+        F.date_add(
+            F.lit("1995-06-01").cast("date"), (F.col("c_custkey") % 28).cast("int")
+        )
+        .cast("string")
+        .alias("dt"),
+    )
+    web = load_table(spark, sf_dir, "events").select(
+        F.concat(F.lit("E"), F.col("event_id").cast("string")).alias("event_id"),
+        F.concat(F.lit("V"), F.col("user_id").cast("string")).alias("visitor_id"),
+        F.concat(F.lit("store_"), (F.col("user_id") % 10).cast("string")).alias(
+            "store_id"
+        ),
+        F.col("ts").cast("date").cast("string").alias("dt"),
+        F.lit("/home").alias("page"),
+        F.col("event_type").alias("event_type"),
+        F.expr("CAST(map() AS MAP<STRING,STRING>)").alias("metadata"),
+    )
+    paths = {
+        "erp_orders": os.path.join(raw_dir, "erp_orders"),
+        "crm_leads": os.path.join(raw_dir, "crm_leads"),
+        "web_events": os.path.join(raw_dir, "web_events"),
+    }
+    erp.write.mode("overwrite").option("header", True).csv(paths["erp_orders"])
+    crm.write.mode("overwrite").option("header", True).csv(paths["crm_leads"])
+    web.write.mode("overwrite").json(paths["web_events"])
+    return paths
+
+
+_DOMAIN_FACT_BASE = """
+    erp_full AS (
+      SELECT 'store_' || CAST(o_custkey % 10 AS VARCHAR) AS store_id,
+             CAST(o_orderdate AS DATE) AS dt,
+             CAST(o_totalprice AS DECIMAL(12,2)) AS order_value,
+             o_orderkey
+      FROM orders
+    ),
+    l AS (
+      SELECT 'store_' || CAST(c_custkey % 10 AS VARCHAR) AS store_id,
+             DATE '1995-06-01' + CAST(c_custkey % 28 AS INTEGER) AS dt,
+             COUNT(*) FILTER (WHERE c_custkey % 4 = 0) AS converted_leads
+      FROM customer GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT 'store_' || CAST(user_id % 10 AS VARCHAR) AS store_id,
+             CAST(ts AS DATE) AS dt,
+             COUNT(*) AS sessions
+      FROM events GROUP BY 1, 2
+    ),
+    lw AS (
+      SELECT COALESCE(l.store_id, w.store_id) AS store_id,
+             COALESCE(l.dt, w.dt) AS dt,
+             l.converted_leads, w.sessions
+      FROM l FULL OUTER JOIN w ON l.store_id = w.store_id AND l.dt = w.dt
+    )
+"""
+
+_DOMAIN_FACT_SELECT = """
+      SELECT COALESCE(o.store_id, lw.store_id) AS store_id,
+             COALESCE(o.dt, lw.dt) AS dt,
+             CAST(COALESCE(o.revenue, 0) AS DOUBLE) AS revenue,
+             CAST(COALESCE(o.order_count, 0) AS BIGINT) AS order_count,
+             CAST(COALESCE(lw.converted_leads, 0) AS BIGINT) AS converted_leads,
+             CAST(COALESCE(lw.sessions, 0) AS BIGINT) AS sessions
+      FROM {src} o FULL OUTER JOIN lw
+        ON o.store_id = lw.store_id AND o.dt = lw.dt
+"""
+
+DOMAIN_FACT_VERSIONED_ORACLE = f"""
+    WITH {_DOMAIN_FACT_BASE},
+    o_stale AS (
+      SELECT store_id, dt, SUM(order_value) AS revenue,
+             COUNT(*) AS order_count
+      FROM erp_full WHERE o_orderkey % 10 <> 0 GROUP BY 1, 2
+    ),
+    o_full AS (
+      SELECT store_id, dt, SUM(order_value) AS revenue,
+             COUNT(*) AS order_count
+      FROM erp_full GROUP BY 1, 2
+    ),
+    fact_stale AS ({_DOMAIN_FACT_SELECT.format(src="o_stale")}),
+    fact_full AS ({_DOMAIN_FACT_SELECT.format(src="o_full")})
+    SELECT * FROM fact_stale WHERE dt < DATE '{DOMAIN_FACT_HORIZON}'
+    UNION ALL
+    SELECT * FROM fact_full WHERE dt >= DATE '{DOMAIN_FACT_HORIZON}'
+"""
+
+
+@demo_query("q_domain_fact_versioned", oracle=DOMAIN_FACT_VERSIONED_ORACLE)
+def q_domain_fact_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's whole per-domain DAG published through the
+    transaction layer, end-to-end (reference
+    ``airflow/dags/lakehouse_pipelines.py:82-95`` for the
+    validate→transform→publish gate; ``dbt/models/marts/
+    fct_daily_store_metrics.sql:1-5`` for the incremental MERGE
+    contract):
+
+    1. raw extracts (CSV/JSONL) derived from the testdata tables, with
+       the ERP feed STALE (every tenth order late);
+    2. ``LakehousePipeline(versioned_publish=True)`` runs ingest →
+       GE-validate → stage → WAP-publish: each curated domain and the
+       fact become VersionedTables, the GE suites ride as CHECK
+       constraints, and version 0 of the fact is the stale build;
+    3. the late orders land; the pipeline re-stages and MERGEs only the
+       recompute horizon (dt >= {DOMAIN_FACT_HORIZON}) into the fact —
+       file-granular copy-on-write on (store_id, dt), cost ∝ touched
+       files (the dbt ``is_incremental()`` branch on ACID snapshots).
+
+    The oracle is the stale build outside the horizon UNION the
+    complete recompute inside it. Guards pin the mechanism: fact
+    history must read [wap_overwrite, set_constraint×2, merge]."""
+    from ..pipeline import LakehousePipeline, PipelineConfig
+    from .domain_fact import build_fct_daily_store_metrics
+
+    work = scratch_dir("spark_graft_domainfact", unique=True)
+    curated = os.path.join(work, "curated")
+    paths = _write_domain_raw(spark, sf_dir, os.path.join(work, "raw"), stale=True)
+
+    def cfg() -> PipelineConfig:
+        return PipelineConfig(
+            raw_paths=dict(paths),
+            curated_dir=curated,
+            versioned_publish=True,
+            publish_views=False,
+        )
+
+    LakehousePipeline(spark, cfg()).run_all()
+
+    # late data lands: regenerate the complete ERP extract, re-stage,
+    # recompute the horizon only, MERGE
+    _write_domain_raw(spark, sf_dir, os.path.join(work, "raw"), stale=False)
+    pipe2 = LakehousePipeline(spark, cfg())
+    for d in ("erp_orders", "crm_leads", "web_events"):
+        pipe2.run_domain(d)
+    fact_full = build_fct_daily_store_metrics(
+        pipe2.staged["erp_orders"],
+        pipe2.staged["crm_leads"],
+        pipe2.staged["web_events"],
+    )
+    pipe2.publish_fact(
+        fact_full.filter(F.col("dt") >= F.lit(DOMAIN_FACT_HORIZON))
+    )
+
+    fvt = VersionedTable(os.path.join(curated, "fct_daily_store_metrics"))
+    ops = [h["op"] for h in fvt.history()]
+    if ops != ["wap_overwrite", "set_constraint", "set_constraint", "merge"]:
+        raise AssertionError(f"unexpected fact history: {ops}")
+    merge_meta = fvt.history()[-1]["meta"]
+    total = merge_meta.get("total_files", 1)
+    # dt-clustered layout ⇒ the horizon merge must carry some file by
+    # reference; vacuous when the whole build fit one file (sf0.001)
+    if total > 2 and merge_meta.get("touched_files", 0) >= total:
+        raise AssertionError(
+            f"horizon merge rewrote every file (not incremental): {merge_meta}"
+        )
+    return fvt.read(spark).select(
+        "store_id",
+        F.col("dt").cast("date").alias("dt"),
+        F.col("revenue").cast("double").alias("revenue"),
+        F.col("order_count").cast("bigint").alias("order_count"),
+        F.col("converted_leads").cast("bigint").alias("converted_leads"),
+        F.col("sessions").cast("bigint").alias("sessions"),
+    )

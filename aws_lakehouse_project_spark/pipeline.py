@@ -60,6 +60,13 @@ class PipelineConfig:
     freshness_warn_hours: float = 12.0
     freshness_error_hours: float = 24.0
     publish_views: bool = True
+    # Route publish + incremental fact through the manifest transaction
+    # layer (plans/versioned.py): curated tables become VersionedTables
+    # with the GE suite compiled to CHECK constraints, publication is
+    # write-audit-publish, and the fact upserts via copy-on-write MERGE
+    # on (store_id, dt) — the dbt incremental contract (reference
+    # fct_daily_store_metrics.sql:1-5) on ACID snapshots.
+    versioned_publish: bool = False
     extra_suites: dict[str, list[Expectation]] = field(default_factory=dict)
     # D5: reference DEFAULT_ARGS sla=60min (:46); None disables the check
     sla_seconds: float | None = None
@@ -135,13 +142,51 @@ class LakehousePipeline:
         """Curated publication (reference :93-95): partitioned parquet
         under curated/<domain>, partitioned by dt like README.md:12 (the
         testdata-scale twin keeps store_id as a data column to avoid tiny
-        partitions; see write_zorder_approx for the clustered variant)."""
+        partitions; see write_zorder_approx for the clustered variant).
+
+        With ``versioned_publish`` the curated table is a
+        ``VersionedTable``: the staged frame is STAGED on disk, the
+        domain's GE suite audits exactly the staged files, and only then
+        is the snapshot atomically published (Iceberg's
+        write-audit-publish — readers can never see unaudited data); the
+        suite's row-level expectations are additionally installed as
+        CHECK constraints so every FUTURE write path — merge, append,
+        restore — re-enforces them inside its own commit."""
         out = os.path.join(self.config.curated_dir, domain)
-        write_partitioned_parquet(staged, out, ["dt"])
+        if self.config.versioned_publish:
+            published = self._publish_versioned(domain, staged, out)
+        else:
+            write_partitioned_parquet(staged, out, ["dt"])
+            published = self.spark.read.parquet(out)
         if self.config.publish_views:
-            self.spark.read.parquet(out).createOrReplaceTempView(f"curated_{domain}")
+            published.createOrReplaceTempView(f"curated_{domain}")
         self._edge(f"publish_{domain}", [f"stg_{domain}"], [out])
         return out
+
+    def _publish_versioned(self, domain: str, staged: DataFrame, out: str) -> DataFrame:
+        from .plans.versioned import VersionedTable
+        from .quality.expectations import check_constraints
+
+        suite = self.config.extra_suites.get(domain, DOMAIN_SUITES[domain])
+        row_suite = [
+            e
+            for e in suite
+            if e.kwargs.get("column") is None
+            or e.kwargs["column"] in staged.columns
+        ]
+        vt = VersionedTable(out, stats_cols=["dt"])
+        vt.write_audit_publish(
+            self.spark,
+            staged,
+            audits=[lambda df: validate(df, row_suite, name=f"curated_{domain}")],
+            mode="overwrite",
+            meta={"domain": domain},
+        )
+        existing = vt.constraints()
+        for cname, expr in check_constraints(suite, list(staged.columns)).items():
+            if cname not in existing:
+                vt.add_constraint(self.spark, cname, expr)
+        return vt.read(self.spark)
 
     # -- orchestration -----------------------------------------------------
 
@@ -212,10 +257,7 @@ class LakehousePipeline:
             self.staged["crm_leads"],
             self.staged["web_events"],
         )
-        self.post_build_tests(fact)
-        fact_dir = os.path.join(self.config.curated_dir, "fct_daily_store_metrics")
-        write_csv(fact, os.path.join(fact_dir, "csv"))
-        write_partitioned_parquet(fact, os.path.join(fact_dir, "parquet"), ["dt"])
+        fact_dir = self.publish_fact(fact)
         self._edge(
             "build_fct_daily_store_metrics",
             ["stg_erp_orders", "stg_crm_leads", "stg_web_events"],
@@ -223,6 +265,56 @@ class LakehousePipeline:
         )
         self.emit_manifest()
         return fact
+
+    def publish_fact(self, fact: DataFrame) -> str:
+        """Publish the fact mart. Plain mode: CSV + dt-partitioned
+        parquet (the reference's S3 layout). Versioned mode: the fact is
+        a ``VersionedTable`` implementing the dbt incremental contract
+        (reference fct_daily_store_metrics.sql:1-5,
+        ``incremental_strategy='merge'``, unique_key=['store_id','dt'])
+        — first build publishes through write-audit-publish with the D2
+        post-build tests as the audit; EVERY later call MERGEs the given
+        frame on (store_id, dt) copy-on-write, so an incremental run
+        passes only its recomputed horizon and pays ∝ touched files,
+        never a table rewrite. not_null(store_id, dt) rides as CHECK
+        constraints, enforced by every subsequent commit."""
+        fact_dir = os.path.join(self.config.curated_dir, "fct_daily_store_metrics")
+        if not self.config.versioned_publish:
+            self.post_build_tests(fact)
+            write_csv(fact, os.path.join(fact_dir, "csv"))
+            write_partitioned_parquet(fact, os.path.join(fact_dir, "parquet"), ["dt"])
+            return fact_dir
+        from .plans.versioned import VersionedTable
+
+        vt = VersionedTable(fact_dir, stats_cols=["dt"])
+        if not vt.exists():
+            # cluster the initial build by dt: incremental merges
+            # recompute a dt horizon, so dt-disjoint files keep the CoW
+            # touched-file set ∝ the horizon (and the dt min/max stats
+            # make scan() prune the same way)
+            clustered = fact.repartitionByRange(F.col("dt")).sortWithinPartitions(
+                "dt", "store_id"
+            )
+            vt.write_audit_publish(
+                self.spark,
+                clustered,
+                audits=[self.post_build_tests],
+                mode="overwrite",
+                meta={"model": "fct_daily_store_metrics"},
+            )
+            vt.add_constraint(self.spark, "nn_store_id", "store_id IS NOT NULL")
+            vt.add_constraint(self.spark, "nn_dt", "dt IS NOT NULL")
+        else:
+            self.post_build_tests(fact)  # D2 gate before the merge commit
+            vt.merge_upsert(
+                self.spark,
+                fact,
+                keys=["store_id", "dt"],
+                meta={"model": "fct_daily_store_metrics"},
+            )
+        if self.config.publish_views:
+            vt.read(self.spark).createOrReplaceTempView("fct_daily_store_metrics")
+        return fact_dir
 
     # -- dbt-level checks --------------------------------------------------
 

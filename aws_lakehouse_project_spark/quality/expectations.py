@@ -75,6 +75,40 @@ def suite_from_ge_json(doc: dict) -> list[Expectation]:
     ]
 
 
+def check_constraints(
+    suite: list[Expectation], columns: list[str] | None = None
+) -> dict[str, str]:
+    """Compile a GE suite's row-level expectations into CHECK-constraint
+    SQL for ``plans.versioned.VersionedTable`` (SQL CHECK semantics:
+    NULL passes, only FALSE violates — so between/regex pair with an
+    explicit not_null exactly as GE suites do). ``columns`` restricts
+    the compilation to expectations whose column survived the staging
+    projection; schema-level expectations have no row scope and are
+    skipped (they gate at validate/WAP-audit time instead)."""
+    out: dict[str, str] = {}
+    for e in suite:
+        t, kw = e.expectation_type, e.kwargs
+        col = kw.get("column")
+        if col is None or (columns is not None and col not in columns):
+            continue
+        if t == "expect_column_values_to_not_be_null":
+            out[f"nn_{col}"] = f"{col} IS NOT NULL"
+        elif t == "expect_column_values_to_be_between":
+            parts = []
+            if kw.get("min_value") is not None:
+                parts.append(f"{col} >= {float(kw['min_value'])}")
+            if kw.get("max_value") is not None:
+                parts.append(f"{col} <= {float(kw['max_value'])}")
+            if parts:
+                out[f"bounds_{col}"] = " AND ".join(parts)
+        elif t == "expect_column_values_to_match_regex":
+            # double the backslashes: Spark SQL string literals treat \
+            # as an escape, and the pattern must survive one parse
+            pat = kw["regex"].replace("\\", "\\\\").replace("'", "\\'")
+            out[f"regex_{col}"] = f"{col} RLIKE '{pat}'"
+    return out
+
+
 QUARANTINE_KEY = "quarantined_corrupt_rows"
 
 

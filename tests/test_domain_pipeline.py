@@ -291,3 +291,120 @@ def test_verify_window_invariants():
     assert rows_only == {"q_dedup_minhash", "q_dedup_simhash"}
     # emission order starts with the priority list verbatim
     assert list(q)[:50] == head
+
+
+# -- versioned publication (round 8): WAP + CHECK + incremental MERGE -------
+
+
+def _versioned_cfg(raw_paths, tmp_path, name="curated"):
+    from aws_lakehouse_project_spark.pipeline import PipelineConfig
+
+    return PipelineConfig(
+        raw_paths=raw_paths,
+        curated_dir=str(tmp_path / name),
+        versioned_publish=True,
+    )
+
+
+def test_pipeline_versioned_golden(spark, raw_paths, tmp_path):
+    """versioned_publish routes the whole DAG through the transaction
+    layer: domains publish via write-audit-publish with the GE suite as
+    CHECK constraints, and the fact is a VersionedTable whose head
+    reproduces the golden rows."""
+    from aws_lakehouse_project_spark.pipeline import LakehousePipeline
+    from aws_lakehouse_project_spark.plans.versioned import VersionedTable
+
+    pipe = LakehousePipeline(spark, _versioned_cfg(raw_paths, tmp_path))
+    fact = pipe.run_all()
+    assert [tuple(r) for r in fact.collect()] == GOLDEN
+
+    curated = tmp_path / "curated"
+    vt = VersionedTable(str(curated / "erp_orders"))
+    assert [h["op"] for h in vt.history()][0] == "wap_overwrite"
+    cons = vt.constraints()
+    assert "nn_order_id" in cons and "bounds_order_value" in cons
+
+    fvt = VersionedTable(str(curated / "fct_daily_store_metrics"))
+    assert set(fvt.constraints()) == {"nn_store_id", "nn_dt"}
+    got = [
+        tuple(r) for r in fvt.read(spark).orderBy("store_id", "dt").collect()
+    ]
+    assert got == GOLDEN
+    # published SQL surface (S9) points at the versioned head
+    assert (
+        spark.sql("SELECT COUNT(*) c FROM fct_daily_store_metrics").collect()[0]["c"]
+        == len(GOLDEN)
+    )
+
+
+def test_pipeline_versioned_rerun_merges_incrementally(
+    spark, raw_paths, tmp_path
+):
+    """A second run MERGEs on (store_id, dt) instead of rewriting: the
+    fact head stays golden and its history records a merge commit — the
+    dbt incremental contract on ACID snapshots."""
+    from aws_lakehouse_project_spark.pipeline import LakehousePipeline
+    from aws_lakehouse_project_spark.plans.versioned import VersionedTable
+
+    LakehousePipeline(spark, _versioned_cfg(raw_paths, tmp_path)).run_all()
+    LakehousePipeline(spark, _versioned_cfg(raw_paths, tmp_path)).run_all()
+    fvt = VersionedTable(str(tmp_path / "curated" / "fct_daily_store_metrics"))
+    assert fvt.history()[-1]["op"] == "merge"
+    got = [
+        tuple(r) for r in fvt.read(spark).orderBy("store_id", "dt").collect()
+    ]
+    assert got == GOLDEN
+
+
+def test_pipeline_versioned_merge_heals_late_rows(spark, raw_paths, tmp_path):
+    """The late-data contract end-to-end: v0 built from a stale ERP
+    extract (one order missing), then a corrected full rebuild merges —
+    only the merge commit, no overwrite — and the head equals GOLDEN."""
+    from aws_lakehouse_project_spark.pipeline import LakehousePipeline
+    from aws_lakehouse_project_spark.plans.versioned import VersionedTable
+
+    stale = tmp_path / "erp_stale.csv"
+    lines = ERP_ORDERS_CSV.strip().splitlines()
+    stale.write_text("\n".join(l for l in lines if not l.startswith("1005")) + "\n")
+
+    LakehousePipeline(
+        spark,
+        _versioned_cfg(dict(raw_paths, erp_orders=str(stale)), tmp_path),
+    ).run_all()
+    fvt = VersionedTable(str(tmp_path / "curated" / "fct_daily_store_metrics"))
+    v0 = [tuple(r) for r in fvt.read(spark).orderBy("store_id", "dt").collect()]
+    assert v0 != GOLDEN  # store_03 revenue missing in the stale build
+
+    LakehousePipeline(spark, _versioned_cfg(raw_paths, tmp_path)).run_all()
+    assert fvt.history()[-1]["op"] == "merge"
+    got = [
+        tuple(r) for r in fvt.read(spark).orderBy("store_id", "dt").collect()
+    ]
+    assert got == GOLDEN
+
+
+def test_pipeline_versioned_constraints_gate_future_writes(
+    spark, raw_paths, tmp_path
+):
+    """The GE-derived CHECK constraints keep gating AFTER publication:
+    a direct append of violating rows to the curated table aborts and
+    the head is unchanged."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from aws_lakehouse_project_spark.pipeline import LakehousePipeline
+    from aws_lakehouse_project_spark.plans.versioned import (
+        ConstraintViolationError,
+        VersionedTable,
+    )
+
+    pipe = LakehousePipeline(spark, _versioned_cfg(raw_paths, tmp_path))
+    pipe.run_all()
+    vt = VersionedTable(str(tmp_path / "curated" / "erp_orders"))
+    head = vt.latest_version()
+    bad = pipe.staged["erp_orders"].withColumn(
+        "order_value", F.lit(-5.0).cast("decimal(12,2)")
+    )
+    with _pytest.raises(ConstraintViolationError):
+        vt.append(bad)
+    assert vt.latest_version() == head
