@@ -548,8 +548,8 @@ def q_stream_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream: no Python in the data plane, exactly-once per file via the
     stream checkpoint) into a parquet sink with an availableNow
     trigger. The streamed rows are replayed consumer-side — last change
-    per key wins, with the insert postimage beating its same-commit
-    delete preimage; keys ending on a delete drop out — and the replay
+    per key wins, with the insert/update postimage beating its paired
+    same-commit preimage; keys ending on a delete drop out — and the replay
     must reconstruct the table head exactly: the oracle is the
     merge-then-delete algebra in SQL. A guard asserts all three commit
     versions arrived through the STREAM (a silently-pruned feed can't
@@ -608,9 +608,12 @@ def q_table_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``plans/versioned.py::replicate``): the q_stream_cdf scenario's
     three commits (stale load → corrective MERGE → DELETE) stream out
     of the source's materialized CDF and fold into a REPLICA table via
-    ``foreachBatch`` → ``apply_changes`` — per micro-batch the feed is
-    netted per key (latest commit wins, insert postimage beats its
-    same-commit delete preimage) and applied as one atomic
+    ``foreachBatch`` → ``apply_changes`` — per micro-batch the fold
+    re-reads whole materialized commits up to the highest delivered
+    version (commit-atomic even if the file stream splits a feed),
+    nets per key (latest commit wins, the insert/update postimage beats
+    its paired preimage, the replica watermark drops already-applied
+    versions) and applies one atomic
     copy-on-write commit. Cost ∝ churn end-to-end: feed write, stream
     read, netting shuffle, and CoW apply all scale with changed rows,
     never table size — the property that makes a 100 TB replica

@@ -43,11 +43,15 @@ metadata tree use, re-expressed minimally:
   ``ConcurrentWriteError`` if ANY commit landed since — the caller must
   re-run on the new head.
 
-Local-filesystem scope: atomicity rides on POSIX link/rename semantics.
-An S3 deployment would swap ``_claim_version`` for a conditional PUT
-(If-None-Match) or a DynamoDB lock, exactly as Delta-on-S3 does; every
+Storage seam: the ONLY primitive the protocol needs is an atomic
+create-if-absent of the manifest object, injected as a
+``CommitClaimBackend`` — ``PosixLinkClaim`` (tmp + fsync + os.link) by
+default, ``ConditionalPutClaim`` in the exact shape of S3's
+``PUT If-None-Match: *`` / GCS ``ifGenerationMatch=0`` (a cloud
+deployment swaps that one method), exactly as Delta-on-S3 does; every
 other code path is object-store clean (immutable files, no renames of
-data, no directory listings on the read path).
+data, no directory listings on the read path). The protocol tests run
+against BOTH backends, including deterministically injected races.
 
 Reference parity: the reference's dbt MERGE contract
 (``dbt/models/marts/fct_daily_store_metrics.sql:1-5``) targets an
@@ -70,6 +74,9 @@ from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 __all__ = [
     "VersionedTable",
+    "CommitClaimBackend",
+    "PosixLinkClaim",
+    "ConditionalPutClaim",
     "ConcurrentWriteError",
     "ConstraintViolationError",
     "VacuumedVersionError",
@@ -96,6 +103,73 @@ class ConstraintViolationError(ValueError):
 _LOG_DIR = "_log"
 _DATA_DIR = "data"
 _CDF_DIR = "_change_data"
+
+
+class CommitClaimBackend:
+    """The ONE storage primitive the commit protocol needs: an atomic
+    create-if-absent of a manifest object (compare-and-swap on the
+    version number).
+
+    Contract: ``claim(final, payload)`` returns True iff THIS call
+    created ``final`` with ``payload``; False iff the object already
+    existed (a competitor won that version). It must never return False
+    for any other reason — transient storage errors must be resolved
+    (retried, then existence-checked) inside the backend, because the
+    caller treats False as "rebase onto the winner and move on"; a
+    spurious False against an absent object would spin the append-retry
+    loop on a version nobody owns. It must never overwrite.
+
+    Everything else in the protocol (append rebase, ``expected_head``
+    CAS for copy-on-write ops, constraint revalidation) is
+    backend-independent — proven by running the test suite's commit
+    protocol against both backends below."""
+
+    def claim(self, final: str, payload: str) -> bool:
+        raise NotImplementedError
+
+
+class PosixLinkClaim(CommitClaimBackend):
+    """Local-filesystem default: durable tmp write + ``os.link`` — the
+    POSIX create-if-absent (link fails with EEXIST instead of
+    overwriting, unlike rename). Crash-safe: the manifest appears only
+    complete and fsynced."""
+
+    def claim(self, final: str, payload: str) -> bool:
+        tmp = final + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            fh.write(payload)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, final)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
+
+class ConditionalPutClaim(CommitClaimBackend):
+    """Object-store-shaped backend: ONE conditional create call, no tmp
+    files, no link, no rename — exactly the S3 ``PUT If-None-Match: *``
+    / GCS ``ifGenerationMatch=0`` / ADLS ``If-None-Match`` shape a
+    cloud deployment swaps in (the whole swap is this one method; an S3
+    implementation replaces the ``os.open`` with the conditional PUT
+    and maps HTTP 412 to False). Modeled locally with
+    ``O_CREAT|O_EXCL``: the object either lands or the call reports the
+    existing winner — which is the atomicity an object store gives a
+    real PUT."""
+
+    def claim(self, final: str, payload: str) -> bool:
+        try:
+            fd = os.open(final, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "w") as fh:
+            fh.write(payload)
+            fh.flush()
+            os.fsync(fh.fileno())
+        return True
 
 
 def _stat_json(v):
@@ -162,10 +236,12 @@ class VersionedTable:
         path: str,
         stats_cols: Sequence[str] = (),
         change_feed: bool = False,
+        claim_backend: CommitClaimBackend | None = None,
     ) -> None:
         self.path = path
         self.stats_cols = list(stats_cols)
         self.change_feed = change_feed
+        self._claim = claim_backend or PosixLinkClaim()
         # constraint set the most recent _write_commit_files validated
         # against; _commit compares it to the active set at claim time
         # so a concurrently-added constraint can't be bypassed
@@ -214,22 +290,14 @@ class VersionedTable:
 
     def _claim_version(self, manifest: dict) -> bool:
         """Atomically publish ``manifest`` as its version; False if a
-        concurrent writer already claimed that version number."""
-        final = self._log_path(manifest["version"])
-        tmp = final + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as fh:
-            json.dump(manifest, fh, sort_keys=True)
-            fh.flush()
-            os.fsync(fh.fileno())
-        try:
-            # os.link is the POSIX compare-and-swap: it fails (EEXIST)
-            # instead of overwriting, unlike os.replace
-            os.link(tmp, final)
-            return True
-        except FileExistsError:
-            return False
-        finally:
-            os.unlink(tmp)
+        concurrent writer already claimed that version number. Delegates
+        the create-if-absent to the injected ``CommitClaimBackend`` —
+        ``PosixLinkClaim`` locally, ``ConditionalPutClaim`` for the
+        object-store shape."""
+        return self._claim.claim(
+            self._log_path(manifest["version"]),
+            json.dumps(manifest, sort_keys=True),
+        )
 
     # -- data-file plumbing -------------------------------------------------
 
@@ -887,6 +955,7 @@ class VersionedTable:
             dest_path,
             stats_cols=self.stats_cols if stats_cols is None else stats_cols,
             change_feed=change_feed,
+            claim_backend=self._claim,
         )
         if dest.exists():
             raise ValueError(f"clone destination {dest_path} already has a table")

@@ -1066,3 +1066,69 @@ def test_replicate_single_file_batches_fold_whole_commits(
     assert _rows(dst.read(spark)) == _rows(src.read(spark))
     ops = [h["op"] for h in dst.history()]
     assert ops[0] == "overwrite" and set(ops[1:]) <= {"merge"}
+
+
+def test_concurrent_merge_append_cdc_stress(spark, cdf_vt):
+    """Multi-writer contention WITH the change feed on: concurrent
+    appends (rebase path) and CoW merges (expected_head CAS + bounded
+    retry) interleave, every data commit materializes its single-file
+    feed, and replaying the whole feed in commit order reconstructs the
+    final head exactly — the CDF stays gap-free under contention."""
+    import threading
+    import time as _time
+
+    from pyspark.sql import Window
+
+    from aws_lakehouse_project_spark.plans.versioned import (
+        ConcurrentWriteError,
+        VersionedTable,
+    )
+
+    vt = cdf_vt
+    vt.write_full(_mk(spark, [(i, "base") for i in range(4)]))
+    errors = []
+
+    def worker(tid: int) -> None:
+        try:
+            me = VersionedTable(vt.path, stats_cols=["k"], change_feed=True)
+            for j in range(2):
+                me.append(_mk(spark, [(1000 + 10 * tid + j, f"a{tid}_{j}")]))
+                for _attempt in range(40):
+                    try:
+                        me.merge_upsert(
+                            spark, _mk(spark, [(tid, f"m{tid}_{j}")]), keys=["k"]
+                        )
+                        break
+                    except ConcurrentWriteError:
+                        _time.sleep(0.02)
+                else:
+                    raise AssertionError(f"merge starved for writer {tid}")
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [threading.Thread(target=worker, args=(t,)) for t in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
+    vs = vt.versions()
+    assert vs == list(range(len(vs)))  # dense chain under contention
+    # every data commit materialized exactly one feed file
+    for v in vs:
+        d = vt._cdf_version_dir(v)
+        assert os.path.isdir(d), f"version {v} has no feed"
+        n = len([f for f in os.listdir(d) if f.endswith(".parquet")])
+        assert n == 1, (v, n)
+    feed = _feed(spark, vt)
+    post = F.col("_change_type").isin("insert", "update_postimage")
+    w = Window.partitionBy("k").orderBy(
+        F.desc("_commit_version"), F.when(post, 1).otherwise(0).desc()
+    )
+    replay = (
+        feed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .filter(post)
+        .select("k", "v")
+    )
+    assert _rows(replay) == _rows(vt.read(spark))
