@@ -136,6 +136,9 @@ EXTRA = [
     "q_table_replicate",
     "q_optimize_zorder",
     "q_table_history",
+    # round-8 addition: the domain DAG published through the transaction
+    # layer (raw extract → WAP publish → late data → horizon CoW merge)
+    "q_domain_fact_versioned",
 ]
 
 
