@@ -789,6 +789,114 @@ def q_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vt.read(spark)
 
 
+DELETE_VECTORS_ORACLE = f"""
+    WITH daily AS (
+      SELECT o_custkey AS cust_id, CAST(o_orderdate AS DATE) AS dt,
+             COUNT(*) AS order_count
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT 'create' AS stage, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(order_count) AS BIGINT) AS total_orders
+    FROM daily
+    UNION ALL
+    SELECT 'mor_delete', CAST(COUNT(*) AS BIGINT), CAST(SUM(order_count) AS BIGINT)
+    FROM daily WHERE cust_id % 5 <> 0
+    UNION ALL
+    SELECT 'mor_fold', CAST(COUNT(*) AS BIGINT), CAST(SUM(order_count) AS BIGINT)
+    FROM daily WHERE cust_id % 5 <> 0 AND dt >= DATE '{MERGE_HORIZON}'
+    UNION ALL
+    SELECT 'purge', CAST(COUNT(*) AS BIGINT), CAST(SUM(order_count) AS BIGINT)
+    FROM daily WHERE cust_id % 5 <> 0 AND dt >= DATE '{MERGE_HORIZON}'
+"""
+
+
+@demo_query("q_delete_vectors", oracle=DELETE_VECTORS_ORACLE)
+def q_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE via deletion vectors (Delta's
+    ``delta.enableDeletionVectors`` / Iceberg v2 position deletes,
+    re-derived on plain parquet in ``plans/versioned.py::_delete_mor``):
+    two deletes record churn-sized (file, row-position) sidecars and the
+    reader anti-joins them via parquet ``_metadata.row_index`` — the
+    100 TB write-amplification fix, since deleting scattered rows costs
+    one tiny sidecar write instead of rewriting every touched full-size
+    file. Three behavioral guards keep this honest: (1) across BOTH
+    deletes no data parquet is added, removed, or modified (byte/mtime
+    identity — the whole point of merge-on-read); (2) the second delete
+    folds into the first's positions so every file maps to exactly one
+    DV (readers never chase chains); (3) ``optimize(purge_dvs=True)``
+    (Delta's ``REORG ... APPLY (PURGE)``) drops the dead rows
+    physically and sheds every DV entry without changing the logical
+    table. Each stage's snapshot is read BY VERSION after all commits
+    exist, so time travel across merge-on-read deletes is what the
+    oracle actually checks."""
+    work = scratch_dir("spark_graft_dv", unique=True)
+    vt = VersionedTable(os.path.join(work, "fact"), stats_cols=["dt"])
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("cust_id"),
+            F.col("o_orderdate").cast("date").alias("dt"),
+        )
+        .groupBy("cust_id", "dt")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+    v_create = vt.write_full(daily.repartition(4))
+
+    def data_files() -> list[tuple[str, int, int]]:
+        out = []
+        for dirpath, _dirs, names in os.walk(os.path.join(vt.path, "data")):
+            if os.path.basename(dirpath).endswith("-dv"):
+                continue  # DV sidecars are the one thing allowed to appear
+            for n in names:
+                if n.endswith(".parquet"):
+                    st = os.stat(os.path.join(dirpath, n))
+                    out.append((os.path.relpath(os.path.join(dirpath, n), vt.path),
+                                st.st_mtime_ns, st.st_size))
+        return sorted(out)
+
+    before = data_files()
+    v_mor = vt.delete_where(spark, "cust_id % 5 = 0", mode="merge_on_read")
+    v_fold = vt.delete_where(
+        spark, f"dt < DATE '{MERGE_HORIZON}'", mode="merge_on_read"
+    )
+    if data_files() != before:
+        raise AssertionError("merge-on-read delete touched a data file")
+    m_mor, m_fold = vt._manifest(v_mor), vt._manifest(v_fold)
+    dead_mor = sum(m_mor.get("dv_counts", {}).values())
+    dead_fold = sum(m_fold.get("dv_counts", {}).values())
+    if not 0 < dead_mor < dead_fold:
+        raise AssertionError(
+            f"DV fold did not accumulate: {dead_mor} -> {dead_fold}"
+        )
+    if any(
+        m_fold["dvs"][f] == m_mor["dvs"][f]
+        for f in m_fold["dvs"]
+        if f in m_mor.get("dvs", {})
+        and m_fold["dv_counts"][f] > m_mor["dv_counts"][f]
+    ):
+        raise AssertionError("re-deleted file kept its old DV dir (chain)")
+    v_purge = vt.optimize(spark, target_rows_per_file=10_000_000, purge_dvs=True)
+    if vt._manifest().get("dvs", {}):
+        raise AssertionError("purge_dvs left deletion vectors behind")
+
+    def snap(stage: str, version: int) -> DataFrame:
+        return (
+            vt.read(spark, version=version)
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("order_count").cast("bigint").alias("total_orders"),
+            )
+            .select(F.lit(stage).alias("stage"), "n_rows", "total_orders")
+        )
+
+    return (
+        snap("create", v_create)
+        .unionByName(snap("mor_delete", v_mor))
+        .unionByName(snap("mor_fold", v_fold))
+        .unionByName(snap("purge", v_purge))
+    )
+
+
 STREAM_MERGE_ORACLE = """
     SELECT CAST(ts AS DATE) AS dt,
            user_id AS cust_id,

@@ -79,6 +79,7 @@ __all__ = [
     "ConditionalPutClaim",
     "ConcurrentWriteError",
     "ConstraintViolationError",
+    "TornManifestError",
     "VacuumedVersionError",
     "apply_changes",
     "replicate",
@@ -100,6 +101,12 @@ class ConstraintViolationError(ValueError):
     commit was aborted and the table head is unchanged."""
 
 
+class TornManifestError(RuntimeError):
+    """A log manifest exists but does not parse: the claim backend
+    violated its atomic-visibility contract (object observable without
+    its full payload) or the file was externally truncated."""
+
+
 _LOG_DIR = "_log"
 _DATA_DIR = "data"
 _CDF_DIR = "_change_data"
@@ -118,6 +125,16 @@ class CommitClaimBackend:
     caller treats False as "rebase onto the winner and move on"; a
     spurious False against an absent object would spin the append-retry
     loop on a version nobody owns. It must never overwrite.
+
+    Visibility must be ATOMIC: ``final`` may never be observable
+    without its complete payload. Concurrent writers list the log and
+    parse the head manifest mid-race (the append rebase), so an
+    object that exists empty for even a syscall's width hands them a
+    torn manifest. S3/GCS/ADLS conditional PUTs give this for free —
+    the object materializes only when the upload completes — but plain
+    POSIX ``open(O_CREAT|O_EXCL)`` does NOT (found by the 8-writer
+    stress flaking on ``json.load`` of an empty manifest): a faithful
+    local model must publish a fully-written inode via ``link``.
 
     Everything else in the protocol (append rebase, ``expected_head``
     CAS for copy-on-write ops, constraint revalidation) is
@@ -150,26 +167,39 @@ class PosixLinkClaim(CommitClaimBackend):
 
 
 class ConditionalPutClaim(CommitClaimBackend):
-    """Object-store-shaped backend: ONE conditional create call, no tmp
-    files, no link, no rename — exactly the S3 ``PUT If-None-Match: *``
-    / GCS ``ifGenerationMatch=0`` / ADLS ``If-None-Match`` shape a
-    cloud deployment swaps in (the whole swap is this one method; an S3
-    implementation replaces the ``os.open`` with the conditional PUT
-    and maps HTTP 412 to False). Modeled locally with
-    ``O_CREAT|O_EXCL``: the object either lands or the call reports the
-    existing winner — which is the atomicity an object store gives a
-    real PUT."""
+    """Object-store-shaped backend: ONE logical conditional-create call
+    — exactly the S3 ``PUT If-None-Match: *`` / GCS
+    ``ifGenerationMatch=0`` / ADLS ``If-None-Match`` shape a cloud
+    deployment swaps in (the whole swap is this one method; an S3
+    implementation issues the single conditional PUT and maps HTTP 412
+    to False — no tmp objects, no rename, and atomic visibility comes
+    free because the object materializes only when the upload
+    completes).
+
+    The LOCAL model must reproduce that atomic visibility explicitly:
+    a first cut used ``open(O_CREAT|O_EXCL)`` + write, and the 8-writer
+    stress caught concurrent rebase reads parsing the manifest in the
+    exists-but-empty window between the two syscalls. POSIX can only
+    publish a fully-written inode atomically via ``link`` of a hidden
+    staged file, so the emulation stages under a dotfile name (invisible
+    to ``versions()``'s ``.json`` listing) and links it in — the CAS
+    and the payload become visible in the same syscall, which is the
+    S3 semantic being modeled."""
 
     def claim(self, final: str, payload: str) -> bool:
-        try:
-            fd = os.open(final, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            return False
-        with os.fdopen(fd, "w") as fh:
+        d, base = os.path.split(final)
+        staged = os.path.join(d, f".put-{uuid.uuid4().hex}-{base}")
+        with open(staged, "w") as fh:
             fh.write(payload)
             fh.flush()
             os.fsync(fh.fileno())
-        return True
+        try:
+            os.link(staged, final)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(staged)
 
 
 def _stat_json(v):
@@ -286,7 +316,20 @@ class VersionedTable:
                 f"no version {version} in {self.path} (have: {vs})"
             )
         with open(p) as fh:
-            return json.load(fh)
+            try:
+                return json.load(fh)
+            except json.JSONDecodeError as exc:
+                # a manifest that exists but does not parse means the
+                # claim backend broke its atomic-visibility contract
+                # (object observable without its full payload) or the
+                # file was externally truncated — name the invariant
+                # instead of surfacing a bare parse error
+                raise TornManifestError(
+                    f"manifest {p} exists but is not valid JSON "
+                    f"({exc}); the commit-claim backend must publish "
+                    "payload and object atomically (see "
+                    "CommitClaimBackend contract)"
+                ) from exc
 
     def _claim_version(self, manifest: dict) -> bool:
         """Atomically publish ``manifest`` as its version; False if a
@@ -441,6 +484,7 @@ class VersionedTable:
         retry_append_files: list[str] | None = None,
         constraints: dict[str, str] | None = None,
         expected_head: int | None = None,
+        dvs: tuple[dict, dict] | None = None,
     ) -> int:
         """Publish a new version. ``retry_append_files`` marks the commit
         as an append of exactly those files: it is rebased onto the
@@ -458,7 +502,17 @@ class VersionedTable:
         commit raises instead of silently clobbering the competitor.
 
         ``constraints=None`` inherits the head's CHECK constraints;
-        add/drop_constraint pass the updated set explicitly."""
+        add/drop_constraint pass the updated set explicitly.
+
+        ``dvs=None`` inherits the head's deletion vectors pruned to the
+        commit's file list (files carried by reference keep their DVs;
+        rewritten files get fresh names, so their stale entries drop
+        out); merge-on-read deletes, restore and clone pass the pair
+        ``({data_file: dv_dir}, {data_file: n_dead_rows})`` explicitly.
+        Counts are keyed by DATA FILE, not dv dir, so pruning a
+        rewritten file's entry drops its dead count exactly — dir-level
+        totals would go stale the moment one covered file is
+        rewritten."""
         own_stats = (
             {f: stats[f] for f in retry_append_files if f in stats}
             if retry_append_files is not None
@@ -474,22 +528,30 @@ class VersionedTable:
                     "copy-on-write file set is stale — re-read the head "
                     "and re-run"
                 )
-            if retry_append_files is not None and head is not None:
+            hm = self._manifest(head) if head is not None else None
+            if retry_append_files is not None and hm is not None:
                 # rebase the blind append onto whatever the head is NOW:
                 # head files + ours, head stats + ours, schema union
-                base = self._manifest(head)
-                files = base["files"] + retry_append_files
-                stats = {**base["stats"], **own_stats}
-                schema_json = self._merge_schema(base["schema"], schema_json)
+                files = hm["files"] + retry_append_files
+                stats = {**hm["stats"], **own_stats}
+                schema_json = self._merge_schema(hm["schema"], schema_json)
             active = (
                 constraints
                 if constraints is not None
-                else (
-                    dict(self._manifest(head).get("constraints", {}))
-                    if head is not None
-                    else {}
-                )
+                else (dict(hm.get("constraints", {})) if hm is not None else {})
             )
+            if dvs is not None:
+                a_dvs, a_dvn = dict(dvs[0]), dict(dvs[1])
+            elif hm is not None:
+                a_dvs = dict(hm.get("dvs", {}))
+                a_dvn = dict(hm.get("dv_counts", {}))
+            else:
+                a_dvs, a_dvn = {}, {}
+            # prune to the commit's file list: rewritten/dropped files
+            # shed their DV entries and their dead counts
+            fset = set(files)
+            a_dvs = {f: d for f, d in a_dvs.items() if f in fset}
+            a_dvn = {f: c for f, c in a_dvn.items() if f in a_dvs}
             if (
                 constraints is None
                 and self._validated_constraints is not None
@@ -515,6 +577,9 @@ class VersionedTable:
                 "meta": meta or {},
                 "constraints": active,
             }
+            if a_dvs:
+                manifest["dvs"] = a_dvs
+                manifest["dv_counts"] = a_dvn
             if self._claim_version(manifest):
                 if constraints is None:
                     # this commit consumed the pending validation record;
@@ -601,7 +666,13 @@ class VersionedTable:
         m = self._manifest(version)
         # project to the manifest schema: evolution-era files miss newer
         # columns; a post-evolution snapshot still exposes the full union
-        return self._read_files(spark, m["files"], StructType.fromJson(m["schema"]))
+        return self._read_files(
+            spark,
+            m["files"],
+            StructType.fromJson(m["schema"]),
+            dvs=m.get("dvs"),
+            dv_counts=m.get("dv_counts"),
+        )
 
     def scan(
         self,
@@ -634,12 +705,9 @@ class VersionedTable:
                 continue
             keep.append(f)
         schema = StructType.fromJson(m["schema"])
-        if not keep:
-            df = spark.createDataFrame([], schema)
-        else:
-            df = spark.read.option("mergeSchema", "true").parquet(
-                *[os.path.join(self.path, f) for f in keep]
-            ).select(*[f.name for f in schema.fields])
+        df = self._read_files(
+            spark, keep, schema, dvs=m.get("dvs"), dv_counts=m.get("dv_counts")
+        )
         cond = F.lit(True)
         if lo is not None:
             cond = cond & (F.col(col) >= F.lit(lo))
@@ -647,23 +715,105 @@ class VersionedTable:
             cond = cond & (F.col(col) <= F.lit(hi))
         return df.filter(cond)
 
+    def _rel_to_uri(self, col: Column) -> Column:
+        """Manifest file key → the ``file:`` URI parquet's
+        ``_metadata.file_path`` reports for it (root-relative keys get
+        the table root prefixed; absolute keys — borrowed clone files —
+        just gain the scheme)."""
+        root_uri = "file:" + os.path.abspath(self.path) + "/"
+        return F.when(
+            col.startswith("/"), F.concat(F.lit("file:"), col)
+        ).otherwise(F.concat(F.lit(root_uri), col))
+
+    def _dv_frame(
+        self, spark: SparkSession, dv_dirs: list[str], total: int
+    ) -> DataFrame:
+        """Dead ``(__fp, __pos)`` pairs carried by ``dv_dirs``.
+        Broadcast when ``total`` (the manifest's per-file dead counts,
+        summed by the caller) bounds the set small — the normal case
+        (DVs are churn-sized, one compact file per delete commit); a
+        pathological mass-delete falls back to a shuffle anti-join. A
+        dv dir may carry positions for files outside the current scan
+        subset; those rows simply match nothing (commit-dir file names
+        are uuid-fresh, never reused), so no filter is needed for
+        correctness."""
+        df = spark.read.parquet(*[os.path.join(self.path, d) for d in dv_dirs])
+        out = df.select(
+            self._rel_to_uri(F.col("file")).alias("__fp"),
+            F.col("pos").alias("__pos"),
+        )
+        if 0 < total <= 8_000_000:
+            out = F.broadcast(out)
+        return out
+
     def _read_files(
-        self, spark: SparkSession, rel_files: list[str], schema: StructType
+        self,
+        spark: SparkSession,
+        rel_files: list[str],
+        schema: StructType,
+        dvs: dict | None = None,
+        dv_counts: dict | None = None,
+        keep_meta: bool = False,
     ) -> DataFrame:
         """Read exactly ``rel_files`` projected to ``schema`` (absent
-        evolution-era columns become explicit nulls)."""
+        evolution-era columns become explicit nulls), applying any
+        deletion vectors: files with a DV entry scan with parquet's
+        ``_metadata.row_index`` and anti-join their dead (file, pos)
+        set — merge-on-read, Delta/Iceberg deletion-vector semantics.
+        Files without a DV take the plain join-free scan and the two
+        branches union, so a DV-free table pays ZERO overhead and a
+        100 TB table with a churn-sized DV pays one broadcast anti-join
+        over only the DV'd files. ``keep_meta=True`` keeps ``__fp`` /
+        ``__pos`` (file URI + row position) on the output for
+        position-deriving callers (the merge-on-read delete)."""
+        fset = set(rel_files)
+        dvs = {f: d for f, d in (dvs or {}).items() if f in fset}
         if not rel_files:
-            return spark.createDataFrame([], schema)
-        df = spark.read.option("mergeSchema", "true").parquet(
-            *[os.path.join(self.path, f) for f in rel_files]
-        )
-        return df.select(
-            *[
+            df = spark.createDataFrame([], schema)
+            if keep_meta:
+                df = df.withColumn("__fp", F.lit(None).cast("string"))
+                df = df.withColumn("__pos", F.lit(None).cast("long"))
+            return df
+
+        def _scan(files: list[str], with_meta: bool) -> DataFrame:
+            df = spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(self.path, f) for f in files]
+            )
+            cols = [
                 F.col(f.name) if f.name in df.columns
                 else F.lit(None).cast(f.dataType).alias(f.name)
                 for f in schema.fields
             ]
+            if with_meta:
+                cols += [
+                    F.col("_metadata.file_path").alias("__fp"),
+                    F.col("_metadata.row_index").alias("__pos"),
+                ]
+            return df.select(*cols)
+
+        out_cols = [f.name for f in schema.fields] + (
+            ["__fp", "__pos"] if keep_meta else []
         )
+        clean = [f for f in rel_files if f not in dvs]
+        dirty = [f for f in rel_files if f in dvs]
+        parts = []
+        if clean:
+            parts.append(_scan(clean, keep_meta))
+        if dirty:
+            dv = self._dv_frame(
+                spark,
+                sorted(set(dvs.values())),
+                sum((dv_counts or {}).get(f, 0) for f in dirty),
+            )
+            parts.append(
+                _scan(dirty, True)
+                .join(dv, ["__fp", "__pos"], "left_anti")
+                .select(*out_cols)
+            )
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
 
     def changes(
         self,
@@ -701,10 +851,23 @@ class VersionedTable:
         removed = [f for f in m_from["files"] if f not in to_set]
         # the to-version schema is the union after any evolution
         schema = StructType.fromJson(m_to["schema"])
-        added_rows = self._read_files(spark, added, schema)
-        removed_rows = self._read_files(spark, removed, schema)
+        # each side's DVs apply to ITS files: a row dead at from_version
+        # is not a "delete" when its file is rewritten, and never
+        # resurrects as an "insert"
+        added_rows = self._read_files(
+            spark, added, schema, dvs=m_to.get("dvs"),
+            dv_counts=m_to.get("dv_counts"),
+        )
+        removed_rows = self._read_files(
+            spark, removed, schema, dvs=m_from.get("dvs"),
+            dv_counts=m_from.get("dv_counts"),
+        )
         inserts = added_rows.exceptAll(removed_rows)
         deletes = removed_rows.exceptAll(added_rows)
+        dv_ins, dv_del = self._dv_diff_rows(spark, m_from, m_to, schema)
+        if dv_ins is not None:
+            inserts = inserts.unionByName(dv_ins)
+            deletes = deletes.unionByName(dv_del)
         keys = (
             m_to["meta"].get("merge_keys")
             if m_to["version"] == m_from["version"] + 1
@@ -733,6 +896,60 @@ class VersionedTable:
         return inserts.select(
             F.lit("insert").alias("_change_type"), "*"
         ).unionByName(deletes.select(F.lit("delete").alias("_change_type"), "*"))
+
+    def _dv_diff_rows(
+        self, spark: SparkSession, m_from: dict, m_to: dict, schema: StructType
+    ) -> tuple[DataFrame | None, DataFrame | None]:
+        """Deletion-vector churn's row-level contribution to the change
+        feed, as ``(inserts, deletes)``: positions dead at ``to`` but
+        live at ``from`` — within files present on BOTH sides — are
+        deletes; positions un-deadened (a RESTORE across a merge-on-read
+        delete) are inserts. Files only on one side are covered by the
+        file diff. Cost ∝ DV churn: only files the position diff
+        actually names are read (driver file list bounded by the
+        manifest, same contract as ``_touched_files``); the position
+        sets are churn-sized and broadcast into the semi-joins."""
+        common = set(m_from["files"]) & set(m_to["files"])
+        dv_f = {f: d for f, d in m_from.get("dvs", {}).items() if f in common}
+        dv_t = {f: d for f, d in m_to.get("dvs", {}).items() if f in common}
+        if not dv_f and not dv_t:
+            return None, None
+
+        def _rows(dv_map: dict) -> DataFrame:
+            dirs = sorted(set(dv_map.values()))
+            if not dirs:
+                return spark.createDataFrame([], "file string, pos long")
+            # a dv dir can carry positions for files rewritten since
+            # (their diff belongs to the file diff) — restrict to the
+            # files this side's manifest actually maps
+            return spark.read.parquet(
+                *[os.path.join(self.path, d) for d in dirs]
+            ).filter(F.col("file").isin(sorted(dv_map)))
+
+        rows_f, rows_t = _rows(dv_f), _rows(dv_t)
+        newly_dead = rows_t.exceptAll(rows_f)
+        newly_live = rows_f.exceptAll(rows_t)
+        affected = sorted(
+            r["file"]
+            for r in newly_dead.select("file")
+            .union(newly_live.select("file"))
+            .distinct()
+            .collect()
+        )
+        if not affected:
+            return None, None
+        meta_rows = self._read_files(spark, affected, schema, keep_meta=True)
+
+        def _pick(pos_df: DataFrame) -> DataFrame:
+            pos = pos_df.select(
+                self._rel_to_uri(F.col("file")).alias("__fp"),
+                F.col("pos").alias("__pos"),
+            )
+            return meta_rows.join(
+                F.broadcast(pos), ["__fp", "__pos"], "left_semi"
+            ).select(*[f.name for f in schema.fields])
+
+        return _pick(newly_live), _pick(newly_dead)
 
     # -- change-data feed ---------------------------------------------------
 
@@ -916,6 +1133,10 @@ class VersionedTable:
             m["schema"],
             {**(meta or {}), "restored_version": version},
             expected_head=self.latest_version(),
+            # roll deletion vectors back with the snapshot (restoring
+            # across a merge-on-read delete un-deletes its rows; the
+            # change feed reports them as inserts via _dv_diff_rows)
+            dvs=(m.get("dvs", {}), m.get("dv_counts", {})),
         )
         return self._maybe_cdf(spark, v)
 
@@ -982,6 +1203,8 @@ class VersionedTable:
                 files.append(rel)
                 if f in m["stats"]:
                     stats[rel] = m["stats"][f]
+        key_map = dict(zip(m["files"], files))
+        dv_pair = self._clone_dvs(m, dest_path, key_map)
         v = dest._commit(
             "clone",
             files,
@@ -993,9 +1216,54 @@ class VersionedTable:
                 "shallow": shallow,
             },
             constraints=dict(m.get("constraints", {})),
+            dvs=dv_pair,
         )
         assert v == 0
         return dest
+
+    def _clone_dvs(
+        self, m: dict, dest_path: str, key_map: dict
+    ) -> tuple[dict, dict]:
+        """Copy the snapshot's deletion-vector sidecars into a clone,
+        rewriting each dead position's file key through ``key_map``
+        (source manifest key → clone manifest key: absolute for shallow
+        clones' borrowed files, fresh relative names for deep copies).
+        DV sidecars are churn-sized, so even a metadata-only shallow
+        clone of a 100 TB table copies kilobytes here — done with
+        pyarrow to keep ``clone`` Spark-free."""
+        dvs = m.get("dvs", {})
+        if not dvs:
+            return {}, {}
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        new_dvs: dict = {}
+        new_counts: dict = {}
+        for src_dir in sorted(set(dvs.values())):
+            covered = {f for f, d in dvs.items() if d == src_dir}
+            tbl = pq.read_table(os.path.join(self.path, src_dir))
+            out_f, out_p = [], []
+            for fk, p in zip(
+                tbl.column("file").to_pylist(), tbl.column("pos").to_pylist()
+            ):
+                if fk in covered:  # drop stale rows for rewritten files
+                    out_f.append(key_map[fk])
+                    out_p.append(p)
+            rel = os.path.join(
+                _DATA_DIR, f"c00000000-clone-{uuid.uuid4().hex[:8]}-dv"
+            )
+            out_dir = os.path.join(dest_path, rel)
+            os.makedirs(out_dir, exist_ok=True)
+            pq.write_table(
+                pa.table({"file": out_f, "pos": pa.array(out_p, pa.int64())}),
+                os.path.join(out_dir, "part-00000.parquet"),
+            )
+            for f in covered:
+                new_dvs[key_map[f]] = rel
+                new_counts[key_map[f]] = sum(
+                    1 for nf in out_f if nf == key_map[f]
+                )
+        return new_dvs, new_counts
 
     # -- CHECK constraints + write-audit-publish ----------------------------
 
@@ -1103,25 +1371,46 @@ class VersionedTable:
         out = []
         for v in self.versions():
             m = self._manifest(v)
-            out.append(
-                {
-                    "version": v,
-                    "op": m["op"],
-                    "n_files": len(m["files"]),
-                    "n_rows": sum(
-                        m["stats"].get(f, {}).get("rows", 0) for f in m["files"]
-                    ),
-                    "meta": m["meta"],
-                }
-            )
+            n_dead = sum(m.get("dv_counts", {}).values())
+            entry = {
+                "version": v,
+                "op": m["op"],
+                "n_files": len(m["files"]),
+                # physical rows minus deletion-vector dead positions =
+                # logical row count (dv rows are exact, never stale:
+                # rewrites shed their files' entries at commit)
+                "n_rows": sum(
+                    m["stats"].get(f, {}).get("rows", 0) for f in m["files"]
+                )
+                - n_dead,
+                "meta": m["meta"],
+            }
+            if n_dead:
+                entry["n_dv_rows"] = n_dead
+            out.append(entry)
         return out
 
     # -- copy-on-write ops --------------------------------------------------
 
+    def _tagged_read(self, spark: SparkSession, m: dict) -> DataFrame:
+        """Snapshot read of manifest ``m`` carrying ``__file`` (the row's
+        source-file URI) for touched-file discovery. Uses parquet's
+        ``_metadata.file_path``, NOT ``input_file_name()`` — the latter
+        fails on multi-source plans, which a DV'd table's read is (data
+        scan ⋈ dv sidecar)."""
+        return self._read_files(
+            spark,
+            m["files"],
+            StructType.fromJson(m["schema"]),
+            dvs=m.get("dvs"),
+            dv_counts=m.get("dv_counts"),
+            keep_meta=True,
+        ).withColumnRenamed("__fp", "__file").drop("__pos")
+
     def _touched_files(self, matched: DataFrame) -> list[str]:
         """Distinct manifest-relative files present in ``matched`` (a
-        frame carrying ``__file`` = input_file_name). Driver-side list
-        bounded by the manifest's own file count."""
+        frame carrying ``__file`` = the source-file URI). Driver-side
+        list bounded by the manifest's own file count."""
         borrowed = self._borrowed_files()
         return sorted(
             {
@@ -1153,15 +1442,21 @@ class VersionedTable:
             return self.write_full(updates, meta)
         m = self._manifest()
         keys = list(keys)
-        tagged = self.read(spark).withColumn("__file", F.input_file_name())
+        tagged = self._tagged_read(spark, m)
         upd_keys = updates.select(*keys).distinct()
         touched = self._touched_files(
             tagged.join(upd_keys, keys, "left_semi")
         )
         untouched = [f for f in m["files"] if f not in set(touched)]
         if touched:
-            touched_rows = spark.read.option("mergeSchema", "true").parquet(
-                *[os.path.join(self.path, f) for f in touched]
+            # DV-aware: a touched file's dead rows must not resurrect
+            # into the rewrite
+            touched_rows = self._read_files(
+                spark,
+                touched,
+                StructType.fromJson(m["schema"]),
+                dvs=m.get("dvs"),
+                dv_counts=m.get("dv_counts"),
             ).select(*updates.columns)
             survivors = touched_rows.join(upd_keys, keys, "left_anti")
             new_data = survivors.unionByName(updates)
@@ -1185,26 +1480,42 @@ class VersionedTable:
         return self._maybe_cdf(spark, v)
 
     def delete_where(
-        self, spark: SparkSession, predicate: Column | str, meta: dict | None = None
+        self,
+        spark: SparkSession,
+        predicate: Column | str,
+        meta: dict | None = None,
+        mode: str = "copy_on_write",
     ) -> int:
-        """DELETE FROM ... WHERE: rewrite only files containing matching
-        rows; rows where the predicate is NULL are kept (SQL DELETE
-        semantics)."""
+        """DELETE FROM ... WHERE: rows where the predicate is NULL are
+        kept (SQL DELETE semantics).
+
+        ``mode="copy_on_write"`` (default) rewrites only files
+        containing matching rows. ``mode="merge_on_read"`` writes a
+        DELETION VECTOR instead — a churn-sized (file, row-position)
+        sidecar; data files are untouched and readers anti-join the
+        dead positions (Delta/Iceberg DV semantics). At 100 TB this is
+        the write-amplification fix: deleting 1k rows scattered over 1k
+        full-size files costs one tiny parquet write, not a 1k-file
+        rewrite. ``optimize(purge_dvs=True)`` compacts DVs away."""
+        if mode not in ("copy_on_write", "merge_on_read"):
+            raise ValueError(
+                f"delete_where: unknown mode {mode!r} (expected "
+                "'copy_on_write' or 'merge_on_read')"
+            )
         if isinstance(predicate, str):
             predicate = F.expr(predicate)
+        if mode == "merge_on_read":
+            return self._delete_mor(spark, predicate, meta)
         m = self._manifest()
-        tagged = self.read(spark).withColumn("__file", F.input_file_name())
+        tagged = self._tagged_read(spark, m)
         touched = self._touched_files(tagged.filter(predicate))
         if not touched:
             return self.latest_version()  # no-op delete: no new version
         untouched = [f for f in m["files"] if f not in set(touched)]
         schema = StructType.fromJson(m["schema"])
-        survivors = (
-            spark.read.option("mergeSchema", "true")
-            .parquet(*[os.path.join(self.path, f) for f in touched])
-            .select(*[f.name for f in schema.fields])
-            .filter(~F.coalesce(predicate, F.lit(False)))
-        )
+        survivors = self._read_files(
+            spark, touched, schema, dvs=m.get("dvs"), dv_counts=m.get("dv_counts")
+        ).filter(~F.coalesce(predicate, F.lit(False)))
         hint = self.latest_version() + 1
         files, stats = self._write_commit_files(survivors, hint)
         v = self._commit(
@@ -1214,6 +1525,97 @@ class VersionedTable:
             m["schema"],
             {**(meta or {}), "touched_files": len(touched)},
             expected_head=m["version"],
+        )
+        return self._maybe_cdf(spark, v)
+
+    def _delete_mor(
+        self, spark: SparkSession, predicate: Column, meta: dict | None
+    ) -> int:
+        """Merge-on-read DELETE: record matching rows' (file, position)
+        pairs in a deletion-vector sidecar; zero data files touched.
+
+        Matching reads the table with existing DVs applied (a dead row
+        can never re-match), keeping ``_metadata.row_index`` positions.
+        Each affected data file maps to exactly ONE dv dir — a second
+        delete on an already-DV'd file folds the old positions into the
+        new commit's sidecar, so readers never chase DV chains. The
+        sidecar is coalesced to one file per commit, mirroring Delta's
+        one-compact-bitmap-per-file design; a delete large enough to
+        make that file big is exactly the delete that should use
+        copy-on-write instead (Delta's own guidance).
+
+        Min/max file stats are NOT rewritten: with rows removed the true
+        range can only shrink, so stats-based pruning (``scan``) stays
+        conservative-correct."""
+        m = self._manifest()
+        schema = StructType.fromJson(m["schema"])
+        dvs = m.get("dvs", {})
+        dv_counts = m.get("dv_counts", {})
+        tagged = self._read_files(
+            spark, m["files"], schema, dvs=dvs, dv_counts=dv_counts, keep_meta=True
+        )
+        root_uri = "file:" + os.path.abspath(self.path) + "/"
+        new_dead = (
+            tagged.filter(F.coalesce(predicate, F.lit(False)))
+            .select(
+                F.when(
+                    F.col("__fp").startswith(root_uri),
+                    F.expr(f"substring(__fp, {len(root_uri) + 1})"),
+                )
+                .otherwise(F.expr("substring(__fp, 6)"))  # strip "file:"
+                .alias("file"),
+                F.col("__pos").alias("pos"),
+            )
+            .localCheckpoint(eager=True)  # pin: positions must not be
+            # re-derived after the commit lands (self-referential read)
+        )
+        # churn-bounded driver list, same contract as _touched_files
+        affected = sorted(
+            r["file"] for r in new_dead.select("file").distinct().collect()
+        )
+        if not affected:
+            return self.latest_version()  # no-op delete: no new version
+        # fold forward prior positions for re-deleted files so each file
+        # keeps a single dv dir
+        carry_dirs = sorted({dvs[f] for f in affected if f in dvs})
+        all_dead = new_dead
+        if carry_dirs:
+            prior = spark.read.parquet(
+                *[os.path.join(self.path, d) for d in carry_dirs]
+            ).filter(F.col("file").isin(affected))
+            all_dead = all_dead.unionByName(prior)
+        hint = self.latest_version() + 1
+        dv_rel = os.path.join(
+            _DATA_DIR, f"c{hint:08d}-{uuid.uuid4().hex[:8]}-dv"
+        )
+        all_dead.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(self.path, dv_rel)
+        )
+        # per-file dead totals (bounded by the affected-file count)
+        per_file = {
+            r["file"]: r["n"]
+            for r in all_dead.groupBy("file").agg(F.count("*").alias("n")).collect()
+        }
+        n_dead = sum(per_file.values())
+        new_dvs = {
+            **{f: d for f, d in dvs.items() if f not in set(affected)},
+            **{f: dv_rel for f in affected},
+        }
+        new_counts = {f: c for f, c in dv_counts.items() if f in new_dvs}
+        new_counts.update(per_file)
+        v = self._commit(
+            "delete",
+            m["files"],
+            m["stats"],
+            m["schema"],
+            {
+                **(meta or {}),
+                "mode": "merge_on_read",
+                "dv_files": len(affected),
+                "dv_rows_total": n_dead,
+            },
+            expected_head=m["version"],
+            dvs=(new_dvs, new_counts),
         )
         return self._maybe_cdf(spark, v)
 
@@ -1246,13 +1648,17 @@ class VersionedTable:
                 return None
             return self.write_full(upserts, meta)
         m = self._manifest()
-        tagged = self.read(spark).withColumn("__file", F.input_file_name())
+        tagged = self._tagged_read(spark, m)
         all_keys = changes.select(*keys).distinct()
         touched = self._touched_files(tagged.join(all_keys, keys, "left_semi"))
         untouched = [f for f in m["files"] if f not in set(touched)]
         if touched:
-            touched_rows = spark.read.option("mergeSchema", "true").parquet(
-                *[os.path.join(self.path, f) for f in touched]
+            touched_rows = self._read_files(
+                spark,
+                touched,
+                StructType.fromJson(m["schema"]),
+                dvs=m.get("dvs"),
+                dv_counts=m.get("dv_counts"),
             ).select(*upserts.columns)
             survivors = touched_rows.join(all_keys, keys, "left_anti")
             new_data = survivors.unionByName(upserts)
@@ -1279,6 +1685,7 @@ class VersionedTable:
         sort_within: Sequence = (),
         meta: dict | None = None,
         rewrite_all: bool = False,
+        purge_dvs: bool = False,
     ) -> int:
         """Incremental OPTIMIZE: bin-pack only files below the target
         into fewer right-sized files; full-sized files carry over by
@@ -1296,24 +1703,32 @@ class VersionedTable:
         ones — Delta's OPTIMIZE ZORDER semantics, where re-clustering is
         the point and a full-sized-but-badly-clustered file must not be
         carried by reference; ``target_rows_per_file`` then only sizes
-        the output."""
+        the output.
+
+        ``purge_dvs=True`` additionally rewrites every file carrying a
+        deletion vector regardless of size — Delta's ``REORG TABLE ...
+        APPLY (PURGE)``: dead rows are physically dropped and the DV
+        entries shed, returning the table to join-free scans."""
         m = self._manifest()
+        dvd = set(m.get("dvs", {})) if purge_dvs else set()
         small = [
             f
             for f in m["files"]
             if rewrite_all
+            or f in dvd
             or m["stats"].get(f, {}).get("rows", 0) < target_rows_per_file
         ]
-        if len(small) <= 1:
+        if len(small) <= 1 and not any(f in dvd for f in small):
             return self.latest_version()  # nothing to pack
         big = [f for f in m["files"] if f not in set(small)]
         rows = sum(m["stats"].get(f, {}).get("rows", 0) for f in small)
         n_out = max(1, math.ceil(rows / target_rows_per_file))
         schema = StructType.fromJson(m["schema"])
-        df = (
-            spark.read.option("mergeSchema", "true")
-            .parquet(*[os.path.join(self.path, f) for f in small])
-            .select(*[f.name for f in schema.fields])
+        # DV-aware: rewriting a DV'd file drops its dead rows for good
+        # (the rewritten file sheds its DV entry at commit), so OPTIMIZE
+        # doubles as DV compaction — Delta's REORG ... APPLY (PURGE)
+        df = self._read_files(
+            spark, small, schema, dvs=m.get("dvs"), dv_counts=m.get("dv_counts")
         )
         if sort_within:
             df = df.repartitionByRange(n_out, *sort_within).sortWithinPartitions(
@@ -1351,8 +1766,13 @@ class VersionedTable:
         keep_vs = vs[-retain_last:]
         drop_vs = vs[: -retain_last]
         live: set[str] = set()
+        live_dv_dirs: set[str] = set()
         for v in keep_vs:
-            live |= set(self._manifest(v)["files"])
+            mv = self._manifest(v)
+            live |= set(mv["files"])
+            # deletion-vector sidecars of retained snapshots are part of
+            # those snapshots' read paths — as immortal as their data
+            live_dv_dirs |= set(mv.get("dvs", {}).values())
         removed_files = 0
         doomed: list[str] = []
         data_root = os.path.join(self.path, _DATA_DIR)
@@ -1360,8 +1780,10 @@ class VersionedTable:
             for n in filenames:
                 p = os.path.join(dirpath, n)
                 rel = os.path.relpath(p, self.path)
-                if rel not in live and (
-                    n.endswith(".parquet") or n.startswith(("_", "."))
+                if (
+                    rel not in live
+                    and os.path.dirname(rel) not in live_dv_dirs
+                    and (n.endswith(".parquet") or n.startswith(("_", ".")))
                 ):
                     if n.endswith(".parquet"):
                         removed_files += 1

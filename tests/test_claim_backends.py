@@ -21,6 +21,7 @@ from aws_lakehouse_project_spark.plans.versioned import (
     ConcurrentWriteError,
     ConditionalPutClaim,
     PosixLinkClaim,
+    TornManifestError,
     VersionedTable,
 )
 
@@ -167,3 +168,86 @@ def test_conditional_put_stress_many_writers(spark, tmp_path):
     assert vs == list(range(len(vs)))
     counts = [h["n_rows"] for h in vt.history()]
     assert counts == sorted(counts) and counts[-1] == 25
+
+
+class TornVisibilityClaim(CommitClaimBackend):
+    """The atomic-visibility contract VIOLATION: creates the object
+    empty, then writes the payload — the exists-but-empty window plain
+    ``open(O_CREAT|O_EXCL)`` leaves, which the 8-writer stress caught
+    as a flaky ``json.load`` failure in concurrent rebase reads. Kept
+    as the regression fixture; ``hold_empty=True`` freezes the window
+    open so the reader-side diagnosis is deterministic."""
+
+    def __init__(self, hold_empty: bool = False):
+        self.hold_empty = hold_empty
+
+    def claim(self, final: str, payload: str) -> bool:
+        import os
+
+        try:
+            fd = os.open(final, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        if self.hold_empty:
+            os.close(fd)
+            return True
+        with os.fdopen(fd, "w") as fh:
+            fh.write(payload)
+        return True
+
+
+def test_torn_manifest_fails_loudly(spark, tmp_path):
+    """A manifest observable without its payload must raise the named
+    contract error, not a bare JSON parse error."""
+    vt = VersionedTable(str(tmp_path / "t"), claim_backend=TornVisibilityClaim())
+    vt.write_full(_mk(spark, [(1, "a")]))
+    torn = VersionedTable(
+        str(tmp_path / "t"), claim_backend=TornVisibilityClaim(hold_empty=True)
+    )
+    torn.append(_mk(spark, [(2, "b")]))  # claims v1 but publishes no payload
+    with pytest.raises(TornManifestError, match="atomic-visibility|atomically"):
+        vt._manifest(1)
+
+
+def test_conditional_put_visibility_is_atomic(spark, tmp_path):
+    """Every manifest the ConditionalPutClaim model ever exposes under
+    the log listing must parse — staged dotfiles are invisible to
+    ``versions()`` and the link publishes payload+object in one
+    syscall. A polling reader hammering the log during an 8-writer run
+    must never observe a torn manifest (this exact loop flaked on the
+    O_CREAT|O_EXCL model)."""
+    vt = VersionedTable(str(tmp_path / "t"), claim_backend=ConditionalPutClaim())
+    vt.write_full(_mk(spark, [(-1, "base")]))
+    stop = threading.Event()
+    torn: list[Exception] = []
+
+    def reader() -> None:
+        r = VersionedTable(vt.path, claim_backend=ConditionalPutClaim())
+        while not stop.is_set():
+            try:
+                r._manifest(r.latest_version())
+            except TornManifestError as exc:
+                torn.append(exc)
+                return
+
+    errors: list[Exception] = []
+
+    def writer(tid: int) -> None:
+        try:
+            w = VersionedTable(vt.path, claim_backend=ConditionalPutClaim())
+            for j in range(3):
+                w.append(_mk(spark, [(100 * tid + j, f"w{tid}_{j}")]))
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    rt = threading.Thread(target=reader)
+    rt.start()
+    threads = [threading.Thread(target=writer, args=(t,)) for t in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    stop.set()
+    rt.join()
+    assert torn == [] and errors == []
+    assert vt.versions() == list(range(1 + 8 * 3))
