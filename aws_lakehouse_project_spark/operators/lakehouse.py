@@ -897,6 +897,55 @@ def q_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+UPDATE_WHERE_ORACLE = f"""
+    WITH {_DAILY_CTE}
+    SELECT cust_id, dt,
+           CASE WHEN cust_id % 7 = 0 THEN revenue * 2 ELSE revenue END AS revenue,
+           CASE WHEN cust_id % 11 = 3 THEN order_count + 100
+                ELSE order_count END AS order_count
+    FROM daily
+"""
+
+
+@demo_query("q_update_where", oracle=UPDATE_WHERE_ORACLE)
+def q_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE ... SET ... WHERE in both execution modes (Delta UPDATE,
+    ``plans/versioned.py::update_where``). The merge-on-read pass
+    doubles every seventh customer's revenue by writing a deletion
+    vector over the preimages and appending churn-sized postimage files
+    — the guard asserts every original data file carried by reference,
+    which is the 100 TB point: a scattered 14%-of-keys update costs one
+    sidecar + one small file, not a full-table rewrite. The
+    copy-on-write pass then bumps a disjoint cohort's order_count,
+    rewriting only touched files. The oracle is the composed CASE
+    algebra; update order doesn't matter because the SET targets are
+    disjoint columns."""
+    work = scratch_dir("spark_graft_update", unique=True)
+    vt = VersionedTable(os.path.join(work, "fact"), stats_cols=["dt"])
+    daily = _daily_orders(spark, sf_dir)
+    v0 = vt.write_full(daily.repartition(4))
+    files0 = set(vt._manifest(v0)["files"])
+    vt.update_where(
+        spark, "cust_id % 7 = 0", {"revenue": "revenue * 2"},
+        mode="merge_on_read",
+    )
+    m1 = vt._manifest()
+    if not files0 <= set(m1["files"]) or not m1.get("dvs"):
+        raise AssertionError("merge-on-read update rewrote a data file")
+    vt.update_where(
+        spark, "cust_id % 11 = 3", {"order_count": "order_count + 100"},
+        mode="copy_on_write",
+    )
+    if not vt.history()[-1]["meta"]["touched_files"] <= len(m1["files"]):
+        raise AssertionError("copy-on-write update lost file granularity")
+    return vt.read(spark).select(
+        "cust_id",
+        F.col("dt").cast("date").alias("dt"),
+        "revenue",
+        F.col("order_count").cast("bigint").alias("order_count"),
+    )
+
+
 STREAM_MERGE_ORACLE = """
     SELECT CAST(ts AS DATE) AS dt,
            user_id AS cust_id,

@@ -725,6 +725,16 @@ class VersionedTable:
             col.startswith("/"), F.concat(F.lit("file:"), col)
         ).otherwise(F.concat(F.lit(root_uri), col))
 
+    def _uri_to_rel(self, col: Column) -> Column:
+        """Inverse of ``_rel_to_uri``: a ``file:`` URI back to the
+        manifest file key (root-relative inside the table, absolute for
+        borrowed clone files)."""
+        root_uri = "file:" + os.path.abspath(self.path) + "/"
+        return F.when(
+            col.startswith(root_uri),
+            col.substr(F.lit(len(root_uri) + 1), F.length(col)),
+        ).otherwise(col.substr(F.lit(6), F.length(col)))  # strip "file:"
+
     def _dv_frame(
         self, spark: SparkSession, dv_dirs: list[str], total: int
     ) -> DataFrame:
@@ -868,11 +878,20 @@ class VersionedTable:
         if dv_ins is not None:
             inserts = inserts.unionByName(dv_ins)
             deletes = deletes.unionByName(dv_del)
-        keys = (
-            m_to["meta"].get("merge_keys")
-            if m_to["version"] == m_from["version"] + 1
-            else None
-        )
+        single = m_to["version"] == m_from["version"] + 1
+        if single and m_to["op"] == "update":
+            # an UPDATE commit contains nothing but update pairs (every
+            # preimage produced exactly one postimage), so the CDF
+            # vocabulary needs no key to pair by
+            names = [f.name for f in schema.fields]
+            return inserts.select(
+                F.lit("update_postimage").alias("_change_type"), *names
+            ).unionByName(
+                deletes.select(
+                    F.lit("update_preimage").alias("_change_type"), *names
+                )
+            )
+        keys = m_to["meta"].get("merge_keys") if single else None
         if keys:
             # distinct keys present on BOTH sides = updates (∝ churn,
             # never table size; AQE broadcasts the small side)
@@ -1554,29 +1573,52 @@ class VersionedTable:
         tagged = self._read_files(
             spark, m["files"], schema, dvs=dvs, dv_counts=dv_counts, keep_meta=True
         )
-        root_uri = "file:" + os.path.abspath(self.path) + "/"
         new_dead = (
             tagged.filter(F.coalesce(predicate, F.lit(False)))
             .select(
-                F.when(
-                    F.col("__fp").startswith(root_uri),
-                    F.expr(f"substring(__fp, {len(root_uri) + 1})"),
-                )
-                .otherwise(F.expr("substring(__fp, 6)"))  # strip "file:"
-                .alias("file"),
+                self._uri_to_rel(F.col("__fp")).alias("file"),
                 F.col("__pos").alias("pos"),
             )
             .localCheckpoint(eager=True)  # pin: positions must not be
             # re-derived after the commit lands (self-referential read)
         )
+        folded = self._fold_dvs(spark, new_dead, m)
+        if folded is None:
+            return self.latest_version()  # no-op delete: no new version
+        new_dvs, new_counts, n_dead, n_affected = folded
+        v = self._commit(
+            "delete",
+            m["files"],
+            m["stats"],
+            m["schema"],
+            {
+                **(meta or {}),
+                "mode": "merge_on_read",
+                "dv_files": n_affected,
+                "dv_rows_total": n_dead,
+            },
+            expected_head=m["version"],
+            dvs=(new_dvs, new_counts),
+        )
+        return self._maybe_cdf(spark, v)
+
+    def _fold_dvs(
+        self, spark: SparkSession, new_dead: DataFrame, m: dict
+    ) -> tuple[dict, dict, int, int] | None:
+        """Write one commit's deletion-vector sidecar: ``new_dead`` is a
+        pinned ``(file, pos)`` frame of newly-dead positions; prior
+        positions of re-touched files fold forward so each file keeps a
+        single dv dir (readers never chase chains). Returns the
+        manifest's ``(dvs, dv_counts)`` pair plus totals, or None when
+        nothing matched (caller no-ops)."""
+        dvs = m.get("dvs", {})
+        dv_counts = m.get("dv_counts", {})
         # churn-bounded driver list, same contract as _touched_files
         affected = sorted(
             r["file"] for r in new_dead.select("file").distinct().collect()
         )
         if not affected:
-            return self.latest_version()  # no-op delete: no new version
-        # fold forward prior positions for re-deleted files so each file
-        # keeps a single dv dir
+            return None
         carry_dirs = sorted({dvs[f] for f in affected if f in dvs})
         all_dead = new_dead
         if carry_dirs:
@@ -1603,16 +1645,138 @@ class VersionedTable:
         }
         new_counts = {f: c for f, c in dv_counts.items() if f in new_dvs}
         new_counts.update(per_file)
+        return new_dvs, new_counts, n_dead, len(affected)
+
+    def update_where(
+        self,
+        spark: SparkSession,
+        predicate: Column | str,
+        set_exprs: dict[str, Column | str],
+        meta: dict | None = None,
+        mode: str = "copy_on_write",
+    ) -> int:
+        """UPDATE ... SET col = expr WHERE: rows where the predicate is
+        NULL are untouched (SQL UPDATE semantics). ``set_exprs`` values
+        evaluate against the row's OLD values (standard UPDATE: ``SET a
+        = b, b = a`` swaps) and are cast to the column's existing type —
+        an UPDATE never changes the schema; new columns are ``append(
+        evolve=True)``'s job, and an unknown column raises.
+
+        ``mode="copy_on_write"`` rewrites only files containing matched
+        rows (Delta UPDATE's cost model: ∝ touched files). ``mode=
+        "merge_on_read"`` is Delta's DV-based update: matched rows'
+        positions become a deletion-vector sidecar and the rewritten
+        rows APPEND as churn-sized new files in the same atomic commit —
+        at 100 TB, updating 1k rows scattered across 1k full-size files
+        costs one sidecar plus one small data file, not a 1k-file
+        rewrite. Either mode commits op='update'; the change feed tags
+        its rows ``update_preimage``/``update_postimage`` (Delta CDF's
+        UPDATE vocabulary) without needing a key column, because an
+        update commit contains nothing but update pairs."""
+        if mode not in ("copy_on_write", "merge_on_read"):
+            raise ValueError(
+                f"update_where: unknown mode {mode!r} (expected "
+                "'copy_on_write' or 'merge_on_read')"
+            )
+        if isinstance(predicate, str):
+            predicate = F.expr(predicate)
+        m = self._manifest()
+        schema = StructType.fromJson(m["schema"])
+        types = {f.name: f.dataType for f in schema.fields}
+        unknown = [c for c in set_exprs if c not in types]
+        if unknown:
+            raise ValueError(
+                f"update_where: SET targets not in schema: {unknown} "
+                f"(schema columns: {sorted(types)})"
+            )
+        sets = {
+            c: (F.expr(e) if isinstance(e, str) else e).cast(types[c])
+            for c, e in set_exprs.items()
+        }
+        pred = F.coalesce(predicate, F.lit(False))
+        if mode == "merge_on_read":
+            return self._update_mor(spark, pred, sets, m, schema, meta)
+        tagged = self._tagged_read(spark, m)
+        touched = self._touched_files(tagged.filter(pred))
+        if not touched:
+            return self.latest_version()  # no-op update: no new version
+        untouched = [f for f in m["files"] if f not in set(touched)]
+        rewritten = self._read_files(
+            spark, touched, schema, dvs=m.get("dvs"), dv_counts=m.get("dv_counts")
+        ).select(
+            *[
+                F.when(pred, sets[f.name]).otherwise(F.col(f.name)).alias(f.name)
+                if f.name in sets
+                else F.col(f.name)
+                for f in schema.fields
+            ]
+        )
+        hint = self.latest_version() + 1
+        files, stats = self._write_commit_files(rewritten, hint)
         v = self._commit(
-            "delete",
-            m["files"],
-            m["stats"],
+            "update",
+            untouched + files,
+            {**{f: m["stats"][f] for f in untouched if f in m["stats"]}, **stats},
+            m["schema"],
+            {**(meta or {}), "touched_files": len(touched)},
+            expected_head=m["version"],
+        )
+        return self._maybe_cdf(spark, v)
+
+    def _update_mor(
+        self,
+        spark: SparkSession,
+        pred: Column,
+        sets: dict[str, Column],
+        m: dict,
+        schema: StructType,
+        meta: dict | None,
+    ) -> int:
+        """Merge-on-read UPDATE: one atomic commit that (a) marks the
+        matched rows' positions dead in a deletion-vector sidecar and
+        (b) appends their rewritten postimages as new data files. The
+        matched set is pinned (``localCheckpoint``) before either write
+        so positions and postimages come from the same snapshot and are
+        never re-derived against the table's own new commit."""
+        matched = (
+            self._read_files(
+                spark,
+                m["files"],
+                schema,
+                dvs=m.get("dvs"),
+                dv_counts=m.get("dv_counts"),
+                keep_meta=True,
+            )
+            .filter(pred)
+            .localCheckpoint(eager=True)
+        )
+        new_dead = matched.select(
+            self._uri_to_rel(F.col("__fp")).alias("file"),
+            F.col("__pos").alias("pos"),
+        )
+        folded = self._fold_dvs(spark, new_dead, m)
+        if folded is None:
+            return self.latest_version()  # no-op update: no new version
+        new_dvs, new_counts, n_dead, n_affected = folded
+        post = matched.select(
+            *[
+                sets[f.name].alias(f.name) if f.name in sets else F.col(f.name)
+                for f in schema.fields
+            ]
+        )
+        hint = self.latest_version() + 1
+        files, stats = self._write_commit_files(post, hint)
+        v = self._commit(
+            "update",
+            m["files"] + files,
+            {**m["stats"], **stats},
             m["schema"],
             {
                 **(meta or {}),
                 "mode": "merge_on_read",
-                "dv_files": len(affected),
+                "dv_files": n_affected,
                 "dv_rows_total": n_dead,
+                "updated_rows": n_dead,
             },
             expected_head=m["version"],
             dvs=(new_dvs, new_counts),
