@@ -946,6 +946,56 @@ def q_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_REPLACE_LO, _REPLACE_HI = "1995-01-01", "1996-01-01"
+
+REPLACE_WHERE_ORACLE = f"""
+    WITH {_DAILY_CTE}
+    SELECT cust_id, dt,
+           CASE WHEN dt >= DATE '{_REPLACE_LO}' AND dt < DATE '{_REPLACE_HI}'
+                THEN revenue * 2 ELSE revenue END AS revenue,
+           order_count
+    FROM daily
+"""
+
+
+@demo_query("q_replace_where", oracle=REPLACE_WHERE_ORACLE)
+def q_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atomic selective overwrite (Delta ``replaceWhere``,
+    ``plans/versioned.py::replace_where``) — the dbt incremental
+    partition-overwrite contract (reference
+    ``dbt/models/marts/fct_daily_store_metrics.sql:1-5``) as ONE
+    commit: one year's window is recomputed (doubled revenue) and
+    swapped in, deleting exactly the window and inserting exactly the
+    recompute. The table is laid out range-partitioned on dt so the
+    window maps to a file subset; the guard asserts out-of-window files
+    carried by reference — at 100 TB, re-loading one day touches one
+    day's files. A leaking replacement row (outside the predicate)
+    aborts before any write, which the Delta contract requires."""
+    work = scratch_dir("spark_graft_replace", unique=True)
+    vt = VersionedTable(os.path.join(work, "fact"), stats_cols=["dt"])
+    daily = _daily_orders(spark, sf_dir)
+    v0 = vt.write_full(daily.repartitionByRange(8, "dt"))
+    window = (F.col("dt") >= F.lit(_REPLACE_LO).cast("date")) & (
+        F.col("dt") < F.lit(_REPLACE_HI).cast("date")
+    )
+    recompute = daily.filter(window).withColumn(
+        "revenue", F.col("revenue") * 2
+    )
+    vt.replace_where(spark, window, recompute)
+    m0, m1 = vt._manifest(v0), vt._manifest()
+    carried = set(m0["files"]) & set(m1["files"])
+    if not carried or vt.history()[-1]["meta"]["touched_files"] >= len(m0["files"]):
+        raise AssertionError(
+            "replace_where rewrote files outside the predicate window"
+        )
+    return vt.read(spark).select(
+        "cust_id",
+        F.col("dt").cast("date").alias("dt"),
+        "revenue",
+        F.col("order_count").cast("bigint").alias("order_count"),
+    )
+
+
 STREAM_MERGE_ORACLE = """
     SELECT CAST(ts AS DATE) AS dt,
            user_id AS cust_id,

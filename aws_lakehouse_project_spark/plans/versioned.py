@@ -649,6 +649,66 @@ class VersionedTable:
         )
         return self._maybe_cdf(df.sparkSession, v)
 
+    def replace_where(
+        self,
+        spark: SparkSession,
+        predicate: Column | str,
+        df: DataFrame,
+        meta: dict | None = None,
+    ) -> int:
+        """Atomic selective overwrite — Delta's ``INSERT OVERWRITE ...
+        option("replaceWhere", ...)`` / the dbt incremental
+        partition-overwrite contract: in ONE commit, delete every row
+        matching the predicate and insert ``df``, whose rows must ALL
+        satisfy the predicate (validated with a single aggregate before
+        any file is written; Delta raises the same way, because a
+        replacement leaking outside its window silently corrupts
+        neighboring data). Cost ∝ touched files: files with no matching
+        rows carry by reference, touched files rewrite keeping only
+        their non-matching survivors (existing deletion vectors
+        applied), and ``df`` appends — the exact shape of a daily
+        partition re-load on a 100 TB fact, where one day's re-run
+        touches one day's files."""
+        if isinstance(predicate, str):
+            predicate = F.expr(predicate)
+        n_bad = df.filter(~F.coalesce(predicate, F.lit(False))).limit(1).count()
+        if n_bad:
+            raise ValueError(
+                f"replace_where on {self.path}: replacement rows must all "
+                "match the predicate (Delta replaceWhere contract)"
+            )
+        if not self.exists():
+            return self.write_full(df, meta)
+        m = self._manifest()
+        schema = StructType.fromJson(m["schema"])
+        if set(df.columns) != {f.name for f in schema.fields}:
+            raise ValueError(
+                f"replace_where schema mismatch on {self.path}: table has "
+                f"{sorted(f.name for f in schema.fields)}, replacement has "
+                f"{sorted(df.columns)}"
+            )
+        tagged = self._tagged_read(spark, m)
+        touched = self._touched_files(tagged.filter(predicate))
+        untouched = [f for f in m["files"] if f not in set(touched)]
+        new_data = df.select(*[f.name for f in schema.fields])
+        if touched:
+            survivors = self._read_files(
+                spark, touched, schema,
+                dvs=m.get("dvs"), dv_counts=m.get("dv_counts"),
+            ).filter(~F.coalesce(predicate, F.lit(False)))
+            new_data = survivors.unionByName(new_data)
+        hint = self.latest_version() + 1
+        files, stats = self._write_commit_files(new_data, hint)
+        v = self._commit(
+            "replace_where",
+            untouched + files,
+            {**{f: m["stats"][f] for f in untouched if f in m["stats"]}, **stats},
+            m["schema"],
+            {**(meta or {}), "touched_files": len(touched)},
+            expected_head=m["version"],
+        )
+        return self._maybe_cdf(spark, v)
+
     @staticmethod
     def _merge_schema(old: dict, new: dict) -> dict:
         have = {f["name"] for f in old["fields"]}

@@ -139,6 +139,11 @@ EXTRA = [
     # round-8 addition: the domain DAG published through the transaction
     # layer (raw extract → WAP publish → late data → horizon CoW merge)
     "q_domain_fact_versioned",
+    # round-8 continuation: merge-on-read mutation family (deletion
+    # vectors, DV-based UPDATE, atomic replaceWhere)
+    "q_delete_vectors",
+    "q_update_where",
+    "q_replace_where",
 ]
 
 
