@@ -996,6 +996,62 @@ def q_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LAKEHOUSE_SQL_ORACLE = f"""
+    WITH {_DAILY_CTE}
+    SELECT cust_id, dt,
+           CASE WHEN cust_id % 10 = 0 THEN revenue * 3
+                WHEN cust_id % 7 = 0 THEN revenue * 2
+                ELSE revenue END AS revenue,
+           order_count
+    FROM daily
+"""
+
+
+@demo_query("q_lakehouse_sql", oracle=LAKEHOUSE_SQL_ORACLE)
+def q_lakehouse_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Delta-SQL dialect end-to-end (``plans/lakehouse_sql.py``):
+    CREATE TABLE AS → merge-on-read DELETE → UPDATE → MERGE upsert →
+    time-travel SELECT, every statement arriving as SQL TEXT — the
+    surface the reference's users actually speak (Athena DDL + dbt
+    models). The %10 cohort is deleted via deletion vectors, the %7
+    cohort's revenue doubles via UPDATE, then MERGE re-inserts the
+    deleted cohort recomputed at 3× (a cust divisible by both 70s gets
+    the 3× branch because it was deleted before the update ran — the
+    oracle's CASE order encodes exactly that history). A VERSION AS OF
+    0 count guard proves time travel reads through the SQL layer."""
+    from ..plans.lakehouse_sql import LakehouseSession
+
+    work = scratch_dir("spark_graft_lhsql", unique=True)
+    lh = LakehouseSession(spark)
+    lh.create(
+        "fact", os.path.join(work, "fact"), stats_cols=["dt"]
+    )
+    daily = _daily_orders(spark, sf_dir)
+    daily.createOrReplaceTempView("daily_src")
+    daily.filter(F.col("cust_id") % 10 == 0).withColumn(
+        "revenue", F.col("revenue") * 3
+    ).createOrReplaceTempView("corrections")
+
+    lh.sql("CREATE TABLE fact AS SELECT * FROM daily_src")
+    n0 = lh.sql("SELECT COUNT(*) AS n FROM fact").first()["n"]
+    lh.sql("DELETE /*+ MERGE_ON_READ */ FROM fact WHERE cust_id % 10 = 0")
+    lh.sql("UPDATE fact SET revenue = revenue * 2 WHERE cust_id % 7 = 0")
+    lh.sql(
+        "MERGE INTO fact USING corrections "
+        "ON fact.cust_id = corrections.cust_id AND fact.dt = corrections.dt "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    )
+    tt = lh.sql("SELECT COUNT(*) AS n FROM fact VERSION AS OF 0").first()["n"]
+    if tt != n0:
+        raise AssertionError(f"time travel through SQL broken: {tt} != {n0}")
+    return lh.sql("SELECT * FROM fact").select(
+        "cust_id",
+        F.col("dt").cast("date").alias("dt"),
+        "revenue",
+        F.col("order_count").cast("bigint").alias("order_count"),
+    )
+
+
 STREAM_MERGE_ORACLE = """
     SELECT CAST(ts AS DATE) AS dt,
            user_id AS cust_id,

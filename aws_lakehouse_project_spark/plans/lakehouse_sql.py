@@ -1,0 +1,370 @@
+"""SQL front-end for the versioned transaction layer — the Delta-SQL
+DML/utility dialect re-expressed over ``VersionedTable``.
+
+The reference's users speak SQL (Athena DDL + dbt models,
+``/root/reference/dbt/models`` at large); the transaction layer is a
+Python API. ``LakehouseSession.sql`` closes that gap for the statement
+shapes Delta Lake documents:
+
+    CREATE TABLE t AS SELECT ...
+    INSERT INTO t SELECT ...
+    INSERT INTO t REPLACE WHERE <pred> SELECT ...
+    DELETE FROM t WHERE <pred>
+    UPDATE t SET c = e, ... [WHERE <pred>]
+    MERGE INTO t USING s ON t.k = s.k [AND ...]
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+    MERGE INTO t USING s ON ... WHEN MATCHED THEN DELETE
+    OPTIMIZE t [ZORDER BY (c1, c2)]
+    VACUUM t [RETAIN n VERSIONS] [DRY RUN]
+    DESCRIBE HISTORY t
+    RESTORE TABLE t TO VERSION AS OF n
+    ALTER TABLE t ADD CONSTRAINT name CHECK (expr)
+    ALTER TABLE t DROP CONSTRAINT name
+    SELECT ... FROM t [VERSION AS OF n | TIMESTAMP AS OF <epoch>] ...
+
+Design decisions, each load-bearing:
+
+- **SELECT delegates to Spark SQL.** Registered tables become temp
+  views of their head snapshots (deletion vectors applied); time-travel
+  clauses are rewritten to per-version views BEFORE handing the text to
+  ``spark.sql`` — Catalyst does everything else, so the full SQL
+  surface (joins, windows, CTEs) works against versioned snapshots with
+  zero new query-engine code.
+- **DML parses with anchored regexes, not a grammar.** Each statement
+  form is matched whole; anything that doesn't match raises with the
+  supported-grammar list. A front-end that silently mis-parses DML into
+  the wrong mutation is worse than none.
+- **Expressions are never interpreted here.** Predicates, SET values
+  and CHECK bodies pass through verbatim to ``F.expr``/Spark SQL, so
+  the expression language is exactly Spark's.
+- **Execution-mode hints.** ``DELETE /*+ MERGE_ON_READ */`` and
+  ``UPDATE /*+ MERGE_ON_READ */`` pick the deletion-vector path
+  (Delta governs this via a table property; a hint keeps the choice
+  per-statement and visible in the statement text).
+
+Every statement returns a DataFrame (DML returns a one-row summary
+with the committed version), matching ``spark.sql``'s contract so a
+caller can treat the session uniformly.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .versioned import VersionedTable
+
+_GRAMMAR = """supported statements:
+  CREATE TABLE t AS SELECT ... | INSERT INTO t [REPLACE WHERE p] SELECT ...
+  DELETE [/*+ MERGE_ON_READ */] FROM t WHERE p
+  UPDATE [/*+ MERGE_ON_READ */] t SET c=e[, ...] [WHERE p]
+  MERGE INTO t USING s ON t.k=s.k [AND ...] WHEN MATCHED THEN UPDATE SET *
+    WHEN NOT MATCHED THEN INSERT * | ... WHEN MATCHED THEN DELETE
+  OPTIMIZE t [ZORDER BY (c1, c2)] | VACUUM t [RETAIN n VERSIONS] [DRY RUN]
+  DESCRIBE HISTORY t | RESTORE TABLE t TO VERSION AS OF n
+  ALTER TABLE t ADD CONSTRAINT name CHECK (expr) | ALTER TABLE t DROP CONSTRAINT name
+  SELECT ... FROM t [VERSION AS OF n | TIMESTAMP AS OF epoch] ..."""
+
+_IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
+_HINT = r"(?:/\*\+\s*(?P<hint>MERGE_ON_READ)\s*\*/\s*)?"
+
+
+def _split_top(s: str, sep: str = ",") -> list[str]:
+    """Split on ``sep`` at paren/quote depth zero (SET lists and ZORDER
+    column lists may contain function calls and string literals)."""
+    out, buf, depth, quote = [], [], 0, None
+    for ch in s:
+        if quote:
+            if ch == quote:
+                quote = None
+            buf.append(ch)
+            continue
+        if ch in "'\"":
+            quote = ch
+            buf.append(ch)
+        elif ch == "(":
+            depth += 1
+            buf.append(ch)
+        elif ch == ")":
+            depth -= 1
+            buf.append(ch)
+        elif ch == sep and depth == 0:
+            out.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+    if "".join(buf).strip():
+        out.append("".join(buf).strip())
+    return out
+
+
+class LakehouseSession:
+    """A named-table registry + SQL dispatcher over VersionedTable."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._tables: dict[str, VersionedTable] = {}
+
+    # -- registry -----------------------------------------------------------
+
+    def register(self, name: str, table: VersionedTable) -> VersionedTable:
+        if not re.fullmatch(_IDENT, name):
+            raise ValueError(f"table name must be an identifier: {name!r}")
+        self._tables[name] = table
+        return table
+
+    def create(self, name: str, path: str, **kw) -> VersionedTable:
+        return self.register(name, VersionedTable(path, **kw))
+
+    def table(self, name: str) -> VersionedTable:
+        if name not in self._tables:
+            raise KeyError(
+                f"unknown table {name!r} (registered: {sorted(self._tables)})"
+            )
+        return self._tables[name]
+
+    # -- helpers --------------------------------------------------------------
+
+    def _row(self, **cols) -> DataFrame:
+        names = list(cols)
+        return self.spark.createDataFrame(
+            [tuple(cols[n] for n in names)],
+            ", ".join(
+                f"{n} {'string' if isinstance(cols[n], str) else 'bigint'}"
+                for n in names
+            ),
+        )
+
+    def _register_views(self) -> None:
+        for name, vt in self._tables.items():
+            if vt.exists():
+                vt.read(self.spark).createOrReplaceTempView(name)
+
+    def _run_select(self, statement: str) -> DataFrame:
+        """Rewrite time-travel clauses into per-version temp views, then
+        delegate to Spark SQL with all registered tables as views."""
+        self._register_views()
+        text = statement
+
+        def _tt(mm: re.Match) -> str:
+            name = mm.group("t")
+            if name not in self._tables:
+                return mm.group(0)  # not ours — leave for Catalyst
+            vt = self._tables[name]
+            if mm.group("kind").upper().startswith("VERSION"):
+                v = int(mm.group("val"))
+            else:
+                v = vt.version_at(float(mm.group("val")))
+            view = f"{name}__v{v}"
+            vt.read(self.spark, version=v).createOrReplaceTempView(view)
+            return view
+
+        text = re.sub(
+            rf"(?P<t>{_IDENT})\s+(?P<kind>VERSION\s+AS\s+OF|TIMESTAMP\s+AS\s+OF)"
+            r"\s+(?P<val>[0-9.]+)",
+            _tt,
+            text,
+            flags=re.IGNORECASE,
+        )
+        return self.spark.sql(text)
+
+    def _merge_keys(self, cond: str, target: str, source: str) -> list[str]:
+        """An ON clause restricted to AND-ed same-column equalities
+        (``t.k = s.k``) — the canonical upsert join. Anything richer
+        raises: a mis-read merge condition corrupts the target."""
+        keys = []
+        for part in re.split(r"\s+AND\s+", cond.strip(), flags=re.IGNORECASE):
+            mm = re.fullmatch(
+                rf"\s*({_IDENT})\.({_IDENT})\s*=\s*({_IDENT})\.({_IDENT})\s*",
+                part,
+            )
+            if not mm:
+                raise ValueError(
+                    f"MERGE ON clause must be AND-ed qualified equalities, "
+                    f"got: {part!r}"
+                )
+            qa, ca, qb, cb = mm.groups()
+            if {qa, qb} != {target, source} or ca != cb:
+                raise ValueError(
+                    f"MERGE ON equality must pair target and source on the "
+                    f"same column name, got: {part!r}"
+                )
+            keys.append(ca)
+        return keys
+
+    # -- dispatcher -----------------------------------------------------------
+
+    def sql(self, statement: str) -> DataFrame:
+        s = statement.strip().rstrip(";").strip()
+
+        mm = re.fullmatch(
+            rf"CREATE\s+TABLE\s+(?P<t>{_IDENT})\s+AS\s+(?P<q>SELECT\b.*)",
+            s, flags=re.IGNORECASE | re.DOTALL,
+        )
+        if mm:
+            vt = self.table(mm.group("t"))
+            v = vt.write_full(self._run_select(mm.group("q")))
+            return self._row(op="create", version=v)
+
+        mm = re.fullmatch(
+            rf"INSERT\s+INTO\s+(?P<t>{_IDENT})"
+            r"(?:\s+REPLACE\s+WHERE\s+(?P<p>.+?))?\s+(?P<q>SELECT\b.*)",
+            s, flags=re.IGNORECASE | re.DOTALL,
+        )
+        if mm:
+            vt = self.table(mm.group("t"))
+            df = self._run_select(mm.group("q"))
+            if mm.group("p"):
+                v = vt.replace_where(self.spark, mm.group("p"), df)
+                return self._row(op="replace_where", version=v)
+            v = vt.append(df)
+            return self._row(op="append", version=v)
+
+        mm = re.fullmatch(
+            rf"DELETE\s+{_HINT}FROM\s+(?P<t>{_IDENT})\s+WHERE\s+(?P<p>.+)",
+            s, flags=re.IGNORECASE | re.DOTALL,
+        )
+        if mm:
+            vt = self.table(mm.group("t"))
+            mode = "merge_on_read" if mm.group("hint") else "copy_on_write"
+            v = vt.delete_where(self.spark, mm.group("p"), mode=mode)
+            return self._row(op="delete", version=v)
+
+        mm = re.fullmatch(
+            rf"UPDATE\s+{_HINT}(?P<t>{_IDENT})\s+SET\s+(?P<sets>.+?)"
+            r"(?:\s+WHERE\s+(?P<p>.+))?",
+            s, flags=re.IGNORECASE | re.DOTALL,
+        )
+        if mm:
+            vt = self.table(mm.group("t"))
+            sets = {}
+            for a in _split_top(mm.group("sets")):
+                am = re.fullmatch(rf"({_IDENT})\s*=\s*(.+)", a, flags=re.DOTALL)
+                if not am:
+                    raise ValueError(f"bad SET assignment: {a!r}\n{_GRAMMAR}")
+                sets[am.group(1)] = am.group(2)
+            mode = "merge_on_read" if mm.group("hint") else "copy_on_write"
+            v = vt.update_where(
+                self.spark, mm.group("p") or "true", sets, mode=mode
+            )
+            return self._row(op="update", version=v)
+
+        mm = re.fullmatch(
+            rf"MERGE\s+INTO\s+(?P<t>{_IDENT})\s+USING\s+(?P<s>{_IDENT})\s+"
+            r"ON\s+(?P<on>.+?)\s+"
+            r"(?:WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+"
+            r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*"
+            r"|(?P<del>WHEN\s+MATCHED\s+THEN\s+DELETE))",
+            s, flags=re.IGNORECASE | re.DOTALL,
+        )
+        if mm:
+            vt = self.table(mm.group("t"))
+            self._register_views()
+            src = self.spark.table(mm.group("s"))
+            keys = self._merge_keys(mm.group("on"), mm.group("t"), mm.group("s"))
+            if mm.group("del"):
+                changes = src.withColumn("__op", F.lit("delete"))
+                v = vt.merge_apply(self.spark, changes, keys, op_col="__op")
+            else:
+                v = vt.merge_upsert(self.spark, src, keys)
+            return self._row(op="merge", version=-1 if v is None else v)
+
+        mm = re.fullmatch(
+            rf"OPTIMIZE\s+(?P<t>{_IDENT})"
+            r"(?:\s+ZORDER\s+BY\s+\((?P<z>[^)]+)\))?",
+            s, flags=re.IGNORECASE,
+        )
+        if mm:
+            vt = self.table(mm.group("t"))
+            if mm.group("z"):
+                from ..sources.writers import zorder_value
+
+                cols = [c.strip() for c in _split_top(mm.group("z"))]
+                aggs = []
+                for c in cols:
+                    aggs += [F.min(c).cast("double"), F.max(c).cast("double")]
+                row = vt.read(self.spark).agg(*aggs).first()
+                los = [row[i * 2] for i in range(len(cols))]
+                his = [row[i * 2 + 1] for i in range(len(cols))]
+                n = sum(
+                    st.get("rows", 0)
+                    for st in vt._manifest()["stats"].values()
+                )
+                v = vt.optimize(
+                    self.spark,
+                    target_rows_per_file=max(1, n // 8 + 1),
+                    sort_within=[zorder_value(cols, los, his)],
+                    rewrite_all=True,
+                )
+            else:
+                v = vt.optimize(self.spark, target_rows_per_file=10_000_000)
+            return self._row(op="optimize", version=v)
+
+        mm = re.fullmatch(
+            rf"VACUUM\s+(?P<t>{_IDENT})"
+            r"(?:\s+RETAIN\s+(?P<n>\d+)\s+VERSIONS)?(?P<dry>\s+DRY\s+RUN)?",
+            s, flags=re.IGNORECASE,
+        )
+        if mm:
+            rep = self.table(mm.group("t")).vacuum(
+                retain_last=int(mm.group("n") or 1),
+                dry_run=bool(mm.group("dry")),
+            )
+            return self._row(
+                op="vacuum",
+                removed_data_files=rep["removed_data_files"],
+                removed_versions=rep["removed_versions"],
+            )
+
+        mm = re.fullmatch(
+            rf"DESCRIBE\s+HISTORY\s+(?P<t>{_IDENT})", s, flags=re.IGNORECASE
+        )
+        if mm:
+            hist = self.table(mm.group("t")).history()
+            return self.spark.createDataFrame(
+                [
+                    (h["version"], h["op"], h["n_files"], h["n_rows"],
+                     float(h["ts"]) if h.get("ts") else None)
+                    for h in hist
+                ],
+                "version bigint, op string, n_files bigint, n_rows bigint, "
+                "timestamp double",
+            )
+
+        mm = re.fullmatch(
+            rf"RESTORE\s+TABLE\s+(?P<t>{_IDENT})\s+TO\s+VERSION\s+AS\s+OF\s+"
+            r"(?P<v>\d+)",
+            s, flags=re.IGNORECASE,
+        )
+        if mm:
+            vt = self.table(mm.group("t"))
+            v = vt.restore(int(mm.group("v")), spark=self.spark)
+            return self._row(op="restore", version=v)
+
+        mm = re.fullmatch(
+            rf"ALTER\s+TABLE\s+(?P<t>{_IDENT})\s+ADD\s+CONSTRAINT\s+"
+            rf"(?P<n>{_IDENT})\s+CHECK\s*\((?P<e>.+)\)",
+            s, flags=re.IGNORECASE | re.DOTALL,
+        )
+        if mm:
+            v = self.table(mm.group("t")).add_constraint(
+                self.spark, mm.group("n"), mm.group("e")
+            )
+            return self._row(op="set_constraint", version=v)
+
+        mm = re.fullmatch(
+            rf"ALTER\s+TABLE\s+(?P<t>{_IDENT})\s+DROP\s+CONSTRAINT\s+"
+            rf"(?P<n>{_IDENT})",
+            s, flags=re.IGNORECASE,
+        )
+        if mm:
+            v = self.table(mm.group("t")).drop_constraint(mm.group("n"))
+            return self._row(op="drop_constraint", version=v)
+
+        if re.match(r"(SELECT|WITH)\b", s, flags=re.IGNORECASE):
+            return self._run_select(s)
+
+        raise ValueError(f"cannot parse statement: {statement!r}\n{_GRAMMAR}")

@@ -65,6 +65,7 @@ import json
 import math
 import os
 import shutil
+import time
 import uuid
 from collections.abc import Sequence
 
@@ -571,6 +572,10 @@ class VersionedTable:
             manifest = {
                 "version": version,
                 "op": op,
+                # commit wall-clock, Delta's commitInfo.timestamp: powers
+                # TIMESTAMP AS OF time travel and history audit; never
+                # part of any query result (determinism unaffected)
+                "ts": time.time(),
                 "files": files,
                 "stats": stats,
                 "schema": schema_json,
@@ -636,6 +641,7 @@ class VersionedTable:
                 df = df.withColumn(
                     c, F.lit(None).cast(StructType.fromJson(cur["schema"])[c].dataType)
                 )
+        df = self._align_types(df, cur["schema"])
         hint = self.latest_version() + 1
         files, stats = self._write_commit_files(df, hint)
         merged_schema = self._merge_schema(cur["schema"], self._schema_json(df))
@@ -690,7 +696,9 @@ class VersionedTable:
         tagged = self._tagged_read(spark, m)
         touched = self._touched_files(tagged.filter(predicate))
         untouched = [f for f in m["files"] if f not in set(touched)]
-        new_data = df.select(*[f.name for f in schema.fields])
+        new_data = self._align_types(
+            df.select(*[f.name for f in schema.fields]), m["schema"]
+        )
         if touched:
             survivors = self._read_files(
                 spark, touched, schema,
@@ -708,6 +716,28 @@ class VersionedTable:
             expected_head=m["version"],
         )
         return self._maybe_cdf(spark, v)
+
+    @staticmethod
+    def _align_types(df: DataFrame, schema_json: dict) -> DataFrame:
+        """Cast ``df``'s columns that exist in the table schema to the
+        table's types (Delta INSERT's implicit store-assignment cast):
+        without this, a SQL literal like ``9.0`` (DECIMAL(2,1)) appended
+        next to a DOUBLE column poisons every later mergeSchema read.
+        Columns NOT in the table schema (evolution) keep their own
+        types."""
+        cur = StructType.fromJson(schema_json)
+        types = {f.name: f.dataType for f in cur.fields}
+        have = {f.name: f.dataType for f in df.schema.fields}
+        if all(have[c] == types[c] for c in have if c in types):
+            return df
+        return df.select(
+            *[
+                F.col(c).cast(types[c]).alias(c)
+                if c in types and have[c] != types[c]
+                else F.col(c)
+                for c in df.columns
+            ]
+        )
 
     @staticmethod
     def _merge_schema(old: dict, new: dict) -> dict:
@@ -733,6 +763,22 @@ class VersionedTable:
             dvs=m.get("dvs"),
             dv_counts=m.get("dv_counts"),
         )
+
+    def version_at(self, ts: float) -> int:
+        """TIMESTAMP AS OF resolution (Delta semantics): the latest
+        version committed at or before ``ts``. Raises if the table's
+        first retained commit is already later. Driver-side walk over
+        the manifest list — O(history), no data read."""
+        best = None
+        for v in self.versions():
+            m_ts = self._manifest(v).get("ts")
+            if m_ts is not None and m_ts <= ts:
+                best = v
+        if best is None:
+            raise ValueError(
+                f"no version of {self.path} existed at timestamp {ts}"
+            )
+        return best
 
     def scan(
         self,
@@ -1454,6 +1500,7 @@ class VersionedTable:
             entry = {
                 "version": v,
                 "op": m["op"],
+                "ts": m.get("ts"),
                 "n_files": len(m["files"]),
                 # physical rows minus deletion-vector dead positions =
                 # logical row count (dv rows are exact, never stale:
@@ -1521,6 +1568,7 @@ class VersionedTable:
             return self.write_full(updates, meta)
         m = self._manifest()
         keys = list(keys)
+        updates = self._align_types(updates, m["schema"])
         tagged = self._tagged_read(spark, m)
         upd_keys = updates.select(*keys).distinct()
         touched = self._touched_files(

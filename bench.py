@@ -144,6 +144,7 @@ EXTRA = [
     "q_delete_vectors",
     "q_update_where",
     "q_replace_where",
+    "q_lakehouse_sql",
 ]
 
 

@@ -1,0 +1,194 @@
+"""SQL front-end over the versioned transaction layer.
+
+Each documented statement shape is driven end-to-end; mis-parses must
+raise, never silently mutate the wrong thing."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import Row
+
+from aws_lakehouse_project_spark.plans.lakehouse_sql import (
+    LakehouseSession,
+    _split_top,
+)
+from aws_lakehouse_project_spark.plans.versioned import (
+    ConstraintViolationError,
+    VersionedTable,
+)
+
+
+def _rows(df):
+    return sorted((tuple(r) for r in df.collect()), key=str)
+
+
+@pytest.fixture()
+def lh(spark, tmp_path):
+    lh = LakehouseSession(spark)
+    lh.create("t", str(tmp_path / "t"), stats_cols=["k"])
+    spark.createDataFrame(
+        [Row(k=i, grp="a" if i < 3 else "b", v=float(i)) for i in range(6)],
+        "k int, grp string, v double",
+    ).createOrReplaceTempView("seed")
+    lh.sql("CREATE TABLE t AS SELECT * FROM seed")
+    return lh
+
+
+def test_split_top():
+    assert _split_top("a = f(x, y), b = 'p,q', c = 1") == [
+        "a = f(x, y)", "b = 'p,q'", "c = 1"
+    ]
+
+
+def test_create_and_select(lh):
+    assert lh.sql("SELECT COUNT(*) AS n FROM t").first()["n"] == 6
+    assert lh.table("t").history()[0]["op"] == "overwrite"
+
+
+def test_insert_into(lh):
+    lh.sql("INSERT INTO t SELECT 99 AS k, 'c' AS grp, 9.0 AS v")
+    assert lh.sql("SELECT COUNT(*) AS n FROM t").first()["n"] == 7
+
+
+def test_insert_replace_where(lh):
+    lh.sql(
+        "INSERT INTO t REPLACE WHERE grp = 'a' "
+        "SELECT k, grp, v * 100 AS v FROM t WHERE grp = 'a'"
+    )
+    got = _rows(lh.sql("SELECT v FROM t WHERE grp = 'a'"))
+    assert got == [(0.0,), (100.0,), (200.0,)]
+    assert lh.table("t").history()[-1]["op"] == "replace_where"
+
+
+def test_delete_both_modes(lh):
+    lh.sql("DELETE FROM t WHERE k = 5")
+    lh.sql("DELETE /*+ MERGE_ON_READ */ FROM t WHERE k = 4")
+    assert lh.sql("SELECT MAX(k) AS m FROM t").first()["m"] == 3
+    m = lh.table("t")._manifest()
+    assert m["op"] == "delete" and m["meta"]["mode"] == "merge_on_read"
+
+
+def test_update_both_modes(lh):
+    lh.sql("UPDATE t SET v = v * 10 WHERE grp = 'a'")
+    lh.sql("UPDATE /*+ MERGE_ON_READ */ t SET v = v + 1, grp = 'z' WHERE k = 5")
+    got = dict((r["k"], r["v"]) for r in lh.sql("SELECT k, v FROM t").collect())
+    assert got[0] == 0.0 and got[1] == 10.0 and got[2] == 20.0 and got[5] == 6.0
+    assert lh.sql("SELECT grp FROM t WHERE k = 5").first()["grp"] == "z"
+
+
+def test_update_without_where_hits_all(lh):
+    lh.sql("UPDATE t SET v = 0")
+    assert _rows(lh.sql("SELECT DISTINCT v FROM t")) == [(0.0,)]
+
+
+def test_merge_upsert(lh, spark):
+    spark.createDataFrame(
+        [Row(k=1, grp="upd", v=-1.0), Row(k=50, grp="new", v=50.0)],
+        "k int, grp string, v double",
+    ).createOrReplaceTempView("src")
+    lh.sql(
+        "MERGE INTO t USING src ON t.k = src.k "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = dict((r["k"], r["grp"]) for r in lh.sql("SELECT k, grp FROM t").collect())
+    assert got[1] == "upd" and got[50] == "new" and len(got) == 7
+
+
+def test_merge_delete(lh, spark):
+    spark.createDataFrame([Row(k=0), Row(k=2)], "k int").createOrReplaceTempView(
+        "victims"
+    )
+    lh.sql("MERGE INTO t USING victims ON t.k = victims.k WHEN MATCHED THEN DELETE")
+    assert _rows(lh.sql("SELECT k FROM t")) == [(1,), (3,), (4,), (5,)]
+
+
+def test_merge_rejects_rich_on_clause(lh, spark):
+    spark.createDataFrame([Row(k=1)], "k int").createOrReplaceTempView("src2")
+    with pytest.raises(ValueError, match="MERGE ON"):
+        lh.sql(
+            "MERGE INTO t USING src2 ON t.k > src2.k "
+            "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+        )
+
+
+def test_time_travel_select(lh):
+    lh.sql("DELETE FROM t WHERE k >= 3")
+    assert lh.sql("SELECT COUNT(*) AS n FROM t").first()["n"] == 3
+    assert (
+        lh.sql("SELECT COUNT(*) AS n FROM t VERSION AS OF 0").first()["n"] == 6
+    )
+    ts = time.time()
+    lh.sql("DELETE FROM t WHERE k = 0")
+    assert (
+        lh.sql(f"SELECT COUNT(*) AS n FROM t TIMESTAMP AS OF {ts}").first()["n"]
+        == 3
+    )
+
+
+def test_describe_history_and_restore(lh):
+    lh.sql("DELETE FROM t WHERE k < 3")
+    hist = lh.sql("DESCRIBE HISTORY t")
+    assert [r["op"] for r in hist.collect()] == ["overwrite", "delete"]
+    assert all(r["timestamp"] is not None for r in hist.collect())
+    lh.sql("RESTORE TABLE t TO VERSION AS OF 0")
+    assert lh.sql("SELECT COUNT(*) AS n FROM t").first()["n"] == 6
+
+
+def test_optimize_and_vacuum(lh):
+    lh.sql("INSERT INTO t SELECT 7 AS k, 'b' AS grp, 7.0 AS v")
+    lh.sql("OPTIMIZE t")
+    dry = lh.sql("VACUUM t RETAIN 1 VERSIONS DRY RUN").first()
+    assert dry["removed_versions"] >= 1
+    before = lh.sql("SELECT COUNT(*) AS n FROM t").first()["n"]
+    lh.sql("VACUUM t RETAIN 1 VERSIONS")
+    assert lh.sql("SELECT COUNT(*) AS n FROM t").first()["n"] == before
+
+
+def test_optimize_zorder(lh):
+    v = lh.sql("OPTIMIZE t ZORDER BY (k, v)").first()
+    assert v["op"] == "optimize"
+    assert lh.sql("SELECT COUNT(*) AS n FROM t").first()["n"] == 6
+
+
+def test_constraints_via_sql(lh):
+    lh.sql("ALTER TABLE t ADD CONSTRAINT v_ok CHECK (v >= 0)")
+    with pytest.raises(ConstraintViolationError):
+        lh.sql("INSERT INTO t SELECT -1 AS k, 'x' AS grp, -5.0 AS v")
+    lh.sql("ALTER TABLE t DROP CONSTRAINT v_ok")
+    lh.sql("INSERT INTO t SELECT -1 AS k, 'x' AS grp, -5.0 AS v")
+    assert lh.sql("SELECT COUNT(*) AS n FROM t").first()["n"] == 7
+
+
+def test_join_versioned_with_plain_view(lh, spark):
+    spark.createDataFrame(
+        [Row(grp="a", label="alpha"), Row(grp="b", label="beta")],
+        "grp string, label string",
+    ).createOrReplaceTempView("dim")
+    got = _rows(
+        lh.sql(
+            "SELECT d.label, COUNT(*) AS n FROM t JOIN dim d USING (grp) "
+            "GROUP BY d.label"
+        )
+    )
+    assert got == [("alpha", 3), ("beta", 3)]
+
+
+def test_unknown_statement_raises(lh):
+    with pytest.raises(ValueError, match="cannot parse"):
+        lh.sql("TRUNCATE TABLE t")
+    with pytest.raises(KeyError, match="unknown table"):
+        lh.sql("DELETE FROM nope WHERE 1 = 1")
+
+
+def test_select_sees_deletion_vectors(lh):
+    lh.sql("DELETE /*+ MERGE_ON_READ */ FROM t WHERE k IN (1, 2)")
+    assert _rows(lh.sql("SELECT k FROM t")) == [(0,), (3,), (4,), (5,)]
+
+
+def test_register_existing_table(spark, tmp_path, lh):
+    other = VersionedTable(str(tmp_path / "other"))
+    other.write_full(spark.createDataFrame([Row(x=1)], "x int"))
+    lh.register("other", other)
+    assert lh.sql("SELECT x FROM other").first()["x"] == 1
