@@ -66,6 +66,7 @@ _GRAMMAR = """supported statements:
   OPTIMIZE t [ZORDER BY (c1, c2)] | VACUUM t [RETAIN n VERSIONS] [DRY RUN]
   DESCRIBE HISTORY t | RESTORE TABLE t TO VERSION AS OF n
   ALTER TABLE t ADD CONSTRAINT name CHECK (expr) | ALTER TABLE t DROP CONSTRAINT name
+  ALTER TABLE t RENAME COLUMN a TO b | ALTER TABLE t DROP COLUMN c
   SELECT ... FROM t [VERSION AS OF n | TIMESTAMP AS OF epoch] ..."""
 
 _IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
@@ -363,6 +364,26 @@ class LakehouseSession:
         if mm:
             v = self.table(mm.group("t")).drop_constraint(mm.group("n"))
             return self._row(op="drop_constraint", version=v)
+
+        mm = re.fullmatch(
+            rf"ALTER\s+TABLE\s+(?P<t>{_IDENT})\s+RENAME\s+COLUMN\s+"
+            rf"(?P<a>{_IDENT})\s+TO\s+(?P<b>{_IDENT})",
+            s, flags=re.IGNORECASE,
+        )
+        if mm:
+            v = self.table(mm.group("t")).rename_column(
+                mm.group("a"), mm.group("b")
+            )
+            return self._row(op="rename_column", version=v)
+
+        mm = re.fullmatch(
+            rf"ALTER\s+TABLE\s+(?P<t>{_IDENT})\s+DROP\s+COLUMN\s+"
+            rf"(?P<c>{_IDENT})",
+            s, flags=re.IGNORECASE,
+        )
+        if mm:
+            v = self.table(mm.group("t")).drop_column(mm.group("c"))
+            return self._row(op="drop_column", version=v)
 
         if re.match(r"(SELECT|WITH)\b", s, flags=re.IGNORECASE):
             return self._run_select(s)

@@ -64,6 +64,7 @@ from __future__ import annotations
 import json
 import math
 import os
+import re
 import shutil
 import time
 import uuid
@@ -345,15 +346,34 @@ class VersionedTable:
 
     # -- data-file plumbing -------------------------------------------------
 
+    def _head_mapping(self) -> dict:
+        """The head's logical→physical column mapping ({} = identity).
+        Physical names are immutable once a column's first file lands;
+        RENAME/DROP COLUMN only edit this map, never data files."""
+        if self.latest_version() is None:
+            return {}
+        return self._manifest().get("column_mapping", {})
+
     def _write_commit_files(
-        self, df: DataFrame, version_hint: int
+        self, df: DataFrame, version_hint: int, mapping: dict | None = None
     ) -> tuple[list[str], dict]:
         """Materialize ``df`` into a fresh immutable commit directory;
         returns (relative file paths, per-file stats). Active CHECK
         constraints are enforced here — their violation counts ride the
         stats aggregate (no extra scan); any violation deletes the
         just-written directory and raises, so every write path is
-        constraint-checked BEFORE a manifest can reference the files."""
+        constraint-checked BEFORE a manifest can reference the files.
+
+        ``df`` arrives with LOGICAL column names; files are written
+        with PHYSICAL names (per ``mapping``; None = the head's) so
+        every file of every vintage agrees on physical names and one
+        multi-file scan serves any logical schema."""
+        if mapping is None:
+            mapping = self._head_mapping()
+        if mapping:
+            df = df.select(
+                *[F.col(c).alias(mapping.get(c, c)) for c in df.columns]
+            )
         commit_dir = f"c{version_hint:08d}-{uuid.uuid4().hex[:8]}"
         abs_dir = os.path.join(self.path, _DATA_DIR, commit_dir)
         df.write.mode("overwrite").parquet(abs_dir)
@@ -364,7 +384,9 @@ class VersionedTable:
         ]
         cons = self.constraints()
         try:
-            stats = self._file_stats(df.sparkSession, rel, constraints=cons)
+            stats = self._file_stats(
+                df.sparkSession, rel, constraints=cons, mapping=mapping
+            )
         except BaseException:
             # constraint violation OR any stats/analysis failure (e.g. a
             # constraint referencing a column the frame lacks): never
@@ -386,21 +408,37 @@ class VersionedTable:
         spark: SparkSession,
         rel_files: list[str],
         constraints: dict[str, str] | None = None,
+        mapping: dict | None = None,
     ) -> dict:
         """Per-file row counts + min/max of ``stats_cols`` — one
         aggregate over the just-written files (footer-cheap for counts;
         column stats scan only the stats columns, pruned by parquet).
         CHECK-constraint violation counts fold into the SAME aggregate
         (standard SQL semantics: NULL passes, only FALSE violates);
-        any violation raises ``ConstraintViolationError``."""
+        any violation raises ``ConstraintViolationError``.
+
+        Files carry PHYSICAL column names; the frame is renamed back to
+        LOGICAL before stats/constraint expressions run, and stat keys
+        are stored under PHYSICAL names (immutable across renames, so
+        stats never go stale)."""
         if not rel_files:
             return {}
+        mapping = mapping or {}
+        inv = {p: l for l, p in mapping.items()}
         cons = list((constraints or {}).items())
         abs_files = [os.path.join(self.path, f) for f in rel_files]
+
+        def _logical(dfp: DataFrame) -> DataFrame:
+            if not inv:
+                return dfp
+            return dfp.select(
+                *[F.col(c).alias(inv.get(c, c)) for c in dfp.columns]
+            )
+
         aggs = [F.count(F.lit(1)).alias("__rows")]
         present = set()
         if self.stats_cols:
-            cols = set(spark.read.parquet(*abs_files).columns)
+            cols = set(_logical(spark.read.parquet(*abs_files)).columns)
             present = {c for c in self.stats_cols if c in cols}
             for c in present:
                 aggs.append(F.min(c).alias(f"__min_{c}"))
@@ -409,7 +447,9 @@ class VersionedTable:
             aggs.append(F.count_if(_violation_expr(expr)).alias(f"__viol_{i}"))
         rows = (
             spark.read.parquet(*abs_files)
-            .groupBy(F.input_file_name().alias("__file"))
+            .withColumn("__file", F.input_file_name())
+            .transform(_logical)
+            .groupBy("__file")
             .agg(*aggs)
             .collect()
         )
@@ -429,7 +469,9 @@ class VersionedTable:
             rel = self._to_rel(r["__file"])
             ent = {"rows": r["__rows"]}
             for c in present:
-                ent[c] = [_stat_json(r[f"__min_{c}"]), _stat_json(r[f"__max_{c}"])]
+                ent[mapping.get(c, c)] = [
+                    _stat_json(r[f"__min_{c}"]), _stat_json(r[f"__max_{c}"])
+                ]
             by_rel[rel] = ent
         # zero-row part files never surface in the aggregate (no rows to
         # tag with input_file_name) — record them explicitly so every
@@ -486,6 +528,8 @@ class VersionedTable:
         constraints: dict[str, str] | None = None,
         expected_head: int | None = None,
         dvs: tuple[dict, dict] | None = None,
+        column_mapping: dict | None = None,
+        retired_cols: list | None = None,
     ) -> int:
         """Publish a new version. ``retry_append_files`` marks the commit
         as an append of exactly those files: it is rebased onto the
@@ -513,7 +557,13 @@ class VersionedTable:
         Counts are keyed by DATA FILE, not dv dir, so pruning a
         rewritten file's entry drops its dead count exactly — dir-level
         totals would go stale the moment one covered file is
-        rewritten."""
+        rewritten.
+
+        ``column_mapping=None`` / ``retired_cols=None`` inherit the
+        head's logical→physical map and retired-physical-name list;
+        rename/drop/restore/clone/write_full pass them explicitly. The
+        stored mapping is pruned to the commit's schema fields and to
+        non-identity entries."""
         own_stats = (
             {f: stats[f] for f in retry_append_files if f in stats}
             if retry_append_files is not None
@@ -553,6 +603,18 @@ class VersionedTable:
             fset = set(files)
             a_dvs = {f: d for f, d in a_dvs.items() if f in fset}
             a_dvn = {f: c for f, c in a_dvn.items() if f in a_dvs}
+            cm = (
+                column_mapping
+                if column_mapping is not None
+                else (dict(hm.get("column_mapping", {})) if hm else {})
+            )
+            fields = {f["name"] for f in schema_json["fields"]}
+            cm = {k: v for k, v in cm.items() if k in fields and k != v}
+            retired = (
+                list(retired_cols)
+                if retired_cols is not None
+                else (list(hm.get("retired_cols", [])) if hm else [])
+            )
             if (
                 constraints is None
                 and self._validated_constraints is not None
@@ -585,6 +647,10 @@ class VersionedTable:
             if a_dvs:
                 manifest["dvs"] = a_dvs
                 manifest["dv_counts"] = a_dvn
+            if cm:
+                manifest["column_mapping"] = cm
+            if retired:
+                manifest["retired_cols"] = retired
             if self._claim_version(manifest):
                 if constraints is None:
                     # this commit consumed the pending validation record;
@@ -609,10 +675,15 @@ class VersionedTable:
 
     def write_full(self, df: DataFrame, meta: dict | None = None) -> int:
         """CREATE OR REPLACE: the new version references only the new
-        files (old versions stay readable until vacuum)."""
+        files (old versions stay readable until vacuum). Defines a
+        fresh schema, so any column mapping / retired-name history
+        resets — physical names restart equal to logical ones."""
         hint = (self.latest_version() or 0) + 1
-        files, stats = self._write_commit_files(df, hint)
-        v = self._commit("overwrite", files, stats, self._schema_json(df), meta)
+        files, stats = self._write_commit_files(df, hint, mapping={})
+        v = self._commit(
+            "overwrite", files, stats, self._schema_json(df), meta,
+            column_mapping={}, retired_cols=[],
+        )
         return self._maybe_cdf(df.sparkSession, v)
 
     def append(self, df: DataFrame, meta: dict | None = None, evolve: bool = False) -> int:
@@ -630,6 +701,20 @@ class VersionedTable:
                 f"{sorted(old_cols)}, append has {sorted(new_cols)} — "
                 "pass evolve=True to add columns"
             )
+        if evolve:
+            # a new logical column may not take a physical name that
+            # lives in data files under another (renamed or dropped)
+            # column — old files would leak those values into it
+            taken = set(cur.get("column_mapping", {}).values()) | set(
+                cur.get("retired_cols", [])
+            )
+            bad = sorted((new_cols - old_cols) & taken)
+            if bad:
+                raise ValueError(
+                    f"cannot evolve column(s) {bad}: the physical "
+                    "name(s) are taken by a renamed or dropped column's "
+                    "data files; pick different names"
+                )
         if not old_cols <= new_cols and evolve:
             # evolution may add columns, never silently drop: absent old
             # columns become explicit nulls so the manifest schema stays
@@ -762,6 +847,7 @@ class VersionedTable:
             StructType.fromJson(m["schema"]),
             dvs=m.get("dvs"),
             dv_counts=m.get("dv_counts"),
+            mapping=m.get("column_mapping", {}),
         )
 
     def version_at(self, ts: float) -> int:
@@ -795,10 +881,12 @@ class VersionedTable:
         lexicographically for string/ISO-date stats, and never prunes an
         uncomparable pair (conservative by construction)."""
         m = self._manifest(version)
+        mapping = m.get("column_mapping", {})
+        phys = mapping.get(col, col)  # stats are keyed by physical name
         lo_j, hi_j = _stat_json(lo), _stat_json(hi)
         keep = []
         for f in m["files"]:
-            st = m["stats"].get(f, {}).get(col)
+            st = m["stats"].get(f, {}).get(phys)
             if st is None:
                 keep.append(f)  # no stats → cannot prune, must read
                 continue
@@ -812,7 +900,8 @@ class VersionedTable:
             keep.append(f)
         schema = StructType.fromJson(m["schema"])
         df = self._read_files(
-            spark, keep, schema, dvs=m.get("dvs"), dv_counts=m.get("dv_counts")
+            spark, keep, schema, dvs=m.get("dvs"),
+            dv_counts=m.get("dv_counts"), mapping=mapping,
         )
         cond = F.lit(True)
         if lo is not None:
@@ -870,6 +959,7 @@ class VersionedTable:
         dvs: dict | None = None,
         dv_counts: dict | None = None,
         keep_meta: bool = False,
+        mapping: dict | None = None,
     ) -> DataFrame:
         """Read exactly ``rel_files`` projected to ``schema`` (absent
         evolution-era columns become explicit nulls), applying any
@@ -881,7 +971,14 @@ class VersionedTable:
         100 TB table with a churn-sized DV pays one broadcast anti-join
         over only the DV'd files. ``keep_meta=True`` keeps ``__fp`` /
         ``__pos`` (file URI + row position) on the output for
-        position-deriving callers (the merge-on-read delete)."""
+        position-deriving callers (the merge-on-read delete).
+
+        ``schema`` is LOGICAL; files carry PHYSICAL names, so each
+        field projects through ``mapping`` (None = head's; physical
+        names are immutable so one mapping serves files of every
+        vintage)."""
+        if mapping is None:
+            mapping = self._head_mapping()
         fset = set(rel_files)
         dvs = {f: d for f, d in (dvs or {}).items() if f in fset}
         if not rel_files:
@@ -895,11 +992,13 @@ class VersionedTable:
             df = spark.read.option("mergeSchema", "true").parquet(
                 *[os.path.join(self.path, f) for f in files]
             )
-            cols = [
-                F.col(f.name) if f.name in df.columns
-                else F.lit(None).cast(f.dataType).alias(f.name)
-                for f in schema.fields
-            ]
+            cols = []
+            for f in schema.fields:
+                phys = mapping.get(f.name, f.name)
+                cols.append(
+                    F.col(phys).alias(f.name) if phys in df.columns
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                )
             if with_meta:
                 cols += [
                     F.col("_metadata.file_path").alias("__fp"),
@@ -969,14 +1068,18 @@ class VersionedTable:
         schema = StructType.fromJson(m_to["schema"])
         # each side's DVs apply to ITS files: a row dead at from_version
         # is not a "delete" when its file is rewritten, and never
-        # resurrects as an "insert"
+        # resurrects as an "insert". BOTH sides project through the
+        # TO-version column mapping: physical names are immutable, so
+        # the newer logical names read the older files directly and a
+        # rename never fakes a row-level change.
+        cmap = m_to.get("column_mapping", {})
         added_rows = self._read_files(
             spark, added, schema, dvs=m_to.get("dvs"),
-            dv_counts=m_to.get("dv_counts"),
+            dv_counts=m_to.get("dv_counts"), mapping=cmap,
         )
         removed_rows = self._read_files(
             spark, removed, schema, dvs=m_from.get("dvs"),
-            dv_counts=m_from.get("dv_counts"),
+            dv_counts=m_from.get("dv_counts"), mapping=cmap,
         )
         inserts = added_rows.exceptAll(removed_rows)
         deletes = removed_rows.exceptAll(added_rows)
@@ -1063,7 +1166,10 @@ class VersionedTable:
         )
         if not affected:
             return None, None
-        meta_rows = self._read_files(spark, affected, schema, keep_meta=True)
+        meta_rows = self._read_files(
+            spark, affected, schema, keep_meta=True,
+            mapping=m_to.get("column_mapping", {}),
+        )
 
         def _pick(pos_df: DataFrame) -> DataFrame:
             pos = pos_df.select(
@@ -1106,7 +1212,10 @@ class VersionedTable:
         ``replicate`` additionally folds by whole-version ranges and is
         correct even for a sharded feed."""
         m = self._manifest(version)
-        if m["op"] in ("optimize", "set_constraint", "drop_constraint"):
+        if m["op"] in (
+            "optimize", "set_constraint", "drop_constraint",
+            "rename_column", "drop_column",
+        ):
             return None  # layout/metadata-only: empty feed by construction
         if version == 0:
             feed = self.read(spark, 0).select(
@@ -1260,8 +1369,12 @@ class VersionedTable:
             expected_head=self.latest_version(),
             # roll deletion vectors back with the snapshot (restoring
             # across a merge-on-read delete un-deletes its rows; the
-            # change feed reports them as inserts via _dv_diff_rows)
+            # change feed reports them as inserts via _dv_diff_rows),
+            # and the column mapping with it (a restore across a rename
+            # restores the old logical names)
             dvs=(m.get("dvs", {}), m.get("dv_counts", {})),
+            column_mapping=dict(m.get("column_mapping", {})),
+            retired_cols=list(m.get("retired_cols", [])),
         )
         return self._maybe_cdf(spark, v)
 
@@ -1342,6 +1455,8 @@ class VersionedTable:
             },
             constraints=dict(m.get("constraints", {})),
             dvs=dv_pair,
+            column_mapping=dict(m.get("column_mapping", {})),
+            retired_cols=list(m.get("retired_cols", [])),
         )
         assert v == 0
         return dest
@@ -1434,6 +1549,103 @@ class VersionedTable:
             {"constraint": name},
             constraints=cons,
             expected_head=m["version"],
+        )
+
+    # -- column mapping (rename/drop without rewrite) ------------------------
+
+    def _check_constraint_refs(self, m: dict, col: str, what: str) -> None:
+        cons = {
+            n: e
+            for n, e in m.get("constraints", {}).items()
+            if re.search(rf"\b{re.escape(col)}\b", e)
+        }
+        if cons:
+            raise ValueError(
+                f"cannot {what} column {col!r}: referenced by CHECK "
+                f"constraint(s) {sorted(cons)} — drop them first"
+            )
+
+    def rename_column(self, old: str, new: str, meta: dict | None = None) -> int:
+        """ALTER TABLE ... RENAME COLUMN — metadata-only (Delta column
+        mapping): the logical name changes in the manifest schema while
+        the column's PHYSICAL name (its name at first write) stays
+        frozen in every data file, so renaming a column on a 100 TB
+        table is one manifest write. Readers of any version project
+        physical→logical through that version's mapping; stats stay
+        keyed by physical name so file skipping never goes stale.
+        Raises if a CHECK constraint references the old name (its
+        expression text would silently stop matching rows)."""
+        m = self._manifest()
+        fields = [f["name"] for f in m["schema"]["fields"]]
+        if old not in fields:
+            raise ValueError(f"no column {old!r} (have: {fields})")
+        if new in fields:
+            raise ValueError(f"column {new!r} already exists")
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", new):
+            raise ValueError(f"invalid column name {new!r}")
+        self._check_constraint_refs(m, old, "rename")
+        cm = dict(m.get("column_mapping", {}))
+        phys = cm.pop(old, old)
+        cm[new] = phys
+        # the new logical name must not shadow a physical name that
+        # lives in data files under a DIFFERENT logical column
+        taken = set(cm.values()) | set(m.get("retired_cols", []))
+        if new in taken - {phys}:
+            raise ValueError(
+                f"cannot rename to {new!r}: a data-file column of that "
+                "physical name already exists (rename it further or "
+                "rewrite via OPTIMIZE first)"
+            )
+        schema = {
+            **m["schema"],
+            "fields": [
+                {**f, "name": new} if f["name"] == old else f
+                for f in m["schema"]["fields"]
+            ],
+        }
+        return self._commit(
+            "rename_column",
+            m["files"],
+            m["stats"],
+            schema,
+            {**(meta or {}), "from": old, "to": new},
+            expected_head=m["version"],
+            column_mapping=cm,
+        )
+
+    def drop_column(self, col: str, meta: dict | None = None) -> int:
+        """ALTER TABLE ... DROP COLUMN — metadata-only: the field leaves
+        the manifest schema; data files keep the bytes (readers project
+        them away), so dropping a column from a 100 TB table is one
+        manifest write and a RESTORE across the drop un-drops the data.
+        The physical name is RETIRED: schema evolution may never re-add
+        a column under it, because old files would leak stale values
+        into the reborn column. ``optimize(rewrite_all=True)`` after a
+        drop physically sheds the bytes."""
+        m = self._manifest()
+        fields = [f["name"] for f in m["schema"]["fields"]]
+        if col not in fields:
+            raise ValueError(f"no column {col!r} (have: {fields})")
+        if len(fields) == 1:
+            raise ValueError("cannot drop the only column")
+        self._check_constraint_refs(m, col, "drop")
+        cm = dict(m.get("column_mapping", {}))
+        phys = cm.pop(col, col)
+        if self.stats_cols and col in self.stats_cols:
+            self.stats_cols = [c for c in self.stats_cols if c != col]
+        schema = {
+            **m["schema"],
+            "fields": [f for f in m["schema"]["fields"] if f["name"] != col],
+        }
+        return self._commit(
+            "drop_column",
+            m["files"],
+            m["stats"],
+            schema,
+            {**(meta or {}), "column": col},
+            expected_head=m["version"],
+            column_mapping=cm,
+            retired_cols=sorted({*m.get("retired_cols", []), phys}),
         )
 
     def write_audit_publish(
