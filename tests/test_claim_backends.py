@@ -120,9 +120,11 @@ def test_append_rebases_after_injected_lost_race(spark, tmp_path, backend_cls):
 
 
 @pytest.mark.parametrize("backend_cls", BACKENDS)
-def test_cow_aborts_after_injected_lost_race(spark, tmp_path, backend_cls):
-    """A copy-on-write MERGE whose claim loses to a competitor must
-    raise (stale snapshot) — never silently clobber the winner."""
+def test_cow_rebases_after_injected_lost_race(spark, tmp_path, backend_cls):
+    """A copy-on-write MERGE whose claim loses to an APPEND rebases
+    onto the winner and lands both effects (WriteSerializable, r8) —
+    and never silently clobbers the winner. Real conflicts (touched
+    file rewritten) still raise: tests/test_occ.py."""
     path = str(tmp_path / "t")
     competitor_vt = VersionedTable(path, claim_backend=backend_cls())
 
@@ -133,10 +135,10 @@ def test_cow_aborts_after_injected_lost_race(spark, tmp_path, backend_cls):
     vt = VersionedTable(path, claim_backend=racy)
     vt.write_full(_mk(spark, [(1, "a")]))
     racy.n_races = 1  # next claim (the merge's) loses
-    with pytest.raises(ConcurrentWriteError):
-        vt.merge_upsert(spark, _mk(spark, [(1, "A")]), keys=["k"])
-    # the winner's commit is intact and the merge left no manifest
-    assert _rows(vt.read(spark)) == [(1, "a"), (99, "winner")]
+    vt.merge_upsert(spark, _mk(spark, [(1, "A")]), keys=["k"])
+    # the winner's commit is intact AND the merge landed after rebase
+    assert _rows(vt.read(spark)) == [(1, "A"), (99, "winner")]
+    assert vt.versions() == [0, 1, 2]
 
 
 def test_conditional_put_stress_many_writers(spark, tmp_path):
@@ -251,3 +253,71 @@ def test_conditional_put_visibility_is_atomic(spark, tmp_path):
     rt.join()
     assert torn == [] and errors == []
     assert vt.versions() == list(range(1 + 8 * 3))
+
+
+def test_mixed_cow_append_stress_disjoint_writers(spark, tmp_path):
+    """6 threads, each owning a disjoint key range living in its own
+    file (range-partitioned seed), interleaving CoW merges on its own
+    keys with blind appends — under the r8 WriteSerializable rules
+    EVERY commit must land (merges rebase over everyone else's
+    disjoint commits), the chain stays dense, and the final table holds
+    every writer's last merge value plus every appended row."""
+    vt = VersionedTable(str(tmp_path / "t"), claim_backend=ConditionalPutClaim())
+    n_writers, per_file = 6, 10
+    seed = [
+        Row(k=w * 100 + i, v="seed")
+        for w in range(n_writers)
+        for i in range(per_file)
+    ]
+    vt.write_full(
+        spark.createDataFrame(seed, "k int, v string").repartitionByRange(
+            n_writers, "k"
+        )
+    )
+    errors: list[Exception] = []
+
+    def writer(w: int) -> None:
+        try:
+            t = VersionedTable(vt.path, claim_backend=ConditionalPutClaim())
+            for j in range(2):
+                # a real conflict (same file touched — possible if the
+                # seed coalesced into fewer files) is retried from a
+                # fresh snapshot, the documented client pattern; a
+                # disjoint race rebases internally with no retry
+                for attempt in range(10):
+                    try:
+                        t.merge_upsert(
+                            spark,
+                            spark.createDataFrame(
+                                [Row(k=w * 100, v=f"m{w}_{j}")],
+                                "k int, v string",
+                            ),
+                            keys=["k"],
+                        )
+                        break
+                    except ConcurrentWriteError:
+                        if attempt == 9:
+                            raise
+                t.append(
+                    spark.createDataFrame(
+                        [Row(k=1000 + w * 10 + j, v=f"a{w}_{j}")],
+                        "k int, v string",
+                    )
+                )
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(n_writers)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
+    vs = vt.versions()
+    assert vs == list(range(1 + n_writers * 4))  # dense, no lost commits
+    rows = {r["k"]: r["v"] for r in vt.read(spark).collect()}
+    assert len(rows) == n_writers * per_file + n_writers * 2
+    for w in range(n_writers):
+        assert rows[w * 100] == f"m{w}_1"  # last merge won
+        for j in range(2):
+            assert rows[1000 + w * 10 + j] == f"a{w}_{j}"

@@ -200,7 +200,11 @@ def test_concurrent_append_rebases(spark, vt):
     assert vt.latest_version() == 2
 
 
-def test_concurrent_merge_raises(spark, vt):
+def test_concurrent_merge_rebases_over_append(spark, vt):
+    """WriteSerializable: a CoW merge racing a plain append REBASES —
+    the append did not touch the merge's files, so both commits land
+    (r8 upgrade; the old all-or-nothing CAS raised here). Real
+    conflicts still raise — covered by tests/test_occ.py."""
     vt.write_full(_mk(spark, [(1, "a")]))
     orig_claim = vt._claim_version
     raced = {"done": False}
@@ -213,12 +217,12 @@ def test_concurrent_merge_raises(spark, vt):
 
     vt._claim_version = racing_claim
     try:
-        with pytest.raises(ConcurrentWriteError):
-            vt.merge_upsert(spark, _mk(spark, [(1, "A!")]), keys=["k"])
+        vt.merge_upsert(spark, _mk(spark, [(1, "A!")]), keys=["k"])
     finally:
         vt._claim_version = orig_claim
-    # the losing merge published nothing: head is the competitor's append
-    assert _rows(vt.read(spark)) == [(1, "a"), (9, "z")]
+    # BOTH effects present: the competitor's append and the merge
+    assert _rows(vt.read(spark)) == [(1, "A!"), (9, "z")]
+    assert vt.versions() == [0, 1, 2]
 
 
 def test_failed_commit_leaves_table_readable(spark, vt):
