@@ -47,7 +47,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # ROUND-9 ROTATION NOTE: the r5-stale rows that did NOT fit this
 # window MUST head the r9 window: q_stream_quarantine,
 # q_dedup_simhash_recall, q_dedup_simhash_portable, q_chunk_windows,
-# q_bucketed_join, q_calendar_fill, q_embedding_
+# q_bucketed_join, q_bm25, q_calendar_fill, q_embedding_
 # centroids, q_freshness, q_fuzzy_match, q_grouping_sets, q_having,
 # q_hybrid_rrf, q_interpolate, q_json_flatten, q_kmeans_assign,
 # q_multimodal_frames, q_pq_encode, q_quarantine, q_ri_audit,
@@ -63,6 +63,7 @@ _VERIFY_FIRST = [
     # _delete_mor; Delta DV / REORG APPLY PURGE semantics)
     "q_domain_fact_versioned", "q_delete_vectors", "q_update_where",
     "q_replace_where", "q_lakehouse_sql", "q_column_mapping",
+    "q_writer_isolation",
     # CHANGED in round 8 — must re-earn green
     "q_similarity_pairs", "q_dedup_exact", "q_distinct_agg",
     "q_approx_distinct", "q_versioned_merge",
@@ -81,11 +82,11 @@ _VERIFY_FIRST = [
     "q_notnull_check", "q_regex", "q_scalar_subquery", "q_sort_topk",
     "q_topk_per_group", "q_tpch_q1", "q_tpch_q9", "q_tpch_q16",
     "q_union", "q_window_rank", "q_window_rolling",
-    # stalest r5 rows that fit (2 slots; q_stream_quarantine,
-    # q_dedup_simhash_recall, q_dedup_simhash_portable, q_chunk_windows
-    # and q_bucketed_join bumped by the five new lakehouse
+    # stalest r5 row that fits (1 slot; q_stream_quarantine,
+    # q_dedup_simhash_recall, q_dedup_simhash_portable, q_chunk_windows,
+    # q_bucketed_join and q_bm25 bumped by the six new lakehouse
     # registrations — they join the r9 list below)
-    "q_approx_quantile", "q_bm25",
+    "q_approx_quantile",
 ]
 
 

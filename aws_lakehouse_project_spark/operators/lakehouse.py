@@ -1115,6 +1115,69 @@ def q_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WRITER_ISOLATION_ORACLE = f"""
+    WITH {_DAILY_CTE}
+    SELECT cust_id, dt, revenue, order_count
+    FROM daily WHERE cust_id % 5 <> 0
+    UNION ALL
+    SELECT cust_id, dt, revenue * 2 AS revenue, order_count
+    FROM daily WHERE cust_id % 5 = 0 AND cust_id % 2 = 0
+"""
+
+
+@demo_query("q_writer_isolation", oracle=WRITER_ISOLATION_ORACLE)
+def q_writer_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level optimistic concurrency, driver-verified (Delta
+    WriteSerializable, ``plans/versioned.py::_check_cow_conflict``).
+    A copy-on-write DELETE races a concurrent APPEND at the exact claim
+    instant — injected deterministically through the claim-backend seam
+    — and must REBASE, not abort: the committed table holds BOTH
+    effects (the %5 cohort deleted AND the interloper's rows, the even
+    half of that cohort re-appended at doubled revenue), with a dense
+    3-version chain. Under the old all-or-nothing CAS this raced
+    delete raised; at 100 TB, aborting every writer because an
+    unrelated partition appended is the difference between one writer
+    and a fleet."""
+    from ..plans.versioned import CommitClaimBackend, PosixLinkClaim
+
+    work = scratch_dir("spark_graft_occ", unique=True)
+    path = os.path.join(work, "fact")
+    daily = _daily_orders(spark, sf_dir)
+
+    interloper = VersionedTable(path)
+    appended = daily.filter(
+        (F.col("cust_id") % 5 == 0) & (F.col("cust_id") % 2 == 0)
+    ).withColumn("revenue", F.col("revenue") * 2)
+
+    class RaceOnce(CommitClaimBackend):
+        def __init__(self):
+            self.fired = False
+            self._inner = PosixLinkClaim()
+
+        def claim(self, final: str, payload: str) -> bool:
+            if not self.fired:
+                self.fired = True
+                interloper.append(appended)  # lands first, wins the claim
+            return self._inner.claim(final, payload)
+
+    VersionedTable(path).write_full(daily.repartition(4))
+    # the racy handle is created AFTER the seed so the injected append
+    # lands exactly at the DELETE's claim instant
+    victim = VersionedTable(path, claim_backend=RaceOnce())
+    v = victim.delete_where(spark, "cust_id % 5 = 0")
+    if v != 2 or victim.versions() != [0, 1, 2]:
+        raise AssertionError(
+            f"raced delete did not rebase: head {v}, chain "
+            f"{victim.versions()}"
+        )
+    return victim.read(spark).select(
+        "cust_id",
+        F.col("dt").cast("date").alias("dt"),
+        "revenue",
+        F.col("order_count").cast("bigint").alias("order_count"),
+    )
+
+
 STREAM_MERGE_ORACLE = """
     SELECT CAST(ts AS DATE) AS dt,
            user_id AS cust_id,

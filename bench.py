@@ -146,6 +146,7 @@ EXTRA = [
     "q_replace_where",
     "q_lakehouse_sql",
     "q_column_mapping",
+    "q_writer_isolation",
 ]
 
 
