@@ -6,7 +6,7 @@ The reference's users speak SQL (Athena DDL + dbt models,
 Python API. ``LakehouseSession.sql`` closes that gap for the statement
 shapes Delta Lake documents:
 
-    CREATE TABLE t AS SELECT ...
+    CREATE [OR REPLACE] TABLE t AS SELECT ...
     INSERT INTO t SELECT ...
     INSERT INTO t REPLACE WHERE <pred> SELECT ...
     DELETE FROM t WHERE <pred>
@@ -58,7 +58,7 @@ from pyspark.sql import functions as F
 from .versioned import VersionedTable
 
 _GRAMMAR = """supported statements:
-  CREATE TABLE t AS SELECT ... | INSERT INTO t [REPLACE WHERE p] SELECT ...
+  CREATE [OR REPLACE] TABLE t AS SELECT ... | INSERT INTO t [REPLACE WHERE p] SELECT ...
   DELETE [/*+ MERGE_ON_READ */] FROM t WHERE p
   UPDATE [/*+ MERGE_ON_READ */] t SET c=e[, ...] [WHERE p]
   MERGE INTO t USING s ON t.k=s.k [AND ...] WHEN MATCHED THEN UPDATE SET *
@@ -202,11 +202,21 @@ class LakehouseSession:
         s = statement.strip().rstrip(";").strip()
 
         mm = re.fullmatch(
-            rf"CREATE\s+TABLE\s+(?P<t>{_IDENT})\s+AS\s+(?P<q>SELECT\b.*)",
+            rf"CREATE\s+(?P<orr>OR\s+REPLACE\s+)?TABLE\s+(?P<t>{_IDENT})"
+            r"\s+AS\s+(?P<q>SELECT\b.*)",
             s, flags=re.IGNORECASE | re.DOTALL,
         )
         if mm:
             vt = self.table(mm.group("t"))
+            if vt.exists() and not mm.group("orr"):
+                # Delta/ANSI CREATE TABLE errors on existence — a bare
+                # CTAS silently replacing a live head would make an
+                # accidental name reuse destructive (r8 ADVICE)
+                raise ValueError(
+                    f"table {mm.group('t')!r} already exists (head "
+                    f"version {vt.latest_version()}); use CREATE OR "
+                    "REPLACE TABLE to overwrite it"
+                )
             v = vt.write_full(self._run_select(mm.group("q")))
             return self._row(op="create", version=v)
 

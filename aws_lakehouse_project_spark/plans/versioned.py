@@ -237,6 +237,102 @@ def _fmt_version(v: int) -> str:
     return f"{v:08d}.json"
 
 
+# -- delta-encoded manifests ---------------------------------------------------
+#
+# A full manifest stores the table's COMPLETE file list and per-file
+# stats, so a log of C commits over an F-file table costs O(C × F)
+# bytes — at 100 TB (~1M files, ~100 MB per manifest) that is the one
+# named scale-killer of the r8 design. Delta Lake solves it with
+# add/remove ACTION DELTAS plus periodic CHECKPOINT snapshots; the same
+# two-piece protocol lands here:
+#
+# - a commit manifest normally stores only its CHURN against version
+#   N-1 ("base": N-1, add/remove file actions, dv churn); the small
+#   metadata (schema, constraints, column mapping, op, ts, meta) rides
+#   every manifest verbatim so version_at/history audits never replay.
+# - every ``checkpoint_interval`` commits (and before vacuum drops a
+#   delta's ancestry) the RESOLVED snapshot is written as a sidecar
+#   ``{v:08d}.ckpt.json``; resolution walks back at most K steps to the
+#   nearest checkpoint / full manifest / cache hit, then folds forward.
+# - the encoder falls back to the FULL form whenever it serializes
+#   smaller (an overwrite's delta is remove-everything — the full list
+#   wins), so pathological shapes never pay the delta overhead, and
+#   pre-r9 logs (all-full manifests) read unchanged.
+#
+# Log growth becomes O(C × churn + (C/K) × F): bytes per commit ∝ what
+# the commit touched, exactly like the data plane.
+
+_DELTA_META_KEYS = (
+    "version", "op", "ts", "schema", "meta", "constraints",
+    "column_mapping", "retired_cols",
+)
+
+
+def _encode_delta(full: dict, parent: dict) -> dict:
+    """``full`` (version N, files in canonical parent-relative order —
+    ``_commit`` guarantees this) as an action delta against ``parent``
+    (version N-1). ``_apply_delta(parent, delta)`` reconstructs ``full``
+    exactly."""
+    pfiles, ffiles = parent["files"], full["files"]
+    pset, fset = set(pfiles), set(ffiles)
+    delta = {k: full[k] for k in _DELTA_META_KEYS if k in full}
+    delta["base"] = parent["version"]
+    remove = [f for f in pfiles if f not in fset]
+    if remove:
+        delta["remove"] = remove
+    add = [f for f in ffiles if f not in pset]
+    if add:
+        delta["add_files"] = add
+    stats_add = {
+        f: s
+        for f in ffiles
+        if (s := full["stats"].get(f)) is not None
+        and parent["stats"].get(f) != s
+    }
+    if stats_add:
+        delta["stats_add"] = stats_add
+    pdv, fdv = parent.get("dvs", {}), full.get("dvs", {})
+    dv_set = {f: d for f, d in fdv.items() if pdv.get(f) != d}
+    dv_unset = [f for f in pdv if f in fset and f not in fdv]
+    if dv_set:
+        delta["dv_set"] = dv_set
+        delta["dv_counts_set"] = {
+            f: full.get("dv_counts", {})[f] for f in dv_set
+        }
+    if dv_unset:
+        delta["dv_unset"] = dv_unset
+    return delta
+
+
+def _apply_delta(parent: dict, raw: dict) -> dict:
+    """Fold one action delta onto its resolved parent snapshot."""
+    removed = set(raw.get("remove", []))
+    files = [f for f in parent["files"] if f not in removed]
+    files += raw.get("add_files", [])
+    stats = {
+        f: s for f, s in parent["stats"].items() if f not in removed
+    }
+    stats.update(raw.get("stats_add", {}))
+    full = {k: raw[k] for k in _DELTA_META_KEYS if k in raw}
+    full["files"] = files
+    full["stats"] = stats
+    unset = removed | set(raw.get("dv_unset", []))
+    dvs = {
+        f: d for f, d in parent.get("dvs", {}).items() if f not in unset
+    }
+    dvs.update(raw.get("dv_set", {}))
+    if dvs:
+        counts = {
+            f: c
+            for f, c in parent.get("dv_counts", {}).items()
+            if f in dvs
+        }
+        counts.update(raw.get("dv_counts_set", {}))
+        full["dvs"] = dvs
+        full["dv_counts"] = counts
+    return full
+
+
 def _violation_expr(expr: str) -> Column:
     """Per-row CHECK violation predicate, standard SQL semantics: only
     FALSE violates; NULL (unknown) passes."""
@@ -269,11 +365,19 @@ class VersionedTable:
         stats_cols: Sequence[str] = (),
         change_feed: bool = False,
         claim_backend: CommitClaimBackend | None = None,
+        checkpoint_interval: int = 20,
     ) -> None:
         self.path = path
         self.stats_cols = list(stats_cols)
         self.change_feed = change_feed
         self._claim = claim_backend or PosixLinkClaim()
+        # delta-log knobs: commits claim action deltas (see module-level
+        # _encode_delta) and every `checkpoint_interval` versions the
+        # resolved snapshot lands as a .ckpt.json sidecar, bounding
+        # resolution to a K-step replay. Resolved manifests are
+        # IMMUTABLE per version, so a small per-instance cache is safe.
+        self.checkpoint_interval = int(checkpoint_interval)
+        self._mcache: dict[int, dict] = {}
         # constraint set the most recent _write_commit_files validated
         # against; _commit compares it to the active set at claim time
         # so a concurrently-added constraint can't be bypassed
@@ -301,11 +405,12 @@ class VersionedTable:
     def exists(self) -> bool:
         return self.latest_version() is not None
 
-    def _manifest(self, version: int | None = None) -> dict:
-        if version is None:
-            version = self.latest_version()
-            if version is None:
-                raise FileNotFoundError(f"versioned table at {self.path} is empty")
+    def _raw_manifest(self, version: int) -> dict:
+        """The manifest AS CLAIMED — a full snapshot or an action delta
+        ("base" key present). Metadata fields (op, ts, meta, schema,
+        constraints) ride both forms, so callers that only audit those
+        (version_at, stream_changes' feed check, the replication
+        watermark) read raw and never pay a replay."""
         p = self._log_path(version)
         if not os.path.exists(p):
             vs = self.versions()
@@ -333,16 +438,87 @@ class VersionedTable:
                     "CommitClaimBackend contract)"
                 ) from exc
 
-    def _claim_version(self, manifest: dict) -> bool:
+    def _ckpt_path(self, version: int) -> str:
+        return os.path.join(self.path, _LOG_DIR, f"{version:08d}.ckpt.json")
+
+    def _write_checkpoint(self, manifest: dict) -> None:
+        """Persist a resolved snapshot sidecar. Content is deterministic
+        for a version (manifests are immutable), so racing writers
+        produce identical bytes and the atomic replace is idempotent."""
+        p = self._ckpt_path(manifest["version"])
+        tmp = p + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            fh.write(json.dumps(manifest, sort_keys=True))
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, p)
+
+    def _cache_manifest(self, m: dict) -> None:
+        self._mcache[m["version"]] = m
+        while len(self._mcache) > 32:
+            self._mcache.pop(next(iter(self._mcache)))
+
+    def _manifest(self, version: int | None = None) -> dict:
+        """The RESOLVED snapshot manifest for ``version`` (default
+        head): walk back from the version over action deltas until a
+        cache hit, checkpoint sidecar, or full manifest — bounded by
+        ``checkpoint_interval`` steps once the writer has checkpointed
+        — then fold forward. Returned dicts are shared via the cache:
+        treat them as immutable (every caller already does)."""
+        if version is None:
+            version = self.latest_version()
+            if version is None:
+                raise FileNotFoundError(f"versioned table at {self.path} is empty")
+        cached = self._mcache.get(version)
+        if cached is not None:
+            return cached
+        chain: list[dict] = []
+        v = version
+        full: dict | None = None
+        while True:
+            cached = self._mcache.get(v)
+            if cached is not None:
+                full = cached
+                break
+            cp = self._ckpt_path(v)
+            if os.path.exists(cp):
+                with open(cp) as fh:
+                    try:
+                        full = json.load(fh)
+                    except json.JSONDecodeError as exc:
+                        raise TornManifestError(
+                            f"checkpoint {cp} exists but is not valid "
+                            f"JSON ({exc})"
+                        ) from exc
+                break
+            raw = self._raw_manifest(v)
+            if "base" not in raw:
+                full = raw
+                break
+            chain.append(raw)
+            v = raw["base"]
+        for raw in reversed(chain):
+            full = _apply_delta(full, raw)
+        self._cache_manifest(full)
+        return full
+
+    def _claim_version(self, manifest: dict, parent: dict | None = None) -> bool:
         """Atomically publish ``manifest`` as its version; False if a
         concurrent writer already claimed that version number. Delegates
         the create-if-absent to the injected ``CommitClaimBackend`` —
         ``PosixLinkClaim`` locally, ``ConditionalPutClaim`` for the
-        object-store shape."""
-        return self._claim.claim(
-            self._log_path(manifest["version"]),
-            json.dumps(manifest, sort_keys=True),
-        )
+        object-store shape.
+
+        With ``parent`` (the resolved version-minus-one snapshot), the
+        payload is the ACTION DELTA when that serializes smaller than
+        the full snapshot — bytes per commit ∝ churn, Delta's log
+        protocol (see the module-level delta-manifest note)."""
+        payload = json.dumps(manifest, sort_keys=True)
+        if parent is not None and manifest["version"] == parent["version"] + 1:
+            dp = json.dumps(_encode_delta(manifest, parent), sort_keys=True)
+            if len(dp) < len(payload):
+                payload = dp
+        return self._claim.claim(self._log_path(manifest["version"]), payload)
 
     # -- data-file plumbing -------------------------------------------------
 
@@ -525,6 +701,7 @@ class VersionedTable:
         schema_json: dict,
         meta: dict | None = None,
         retry_append_files: list[str] | None = None,
+        read_m: dict | None = None,
         constraints: dict[str, str] | None = None,
         expected_head: int | None = None,
         dvs: tuple[dict, dict] | None = None,
@@ -602,6 +779,29 @@ class VersionedTable:
                 )
             hm = self._manifest(head) if head is not None else None
             if retry_append_files is not None and hm is not None:
+                if read_m is not None and head != read_m["version"]:
+                    # the rebase may compose file lists over ANY disjoint
+                    # commit, but never over a METADATA change: the
+                    # append's evolve-time guards (physical-name 'taken'
+                    # set, type alignment, schema-mismatch fail-fast)
+                    # ran against read_m — merging into a head whose
+                    # schema / column mapping / retired names moved
+                    # could re-bind a renamed or dropped column's
+                    # physical name and leak old files' values (Delta
+                    # aborts this race with MetadataChangedException)
+                    for field, dflt, what in (
+                        ("schema", None, "the schema"),
+                        ("column_mapping", {}, "the column mapping"),
+                        ("retired_cols", [], "retired physical columns"),
+                    ):
+                        if hm.get(field, dflt) != read_m.get(field, dflt):
+                            raise ConcurrentWriteError(
+                                f"{op} on {self.path}: {what} changed "
+                                f"concurrently (validated against "
+                                f"version {read_m['version']}, head is "
+                                f"now {head}); re-run the append against "
+                                "the new head"
+                            )
                 # rebase the blind append onto whatever the head is NOW:
                 # head files + ours, head stats + ours, schema union
                 files = hm["files"] + retry_append_files
@@ -681,6 +881,14 @@ class VersionedTable:
                     f"{sorted(self._validated_constraints)}, active now "
                     f"{sorted(active)}); re-run the operation"
                 )
+            if hm is not None:
+                # canonical file order — parent retained order first,
+                # additions appended — so the claimed action delta
+                # reconstructs EXACTLY this manifest on every reader
+                pset, fset2 = set(hm["files"]), set(files)
+                files = [f for f in hm["files"] if f in fset2] + [
+                    f for f in files if f not in pset
+                ]
             manifest = {
                 "version": version,
                 "op": op,
@@ -701,12 +909,20 @@ class VersionedTable:
                 manifest["column_mapping"] = cm
             if retired:
                 manifest["retired_cols"] = retired
-            if self._claim_version(manifest):
+            if self._claim_version(manifest, parent=hm):
                 if constraints is None:
                     # this commit consumed the pending validation record;
                     # explicit-constraint commits (set/drop/clone) leave
                     # it for the data commit that produced it
                     self._validated_constraints = None
+                self._cache_manifest(manifest)
+                ci = self.checkpoint_interval
+                if ci > 0 and version > 0 and version % ci == 0:
+                    # periodic checkpoint: bounds every reader's replay
+                    # to < ci deltas. Written AFTER the claim — a crash
+                    # in between only costs a longer walk until the
+                    # next multiple lands (or vacuum backfills one).
+                    self._write_checkpoint(manifest)
                 return version
             if retry_append_files is None and cow is None:
                 raise ConcurrentWriteError(
@@ -826,6 +1042,7 @@ class VersionedTable:
             merged_schema,
             meta,
             retry_append_files=files,
+            read_m=cur,
         )
         return self._maybe_cdf(df.sparkSession, v)
 
@@ -1035,7 +1252,14 @@ class VersionedTable:
             self._rel_to_uri(F.col("file")).alias("__fp"),
             F.col("pos").alias("__pos"),
         )
-        if 0 < total <= 8_000_000:
+        # force the broadcast only while the estimated in-memory size
+        # stays modest: each dead position is a (file-URI string, long)
+        # row ≈ root-path length + file-key + object overhead. A
+        # scattered mass-delete (hundreds of MB of positions) must NOT
+        # be pushed to every executor — fall through and let AQE pick
+        # the join strategy from observed sizes instead.
+        est_row = len(os.path.abspath(self.path)) + 96
+        if 0 < total * est_row <= 32 << 20:
             out = F.broadcast(out)
         return out
 
@@ -1232,15 +1456,29 @@ class VersionedTable:
             return None, None
 
         def _rows(dv_map: dict) -> DataFrame:
-            dirs = sorted(set(dv_map.values()))
-            if not dirs:
+            if not dv_map:
                 return spark.createDataFrame([], "file string, pos long")
-            # a dv dir can carry positions for files rewritten since
-            # (their diff belongs to the file diff) — restrict to the
-            # files this side's manifest actually maps
-            return spark.read.parquet(
-                *[os.path.join(self.path, d) for d in dirs]
-            ).filter(F.col("file").isin(sorted(dv_map)))
+            # restrict each dir's rows to the files THIS side's manifest
+            # maps to THAT EXACT dir — not just to file names the side
+            # maps anywhere: one dv dir can cover several files, and a
+            # later fold re-dirs a strict subset, so the superseded dir
+            # stays live for its untouched files while repeating the
+            # folded file's old positions. Filtering by name alone would
+            # count those positions twice on one side and re-emit
+            # already-dead rows into the change feed (r8 ADVICE high).
+            by_dir: dict[str, list[str]] = {}
+            for f, d in dv_map.items():
+                by_dir.setdefault(d, []).append(f)
+            parts = [
+                spark.read.parquet(os.path.join(self.path, d))
+                .filter(F.col("file").isin(sorted(fs)))
+                .select("file", "pos")
+                for d, fs in sorted(by_dir.items())
+            ]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out
 
         rows_f, rows_t = _rows(dv_f), _rows(dv_t)
         newly_dead = rows_t.exceptAll(rows_f)
@@ -1781,6 +2019,7 @@ class VersionedTable:
                 self._merge_schema(cur["schema"], self._schema_json(df)),
                 {**(meta or {}), "audits": len(audits)},
                 retry_append_files=files,
+                read_m=cur,
             )
         else:
             v = self._commit(
@@ -2029,13 +2268,24 @@ class VersionedTable:
         )
         if not affected:
             return None
-        carry_dirs = sorted({dvs[f] for f in affected if f in dvs})
+        # carry each affected file's prior positions from the dir the
+        # MANIFEST maps for it — a (file, dir) pair, not a name filter:
+        # a superseded dir (an earlier fold re-dir'd a subset) still
+        # holds stale copies of a re-dir'd file's positions, and a
+        # name-only filter would fold them in twice (dv_counts would
+        # overcount and the duplicate rows would surface as phantom
+        # deletes in the change feed's exceptAll)
+        carry: dict[str, list[str]] = {}
+        for f in affected:
+            if f in dvs:
+                carry.setdefault(dvs[f], []).append(f)
         all_dead = new_dead
-        if carry_dirs:
-            prior = spark.read.parquet(
-                *[os.path.join(self.path, d) for d in carry_dirs]
-            ).filter(F.col("file").isin(affected))
-            all_dead = all_dead.unionByName(prior)
+        for d, fs in sorted(carry.items()):
+            all_dead = all_dead.unionByName(
+                spark.read.parquet(os.path.join(self.path, d))
+                .filter(F.col("file").isin(sorted(fs)))
+                .select("file", "pos")
+            )
         hint = self.latest_version() + 1
         dv_rel = os.path.join(
             _DATA_DIR, f"c{hint:08d}-{uuid.uuid4().hex[:8]}-dv"
@@ -2521,8 +2771,26 @@ def replicate(
             d = source._cdf_version_dir(v)
             if not os.path.isdir(d):
                 continue  # layout/metadata-only commit: no feed exists
-            if not os.path.exists(os.path.join(d, "_SUCCESS")):
-                break  # feed mid-write: defer this version and later ones
+            marker = os.path.join(d, "_SUCCESS")
+            if not os.path.exists(marker):
+                # the feed is mid-write. Deferring with `break` would be
+                # WRONG: the files that triggered this batch are already
+                # consumed by the stream checkpoint, so if no later
+                # commit produces new feed files the version is never
+                # re-delivered and the replica lags forever (r8 ADVICE).
+                # Poll briefly for the writer to finish, then FAIL the
+                # micro-batch so the checkpoint replays it.
+                for _ in range(40):
+                    time.sleep(0.25)
+                    if os.path.exists(marker):
+                        break
+                else:
+                    raise RuntimeError(
+                        f"replicate: change feed for version {v} of "
+                        f"{source.path} has no _SUCCESS marker after "
+                        "10s — failing the micro-batch so the stream "
+                        "checkpoint replays it once the feed lands"
+                    )
             dirs.append(d)
         if not dirs:
             return

@@ -228,3 +228,47 @@ def test_dv_read_plan_splits_clean_and_dirty(spark, vt):
     plan = vt.read(spark)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") >= 2  # clean branch + dirty branch
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def _two_file_mor_history(spark, vt):
+    """File A holds k 0-9, file B holds k 10-19; delete #1 writes ONE dv
+    dir covering BOTH files, delete #2 folds file A's positions into a
+    fresh dir while the old dir stays live for file B (and still holds
+    stale copies of file A's old positions)."""
+    vt.write_full(_mk(spark, [(i, f"v{i}") for i in range(10)]).coalesce(1))
+    vt.append(_mk(spark, [(i, f"v{i}") for i in range(10, 20)]).coalesce(1))
+    v1 = vt.delete_where(spark, "k IN (1, 11)", mode="merge_on_read")
+    v2 = vt.delete_where(spark, "k = 2", mode="merge_on_read")
+    m1, m2 = vt._manifest(v1), vt._manifest(v2)
+    assert len(set(m1["dvs"].values())) == 1  # one dir covers both files
+    redirs = [f for f, d in m2["dvs"].items() if m1["dvs"][f] != d]
+    assert len(redirs) == 1  # the fold re-dir'd file A only
+    return v1, v2
+
+
+def test_changes_after_partial_fold_no_phantom_deletes(spark, vt):
+    """r8 ADVICE (high): a superseded dv dir repeats the folded file's
+    old positions; the change feed must restrict each side to the
+    (file, dir) pairs its manifest maps, or rows already dead at
+    from_version re-emit as deletes."""
+    v1, v2 = _two_file_mor_history(spark, vt)
+    feed = vt.changes(spark, v1, v2)
+    assert _rows(feed) == [("delete", 2, "v2")]
+
+
+def test_fold_carries_positions_per_mapped_dir_only(spark, vt):
+    """A third delete re-touching BOTH files must carry each file's
+    prior positions from the dir its manifest maps — not every dir that
+    ever mentioned the file name — or dv_counts overcount and the feed
+    emits duplicate deletes."""
+    _, v2 = _two_file_mor_history(spark, vt)
+    v3 = vt.delete_where(spark, "k IN (3, 12)", mode="merge_on_read")
+    m = vt._manifest(v3)
+    assert sum(m["dv_counts"].values()) == 5  # 1,2,3 + 11,12 exactly
+    assert sorted(m["dv_counts"].values()) == [2, 3]
+    assert _rows(vt.read(spark)) == [
+        (i, f"v{i}") for i in range(20) if i not in (1, 2, 3, 11, 12)
+    ]
+    assert _rows(vt.changes(spark, v2, v3)) == [
+        ("delete", 3, "v3"), ("delete", 12, "v12")
+    ]

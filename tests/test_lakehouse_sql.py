@@ -192,3 +192,13 @@ def test_register_existing_table(spark, tmp_path, lh):
     other.write_full(spark.createDataFrame([Row(x=1)], "x int"))
     lh.register("other", other)
     assert lh.sql("SELECT x FROM other").first()["x"] == 1
+
+
+def test_ctas_on_existing_table_requires_or_replace(lh):
+    """Bare CTAS on a live table must error (Delta/ANSI CREATE TABLE);
+    CREATE OR REPLACE TABLE is the explicit destructive form."""
+    with pytest.raises(ValueError, match="already exists"):
+        lh.sql("CREATE TABLE t AS SELECT 1 AS k, 'z' AS grp, 0.0 AS v")
+    assert lh.sql("SELECT COUNT(*) AS n FROM t").first()["n"] == 6
+    lh.sql("CREATE OR REPLACE TABLE t AS SELECT * FROM seed WHERE k < 2")
+    assert lh.sql("SELECT COUNT(*) AS n FROM t").first()["n"] == 2

@@ -193,3 +193,38 @@ def test_optimize_rebases_over_append(spark, tmp_path):
     victim.optimize(spark, target_rows_per_file=1000)
     got = _rows(victim.read(spark))
     assert len(got) == 21 and (100, "new100") in got
+
+
+def test_append_racing_rename_column_raises(spark, tmp_path):
+    """Blind-append rebase must NOT merge across a concurrent metadata
+    change: a rename/drop landing between the append's validation and
+    its claim could re-bind the old logical name to a physical column
+    other files already use (Delta: MetadataChangedException)."""
+    _two_file_table(spark, tmp_path / "t")
+    other = VersionedTable(str(tmp_path / "t"))
+
+    def racer():
+        other.rename_column("v", "w")
+
+    victim = VersionedTable(str(tmp_path / "t"), claim_backend=RaceOnce(racer))
+    with pytest.raises(ConcurrentWriteError, match="schema|column mapping"):
+        victim.append(_mk(spark, [100]))
+    # the loser left no half-commit behind: head is the rename, and the
+    # table reads cleanly under the new name
+    assert other.history()[-1]["op"] == "rename_column"
+    assert "w" in other.read(spark).columns
+
+
+def test_append_racing_disjoint_append_still_rebases(spark, tmp_path):
+    """Same-schema concurrent appends carry no metadata change and must
+    keep composing (the r7 rebase contract is unchanged)."""
+    _two_file_table(spark, tmp_path / "t")
+    other = VersionedTable(str(tmp_path / "t"))
+
+    def racer():
+        other.append(_mk(spark, [200], tag="r"))
+
+    victim = VersionedTable(str(tmp_path / "t"), claim_backend=RaceOnce(racer))
+    victim.append(_mk(spark, [100], tag="a"))
+    got = _rows(victim.read(spark))
+    assert (100, "a100") in got and (200, "r200") in got
