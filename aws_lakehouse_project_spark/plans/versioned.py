@@ -378,6 +378,8 @@ class VersionedTable:
         # IMMUTABLE per version, so a small per-instance cache is safe.
         self.checkpoint_interval = int(checkpoint_interval)
         self._mcache: dict[int, dict] = {}
+        # (head_version, watermark) memo for _last_replicated_version
+        self._repl_wm_cache: tuple[int, int | None] | None = None
         # constraint set the most recent _write_commit_files validated
         # against; _commit compares it to the active set at claim time
         # so a concurrently-added constraint can't be bypassed
@@ -469,6 +471,16 @@ class VersionedTable:
             version = self.latest_version()
             if version is None:
                 raise FileNotFoundError(f"versioned table at {self.path} is empty")
+        elif not os.path.exists(self._log_path(version)):
+            # the vacuum horizon guard must run BEFORE the cache: a warm
+            # cache (or a stale checkpoint sidecar) of a vacuumed version
+            # would otherwise resolve a manifest whose data files are
+            # gone, deferring the failure to a confusing scan-time
+            # PATH_NOT_FOUND — or worse, letting restore() publish a head
+            # referencing deleted files. One os.stat per explicit-version
+            # resolution; _raw_manifest raises VacuumedVersionError (below
+            # the horizon) or FileNotFoundError (never existed).
+            self._raw_manifest(version)
         cached = self._mcache.get(version)
         if cached is not None:
             return cached
@@ -2616,6 +2628,15 @@ class VersionedTable:
                         os.unlink(p)
             if not dry_run and dirpath != data_root and not os.listdir(dirpath):
                 os.rmdir(dirpath)
+        if drop_vs and not dry_run:
+            # the oldest retained version may be a delta manifest whose
+            # "base" chain crosses the horizon — checkpoint its RESOLVED
+            # snapshot BEFORE unlinking any ancestry, so a fresh instance
+            # (no warm cache) can still resolve every retained version.
+            # Idempotent: manifests are immutable, so the bytes are
+            # deterministic and a crash between this write and the
+            # unlinks below just leaves a valid extra checkpoint.
+            self._write_checkpoint(self._manifest(keep_vs[0]))
         removed_cdf = 0
         for v in drop_vs:
             cdf = self._cdf_version_dir(v)
@@ -2625,6 +2646,13 @@ class VersionedTable:
                     shutil.rmtree(cdf)
             if not dry_run:
                 os.unlink(self._log_path(v))
+                # drop the dropped version's checkpoint sidecar and evict
+                # it from the manifest cache: either could otherwise
+                # resolve a vacuumed version whose data files are gone
+                cp = self._ckpt_path(v)
+                if os.path.exists(cp):
+                    os.unlink(cp)
+                self._mcache.pop(v, None)
         return {
             "dry_run": dry_run,
             "removed_data_files": removed_files,
@@ -2642,14 +2670,30 @@ def _last_replicated_version(table: VersionedTable) -> int | None:
     """Highest source ``_commit_version`` already folded into ``table``
     by ``apply_changes`` — the replication watermark, recovered from
     commit meta walking history newest-first (bounded by history
-    length; a pure replica finds it in the head manifest)."""
-    if not table.exists():
+    length; a pure replica finds it in the head manifest).
+
+    Reads RAW manifests only: ``meta`` rides both the full and the
+    action-delta form (see ``_raw_manifest``), so the walk never pays a
+    K-step delta replay — on a non-pure replica with a long history
+    that replay made the watermark O(history × K) per micro-batch (r9
+    perf-weak finding). The result is cached keyed by the head version
+    observed during the walk; ``apply_changes`` refreshes the cache on
+    every commit it lands, so steady-state replication reads ZERO
+    manifests here."""
+    head = table.latest_version()
+    if head is None:
         return None
+    cached = getattr(table, "_repl_wm_cache", None)
+    if cached is not None and cached[0] == head:
+        return cached[1]
+    wm: int | None = None
     for v in reversed(table.versions()):
-        wm = table._manifest(v)["meta"].get("replicated_source_version")
-        if wm is not None:
-            return int(wm)
-    return None
+        raw_wm = table._raw_manifest(v)["meta"].get("replicated_source_version")
+        if raw_wm is not None:
+            wm = int(raw_wm)
+            break
+    table._repl_wm_cache = (head, wm)
+    return wm
 
 
 def apply_changes(
@@ -2705,13 +2749,17 @@ def apply_changes(
         hi = net.agg(F.max("_commit_version")).first()[0]
         if hi is None:
             return None
-        return table.merge_apply(
+        v = table.merge_apply(
             spark,
             net.drop("_commit_version"),
             keys,
             op_col="__op",
             meta={"replicated_source_version": int(hi)},
         )
+        # the commit just landed IS the newest watermark carrier — keep
+        # _last_replicated_version O(0) manifests for the next batch
+        table._repl_wm_cache = (v, int(hi))
+        return v
     finally:
         net.unpersist()
 

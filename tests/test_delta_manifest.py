@@ -1,0 +1,271 @@
+"""Delta-encoded manifests + checkpoints (plans/versioned.py r9 format):
+encode/apply round-trip, checkpoint-bounded resolution, full-form
+fallback, fresh-instance parity, and the vacuum interaction that r9
+shipped broken (judge repro: vacuum must checkpoint the oldest retained
+version before unlinking delta ancestry, and neither the manifest cache
+nor stale .ckpt sidecars may resolve a vacuumed version)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import Row
+
+from aws_lakehouse_project_spark.plans.versioned import (
+    VacuumedVersionError,
+    VersionedTable,
+    _apply_delta,
+    _encode_delta,
+)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _mk(spark, pairs):
+    return spark.createDataFrame(
+        [Row(k=k, v=v) for k, v in pairs], "k int, v string"
+    )
+
+
+# -- encode/apply round-trip (pure, no Spark) --------------------------------
+
+
+def _full(version, files, stats, dvs=None, dv_counts=None, cm=None):
+    m = {
+        "version": version,
+        "op": "append",
+        "ts": float(version),
+        "files": list(files),
+        "stats": dict(stats),
+        "schema": {"fields": [{"name": "k", "type": "integer"}]},
+        "meta": {},
+        "constraints": {},
+    }
+    if dvs:
+        m["dvs"] = dict(dvs)
+        m["dv_counts"] = dict(dv_counts or {})
+    if cm:
+        m["column_mapping"] = dict(cm)
+    return m
+
+
+def test_delta_roundtrip_add_remove_stats():
+    parent = _full(3, ["data/a", "data/b"], {"data/a": {"rows": 2}, "data/b": {"rows": 3}})
+    child = _full(4, ["data/a", "data/c"], {"data/a": {"rows": 2}, "data/c": {"rows": 5}})
+    d = _encode_delta(child, parent)
+    assert d["base"] == 3
+    assert d["remove"] == ["data/b"] and d["add_files"] == ["data/c"]
+    assert _apply_delta(parent, d) == child
+
+
+def test_delta_roundtrip_dv_set_and_unset():
+    parent = _full(
+        7,
+        ["data/a", "data/b", "data/c"],
+        {f: {"rows": 1} for f in ("data/a", "data/b", "data/c")},
+        dvs={"data/a": "dv/d1", "data/b": "dv/d2"},
+        dv_counts={"data/a": 1, "data/b": 2},
+    )
+    # a's DV unset (restore shape), b's kept, c gains one
+    child = _full(
+        8,
+        ["data/a", "data/b", "data/c"],
+        parent["stats"],
+        dvs={"data/b": "dv/d2", "data/c": "dv/d3"},
+        dv_counts={"data/b": 2, "data/c": 4},
+    )
+    d = _encode_delta(child, parent)
+    assert d["dv_unset"] == ["data/a"]
+    assert d["dv_set"] == {"data/c": "dv/d3"}
+    assert _apply_delta(parent, d) == child
+
+
+def test_delta_roundtrip_column_mapping_commit():
+    parent = _full(1, ["data/a"], {"data/a": {"rows": 2}})
+    child = _full(2, ["data/a"], {"data/a": {"rows": 2}}, cm={"k2": "k"})
+    child["op"] = "rename_column"
+    d = _encode_delta(child, parent)
+    assert d["column_mapping"] == {"k2": "k"}
+    assert _apply_delta(parent, d) == child
+
+
+def test_delta_roundtrip_removed_file_sheds_dv():
+    parent = _full(
+        2,
+        ["data/a", "data/b"],
+        {"data/a": {"rows": 1}, "data/b": {"rows": 1}},
+        dvs={"data/a": "dv/d1"},
+        dv_counts={"data/a": 3},
+    )
+    child = _full(3, ["data/b"], {"data/b": {"rows": 1}})
+    child["op"] = "delete"
+    d = _encode_delta(child, parent)
+    assert _apply_delta(parent, d) == child
+
+
+# -- on-disk format: delta vs full fallback ----------------------------------
+
+
+@pytest.fixture()
+def vt(tmp_path):
+    return VersionedTable(str(tmp_path / "t"), stats_cols=["k"])
+
+
+def _raw(vt, v):
+    with open(vt._log_path(v)) as fh:
+        return json.load(fh)
+
+
+def test_appends_claim_action_deltas(spark, vt):
+    vt.write_full(_mk(spark, [(i, "x") for i in range(8)]).repartition(4, "k"))
+    vt.append(_mk(spark, [(100, "y")]).coalesce(1))
+    raw = _raw(vt, 1)
+    assert raw["base"] == 0
+    assert len(raw["add_files"]) == 1 and "remove" not in raw
+    # the delta carries only churned stats, not the table's
+    assert set(raw.get("stats_add", {})) == set(raw["add_files"])
+    assert "files" not in raw and "stats" not in raw
+
+
+def test_overwrite_falls_back_to_full_form(spark, vt):
+    vt.write_full(_mk(spark, [(i, "x") for i in range(16)]).repartition(8, "k"))
+    vt.write_full(_mk(spark, [(1, "z")]).coalesce(1))
+    raw = _raw(vt, 1)
+    # remove-everything delta serializes larger than the 1-file full
+    # manifest, so the encoder falls back (module-level contract)
+    assert "base" not in raw and len(raw["files"]) == 1
+
+
+def test_checkpoint_cadence_and_bounded_resolution(spark, tmp_path):
+    vt = VersionedTable(
+        str(tmp_path / "t"), stats_cols=["k"], checkpoint_interval=5
+    )
+    vt.write_full(_mk(spark, [(0, "r0")]).coalesce(1))
+    for i in range(1, 13):
+        vt.append(_mk(spark, [(i, f"r{i}")]).coalesce(1))
+    assert os.path.exists(vt._ckpt_path(5))
+    assert os.path.exists(vt._ckpt_path(10))
+    assert not os.path.exists(vt._ckpt_path(12))
+    # a FRESH instance (cold cache) resolves head in <= K raw reads
+    fresh = VersionedTable(str(tmp_path / "t"), checkpoint_interval=5)
+    reads = []
+    orig = fresh._raw_manifest
+
+    def counting(v):
+        reads.append(v)
+        return orig(v)
+
+    fresh._raw_manifest = counting
+    head = fresh._manifest()
+    assert head["version"] == 12
+    assert len(head["files"]) == 13
+    assert reads == [12, 11]  # walk stops at the v10 checkpoint
+    assert _rows(fresh.read(spark)) == [(i, f"r{i}") for i in range(13)]
+
+
+def test_fresh_instance_parity_with_warm(spark, vt):
+    vt.write_full(_mk(spark, [(1, "a"), (2, "b")]).repartition(2, "k"))
+    vt.append(_mk(spark, [(3, "c")]).coalesce(1))
+    vt.merge_upsert(spark, _mk(spark, [(2, "B"), (4, "d")]), keys=["k"])
+    vt.delete_where(spark, "k = 1")
+    fresh = VersionedTable(vt.path)
+    for v in vt.versions():
+        assert fresh._manifest(v) == vt._manifest(v), f"version {v}"
+
+
+# -- vacuum x delta ancestry (the r9 breakage) -------------------------------
+
+
+def test_vacuum_backfills_checkpoint_for_fresh_readers(spark, vt):
+    """Judge repro: append history -> vacuum(retain_last=1) -> a FRESH
+    instance must still read the head (r9 raised VacuumedVersionError
+    on the dropped delta ancestry)."""
+    vt.write_full(_mk(spark, [(0, "r0")]).coalesce(1))
+    for i in range(1, 4):
+        vt.append(_mk(spark, [(i, f"r{i}")]).coalesce(1))
+    vt.vacuum(retain_last=1)
+    assert os.path.exists(vt._ckpt_path(3))  # backfilled before unlink
+    fresh = VersionedTable(vt.path)
+    assert _rows(fresh.read(spark)) == [(i, f"r{i}") for i in range(4)]
+    with pytest.raises(VacuumedVersionError):
+        fresh.read(spark, version=1)
+
+
+def test_vacuum_retains_delta_chain_to_backfill(spark, vt):
+    """retain_last > 1 with the oldest retained version mid-chain: every
+    retained version must stay resolvable by a fresh instance."""
+    vt.write_full(_mk(spark, [(0, "r0")]).coalesce(1))
+    for i in range(1, 6):
+        vt.append(_mk(spark, [(i, f"r{i}")]).coalesce(1))
+    vt.vacuum(retain_last=3)  # keeps v3, v4, v5; drops v0-v2
+    fresh = VersionedTable(vt.path)
+    for v, n in ((3, 4), (4, 5), (5, 6)):
+        assert len(_rows(fresh.read(spark, version=v))) == n
+
+
+def test_vacuum_drops_ckpt_sidecars_and_cache(spark, tmp_path):
+    vt = VersionedTable(
+        str(tmp_path / "t"), stats_cols=["k"], checkpoint_interval=2
+    )
+    vt.write_full(_mk(spark, [(0, "a")]).coalesce(1))
+    for i in range(1, 5):
+        vt.append(_mk(spark, [(i, "b")]).coalesce(1))
+    assert os.path.exists(vt._ckpt_path(2))
+    # warm the cache on a version about to be dropped
+    vt._manifest(2)
+    vt.vacuum(retain_last=1)
+    assert not os.path.exists(vt._ckpt_path(2))
+    assert 2 not in vt._mcache
+    # the WARM instance (the r9 cache-bypass bug) raises too
+    with pytest.raises(VacuumedVersionError):
+        vt.read(spark, version=2)
+    with pytest.raises(VacuumedVersionError):
+        vt.restore(2)
+
+
+def test_restore_after_vacuum_raises_on_fresh_instance(spark, vt):
+    vt.write_full(_mk(spark, [(1, "a")]))
+    vt.write_full(_mk(spark, [(2, "b")]))
+    vt.vacuum(retain_last=1)
+    fresh = VersionedTable(vt.path)
+    with pytest.raises(VacuumedVersionError):
+        fresh.restore(0)
+    assert _rows(fresh.read(spark)) == [(2, "b")]
+
+
+def test_vacuum_dry_run_leaves_manifests_resolvable(spark, vt):
+    vt.write_full(_mk(spark, [(0, "a")]).coalesce(1))
+    vt.append(_mk(spark, [(1, "b")]).coalesce(1))
+    vt.vacuum(retain_last=1, dry_run=True)
+    # dry run writes no checkpoint and drops nothing
+    assert not os.path.exists(vt._ckpt_path(1))
+    assert _rows(VersionedTable(vt.path).read(spark, version=0)) == [(0, "a")]
+
+
+# -- replication watermark reads raw manifests only --------------------------
+
+
+def test_replication_watermark_raw_reads_and_cached(spark, vt):
+    from aws_lakehouse_project_spark.plans.versioned import (
+        _last_replicated_version,
+    )
+
+    vt.write_full(_mk(spark, [(1, "a")]).coalesce(1))
+    vt.append(
+        _mk(spark, [(2, "b")]).coalesce(1),
+        meta={"replicated_source_version": 7},
+    )
+    vt.append(_mk(spark, [(3, "c")]).coalesce(1))
+
+    def boom(*a, **k):  # full resolution must never run here
+        raise AssertionError("watermark recovery resolved a full manifest")
+
+    vt._manifest = boom
+    assert _last_replicated_version(vt) == 7
+    # second call is served from the head-keyed cache: zero reads
+    vt._raw_manifest = boom
+    assert _last_replicated_version(vt) == 7

@@ -183,13 +183,13 @@ def test_concurrent_append_rebases(spark, vt):
     orig_claim = vt._claim_version
     raced = {"done": False}
 
-    def racing_claim(manifest):
+    def racing_claim(manifest, parent=None):
         if not raced["done"] and manifest["op"] == "append":
             raced["done"] = True
             # competitor lands the same version number first
             other = VersionedTable(vt.path, stats_cols=["k"])
             other.append(_mk(spark, [(50, "w")]))
-        return orig_claim(manifest)
+        return orig_claim(manifest, parent=parent)
 
     vt._claim_version = racing_claim
     try:
@@ -209,11 +209,11 @@ def test_concurrent_merge_rebases_over_append(spark, vt):
     orig_claim = vt._claim_version
     raced = {"done": False}
 
-    def racing_claim(manifest):
+    def racing_claim(manifest, parent=None):
         if not raced["done"] and manifest["op"] == "merge":
             raced["done"] = True
             VersionedTable(vt.path).append(_mk(spark, [(9, "z")]))
-        return orig_claim(manifest)
+        return orig_claim(manifest, parent=parent)
 
     vt._claim_version = racing_claim
     try:
@@ -313,7 +313,13 @@ def test_restore_is_metadata_only_and_roundtrips(spark, vt):
     v2 = vt.restore(0)
     assert v2 == 2
     m0, m2 = vt._manifest(0), vt._manifest(v2)
-    assert m2["files"] == m0["files"]  # no data rewritten
+    # metadata-only contract: the restored manifest references the SAME
+    # file set — no data rewritten. List ORDER is canonical
+    # parent-relative (r9): it must match what _apply_delta reconstructs
+    # from the claimed action delta, so it follows the current head's
+    # retained order, not the restored-to version's.
+    assert set(m2["files"]) == set(m0["files"])
+    assert m2["stats"] == {f: m0["stats"][f] for f in m0["stats"]}
     assert m2["op"] == "restore" and m2["meta"]["restored_version"] == 0
     assert _rows(vt.read(spark)) == [(1, "a"), (2, "b")]
     # the rolled-back version remains time-travelable
