@@ -24,69 +24,56 @@ def entry(spark: SparkSession) -> DataFrame:
 # first (their green must be re-earned), then the stalest green rows
 # (rotation: no query's latest driver row should age past two rounds).
 #
-# ROUND-8 WINDOW (this list): 1 NEW query leads — the whole domain DAG
-# published through the transaction layer (ingest → GE-validate →
-# stage → WAP-publish with the suite as CHECK constraints → horizon
-# CoW MERGE; q_domain_fact_versioned, the r7 verdict's item 2). Then
-# the 5 queries whose code changed this round and must re-earn green:
-# q_similarity_pairs (re-pointed at the occupancy-corrected planes_for
-# config — the fixed 4-plane form is retired; q_dedup_clusters_semantic
-# is DEREGISTERED in favor of its _scaled twin), the three NULL-correct
-# two-level distinct rewrites (q_dedup_exact, q_distinct_agg,
-# q_approx_distinct), and q_versioned_merge (merge commits now record
-# merge_keys). Then the NINE late-r7 lakehouse queries with no driver
-# row yet (q_table_changes — whose oracle now emits Delta CDF's
-# update_preimage/update_postimage vocabulary — q_table_restore,
-# q_scan_skipping, q_stream_cdf, q_table_clone, q_wap_constraint,
-# q_table_replicate — now folding whole commits with a replication
-# watermark — q_optimize_zorder, q_table_history). Then the ENTIRE
-# 28-row r4-stale cohort (per the r7 rotation note), then the 7
-# stalest r5 rows that fit. Ledger entering r8 (CORRECTNESS union):
-# latest-green r7: 50, r6: 49, r5: 36, r4: 28.
+# ROUND-10 WINDOW (this list): 2 NEW queries lead — the delta-manifest
+# checkpoint guard (q_manifest_checkpoint: 70+-commit history, bytes
+# per commit ∝ churn, fresh-instance resolution ≤ K raw reads) and
+# q_table_vacuum (vacuum + fresh-reader + VacuumedVersionError guards
+# — the gap that let r9's vacuum breakage ship unseen). Then the 4
+# queries whose code paths changed this round and must re-earn green
+# (vacuum checkpoint backfill, manifest-cache horizon guard, raw-
+# manifest replication watermark: q_table_restore, q_table_replicate,
+# q_time_travel, q_scan_skipping). Then the ENTIRE 34-row r5-stale
+# cohort (5 rounds stale; the r8/r9 rotation note, finally honored),
+# then the 10 alphabetically-first r6-stale rows that fit. Ledger
+# entering r10 (CORRECTNESS union): latest-green r9: 50, r7: 49,
+# r6: 46 (45 still registered), r5: 34.
 #
-# ROUND-9 ROTATION NOTE: the r5-stale rows that did NOT fit this
-# window MUST head the r9 window: q_stream_quarantine,
-# q_dedup_simhash_recall, q_dedup_simhash_portable, q_chunk_windows,
-# q_bucketed_join, q_bm25, q_calendar_fill, q_embedding_
-# centroids, q_freshness, q_fuzzy_match, q_grouping_sets, q_having,
-# q_hybrid_rrf, q_interpolate, q_json_flatten, q_kmeans_assign,
-# q_multimodal_frames, q_pq_encode, q_quarantine, q_ri_audit,
-# q_sample_hash, q_scan_binaryfile, q_scan_orc, q_scd2,
-# q_schema_evolution, q_semantic_decontam, q_stats_exact,
-# q_token_entropy, q_tpch_q11, q_tpch_q12, q_tpch_q2, q_tpch_q20,
-# q_unigram_logprob, q_window_lag (28 rows); the remaining ~22 slots
-# go to the then-stalest r6 rows.
+# ROUND-11 ROTATION NOTE: the r6-stale rows that did NOT fit this
+# window MUST head the r11 window: q_dedup_minhash_portable,
+# q_dedup_minhash_recall, q_fingerprint, q_histogram, q_join_inner,
+# q_lang_id, q_left_join_hist, q_merge_delete, q_merge_upsert,
+# q_multimodal_resize, q_ngram_jaccard, q_pack_sequences, q_pii_scrub,
+# q_pivot, q_quantile_filter, q_range_join, q_rank_eval, q_repetition,
+# q_rollup, q_salted_agg, q_semi_join, q_similarity_batch_ivf,
+# q_similarity_ivf, q_similarity_ivf_pruned, q_similarity_lsh,
+# q_similarity_topk, q_sink_partitioned, q_skew_salted_join,
+# q_stratified_sample, q_table_diff, q_text_quality, q_tfidf,
+# q_token_count, q_tpch_q3, q_tpch_q7 (35 rows); the remaining ~15
+# slots go to the then-stalest r7 rows.
 _VERIFY_FIRST = [
-    # NEW in round 8 — domain pipeline on the transaction layer
-    # (pipeline.py versioned_publish, operators/lakehouse.py) and
-    # merge-on-read DELETE via deletion vectors (plans/versioned.py
-    # _delete_mor; Delta DV / REORG APPLY PURGE semantics)
-    "q_domain_fact_versioned", "q_delete_vectors", "q_update_where",
-    "q_replace_where", "q_lakehouse_sql", "q_column_mapping",
-    "q_writer_isolation",
-    # CHANGED in round 8 — must re-earn green
-    "q_similarity_pairs", "q_dedup_exact", "q_distinct_agg",
-    "q_approx_distinct", "q_versioned_merge",
-    # late-r7 lakehouse queries, first driver rows (q_table_changes /
-    # q_stream_cdf / q_table_replicate also changed this round: CDF
-    # update vocabulary + commit-atomic replication fold)
-    "q_table_changes", "q_table_restore", "q_scan_skipping",
-    "q_stream_cdf", "q_table_clone", "q_wap_constraint",
-    "q_table_replicate", "q_optimize_zorder", "q_table_history",
-    # full r4-stale cohort (28 rows, per the r7 rotation note)
-    "q_agg_count", "q_agg_count_filter", "q_agg_sum", "q_asof_join",
-    "q_bool_agg", "q_bound_check", "q_dedup_anti_join", "q_except",
-    "q_expectation_suite", "q_filter_eq", "q_filter_range",
-    "q_intersect", "q_join_full_outer", "q_lang_mix",
-    "q_lang_temperature", "q_length_histogram", "q_monthly_trunc",
-    "q_notnull_check", "q_regex", "q_scalar_subquery", "q_sort_topk",
-    "q_topk_per_group", "q_tpch_q1", "q_tpch_q9", "q_tpch_q16",
-    "q_union", "q_window_rank", "q_window_rolling",
-    # stalest r5 row that fits (1 slot; q_stream_quarantine,
-    # q_dedup_simhash_recall, q_dedup_simhash_portable, q_chunk_windows,
-    # q_bucketed_join and q_bm25 bumped by the six new lakehouse
-    # registrations — they join the r9 list below)
-    "q_approx_quantile",
+    # NEW in round 10 — delta-manifest log guards (operators/
+    # lakehouse.py q_manifest_checkpoint / q_table_vacuum over
+    # plans/versioned.py's checkpointed delta log + vacuum backfill)
+    "q_manifest_checkpoint", "q_table_vacuum",
+    # CHANGED code paths in round 10 — must re-earn green
+    "q_table_restore", "q_table_replicate", "q_time_travel",
+    "q_scan_skipping",
+    # full r5-stale cohort (34 rows, per the r8/r9 rotation notes)
+    "q_bm25", "q_bucketed_join", "q_calendar_fill", "q_chunk_windows",
+    "q_dedup_simhash_portable", "q_dedup_simhash_recall",
+    "q_embedding_centroids", "q_freshness", "q_fuzzy_match",
+    "q_grouping_sets", "q_having", "q_hybrid_rrf", "q_interpolate",
+    "q_json_flatten", "q_kmeans_assign", "q_multimodal_frames",
+    "q_pq_encode", "q_quarantine", "q_ri_audit", "q_sample_hash",
+    "q_scan_binaryfile", "q_scan_orc", "q_scd2", "q_schema_evolution",
+    "q_semantic_decontam", "q_stats_exact", "q_stream_quarantine",
+    "q_token_entropy", "q_tpch_q11", "q_tpch_q12", "q_tpch_q2",
+    "q_tpch_q20", "q_unigram_logprob", "q_window_lag",
+    # stalest r6 rows that fit (10 slots, alphabetical; the rest head
+    # the r11 window per the note above)
+    "q_ann_join_docs", "q_anti_join", "q_array_stats", "q_bpe_pairs",
+    "q_chunk_dedup", "q_corpus_prep", "q_corr_regression",
+    "q_correlated_subquery", "q_dedup_clusters", "q_dedup_containment",
 ]
 
 
