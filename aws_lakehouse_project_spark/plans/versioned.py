@@ -2772,6 +2772,7 @@ def replicate(
     checkpoint_dir: str,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    success_poll_sec: float = 10.0,
 ):
     """Continuous table replication over the change feed: stream the
     source's materialized CDF (``stream_changes``) and fold WHOLE
@@ -2793,8 +2794,11 @@ def replicate(
     order, whole commits, immune to batch splits/reordering — and
     ``apply_changes``' watermark skips anything already folded, so
     overlapping deliveries are harmless. A version whose feed is still
-    being written (no ``_SUCCESS`` marker yet) is deferred along with
-    everything after it; its remaining files trigger a later batch.
+    being written (no ``_SUCCESS`` marker yet) is polled for up to
+    ``success_poll_sec``; on timeout the micro-batch FAILS so the
+    stream checkpoint replays it — restart the query with the same
+    ``checkpoint_dir`` to recover (the watermark makes the replay
+    idempotent).
 
     This is the Delta pattern ``readStream.option("readChangeFeed")``
     → ``foreachBatch(MERGE)``, with cost ∝ churn end-to-end: the feed
@@ -2826,19 +2830,29 @@ def replicate(
                 # consumed by the stream checkpoint, so if no later
                 # commit produces new feed files the version is never
                 # re-delivered and the replica lags forever (r8 ADVICE).
-                # Poll briefly for the writer to finish, then FAIL the
-                # micro-batch so the checkpoint replays it.
-                for _ in range(40):
-                    time.sleep(0.25)
+                # Poll up to `success_poll_sec` for the writer to
+                # finish (one final re-check at the deadline shrinks
+                # the failure window), then FAIL the micro-batch so the
+                # checkpoint replays it. RECOVERY CONTRACT: a poll
+                # timeout kills the streaming query; restart it with
+                # the SAME checkpoint_dir once the feed lands — the
+                # failed batch replays and the watermark makes any
+                # partial fold idempotent.
+                deadline = time.monotonic() + success_poll_sec
+                while time.monotonic() < deadline:
                     if os.path.exists(marker):
                         break
+                    time.sleep(min(0.25, success_poll_sec / 4))
                 else:
-                    raise RuntimeError(
-                        f"replicate: change feed for version {v} of "
-                        f"{source.path} has no _SUCCESS marker after "
-                        "10s — failing the micro-batch so the stream "
-                        "checkpoint replays it once the feed lands"
-                    )
+                    if not os.path.exists(marker):
+                        raise RuntimeError(
+                            f"replicate: change feed for version {v} of "
+                            f"{source.path} has no _SUCCESS marker "
+                            f"after {success_poll_sec}s — failing the "
+                            "micro-batch; restart the stream with the "
+                            "same checkpoint to replay it once the "
+                            "feed lands"
+                        )
             dirs.append(d)
         if not dirs:
             return

@@ -1048,6 +1048,40 @@ def test_cdf_feed_is_single_file_per_version(spark, cdf_vt):
         assert len(files) == 1, (v, files)
 
 
+def test_replicate_poll_timeout_fails_batch_then_recovers(
+    spark, cdf_vt, tmp_path
+):
+    """A feed version missing its _SUCCESS marker fails the micro-batch
+    after the (configurable) poll budget — never silently skips the
+    commit — and restarting the stream with the SAME checkpoint after
+    the marker lands replays the batch to convergence (the documented
+    recovery contract)."""
+    from aws_lakehouse_project_spark.plans.versioned import (
+        VersionedTable,
+        replicate,
+    )
+
+    src = cdf_vt
+    src.write_full(_mk(spark, [(1, "a")]))
+    src.append(_mk(spark, [(2, "b")]))
+    marker = os.path.join(src._cdf_version_dir(1), "_SUCCESS")
+    os.unlink(marker)  # simulate a mid-write feed
+    dst = VersionedTable(str(tmp_path / "dst"))
+    ckpt = str(tmp_path / "ckpt")
+    q = replicate(
+        spark, src, dst, keys=["k"], checkpoint_dir=ckpt,
+        success_poll_sec=0.5,
+    )
+    with pytest.raises(Exception, match="_SUCCESS"):
+        q.awaitTermination(120)
+        raise AssertionError("missing marker did not fail the batch")
+    # writer finishes; same checkpoint replays the failed batch
+    open(marker, "w").close()
+    q2 = replicate(spark, src, dst, keys=["k"], checkpoint_dir=ckpt)
+    assert q2.awaitTermination(180)
+    assert _rows(dst.read(spark)) == [(1, "a"), (2, "b")]
+
+
 def test_replicate_single_file_batches_fold_whole_commits(
     spark, cdf_vt, tmp_path
 ):
