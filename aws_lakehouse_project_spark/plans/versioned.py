@@ -1405,49 +1405,74 @@ class VersionedTable:
             spark, removed, schema, dvs=m_from.get("dvs"),
             dv_counts=m_from.get("dv_counts"), mapping=cmap,
         )
-        inserts = added_rows.exceptAll(removed_rows)
-        deletes = removed_rows.exceptAll(added_rows)
+        # ONE count-based multiset diff instead of a pair of exceptAlls:
+        # +1 per added-side row, -1 per removed-side row, group on the
+        # full row, keep non-zero nets, re-expand |net| copies. Exactly
+        # exceptAll's algebra (net>0 ⇔ added exceptAll removed; NULLs
+        # group as equal on both paths) but the churned data shuffles
+        # ONCE — the old shape shuffled each exceptAll separately and
+        # the merge-keys tagging then re-evaluated both subtrees in
+        # three plan branches (intersect + two joins), the dominant
+        # cost of every CDF materialization (r10 q_table_replicate A/B).
+        names = [f.name for f in schema.fields]
+        diff = added_rows.withColumn("__w", F.lit(1)).unionByName(
+            removed_rows.withColumn("__w", F.lit(-1))
+        )
         dv_ins, dv_del = self._dv_diff_rows(spark, m_from, m_to, schema)
         if dv_ins is not None:
-            inserts = inserts.unionByName(dv_ins)
-            deletes = deletes.unionByName(dv_del)
+            diff = diff.unionByName(
+                dv_ins.withColumn("__w", F.lit(1))
+            ).unionByName(dv_del.withColumn("__w", F.lit(-1)))
+        net = (
+            diff.groupBy(*names)
+            .agg(F.sum("__w").alias("__n"))
+            .filter(F.col("__n") != 0)
+        )
         single = m_to["version"] == m_from["version"] + 1
+        keys = m_to["meta"].get("merge_keys") if single else None
         if single and m_to["op"] == "update":
             # an UPDATE commit contains nothing but update pairs (every
             # preimage produced exactly one postimage), so the CDF
             # vocabulary needs no key to pair by
-            names = [f.name for f in schema.fields]
-            return inserts.select(
-                F.lit("update_postimage").alias("_change_type"), *names
-            ).unionByName(
-                deletes.select(
-                    F.lit("update_preimage").alias("_change_type"), *names
+            ct = F.when(
+                F.col("__n") > 0, F.lit("update_postimage")
+            ).otherwise(F.lit("update_preimage"))
+        elif keys:
+            # a key present on BOTH sides of the diff = an update pair
+            # (∝ churn: the window shuffles only the net diff). NULL
+            # keys never pair — Delta's join-on-keys semantics, and what
+            # the pre-r10 null-unsafe tagging join did.
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(*[F.col(k) for k in keys])
+            paired = (
+                (F.max(F.when(F.col("__n") > 0, 1).otherwise(0)).over(w) == 1)
+                & (F.max(F.when(F.col("__n") < 0, 1).otherwise(0)).over(w) == 1)
+            )
+            for k in keys:
+                paired = paired & F.col(k).isNotNull()
+            net = net.withColumn("__upd", paired)
+            ct = F.when(
+                F.col("__n") > 0,
+                F.when(F.col("__upd"), F.lit("update_postimage")).otherwise(
+                    F.lit("insert")
+                ),
+            ).otherwise(
+                F.when(F.col("__upd"), F.lit("update_preimage")).otherwise(
+                    F.lit("delete")
                 )
             )
-        keys = m_to["meta"].get("merge_keys") if single else None
-        if keys:
-            # distinct keys present on BOTH sides = updates (∝ churn,
-            # never table size; AQE broadcasts the small side)
-            upd_keys = (
-                inserts.select(*keys)
-                .intersect(deletes.select(*keys))
-                .withColumn("__upd", F.lit(1))
+        else:
+            ct = F.when(F.col("__n") > 0, F.lit("insert")).otherwise(
+                F.lit("delete")
             )
-
-            def _tag(df: DataFrame, upd: str, plain: str) -> DataFrame:
-                return df.join(upd_keys, list(keys), "left").select(
-                    F.when(F.col("__upd").isNotNull(), F.lit(upd))
-                    .otherwise(F.lit(plain))
-                    .alias("_change_type"),
-                    *[f.name for f in schema.fields],
-                )
-
-            return _tag(inserts, "update_postimage", "insert").unionByName(
-                _tag(deletes, "update_preimage", "delete")
+        return (
+            net.withColumn("_change_type", ct)
+            .withColumn(
+                "__i", F.explode(F.sequence(F.lit(1), F.abs(F.col("__n"))))
             )
-        return inserts.select(
-            F.lit("insert").alias("_change_type"), "*"
-        ).unionByName(deletes.select(F.lit("delete").alias("_change_type"), "*"))
+            .select("_change_type", *names)
+        )
 
     def _dv_diff_rows(
         self, spark: SparkSession, m_from: dict, m_to: dict, schema: StructType

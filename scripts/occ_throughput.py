@@ -1,0 +1,145 @@
+"""OCC contention throughput (r8 task 5 / r9 verdict task 7): sustained
+MIXED merge+append contention against ONE versioned table — N writer
+threads each landing a fixed number of commits (appends race and
+REBASE; CoW merges race and rebase over disjoint files, raising
+ConcurrentWriteError only on real conflicts, which the writer then
+retries with a fresh snapshot). Reports commit throughput, claim-level
+retry counts (lost version-number CAS races), and op-level conflict
+retries, plus a full-content audit at the end (no lost updates).
+
+Usage: python scripts/occ_throughput.py [SF_DIR] [WRITERS] [COMMITS_PER_WRITER]
+Prints one JSON line; summary lands in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from aws_lakehouse_project_spark.catalog import load_table  # noqa: E402
+from aws_lakehouse_project_spark.functions.scratch import scratch_dir  # noqa: E402
+from aws_lakehouse_project_spark.plans.versioned import (  # noqa: E402
+    ConcurrentWriteError,
+    VersionedTable,
+)
+from aws_lakehouse_project_spark.session import build_session  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else ".scratch/sf1"
+    n_writers = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    per_writer = int(sys.argv[3]) if len(sys.argv) > 3 else 6
+
+    spark = build_session(app_name="occ-throughput")
+    work = scratch_dir("spark_graft_occ_throughput", unique=True)
+    vt = VersionedTable(os.path.join(work, "fact"), stats_cols=["dt"])
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("cust_id"),
+            F.col("o_orderdate").cast("date").alias("dt"),
+        )
+        .groupBy("cust_id", "dt")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("order_count"))
+        .persist()
+    )
+    n_seed = daily.count()  # materialize before the race
+    vt.write_full(daily.repartition(16, "cust_id"))
+
+    # instrument claim-level CAS losses (lost races that rebase/loop)
+    claim_attempts = [0]
+    claim_lost = [0]
+    lock = threading.Lock()
+    orig_claim = vt._claim_version
+
+    def counting_claim(manifest, parent=None):
+        ok = orig_claim(manifest, parent=parent)
+        with lock:
+            claim_attempts[0] += 1
+            if not ok:
+                claim_lost[0] += 1
+        return ok
+
+    vt._claim_version = counting_claim
+
+    conflicts = [0]
+    errors: list[Exception] = []
+
+    def writer(tid: int) -> None:
+        try:
+            for j in range(per_writer):
+                if (tid + j) % 2 == 0:
+                    # append a small synthetic slice with writer-unique keys
+                    df = (
+                        daily.filter(F.col("cust_id") % 101 == (tid * 7 + j) % 101)
+                        .withColumn(
+                            "cust_id",
+                            F.col("cust_id")
+                            + F.lit(1_000_000 * (tid + 1) + 1000 * j),
+                        )
+                        .coalesce(1)
+                    )
+                    vt.append(df)
+                else:
+                    # CoW merge touching a thin, writer-skewed key slice;
+                    # real conflicts raise -> retry with a fresh snapshot
+                    upd = daily.filter(
+                        F.col("cust_id") % 211 == (tid * 13 + j) % 211
+                    ).withColumn("order_count", F.col("order_count") + 1)
+                    for _attempt in range(6):
+                        try:
+                            vt.merge_upsert(spark, upd, keys=["cust_id", "dt"])
+                            break
+                        except ConcurrentWriteError:
+                            with lock:
+                                conflicts[0] += 1
+                    else:
+                        raise RuntimeError(f"writer {tid} merge starved")
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    t0 = time.time()
+    threads = [
+        threading.Thread(target=writer, args=(t,)) for t in range(n_writers)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.time() - t0
+
+    head = vt._manifest()
+    n_commits = head["version"]  # commits landed during the race
+    audit_rows = vt.read(spark).count()
+    daily.unpersist()
+    print(
+        json.dumps(
+            {
+                "sf_dir": sf_dir,
+                "writers": n_writers,
+                "commits_per_writer": per_writer,
+                "seed_rows": n_seed,
+                "landed_commits": n_commits,
+                "wall_sec": round(wall, 1),
+                "commits_per_sec": round(n_commits / wall, 2),
+                "claim_attempts": claim_attempts[0],
+                "claim_cas_losses": claim_lost[0],
+                "op_level_conflict_retries": conflicts[0],
+                "writer_errors": [str(e)[:200] for e in errors],
+                "final_row_count": audit_rows,
+                "final_version": head["version"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
