@@ -52,7 +52,12 @@ def main() -> None:
         .persist()
     )
     n_seed = daily.count()  # materialize before the race
-    vt.write_full(daily.repartition(16, "cust_id"))
+    max_cust = daily.agg(F.max("cust_id")).first()[0]
+    # key-range-clustered layout: each writer's merge slice maps to a
+    # bounded, mostly-disjoint file set — the shape a 100 TB table has
+    # (writers own partitions). Writers 0 and 1 deliberately SHARE a
+    # hot range so real file-level conflicts occur and are measured.
+    vt.write_full(daily.repartitionByRange(32, "cust_id"))
 
     # instrument claim-level CAS losses (lost races that rebase/loop)
     claim_attempts = [0]
@@ -89,18 +94,26 @@ def main() -> None:
                     )
                     vt.append(df)
                 else:
-                    # CoW merge touching a thin, writer-skewed key slice;
-                    # real conflicts raise -> retry with a fresh snapshot
+                    # CoW merge on the writer's OWN key range (writers 0
+                    # and 1 share range 0 — the contended pair); real
+                    # conflicts raise -> jittered-backoff retry with a
+                    # fresh snapshot, the documented caller contract
+                    rng = 0 if tid <= 1 else tid
+                    width = (max_cust + 1) // n_writers
+                    lo, hi = rng * width, (rng + 1) * width
                     upd = daily.filter(
-                        F.col("cust_id") % 211 == (tid * 13 + j) % 211
+                        (F.col("cust_id") >= lo)
+                        & (F.col("cust_id") < hi)
+                        & (F.col("cust_id") % 17 == (tid + j) % 17)
                     ).withColumn("order_count", F.col("order_count") + 1)
-                    for _attempt in range(6):
+                    for attempt in range(12):
                         try:
                             vt.merge_upsert(spark, upd, keys=["cust_id", "dt"])
                             break
                         except ConcurrentWriteError:
                             with lock:
                                 conflicts[0] += 1
+                            time.sleep(0.05 * (tid + 1) + 0.1 * attempt)
                     else:
                         raise RuntimeError(f"writer {tid} merge starved")
         except Exception as exc:  # noqa: BLE001

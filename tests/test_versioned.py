@@ -307,6 +307,21 @@ def test_changes_duplicate_rows_multiset(spark, vt):
     assert _rows(vt.changes(spark, 0, 1)) == [("delete", 1, "a")]
 
 
+def test_changes_multiset_net_expands_multiplicity(spark, vt):
+    """|net| > 1 re-expands: 3 copies -> 1 copy emits TWO deletes, and
+    1 -> 3 emits TWO inserts (the r10 count-diff plan must reproduce
+    exceptAll's multiset algebra exactly, not collapse to distinct)."""
+    vt.write_full(_mk(spark, [(1, "a")] * 3 + [(2, "b")]))
+    vt.write_full(_mk(spark, [(1, "a"), (2, "b")] + [(3, "c")] * 3))
+    assert _rows(vt.changes(spark, 0, 1)) == [
+        ("delete", 1, "a"),
+        ("delete", 1, "a"),
+        ("insert", 3, "c"),
+        ("insert", 3, "c"),
+        ("insert", 3, "c"),
+    ]
+
+
 def test_restore_is_metadata_only_and_roundtrips(spark, vt):
     vt.write_full(_mk(spark, [(1, "a"), (2, "b")]))
     vt.delete_where(spark, "k = 1")
