@@ -147,6 +147,9 @@ EXTRA = [
     "q_lakehouse_sql",
     "q_column_mapping",
     "q_writer_isolation",
+    # round-10 addition: delta-manifest log + vacuum guard queries
+    "q_manifest_checkpoint",
+    "q_table_vacuum",
 ]
 
 
