@@ -38,8 +38,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # entering r10 (CORRECTNESS union): latest-green r9: 50, r7: 49,
 # r6: 46 (45 still registered), r5: 34.
 #
-# ROUND-11 ROTATION NOTE: the r6-stale rows that did NOT fit this
-# window MUST head the r11 window: q_dedup_minhash_portable,
+# ROUND-11 ROTATION NOTE: queries ADDED after this round's window was
+# frozen lead the r11 window (new queries must earn a driver row):
+# q_incremental_mv, q_hll_rollup, q_bloom_join. Then the r6-stale rows
+# that did NOT fit this window: q_dedup_minhash_portable,
 # q_dedup_minhash_recall, q_fingerprint, q_histogram, q_join_inner,
 # q_lang_id, q_left_join_hist, q_merge_delete, q_merge_upsert,
 # q_multimodal_resize, q_ngram_jaccard, q_pack_sequences, q_pii_scrub,
@@ -88,6 +90,7 @@ def _registry():
         evolution,
         fact,
         grouped,
+        incremental,
         joins,
         lakehouse,
         multimodal,

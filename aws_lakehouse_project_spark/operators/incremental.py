@@ -1,0 +1,229 @@
+"""Incremental materialized-view maintenance over the change feed.
+
+A derived aggregate (the reference's ``fct_daily_store_metrics`` shape —
+``dbt/models/marts/fct_daily_store_metrics.sql:3-4`` declares exactly
+this "merge the last 7 days, never recompute" contract) is kept current
+by FOLDING the table's CDF deltas into it instead of recomputing from
+the base table. SUM / COUNT are self-maintainable aggregates: an
+``insert``/``update_postimage`` row adds its measures, a
+``delete``/``update_preimage`` row subtracts them, and a group whose
+maintained row count reaches zero is dropped. MIN/MAX are NOT
+self-maintainable under deletes (a retracted extremum needs a re-scan
+of its group) and are deliberately not offered here.
+
+Why this is the 100 TB shape: the fold's input is ``changes(v_a, v_b)``
+(``plans/versioned.py:1357``), whose scan cost is proportional to the
+CHURN between the versions — never the base table — and the per-group
+delta aggregate collapses that churn map-side before one small
+full-outer join against the MV on its own grouping key. Refreshing a
+daily-revenue MV over a 100 TB fact after an upsert that touched 0.1%
+of files reads ~0.2% of the data and shuffles only the delta groups.
+Measures stay in exact decimal through the fold (``functions/money.py``
+rationale): double addition is order-dependent, so an incrementally
+folded double SUM would drift from a full recompute; decimal addition
+is associative and the fold is bit-identical to the recompute.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.money import money
+from ..functions.scratch import scratch_dir
+from ..plans.versioned import VersionedTable
+from .registry import demo_query
+
+#: CDF rows that ADD their measures to the aggregate; everything else
+#: (delete / update_preimage) subtracts. Matches changes()'s vocabulary.
+_ADDITIVE = ("insert", "update_postimage")
+
+
+def fold_changes_into_aggregate(
+    mv: DataFrame,
+    delta: DataFrame,
+    group_keys: list[str],
+    sum_cols: list[str],
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """Fold one CDF delta (``VersionedTable.changes`` output) into a
+    SUM/COUNT materialized view.
+
+    ``mv`` columns must be exactly ``group_keys + sum_cols + [count_col]``
+    where ``count_col`` counts base-table rows per group (COUNT(*) at
+    build time); ``delta`` must already carry every ``group_keys`` /
+    ``sum_cols`` column under the MV's names (select/alias the change
+    feed before folding when the base table names differ). Returns the refreshed MV with the same schema: each
+    sum column is cast back to its MV dtype so repeated folds keep a
+    stable schema (decimal precision would otherwise widen per fold).
+
+    The delta is aggregated FIRST (map-side combine collapses the churn
+    to at most one row per touched group), then a single full-outer
+    join on the grouping key merges it into the MV; groups whose
+    maintained row count reaches zero are retired. Keys join
+    null-safely: a NULL group key is a legal aggregate group.
+    """
+    sign = F.when(F.col("_change_type").isin(*_ADDITIVE), 1).otherwise(-1)
+    d = (
+        delta.select(*group_keys, sign.alias("__s"), *sum_cols)
+        .groupBy(*group_keys)
+        .agg(
+            *[F.sum(F.col(c) * F.col("__s")).alias(c) for c in sum_cols],
+            F.sum("__s").cast("long").alias(count_col),
+        )
+    )
+    mv_types = {f.name: f.dataType for f in mv.schema.fields}
+    m, dd = mv.alias("m"), d.alias("d")
+    on = reduce(
+        lambda a, b: a & b,
+        [F.col(f"m.{k}").eqNullSafe(F.col(f"d.{k}")) for k in group_keys],
+    )
+    keep = [
+        F.coalesce(F.col(f"m.{k}"), F.col(f"d.{k}")).alias(k)
+        for k in group_keys
+    ]
+    sums = [
+        (
+            F.coalesce(F.col(f"m.{c}"), F.lit(0))
+            + F.coalesce(F.col(f"d.{c}"), F.lit(0))
+        )
+        .cast(mv_types[c])
+        .alias(c)
+        for c in sum_cols
+    ]
+    cnt = (
+        F.coalesce(F.col(f"m.{count_col}"), F.lit(0))
+        + F.coalesce(F.col(f"d.{count_col}"), F.lit(0))
+    ).cast("long")
+    return (
+        m.join(dd, on, "full_outer")
+        .select(*keep, *sums, cnt.alias(count_col))
+        .filter(F.col(count_col) > 0)
+    )
+
+
+_DECIMAL_REV = "decimal(18,2)"
+
+
+def _daily_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q_versioned_merge daily fact, revenue kept in EXACT decimal
+    (not cast to double) so incremental folds are bit-stable — see the
+    module docstring. Same %10 / %7 scenario literals as
+    ``lakehouse._stale_and_upd``; keep in lock-step with the oracle."""
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("cust_id"),
+        F.col("o_orderdate").cast("date").alias("dt"),
+        money("o_totalprice").alias("price"),
+    )
+
+
+def _daily_agg(df: DataFrame) -> DataFrame:
+    return df.groupBy("cust_id", "dt").agg(
+        F.sum("price").cast(_DECIMAL_REV).alias("revenue"),
+        F.count(F.lit(1)).alias("order_count"),
+    )
+
+
+INCREMENTAL_MV_ORACLE = """
+    WITH stale AS (
+      SELECT o_custkey AS cust_id, CAST(o_orderdate AS DATE) AS dt,
+             SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS revenue,
+             CAST(COUNT(*) AS BIGINT) AS order_count
+      FROM orders WHERE o_orderkey % 10 <> 0 GROUP BY 1, 2
+    ),
+    daily AS (
+      SELECT o_custkey AS cust_id, CAST(o_orderdate AS DATE) AS dt,
+             SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS revenue,
+             CAST(COUNT(*) AS BIGINT) AS order_count
+      FROM orders GROUP BY 1, 2
+    ),
+    upd AS (
+      SELECT cust_id, dt, revenue * 2 AS revenue, order_count
+      FROM daily WHERE cust_id % 7 = 0
+    ),
+    v1 AS (
+      SELECT cust_id, dt, revenue, order_count
+      FROM stale WHERE cust_id % 7 <> 0
+      UNION ALL
+      SELECT cust_id, dt, revenue, order_count FROM upd
+    ),
+    v2 AS (SELECT * FROM v1 WHERE cust_id % 5 <> 0)
+    SELECT dt, CAST(COUNT(*) AS BIGINT) AS n_custs,
+           CAST(SUM(revenue) AS DOUBLE) AS revenue,
+           CAST(SUM(order_count) AS BIGINT) AS total_orders
+    FROM v2 GROUP BY dt
+"""
+
+
+@demo_query("q_incremental_mv", oracle=INCREMENTAL_MV_ORACLE)
+def q_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: a daily-revenue MV is
+    built ONCE from version 0 of the versioned fact, then kept current
+    across a MERGE commit and a DELETE commit purely by folding each
+    commit's change feed (``fold_changes_into_aggregate``) — the base
+    table is never re-aggregated. The oracle is the full recompute of
+    the final state: incremental maintenance must be indistinguishable
+    from recomputation. Each refreshed MV generation is persisted to
+    parquet and read back (an MV is a table, and the round-trip pins
+    the fold's schema stability across generations)."""
+    work = scratch_dir("spark_graft_incmv", unique=True)
+    vt = VersionedTable(os.path.join(work, "fact"), stats_cols=["dt"])
+
+    orders = _daily_decimal(spark, sf_dir)
+    stale = _daily_agg(orders.filter(F.col("o_orderkey") % 10 != 0))
+    upd = (
+        _daily_agg(orders)
+        .filter(F.col("cust_id") % 7 == 0)
+        .withColumn(
+            "revenue", (F.col("revenue") * 2).cast(_DECIMAL_REV)
+        )
+    )
+
+    v0 = vt.write_full(stale.repartition(4))
+    versions = [v0]
+    versions.append(vt.merge_upsert(spark, upd, keys=["cust_id", "dt"]))
+    versions.append(vt.delete_where(spark, "cust_id % 5 = 0"))
+
+    def materialize(df: DataFrame, gen: int) -> DataFrame:
+        path = os.path.join(work, f"mv_v{gen}")
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    mv = materialize(
+        vt.read(spark, v0)
+        .groupBy("dt")
+        .agg(
+            F.sum("revenue").cast("decimal(28,2)").alias("revenue"),
+            F.sum("order_count").alias("total_orders"),
+            F.count(F.lit(1)).alias("n_custs"),
+        ),
+        v0,
+    )
+    for frm, to in zip(versions, versions[1:]):
+        delta = vt.changes(spark, frm, to).select(
+            "_change_type",
+            "dt",
+            "revenue",
+            F.col("order_count").alias("total_orders"),
+        )
+        mv = materialize(
+            fold_changes_into_aggregate(
+                mv,
+                delta,
+                group_keys=["dt"],
+                sum_cols=["revenue", "total_orders"],
+                count_col="n_custs",
+            ),
+            to,
+        )
+    return mv.select(
+        F.col("dt").cast("date").alias("dt"),
+        F.col("n_custs").cast("bigint").alias("n_custs"),
+        F.col("revenue").cast("double").alias("revenue"),
+        F.col("total_orders").cast("bigint").alias("total_orders"),
+    )

@@ -1,0 +1,149 @@
+"""Incremental MV maintenance (operators/incremental.py): the fold must
+be indistinguishable from a full recompute — including group birth,
+group retirement at count zero, NULL group keys, and schema stability
+across repeated folds (the property the parquet round-trip in
+q_incremental_mv depends on)."""
+
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_lakehouse_project_spark.operators.incremental import (
+    fold_changes_into_aggregate,
+)
+
+DEC = "decimal(28,2)"
+
+
+def _mv(spark, rows):
+    return spark.createDataFrame(
+        rows, "k string, rev decimal(28,2), n bigint"
+    )
+
+
+def _delta(spark, rows):
+    return spark.createDataFrame(
+        rows, "_change_type string, k string, rev decimal(28,2)"
+    )
+
+
+def _fold(mv, delta):
+    return fold_changes_into_aggregate(
+        mv, delta, group_keys=["k"], sum_cols=["rev"], count_col="n"
+    )
+
+
+def _as_dict(df):
+    return {r["k"]: (r["rev"], r["n"]) for r in df.collect()}
+
+
+def test_insert_updates_and_new_group(spark):
+    mv = _mv(spark, [("a", Decimal("10.00"), 2)])
+    delta = _delta(
+        spark,
+        [
+            ("insert", "a", Decimal("5.00")),
+            ("insert", "b", Decimal("7.50")),
+        ],
+    )
+    out = _as_dict(_fold(mv, delta))
+    assert out == {
+        "a": (Decimal("15.00"), 3),
+        "b": (Decimal("7.50"), 1),
+    }
+
+
+def test_update_pair_is_net_change(spark):
+    mv = _mv(spark, [("a", Decimal("10.00"), 2)])
+    delta = _delta(
+        spark,
+        [
+            ("update_preimage", "a", Decimal("4.00")),
+            ("update_postimage", "a", Decimal("9.00")),
+        ],
+    )
+    out = _as_dict(_fold(mv, delta))
+    assert out == {"a": (Decimal("15.00"), 2)}  # count unchanged
+
+
+def test_group_retires_at_zero_count(spark):
+    mv = _mv(
+        spark,
+        [("a", Decimal("10.00"), 1), ("b", Decimal("3.00"), 1)],
+    )
+    delta = _delta(spark, [("delete", "a", Decimal("10.00"))])
+    out = _as_dict(_fold(mv, delta))
+    assert out == {"b": (Decimal("3.00"), 1)}
+
+
+def test_null_group_key_is_a_group(spark):
+    mv = _mv(spark, [(None, Decimal("1.00"), 1)])
+    delta = _delta(spark, [("insert", None, Decimal("2.00"))])
+    out = _as_dict(_fold(mv, delta))
+    assert out == {None: (Decimal("3.00"), 2)}
+
+
+def test_schema_stable_across_folds(spark):
+    """Repeated folds must not widen types — the MV is persisted
+    between generations and its parquet schema is its contract."""
+    mv = _mv(spark, [("a", Decimal("10.00"), 2)])
+
+    def shape(df):  # nullability is not part of the contract
+        return [(f.name, f.dataType) for f in df.schema.fields]
+
+    for i in range(3):
+        delta = _delta(spark, [("insert", "a", Decimal("1.00"))])
+        mv2 = _fold(mv, delta)
+        assert shape(mv2) == shape(mv), f"fold {i} changed the schema"
+        mv = mv2
+    assert _as_dict(mv) == {"a": (Decimal("13.00"), 5)}
+
+
+def test_fold_equals_recompute_random(spark):
+    """Property: fold(recompute(S0), cdf(S0→S1)) == recompute(S1) on a
+    generated state pair with inserts, deletes, and updates mixed."""
+    base = [(f"k{i % 7}", Decimal(i)) for i in range(50)]
+    s0 = spark.createDataFrame(base, "k string, rev decimal(28,2)")
+    # S1: drop rows with rev % 5 == 0, double rev where rev % 3 == 0,
+    # add 10 brand-new rows in new groups
+    s1 = (
+        s0.filter(F.col("rev") % 5 != 0)
+        .withColumn(
+            "rev",
+            F.when(F.col("rev") % 3 == 0, F.col("rev") * 2)
+            .otherwise(F.col("rev"))
+            .cast(DEC),
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [(f"new{i}", Decimal(100 + i)) for i in range(10)],
+                "k string, rev decimal(28,2)",
+            )
+        )
+    )
+
+    def recompute(df):
+        return df.groupBy("k").agg(
+            F.sum("rev").cast(DEC).alias("rev"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    # CDF of s0→s1 as a plain multiset diff (insert/delete vocabulary)
+    ins = s1.exceptAll(s0).withColumn("_change_type", F.lit("insert"))
+    del_ = s0.exceptAll(s1).withColumn("_change_type", F.lit("delete"))
+    delta = ins.unionByName(del_).select("_change_type", "k", "rev")
+
+    folded = _as_dict(_fold(recompute(s0), delta))
+    full = _as_dict(recompute(s1))
+    assert folded == full
+
+
+def test_delta_must_carry_mv_names(spark):
+    mv = _mv(spark, [("a", Decimal("1.00"), 1)])
+    bad = spark.createDataFrame(
+        [("insert", "a", Decimal("1.00"))],
+        "_change_type string, k string, amount decimal(28,2)",
+    )
+    with pytest.raises(Exception, match="rev|UNRESOLVED"):
+        _fold(mv, bad).collect()
