@@ -461,6 +461,77 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@demo_query(
+    "q_hll_rollup",
+    oracle="""
+    SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)
+             AS month,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact,
+           TRUE AS union_tracks_direct,
+           TRUE AS within_5pct
+    FROM orders GROUP BY 1
+    """,
+)
+def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: DataSketches HLL sketches built per DAY
+    are UNIONED into monthly distinct-customer estimates — the 100 TB
+    pattern for cardinality over any time range: materialize one ~4 KB
+    sketch per partition once (``hll_sketch_agg``, a partial-aggregable
+    JVM built-in), answer every rollup window by unioning sketches
+    (``hll_union_agg``) instead of re-scanning raw keys. Two properties
+    are pinned: (1) MERGEABILITY — the union-of-daily-sketches estimate
+    tracks the sketch built directly over the month within 4%. Once
+    both paths promote to dense HLL the register arrays are IDENTICAL
+    (union is register-wise max — order- and partitioning-independent;
+    measured gap exactly 0 at sf1's ~12k-per-month cardinalities). In
+    the sparse→dense transition zone the two sides may sit in different
+    internal modes (exact coupon list vs estimated registers) and the
+    estimates differ by at most the combined estimator error — measured
+    ≤1.9% at sf0.1, bounded at 4% ≈ 2.5σ of two rsd-1.6% estimators.
+    (2) ACCURACY — the rolled-up estimate sits within 5% of the exact
+    count (lgK=12 → rsd 1.6%, ~3σ headroom; small months stay in the
+    sketch's exact coupon-list mode anyway). Estimates are
+    engine-specific, so as in q_approx_distinct the published columns
+    are the exact count plus the two bound checks. The exact side uses
+    the Expand-free two-level aggregate (see q_approx_distinct's plan
+    note)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.date_trunc("month", F.col("o_orderdate").cast("date"))
+        .cast("date")
+        .alias("month"),
+        F.col("o_orderdate").cast("date").alias("dt"),
+        "o_custkey",
+    )
+    daily = orders.groupBy("month", "dt").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk")
+    )
+    rolled = daily.groupBy("month").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_union")
+    )
+    direct = orders.groupBy("month").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias(
+            "est_direct"
+        )
+    )
+    per_cust = orders.groupBy("month", "o_custkey").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    exact = per_cust.groupBy("month").agg(
+        F.count_if(F.col("o_custkey").isNotNull()).alias("n_exact")
+    )
+    agg = exact.join(rolled, "month").join(direct, "month")
+    err = F.abs(F.col("est_union") - F.col("n_exact")) / F.col("n_exact")
+    gap = F.abs(F.col("est_union") - F.col("est_direct")) / F.col(
+        "est_direct"
+    )
+    return agg.select(
+        "month",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        (gap <= 0.04).alias("union_tracks_direct"),
+        (err <= 0.05).alias("within_5pct"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # window-function breadth: distribution ranks, frame navigation, lateral
 # explode — §2.7 extensions beyond rank/lag/cumsum
