@@ -150,6 +150,11 @@ EXTRA = [
     # round-10 addition: delta-manifest log + vacuum guard queries
     "q_manifest_checkpoint",
     "q_table_vacuum",
+    # round-10 addition: incremental MV fold, mergeable-sketch rollup,
+    # split-block bloom-pruned semi join
+    "q_incremental_mv",
+    "q_hll_rollup",
+    "q_bloom_join",
 ]
 
 
