@@ -40,7 +40,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # ROUND-11 ROTATION NOTE: queries ADDED after this round's window was
 # frozen lead the r11 window (new queries must earn a driver row):
-# q_incremental_mv, q_hll_rollup, q_bloom_join. Then the r6-stale rows
+# q_incremental_mv, q_stream_mv, q_hll_rollup, q_bloom_join. Then
+# the r6-stale rows
 # that did NOT fit this window: q_dedup_minhash_portable,
 # q_dedup_minhash_recall, q_fingerprint, q_histogram, q_join_inner,
 # q_lang_id, q_left_join_hist, q_merge_delete, q_merge_upsert,

@@ -227,3 +227,87 @@ def q_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("revenue").cast("double").alias("revenue"),
         F.col("total_orders").cast("bigint").alias("total_orders"),
     )
+
+
+STREAM_MV_ORACLE = INCREMENTAL_MV_ORACLE
+
+
+@demo_query("q_stream_mv", oracle=STREAM_MV_ORACLE)
+def q_stream_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental MV maintenance — q_incremental_mv's
+    continuous twin (the Delta Live Tables pattern): the versioned
+    fact's materialized change feed streams out of ``stream_changes``
+    (JVM parquet file stream, exactly-once per file) and every
+    micro-batch folds into the MV via ``foreachBatch`` +
+    ``fold_changes_into_aggregate``. SUM/COUNT folds are commutative
+    and associative, so the result is invariant to how the file stream
+    splits or coalesces commits — no per-commit replay ordering is
+    needed (unlike ``replicate``'s key-level last-write-wins, which
+    must re-read whole commits). The MV starts EMPTY and the feed
+    replays from version 0, so the initial load is just the first fold.
+    ``maxFilesPerTrigger=2`` forces several micro-batches; a guard
+    asserts more than one fold generation actually ran, and the oracle
+    is the full recompute of the final state — a streaming refresh must
+    be indistinguishable from batch recomputation."""
+    work = scratch_dir("spark_graft_streammv", unique=True)
+    vt = VersionedTable(
+        os.path.join(work, "fact"), stats_cols=["dt"], change_feed=True
+    )
+
+    orders = _daily_decimal(spark, sf_dir)
+    stale = _daily_agg(orders.filter(F.col("o_orderkey") % 10 != 0))
+    upd = (
+        _daily_agg(orders)
+        .filter(F.col("cust_id") % 7 == 0)
+        .withColumn("revenue", (F.col("revenue") * 2).cast(_DECIMAL_REV))
+    )
+    vt.write_full(stale.repartition(4))
+    vt.merge_upsert(spark, upd, keys=["cust_id", "dt"])
+    vt.delete_where(spark, "cust_id % 5 = 0")
+
+    empty_mv = spark.createDataFrame(
+        [], "dt date, revenue decimal(28,2), total_orders bigint, n_custs bigint"
+    )
+    gens: list[str] = []  # parquet path of each MV generation
+
+    def fold_batch(batch: DataFrame, batch_id: int) -> None:
+        mv = (
+            spark.read.parquet(gens[-1]) if gens else empty_mv
+        )
+        delta = batch.select(
+            "_change_type",
+            "dt",
+            "revenue",
+            F.col("order_count").alias("total_orders"),
+        )
+        out = fold_changes_into_aggregate(
+            mv,
+            delta,
+            group_keys=["dt"],
+            sum_cols=["revenue", "total_orders"],
+            count_col="n_custs",
+        )
+        path = os.path.join(work, f"mv_gen{batch_id}")
+        out.write.mode("overwrite").parquet(path)
+        gens.append(path)
+
+    q = (
+        vt.stream_changes(spark, max_files_per_trigger=2)
+        .writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise AssertionError("stream did not drain within 300s")
+    if len(gens) < 2:
+        raise AssertionError(
+            f"expected multiple fold generations, got {len(gens)}"
+        )
+    return spark.read.parquet(gens[-1]).select(
+        F.col("dt").cast("date").alias("dt"),
+        F.col("n_custs").cast("bigint").alias("n_custs"),
+        F.col("revenue").cast("double").alias("revenue"),
+        F.col("total_orders").cast("bigint").alias("total_orders"),
+    )

@@ -153,6 +153,7 @@ EXTRA = [
     # round-10 addition: incremental MV fold, mergeable-sketch rollup,
     # split-block bloom-pruned semi join
     "q_incremental_mv",
+    "q_stream_mv",
     "q_hll_rollup",
     "q_bloom_join",
 ]

@@ -147,3 +147,19 @@ def test_delta_must_carry_mv_names(spark):
     )
     with pytest.raises(Exception, match="rev|UNRESOLVED"):
         _fold(mv, bad).collect()
+
+
+def test_stream_mv_equals_batch_mv(spark):
+    """The streaming fold (q_stream_mv) and the batch fold
+    (q_incremental_mv) must land on identical MV content — SUM/COUNT
+    folds are commutative/associative, so micro-batch boundaries are
+    invisible in the result."""
+    from aws_lakehouse_project_spark.operators.incremental import (
+        q_incremental_mv,
+        q_stream_mv,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    batch = {tuple(r) for r in q_incremental_mv(spark, sf).collect()}
+    stream = {tuple(r) for r in q_stream_mv(spark, sf).collect()}
+    assert batch == stream
