@@ -599,8 +599,8 @@ def build_bloom_blocks(
     joined on block index ships exactly one long per probe row.
 
     Why this beats broadcasting the raw key set at 100 TB: the filter
-    is ~2 B/key regardless of key width (a 100 B URL key compresses
-    50×), so build sides far past the broadcast threshold still fit,
+    is ~4 B/key as (block, bits) rows regardless of key width (a 100 B URL key compresses
+    ~25×), so build sides far past the broadcast threshold still fit,
     and the probe side shrinks by ~500× (measured FP 0.3%, design
     bound ≈1e-3 at 16 bits/key × 6 bits/block) BEFORE any shuffle —
     this is ``spark.sql.optimizer.runtime.bloomFilter.*``'s shape made
@@ -662,7 +662,7 @@ def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     result is EXACT (the oracle is the plain IN-subquery). At 100 TB
     the win is shuffle volume: the probe side shrinks by the filter's
     selectivity before any exchange, and the filter costs one tiny
-    aggregate over the build side (~2 B/key, so it stays
+    aggregate over the build side (~4 B/key, so it stays
     broadcast-able long after the raw key set would not)."""
     orders = load_table(spark, sf_dir, "orders")
     keys = orders.where(
