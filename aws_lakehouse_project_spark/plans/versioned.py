@@ -2610,12 +2610,27 @@ class VersionedTable:
             cow={"read": m, "touched": small, "remove_touched": True},
         )
 
-    def vacuum(self, retain_last: int = 1, dry_run: bool = False) -> dict:
-        """Reclaim data files referenced ONLY by versions older than the
-        last ``retain_last``; expired manifests are dropped too (time
-        travel below the horizon raises ``VacuumedVersionError``). Never
-        touches files any retained version references, so readers of
-        retained snapshots are safe.
+    def vacuum(
+        self,
+        retain_last: int = 1,
+        dry_run: bool = False,
+        retain_hours: float | None = None,
+        now: float | None = None,
+    ) -> dict:
+        """Reclaim data files referenced ONLY by dropped versions;
+        expired manifests are dropped too (time travel below the
+        horizon raises ``VacuumedVersionError``). Never touches files
+        any retained version references, so readers of retained
+        snapshots are safe.
+
+        Retention is the UNION of two horizons: the last
+        ``retain_last`` versions by count, and — when ``retain_hours``
+        is given (Delta's ``VACUUM ... RETAIN n HOURS``) — every
+        version committed within that window of ``now`` (wall clock by
+        default; injectable for tests). The commit timestamp is read
+        from the RAW manifest (``ts`` rides both the full and
+        action-delta forms), so the age scan never pays a delta
+        replay. The head is always retained.
 
         ``dry_run=True`` (Delta's ``VACUUM ... DRY RUN``) reports the
         exact reclaim set — file paths, versions, change-feed dirs —
@@ -2623,9 +2638,27 @@ class VersionedTable:
         radius before an irreversible delete."""
         if retain_last < 1:
             raise ValueError("vacuum must retain at least the head version")
+        if retain_hours is not None and retain_hours < 0:
+            raise ValueError("retain_hours must be non-negative")
         vs = self.versions()
-        keep_vs = vs[-retain_last:]
-        drop_vs = vs[: -retain_last]
+        keep_from = max(len(vs) - retain_last, 0)
+        if retain_hours is not None:
+            cutoff = (
+                now if now is not None else time.time()
+            ) - retain_hours * 3600.0
+            # commit ts is monotone along the single-writer log, so the
+            # first young-enough version starts the time-kept suffix
+            age_idx = next(
+                (
+                    i
+                    for i, v in enumerate(vs)
+                    if self._raw_manifest(v).get("ts", 0.0) >= cutoff
+                ),
+                len(vs),
+            )
+            keep_from = min(keep_from, age_idx)
+        keep_vs = vs[keep_from:]
+        drop_vs = vs[:keep_from]
         live: set[str] = set()
         live_dv_dirs: set[str] = set()
         for v in keep_vs:
