@@ -16,7 +16,7 @@ shapes Delta Lake documents:
         WHEN NOT MATCHED THEN INSERT *
     MERGE INTO t USING s ON ... WHEN MATCHED THEN DELETE
     OPTIMIZE t [ZORDER BY (c1, c2)]
-    VACUUM t [RETAIN n VERSIONS] [DRY RUN]
+    VACUUM t [RETAIN n VERSIONS | RETAIN n HOURS] [DRY RUN]
     DESCRIBE HISTORY t
     RESTORE TABLE t TO VERSION AS OF n
     ALTER TABLE t ADD CONSTRAINT name CHECK (expr)
@@ -63,7 +63,7 @@ _GRAMMAR = """supported statements:
   UPDATE [/*+ MERGE_ON_READ */] t SET c=e[, ...] [WHERE p]
   MERGE INTO t USING s ON t.k=s.k [AND ...] WHEN MATCHED THEN UPDATE SET *
     WHEN NOT MATCHED THEN INSERT * | ... WHEN MATCHED THEN DELETE
-  OPTIMIZE t [ZORDER BY (c1, c2)] | VACUUM t [RETAIN n VERSIONS] [DRY RUN]
+  OPTIMIZE t [ZORDER BY (c1, c2)] | VACUUM t [RETAIN n VERSIONS | RETAIN n HOURS] [DRY RUN]
   DESCRIBE HISTORY t | RESTORE TABLE t TO VERSION AS OF n
   ALTER TABLE t ADD CONSTRAINT name CHECK (expr) | ALTER TABLE t DROP CONSTRAINT name
   ALTER TABLE t RENAME COLUMN a TO b | ALTER TABLE t DROP COLUMN c
@@ -316,12 +316,18 @@ class LakehouseSession:
 
         mm = re.fullmatch(
             rf"VACUUM\s+(?P<t>{_IDENT})"
-            r"(?:\s+RETAIN\s+(?P<n>\d+)\s+VERSIONS)?(?P<dry>\s+DRY\s+RUN)?",
+            r"(?:\s+RETAIN\s+(?:(?P<n>\d+)\s+VERSIONS"
+            r"|(?P<h>\d+(?:\.\d+)?)\s+HOURS))?(?P<dry>\s+DRY\s+RUN)?",
             s, flags=re.IGNORECASE,
         )
         if mm:
+            # RETAIN n HOURS is Delta's surface form; the engine unions
+            # the time horizon with retain_last=1 (head always kept)
             rep = self.table(mm.group("t")).vacuum(
                 retain_last=int(mm.group("n") or 1),
+                retain_hours=(
+                    float(mm.group("h")) if mm.group("h") else None
+                ),
                 dry_run=bool(mm.group("dry")),
             )
             return self._row(

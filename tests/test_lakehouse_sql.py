@@ -202,3 +202,26 @@ def test_ctas_on_existing_table_requires_or_replace(lh):
     assert lh.sql("SELECT COUNT(*) AS n FROM t").first()["n"] == 6
     lh.sql("CREATE OR REPLACE TABLE t AS SELECT * FROM seed WHERE k < 2")
     assert lh.sql("SELECT COUNT(*) AS n FROM t").first()["n"] == 2
+
+
+def test_vacuum_retain_hours_sql(spark, tmp_path, monkeypatch):
+    """VACUUM t RETAIN n HOURS — Delta's surface form routed to the
+    time-horizon retention (versions younger than the window survive;
+    a huge window retains everything)."""
+    import aws_lakehouse_project_spark.plans.versioned as V
+
+    lh = LakehouseSession(spark)
+    lh.create("tv", str(tmp_path / "tv"), stats_cols=["k"])
+    spark.createDataFrame([Row(k=1)], "k int").createOrReplaceTempView(
+        "seed_tv"
+    )
+    monkeypatch.setattr(V.time, "time", lambda: 1_000.0)
+    lh.sql("CREATE TABLE tv AS SELECT * FROM seed_tv")
+    monkeypatch.setattr(V.time, "time", lambda: 9_000.0)
+    lh.sql("DELETE FROM tv WHERE k = 1")
+    monkeypatch.undo()
+    row = lh.sql("VACUUM tv RETAIN 1000000 HOURS DRY RUN").collect()[0]
+    assert row["removed_versions"] == 0
+    row = lh.sql("VACUUM tv RETAIN 0.5 HOURS").collect()[0]
+    assert row["removed_versions"] == 1
+    assert lh.sql("SELECT k FROM tv").count() == 0
