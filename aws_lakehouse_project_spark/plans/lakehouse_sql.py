@@ -17,7 +17,7 @@ shapes Delta Lake documents:
     MERGE INTO t USING s ON ... WHEN MATCHED THEN DELETE
     OPTIMIZE t [ZORDER BY (c1, c2)]
     VACUUM t [RETAIN n VERSIONS | RETAIN n HOURS] [DRY RUN]
-    DESCRIBE HISTORY t
+    DESCRIBE HISTORY t | DESCRIBE DETAIL t
     RESTORE TABLE t TO VERSION AS OF n
     ALTER TABLE t ADD CONSTRAINT name CHECK (expr)
     ALTER TABLE t DROP CONSTRAINT name
@@ -50,6 +50,7 @@ caller can treat the session uniformly.
 
 from __future__ import annotations
 
+import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -64,7 +65,7 @@ _GRAMMAR = """supported statements:
   MERGE INTO t USING s ON t.k=s.k [AND ...] WHEN MATCHED THEN UPDATE SET *
     WHEN NOT MATCHED THEN INSERT * | ... WHEN MATCHED THEN DELETE
   OPTIMIZE t [ZORDER BY (c1, c2)] | VACUUM t [RETAIN n VERSIONS | RETAIN n HOURS] [DRY RUN]
-  DESCRIBE HISTORY t | RESTORE TABLE t TO VERSION AS OF n
+  DESCRIBE HISTORY t | DESCRIBE DETAIL t | RESTORE TABLE t TO VERSION AS OF n
   ALTER TABLE t ADD CONSTRAINT name CHECK (expr) | ALTER TABLE t DROP CONSTRAINT name
   ALTER TABLE t RENAME COLUMN a TO b | ALTER TABLE t DROP COLUMN c
   SELECT ... FROM t [VERSION AS OF n | TIMESTAMP AS OF epoch] ..."""
@@ -349,6 +350,35 @@ class LakehouseSession:
                 ],
                 "version bigint, op string, n_files bigint, n_rows bigint, "
                 "timestamp double",
+            )
+
+        mm = re.fullmatch(
+            rf"DESCRIBE\s+DETAIL\s+(?P<t>{_IDENT})", s, flags=re.IGNORECASE
+        )
+        if mm:
+            # Delta's DESCRIBE DETAIL: one row of head-snapshot facts.
+            # All metadata-only (manifest + log listing + on-disk sizes
+            # of referenced files) — no data scan at any table size.
+            vt = self.table(mm.group("t"))
+            m = vt._manifest()
+            size = sum(
+                os.path.getsize(p)
+                for f in m["files"]
+                if os.path.exists(p := os.path.join(vt.path, f))
+            )
+            return self.spark.createDataFrame(
+                [(
+                    vt.path,
+                    int(m["version"]),
+                    len(m["files"]),
+                    int(size),
+                    len(vt.versions()),
+                    float(m["ts"]) if m.get("ts") else None,
+                    ",".join(sorted(vt.stats_cols or [])),
+                )],
+                "location string, version bigint, num_files bigint, "
+                "size_bytes bigint, num_versions bigint, "
+                "last_modified double, stats_columns string",
             )
 
         mm = re.fullmatch(

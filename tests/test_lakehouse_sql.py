@@ -225,3 +225,15 @@ def test_vacuum_retain_hours_sql(spark, tmp_path, monkeypatch):
     row = lh.sql("VACUUM tv RETAIN 0.5 HOURS").collect()[0]
     assert row["removed_versions"] == 1
     assert lh.sql("SELECT k FROM tv").count() == 0
+
+
+def test_describe_detail(lh):
+    row = lh.sql("DESCRIBE DETAIL t").collect()[0]
+    assert row["version"] == 0
+    assert row["num_files"] >= 1
+    assert row["size_bytes"] > 0
+    assert row["num_versions"] == 1
+    assert row["stats_columns"] == "k"
+    lh.sql("DELETE FROM t WHERE k = 0")
+    row = lh.sql("DESCRIBE DETAIL t").collect()[0]
+    assert row["version"] == 1 and row["num_versions"] == 2
