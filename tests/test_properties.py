@@ -574,3 +574,82 @@ def test_cdf_replay_reconstructs_head_for_any_history(spark, tmp_path_factory, b
     assert sorted(map(tuple, head.collect())) == sorted(
         map(tuple, vt.read(spark).collect())
     )
+
+
+mv_state_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),  # group key
+        st.decimals(
+            min_value=Decimal("-99.99"),
+            max_value=Decimal("99.99"),
+            places=2,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+    ),
+    min_size=0,
+    max_size=20,
+)
+
+
+@given(s0=mv_state_strategy, s1=mv_state_strategy)
+@settings(**SLOW)
+def test_mv_fold_equals_recompute_any_states(spark, s0, s1):
+    """For ANY two multiset states, folding the insert/delete diff of
+    S0→S1 into S0's aggregate reproduces S1's aggregate exactly —
+    including groups that appear, vanish, or change only in value
+    (operators/incremental.py)."""
+    from aws_lakehouse_project_spark.operators.incremental import (
+        fold_changes_into_aggregate,
+    )
+
+    schema = "k int, rev decimal(28,2)"
+    d0 = spark.createDataFrame(
+        [(k, v) for k, v in s0], schema
+    )
+    d1 = spark.createDataFrame(
+        [(k, v) for k, v in s1], schema
+    )
+
+    def recompute(df):
+        return df.groupBy("k").agg(
+            F.sum("rev").cast("decimal(28,2)").alias("rev"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    ins = d1.exceptAll(d0).withColumn("_change_type", F.lit("insert"))
+    dels = d0.exceptAll(d1).withColumn("_change_type", F.lit("delete"))
+    delta = ins.unionByName(dels).select("_change_type", "k", "rev")
+    folded = {
+        r["k"]: (r["rev"], r["n"])
+        for r in fold_changes_into_aggregate(
+            recompute(d0), delta, ["k"], ["rev"], "n"
+        ).collect()
+    }
+    full = {r["k"]: (r["rev"], r["n"]) for r in recompute(d1).collect()}
+    assert folded == full
+
+
+@given(
+    keys=st.sets(st.integers(min_value=0, max_value=10_000), max_size=60),
+    probes=st.sets(st.integers(min_value=0, max_value=10_000), max_size=60),
+)
+@settings(**SLOW)
+def test_bloom_never_drops_a_member(spark, keys, probes):
+    """For ANY key set and probe set, every probe that IS a key survives
+    bloom_prune — the no-false-negatives contract the exact rejoin in
+    q_bloom_join depends on (operators/joins.py)."""
+    from aws_lakehouse_project_spark.operators.joins import (
+        bloom_prune,
+        build_bloom_blocks,
+    )
+
+    if not keys:
+        return  # an empty build side prunes everything, trivially safe
+    kdf = spark.createDataFrame([(k,) for k in keys], "k long")
+    pdf = spark.createDataFrame(
+        [(p,) for p in probes | keys], "k long"
+    )
+    blocks, nblocks = build_bloom_blocks(kdf, "k")
+    got = {r["k"] for r in bloom_prune(pdf, "k", blocks, nblocks).collect()}
+    assert keys <= got
