@@ -22,6 +22,7 @@ shapes Delta Lake documents:
     ALTER TABLE t ADD CONSTRAINT name CHECK (expr)
     ALTER TABLE t DROP CONSTRAINT name
     SELECT ... FROM t [VERSION AS OF n | TIMESTAMP AS OF <epoch>] ...
+    SELECT COUNT(*) FROM t [VERSION AS OF n]   -- metadata-only
 
 Design decisions, each load-bearing:
 
@@ -68,7 +69,8 @@ _GRAMMAR = """supported statements:
   DESCRIBE HISTORY t | DESCRIBE DETAIL t | RESTORE TABLE t TO VERSION AS OF n
   ALTER TABLE t ADD CONSTRAINT name CHECK (expr) | ALTER TABLE t DROP CONSTRAINT name
   ALTER TABLE t RENAME COLUMN a TO b | ALTER TABLE t DROP COLUMN c
-  SELECT ... FROM t [VERSION AS OF n | TIMESTAMP AS OF epoch] ..."""
+  SELECT ... FROM t [VERSION AS OF n | TIMESTAMP AS OF epoch] ...
+  SELECT COUNT(*) FROM t [VERSION AS OF n]  (metadata-only)"""
 
 _IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
 _HINT = r"(?:/\*\+\s*(?P<hint>MERGE_ON_READ)\s*\*/\s*)?"
@@ -430,6 +432,25 @@ class LakehouseSession:
         if mm:
             v = self.table(mm.group("t")).drop_column(mm.group("c"))
             return self._row(op="drop_column", version=v)
+
+        mm = re.fullmatch(
+            r"SELECT\s+COUNT\s*\(\s*\*\s*\)"
+            rf"(?:\s+AS\s+(?P<a>{_IDENT}))?\s+FROM\s+(?P<t>{_IDENT})"
+            r"(?:\s+VERSION\s+AS\s+OF\s+(?P<v>\d+))?",
+            s, flags=re.IGNORECASE,
+        )
+        if mm and mm.group("t") in self._tables:
+            # Delta's metadata-only COUNT(*): the whole-table (or
+            # whole-version) count is answered from manifest stats —
+            # zero data I/O at any table size. Anything with a WHERE /
+            # GROUP BY falls through to Catalyst below.
+            n = self.table(mm.group("t")).row_count(
+                int(mm.group("v")) if mm.group("v") else None
+            )
+            col = mm.group("a") or "count(1)"  # spark.sql's column name
+            return self.spark.range(1).select(
+                F.lit(n).cast("bigint").alias(col)
+            )
 
         if re.match(r"(SELECT|WITH)\b", s, flags=re.IGNORECASE):
             return self._run_select(s)

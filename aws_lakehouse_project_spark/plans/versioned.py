@@ -2092,6 +2092,27 @@ class VersionedTable:
             out.append(entry)
         return out
 
+    def row_count(self, version: int | None = None) -> int:
+        """Logical row count from manifest stats ALONE — zero data I/O
+        at any table size (Delta's metadata-only ``COUNT(*)``): every
+        committed file carries an exact ``rows`` stat (zero-row part
+        files included, ``_collect_stats``'s invariant) and deletion
+        vectors carry exact per-file dead counts. Strict: a file
+        without a rows stat raises rather than silently undercounting
+        (unreachable for tables this layer wrote; guards hand-edited
+        manifests)."""
+        m = self._manifest(version)
+        total = 0
+        for f in m["files"]:
+            st = m["stats"].get(f)
+            if st is None or "rows" not in st:
+                raise ValueError(
+                    f"file {f!r} of {self.path} v{m['version']} has no "
+                    "rows stat; metadata-only count unavailable"
+                )
+            total += st["rows"]
+        return total - sum(m.get("dv_counts", {}).values())
+
     # -- copy-on-write ops --------------------------------------------------
 
     def _tagged_read(self, spark: SparkSession, m: dict) -> DataFrame:

@@ -237,3 +237,32 @@ def test_describe_detail(lh):
     lh.sql("DELETE FROM t WHERE k = 0")
     row = lh.sql("DESCRIBE DETAIL t").collect()[0]
     assert row["version"] == 1 and row["num_versions"] == 2
+
+
+def test_metadata_only_count(lh, spark, tmp_path):
+    """SELECT COUNT(*) FROM t answers from manifest stats: correct
+    across DML (incl. deletion vectors), version-travels, and — the
+    proof it never touches data — still works after the data directory
+    is renamed away."""
+    import os
+    import shutil
+
+    assert lh.sql("SELECT COUNT(*) FROM t").collect()[0][0] == 6
+    lh.sql("DELETE /*+ MERGE_ON_READ */ FROM t WHERE k < 2")  # DV path
+    assert lh.sql("SELECT COUNT(*) FROM t").collect()[0][0] == 4
+    assert (
+        lh.sql("SELECT COUNT(*) AS n FROM t VERSION AS OF 0").collect()[0]["n"]
+        == 6
+    )
+    # spark.sql column-name parity
+    assert lh.sql("SELECT COUNT(*) FROM t").columns == ["count(1)"]
+    # a filtered count falls through to Catalyst (and scans)
+    assert lh.sql("SELECT COUNT(*) FROM t WHERE k >= 4").collect()[0][0] == 2
+    # zero data I/O: hide the data dir; the metadata count still answers
+    vt = lh.table("t")
+    data = os.path.join(vt.path, "data")
+    shutil.move(data, data + ".hidden")
+    try:
+        assert lh.sql("SELECT COUNT(*) FROM t").collect()[0][0] == 4
+    finally:
+        shutil.move(data + ".hidden", data)
