@@ -24,59 +24,56 @@ def entry(spark: SparkSession) -> DataFrame:
 # first (their green must be re-earned), then the stalest green rows
 # (rotation: no query's latest driver row should age past two rounds).
 #
-# ROUND-10 WINDOW (this list): 2 NEW queries lead — the delta-manifest
-# checkpoint guard (q_manifest_checkpoint: 70+-commit history, bytes
-# per commit ∝ churn, fresh-instance resolution ≤ K raw reads) and
-# q_table_vacuum (vacuum + fresh-reader + VacuumedVersionError guards
-# — the gap that let r9's vacuum breakage ship unseen). Then the 4
-# queries whose code paths changed this round and must re-earn green
-# (vacuum checkpoint backfill, manifest-cache horizon guard, raw-
-# manifest replication watermark: q_table_restore, q_table_replicate,
-# q_time_travel, q_scan_skipping). Then the ENTIRE 34-row r5-stale
-# cohort (5 rounds stale; the r8/r9 rotation note, finally honored),
-# then the 10 alphabetically-first r6-stale rows that fit. Ledger
-# entering r10 (CORRECTNESS union): latest-green r9: 50, r7: 49,
-# r6: 46 (45 still registered), r5: 34.
+# ROUND-11 WINDOW (this list), honoring the r10 rotation note
+# verbatim: the 4 queries ADDED in round 10 lead (judge-verified MATCH
+# is not a driver row — they must earn one), then the queries ADDED in
+# round 11 (vacuum-OCC guard, per-file bloom skipping, MIN/MAX
+# incremental MV, metadata-only COUNT(*)), then the r5/r6-stale
+# remainder (q_dedup_simhash last-green r5; q_dedup_minhash and the 35
+# rows the r10 note lists, all last-green r6), with the leftover slots
+# going to the alphabetically-first r7-stale rows. Ledger entering r11
+# (CORRECTNESS union): latest-green r10: 50, r9: 47, r7: 48, r6: 37,
+# r5: 1.
 #
-# ROUND-11 ROTATION NOTE: queries ADDED after this round's window was
-# frozen lead the r11 window (new queries must earn a driver row):
-# q_incremental_mv, q_stream_mv, q_hll_rollup, q_bloom_join. Then
-# the r6-stale rows
-# that did NOT fit this window: q_dedup_minhash_portable,
-# q_dedup_minhash_recall, q_fingerprint, q_histogram, q_join_inner,
-# q_lang_id, q_left_join_hist, q_merge_delete, q_merge_upsert,
-# q_multimodal_resize, q_ngram_jaccard, q_pack_sequences, q_pii_scrub,
-# q_pivot, q_quantile_filter, q_range_join, q_rank_eval, q_repetition,
-# q_rollup, q_salted_agg, q_semi_join, q_similarity_batch_ivf,
-# q_similarity_ivf, q_similarity_ivf_pruned, q_similarity_lsh,
-# q_similarity_topk, q_sink_partitioned, q_skew_salted_join,
-# q_stratified_sample, q_table_diff, q_text_quality, q_tfidf,
-# q_token_count, q_tpch_q3, q_tpch_q7 (35 rows); the remaining ~15
-# slots go to the then-stalest r7 rows.
+# ROUND-12 ROTATION NOTE: any queries ADDED after this window was
+# frozen lead the r12 window, then the r7-stale rows that did NOT fit
+# here: q_embedding_quantize, q_explode_pos, q_fact_daily,
+# q_first_last, q_funnel, q_grouped_ols, q_mixture,
+# q_multimodal_features, q_ntile, q_nullsafe_join, q_percentile,
+# q_ratio_to_report, q_retention, q_scan_csv, q_scan_json,
+# q_scan_parquet, q_scd2_lookup, q_semantic_decontam_scaled,
+# q_sessionize, q_similarity_pairs_banded, q_similarity_pairs_scaled,
+# q_sql_fact, q_stage_orders, q_stream_daily, q_stream_dedup,
+# q_stream_enrich, q_stream_join, q_stream_merge, q_stream_sessions,
+# q_stream_sliding, q_tpch_q10, q_tpch_q14, q_tpch_q15, q_tpch_q19,
+# q_tpch_q21, q_tpch_q22, q_tpch_q5, q_tpch_q6, q_tpch_q8, q_unpivot,
+# q_vocab_encode, q_window_cumsum, q_zipf (43 rows); remaining slots
+# to the then-stalest r9 rows (alphabetical).
 _VERIFY_FIRST = [
-    # NEW in round 10 — delta-manifest log guards (operators/
-    # lakehouse.py q_manifest_checkpoint / q_table_vacuum over
-    # plans/versioned.py's checkpointed delta log + vacuum backfill)
-    "q_manifest_checkpoint", "q_table_vacuum",
-    # CHANGED code paths in round 10 — must re-earn green
-    "q_table_restore", "q_table_replicate", "q_time_travel",
-    "q_scan_skipping",
-    # full r5-stale cohort (34 rows, per the r8/r9 rotation notes)
-    "q_bm25", "q_bucketed_join", "q_calendar_fill", "q_chunk_windows",
-    "q_dedup_simhash_portable", "q_dedup_simhash_recall",
-    "q_embedding_centroids", "q_freshness", "q_fuzzy_match",
-    "q_grouping_sets", "q_having", "q_hybrid_rrf", "q_interpolate",
-    "q_json_flatten", "q_kmeans_assign", "q_multimodal_frames",
-    "q_pq_encode", "q_quarantine", "q_ri_audit", "q_sample_hash",
-    "q_scan_binaryfile", "q_scan_orc", "q_scd2", "q_schema_evolution",
-    "q_semantic_decontam", "q_stats_exact", "q_stream_quarantine",
-    "q_token_entropy", "q_tpch_q11", "q_tpch_q12", "q_tpch_q2",
-    "q_tpch_q20", "q_unigram_logprob", "q_window_lag",
-    # stalest r6 rows that fit (10 slots, alphabetical; the rest head
-    # the r11 window per the note above)
-    "q_ann_join_docs", "q_anti_join", "q_array_stats", "q_bpe_pairs",
-    "q_chunk_dedup", "q_corpus_prep", "q_corr_regression",
-    "q_correlated_subquery", "q_dedup_clusters", "q_dedup_containment",
+    # NEW in round 10 — must earn driver rows (r10 rotation note)
+    "q_incremental_mv", "q_stream_mv", "q_hll_rollup", "q_bloom_join",
+    # NEW in round 11 — vacuum OCC safety, bloom data skipping,
+    # MIN/MAX MV maintenance, metadata-only COUNT(*)
+    "q_vacuum_concurrent", "q_scan_bloom_skipping",
+    "q_incremental_mv_minmax", "q_count_stats",
+    # r5-stale (1 row) + r6-stale remainder (36 rows: q_dedup_minhash
+    # plus the 35 the r10 note lists)
+    "q_dedup_simhash", "q_dedup_minhash",
+    "q_dedup_minhash_portable", "q_dedup_minhash_recall",
+    "q_fingerprint", "q_histogram", "q_join_inner", "q_lang_id",
+    "q_left_join_hist", "q_merge_delete", "q_merge_upsert",
+    "q_multimodal_resize", "q_ngram_jaccard", "q_pack_sequences",
+    "q_pii_scrub", "q_pivot", "q_quantile_filter", "q_range_join",
+    "q_rank_eval", "q_repetition", "q_rollup", "q_salted_agg",
+    "q_semi_join", "q_similarity_batch_ivf", "q_similarity_ivf",
+    "q_similarity_ivf_pruned", "q_similarity_lsh", "q_similarity_topk",
+    "q_sink_partitioned", "q_skew_salted_join", "q_stratified_sample",
+    "q_table_diff", "q_text_quality", "q_tfidf", "q_token_count",
+    "q_tpch_q3", "q_tpch_q7",
+    # stalest r7 rows, alphabetical, to fill the 50-slot window
+    "q_collect_sorted", "q_contamination", "q_cube",
+    "q_dedup_clusters_semantic_scaled", "q_dedup_keep_first",
+    "q_embedding_quantize", "q_explode_pos", "q_fact_daily",
 ]
 
 
