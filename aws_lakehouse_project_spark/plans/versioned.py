@@ -2637,12 +2637,33 @@ class VersionedTable:
         dry_run: bool = False,
         retain_hours: float | None = None,
         now: float | None = None,
+        min_file_age_s: float = 3600.0,
     ) -> dict:
         """Reclaim data files referenced ONLY by dropped versions;
         expired manifests are dropped too (time travel below the
         horizon raises ``VacuumedVersionError``). Never touches files
         any retained version references, so readers of retained
         snapshots are safe.
+
+        CONCURRENCY CONTRACT (safe under concurrent writers): commits
+        stage data files under ``data/`` BEFORE claiming a version
+        (``_write_commit_files`` → ``_commit``), so a file referenced
+        by NO manifest may be another writer's in-flight commit. Two
+        reclaim classes therefore apply:
+
+        * files referenced by a DROPPED manifest were provably claimed
+          (never in-flight) — reclaimed at any age;
+        * ORPHANS (referenced by no manifest, live or dropped) are
+          reclaimed only when older than ``min_file_age_s`` (mtime
+          floor, Delta's semantics; default 1 h vastly exceeds any
+          stage→claim window). Younger orphans are reported as
+          ``skipped_inflight_files`` and left for a later vacuum.
+
+        Crash ordering: the retained-horizon checkpoint is written and
+        the expired manifests/checkpoints are unlinked BEFORE any data
+        file is deleted, so a crash mid-vacuum leaves only orphaned
+        data (reclaimed by a re-run via the age-floored orphan path) —
+        never a below-horizon manifest referencing deleted files.
 
         Retention is the UNION of two horizons: the last
         ``retain_last`` versions by count, and — when ``retain_hours``
@@ -2661,12 +2682,13 @@ class VersionedTable:
             raise ValueError("vacuum must retain at least the head version")
         if retain_hours is not None and retain_hours < 0:
             raise ValueError("retain_hours must be non-negative")
+        if min_file_age_s < 0:
+            raise ValueError("min_file_age_s must be non-negative")
+        now0 = now if now is not None else time.time()
         vs = self.versions()
         keep_from = max(len(vs) - retain_last, 0)
         if retain_hours is not None:
-            cutoff = (
-                now if now is not None else time.time()
-            ) - retain_hours * 3600.0
+            cutoff = now0 - retain_hours * 3600.0
             # commit ts is monotone along the single-writer log, so the
             # first young-enough version starts the time-kept suffix
             age_idx = next(
@@ -2688,25 +2710,19 @@ class VersionedTable:
             # deletion-vector sidecars of retained snapshots are part of
             # those snapshots' read paths — as immortal as their data
             live_dv_dirs |= set(mv.get("dvs", {}).values())
-        removed_files = 0
-        doomed: list[str] = []
-        data_root = os.path.join(self.path, _DATA_DIR)
-        for dirpath, _dirnames, filenames in os.walk(data_root, topdown=False):
-            for n in filenames:
-                p = os.path.join(dirpath, n)
-                rel = os.path.relpath(p, self.path)
-                if (
-                    rel not in live
-                    and os.path.dirname(rel) not in live_dv_dirs
-                    and (n.endswith(".parquet") or n.startswith(("_", ".")))
-                ):
-                    if n.endswith(".parquet"):
-                        removed_files += 1
-                        doomed.append(rel)
-                    if not dry_run:
-                        os.unlink(p)
-            if not dry_run and dirpath != data_root and not os.listdir(dirpath):
-                os.rmdir(dirpath)
+        # Files referenced by a DROPPED manifest were claimed by a
+        # completed commit — never another writer's in-flight stage —
+        # so they are reclaimable at any age. Resolve them BEFORE the
+        # manifests are unlinked below.
+        dead: set[str] = set()
+        dead_dv_dirs: set[str] = set()
+        for v in drop_vs:
+            mv = self._manifest(v)
+            dead |= set(mv["files"])
+            dead_dv_dirs |= set(mv.get("dvs", {}).values())
+        dead -= live
+        dead_dv_dirs -= live_dv_dirs
+        claimed_dirs = {os.path.dirname(r) for r in dead | live}
         if drop_vs and not dry_run:
             # the oldest retained version may be a delta manifest whose
             # "base" chain crosses the horizon — checkpoint its RESOLVED
@@ -2732,12 +2748,81 @@ class VersionedTable:
                 if os.path.exists(cp):
                     os.unlink(cp)
                 self._mcache.pop(v, None)
+        # Data files are deleted LAST (after the expired manifests are
+        # gone): a crash anywhere above leaves a log whose every
+        # surviving manifest still resolves to files on disk.
+        removed_files = 0
+        skipped_inflight = 0
+        doomed: list[str] = []
+        data_root = os.path.join(self.path, _DATA_DIR)
+
+        def _under_claimed(rel_dir: str) -> bool:
+            d = rel_dir
+            while d and d != _DATA_DIR:
+                if d in claimed_dirs or d in dead_dv_dirs:
+                    return True
+                d = os.path.dirname(d)
+            return False
+
+        for dirpath, _dirnames, filenames in os.walk(data_root, topdown=False):
+            rel_dir = os.path.relpath(dirpath, self.path)
+            # dir-removal eligibility is decided BEFORE unlinking (the
+            # unlinks below bump the dir mtime): a young UNCLAIMED dir
+            # is never rmdir'd — it may be a concurrent writer's
+            # just-created commit dir (or Spark's _temporary scaffolding)
+            # that hasn't received its files yet
+            claimed_dir = _under_claimed(rel_dir)
+            try:
+                dir_is_old = (
+                    now0 - os.path.getmtime(dirpath) >= min_file_age_s
+                )
+            except OSError:
+                continue  # raced with another vacuum; revisit next run
+            for n in filenames:
+                p = os.path.join(dirpath, n)
+                rel = os.path.relpath(p, self.path)
+                d = os.path.dirname(rel)
+                if rel in live or d in live_dv_dirs:
+                    continue
+                if not (n.endswith(".parquet") or n.startswith(("_", "."))):
+                    continue
+                # claimed-by-a-dropped-commit → reclaim at any age;
+                # orphan (possibly a concurrent writer's staged-but-
+                # unclaimed commit) → only past the mtime floor
+                if not (rel in dead or d in dead_dv_dirs or d in claimed_dirs):
+                    try:
+                        age = now0 - os.path.getmtime(p)
+                    except OSError:
+                        continue  # raced with its writer/another vacuum
+                    if age < min_file_age_s:
+                        if n.endswith(".parquet"):
+                            skipped_inflight += 1
+                        continue
+                if n.endswith(".parquet"):
+                    removed_files += 1
+                    doomed.append(rel)
+                if not dry_run:
+                    try:
+                        os.unlink(p)
+                    except OSError:
+                        pass  # already reclaimed by a racing vacuum
+            if (
+                not dry_run
+                and dirpath != data_root
+                and (claimed_dir or dir_is_old)
+            ):
+                try:
+                    if not os.listdir(dirpath):
+                        os.rmdir(dirpath)
+                except OSError:
+                    pass  # raced with a writer landing files — keep it
         return {
             "dry_run": dry_run,
             "removed_data_files": removed_files,
             "removed_files": sorted(doomed),
             "removed_versions": len(drop_vs),
             "removed_change_feeds": removed_cdf,
+            "skipped_inflight_files": skipped_inflight,
             "retained_versions": keep_vs,
         }
 
