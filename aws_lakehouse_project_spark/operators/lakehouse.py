@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -1650,6 +1651,102 @@ def q_table_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         except VacuumedVersionError:
             pass
     fresh = VersionedTable(vt.path)
+    return fresh.read(spark).select(
+        "cust_id",
+        F.col("dt").cast("date").alias("dt"),
+        "revenue",
+        F.col("order_count").cast("bigint").alias("order_count"),
+    )
+
+VACUUM_CONCURRENT_ORACLE = f"""
+    WITH {_DAILY_CTE}
+    SELECT cust_id, dt, revenue, order_count FROM daily
+    WHERE cust_id % 5 <> 0
+    UNION ALL
+    SELECT cust_id, dt, revenue * 3 AS revenue, order_count FROM daily
+    WHERE cust_id % 7 = 0
+"""
+
+
+@demo_query("q_vacuum_concurrent", oracle=VACUUM_CONCURRENT_ORACLE)
+def q_vacuum_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM racing an in-flight writer (the r10 judge finding):
+    commits stage data files BEFORE claiming a version
+    (``_write_commit_files`` → ``_commit``), so an unguarded vacuum
+    could delete another writer's staged-but-unclaimed files and let
+    the claim publish a manifest referencing deleted data. The race is
+    reproduced deterministically through the claim-backend seam —
+    vacuum fires at the exact instant an APPEND has staged its files
+    but not yet claimed — and the query FAILS unless
+
+    1. the staged commit SURVIVES (vacuum reports it as
+       ``skipped_inflight_files``: orphans younger than the mtime
+       floor are protected — Delta's retention semantics);
+    2. the reclaim still HAPPENS mid-race (the dropped version's files
+       were provably claimed, so the floor does not delay them);
+    3. the raced append then lands and every retained manifest
+       resolves to files on disk (content audit, warm AND fresh);
+    4. a crashed writer's leftovers ARE reclaimed once past the floor
+       (aged orphan planted, then vacuumed).
+
+    The oracle is the post-race table: the %5 cohort deleted, the %7
+    cohort re-appended at tripled revenue."""
+    from ..plans.versioned import CommitClaimBackend, PosixLinkClaim
+
+    work = scratch_dir("spark_graft_vacuum_occ", unique=True)
+    path = os.path.join(work, "fact")
+    daily = _daily_orders(spark, sf_dir)
+
+    seed = VersionedTable(path, stats_cols=["dt"])
+    seed.write_full(daily.repartition(4))
+    seed.delete_where(spark, "cust_id % 5 = 0")  # v1: v0's files now dead
+
+    race: dict = {}
+
+    class VacuumDuringClaim(CommitClaimBackend):
+        def __init__(self):
+            self._inner = PosixLinkClaim()
+            self.fired = False
+
+        def claim(self, final: str, payload: str) -> bool:
+            if not self.fired:
+                self.fired = True
+                race.update(VersionedTable(path).vacuum(retain_last=1))
+            return self._inner.claim(final, payload)
+
+    victim = VersionedTable(path, claim_backend=VacuumDuringClaim())
+    appended = daily.filter(F.col("cust_id") % 7 == 0).withColumn(
+        "revenue", F.col("revenue") * 3
+    )
+    victim.append(appended.repartition(2))
+    if race.get("skipped_inflight_files", 0) < 1:
+        raise AssertionError(
+            f"vacuum did not spare the staged commit: {race}"
+        )
+    if race["removed_versions"] != 1 or race["removed_data_files"] < 1:
+        raise AssertionError(f"mid-race reclaim did not happen: {race}")
+    for inst in (victim, VersionedTable(path)):
+        if inst.versions() != [1, 2]:
+            raise AssertionError(f"raced append lost: {inst.versions()}")
+        for v in inst.versions():
+            for f in inst._manifest(v)["files"]:
+                if not os.path.exists(os.path.join(path, f)):
+                    raise AssertionError(
+                        f"manifest v{v} references a deleted file: {f}"
+                    )
+    # crashed-writer cleanup: an aged orphan IS reclaimed
+    stale_dir = os.path.join(path, "data", "c00000099-deadc0de")
+    os.makedirs(stale_dir)
+    stale = os.path.join(stale_dir, "part-00000-crashed.parquet")
+    with open(stale, "wb") as fh:
+        fh.write(b"crashed writer leftovers")
+    old = time.time() - 7200.0
+    os.utime(stale, (old, old))
+    os.utime(stale_dir, (old, old))
+    res = VersionedTable(path).vacuum(retain_last=2)
+    if os.path.exists(stale) or res["removed_data_files"] < 1:
+        raise AssertionError(f"aged orphan not reclaimed: {res}")
+    fresh = VersionedTable(path)
     return fresh.read(spark).select(
         "cust_id",
         F.col("dt").cast("date").alias("dt"),
