@@ -268,12 +268,17 @@ def q_stream_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     empty_mv = spark.createDataFrame(
         [], "dt date, revenue decimal(28,2), total_orders bigint, n_custs bigint"
     )
-    gens: list[str] = []  # parquet path of each MV generation
+    gens: dict[int, str] = {}  # batch_id -> parquet path of that fold
 
     def fold_batch(batch: DataFrame, batch_id: int) -> None:
-        mv = (
-            spark.read.parquet(gens[-1]) if gens else empty_mv
-        )
+        # foreachBatch is at-least-once: a within-run RETRY of batch N
+        # re-delivers the same batch_id. Idempotency comes from keying
+        # generations by batch_id and folding from the generation
+        # PRECEDING this id — never gens[-1], which on a retry would be
+        # batch N's own (possibly partial) output, double-folding the
+        # delta and overwriting a directory while reading from it.
+        prev = [b for b in gens if b < batch_id]
+        mv = spark.read.parquet(gens[max(prev)]) if prev else empty_mv
         delta = batch.select(
             "_change_type",
             "dt",
@@ -289,7 +294,7 @@ def q_stream_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         path = os.path.join(work, f"mv_gen{batch_id}")
         out.write.mode("overwrite").parquet(path)
-        gens.append(path)
+        gens[batch_id] = path
 
     q = (
         vt.stream_changes(spark, max_files_per_trigger=2)
@@ -305,7 +310,7 @@ def q_stream_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise AssertionError(
             f"expected multiple fold generations, got {len(gens)}"
         )
-    return spark.read.parquet(gens[-1]).select(
+    return spark.read.parquet(gens[max(gens)]).select(
         F.col("dt").cast("date").alias("dt"),
         F.col("n_custs").cast("bigint").alias("n_custs"),
         F.col("revenue").cast("double").alias("revenue"),

@@ -623,9 +623,13 @@ def bloom_prune(
 ) -> DataFrame:
     """Keep only rows whose ``col`` MIGHT be in the Bloom filter — no
     false negatives, so an exact semi join downstream sees every true
-    match; NULL keys are dropped (semi-join semantics). One broadcast
-    hash join on the block index (empty blocks reject by the join
-    itself), then a bit-mask test — all JVM built-ins."""
+    match; NULL keys are dropped (semi-join semantics — enforced here,
+    not left to the hash: xxhash64(NULL) is a seed-derived constant, so
+    an unfiltered NULL key would otherwise get a deterministic
+    (block, mask) and could pass membership). One broadcast hash join
+    on the block index (empty blocks reject by the join itself), then
+    a bit-mask test — all JVM built-ins."""
+    df = df.where(F.col(col).isNotNull())
     key = F.col(col)
     block, mask = _bloom_block_and_mask(key, nblocks)
     probe = df.withColumn("__bb_block", block).withColumn(

@@ -363,11 +363,19 @@ class LakehouseSession:
             # of referenced files) — no data scan at any table size.
             vt = self.table(mm.group("t"))
             m = vt._manifest()
-            size = sum(
-                os.path.getsize(p)
-                for f in m["files"]
-                if os.path.exists(p := os.path.join(vt.path, f))
-            )
+            # loud like row_count: a referenced-but-missing file means
+            # corrupt metadata — under-reporting size silently would
+            # mask exactly the corruption DESCRIBE DETAIL should surface
+            size = 0
+            for f in m["files"]:
+                p = os.path.join(vt.path, f)
+                try:
+                    size += os.path.getsize(p)
+                except OSError as exc:
+                    raise FileNotFoundError(
+                        f"DESCRIBE DETAIL: manifest v{m['version']} "
+                        f"references a missing data file: {f}"
+                    ) from exc
             return self.spark.createDataFrame(
                 [(
                     vt.path,

@@ -1379,9 +1379,18 @@ class VersionedTable:
         unrelated delete+insert). Multi-version diffs keep the plain
         insert/delete net-diff semantics — pairing across several
         commits has no single key contract. Survivor rows copied
-        verbatim into rewritten files cancel out via ``exceptAll``; a
+        verbatim into rewritten files cancel out in the count diff; a
         pure-layout commit (OPTIMIZE) produces an empty feed by
         construction.
+
+        NET-STATE semantics (since the r10 re-plan): file-level diffs
+        and deletion-vector diffs net against each other in ONE
+        multiset count — a row value removed at file level and
+        simultaneously resurrected via a DV change cancels to NO event
+        (the pre-r10 shape emitted a delete+insert pair for that case).
+        The feed describes the net state transition between the two
+        versions, not the union of per-mechanism edits; consumers
+        comparing against a pre-r10 feed will see the quieter form.
         """
         m_from = self._manifest(from_version)
         m_to = self._manifest(to_version)
