@@ -560,27 +560,11 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bloom-filter pruned semi join — the compact-filter pushdown pattern
 # ---------------------------------------------------------------------------
 
-_BLOOM_BITS_PER_BLOCK = 6  # bits set per key inside its 64-bit block
-
-
-def _bloom_block_and_mask(key, nblocks: int):
-    """(block index, in-block bit mask) for a key — the split-block
-    Bloom design (one hash selects a 64-bit block, a second hash's
-    6-bit slices select bits WITHIN it; parquet-format's SBBF is the
-    public reference for the layout). Whole-stage-codegen arithmetic
-    only: two xxhash64 calls, shifts, ORs."""
-    block = F.pmod(F.xxhash64(key, F.lit(1)), F.lit(nblocks))
-    h2 = F.xxhash64(key, F.lit(2))
-    mask = None
-    for j in range(_BLOOM_BITS_PER_BLOCK):
-        bit = (
-            F.call_function("shiftright", h2, F.lit(6 * j))
-            .bitwiseAND(F.lit(63))
-            .cast("int")
-        )
-        term = F.call_function("shiftleft", F.lit(1).cast("long"), bit)
-        mask = term if mask is None else mask.bitwiseOR(term)
-    return block, mask
+# the split-block primitive is shared with the per-file bloom
+# data-skipping sidecars (plans/versioned.py) — see functions/bloom.py
+from ..functions.bloom import (  # noqa: E402
+    bloom_block_and_mask as _bloom_block_and_mask,
+)
 
 
 def build_bloom_blocks(

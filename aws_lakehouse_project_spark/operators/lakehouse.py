@@ -1753,3 +1753,69 @@ def q_vacuum_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         F.col("order_count").cast("bigint").alias("order_count"),
     )
+
+SCAN_BLOOM_ORACLE = """
+    SELECT o_orderkey, o_custkey,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total_usd,
+           CAST(o_orderdate AS DATE) AS o_orderdate
+    FROM orders
+    WHERE o_orderkey = (
+      SELECT MAX(o_orderkey) FROM orders
+      WHERE o_orderkey <= (
+        SELECT (MIN(o_orderkey) + MAX(o_orderkey)) / 2.0 FROM orders))
+"""
+
+
+@demo_query("q_scan_bloom_skipping", oracle=SCAN_BLOOM_ORACLE)
+def q_scan_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file Bloom-sidecar data skipping (Delta's bloom filter
+    index shape; ``plans/versioned.py::_write_bloom_sidecars`` /
+    ``scan(eq=...)``): the table writes a split-block Bloom per file
+    for ``o_orderkey`` at commit (the stats pass already scanned the
+    bytes), and a point lookup probes it at PLAN time. The probe key
+    is a mid-range order key under a RANDOM layout, so min/max spans
+    are non-selective — every file covers nearly the full key range —
+    and only the bloom can prune. The query FAILS unless
+
+    1. ``scan(eq=k)`` reads STRICTLY fewer files than min/max-only
+       pruning (``scan(lo=k, hi=k)``) — the sidecar must actually cut
+       the plan, not just exist;
+    2. the pruned scan returns exactly the key's rows (no false
+       negatives — the oracle is the plain equality SELECT).
+
+    At 100 TB this is the difference between a point lookup reading
+    ~1 file and reading the full partition: min/max skipping only
+    helps on clustered keys, the bloom helps on ANY key at ~1.25
+    B/row/column of sidecar."""
+    work = scratch_dir("spark_graft_bloomscan", unique=True)
+    vt = VersionedTable(
+        os.path.join(work, "orders"),
+        stats_cols=["o_orderkey"],
+        bloom_cols=["o_orderkey"],
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        money("o_totalprice").alias("total_usd"),
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+    )
+    vt.write_full(orders.repartition(8))  # random layout: spans overlap
+    lo, hi = orders.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    probe = (
+        orders.where(F.col("o_orderkey") <= (lo + hi) / 2.0)
+        .agg(F.max("o_orderkey"))
+        .first()[0]
+    )
+    minmax = vt.scan(spark, "o_orderkey", lo=probe, hi=probe)
+    pruned = vt.scan(spark, "o_orderkey", eq=probe)
+    n_minmax, n_bloom = len(minmax.inputFiles()), len(pruned.inputFiles())
+    if n_minmax >= 2 and not n_bloom < n_minmax:
+        raise AssertionError(
+            f"bloom sidecar did not prune: {n_bloom} vs min/max {n_minmax}"
+        )
+    return pruned.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("total_usd").cast("double").alias("total_usd"),
+        "o_orderdate",
+    )

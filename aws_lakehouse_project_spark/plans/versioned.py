@@ -61,9 +61,12 @@ would materialize into.
 
 from __future__ import annotations
 
+import base64
 import json
 import math
 import os
+import struct
+import zlib
 import re
 import shutil
 import time
@@ -366,9 +369,15 @@ class VersionedTable:
         change_feed: bool = False,
         claim_backend: CommitClaimBackend | None = None,
         checkpoint_interval: int = 20,
+        bloom_cols: Sequence[str] = (),
     ) -> None:
         self.path = path
         self.stats_cols = list(stats_cols)
+        # per-file split-block Bloom sidecars for these columns (Delta's
+        # bloom filter index shape): written at commit next to the data
+        # files, consulted by scan(eq=...) for point-lookup file
+        # skipping where min/max spans are non-selective
+        self.bloom_cols = list(bloom_cols)
         self.change_feed = change_feed
         self._claim = claim_backend or PosixLinkClaim()
         # delta-log knobs: commits claim action deltas (see module-level
@@ -575,6 +584,9 @@ class VersionedTable:
             stats = self._file_stats(
                 df.sparkSession, rel, constraints=cons, mapping=mapping
             )
+            self._write_bloom_sidecars(
+                df.sparkSession, abs_dir, rel, stats, mapping
+            )
         except BaseException:
             # constraint violation OR any stats/analysis failure (e.g. a
             # constraint referencing a column the frame lacks): never
@@ -675,6 +687,138 @@ class VersionedTable:
         if not self.exists():
             return frozenset()
         return frozenset(f for f in self._manifest()["files"] if os.path.isabs(f))
+
+    # -- per-file bloom sidecars (point-lookup data skipping) ---------------
+
+    _BLOOM_BITS_PER_KEY = 10  # block load ≈ 60%/distinct-heavy, FP ≈ 2–5%
+
+    def _bloom_sidecar_path(self, commit_dir_abs: str, phys: str) -> str:
+        # physical column names are immutable (RENAME only edits the
+        # logical→physical map), so a sidecar never goes stale on rename
+        return os.path.join(commit_dir_abs, f"_bloom-{phys}.json")
+
+    def _write_bloom_sidecars(
+        self,
+        spark: SparkSession,
+        commit_dir_abs: str,
+        rel_files: list[str],
+        stats: dict,
+        mapping: dict,
+    ) -> None:
+        """Write one split-block Bloom sidecar per ``bloom_cols`` entry
+        into the commit directory, covering every file of this commit —
+        Delta's bloom filter index shape. The build is ONE map-side-
+        combining ``bit_or`` aggregate per column over the just-written
+        files (the stats pass already scanned them, so the bytes are
+        hot); the driver then packs the (file, block, bits) rows into a
+        base64(zlib(little-endian u64[nblocks])) bitmap per file. The
+        collect is bounded by the SIDECAR's own size (min(rows, nblocks)
+        rows per file, 3 fields each) — ∝ commit churn × bits_per_key/64,
+        never ∝ table size; it is the metadata artifact being written,
+        not a data-path collect.
+
+        ``nblocks`` is sized from the commit's largest file (power of
+        two, ≥16) so every file in the commit shares one block space —
+        smaller files just run at lower load (fewer false positives)."""
+        if not self.bloom_cols or not rel_files:
+            return
+        from ..functions.bloom import bloom_block_and_mask
+
+        abs_files = [os.path.join(self.path, f) for f in rel_files]
+        dfp = spark.read.parquet(*abs_files)
+        max_rows = max(
+            (stats.get(f, {}).get("rows", 0) for f in rel_files), default=0
+        )
+        if max_rows <= 0:
+            return
+        nblocks = 1 << max(
+            int(max_rows * self._BLOOM_BITS_PER_KEY // 64).bit_length(), 4
+        )
+        base_by_rel = {os.path.basename(f): f for f in rel_files}
+        for col in self.bloom_cols:
+            phys = mapping.get(col, col)
+            if phys not in dfp.columns:
+                continue
+            block, mask = bloom_block_and_mask(F.col(phys), nblocks)
+            rows = (
+                dfp.where(F.col(phys).isNotNull())
+                .select(
+                    F.input_file_name().alias("__f"),
+                    block.alias("__b"),
+                    mask.alias("__m"),
+                )
+                .groupBy("__f", "__b")
+                .agg(F.bit_or("__m").alias("__bits"))
+                .collect()
+            )
+            words: dict[str, bytearray] = {}
+            for r in rows:
+                base = os.path.basename(r["__f"])
+                buf = words.setdefault(base, bytearray(8 * nblocks))
+                struct.pack_into(
+                    "<Q", buf, 8 * r["__b"], r["__bits"] & ((1 << 64) - 1)
+                )
+            payload = {
+                "col": phys,
+                "nblocks": nblocks,
+                "files": {
+                    base: base64.b64encode(zlib.compress(bytes(buf))).decode()
+                    for base, buf in words.items()
+                    if base in base_by_rel
+                },
+            }
+            p = self._bloom_sidecar_path(commit_dir_abs, phys)
+            tmp = p + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as fh:
+                fh.write(json.dumps(payload, sort_keys=True))
+            os.replace(tmp, p)
+
+    def _bloom_prune_files(
+        self, spark: SparkSession, files: list[str], phys: str, value, dtype
+    ) -> list[str]:
+        """Drop candidate ``files`` whose bloom sidecar PROVES ``phys``
+        never equals ``value`` — no false negatives (a file without a
+        sidecar entry is kept). The probe's two raw xxhash64 values are
+        computed by ONE one-row Spark job (so the hash agrees with the
+        JVM build side bit-for-bit, including the column type's hash
+        layout); (block, mask) is then derived per sidecar in Python,
+        because nblocks varies per commit. Sidecars are read lazily per
+        COMMIT DIR (one small JSON per dir), so plan-time cost is
+        bounded by the candidate dir count, not the table."""
+        from ..functions.bloom import block_and_mask_from_hashes
+
+        dirs = {}
+        for f in files:
+            dirs.setdefault(os.path.dirname(f), []).append(f)
+        lit = F.lit(value).cast(dtype)
+        h1, h2 = (
+            spark.range(1)
+            .select(F.xxhash64(lit, F.lit(1)), F.xxhash64(lit, F.lit(2)))
+            .first()
+        )
+        keep: list[str] = []
+        for d, fs in dirs.items():
+            side = self._bloom_sidecar_path(
+                d if os.path.isabs(d) else os.path.join(self.path, d), phys
+            )
+            try:
+                with open(side) as fh:
+                    payload = json.load(fh)
+            except (OSError, json.JSONDecodeError):
+                keep.extend(fs)  # no/unreadable sidecar → cannot prune
+                continue
+            nblocks = payload["nblocks"]
+            blk, mask = block_and_mask_from_hashes(h1, h2, nblocks)
+            for f in fs:
+                enc = payload["files"].get(os.path.basename(f))
+                if enc is None:
+                    keep.append(f)
+                    continue
+                buf = zlib.decompress(base64.b64decode(enc))
+                (word,) = struct.unpack_from("<Q", buf, 8 * blk)
+                if word & mask == mask:
+                    keep.append(f)
+        return keep
 
     def _to_rel(self, file_uri: str, borrowed: frozenset | None = None) -> str:
         """Normalize an ``input_file_name()`` URI to its manifest key:
@@ -1190,13 +1334,29 @@ class VersionedTable:
         lo=None,
         hi=None,
         version: int | None = None,
+        eq=None,
     ) -> DataFrame:
         """Stats-pruned range scan: files whose [min,max] for ``col``
         cannot intersect [lo,hi] are dropped from the plan entirely
         (manifest-level data skipping); the residual filter still applies
         row-level. Pruning compares numerically for numeric stats and
         lexicographically for string/ISO-date stats, and never prunes an
-        uncomparable pair (conservative by construction)."""
+        uncomparable pair (conservative by construction).
+
+        ``eq=v`` is the point-lookup form (mutually exclusive with
+        lo/hi): min/max pruning runs first with [v, v], then — when the
+        table writes bloom sidecars for ``col`` (``bloom_cols``) — each
+        surviving file's split-block Bloom is probed and files that
+        provably lack the key are dropped too. On a high-cardinality
+        key under a random layout, min/max spans are non-selective
+        (every file covers nearly the full range) while the bloom
+        prunes to ~the files actually holding the key plus the FP rate
+        — Delta's bloom filter index shape. No false negatives: a file
+        without a sidecar is simply kept."""
+        if eq is not None:
+            if lo is not None or hi is not None:
+                raise ValueError("scan: eq is mutually exclusive with lo/hi")
+            lo = hi = eq
         m = self._manifest(version)
         mapping = m.get("column_mapping", {})
         phys = mapping.get(col, col)  # stats are keyed by physical name
@@ -1216,6 +1376,13 @@ class VersionedTable:
                 continue
             keep.append(f)
         schema = StructType.fromJson(m["schema"])
+        if eq is not None and keep:
+            dtype = next(
+                (fld.dataType for fld in schema.fields if fld.name == col),
+                None,
+            )
+            if dtype is not None:
+                keep = self._bloom_prune_files(spark, keep, phys, eq, dtype)
         df = self._read_files(
             spark, keep, schema, dvs=m.get("dvs"),
             dv_counts=m.get("dv_counts"), mapping=mapping,
@@ -2732,6 +2899,11 @@ class VersionedTable:
         dead -= live
         dead_dv_dirs -= live_dv_dirs
         claimed_dirs = {os.path.dirname(r) for r in dead | live}
+        # bloom sidecars are snapshot metadata: while ANY file of a
+        # commit dir is live, the dir's _bloom-*.json must survive (it
+        # indexes those files); once the last file dies the sidecar
+        # falls to the ordinary marker rules below
+        live_file_dirs = {os.path.dirname(r) for r in live}
         if drop_vs and not dry_run:
             # the oldest retained version may be a delta manifest whose
             # "base" chain crosses the horizon — checkpoint its RESOLVED
@@ -2793,6 +2965,8 @@ class VersionedTable:
                 d = os.path.dirname(rel)
                 if rel in live or d in live_dv_dirs:
                     continue
+                if n.startswith("_bloom-") and d in live_file_dirs:
+                    continue  # sidecar still indexes live files
                 if not (n.endswith(".parquet") or n.startswith(("_", "."))):
                     continue
                 # claimed-by-a-dropped-commit → reclaim at any age;

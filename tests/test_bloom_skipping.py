@@ -1,0 +1,129 @@
+"""Per-file Bloom sidecar data skipping: scan(eq=...) point lookups
+(plans/versioned.py::_write_bloom_sidecars / _bloom_prune_files)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from aws_lakehouse_project_spark.plans.versioned import VersionedTable
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def bt(tmp_path):
+    return VersionedTable(
+        str(tmp_path / "t"), stats_cols=["k"], bloom_cols=["k"]
+    )
+
+
+def _seed(spark, bt, n=4000, parts=6):
+    # k = 7*id: high-cardinality, every file spans ~the full range
+    df = spark.range(n).select(
+        (F.col("id") * 7).alias("k"), F.rand(7).alias("v")
+    )
+    bt.write_full(df.repartition(parts))
+    return df
+
+
+def test_sidecar_written_and_prunes_vs_minmax(spark, bt):
+    _seed(spark, bt)
+    assert glob.glob(os.path.join(bt.path, "data", "*", "_bloom-k.json"))
+    probe = 7 * 1234
+    n_all = len(bt.read(spark).inputFiles())
+    n_minmax = len(bt.scan(spark, "k", lo=probe, hi=probe).inputFiles())
+    pruned = bt.scan(spark, "k", eq=probe)
+    assert n_minmax == n_all  # random layout: min/max cannot prune
+    assert len(pruned.inputFiles()) < n_minmax
+    assert _rows(pruned) == _rows(bt.read(spark).where(F.col("k") == probe))
+
+
+def test_no_false_negatives_sampled_keys(spark, bt):
+    _seed(spark, bt, n=2000, parts=5)
+    for kk in range(0, 2000, 397):
+        probe = 7 * kk
+        got = bt.scan(spark, "k", eq=probe).where(F.col("k") == probe)
+        assert got.count() == 1, probe
+
+
+def test_missing_key_prunes_everything_or_fp(spark, bt):
+    _seed(spark, bt, n=2000, parts=5)
+    # 3 is never a multiple of 7: bloom may false-positive a file or
+    # two, but the residual filter yields zero rows either way
+    df = bt.scan(spark, "k", eq=3)
+    assert df.count() == 0
+
+
+def test_eq_exclusive_with_range(spark, bt):
+    _seed(spark, bt, n=100, parts=2)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        bt.scan(spark, "k", lo=1, eq=2)
+
+
+def test_string_key_type_hash_layout(spark, tmp_path):
+    bt = VersionedTable(
+        str(tmp_path / "s"), stats_cols=["name"], bloom_cols=["name"]
+    )
+    df = spark.createDataFrame(
+        [Row(name=f"user-{i:05d}", v=i) for i in range(3000)]
+    )
+    bt.write_full(df.repartition(5))
+    pruned = bt.scan(spark, "name", eq="user-01234")
+    assert len(pruned.inputFiles()) < 5
+    assert _rows(pruned) == [("user-01234", 1234)]
+
+
+def test_cow_delete_keeps_carried_sidecars(spark, bt):
+    _seed(spark, bt, n=3000, parts=6)
+    bt.delete_where(spark, "k % 70 = 0")  # rewrites only touched files
+    probe = 7 * 1001  # 7007 % 70 != 0 → survives
+    pruned = bt.scan(spark, "k", eq=probe)
+    n_all = len(bt.read(spark).inputFiles())
+    assert len(pruned.inputFiles()) < n_all
+    assert _rows(pruned) == _rows(bt.read(spark).where(F.col("k") == probe))
+
+
+def test_rename_column_keeps_sidecars_physical(spark, bt):
+    """Sidecars are keyed by PHYSICAL name: a rename must not orphan
+    them, and the scan under the new logical name still prunes."""
+    _seed(spark, bt, n=3000, parts=6)
+    bt.rename_column("k", "key_id")
+    probe = 7 * 999
+    pruned = bt.scan(spark, "key_id", eq=probe)
+    assert len(pruned.inputFiles()) < len(bt.read(spark).inputFiles())
+    assert pruned.where(F.col("key_id") == probe).count() == 1
+
+
+def test_vacuum_spares_live_sidecars_reclaims_dead(spark, bt):
+    import time as _time
+
+    _seed(spark, bt, n=2000, parts=4)
+    live_sides = set(
+        glob.glob(os.path.join(bt.path, "data", "*", "_bloom-k.json"))
+    )
+    assert live_sides
+    bt.write_full(
+        spark.range(100).select(F.col("id").alias("k"), F.lit(0.0).alias("v"))
+    )  # v0's files (and their sidecars' dirs) now dead
+    res = bt.vacuum(retain_last=1)
+    assert res["removed_versions"] == 1
+    for s in live_sides:
+        assert not os.path.exists(s)  # dead dir's sidecar reclaimed
+    new_sides = glob.glob(os.path.join(bt.path, "data", "*", "_bloom-k.json"))
+    assert new_sides  # head's sidecar survived
+    # second vacuum with nothing to drop must not touch the live sidecar
+    bt.vacuum(retain_last=1, now=_time.time() + 10_000.0)
+    assert all(os.path.exists(s) for s in new_sides)
+
+
+def test_scan_eq_without_bloom_cols_still_correct(spark, tmp_path):
+    vt = VersionedTable(str(tmp_path / "p"), stats_cols=["k"])
+    df = spark.range(500).select(F.col("id").alias("k"))
+    vt.write_full(df.repartition(3))
+    assert vt.scan(spark, "k", eq=123).count() == 1
