@@ -8,8 +8,13 @@ the base table. SUM / COUNT are self-maintainable aggregates: an
 ``insert``/``update_postimage`` row adds its measures, a
 ``delete``/``update_preimage`` row subtracts them, and a group whose
 maintained row count reaches zero is dropped. MIN/MAX are NOT
-self-maintainable under deletes (a retracted extremum needs a re-scan
-of its group) and are deliberately not offered here.
+self-maintainable under deletes — a retracted extremum needs a re-scan
+of its group — so ``fold_changes_into_minmax`` keeps them exact with a
+BOUNDED rescan: inserts fold as ``least``/``greatest`` for free, and
+only the groups whose delta provably MIGHT have retracted the current
+extremum (a deleted value ≤ the maintained MIN or ≥ the maintained MAX)
+are recomputed from the base table, semi-joined down to exactly those
+group keys.
 
 Why this is the 100 TB shape: the fold's input is ``changes(v_a, v_b)``
 (``plans/versioned.py:1357``), whose scan cost is proportional to the
@@ -104,6 +109,118 @@ def fold_changes_into_aggregate(
         .select(*keep, *sums, cnt.alias(count_col))
         .filter(F.col(count_col) > 0)
     )
+
+
+def fold_changes_into_minmax(
+    mv: DataFrame,
+    delta: DataFrame,
+    base: DataFrame,
+    group_keys: list[str],
+    val_col: str,
+    min_col: str = "min_val",
+    max_col: str = "max_val",
+    count_col: str = "n_rows",
+) -> tuple[DataFrame, DataFrame]:
+    """Fold one CDF delta into a MIN/MAX materialized view with a
+    bounded rescan-on-retraction. Returns ``(refreshed_mv,
+    rescanned_keys)`` — the second frame carries exactly the group
+    keys that needed a base-table recompute, so callers can assert
+    (and monitor) that rescans stay ≪ total groups.
+
+    ``mv`` columns: ``group_keys + [min_col, max_col, count_col]``
+    (``count_col`` is COUNT(*) per group; a group retires at zero).
+    ``delta`` is ``changes()`` output carrying ``group_keys`` and
+    ``val_col``; ``base`` is the base table AT THE DELTA'S TO-VERSION
+    (e.g. ``vt.read(spark, to_version)``) — it is only ever read
+    semi-joined down to the triggered groups.
+
+    Maintenance rules (classic self-maintainability results — inserts
+    strengthen extrema monotonically, deletes may retract them):
+
+    * insert-only groups fold as ``least(old_min, ins_min)`` /
+      ``greatest(old_max, ins_max)`` — no base read;
+    * a group with deleted values triggers a rescan ONLY when a
+      deleted value ties-or-beats the maintained extremum
+      (``del_min <= old_min`` or ``del_max >= old_max``) or the MV
+      state is missing/degenerate — the conservative superset of true
+      retractions (a deleted duplicate of the extremum rescans
+      harmlessly);
+    * triggered groups are recomputed from ``base`` semi-joined on a
+      broadcast of exactly those keys — at 100 TB the rescan reads
+      one group's slice per retraction (partition/stats-pruned when
+      the MV key is the table's partition or stats column), never the
+      table.
+
+    NULL values are ignored by MIN/MAX (SQL semantics): deleting a
+    NULL never triggers a rescan; NULL group KEYS are legal groups and
+    join null-safely throughout."""
+    sign = F.when(F.col("_change_type").isin(*_ADDITIVE), 1).otherwise(-1)
+    val = F.col(val_col)
+    d = (
+        delta.select(*group_keys, sign.alias("__s"), val.alias("__v"))
+        .groupBy(*group_keys)
+        .agg(
+            F.min(F.when(F.col("__s") == 1, F.col("__v"))).alias("__ins_min"),
+            F.max(F.when(F.col("__s") == 1, F.col("__v"))).alias("__ins_max"),
+            F.min(F.when(F.col("__s") == -1, F.col("__v"))).alias("__del_min"),
+            F.max(F.when(F.col("__s") == -1, F.col("__v"))).alias("__del_max"),
+            F.sum("__s").cast("long").alias("__dc"),
+        )
+    )
+    mv_types = {f.name: f.dataType for f in mv.schema.fields}
+    m, dd = mv.alias("m"), d.alias("d")
+    on = reduce(
+        lambda a, b: a & b,
+        [F.col(f"m.{k}").eqNullSafe(F.col(f"d.{k}")) for k in group_keys],
+    )
+    j = m.join(dd, on, "full_outer")
+    keep = [
+        F.coalesce(F.col(f"m.{k}"), F.col(f"d.{k}")).alias(k)
+        for k in group_keys
+    ]
+    old_cnt = F.col(f"m.{count_col}")
+    new_cnt = (F.coalesce(old_cnt, F.lit(0)) + F.coalesce(F.col("__dc"), F.lit(0))).cast("long")
+    trigger = F.col("__del_min").isNotNull() & (
+        old_cnt.isNull()
+        | F.col(f"m.{min_col}").isNull()
+        | (F.col("__del_min") <= F.col(f"m.{min_col}"))
+        | (F.col("__del_max") >= F.col(f"m.{max_col}"))
+    )
+    folded = (
+        j.filter(~F.coalesce(trigger, F.lit(False)))
+        .select(
+            *keep,
+            F.least(F.col(f"m.{min_col}"), F.col("__ins_min"))
+            .cast(mv_types[min_col])
+            .alias(min_col),
+            F.greatest(F.col(f"m.{max_col}"), F.col("__ins_max"))
+            .cast(mv_types[max_col])
+            .alias(max_col),
+            new_cnt.alias(count_col),
+        )
+        .filter(F.col(count_col) > 0)
+    )
+    rescan_keys = j.filter(F.coalesce(trigger, F.lit(False))).select(
+        *[
+            F.coalesce(F.col(f"m.{k}"), F.col(f"d.{k}")).alias(k)
+            for k in group_keys
+        ]
+    )
+    b, rk = base.alias("b"), F.broadcast(rescan_keys.alias("rk"))
+    semi_on = reduce(
+        lambda a, b_: a & b_,
+        [F.col(f"b.{k}").eqNullSafe(F.col(f"rk.{k}")) for k in group_keys],
+    )
+    rescanned = (
+        b.join(rk, semi_on, "left_semi")
+        .groupBy(*group_keys)
+        .agg(
+            F.min(val_col).cast(mv_types[min_col]).alias(min_col),
+            F.max(val_col).cast(mv_types[max_col]).alias(max_col),
+            F.count(F.lit(1)).cast("long").alias(count_col),
+        )
+    )
+    return folded.unionByName(rescanned), rescan_keys
 
 
 _DECIMAL_REV = "decimal(18,2)"
@@ -315,4 +432,112 @@ def q_stream_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_custs").cast("bigint").alias("n_custs"),
         F.col("revenue").cast("double").alias("revenue"),
         F.col("total_orders").cast("bigint").alias("total_orders"),
+    )
+
+
+INCREMENTAL_MV_MINMAX_ORACLE = """
+    WITH base AS (
+      SELECT o_orderkey, o_custkey AS cust_id,
+             CAST(o_orderdate AS DATE) AS dt,
+             CAST(o_totalprice AS DECIMAL(12,2)) AS price
+      FROM orders
+    ),
+    v0 AS (SELECT * FROM base WHERE o_orderkey % 10 <> 0),
+    upd AS (
+      SELECT o_orderkey, cust_id, dt,
+             CAST(price * 2 AS DECIMAL(12,2)) AS price
+      FROM base WHERE o_orderkey % 7 = 0
+    ),
+    v1 AS (
+      SELECT * FROM v0 WHERE o_orderkey % 7 <> 0
+      UNION ALL SELECT * FROM upd
+    ),
+    v2 AS (SELECT * FROM v1 WHERE cust_id % 5 <> 0)
+    SELECT dt, CAST(MIN(price) AS DOUBLE) AS min_price,
+           CAST(MAX(price) AS DOUBLE) AS max_price,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM v2 GROUP BY dt
+"""
+
+
+@demo_query("q_incremental_mv_minmax", oracle=INCREMENTAL_MV_MINMAX_ORACLE)
+def q_incremental_mv_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX materialized-view maintenance with bounded
+    rescan-on-retraction (``fold_changes_into_minmax``): a per-day
+    (min, max, count) price MV is built once from version 0 of an
+    order-grain versioned fact, then kept current across a MERGE
+    commit (doubles every %7 order's price — retracting the OLD value
+    via its update_preimage) and a DELETE commit (drops the %5
+    customer cohort — retracting arbitrary extrema) purely by folding
+    each commit's change feed. Deletes that tie-or-beat a group's
+    maintained extremum trigger a recompute of THAT group only (the
+    base read is semi-joined to a broadcast of the triggered keys);
+    insert-side folds are join-free least/greatest. The query FAILS
+    unless at least one fold actually rescanned AND every fold
+    rescanned strictly fewer groups than the MV holds — the bounded
+    claim, asserted, not assumed. The oracle is the full recompute of
+    the final state."""
+    work = scratch_dir("spark_graft_incmv_minmax", unique=True)
+    vt = VersionedTable(os.path.join(work, "fact"), stats_cols=["dt"])
+
+    base = _daily_decimal(spark, sf_dir)  # o_orderkey, cust_id, dt, price
+    v0 = vt.write_full(
+        base.filter(F.col("o_orderkey") % 10 != 0).repartition(4)
+    )
+    upd = base.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+        "price", (F.col("price") * 2).cast("decimal(12,2)")
+    )
+    versions = [v0]
+    versions.append(vt.merge_upsert(spark, upd, keys=["o_orderkey"]))
+    versions.append(vt.delete_where(spark, "cust_id % 5 = 0"))
+
+    def materialize(df: DataFrame, gen) -> DataFrame:
+        path = os.path.join(work, f"mv_{gen}")
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    mv = materialize(
+        vt.read(spark, v0)
+        .groupBy("dt")
+        .agg(
+            F.min("price").alias("min_price"),
+            F.max("price").alias("max_price"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        ),
+        v0,
+    )
+    total_rescans = 0
+    for frm, to in zip(versions, versions[1:]):
+        delta = vt.changes(spark, frm, to).select(
+            "_change_type", "dt", "price"
+        )
+        folded, rescan_keys = fold_changes_into_minmax(
+            mv,
+            delta,
+            base=vt.read(spark, to),
+            group_keys=["dt"],
+            val_col="price",
+            min_col="min_price",
+            max_col="max_price",
+            count_col="n_orders",
+        )
+        n_rescanned = rescan_keys.count()
+        n_groups = mv.count()
+        if not n_rescanned < n_groups:
+            raise AssertionError(
+                f"rescan not bounded: {n_rescanned}/{n_groups} groups"
+            )
+        total_rescans += n_rescanned
+        mv = materialize(folded, to)
+    if total_rescans < 1:
+        raise AssertionError(
+            "scenario retracted extrema but nothing rescanned — the "
+            "trigger is broken (a missed retraction would go stale "
+            "silently)"
+        )
+    return mv.select(
+        F.col("dt").cast("date").alias("dt"),
+        F.col("min_price").cast("double").alias("min_price"),
+        F.col("max_price").cast("double").alias("max_price"),
+        F.col("n_orders").cast("bigint").alias("n_orders"),
     )

@@ -163,3 +163,157 @@ def test_stream_mv_equals_batch_mv(spark):
     batch = {tuple(r) for r in q_incremental_mv(spark, sf).collect()}
     stream = {tuple(r) for r in q_stream_mv(spark, sf).collect()}
     assert batch == stream
+
+
+# -- MIN/MAX fold with bounded rescan-on-retraction --------------------------
+
+
+from aws_lakehouse_project_spark.operators.incremental import (  # noqa: E402
+    fold_changes_into_minmax,
+)
+
+
+def _mmv(spark, rows):
+    return spark.createDataFrame(rows, "k string, lo int, hi int, n bigint")
+
+
+def _mdelta(spark, rows):
+    return spark.createDataFrame(rows, "_change_type string, k string, v int")
+
+
+def _mbase(spark, rows):
+    return spark.createDataFrame(rows, "k string, v int")
+
+
+def _mmfold(mv, delta, base):
+    return fold_changes_into_minmax(
+        mv, delta, base, group_keys=["k"], val_col="v",
+        min_col="lo", max_col="hi", count_col="n",
+    )
+
+
+def _mm_dict(df):
+    return {r["k"]: (r["lo"], r["hi"], r["n"]) for r in df.collect()}
+
+
+def test_minmax_insert_only_no_rescan(spark):
+    mv = _mmv(spark, [("a", 5, 9, 2)])
+    delta = _mdelta(spark, [("insert", "a", 3), ("insert", "b", 7)])
+    base = _mbase(spark, [("a", 5), ("a", 9), ("a", 3), ("b", 7)])
+    out, rescans = _mmfold(mv, delta, base)
+    assert rescans.count() == 0  # inserts never rescan
+    assert _mm_dict(out) == {"a": (3, 9, 3), "b": (7, 7, 1)}
+
+
+def test_minmax_non_extremum_delete_no_rescan(spark):
+    mv = _mmv(spark, [("a", 1, 9, 3)])  # values {1, 5, 9}
+    delta = _mdelta(spark, [("delete", "a", 5)])
+    base = _mbase(spark, [("a", 1), ("a", 9)])
+    out, rescans = _mmfold(mv, delta, base)
+    assert rescans.count() == 0  # 1 < 5 < 9: extrema untouched
+    assert _mm_dict(out) == {"a": (1, 9, 2)}
+
+
+def test_minmax_retracted_min_rescans_that_group_only(spark):
+    mv = _mmv(spark, [("a", 1, 9, 3), ("b", 2, 4, 2)])
+    delta = _mdelta(spark, [("delete", "a", 1)])
+    base = _mbase(spark, [("a", 5), ("a", 9), ("b", 2), ("b", 4)])
+    out, rescans = _mmfold(mv, delta, base)
+    assert [r["k"] for r in rescans.collect()] == ["a"]
+    assert _mm_dict(out) == {"a": (5, 9, 2), "b": (2, 4, 2)}
+
+
+def test_minmax_deleted_duplicate_extremum_rescans_harmlessly(spark):
+    mv = _mmv(spark, [("a", 1, 9, 3)])  # values {1, 1, 9}
+    delta = _mdelta(spark, [("delete", "a", 1)])
+    base = _mbase(spark, [("a", 1), ("a", 9)])
+    out, rescans = _mmfold(mv, delta, base)
+    assert rescans.count() == 1  # conservative: ties trigger
+    assert _mm_dict(out) == {"a": (1, 9, 2)}  # duplicate min survives
+
+
+def test_minmax_update_pair_retraction(spark):
+    # update 9 -> 18: preimage retracts the max, postimage inserts
+    mv = _mmv(spark, [("a", 1, 9, 2)])
+    delta = _mdelta(
+        spark,
+        [("update_preimage", "a", 9), ("update_postimage", "a", 18)],
+    )
+    base = _mbase(spark, [("a", 1), ("a", 18)])
+    out, rescans = _mmfold(mv, delta, base)
+    assert rescans.count() == 1
+    assert _mm_dict(out) == {"a": (1, 18, 2)}
+
+
+def test_minmax_group_retires_when_fully_deleted(spark):
+    mv = _mmv(spark, [("a", 1, 9, 2), ("b", 3, 3, 1)])
+    delta = _mdelta(spark, [("delete", "a", 1), ("delete", "a", 9)])
+    base = _mbase(spark, [("b", 3)])  # 'a' gone at the to-version
+    out, rescans = _mmfold(mv, delta, base)
+    assert rescans.count() == 1
+    assert _mm_dict(out) == {"b": (3, 3, 1)}  # rescan finds no rows: retired
+
+
+def test_minmax_null_values_never_trigger(spark):
+    mv = _mmv(spark, [("a", 1, 9, 3)])  # one row has v NULL
+    delta = spark.createDataFrame(
+        [("delete", "a", None)], "_change_type string, k string, v int"
+    )
+    base = _mbase(spark, [("a", 1), ("a", 9)])
+    out, rescans = _mmfold(mv, delta, base)
+    assert rescans.count() == 0  # MIN/MAX ignore NULLs
+    assert _mm_dict(out) == {"a": (1, 9, 2)}
+
+
+def test_minmax_null_group_key(spark):
+    mv = _mmv(spark, [(None, 4, 8, 2)])
+    delta = _mdelta(spark, [("delete", None, 4), ("insert", None, 6)])
+    base = _mbase(spark, [(None, 8), (None, 6)])
+    out, rescans = _mmfold(mv, delta, base)
+    assert rescans.count() == 1
+    assert _mm_dict(out) == {None: (6, 8, 2)}
+
+
+def test_minmax_fold_equals_recompute_random(spark):
+    """End-to-end over random mutations: fold ≡ recompute, and the
+    rescan set stays a strict subset of the groups (bounded)."""
+    import random
+
+    rng = random.Random(11)
+    rows = [(f"g{rng.randrange(12)}", rng.randrange(1000)) for _ in range(400)]
+    state = list(rows)
+    base0 = _mbase(spark, state)
+    mv = base0.groupBy("k").agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    total_rescans = 0
+    for _ in range(3):
+        dels = rng.sample(state, 60)
+        inss = [
+            (f"g{rng.randrange(12)}", rng.randrange(1000)) for _ in range(40)
+        ]
+        # remove exactly one copy per sampled delete (the scratch list
+        # is consumed by .remove; `dels` itself stays intact for the
+        # delta below)
+        pending = list(dels)
+        state = [r for r in state if r not in pending or pending.remove(r)]
+        state.extend(inss)
+        delta = spark.createDataFrame(
+            [("delete", k, v) for k, v in dels]
+            + [("insert", k, v) for k, v in inss],
+            "_change_type string, k string, v int",
+        )
+        base = _mbase(spark, state)
+        mv, rescans = _mmfold(mv, delta, base)
+        n_res = rescans.count()
+        assert n_res < 12
+        total_rescans += n_res
+    expect = _mm_dict(
+        _mbase(spark, state).groupBy("k").agg(
+            F.min("v").alias("lo"), F.max("v").alias("hi"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    assert _mm_dict(mv) == expect
+    assert total_rescans >= 1
