@@ -1819,3 +1819,61 @@ def q_scan_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_usd").cast("double").alias("total_usd"),
         "o_orderdate",
     )
+
+COUNT_STATS_ORACLE = f"""
+    WITH {_DAILY_CTE}
+    SELECT 0 AS version, (SELECT CAST(COUNT(*) AS BIGINT) FROM daily
+                          WHERE dt < DATE '{MERGE_HORIZON}') AS n_rows
+    UNION ALL
+    SELECT 1, (SELECT CAST(COUNT(*) AS BIGINT) FROM daily)
+    UNION ALL
+    SELECT 2, (SELECT CAST(COUNT(*) AS BIGINT) FROM daily
+               WHERE cust_id % 5 <> 0)
+    UNION ALL
+    SELECT 3, (SELECT CAST(COUNT(*) AS BIGINT) FROM daily
+               WHERE cust_id % 5 <> 0 AND cust_id % 3 <> 0)
+"""
+
+
+@demo_query("q_count_stats", oracle=COUNT_STATS_ORACLE)
+def q_count_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only COUNT(*) (``plans/versioned.py::row_count``,
+    Delta's stats-based count): every commit's manifest carries exact
+    per-file row counts and deletion vectors carry exact per-file dead
+    counts, so a whole-table count — at ANY version — is answered from
+    the manifest alone with ZERO data I/O. The history covers every
+    count-affecting commit type: overwrite, append, copy-on-write
+    DELETE, and a merge-on-read DELETE whose rows die via deletion
+    vector (the count must subtract dv_counts, not just sum file
+    stats). The query FAILS unless the counts still answer with the
+    DATA DIRECTORY RENAMED AWAY — the zero-I/O proof, per version —
+    and the oracle recomputes each version's count from the raw data.
+    At 100 TB this is the difference between a free dashboard query
+    and a full-table scan."""
+    work = scratch_dir("spark_graft_countstats", unique=True)
+    vt = VersionedTable(os.path.join(work, "fact"), stats_cols=["dt"])
+    daily = _daily_orders(spark, sf_dir)
+    vt.write_full(
+        daily.filter(F.col("dt") < F.lit(MERGE_HORIZON)).repartition(4)
+    )
+    vt.append(
+        daily.filter(F.col("dt") >= F.lit(MERGE_HORIZON)).repartition(4)
+    )
+    vt.delete_where(spark, "cust_id % 5 = 0")  # CoW: files rewritten
+    vt.delete_where(
+        spark, "cust_id % 3 = 0", mode="merge_on_read"
+    )  # DV: rows die in place, dv_counts must be subtracted
+    counts = {v: vt.row_count(v) for v in vt.versions()}
+    # zero-data-I/O proof: hide the data dir; every version still counts
+    data = os.path.join(vt.path, "data")
+    shutil.move(data, data + ".hidden")
+    try:
+        fresh = VersionedTable(vt.path)
+        for v in fresh.versions():
+            if fresh.row_count(v) != counts[v]:
+                raise AssertionError(f"count at v{v} changed without data")
+    finally:
+        shutil.move(data + ".hidden", data)
+    return spark.createDataFrame(
+        sorted(counts.items()), "version bigint, n_rows bigint"
+    )
