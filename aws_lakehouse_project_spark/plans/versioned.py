@@ -267,7 +267,7 @@ def _fmt_version(v: int) -> str:
 
 _DELTA_META_KEYS = (
     "version", "op", "ts", "schema", "meta", "constraints",
-    "column_mapping", "retired_cols",
+    "column_mapping", "retired_cols", "bloom_cols",
 )
 
 
@@ -369,15 +369,19 @@ class VersionedTable:
         change_feed: bool = False,
         claim_backend: CommitClaimBackend | None = None,
         checkpoint_interval: int = 20,
-        bloom_cols: Sequence[str] = (),
+        bloom_cols: Sequence[str] | None = None,
     ) -> None:
         self.path = path
         self.stats_cols = list(stats_cols)
         # per-file split-block Bloom sidecars for these columns (Delta's
         # bloom filter index shape): written at commit next to the data
         # files, consulted by scan(eq=...) for point-lookup file
-        # skipping where min/max spans are non-selective
-        self.bloom_cols = list(bloom_cols)
+        # skipping where min/max spans are non-selective. The choice is
+        # TABLE metadata (persisted in the manifest like constraints):
+        # None inherits the head's setting — a fresh handle keeps
+        # writing sidecars on every commit — [] explicitly disables,
+        # a list sets/updates it at this handle's next commit.
+        self.bloom_cols = list(bloom_cols) if bloom_cols is not None else None
         self.change_feed = change_feed
         self._claim = claim_backend or PosixLinkClaim()
         # delta-log knobs: commits claim action deltas (see module-level
@@ -697,6 +701,16 @@ class VersionedTable:
         # logical→physical map), so a sidecar never goes stale on rename
         return os.path.join(commit_dir_abs, f"_bloom-{phys}.json")
 
+    def _effective_bloom_cols(self) -> list[str]:
+        """The bloom column set this commit should index: the handle's
+        explicit choice when given, else the head manifest's persisted
+        setting — so sidecar writing survives fresh instances."""
+        if self.bloom_cols is not None:
+            return self.bloom_cols
+        if self.latest_version() is None:
+            return []
+        return list(self._manifest().get("bloom_cols", []))
+
     def _write_bloom_sidecars(
         self,
         spark: SparkSession,
@@ -720,7 +734,8 @@ class VersionedTable:
         ``nblocks`` is sized from the commit's largest file (power of
         two, ≥16) so every file in the commit shares one block space —
         smaller files just run at lower load (fewer false positives)."""
-        if not self.bloom_cols or not rel_files:
+        bloom_cols = self._effective_bloom_cols()
+        if not bloom_cols or not rel_files:
             return
         from ..functions.bloom import bloom_block_and_mask
 
@@ -735,7 +750,7 @@ class VersionedTable:
             int(max_rows * self._BLOOM_BITS_PER_KEY // 64).bit_length(), 4
         )
         base_by_rel = {os.path.basename(f): f for f in rel_files}
-        for col in self.bloom_cols:
+        for col in bloom_cols:
             phys = mapping.get(col, col)
             if phys not in dfp.columns:
                 continue
@@ -1021,6 +1036,11 @@ class VersionedTable:
                 if retired_cols is not None
                 else (list(hm.get("retired_cols", [])) if hm else [])
             )
+            bloom = (
+                list(self.bloom_cols)
+                if self.bloom_cols is not None
+                else (list(hm.get("bloom_cols", [])) if hm else [])
+            )
             if (
                 constraints is None
                 and self._validated_constraints is not None
@@ -1065,6 +1085,8 @@ class VersionedTable:
                 manifest["column_mapping"] = cm
             if retired:
                 manifest["retired_cols"] = retired
+            if bloom:
+                manifest["bloom_cols"] = bloom
             if self._claim_version(manifest, parent=hm):
                 if constraints is None:
                     # this commit consumed the pending validation record;

@@ -127,3 +127,40 @@ def test_scan_eq_without_bloom_cols_still_correct(spark, tmp_path):
     df = spark.range(500).select(F.col("id").alias("k"))
     vt.write_full(df.repartition(3))
     assert vt.scan(spark, "k", eq=123).count() == 1
+
+
+def test_bloom_cols_persist_to_fresh_handles(spark, bt):
+    """bloom_cols is TABLE metadata: a fresh handle (no constructor
+    arg) must keep writing sidecars on its own commits, and its point
+    lookups must prune."""
+    _seed(spark, bt, n=2000, parts=4)
+    fresh = VersionedTable(bt.path)  # no bloom_cols passed
+    extra = spark.range(2000, 4000).select(
+        (F.col("id") * 7).alias("k"), F.rand(9).alias("v")
+    )
+    fresh.append(extra.repartition(3))
+    sides = glob.glob(os.path.join(bt.path, "data", "*", "_bloom-k.json"))
+    assert len(sides) == 2  # both commits carry a sidecar
+    probe = 7 * 3210  # lives only in the fresh handle's commit
+    pruned = fresh.scan(spark, "k", eq=probe)
+    assert len(pruned.inputFiles()) < len(fresh.read(spark).inputFiles())
+    assert pruned.where(F.col("k") == probe).count() == 1
+
+
+def test_bloom_cols_explicit_empty_disables(spark, bt):
+    _seed(spark, bt, n=1000, parts=3)
+    off = VersionedTable(bt.path, bloom_cols=[])
+    off.append(
+        spark.range(1000, 2000).select(
+            (F.col("id") * 7).alias("k"), F.rand(3).alias("v")
+        )
+    )
+    m = off._manifest()
+    assert "bloom_cols" not in m  # persisted setting cleared
+    # new commit wrote no sidecar; older sidecars still prune their files
+    dirs = {os.path.dirname(f) for f in m["files"]}
+    newest = [
+        d for d in dirs
+        if not glob.glob(os.path.join(off.path, d, "_bloom-k.json"))
+    ]
+    assert newest  # the disabled commit's dir has no sidecar
