@@ -73,7 +73,6 @@ _VERIFY_FIRST = [
     # stalest r7 rows, alphabetical, to fill the 50-slot window
     "q_collect_sorted", "q_contamination", "q_cube",
     "q_dedup_clusters_semantic_scaled", "q_dedup_keep_first",
-    "q_embedding_quantize", "q_explode_pos", "q_fact_daily",
 ]
 
 
