@@ -70,7 +70,9 @@ _GRAMMAR = """supported statements:
   ALTER TABLE t ADD CONSTRAINT name CHECK (expr) | ALTER TABLE t DROP CONSTRAINT name
   ALTER TABLE t RENAME COLUMN a TO b | ALTER TABLE t DROP COLUMN c
   SELECT ... FROM t [VERSION AS OF n | TIMESTAMP AS OF epoch] ...
-  SELECT COUNT(*) FROM t [VERSION AS OF n]  (metadata-only)"""
+  SELECT COUNT(*) FROM t [VERSION AS OF n]  (metadata-only)
+  SELECT ... FROM t WHERE c = <lit>  (plan-time file skipping:
+    manifest min/max stats + per-file bloom sidecar when present)"""
 
 _IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
 _HINT = r"(?:/\*\+\s*(?P<hint>MERGE_ON_READ)\s*\*/\s*)?"
@@ -440,6 +442,42 @@ class LakehouseSession:
         if mm:
             v = self.table(mm.group("t")).drop_column(mm.group("c"))
             return self._row(op="drop_column", version=v)
+
+        mm = re.fullmatch(
+            rf"SELECT\s+(?P<cols>.+?)\s+FROM\s+(?P<t>{_IDENT})\s+"
+            rf"WHERE\s+(?P<c>{_IDENT})\s*=\s*"
+            r"(?P<val>'[^']*'|-?\d+(?:\.\d+)?)"
+            r"(?P<rest>(?:\s+ORDER\s+BY\s+[^;]+?)?(?:\s+LIMIT\s+\d+)?)",
+            s, flags=re.IGNORECASE | re.DOTALL,
+        )
+        if (
+            mm
+            and mm.group("t") in self._tables
+            and not re.search(
+                r"\b(JOIN|GROUP|UNION|SELECT)\b",
+                mm.group("cols"),
+                flags=re.IGNORECASE,
+            )
+        ):
+            # point-lookup fast path: a single-table equality SELECT
+            # routes through scan(eq=...) so manifest min/max stats AND
+            # any per-file bloom sidecar prune the file list at plan
+            # time (Delta's data-skipping-on-read). The residual
+            # equality filter still applies row-level inside scan(), so
+            # results are identical to the Catalyst fallthrough.
+            raw = mm.group("val")
+            value = (
+                raw[1:-1]
+                if raw.startswith("'")
+                else (float(raw) if "." in raw else int(raw))
+            )
+            vt = self.table(mm.group("t"))
+            pruned = vt.scan(self.spark, mm.group("c"), eq=value)
+            view = f"{mm.group('t')}__eqscan"
+            pruned.createOrReplaceTempView(view)
+            return self.spark.sql(
+                f"SELECT {mm.group('cols')} FROM {view}{mm.group('rest')}"
+            )
 
         mm = re.fullmatch(
             r"SELECT\s+COUNT\s*\(\s*\*\s*\)"

@@ -164,3 +164,23 @@ def test_bloom_cols_explicit_empty_disables(spark, bt):
         if not glob.glob(os.path.join(off.path, d, "_bloom-k.json"))
     ]
     assert newest  # the disabled commit's dir has no sidecar
+
+
+def test_sql_equality_select_uses_bloom_skipping(spark, bt):
+    """LakehouseSQL point lookups route through scan(eq=): fewer input
+    files than the full view, identical rows to the Catalyst path."""
+    from aws_lakehouse_project_spark.plans.lakehouse_sql import LakehouseSession
+
+    _seed(spark, bt, n=3000, parts=6)
+    lh = LakehouseSession(spark)
+    lh.register("t", bt)
+    probe = 7 * 1500
+    fast = lh.sql(f"SELECT k, v FROM t WHERE k = {probe}")
+    assert len(fast.inputFiles()) < len(bt.read(spark).inputFiles())
+    slow = bt.read(spark).where(F.col("k") == probe).select("k", "v")
+    assert _rows(fast) == _rows(slow)
+    # filtered COUNT over the pruned view stays exact
+    n = lh.sql(f"SELECT COUNT(*) AS n FROM t WHERE k = {probe}").first()["n"]
+    assert n == 1
+    # string-literal form parses and matches (no rows for this value)
+    assert lh.sql("SELECT k FROM t WHERE k = '-1'").count() == 0
