@@ -156,6 +156,12 @@ EXTRA = [
     "q_stream_mv",
     "q_hll_rollup",
     "q_bloom_join",
+    # round-11 addition: vacuum-vs-writer OCC guard, per-file bloom
+    # data skipping, MIN/MAX MV fold, metadata-only COUNT(*)
+    "q_vacuum_concurrent",
+    "q_scan_bloom_skipping",
+    "q_incremental_mv_minmax",
+    "q_count_stats",
 ]
 
 
