@@ -184,3 +184,29 @@ def test_sql_equality_select_uses_bloom_skipping(spark, bt):
     assert n == 1
     # string-literal form parses and matches (no rows for this value)
     assert lh.sql("SELECT k FROM t WHERE k = '-1'").count() == 0
+
+
+def test_optimize_rewritten_files_get_fresh_sidecars(spark, bt):
+    """OPTIMIZE goes through the same commit chokepoint: packed files
+    must carry a fresh sidecar and point lookups keep pruning."""
+    _seed(spark, bt, n=3000, parts=6)
+    bt.optimize(spark, target_rows_per_file=10_000)  # packs all 6 files
+    m = bt._manifest()
+    assert m["op"] == "optimize"
+    for d in {os.path.dirname(f) for f in m["files"]}:
+        assert glob.glob(os.path.join(bt.path, d, "_bloom-k.json")), d
+    probe = 7 * 2999
+    pruned = bt.scan(spark, "k", eq=probe)
+    assert _rows(pruned) == _rows(bt.read(spark).where(F.col("k") == probe))
+
+
+def test_reader_of_retained_head_survives_concurrent_vacuum(spark, bt):
+    """A reader that resolved the HEAD manifest before vacuum ran must
+    scan cleanly afterwards — vacuum never touches retained files."""
+    _seed(spark, bt, n=1000, parts=3)
+    bt.write_full(
+        spark.range(50).select(F.col("id").alias("k"), F.lit(1.0).alias("v"))
+    )
+    df = bt.read(spark)  # plan resolved against the retained head
+    bt.vacuum(retain_last=1)  # drops v0 and reclaims its files
+    assert df.count() == 50  # the lazy plan still executes cleanly
