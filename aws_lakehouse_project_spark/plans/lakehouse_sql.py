@@ -72,7 +72,9 @@ _GRAMMAR = """supported statements:
   SELECT ... FROM t [VERSION AS OF n | TIMESTAMP AS OF epoch] ...
   SELECT COUNT(*) FROM t [VERSION AS OF n]  (metadata-only)
   SELECT ... FROM t WHERE c = <lit>  (plan-time file skipping:
-    manifest min/max stats + per-file bloom sidecar when present)"""
+    manifest min/max stats + per-file bloom sidecar when present)
+  CREATE BLOOMFILTER INDEX FOR COLUMNS (c1[, c2]) ON t [WITH BACKFILL]
+  DROP BLOOMFILTER INDEX ON t"""
 
 _IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
 _HINT = r"(?:/\*\+\s*(?P<hint>MERGE_ON_READ)\s*\*/\s*)?"
@@ -442,6 +444,27 @@ class LakehouseSession:
         if mm:
             v = self.table(mm.group("t")).drop_column(mm.group("c"))
             return self._row(op="drop_column", version=v)
+
+        mm = re.fullmatch(
+            r"CREATE\s+BLOOMFILTER\s+INDEX\s+FOR\s+COLUMNS\s*"
+            rf"\((?P<cols>[^)]+)\)\s+ON\s+(?P<t>{_IDENT})"
+            r"(?P<bf>\s+WITH\s+BACKFILL)?",
+            s, flags=re.IGNORECASE,
+        )
+        if mm:
+            cols = [c.strip() for c in mm.group("cols").split(",")]
+            v = self.table(mm.group("t")).set_bloom_cols(
+                self.spark, cols, backfill=bool(mm.group("bf"))
+            )
+            return self._row(op="set_bloom_index", version=v)
+
+        mm = re.fullmatch(
+            rf"DROP\s+BLOOMFILTER\s+INDEX\s+ON\s+(?P<t>{_IDENT})",
+            s, flags=re.IGNORECASE,
+        )
+        if mm:
+            v = self.table(mm.group("t")).set_bloom_cols(self.spark, [])
+            return self._row(op="drop_bloom_index", version=v)
 
         mm = re.fullmatch(
             rf"SELECT\s+(?P<cols>.+?)\s+FROM\s+(?P<t>{_IDENT})\s+"

@@ -2095,6 +2095,48 @@ class VersionedTable:
             expected_head=m["version"],
         )
 
+    def set_bloom_cols(
+        self, spark: SparkSession, cols: Sequence[str], backfill: bool = False
+    ) -> int:
+        """Delta's ``CREATE/DROP BLOOMFILTER INDEX``: persist the bloom
+        column set as a metadata-only commit (``[]`` drops the index).
+        New commits index their files from then on — any handle, since
+        the setting rides the manifest. ``backfill=True`` additionally
+        writes sidecars for the EXISTING head files (idempotent atomic
+        writes, one aggregate per column per commit dir; borrowed
+        absolute-path clone files are skipped — their directories
+        belong to the source table). Without backfill, pre-existing
+        files simply never prune (no false negatives either way)."""
+        m = self._manifest()
+        cols = list(cols)
+        fields = {f["name"] for f in m["schema"]["fields"]}
+        missing = [c for c in cols if c not in fields]
+        if missing:
+            raise ValueError(
+                f"bloom columns not in schema: {missing} (have {sorted(fields)})"
+            )
+        self.bloom_cols = cols  # explicit: _commit persists it
+        v = self._commit(
+            "set_bloom_index",
+            m["files"],
+            m["stats"],
+            m["schema"],
+            {"bloom_cols": cols},
+            expected_head=m["version"],
+        )
+        if backfill and cols:
+            mapping = self._head_mapping()
+            by_dir: dict[str, list[str]] = {}
+            for f in m["files"]:
+                if os.path.isabs(f):
+                    continue  # borrowed clone file: not our directory
+                by_dir.setdefault(os.path.dirname(f), []).append(f)
+            for d, fs in by_dir.items():
+                self._write_bloom_sidecars(
+                    spark, os.path.join(self.path, d), fs, m["stats"], mapping
+                )
+        return v
+
     def drop_constraint(self, name: str) -> int:
         """ALTER TABLE ... DROP CONSTRAINT: metadata-only commit."""
         m = self._manifest()

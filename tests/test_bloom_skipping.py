@@ -210,3 +210,38 @@ def test_reader_of_retained_head_survives_concurrent_vacuum(spark, bt):
     df = bt.read(spark)  # plan resolved against the retained head
     bt.vacuum(retain_last=1)  # drops v0 and reclaims its files
     assert df.count() == 50  # the lazy plan still executes cleanly
+
+
+def test_sql_create_bloom_index_with_backfill(spark, tmp_path):
+    """CREATE BLOOMFILTER INDEX ... WITH BACKFILL: existing files get
+    sidecars immediately and point lookups prune; DROP clears the
+    persisted setting."""
+    from aws_lakehouse_project_spark.plans.lakehouse_sql import (
+        LakehouseSession,
+    )
+
+    vt = VersionedTable(str(tmp_path / "t"), stats_cols=["k"])
+    df = spark.range(3000).select(
+        (F.col("id") * 7).alias("k"), F.rand(5).alias("v")
+    )
+    vt.write_full(df.repartition(6))
+    lh = LakehouseSession(spark)
+    lh.register("t", vt)
+    lh.sql("CREATE BLOOMFILTER INDEX FOR COLUMNS (k) ON t WITH BACKFILL")
+    assert vt._manifest().get("bloom_cols") == ["k"]
+    probe = 7 * 1500
+    pruned = vt.scan(spark, "k", eq=probe)
+    assert len(pruned.inputFiles()) < 6  # backfilled sidecars prune
+    assert pruned.where(F.col("k") == probe).count() == 1
+    # the setting persists to fresh handles through the delta log
+    fresh = VersionedTable(vt.path)
+    assert fresh._effective_bloom_cols() == ["k"]
+    lh.sql("DROP BLOOMFILTER INDEX ON t")
+    assert "bloom_cols" not in vt._manifest()
+
+
+def test_set_bloom_cols_rejects_unknown_column(spark, tmp_path):
+    vt = VersionedTable(str(tmp_path / "t"))
+    vt.write_full(spark.range(10).select(F.col("id").alias("k")))
+    with pytest.raises(ValueError, match="not in schema"):
+        vt.set_bloom_cols(spark, ["nope"])

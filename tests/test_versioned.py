@@ -1391,3 +1391,43 @@ def test_vacuum_concurrent_writer_stress(spark, vt):
     assert len(rows) == 1 + 4 * 3
     assert len(set(rows)) == len(rows)
     _audit_manifests_resolve(spark, vt.path)
+
+
+def test_vacuum_races_staged_cow_merge_via_claim_seam(spark, tmp_path):
+    """Same race as the append form, but the in-flight writer is a
+    copy-on-write MERGE (stages rewritten+new files before its claim):
+    vacuum mid-claim must spare the staged files and the merge must
+    land on the post-vacuum log."""
+    from aws_lakehouse_project_spark.plans.versioned import (
+        CommitClaimBackend,
+        PosixLinkClaim,
+    )
+
+    path = str(tmp_path / "t")
+    seed = VersionedTable(path)
+    seed.write_full(_mk(spark, [(1, "a"), (2, "b")]))
+    seed.write_full(_mk(spark, [(1, "a"), (2, "b"), (3, "c")]))  # v0 dead
+    report: dict = {}
+
+    class VacuumDuringClaim(CommitClaimBackend):
+        def __init__(self):
+            self._inner = PosixLinkClaim()
+            self.fired = False
+
+        def claim(self, final: str, payload: str) -> bool:
+            if not self.fired:
+                self.fired = True
+                report.update(VersionedTable(path).vacuum(retain_last=1))
+            return self._inner.claim(final, payload)
+
+    victim = VersionedTable(path, claim_backend=VacuumDuringClaim())
+    victim.merge_upsert(
+        spark, _mk(spark, [(2, "B!"), (4, "d")]), keys=["k"]
+    )
+    assert report["removed_versions"] == 1
+    assert report["skipped_inflight_files"] >= 1
+    fresh = VersionedTable(path)
+    assert _rows(fresh.read(spark)) == [
+        (1, "a"), (2, "B!"), (3, "c"), (4, "d"),
+    ]
+    _audit_manifests_resolve(spark, path)
