@@ -435,7 +435,9 @@ def q_stream_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-INCREMENTAL_MV_MINMAX_ORACLE = """
+_MM_HORIZON = "1997-01-01"  # mutations confined to this dt horizon
+
+INCREMENTAL_MV_MINMAX_ORACLE = f"""
     WITH base AS (
       SELECT o_orderkey, o_custkey AS cust_id,
              CAST(o_orderdate AS DATE) AS dt,
@@ -446,13 +448,18 @@ INCREMENTAL_MV_MINMAX_ORACLE = """
     upd AS (
       SELECT o_orderkey, cust_id, dt,
              CAST(price * 2 AS DECIMAL(12,2)) AS price
-      FROM base WHERE o_orderkey % 7 = 0
+      FROM base
+      WHERE o_orderkey % 7 = 0 AND dt >= DATE '{_MM_HORIZON}'
     ),
     v1 AS (
-      SELECT * FROM v0 WHERE o_orderkey % 7 <> 0
+      SELECT * FROM v0
+      WHERE NOT (o_orderkey % 7 = 0 AND dt >= DATE '{_MM_HORIZON}')
       UNION ALL SELECT * FROM upd
     ),
-    v2 AS (SELECT * FROM v1 WHERE cust_id % 5 <> 0)
+    v2 AS (
+      SELECT * FROM v1
+      WHERE NOT (cust_id % 5 = 0 AND dt >= DATE '{_MM_HORIZON}')
+    )
     SELECT dt, CAST(MIN(price) AS DOUBLE) AS min_price,
            CAST(MAX(price) AS DOUBLE) AS max_price,
            CAST(COUNT(*) AS BIGINT) AS n_orders
@@ -469,14 +476,17 @@ def q_incremental_mv_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     commit (doubles every %7 order's price — retracting the OLD value
     via its update_preimage) and a DELETE commit (drops the %5
     customer cohort — retracting arbitrary extrema) purely by folding
-    each commit's change feed. Deletes that tie-or-beat a group's
-    maintained extremum trigger a recompute of THAT group only (the
-    base read is semi-joined to a broadcast of the triggered keys);
-    insert-side folds are join-free least/greatest. The query FAILS
-    unless at least one fold actually rescanned AND every fold
-    rescanned strictly fewer groups than the MV holds — the bounded
-    claim, asserted, not assumed. The oracle is the full recompute of
-    the final state."""
+    each commit's change feed. Both mutations are confined to the dt
+    horizon >= {_MM_HORIZON} (the reference's late-data shape), so the
+    rescan set is STRUCTURALLY a strict subset of the MV's groups at
+    any scale factor. Deletes that tie-or-beat a group's maintained
+    extremum trigger a recompute of THAT group only (the base read is
+    semi-joined to a broadcast of the triggered keys); insert-side
+    folds are join-free least/greatest. The query FAILS unless at
+    least one fold actually rescanned AND every fold rescanned
+    strictly fewer groups than the MV holds AND every rescanned group
+    lies inside the horizon — the bounded claim, asserted, not
+    assumed. The oracle is the full recompute of the final state."""
     work = scratch_dir("spark_graft_incmv_minmax", unique=True)
     vt = VersionedTable(os.path.join(work, "fact"), stats_cols=["dt"])
 
@@ -484,12 +494,17 @@ def q_incremental_mv_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     v0 = vt.write_full(
         base.filter(F.col("o_orderkey") % 10 != 0).repartition(4)
     )
-    upd = base.filter(F.col("o_orderkey") % 7 == 0).withColumn(
-        "price", (F.col("price") * 2).cast("decimal(12,2)")
-    )
+    upd = base.filter(
+        (F.col("o_orderkey") % 7 == 0)
+        & (F.col("dt") >= F.lit(_MM_HORIZON))
+    ).withColumn("price", (F.col("price") * 2).cast("decimal(12,2)"))
     versions = [v0]
     versions.append(vt.merge_upsert(spark, upd, keys=["o_orderkey"]))
-    versions.append(vt.delete_where(spark, "cust_id % 5 = 0"))
+    versions.append(
+        vt.delete_where(
+            spark, f"cust_id % 5 = 0 AND dt >= DATE '{_MM_HORIZON}'"
+        )
+    )
 
     def materialize(df: DataFrame, gen) -> DataFrame:
         path = os.path.join(work, f"mv_{gen}")
@@ -526,6 +541,14 @@ def q_incremental_mv_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not n_rescanned < n_groups:
             raise AssertionError(
                 f"rescan not bounded: {n_rescanned}/{n_groups} groups"
+            )
+        outside = rescan_keys.where(
+            F.col("dt") < F.lit(_MM_HORIZON)
+        ).count()
+        if outside:
+            raise AssertionError(
+                f"{outside} rescanned group(s) outside the mutation "
+                "horizon — the trigger fired where nothing was retracted"
             )
         total_rescans += n_rescanned
         mv = materialize(folded, to)
