@@ -1877,3 +1877,81 @@ def q_count_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         sorted(counts.items()), "version bigint, n_rows bigint"
     )
+
+STATS_MINMAX_ORACLE = f"""
+    WITH {_DAILY_CTE}
+    SELECT 0 AS version,
+           (SELECT MIN(dt) FROM daily WHERE dt < DATE '{MERGE_HORIZON}') AS min_dt,
+           (SELECT MAX(dt) FROM daily WHERE dt < DATE '{MERGE_HORIZON}') AS max_dt,
+           (SELECT MIN(cust_id) FROM daily WHERE dt < DATE '{MERGE_HORIZON}') AS min_cust,
+           (SELECT MAX(cust_id) FROM daily WHERE dt < DATE '{MERGE_HORIZON}') AS max_cust,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM daily WHERE dt < DATE '{MERGE_HORIZON}') AS n_rows
+    UNION ALL
+    SELECT 1, (SELECT MIN(dt) FROM daily), (SELECT MAX(dt) FROM daily),
+           (SELECT MIN(cust_id) FROM daily), (SELECT MAX(cust_id) FROM daily),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM daily)
+    UNION ALL
+    SELECT 2,
+           (SELECT MIN(dt) FROM daily WHERE cust_id % 5 <> 0),
+           (SELECT MAX(dt) FROM daily WHERE cust_id % 5 <> 0),
+           (SELECT MIN(cust_id) FROM daily WHERE cust_id % 5 <> 0),
+           (SELECT MAX(cust_id) FROM daily WHERE cust_id % 5 <> 0),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM daily WHERE cust_id % 5 <> 0)
+"""
+
+
+@demo_query("q_stats_minmax", oracle=STATS_MINMAX_ORACLE)
+def q_stats_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only MIN/MAX (+COUNT) — ``row_count``'s extrema twin
+    (``plans/versioned.py::col_min_max``, Delta's stats-based query
+    answering): per-file min/max stats are exact aggregates, so the
+    whole-table extremum at ANY version is the min/max of per-file
+    extrema, read from the manifest with ZERO data I/O. History covers
+    overwrite, append, and a copy-on-write DELETE (rewritten files get
+    fresh exact stats, so the answer stays exact — no DVs here by
+    construction; ``col_min_max`` REFUSES on DV'd versions, proven in
+    tests). The query FAILS unless every per-version answer still
+    computes with the DATA DIRECTORY RENAMED AWAY; the oracle
+    recomputes all three versions from raw data. At 100 TB: a
+    dashboard's date-range + row-count header costs zero reads."""
+    work = scratch_dir("spark_graft_statsminmax", unique=True)
+    vt = VersionedTable(
+        os.path.join(work, "fact"), stats_cols=["dt", "cust_id"]
+    )
+    daily = _daily_orders(spark, sf_dir)
+    vt.write_full(
+        daily.filter(F.col("dt") < F.lit(MERGE_HORIZON)).repartition(4)
+    )
+    vt.append(
+        daily.filter(F.col("dt") >= F.lit(MERGE_HORIZON)).repartition(4)
+    )
+    vt.delete_where(spark, "cust_id % 5 = 0")  # CoW: stats stay exact
+
+    def answers(inst: VersionedTable) -> list[tuple]:
+        rows = []
+        for v in inst.versions():
+            lo_dt, hi_dt = inst.col_min_max("dt", v)
+            lo_c, hi_c = inst.col_min_max("cust_id", v)
+            rows.append((v, lo_dt, hi_dt, lo_c, hi_c, inst.row_count(v)))
+        return rows
+
+    got = answers(vt)
+    data = os.path.join(vt.path, "data")
+    shutil.move(data, data + ".hidden")
+    try:
+        if answers(VersionedTable(vt.path)) != got:
+            raise AssertionError("metadata answers changed without data")
+    finally:
+        shutil.move(data + ".hidden", data)
+    return spark.createDataFrame(
+        got,
+        "version bigint, min_dt string, max_dt string, "
+        "min_cust bigint, max_cust bigint, n_rows bigint",
+    ).select(
+        "version",
+        F.col("min_dt").cast("date").alias("min_dt"),
+        F.col("max_dt").cast("date").alias("max_dt"),
+        "min_cust",
+        "max_cust",
+        "n_rows",
+    )

@@ -70,7 +70,9 @@ _GRAMMAR = """supported statements:
   ALTER TABLE t ADD CONSTRAINT name CHECK (expr) | ALTER TABLE t DROP CONSTRAINT name
   ALTER TABLE t RENAME COLUMN a TO b | ALTER TABLE t DROP COLUMN c
   SELECT ... FROM t [VERSION AS OF n | TIMESTAMP AS OF epoch] ...
-  SELECT COUNT(*) FROM t [VERSION AS OF n]  (metadata-only)
+  SELECT COUNT(*) | MIN(c) | MAX(c) [, ...] FROM t [VERSION AS OF n]
+    (metadata-only from manifest stats; Catalyst fallthrough whenever
+     metadata cannot guarantee the answer — DVs, decimals, no stat)
   SELECT ... FROM t WHERE c = <lit>  (plan-time file skipping:
     manifest min/max stats + per-file bloom sidecar when present)
   CREATE BLOOMFILTER INDEX FOR COLUMNS (c1[, c2]) ON t [WITH BACKFILL]
@@ -503,23 +505,60 @@ class LakehouseSession:
             )
 
         mm = re.fullmatch(
-            r"SELECT\s+COUNT\s*\(\s*\*\s*\)"
-            rf"(?:\s+AS\s+(?P<a>{_IDENT}))?\s+FROM\s+(?P<t>{_IDENT})"
+            rf"SELECT\s+(?P<items>.+?)\s+FROM\s+(?P<t>{_IDENT})"
             r"(?:\s+VERSION\s+AS\s+OF\s+(?P<v>\d+))?",
             s, flags=re.IGNORECASE,
         )
         if mm and mm.group("t") in self._tables:
-            # Delta's metadata-only COUNT(*): the whole-table (or
-            # whole-version) count is answered from manifest stats —
-            # zero data I/O at any table size. Anything with a WHERE /
-            # GROUP BY falls through to Catalyst below.
-            n = self.table(mm.group("t")).row_count(
-                int(mm.group("v")) if mm.group("v") else None
+            # Delta's metadata-only aggregates: a select list made
+            # entirely of COUNT(*) / MIN(c) / MAX(c) over one table (or
+            # one version) is answered from manifest stats — zero data
+            # I/O at any table size. Falls through to Catalyst whenever
+            # metadata cannot GUARANTEE the answer (deletion vectors,
+            # missing stats, decimal stats are pruning-grade) or the
+            # list holds anything else (WHERE/GROUP BY never match).
+            item_re = re.compile(
+                r"(?:(?P<cnt>COUNT\s*\(\s*\*\s*\))|"
+                rf"(?P<fn>MIN|MAX)\s*\(\s*(?P<c>{_IDENT})\s*\))"
+                rf"(?:\s+AS\s+(?P<a>{_IDENT}))?",
+                re.IGNORECASE,
             )
-            col = mm.group("a") or "count(1)"  # spark.sql's column name
-            return self.spark.range(1).select(
-                F.lit(n).cast("bigint").alias(col)
-            )
+            parsed = [
+                item_re.fullmatch(it.strip())
+                for it in _split_top(mm.group("items"))
+            ]
+            if parsed and all(parsed):
+                vt = self.table(mm.group("t"))
+                ver = int(mm.group("v")) if mm.group("v") else None
+                try:
+                    from pyspark.sql.types import StructType
+
+                    schema = StructType.fromJson(vt._manifest(ver)["schema"])
+                    out = []
+                    for m2 in parsed:
+                        if m2.group("cnt"):
+                            out.append(
+                                F.lit(vt.row_count(ver))
+                                .cast("bigint")
+                                .alias(m2.group("a") or "count(1)")
+                            )
+                        else:
+                            fn = m2.group("fn").lower()
+                            c = m2.group("c")
+                            mn, mx = vt.col_min_max(c, ver)
+                            dtype = next(
+                                f.dataType
+                                for f in schema.fields
+                                if f.name == c
+                            )
+                            out.append(
+                                F.lit(mn if fn == "min" else mx)
+                                .cast(dtype)
+                                .alias(m2.group("a") or f"{fn}({c})")
+                            )
+                    return self.spark.range(1).select(*out)
+                except ValueError:
+                    pass  # not metadata-answerable → Catalyst scans
 
         if re.match(r"(SELECT|WITH)\b", s, flags=re.IGNORECASE):
             return self._run_select(s)

@@ -2353,6 +2353,65 @@ class VersionedTable:
             total += st["rows"]
         return total - sum(m.get("dv_counts", {}).values())
 
+    def col_min_max(self, col: str, version: int | None = None) -> tuple:
+        """Whole-table (MIN, MAX) for ``col`` from manifest stats ALONE
+        — zero data I/O at any table size (Delta's stats-based query
+        answering; the MIN/MAX twin of ``row_count``). Exact because
+        per-file stats are exact aggregates, and MIN/MAX over files is
+        MIN/MAX of per-file extrema. REFUSES with ``ValueError``
+        whenever metadata cannot GUARANTEE the answer:
+
+        * the version carries deletion vectors (a dead row could be the
+          stored extremum — file stats include DV'd rows);
+        * ``col`` is not a stats column of every non-empty file;
+        * ``col`` is decimal (stats store pruning-grade floats — see
+          ``_stat_json`` — so the exact value is not recoverable).
+
+        Values come back in the stat plane: numbers, or ISO strings for
+        date/timestamp columns (cast with the schema type for typed
+        use). NULL-only columns answer (None, None) — SQL MIN/MAX
+        ignore NULLs."""
+        m = self._manifest(version)
+        if m.get("dvs"):
+            raise ValueError(
+                "metadata-only MIN/MAX unavailable: version "
+                f"{m['version']} carries deletion vectors"
+            )
+        dtype = next(
+            (
+                f["type"]
+                for f in m["schema"]["fields"]
+                if f["name"] == col
+            ),
+            None,
+        )
+        if dtype is None:
+            raise ValueError(f"no column {col!r} at version {m['version']}")
+        if isinstance(dtype, str) and dtype.startswith("decimal"):
+            raise ValueError(
+                "metadata-only MIN/MAX unavailable for decimal columns "
+                "(stats store pruning-grade floats)"
+            )
+        phys = m.get("column_mapping", {}).get(col, col)
+        mins: list = []
+        maxs: list = []
+        for f in m["files"]:
+            st = m["stats"].get(f, {})
+            if st.get("rows", 0) == 0:
+                continue  # empty part file contributes nothing
+            if phys not in st:
+                raise ValueError(
+                    f"file {f!r} has no {col!r} stat; metadata-only "
+                    "MIN/MAX unavailable"
+                )
+            mn, mx = st[phys]
+            if mn is not None:
+                mins.append(mn)
+                maxs.append(mx)
+        if not mins:
+            return (None, None)
+        return (min(mins), max(maxs))
+
     # -- copy-on-write ops --------------------------------------------------
 
     def _tagged_read(self, spark: SparkSession, m: dict) -> DataFrame:

@@ -266,3 +266,33 @@ def test_metadata_only_count(lh, spark, tmp_path):
         assert lh.sql("SELECT COUNT(*) FROM t").collect()[0][0] == 4
     finally:
         shutil.move(data + ".hidden", data)
+
+
+def test_metadata_only_min_max(spark, lh):
+    """SELECT MIN/MAX/COUNT from manifest stats alone — proven by
+    answering with the data dir renamed away; DV'd and non-stat
+    columns fall through to Catalyst (and then need the data)."""
+    import os
+    import shutil
+
+    row = lh.sql("SELECT MIN(k) AS lo, MAX(k) AS hi, COUNT(*) AS n FROM t")
+    assert tuple(row.collect()[0]) == (0, 5, 6)
+    # spark.sql column-name parity without aliases
+    assert lh.sql("SELECT MIN(k) FROM t").columns == ["min(k)"]
+    vt = lh.table("t")
+    data = os.path.join(vt.path, "data")
+    shutil.move(data, data + ".hidden")
+    try:
+        got = lh.sql("SELECT MIN(k) AS lo, MAX(k) AS hi FROM t").collect()[0]
+        assert tuple(got) == (0, 5)
+        # version-pinned form answers from that manifest
+        v0 = lh.sql("SELECT MAX(k) AS hi FROM t VERSION AS OF 0").collect()
+        assert v0[0]["hi"] == 5
+    finally:
+        shutil.move(data + ".hidden", data)
+    # a DV at the head makes metadata MIN/MAX unsafe: falls to Catalyst,
+    # which scans and returns the POST-delete extrema
+    lh.sql("DELETE /*+ MERGE_ON_READ */ FROM t WHERE k = 0")
+    assert lh.sql("SELECT MIN(k) AS lo FROM t").collect()[0]["lo"] == 1
+    # COUNT(*) alone stays metadata-only even with DVs (dv_counts exact)
+    assert lh.sql("SELECT COUNT(*) FROM t").collect()[0][0] == 5

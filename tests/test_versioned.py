@@ -1431,3 +1431,30 @@ def test_vacuum_races_staged_cow_merge_via_claim_seam(spark, tmp_path):
         (1, "a"), (2, "B!"), (3, "c"), (4, "d"),
     ]
     _audit_manifests_resolve(spark, path)
+
+
+def test_col_min_max_metadata_only(spark, vt):
+    """(MIN, MAX) from stats alone; refuses on DVs and missing stats."""
+    vt.write_full(_mk(spark, [(5, "a"), (1, "b")]).coalesce(1))
+    vt.append(_mk(spark, [(9, "c")]).coalesce(1))
+    assert vt.col_min_max("k") == (1, 9)
+    assert vt.col_min_max("k", version=0) == (1, 5)
+    with pytest.raises(ValueError, match="no .* stat|no column"):
+        vt.col_min_max("v")  # v is not a stats column
+    vt.delete_where(spark, "k = 9", mode="merge_on_read")  # DV lands
+    with pytest.raises(ValueError, match="deletion vectors"):
+        vt.col_min_max("k")
+    # pre-DV versions still answer
+    assert vt.col_min_max("k", version=1) == (1, 9)
+
+
+def test_col_min_max_refuses_decimal(spark, tmp_path):
+    from decimal import Decimal
+
+    vt = VersionedTable(str(tmp_path / "d"), stats_cols=["amt"])
+    df = spark.createDataFrame(
+        [(Decimal("1.50"),), (Decimal("2.25"),)], "amt decimal(12,2)"
+    )
+    vt.write_full(df)
+    with pytest.raises(ValueError, match="decimal"):
+        vt.col_min_max("amt")
