@@ -519,6 +519,7 @@ class LakehouseSession:
             # list holds anything else (WHERE/GROUP BY never match).
             item_re = re.compile(
                 r"(?:(?P<cnt>COUNT\s*\(\s*\*\s*\))|"
+                rf"COUNT\s*\(\s*(?P<cc>{_IDENT})\s*\)|"
                 rf"(?P<fn>MIN|MAX)\s*\(\s*(?P<c>{_IDENT})\s*\))"
                 rf"(?:\s+AS\s+(?P<a>{_IDENT}))?",
                 re.IGNORECASE,
@@ -541,6 +542,13 @@ class LakehouseSession:
                                 F.lit(vt.row_count(ver))
                                 .cast("bigint")
                                 .alias(m2.group("a") or "count(1)")
+                            )
+                        elif m2.group("cc"):
+                            c = m2.group("cc")
+                            out.append(
+                                F.lit(vt.col_non_null_count(c, ver))
+                                .cast("bigint")
+                                .alias(m2.group("a") or f"count({c})")
                             )
                         else:
                             fn = m2.group("fn").lower()

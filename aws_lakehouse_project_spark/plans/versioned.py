@@ -647,6 +647,11 @@ class VersionedTable:
             for c in present:
                 aggs.append(F.min(c).alias(f"__min_{c}"))
                 aggs.append(F.max(c).alias(f"__max_{c}"))
+                # Delta's nullCount: rides the same single aggregate,
+                # powers IS NULL file skipping and metadata COUNT(col)
+                aggs.append(
+                    F.count_if(F.col(c).isNull()).alias(f"__nulls_{c}")
+                )
         for i, (_, expr) in enumerate(cons):
             aggs.append(F.count_if(_violation_expr(expr)).alias(f"__viol_{i}"))
         rows = (
@@ -672,10 +677,16 @@ class VersionedTable:
         for r in rows:
             rel = self._to_rel(r["__file"])
             ent = {"rows": r["__rows"]}
+            nulls = {}
             for c in present:
                 ent[mapping.get(c, c)] = [
                     _stat_json(r[f"__min_{c}"]), _stat_json(r[f"__max_{c}"])
                 ]
+                nulls[mapping.get(c, c)] = r[f"__nulls_{c}"]
+            if nulls:
+                # keyed under "__nulls" (not a physical name: physical
+                # names never start with __ on this layer's write path)
+                ent["__nulls"] = nulls
             by_rel[rel] = ent
         # zero-row part files never surface in the aggregate (no rows to
         # tag with input_file_name) — record them explicitly so every
@@ -1357,6 +1368,7 @@ class VersionedTable:
         hi=None,
         version: int | None = None,
         eq=None,
+        is_null: bool = False,
     ) -> DataFrame:
         """Stats-pruned range scan: files whose [min,max] for ``col``
         cannot intersect [lo,hi] are dropped from the plan entirely
@@ -1376,12 +1388,39 @@ class VersionedTable:
         — Delta's bloom filter index shape. No false negatives: a file
         without a sidecar is simply kept."""
         if eq is not None:
-            if lo is not None or hi is not None:
-                raise ValueError("scan: eq is mutually exclusive with lo/hi")
+            if lo is not None or hi is not None or is_null:
+                raise ValueError(
+                    "scan: eq is mutually exclusive with lo/hi/is_null"
+                )
             lo = hi = eq
         m = self._manifest(version)
         mapping = m.get("column_mapping", {})
         phys = mapping.get(col, col)  # stats are keyed by physical name
+        if is_null:
+            if lo is not None or hi is not None:
+                raise ValueError(
+                    "scan: is_null is mutually exclusive with lo/hi/eq"
+                )
+            # null-count skipping (Delta's nullCount stat): a file whose
+            # recorded null count for the column is ZERO cannot hold an
+            # IS NULL row; files without the stat are kept (no false
+            # negatives). DV'd files stay prunable — zero nulls among
+            # all rows implies zero among the live subset.
+            keep_n = [
+                f
+                for f in m["files"]
+                if m["stats"].get(f, {}).get("__nulls", {}).get(phys) != 0
+                and m["stats"].get(f, {}).get("rows", 1) != 0
+            ]
+            df = self._read_files(
+                spark,
+                keep_n,
+                StructType.fromJson(m["schema"]),
+                dvs=m.get("dvs"),
+                dv_counts=m.get("dv_counts"),
+                mapping=mapping,
+            )
+            return df.filter(F.col(col).isNull())
         lo_j, hi_j = _stat_json(lo), _stat_json(hi)
         keep = []
         for f in m["files"]:
@@ -2411,6 +2450,39 @@ class VersionedTable:
         if not mins:
             return (None, None)
         return (min(mins), max(maxs))
+
+    def col_non_null_count(self, col: str, version: int | None = None) -> int:
+        """Metadata-only ``COUNT(col)`` (non-null count) from the
+        per-file null-count stats — ``row_count``'s column twin.
+        REFUSES when metadata cannot guarantee the answer: deletion
+        vectors at the version (how many dead rows were null is
+        unrecorded) or a file lacking the column's null stat (written
+        before the column joined ``stats_cols``)."""
+        m = self._manifest(version)
+        if m.get("dvs"):
+            raise ValueError(
+                "metadata-only COUNT(col) unavailable: version "
+                f"{m['version']} carries deletion vectors"
+            )
+        phys = m.get("column_mapping", {}).get(col, col)
+        total = 0
+        for f in m["files"]:
+            st = m["stats"].get(f)
+            if st is None or "rows" not in st:
+                raise ValueError(
+                    f"file {f!r} has no rows stat; metadata-only "
+                    "COUNT(col) unavailable"
+                )
+            if st["rows"] == 0:
+                continue
+            nulls = st.get("__nulls", {}).get(phys)
+            if nulls is None:
+                raise ValueError(
+                    f"file {f!r} has no null-count stat for {col!r}; "
+                    "metadata-only COUNT(col) unavailable"
+                )
+            total += st["rows"] - nulls
+        return total
 
     # -- copy-on-write ops --------------------------------------------------
 

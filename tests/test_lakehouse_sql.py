@@ -296,3 +296,47 @@ def test_metadata_only_min_max(spark, lh):
     assert lh.sql("SELECT MIN(k) AS lo FROM t").collect()[0]["lo"] == 1
     # COUNT(*) alone stays metadata-only even with DVs (dv_counts exact)
     assert lh.sql("SELECT COUNT(*) FROM t").collect()[0][0] == 5
+
+
+def test_null_count_stats_and_is_null_skipping(spark, tmp_path):
+    """Per-file null counts: metadata COUNT(col) + IS NULL file
+    skipping, with strict refusal falling through to Catalyst."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    lh = LakehouseSession(spark)
+    vt = lh.create("n", str(tmp_path / "n"), stats_cols=["k", "v"])
+    a = spark.createDataFrame(
+        [(1, "x"), (2, None), (3, None)], "k int, v string"
+    ).coalesce(1)
+    b = spark.createDataFrame(
+        [(4, "y"), (5, "z")], "k int, v string"
+    ).coalesce(1)
+    vt.write_full(a)
+    vt.append(b)
+    assert vt.col_non_null_count("v") == 3
+    assert vt.col_non_null_count("k") == 5
+    # IS NULL scan prunes the all-non-null file
+    got = vt.scan(spark, "v", is_null=True)
+    assert len(got.inputFiles()) == 1
+    assert sorted(r["k"] for r in got.collect()) == [2, 3]
+    # SQL: COUNT(v) metadata-only, proven with the data dir hidden
+    data = os.path.join(vt.path, "data")
+    shutil.move(data, data + ".hidden")
+    try:
+        row = lh.sql("SELECT COUNT(v) AS nv, COUNT(*) AS n FROM n").collect()
+        assert tuple(row[0]) == (3, 5)
+    finally:
+        shutil.move(data + ".hidden", data)
+    # DV at head -> metadata COUNT(v) refuses; SQL falls to Catalyst
+    lh.sql("DELETE /*+ MERGE_ON_READ */ FROM n WHERE k = 1")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="deletion vectors"):
+        vt.col_non_null_count("v")
+    assert lh.sql("SELECT COUNT(v) AS nv FROM n").collect()[0]["nv"] == 2
+    # mutual exclusion guard
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        vt.scan(spark, "v", eq="x", is_null=True)
