@@ -370,6 +370,7 @@ class VersionedTable:
         claim_backend: CommitClaimBackend | None = None,
         checkpoint_interval: int = 20,
         bloom_cols: Sequence[str] | None = None,
+        auto_compact: tuple[int, int] | None = None,
     ) -> None:
         self.path = path
         self.stats_cols = list(stats_cols)
@@ -382,6 +383,14 @@ class VersionedTable:
         # writing sidecars on every commit — [] explicitly disables,
         # a list sets/updates it at this handle's next commit.
         self.bloom_cols = list(bloom_cols) if bloom_cols is not None else None
+        # Delta's autoCompact: (min_small_files, target_rows_per_file).
+        # After any data commit through this handle, if at least
+        # min_small_files live files hold < target/2 rows, an OPTIMIZE
+        # bin-pack lands as its own follow-up commit — trickle appends
+        # (streaming sinks, CDC replication) stay bounded in file count
+        # instead of degrading every later scan. Policy is per-handle,
+        # like stats_cols.
+        self.auto_compact = auto_compact
         self.change_feed = change_feed
         self._claim = claim_backend or PosixLinkClaim()
         # delta-log knobs: commits claim action deltas (see module-level
@@ -1233,7 +1242,9 @@ class VersionedTable:
             retry_append_files=files,
             read_m=cur,
         )
-        return self._maybe_cdf(df.sparkSession, v)
+        return self._maybe_auto_compact(
+            df.sparkSession, self._maybe_cdf(df.sparkSession, v)
+        )
 
     def replace_where(
         self,
@@ -2513,6 +2524,28 @@ class VersionedTable:
             }
         )
 
+    def _maybe_auto_compact(self, spark: SparkSession, v: int) -> int:
+        """Post-commit autoCompact hook (see ``__init__``): when at
+        least ``min_small_files`` live files hold fewer than
+        ``target_rows_per_file // 2`` rows, an OPTIMIZE bin-pack lands
+        as its own follow-up commit. Decided from manifest stats alone
+        (zero extra scans); returns the optimize commit's version, or
+        ``v`` untouched when compaction isn't due."""
+        if not self.auto_compact:
+            return v
+        min_small, target = self.auto_compact
+        m = self._manifest()
+        small = [
+            f
+            for f in m["files"]
+            if m["stats"].get(f, {}).get("rows", 0) < target // 2
+        ]
+        if len(small) < min_small:
+            return v
+        return self.optimize(
+            spark, target_rows_per_file=target, meta={"auto_compact": True}
+        )
+
     def merge_upsert(
         self,
         spark: SparkSession,
@@ -2571,7 +2604,7 @@ class VersionedTable:
             },
             cow={"read": m, "touched": touched, "remove_touched": True},
         )
-        return self._maybe_cdf(spark, v)
+        return self._maybe_auto_compact(spark, self._maybe_cdf(spark, v))
 
     def delete_where(
         self,

@@ -1458,3 +1458,40 @@ def test_col_min_max_refuses_decimal(spark, tmp_path):
     vt.write_full(df)
     with pytest.raises(ValueError, match="decimal"):
         vt.col_min_max("amt")
+
+
+def test_auto_compact_bounds_trickle_appends(spark, tmp_path):
+    """Delta's autoCompact: single-row appends (the streaming-sink
+    trickle) trigger bin-packs once >=3 small files pile up, so the
+    live file count stays bounded; content and history stay exact."""
+    vt = VersionedTable(
+        str(tmp_path / "t"), stats_cols=["k"], auto_compact=(3, 100)
+    )
+    vt.write_full(_mk(spark, [(0, "seed")]).coalesce(1))
+    for i in range(1, 9):
+        vt.append(_mk(spark, [(i, f"r{i}")]).coalesce(1))
+    m = vt._manifest()
+    assert len(m["files"]) <= 3  # without compaction this would be 9
+    hist_ops = [h["op"] for h in vt.history()]
+    assert "optimize" in hist_ops
+    assert any(
+        h["op"] == "optimize" and h["meta"].get("auto_compact")
+        for h in vt.history()
+    )
+    assert _rows(vt.read(spark)) == [(i, f"r{i}" if i else "seed") for i in range(9)]
+
+
+def test_auto_compact_merge_path_and_default_off(spark, tmp_path):
+    on = VersionedTable(
+        str(tmp_path / "on"), stats_cols=["k"], auto_compact=(3, 100)
+    )
+    off = VersionedTable(str(tmp_path / "off"), stats_cols=["k"])
+    for vt in (on, off):
+        vt.write_full(_mk(spark, [(0, "seed")]).coalesce(1))
+        for i in range(1, 7):
+            vt.merge_upsert(
+                spark, _mk(spark, [(i, f"m{i}")]).coalesce(1), keys=["k"]
+            )
+    assert len(on._manifest()["files"]) < len(off._manifest()["files"])
+    assert _rows(on.read(spark)) == _rows(off.read(spark))
+    assert "optimize" not in [h["op"] for h in off.history()]
