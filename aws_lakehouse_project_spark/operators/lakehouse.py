@@ -1955,3 +1955,102 @@ def q_stats_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_cust",
         "n_rows",
     )
+
+SCAN_NULL_ORACLE = f"""
+    WITH {_DAILY_CTE}
+    SELECT cust_id, dt,
+           CASE WHEN cust_id % 7 = 0 THEN NULL ELSE revenue END AS revenue
+    FROM daily
+    WHERE CASE WHEN cust_id % 7 = 0 THEN NULL ELSE revenue END IS NULL
+"""
+
+
+@demo_query("q_scan_null_skipping", oracle=SCAN_NULL_ORACLE)
+def q_scan_null_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-count file skipping (Delta's nullCount stat;
+    ``plans/versioned.py::scan(is_null=True)``): the stats pass records
+    per-file null counts for every stats column in the SAME single
+    aggregate, and an ``IS NULL`` scan drops every file whose recorded
+    null count is zero at PLAN time. The table is range-clustered by
+    the null-determining key, so nulls concentrate in a minority of
+    files and the guard can FAIL the query unless the pruned plan reads
+    STRICTLY fewer files than the table holds — and returns exactly the
+    oracle's IS NULL rows. At 100 TB the common 'find the broken rows'
+    audit reads the few files that can hold them, not the table."""
+    work = scratch_dir("spark_graft_nullscan", unique=True)
+    vt = VersionedTable(
+        os.path.join(work, "fact"), stats_cols=["revenue"]
+    )
+    daily = _daily_orders(spark, sf_dir).select(
+        "cust_id",
+        "dt",
+        F.when(F.col("cust_id") % 7 == 0, F.lit(None))
+        .otherwise(F.col("revenue"))
+        .alias("revenue"),
+        (F.col("cust_id") % 7).alias("grp"),
+    )
+    vt.write_full(
+        daily.repartitionByRange(6, "grp").drop("grp")
+    )
+    n_all = len(vt.read(spark).inputFiles())
+    pruned = vt.scan(spark, "revenue", is_null=True)
+    n_null = len(pruned.inputFiles())
+    if n_all >= 2 and not n_null < n_all:
+        raise AssertionError(
+            f"null-count stat did not prune: {n_null} of {n_all} files"
+        )
+    return pruned.select(
+        "cust_id", F.col("dt").cast("date").alias("dt"), "revenue"
+    )
+
+
+AUTO_COMPACT_ORACLE = f"""
+    WITH {_DAILY_CTE}
+    SELECT cust_id, dt, revenue, order_count FROM daily
+"""
+
+
+@demo_query("q_auto_compact", oracle=AUTO_COMPACT_ORACLE)
+def q_auto_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """autoCompact under trickle ingestion (Delta's
+    ``autoOptimize.autoCompact``; ``plans/versioned.py::
+    _maybe_auto_compact``): the daily fact lands as SIX month-sliced
+    appends — the streaming-sink file-count degradation shape — with
+    ``auto_compact=(4, 50_000)``. Bin-packs trigger from manifest
+    stats alone whenever ≥4 live files fall below target/2 rows, each
+    landing as its own `optimize` commit. The query FAILS unless (1)
+    at least one auto-compaction actually ran, (2) the final live
+    file count is BELOW the append count (the trickle would otherwise
+    leave ≥7 files), and (3) the content equals the plain full
+    aggregate (the oracle) — compaction must be layout-only."""
+    work = scratch_dir("spark_graft_autocompact", unique=True)
+    vt = VersionedTable(
+        os.path.join(work, "fact"),
+        stats_cols=["dt"],
+        auto_compact=(4, 50_000),
+    )
+    daily = _daily_orders(spark, sf_dir)
+    months = [r[0] for r in daily.select(
+        F.date_trunc("month", "dt").cast("date").alias("m")
+    ).distinct().orderBy("m").collect()]
+    slices = [months[i::6] for i in range(6)]
+    for sl in slices:
+        part = daily.filter(
+            F.date_trunc("month", "dt").cast("date").isin(sl)
+        )
+        vt.append(part.coalesce(2))
+    hist = vt.history()
+    n_auto = sum(
+        1 for h in hist if h["op"] == "optimize" and h["meta"].get("auto_compact")
+    )
+    if n_auto < 1:
+        raise AssertionError("no auto-compaction ran")
+    n_files = len(vt._manifest()["files"])
+    if not n_files < 7:
+        raise AssertionError(f"file count not bounded: {n_files}")
+    return vt.read(spark).select(
+        "cust_id",
+        F.col("dt").cast("date").alias("dt"),
+        "revenue",
+        F.col("order_count").cast("bigint").alias("order_count"),
+    )
