@@ -162,6 +162,10 @@ EXTRA = [
     "q_scan_bloom_skipping",
     "q_incremental_mv_minmax",
     "q_count_stats",
+    # round-11 continuation: stats-plane completions + autoCompact
+    "q_stats_minmax",
+    "q_scan_null_skipping",
+    "q_auto_compact",
 ]
 
 
