@@ -35,8 +35,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # (CORRECTNESS union): latest-green r10: 50, r9: 47, r7: 48, r6: 37,
 # r5: 1.
 #
-# ROUND-12 ROTATION NOTE: any queries ADDED after this window was
-# frozen lead the r12 window, then the r7-stale rows that did NOT fit
+# ROUND-12 ROTATION NOTE: queries ADDED after this window was frozen
+# lead the r12 window (added in r11: q_stats_minmax,
+# q_scan_null_skipping, q_auto_compact; plus anything newer), then the
+# r7-stale rows that did NOT fit
 # here: q_embedding_quantize, q_explode_pos, q_fact_daily,
 # q_first_last, q_funnel, q_grouped_ols, q_mixture,
 # q_multimodal_features, q_ntile, q_nullsafe_join, q_percentile,
