@@ -2024,12 +2024,16 @@ def q_auto_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     leave ≥7 files), and (3) the content equals the plain full
     aggregate (the oracle) — compaction must be layout-only."""
     work = scratch_dir("spark_graft_autocompact", unique=True)
+    daily = _daily_orders(spark, sf_dir)
+    # target scales with the data so the trickle files are ALWAYS small
+    # relative to it (each slice ≈ rows/6 split over 2 files < target/2
+    # = rows/6) — the guard is structural at any scale factor
+    target = max(1_000, daily.count() // 3)
     vt = VersionedTable(
         os.path.join(work, "fact"),
         stats_cols=["dt"],
-        auto_compact=(4, 50_000),
+        auto_compact=(4, target),
     )
-    daily = _daily_orders(spark, sf_dir)
     months = [r[0] for r in daily.select(
         F.date_trunc("month", "dt").cast("date").alias("m")
     ).distinct().orderBy("m").collect()]
