@@ -245,3 +245,66 @@ def test_set_bloom_cols_rejects_unknown_column(spark, tmp_path):
     vt.write_full(spark.range(10).select(F.col("id").alias("k")))
     with pytest.raises(ValueError, match="not in schema"):
         vt.set_bloom_cols(spark, ["nope"])
+
+
+def test_bloom_with_deletion_vectors_stays_exact(spark, bt):
+    """A DV'd key may still pass the (stale) sidecar — the residual
+    filter + DV anti-join must yield zero rows; surviving keys keep
+    pruning and return exactly their rows."""
+    _seed(spark, bt, n=2000, parts=4)
+    dead, alive = 7 * 500, 7 * 501
+    bt.delete_where(spark, f"k = {dead}", mode="merge_on_read")
+    assert bt.scan(spark, "k", eq=dead).count() == 0
+    got = bt.scan(spark, "k", eq=alive)
+    assert len(got.inputFiles()) < 4
+    assert [r["k"] for r in got.collect()] == [alive]
+
+
+def test_python_twin_matches_jvm_hash_layout(spark):
+    """block_and_mask_from_hashes must agree bit-for-bit with the JVM
+    bloom_block_and_mask for every key type the sidecars index — the
+    invariant the driver-side probe rests on."""
+    from pyspark.sql import Row
+
+    from aws_lakehouse_project_spark.functions.bloom import (
+        block_and_mask_from_hashes,
+        bloom_block_and_mask,
+    )
+
+    import random
+
+    rng = random.Random(23)
+    for nblocks, df in [
+        (
+            1 << 10,
+            spark.createDataFrame(
+                [Row(k=rng.randrange(-(2**62), 2**62)) for _ in range(200)],
+                "k long",
+            ),
+        ),
+        (
+            1 << 7,
+            spark.createDataFrame(
+                [Row(k=f"key-{rng.random()}") for _ in range(200)],
+                "k string",
+            ),
+        ),
+        (
+            16,
+            spark.createDataFrame(
+                [Row(k=rng.randrange(-(2**31), 2**31)) for _ in range(200)],
+                "k int",
+            ),
+        ),
+    ]:
+        block, mask = bloom_block_and_mask(F.col("k"), nblocks)
+        rows = df.select(
+            block.alias("b"),
+            mask.alias("m"),
+            F.xxhash64(F.col("k"), F.lit(1)).alias("h1"),
+            F.xxhash64(F.col("k"), F.lit(2)).alias("h2"),
+        ).collect()
+        for r in rows:
+            pb, pm = block_and_mask_from_hashes(r["h1"], r["h2"], nblocks)
+            assert pb == r["b"], (nblocks, r)
+            assert pm == r["m"] & ((1 << 64) - 1), (nblocks, r)
