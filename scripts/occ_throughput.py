@@ -7,7 +7,11 @@ retries with a fresh snapshot). Reports commit throughput, claim-level
 retry counts (lost version-number CAS races), and op-level conflict
 retries, plus a full-content audit at the end (no lost updates).
 
-Usage: python scripts/occ_throughput.py [SF_DIR] [WRITERS] [COMMITS_PER_WRITER]
+Usage: python scripts/occ_throughput.py [SF_DIR] [WRITERS] [COMMITS_PER_WRITER] [--vacuum]
+With --vacuum, a maintenance thread loops ``vacuum(retain_last=2)``
+throughout the storm (the r11 concurrency contract): no staged commit
+may be reclaimed, and the final audit additionally asserts every
+retained manifest resolves to files on disk.
 Prints one JSON line; summary lands in BASELINE.md.
 """
 
@@ -33,9 +37,11 @@ from aws_lakehouse_project_spark.session import build_session  # noqa: E402
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else ".scratch/sf1"
-    n_writers = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    per_writer = int(sys.argv[3]) if len(sys.argv) > 3 else 6
+    with_vacuum = "--vacuum" in sys.argv
+    argv = [a for a in sys.argv if a != "--vacuum"]
+    sf_dir = argv[1] if len(argv) > 1 else ".scratch/sf1"
+    n_writers = int(argv[2]) if len(argv) > 2 else 8
+    per_writer = int(argv[3]) if len(argv) > 3 else 6
 
     spark = build_session(app_name="occ-throughput")
     work = scratch_dir("spark_graft_occ_throughput", unique=True)
@@ -119,19 +125,46 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             errors.append(exc)
 
+    stop_vac = threading.Event()
+    vac_stats = {"passes": 0, "skipped_inflight": 0, "removed_files": 0}
+
+    def vacuumer() -> None:
+        h = VersionedTable(vt.path)
+        try:
+            while not stop_vac.is_set():
+                res = h.vacuum(retain_last=2)
+                vac_stats["passes"] += 1
+                vac_stats["skipped_inflight"] += res["skipped_inflight_files"]
+                vac_stats["removed_files"] += res["removed_data_files"]
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
     t0 = time.time()
     threads = [
         threading.Thread(target=writer, args=(t,)) for t in range(n_writers)
     ]
+    vthread = threading.Thread(target=vacuumer) if with_vacuum else None
+    if vthread:
+        vthread.start()
     for t in threads:
         t.start()
     for t in threads:
         t.join()
+    if vthread:
+        stop_vac.set()
+        vthread.join()
     wall = time.time() - t0
 
     head = vt._manifest()
     n_commits = head["version"]  # commits landed during the race
     audit_rows = vt.read(spark).count()
+    manifest_holes = 0
+    if with_vacuum:
+        fresh = VersionedTable(vt.path)
+        for v in fresh.versions():
+            for f in fresh._manifest(v)["files"]:
+                if not os.path.exists(os.path.join(vt.path, f)):
+                    manifest_holes += 1
     daily.unpersist()
     print(
         json.dumps(
@@ -149,6 +182,11 @@ def main() -> None:
                 "writer_errors": [str(e)[:200] for e in errors],
                 "final_row_count": audit_rows,
                 "final_version": head["version"],
+                "vacuum": (
+                    {**vac_stats, "manifest_holes": manifest_holes}
+                    if with_vacuum
+                    else None
+                ),
             }
         )
     )
