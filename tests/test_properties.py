@@ -653,3 +653,86 @@ def test_bloom_never_drops_a_member(spark, keys, probes):
     blocks, nblocks = build_bloom_blocks(kdf, "k")
     got = {r["k"] for r in bloom_prune(pdf, "k", blocks, nblocks).collect()}
     assert keys <= got
+
+
+# -- vacuum model property (r11: concurrent-writer-safe vacuum) -------------
+
+vacuum_ops = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), st.integers(0, 9)),
+        st.tuples(st.just("overwrite"), st.integers(0, 9)),
+        st.tuples(st.just("delete"), st.integers(0, 2)),
+        st.tuples(st.just("vacuum"), st.integers(1, 3)),
+    ),
+    min_size=2,
+    max_size=7,
+)
+
+
+@given(ops=vacuum_ops)
+@settings(**SLOW)
+def test_vacuum_model_invariants(spark, ops, tmp_path_factory):
+    """Model-based vacuum check over random op sequences: after every
+    vacuum, (1) every RETAINED version's content is exactly what the
+    Python model holds for it, (2) every retained manifest resolves to
+    files on disk, (3) every DROPPED version raises
+    VacuumedVersionError — regardless of how appends, overwrites, CoW
+    deletes, and vacuums interleave."""
+    import os
+
+    from aws_lakehouse_project_spark.plans.versioned import (
+        VacuumedVersionError,
+        VersionedTable,
+    )
+
+    path = str(tmp_path_factory.mktemp("vacprop") / "t")
+    vt = VersionedTable(path, stats_cols=["k"])
+    vt.write_full(
+        spark.createDataFrame([(100 + i, "seed") for i in range(4)],
+                              "k int, v string").coalesce(1)
+    )
+    current = sorted([(100 + i, "seed") for i in range(4)])
+    snapshots = {0: list(current)}  # version -> expected rows
+    dropped: set[int] = set()
+
+    def _df(seed):
+        rows = [(seed * 10 + j, f"s{seed}") for j in range(3)]
+        return (
+            spark.createDataFrame(rows, "k int, v string").coalesce(1),
+            rows,
+        )
+
+    for kind, p in ops:
+        if kind == "append":
+            df, rows = _df(p)
+            v = vt.append(df)
+            current = sorted(current + rows)
+            snapshots[v] = list(current)
+        elif kind == "overwrite":
+            df, rows = _df(p)
+            v = vt.write_full(df)
+            current = sorted(rows)
+            snapshots[v] = list(current)
+        elif kind == "delete":
+            before = vt.latest_version()
+            v = vt.delete_where(spark, f"k % 3 = {p}")
+            current = sorted(r for r in current if r[0] % 3 != p)
+            if v != before:  # no-op deletes commit nothing
+                snapshots[v] = list(current)
+        else:
+            res = vt.vacuum(retain_last=p)
+            dropped |= {
+                u for u in snapshots if u not in res["retained_versions"]
+            }
+            for u in res["retained_versions"]:
+                got = sorted(tuple(r) for r in vt.read(spark, u).collect())
+                assert got == snapshots[u], (u, ops)
+                for f in vt._manifest(u)["files"]:
+                    assert os.path.exists(os.path.join(path, f)), (u, f)
+            for u in sorted(dropped):
+                with pytest.raises(VacuumedVersionError):
+                    vt.read(spark, u)
+    # terminal audit on a FRESH instance (cold cache)
+    fresh = VersionedTable(path)
+    got = sorted(tuple(r) for r in fresh.read(spark).collect())
+    assert got == sorted(current)
