@@ -2058,3 +2058,58 @@ def q_auto_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         F.col("order_count").cast("bigint").alias("order_count"),
     )
+
+CONVERT_PARQUET_ORACLE = f"""
+    WITH {_DAILY_CTE}
+    SELECT cust_id, dt, revenue, order_count FROM daily
+    WHERE cust_id % 5 <> 0
+"""
+
+
+@demo_query("q_convert_parquet", oracle=CONVERT_PARQUET_ORACLE)
+def q_convert_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERT TO the transaction layer (Delta's ``CONVERT TO DELTA``;
+    ``plans/versioned.py::convert_from_parquet``): an EXISTING plain-
+    parquet dataset becomes version 0 of a VersionedTable without
+    copying a byte — the manifest borrows the files by absolute path
+    and one stats pass lights up the whole metadata plane. The query
+    FAILS unless (1) the converted table's metadata-only COUNT equals
+    the source's row count BEFORE any data lands in the table's own
+    directory, (2) a copy-on-write DELETE then evolves the table while
+    the SOURCE files stay byte-identical (size+mtime audit), and (3)
+    the final read equals the oracle. At 100 TB this is the adoption
+    path: a data lake gains ACID, time travel, and stats/bloom skipping
+    in one metadata commit, not a rewrite."""
+    work = scratch_dir("spark_graft_convert", unique=True)
+    src = os.path.join(work, "plain_daily")
+    daily = _daily_orders(spark, sf_dir)
+    daily.repartition(4).write.parquet(src)
+    import glob
+
+    before = {
+        p: (os.path.getsize(p), os.path.getmtime(p))
+        for p in glob.glob(os.path.join(src, "*.parquet"))
+    }
+    vt = VersionedTable.convert_from_parquet(
+        spark, src, os.path.join(work, "fact"), stats_cols=["dt", "cust_id"]
+    )
+    n_src = daily.count()
+    if vt.row_count() != n_src:
+        raise AssertionError(
+            f"converted metadata count {vt.row_count()} != source {n_src}"
+        )
+    vt.delete_where(spark, "cust_id % 5 = 0")
+    after = {
+        p: (os.path.getsize(p), os.path.getmtime(p))
+        for p in glob.glob(os.path.join(src, "*.parquet"))
+    }
+    if before != after:
+        raise AssertionError("convert/delete mutated the source files")
+    if [h["op"] for h in vt.history()] != ["convert", "delete"]:
+        raise AssertionError(f"unexpected history: {vt.history()}")
+    return vt.read(spark).select(
+        "cust_id",
+        F.col("dt").cast("date").alias("dt"),
+        "revenue",
+        F.col("order_count").cast("bigint").alias("order_count"),
+    )

@@ -622,6 +622,7 @@ class VersionedTable:
         rel_files: list[str],
         constraints: dict[str, str] | None = None,
         mapping: dict | None = None,
+        borrowed: frozenset | None = None,
     ) -> dict:
         """Per-file row counts + min/max of ``stats_cols`` — one
         aggregate over the just-written files (footer-cheap for counts;
@@ -684,7 +685,7 @@ class VersionedTable:
                 )
         by_rel = {}
         for r in rows:
-            rel = self._to_rel(r["__file"])
+            rel = self._to_rel(r["__file"], borrowed)
             ent = {"rows": r["__rows"]}
             nulls = {}
             for c in present:
@@ -1988,6 +1989,76 @@ class VersionedTable:
             retired_cols=list(m.get("retired_cols", [])),
         )
         return self._maybe_cdf(spark, v)
+
+    @classmethod
+    def convert_from_parquet(
+        cls,
+        spark: SparkSession,
+        src_dir: str,
+        dest_path: str,
+        stats_cols: Sequence[str] = (),
+        **kw,
+    ) -> "VersionedTable":
+        """Delta's ``CONVERT TO DELTA``, in its non-destructive form:
+        register an EXISTING plain-parquet directory as version 0 of a
+        new VersionedTable without copying or moving a byte — the v0
+        manifest borrows the source files by absolute path (the
+        shallow-clone mechanism), and ONE stats pass over them records
+        the per-file row counts, min/max and null counts that power
+        metadata-only COUNT/MIN/MAX and scan pruning from the first
+        read. The source directory is never written to (bloom-sidecar
+        backfill skips borrowed files for the same reason); later
+        commits land in the new table's own ``data/`` via the ordinary
+        copy-on-write paths, and the new table's vacuum walks only its
+        own directory, so it can never reclaim source data.
+
+        Hive-partitioned layouts (``key=value`` subdirectories) are
+        rejected: the partition column lives in the directory name, not
+        the files, so a file-level borrow would silently drop it —
+        rewrite such data through ``write_full`` instead."""
+        src_abs = os.path.abspath(src_dir)
+        files: list[str] = []
+        if os.path.isfile(src_abs):
+            files = [src_abs]
+        else:
+            for dirpath, _dirnames, names in os.walk(src_abs):
+                rel_dir = os.path.relpath(dirpath, src_abs)
+                if any(
+                    "=" in part
+                    for part in rel_dir.split(os.sep)
+                    if part not in (".",)
+                ):
+                    raise ValueError(
+                        f"convert_from_parquet: {src_dir} is hive-"
+                        "partitioned (key=value directories); the "
+                        "partition column is not in the files — load "
+                        "and write_full instead"
+                    )
+                files.extend(
+                    os.path.join(dirpath, n)
+                    for n in sorted(names)
+                    if n.endswith(".parquet")
+                )
+        if not files:
+            raise ValueError(f"no parquet files under {src_dir}")
+        dest = cls(dest_path, stats_cols=stats_cols, **kw)
+        if dest.exists():
+            raise ValueError(
+                f"convert destination {dest_path} already has a table"
+            )
+        schema_json = dest._schema_json(spark.read.parquet(*files))
+        stats = dest._file_stats(
+            spark, files, borrowed=frozenset(files)
+        )
+        v = dest._commit(
+            "convert",
+            files,
+            stats,
+            schema_json,
+            {"source": src_abs, "converted_files": len(files)},
+        )
+        assert v == 0
+        return dest
 
     def clone(
         self,

@@ -166,6 +166,7 @@ EXTRA = [
     "q_stats_minmax",
     "q_scan_null_skipping",
     "q_auto_compact",
+    "q_convert_parquet",
 ]
 
 

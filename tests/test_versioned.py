@@ -1495,3 +1495,63 @@ def test_auto_compact_merge_path_and_default_off(spark, tmp_path):
     assert len(on._manifest()["files"]) < len(off._manifest()["files"])
     assert _rows(on.read(spark)) == _rows(off.read(spark))
     assert "optimize" not in [h["op"] for h in off.history()]
+
+
+# -- CONVERT TO (register existing parquet as v0, zero copy) -----------------
+
+
+def test_convert_from_parquet_zero_copy(spark, tmp_path):
+    import glob
+
+    src = str(tmp_path / "plain")
+    spark.createDataFrame(
+        [(i, f"r{i}") for i in range(100)], "k int, v string"
+    ).repartition(3).write.parquet(src)
+    before = {
+        p: (os.path.getsize(p), os.path.getmtime(p))
+        for p in glob.glob(src + "/*.parquet")
+    }
+    vt = VersionedTable.convert_from_parquet(
+        spark, src, str(tmp_path / "vt"), stats_cols=["k"]
+    )
+    assert vt.row_count() == 100  # stats pass ran: metadata plane live
+    assert vt.col_min_max("k") == (0, 99)
+    assert len(_rows(vt.read(spark))) == 100
+    assert [h["op"] for h in vt.history()] == ["convert"]
+    # CoW evolves into the table's own data dir; source never touched
+    vt.delete_where(spark, "k % 10 = 0")
+    assert vt.row_count() == 90
+    after = {
+        p: (os.path.getsize(p), os.path.getmtime(p))
+        for p in glob.glob(src + "/*.parquet")
+    }
+    assert before == after
+    # vacuum walks only the table's own directory: dropping v0 cannot
+    # reclaim borrowed source data
+    vt.vacuum(retain_last=1)
+    assert all(os.path.exists(p) for p in before)
+    assert len(_rows(vt.read(spark))) == 90
+
+
+def test_convert_rejects_hive_partitioned(spark, tmp_path):
+    src = str(tmp_path / "part")
+    spark.createDataFrame(
+        [(i, i % 3) for i in range(30)], "k int, g int"
+    ).write.partitionBy("g").parquet(src)
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        VersionedTable.convert_from_parquet(
+            spark, src, str(tmp_path / "vt")
+        )
+
+
+def test_convert_rejects_empty_and_existing(spark, tmp_path):
+    os.makedirs(tmp_path / "empty")
+    with pytest.raises(ValueError, match="no parquet files"):
+        VersionedTable.convert_from_parquet(
+            spark, str(tmp_path / "empty"), str(tmp_path / "vt")
+        )
+    src = str(tmp_path / "plain")
+    spark.createDataFrame([(1, "a")], "k int, v string").write.parquet(src)
+    VersionedTable.convert_from_parquet(spark, src, str(tmp_path / "vt2"))
+    with pytest.raises(ValueError, match="already has a table"):
+        VersionedTable.convert_from_parquet(spark, src, str(tmp_path / "vt2"))
