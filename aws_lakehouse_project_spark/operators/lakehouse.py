@@ -1726,8 +1726,15 @@ def q_vacuum_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
     if race["removed_versions"] != 1 or race["removed_data_files"] < 1:
         raise AssertionError(f"mid-race reclaim did not happen: {race}")
     for inst in (victim, VersionedTable(path)):
-        if inst.versions() != [1, 2]:
+        # v1 = the delete, v2 = the vacuum's horizon-marker commit
+        # (Delta's VACUUM START entry — it serializes vacuum against
+        # concurrent RESTOREs), v3 = the raced append, rebased over it
+        if inst.versions() != [1, 2, 3]:
             raise AssertionError(f"raced append lost: {inst.versions()}")
+        if [inst._manifest(v)["op"] for v in (2, 3)] != ["vacuum", "append"]:
+            raise AssertionError(
+                f"unexpected ops: {[inst._manifest(v)['op'] for v in (2, 3)]}"
+            )
         for v in inst.versions():
             for f in inst._manifest(v)["files"]:
                 if not os.path.exists(os.path.join(path, f)):

@@ -53,6 +53,7 @@ from __future__ import annotations
 
 import os
 import re
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -498,11 +499,19 @@ class LakehouseSession:
             )
             vt = self.table(mm.group("t"))
             pruned = vt.scan(self.spark, mm.group("c"), eq=value)
-            view = f"{mm.group('t')}__eqscan"
+            # a throwaway uuid view, dropped once the statement is
+            # analyzed (spark.sql analyzes eagerly, so the returned
+            # DataFrame keeps its resolved plan): a fixed name would be
+            # a session-global that clobbers any user view of the same
+            # name and races concurrent point lookups on one table
+            view = f"__eqscan_{uuid.uuid4().hex}"
             pruned.createOrReplaceTempView(view)
-            return self.spark.sql(
-                f"SELECT {mm.group('cols')} FROM {view}{mm.group('rest')}"
-            )
+            try:
+                return self.spark.sql(
+                    f"SELECT {mm.group('cols')} FROM {view}{mm.group('rest')}"
+                )
+            finally:
+                self.spark.catalog.dropTempView(view)
 
         mm = re.fullmatch(
             rf"SELECT\s+(?P<items>.+?)\s+FROM\s+(?P<t>{_IDENT})"

@@ -267,7 +267,7 @@ def _fmt_version(v: int) -> str:
 
 _DELTA_META_KEYS = (
     "version", "op", "ts", "schema", "meta", "constraints",
-    "column_mapping", "retired_cols", "bloom_cols",
+    "column_mapping", "retired_cols", "bloom_cols", "vacuum_horizon",
 )
 
 
@@ -384,12 +384,16 @@ class VersionedTable:
         # a list sets/updates it at this handle's next commit.
         self.bloom_cols = list(bloom_cols) if bloom_cols is not None else None
         # Delta's autoCompact: (min_small_files, target_rows_per_file).
-        # After any data commit through this handle, if at least
-        # min_small_files live files hold < target/2 rows, an OPTIMIZE
-        # bin-pack lands as its own follow-up commit — trickle appends
-        # (streaming sinks, CDC replication) stay bounded in file count
-        # instead of degrading every later scan. Policy is per-handle,
-        # like stats_cols.
+        # After any commit that changes the file LAYOUT through this
+        # handle (write_full / append / replace_where / merge_upsert /
+        # merge_apply / copy-on-write delete & update — merge-on-read
+        # commits only add deletion vectors, never small files), if at
+        # least min_small_files live files hold < target/2 rows, an
+        # OPTIMIZE bin-pack lands as its own BEST-EFFORT follow-up
+        # commit (lost races skipped; see _maybe_auto_compact) —
+        # trickle appends (streaming sinks, CDC replication) stay
+        # bounded in file count instead of degrading every later scan.
+        # Policy is per-handle, like stats_cols.
         self.auto_compact = auto_compact
         self.change_feed = change_feed
         self._claim = claim_backend or PosixLinkClaim()
@@ -815,7 +819,8 @@ class VersionedTable:
         """Drop candidate ``files`` whose bloom sidecar PROVES ``phys``
         never equals ``value`` — no false negatives (a file without a
         sidecar entry is kept). The probe's two raw xxhash64 values are
-        computed by ONE one-row Spark job (so the hash agrees with the
+        computed by ONE one-row Spark job, launched only when at least
+        one candidate dir has a sidecar (so the hash agrees with the
         JVM build side bit-for-bit, including the column type's hash
         layout); (block, mask) is then derived per sidecar in Python,
         because nblocks varies per commit. Sidecars are read lazily per
@@ -826,12 +831,12 @@ class VersionedTable:
         dirs = {}
         for f in files:
             dirs.setdefault(os.path.dirname(f), []).append(f)
-        lit = F.lit(value).cast(dtype)
-        h1, h2 = (
-            spark.range(1)
-            .select(F.xxhash64(lit, F.lit(1)), F.xxhash64(lit, F.lit(2)))
-            .first()
-        )
+        # probe hashes are computed LAZILY, on the first dir that
+        # actually has a sidecar: a bloom-less table (e.g. every
+        # point-lookup SELECT routed here by the SQL fast path before
+        # any index exists) must not pay a driver→executor round trip
+        # just to discover there is nothing to probe
+        hashes: tuple | None = None
         keep: list[str] = []
         for d, fs in dirs.items():
             side = self._bloom_sidecar_path(
@@ -843,6 +848,16 @@ class VersionedTable:
             except (OSError, json.JSONDecodeError):
                 keep.extend(fs)  # no/unreadable sidecar → cannot prune
                 continue
+            if hashes is None:
+                lit = F.lit(value).cast(dtype)
+                hashes = (
+                    spark.range(1)
+                    .select(
+                        F.xxhash64(lit, F.lit(1)), F.xxhash64(lit, F.lit(2))
+                    )
+                    .first()
+                )
+            h1, h2 = hashes
             nblocks = payload["nblocks"]
             blk, mask = block_and_mask_from_hashes(h1, h2, nblocks)
             for f in fs:
@@ -900,6 +915,7 @@ class VersionedTable:
         column_mapping: dict | None = None,
         retired_cols: list | None = None,
         cow: dict | None = None,
+        vacuum_horizon: int | None = None,
     ) -> int:
         """Publish a new version. ``retry_append_files`` marks the commit
         as an append of exactly those files: it is rebased onto the
@@ -1062,6 +1078,14 @@ class VersionedTable:
                 if self.bloom_cols is not None
                 else (list(hm.get("bloom_cols", [])) if hm else [])
             )
+            # the vacuum horizon (lowest restorable version) is monotone
+            # and inherited by every commit, so any writer's head always
+            # knows how far back a restore may legally reach — see
+            # vacuum()'s marker commit and restore()'s guard
+            vh = max(
+                vacuum_horizon or 0,
+                hm.get("vacuum_horizon", 0) if hm else 0,
+            )
             if (
                 constraints is None
                 and self._validated_constraints is not None
@@ -1108,6 +1132,8 @@ class VersionedTable:
                 manifest["retired_cols"] = retired
             if bloom:
                 manifest["bloom_cols"] = bloom
+            if vh:
+                manifest["vacuum_horizon"] = vh
             if self._claim_version(manifest, parent=hm):
                 if constraints is None:
                     # this commit consumed the pending validation record;
@@ -1188,7 +1214,9 @@ class VersionedTable:
             "overwrite", files, stats, self._schema_json(df), meta,
             column_mapping={}, retired_cols=[],
         )
-        return self._maybe_cdf(df.sparkSession, v)
+        return self._maybe_auto_compact(
+            df.sparkSession, self._maybe_cdf(df.sparkSession, v)
+        )
 
     def append(self, df: DataFrame, meta: dict | None = None, evolve: bool = False) -> int:
         """Append-only commit: prior files carried by reference. With
@@ -1306,7 +1334,7 @@ class VersionedTable:
             {**(meta or {}), "touched_files": len(touched)},
             cow={"read": m, "touched": touched, "remove_touched": True},
         )
-        return self._maybe_cdf(spark, v)
+        return self._maybe_auto_compact(spark, self._maybe_cdf(spark, v))
 
     @staticmethod
     def _align_types(df: DataFrame, schema_json: dict) -> DataFrame:
@@ -1944,6 +1972,22 @@ class VersionedTable:
         constraint) — this is the one restore that costs a scan; it is
         the price of the no-manifest-references-violating-files
         invariant. Pass ``spark`` whenever constraints are active."""
+        head = self.latest_version()
+        if head is not None:
+            # the vacuum horizon rides every manifest (raised by
+            # vacuum()'s marker commit): restoring below it would
+            # resurrect file references a concurrent/completed vacuum is
+            # entitled to reclaim — even when this handle still has the
+            # target manifest warm in its cache. The expected_head CAS
+            # below forces any restore racing the marker back through
+            # this check.
+            hz = self._manifest(head).get("vacuum_horizon", 0)
+            if version < hz:
+                raise VacuumedVersionError(
+                    f"cannot restore {self.path} to version {version}: "
+                    f"below the vacuum horizon {hz} — its files may "
+                    "already be reclaimed"
+                )
         if self.change_feed and spark is None:
             # validate BEFORE committing: a post-commit failure would
             # leave a published version with no feed entry
@@ -1970,7 +2014,11 @@ class VersionedTable:
         m = self._manifest(version)
         # the snapshot was just validated against `cons`; the commit-time
         # check then catches a constraint added concurrently, and
-        # expected_head catches any other commit racing the rollback
+        # expected_head catches any other commit racing the rollback.
+        # `head` is the SAME head the vacuum-horizon check above read:
+        # re-reading latest_version() here would let a vacuum marker
+        # slip between the check and the claim, and this restore would
+        # resurrect files that vacuum is already reclaiming.
         self._validated_constraints = cons
         v = self._commit(
             "restore",
@@ -1978,7 +2026,7 @@ class VersionedTable:
             m["stats"],
             m["schema"],
             {**(meta or {}), "restored_version": version},
-            expected_head=self.latest_version(),
+            expected_head=head,
             # roll deletion vectors back with the snapshot (restoring
             # across a merge-on-read delete un-deletes its rows; the
             # change feed reports them as inserts via _dv_diff_rows),
@@ -2236,15 +2284,23 @@ class VersionedTable:
             raise ValueError(
                 f"bloom columns not in schema: {missing} (have {sorted(fields)})"
             )
+        prev_bloom = self.bloom_cols
         self.bloom_cols = cols  # explicit: _commit persists it
-        v = self._commit(
-            "set_bloom_index",
-            m["files"],
-            m["stats"],
-            m["schema"],
-            {"bloom_cols": cols},
-            expected_head=m["version"],
-        )
+        try:
+            v = self._commit(
+                "set_bloom_index",
+                m["files"],
+                m["stats"],
+                m["schema"],
+                {"bloom_cols": cols},
+                expected_head=m["version"],
+            )
+        except BaseException:
+            # a failed DDL must not linger on this handle: _commit reads
+            # self.bloom_cols, so leaving the new value would silently
+            # persist the "failed" index at the next data commit
+            self.bloom_cols = prev_bloom
+            raise
         if backfill and cols:
             mapping = self._head_mapping()
             by_dir: dict[str, list[str]] = {}
@@ -2517,8 +2573,16 @@ class VersionedTable:
         mins: list = []
         maxs: list = []
         for f in m["files"]:
-            st = m["stats"].get(f, {})
-            if st.get("rows", 0) == 0:
+            st = m["stats"].get(f)
+            if st is None or "rows" not in st:
+                # a file with NO stats entry is unknown, not empty —
+                # skipping it could return extrema narrower than the
+                # truth, violating the refuse-don't-guess contract
+                raise ValueError(
+                    f"file {f!r} has no stats entry; metadata-only "
+                    "MIN/MAX unavailable"
+                )
+            if st["rows"] == 0:
                 continue  # empty part file contributes nothing
             if phys not in st:
                 raise ValueError(
@@ -2546,6 +2610,8 @@ class VersionedTable:
                 "metadata-only COUNT(col) unavailable: version "
                 f"{m['version']} carries deletion vectors"
             )
+        if all(f["name"] != col for f in m["schema"]["fields"]):
+            raise ValueError(f"no column {col!r} at version {m['version']}")
         phys = m.get("column_mapping", {}).get(col, col)
         total = 0
         for f in m["files"]:
@@ -2601,7 +2667,14 @@ class VersionedTable:
         ``target_rows_per_file // 2`` rows, an OPTIMIZE bin-pack lands
         as its own follow-up commit. Decided from manifest stats alone
         (zero extra scans); returns the optimize commit's version, or
-        ``v`` untouched when compaction isn't due."""
+        ``v`` untouched when compaction isn't due.
+
+        BEST-EFFORT (Delta's autoCompact semantics): the caller's data
+        commit ``v`` is already durable when this runs, so losing the
+        follow-up OPTIMIZE to a concurrent writer must NOT fail the
+        parent write — a caller retrying on ``ConcurrentWriteError``
+        would re-land the same rows. The lost compaction simply runs
+        after a later commit (the small-file condition persists)."""
         if not self.auto_compact:
             return v
         min_small, target = self.auto_compact
@@ -2613,9 +2686,12 @@ class VersionedTable:
         ]
         if len(small) < min_small:
             return v
-        return self.optimize(
-            spark, target_rows_per_file=target, meta={"auto_compact": True}
-        )
+        try:
+            return self.optimize(
+                spark, target_rows_per_file=target, meta={"auto_compact": True}
+            )
+        except ConcurrentWriteError:
+            return v
 
     def merge_upsert(
         self,
@@ -2723,7 +2799,7 @@ class VersionedTable:
             {**(meta or {}), "touched_files": len(touched)},
             cow={"read": m, "touched": touched, "remove_touched": True},
         )
-        return self._maybe_cdf(spark, v)
+        return self._maybe_auto_compact(spark, self._maybe_cdf(spark, v))
 
     def _delete_mor(
         self, spark: SparkSession, predicate: Column, meta: dict | None
@@ -2912,7 +2988,7 @@ class VersionedTable:
             {**(meta or {}), "touched_files": len(touched)},
             cow={"read": m, "touched": touched, "remove_touched": True},
         )
-        return self._maybe_cdf(spark, v)
+        return self._maybe_auto_compact(spark, self._maybe_cdf(spark, v))
 
     def _update_mor(
         self,
@@ -3032,7 +3108,7 @@ class VersionedTable:
             {**(meta or {}), "touched_files": len(touched), "merge_keys": keys},
             cow={"read": m, "touched": touched, "remove_touched": True},
         )
-        return self._maybe_cdf(spark, v)
+        return self._maybe_auto_compact(spark, self._maybe_cdf(spark, v))
 
     # -- maintenance --------------------------------------------------------
 
@@ -3134,6 +3210,19 @@ class VersionedTable:
           stage→claim window). Younger orphans are reported as
           ``skipped_inflight_files`` and left for a later vacuum.
 
+        A concurrent RESTORE is serialized through the log itself:
+        before unlinking anything, vacuum lands a metadata-only
+        ``"vacuum"`` marker commit (Delta's VACUUM START log entry)
+        that raises the table's ``vacuum_horizon`` — the lowest
+        restorable version, inherited by every later manifest. A
+        restore that committed before the marker is folded into the
+        live set (its file references survive); one that races the
+        marker loses the ``expected_head`` CAS and, on re-run, hits
+        ``restore()``'s horizon guard with ``VacuumedVersionError``.
+        Either way no head can ever reference a reclaimed file. The
+        marker only lands when there is something to drop, so steady
+        no-op vacuums never grow the log.
+
         Crash ordering: the retained-horizon checkpoint is written and
         the expired manifests/checkpoints are unlinked BEFORE any data
         file is deleted, so a crash mid-vacuum leaves only orphaned
@@ -3160,43 +3249,96 @@ class VersionedTable:
         if min_file_age_s < 0:
             raise ValueError("min_file_age_s must be non-negative")
         now0 = now if now is not None else time.time()
-        vs = self.versions()
-        keep_from = max(len(vs) - retain_last, 0)
-        if retain_hours is not None:
-            cutoff = now0 - retain_hours * 3600.0
-            # commit ts is monotone along the single-writer log, so the
-            # first young-enough version starts the time-kept suffix
-            age_idx = next(
-                (
-                    i
-                    for i, v in enumerate(vs)
-                    if self._raw_manifest(v).get("ts", 0.0) >= cutoff
-                ),
-                len(vs),
-            )
-            keep_from = min(keep_from, age_idx)
-        keep_vs = vs[keep_from:]
-        drop_vs = vs[:keep_from]
-        live: set[str] = set()
-        live_dv_dirs: set[str] = set()
-        for v in keep_vs:
-            mv = self._manifest(v)
-            live |= set(mv["files"])
-            # deletion-vector sidecars of retained snapshots are part of
-            # those snapshots' read paths — as immortal as their data
-            live_dv_dirs |= set(mv.get("dvs", {}).values())
-        # Files referenced by a DROPPED manifest were claimed by a
-        # completed commit — never another writer's in-flight stage —
-        # so they are reclaimable at any age. Resolve them BEFORE the
-        # manifests are unlinked below.
-        dead: set[str] = set()
-        dead_dv_dirs: set[str] = set()
-        for v in drop_vs:
-            mv = self._manifest(v)
-            dead |= set(mv["files"])
-            dead_dv_dirs |= set(mv.get("dvs", {}).values())
-        dead -= live
-        dead_dv_dirs -= live_dv_dirs
+        marker_attempts = 0
+        marker_v: int | None = None
+        while True:
+            vs = self.versions()
+            keep_from = max(len(vs) - retain_last, 0)
+            if retain_hours is not None:
+                cutoff = now0 - retain_hours * 3600.0
+                # commit ts is monotone along the single-writer log, so
+                # the first young-enough version starts the time-kept
+                # suffix
+                age_idx = next(
+                    (
+                        i
+                        for i, v in enumerate(vs)
+                        if self._raw_manifest(v).get("ts", 0.0) >= cutoff
+                    ),
+                    len(vs),
+                )
+                keep_from = min(keep_from, age_idx)
+            keep_vs = vs[keep_from:]
+            drop_vs = vs[:keep_from]
+            live: set[str] = set()
+            live_dv_dirs: set[str] = set()
+            for v in keep_vs:
+                mv = self._manifest(v)
+                live |= set(mv["files"])
+                # deletion-vector sidecars of retained snapshots are
+                # part of those snapshots' read paths — as immortal as
+                # their data
+                live_dv_dirs |= set(mv.get("dvs", {}).values())
+            # Files referenced by a DROPPED manifest were claimed by a
+            # completed commit — never another writer's in-flight stage
+            # — so they are reclaimable at any age. Resolve them BEFORE
+            # the manifests are unlinked below.
+            dead: set[str] = set()
+            dead_dv_dirs: set[str] = set()
+            for v in drop_vs:
+                mv = self._manifest(v)
+                dead |= set(mv["files"])
+                dead_dv_dirs |= set(mv.get("dvs", {}).values())
+            dead -= live
+            dead_dv_dirs -= live_dv_dirs
+            if not drop_vs or dry_run:
+                break
+            # HORIZON MARKER (closes the vacuum × RESTORE race): before
+            # anything is unlinked, a metadata-only "vacuum" commit
+            # raises the table's vacuum_horizon to the oldest retained
+            # version — Delta's VACUUM START log entry. The marker is an
+            # empty rebase-append, so it always lands; once it is in the
+            # log, every later commit inherits the horizon and restore()
+            # refuses to resurrect a below-horizon snapshot, while a
+            # restore that claimed BEFORE the marker is folded into the
+            # live set by the interleaved-commit walk below. Without
+            # this ordering point, a concurrent restore could commit a
+            # head referencing exactly the files this vacuum is about
+            # to reclaim (dropped-manifest files are reclaimed at any
+            # age — the mtime floor only protects young orphans).
+            hm_head = self._manifest(vs[-1])
+            try:
+                marker_v = self._commit(
+                    "vacuum",
+                    [],
+                    {},
+                    hm_head["schema"],
+                    {
+                        "vacuum_horizon": keep_vs[0],
+                        "dropped_versions": len(drop_vs),
+                    },
+                    retry_append_files=[],
+                    read_m=hm_head,
+                    vacuum_horizon=keep_vs[0],
+                )
+            except ConcurrentWriteError:
+                # a concurrent schema / column-mapping change aborted
+                # the rebase — re-resolve everything from the new head
+                marker_attempts += 1
+                if marker_attempts >= 10:
+                    raise
+                continue
+            # commits that interleaved between the version listing and
+            # the marker (appends, CoW rewrites, restores) are retained
+            # by construction — fold their files into the live set
+            for v2 in range(vs[-1] + 1, marker_v + 1):
+                m2 = self._manifest(v2)
+                live |= set(m2["files"])
+                live_dv_dirs |= set(m2.get("dvs", {}).values())
+            dead -= live
+            dead_dv_dirs -= live_dv_dirs
+            keep_vs = keep_vs + list(range(vs[-1] + 1, marker_v + 1))
+            break
         claimed_dirs = {os.path.dirname(r) for r in dead | live}
         # bloom sidecars are snapshot metadata: while ANY file of a
         # commit dir is live, the dir's _bloom-*.json must survive (it
@@ -3306,6 +3448,10 @@ class VersionedTable:
             "removed_change_feeds": removed_cdf,
             "skipped_inflight_files": skipped_inflight,
             "retained_versions": keep_vs,
+            # the horizon-marker commit's version (None when nothing was
+            # dropped / dry run): the op appears in history() like
+            # Delta's VACUUM START entry
+            "horizon_commit": marker_v,
         }
 
 

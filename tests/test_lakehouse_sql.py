@@ -340,3 +340,19 @@ def test_null_count_stats_and_is_null_skipping(spark, tmp_path):
     # mutual exclusion guard
     with _pytest.raises(ValueError, match="mutually exclusive"):
         vt.scan(spark, "v", eq="x", is_null=True)
+
+
+def test_point_lookup_leaves_no_temp_view_and_spares_user_views(lh, spark):
+    """The equality fast path must not leak catalog state: its working
+    view is uuid-named and dropped after analysis, and a user's own
+    temp view — even one named like the old fixed pattern — survives."""
+    spark.createDataFrame([Row(x=1)], "x int").createOrReplaceTempView(
+        "t__eqscan"
+    )
+    before = {t.name for t in spark.catalog.listTables() if t.isTemporary}
+    got = lh.sql("SELECT k, v FROM t WHERE k = 2")
+    assert [tuple(r) for r in got.collect()] == [(2, 2.0)]
+    after = {t.name for t in spark.catalog.listTables() if t.isTemporary}
+    assert after == before
+    assert [tuple(r) for r in spark.table("t__eqscan").collect()] == [(1,)]
+    spark.catalog.dropTempView("t__eqscan")

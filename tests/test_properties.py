@@ -721,6 +721,10 @@ def test_vacuum_model_invariants(spark, ops, tmp_path_factory):
                 snapshots[v] = list(current)
         else:
             res = vt.vacuum(retain_last=p)
+            if res["horizon_commit"] is not None:
+                # the marker commit is a metadata-only snapshot of the
+                # pre-vacuum head: same content, new version
+                snapshots[res["horizon_commit"]] = list(current)
             dropped |= {
                 u for u in snapshots if u not in res["retained_versions"]
             }

@@ -1213,7 +1213,9 @@ def test_vacuum_retain_hours_keeps_young_versions(spark, vt, monkeypatch):
     monkeypatch.undo()
     # cutoff = 10_000 - 1.5h*3600 = 4_600: v1 (ts 5_000) and v2 stay
     res = vt.vacuum(retain_last=1, retain_hours=1.5, now=10_000.0)
-    assert res["retained_versions"] == [1, 2]
+    # [1, 2] survive the horizons; 3 is the vacuum marker commit
+    assert res["horizon_commit"] == 3
+    assert res["retained_versions"] == [1, 2, 3]
     assert res["removed_versions"] == 1
     assert _rows(vt.read(spark, version=1)) == [(2, "b")]
     with pytest.raises(VacuumedVersionError):
@@ -1229,7 +1231,7 @@ def test_vacuum_retain_hours_zero_falls_back_to_count(spark, vt, monkeypatch):
     vt.write_full(_mk(spark, [(2, "b")]))
     monkeypatch.undo()
     res = vt.vacuum(retain_last=1, retain_hours=0.0, now=1e12)
-    assert res["retained_versions"] == [1]
+    assert res["retained_versions"] == [1, res["horizon_commit"]]
     assert _rows(vt.read(spark)) == [(2, "b")]
 
 
@@ -1250,7 +1252,7 @@ def test_vacuum_retain_hours_fresh_reader_ok(spark, vt, monkeypatch):
         vt.append(_mk(spark, [(10 + i, "x")]))
     monkeypatch.undo()
     res = vt.vacuum(retain_hours=2.0, now=10_000.0)  # cutoff 2_800: keep v2+
-    assert res["retained_versions"] == [2, 3]
+    assert res["retained_versions"] == [2, 3, res["horizon_commit"]]
     fresh = VersionedTable(vt.path, stats_cols=["k"])
     assert len(_rows(fresh.read(spark))) == 4
     assert len(_rows(fresh.read(spark, version=2))) == 3
@@ -1555,3 +1557,156 @@ def test_convert_rejects_empty_and_existing(spark, tmp_path):
     VersionedTable.convert_from_parquet(spark, src, str(tmp_path / "vt2"))
     with pytest.raises(ValueError, match="already has a table"):
         VersionedTable.convert_from_parquet(spark, src, str(tmp_path / "vt2"))
+
+
+# -- vacuum × restore serialization (vacuum_horizon marker) ------------------
+
+
+def test_vacuum_lands_horizon_marker_in_history(spark, vt):
+    """A reclaiming vacuum logs a metadata-only "vacuum" commit (Delta's
+    VACUUM START entry) that raises the inherited vacuum_horizon; no-op
+    vacuums never grow the log."""
+    vt.write_full(_mk(spark, [(1, "a")]))
+    vt.write_full(_mk(spark, [(2, "b")]))
+    res = vt.vacuum(retain_last=1)
+    assert res["horizon_commit"] == 2
+    head = vt._manifest()
+    assert head["op"] == "vacuum"
+    assert head["vacuum_horizon"] == 1
+    assert _rows(vt.read(spark)) == [(2, "b")]  # marker changes no data
+    # the horizon is inherited by ordinary commits
+    vt.append(_mk(spark, [(3, "c")]))
+    assert vt._manifest()["vacuum_horizon"] == 1
+    # nothing to drop -> no marker, no new version
+    head_v = vt.latest_version()
+    res2 = vt.vacuum(retain_last=10)
+    assert res2["horizon_commit"] is None
+    assert vt.latest_version() == head_v
+
+
+def test_restore_below_horizon_raises_despite_warm_cache(spark, vt):
+    """The vacuum × restore race, same-process form: a handle that
+    already resolved the target manifest (warm cache) must still refuse
+    to restore below the vacuum horizon — without the manifest-level
+    horizon, the cached manifest would let it commit a head referencing
+    reclaimed files."""
+    vt.write_full(_mk(spark, [(1, "a")]))
+    vt.write_full(_mk(spark, [(2, "b")]))
+    warm = VersionedTable(vt.path, stats_cols=["k"])
+    assert _rows(warm.read(spark, version=0)) == [(1, "a")]  # warm v0
+    vt.vacuum(retain_last=1)
+    with pytest.raises(VacuumedVersionError):
+        warm.restore(0)
+    assert vt._manifest()["op"] == "vacuum"  # no restore head landed
+
+
+def test_restore_interleaving_vacuum_marker_keeps_files_live(spark, vt):
+    """A restore that commits BETWEEN vacuum's version listing and its
+    horizon marker keeps the restored snapshot's files alive: the
+    marker rebases onto the restore's head and the interleaved-commit
+    walk folds those file references back into the live set."""
+    vt.write_full(_mk(spark, [(1, "a")]))
+    vt.write_full(_mk(spark, [(2, "b")]))
+    orig_claim = vt._claim_version
+    raced = {"done": False}
+
+    def racing_claim(manifest, parent=None):
+        if not raced["done"] and manifest["op"] == "vacuum":
+            raced["done"] = True
+            VersionedTable(vt.path, stats_cols=["k"]).restore(0)
+        return orig_claim(manifest, parent=parent)
+
+    vt._claim_version = racing_claim
+    try:
+        res = vt.vacuum(retain_last=1)
+    finally:
+        vt._claim_version = orig_claim
+    assert res["removed_data_files"] == 0  # restore resurrected v0's file
+    assert _rows(vt.read(spark)) == [(1, "a")]
+    fresh = VersionedTable(vt.path)
+    assert _rows(fresh.read(spark)) == [(1, "a")]
+
+
+def test_auto_compact_is_best_effort_on_lost_race(spark, tmp_path):
+    """autoCompact must never fail the parent write: the data commit is
+    durable before the follow-up OPTIMIZE runs, so a lost race is
+    skipped (a caller retrying ConcurrentWriteError would re-land the
+    same rows)."""
+    vt = VersionedTable(
+        str(tmp_path / "t"), stats_cols=["k"], auto_compact=(2, 100)
+    )
+    vt.write_full(_mk(spark, [(1, "a")]).coalesce(1))
+    orig = vt.optimize
+
+    def losing_optimize(*a, **kw):
+        raise ConcurrentWriteError("simulated lost compaction race")
+
+    vt.optimize = losing_optimize
+    try:
+        v = vt.append(_mk(spark, [(2, "b")]).coalesce(1))
+    finally:
+        vt.optimize = orig
+    assert _rows(vt.read(spark)) == [(1, "a"), (2, "b")]
+    assert vt._manifest()["op"] == "append"
+    assert vt.latest_version() == v
+
+
+def test_auto_compact_fires_after_cow_delete(spark, tmp_path):
+    """delete_where survivors count toward the small-file condition —
+    the hook covers every layout-changing commit, not just appends."""
+    plain = VersionedTable(str(tmp_path / "t"), stats_cols=["k"])
+    for i in range(4):  # 4 small files, written compaction-free
+        plain.append(
+            _mk(spark, [(i * 10 + j, "x") for j in range(3)]).coalesce(1)
+        )
+    vt = VersionedTable(
+        str(tmp_path / "t"), stats_cols=["k"], auto_compact=(3, 100)
+    )
+    vt.delete_where(spark, "k = 0")  # CoW rewrite through the AC handle
+    head = vt._manifest()
+    assert head["op"] == "optimize"
+    assert head["meta"].get("auto_compact") is True
+    assert len(head["files"]) == 1  # everything bin-packed
+    assert len(_rows(vt.read(spark))) == 11
+
+
+def test_col_min_max_refuses_on_missing_stats_entry(spark, vt):
+    vt.write_full(_mk(spark, [(1, "a"), (5, "b")]))
+    m = vt._manifest()
+    broken = {**m, "stats": {}}
+    orig = vt._manifest
+    vt._manifest = lambda v=None: broken
+    try:
+        with pytest.raises(ValueError, match="no stats entry"):
+            vt.col_min_max("k")
+    finally:
+        vt._manifest = orig
+
+
+def test_col_non_null_count_unknown_column_raises(spark, vt):
+    vt.write_full(_mk(spark, [(1, "a")]))
+    with pytest.raises(ValueError, match="no column"):
+        vt.col_non_null_count("nope")
+
+
+def test_set_bloom_cols_failed_ddl_does_not_linger(spark, vt):
+    """A CREATE BLOOMFILTER INDEX that loses its commit must not leave
+    the new column set on the handle — the next data commit would
+    silently persist the 'failed' DDL."""
+    vt.write_full(_mk(spark, [(1, "a")]))
+    orig = vt._commit
+
+    def failing_commit(op, *a, **kw):
+        if op == "set_bloom_index":
+            raise ConcurrentWriteError("simulated lost DDL race")
+        return orig(op, *a, **kw)
+
+    vt._commit = failing_commit
+    try:
+        with pytest.raises(ConcurrentWriteError):
+            vt.set_bloom_cols(spark, ["k"])
+    finally:
+        vt._commit = orig
+    assert vt.bloom_cols is None
+    vt.append(_mk(spark, [(2, "b")]))
+    assert "bloom_cols" not in vt._manifest()
