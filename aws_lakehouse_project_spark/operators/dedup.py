@@ -1354,3 +1354,256 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c").cast("double") / F.col("ni") >= _CONTAIN_T)
         .select("inner_id", "outer_id", "containment")
     )
+
+
+# -- exact substring-span dedup (Lee et al. 2022, "Deduplicating Training
+# -- Data Makes Language Models Better" — the ExactSubstr shape) -------------
+
+_SPAN_K = 8  # tokens per shingle: spans >= K tokens are detectable
+
+
+def substring_spans(docs: DataFrame, k: int = _SPAN_K) -> DataFrame:
+    """Positions of corpus-wide duplicated ``k``-token shingles, merged
+    into MAXIMAL per-document spans — the distributed twin of the
+    suffix-array pass in exact-substring dedup: every duplicated token
+    run of length >= k appears as one (doc_id, span_start, span_end)
+    row covering the full run, not k-gram fragments.
+
+    Spark-first shape (no UDFs, 100 TB posture):
+
+    1. shingle: ``slice`` over the token array under ``posexplode`` of
+       a position sequence — one row per (doc, pos), positions 1-based;
+    2. flag: shingles grouped by ``md5`` digest (map-side partial
+       count; the 16-byte digest, not the raw k-gram string, is what
+       shuffles) — count > 1 means the shingle recurs somewhere in the
+       corpus;
+    3. merge: per doc, consecutive flagged positions collapse into
+       maximal runs via the gaps-and-islands ``pos - row_number()``
+       key — a run of R consecutive duplicated shingles is one span of
+       R + k - 1 tokens.
+
+    Tokenization is a plain single-space split (kept exactly
+    oracle-portable); swap in a real tokenizer upstream and feed the
+    token array instead. Docs shorter than k tokens yield no rows."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id", F.split("text", " ").alias("toks")
+    ).withColumn("n", F.size("toks"))
+    grams = (
+        toks.filter(F.col("n") >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.col("n") - (k - 1))
+            ).alias("pos"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.md5(F.concat_ws(" ", F.slice("toks", F.col("pos"), k))).alias(
+                "h"
+            ),
+        )
+    )
+    dup_h = (
+        grams.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .select("h")
+    )
+    flagged = grams.join(dup_h, "h", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = flagged.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    return runs.groupBy("doc_id", "grp").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + (k - 1)).alias("span_end"),
+        (F.max("pos") - F.min("pos") + k).alias("span_tokens"),
+    ).select("doc_id", "span_start", "span_end", "span_tokens")
+
+
+_SUBSTR_GRAMS_SQL = """
+    toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, pos,
+             tok || ' ' || lead(tok, 1) OVER w || ' ' ||
+             lead(tok, 2) OVER w || ' ' || lead(tok, 3) OVER w || ' ' ||
+             lead(tok, 4) OVER w || ' ' || lead(tok, 5) OVER w || ' ' ||
+             lead(tok, 6) OVER w || ' ' || lead(tok, 7) OVER w AS gram
+      FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    )
+"""
+
+_SUBSTR_SPAN_ORACLE = f"""
+    WITH {_SUBSTR_GRAMS_SQL},
+    flagged AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY gram) AS c
+        FROM grams WHERE gram IS NOT NULL
+      ) WHERE c > 1
+    ),
+    runs AS (
+      SELECT doc_id, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS grp
+      FROM flagged
+    )
+    SELECT doc_id,
+           CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + 7 AS BIGINT) AS span_end,
+           CAST(MAX(pos) - MIN(pos) + 8 AS BIGINT) AS span_tokens
+    FROM runs GROUP BY doc_id, grp
+"""
+
+
+@demo_query("q_dedup_substring", oracle=_SUBSTR_SPAN_ORACLE)
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-span dedup, detection pass: maximal duplicated
+    token runs (>= 8 tokens) across the whole corpus. See
+    ``substring_spans`` for the plan shape; the DuckDB oracle builds
+    the same shingles with a window lead-chain and merges runs with the
+    identical gaps-and-islands key."""
+    docs = load_table(spark, sf_dir, "documents")
+    return substring_spans(docs, _SPAN_K).select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("span_tokens").cast("long").alias("span_tokens"),
+    )
+
+
+def substring_scrub_accounting(docs: DataFrame, k: int = _SPAN_K) -> DataFrame:
+    """Keep-first exact-substring scrub accounting: every duplicated
+    k-shingle occurrence EXCEPT the globally first (ordered by
+    (doc_id, pos) — deterministic at any parallelism) is marked for
+    removal; overlapping removal intervals are unioned per document
+    (gaps-and-islands over a running-max window) and the per-doc token
+    budget reported. This is the bookkeeping half of ExactSubstr
+    removal — the rewrite itself is a substring splice driven by these
+    spans.
+
+    Scale: both windows partition by the shingle digest / doc — the
+    shuffle carries (digest, doc_id, pos) triples, never text; skew is
+    bounded by the max duplication count of a single shingle."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id", F.split("text", " ").alias("toks")
+    ).withColumn("n", F.size("toks"))
+    grams = (
+        toks.filter(F.col("n") >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.col("n") - (k - 1))
+            ).alias("pos"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.md5(F.concat_ws(" ", F.slice("toks", F.col("pos"), k))).alias(
+                "h"
+            ),
+        )
+    )
+    wg = Window.partitionBy("h").orderBy("doc_id", "pos")
+    occ = grams.select(
+        "doc_id",
+        "pos",
+        F.row_number().over(wg).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("h")).alias("c"),
+    )
+    removal = occ.filter((F.col("c") > 1) & (F.col("rk") > 1)).select(
+        "doc_id",
+        F.col("pos").alias("s"),
+        (F.col("pos") + (k - 1)).alias("e"),
+    )
+    wd = Window.partitionBy("doc_id").orderBy("s")
+    cummax_prev = F.max("e").over(
+        wd.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = removal.withColumn(
+        "brk",
+        F.when(F.col("s") > F.coalesce(cummax_prev, F.lit(-1)), 1).otherwise(
+            0
+        ),
+    ).withColumn("island", F.sum("brk").over(wd))
+    merged = isl.groupBy("doc_id", "island").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    per_doc = merged.groupBy("doc_id").agg(
+        F.sum(F.col("me") - F.col("ms") + 1).alias("tokens_removed")
+    )
+    return (
+        per_doc.join(toks.select("doc_id", "n"), "doc_id")
+        .select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_tokens"),
+            F.col("tokens_removed").cast("long").alias("tokens_removed"),
+            (F.col("n") - F.col("tokens_removed"))
+            .cast("long")
+            .alias("tokens_kept"),
+        )
+    )
+
+
+_SUBSTR_SCRUB_ORACLE = f"""
+    WITH {_SUBSTR_GRAMS_SQL},
+    occ AS (
+      SELECT doc_id, pos,
+             ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos)
+               AS rk,
+             COUNT(*) OVER (PARTITION BY gram) AS c
+      FROM grams WHERE gram IS NOT NULL
+    ),
+    removal AS (
+      SELECT doc_id, pos AS s, pos + 7 AS e FROM occ
+      WHERE c > 1 AND rk > 1
+    ),
+    isl AS (
+      SELECT doc_id, s, e,
+             CASE WHEN s > COALESCE(MAX(e) OVER (
+                    PARTITION BY doc_id ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  -1)
+                  THEN 1 ELSE 0 END AS brk
+      FROM removal
+    ),
+    isl2 AS (
+      SELECT doc_id, s, e,
+             SUM(brk) OVER (
+               PARTITION BY doc_id ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM isl
+    ),
+    merged AS (
+      SELECT doc_id, MIN(s) AS ms, MAX(e) AS me
+      FROM isl2 GROUP BY doc_id, island
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(SUM(me - ms + 1) AS BIGINT) AS tokens_removed
+      FROM merged GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+           p.tokens_removed,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) - p.tokens_removed
+             AS tokens_kept
+    FROM per_doc p JOIN documents d USING (doc_id)
+"""
+
+
+@demo_query("q_dedup_substring_scrub", oracle=_SUBSTR_SCRUB_ORACLE)
+def q_dedup_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-span dedup, keep-first accounting pass: per
+    affected document, how many tokens a globally-keep-first span
+    scrub removes (union of overlapping removal intervals) and how
+    many survive. See ``substring_scrub_accounting``."""
+    docs = load_table(spark, sf_dir, "documents")
+    return substring_scrub_accounting(docs, _SPAN_K)

@@ -167,6 +167,9 @@ EXTRA = [
     "q_scan_null_skipping",
     "q_auto_compact",
     "q_convert_parquet",
+    # round-11 continuation 2: exact substring-span dedup (ExactSubstr)
+    "q_dedup_substring",
+    "q_dedup_substring_scrub",
 ]
 
 

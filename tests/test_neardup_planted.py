@@ -198,3 +198,57 @@ def test_bpe_pairs_single_token_docs_emit_no_pairs(spark, tmp_path):
     docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
     out = {r["pair"]: r["n_occurrences"] for r in q_bpe_pairs(spark, str(tmp_path)).collect()}
     assert out == {"a b": 2, "b a": 1}
+
+
+def test_substring_spans_merge_planted_run_maximally(spark):
+    """A 12-token run shared by two docs must surface as ONE maximal
+    12-token span in each (5 consecutive duplicated 8-shingles merged),
+    never as shingle fragments; unique docs yield nothing."""
+    from aws_lakehouse_project_spark.operators.dedup import (
+        substring_spans,
+        substring_scrub_accounting,
+    )
+
+    run = " ".join(f"dup{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta " + run + " gamma delta"),
+            (2, run + " omega psi chi phi"),
+            (3, " ".join(f"uniq{i}" for i in range(20))),
+            (4, "too short"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["span_tokens"])
+        for r in substring_spans(docs, k=8).collect()
+    }
+    # doc 1: run occupies tokens 3..14; doc 2: tokens 1..12
+    assert spans == {1: (3, 14, 12), 2: (1, 12, 12)}
+
+    acct = {
+        r["doc_id"]: (r["n_tokens"], r["tokens_removed"], r["tokens_kept"])
+        for r in substring_scrub_accounting(docs, k=8).collect()
+    }
+    # keep-first is global (doc 1, pos 3) — only doc 2's copy is scrubbed
+    assert acct == {2: (16, 12, 4)}
+
+
+def test_substring_spans_overlapping_removals_union_once(spark):
+    """Three copies of the same run: the two non-first copies' removal
+    intervals overlap shingle-by-shingle but each token is counted
+    once (interval union, not sum of shingle widths)."""
+    from aws_lakehouse_project_spark.operators.dedup import (
+        substring_scrub_accounting,
+    )
+
+    run = " ".join(f"w{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, run), (2, run + " tail1 tail2"), (3, "lead0 " + run)],
+        "doc_id LONG, text STRING",
+    )
+    acct = {
+        r["doc_id"]: (r["n_tokens"], r["tokens_removed"], r["tokens_kept"])
+        for r in substring_scrub_accounting(docs, k=8).collect()
+    }
+    assert acct == {2: (12, 10, 2), 3: (11, 10, 1)}
