@@ -760,3 +760,130 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_week", "week_offset").agg(
         F.count(F.lit(1)).alias("active_users")
     )
+
+
+# -- mergeable quantile-histogram rollup (the quantile twin of
+# -- q_hll_rollup's sketch pattern) ------------------------------------------
+
+_QH_WIDTH = 110.0  # bin width: l_extendedprice < 110_000 at every SF
+_QH_BINS = 1000
+
+
+@demo_query(
+    "q_quantile_rollup",
+    oracle=f"""
+    WITH pr AS (
+      SELECT l_returnflag AS flag, CAST(l_extendedprice AS DOUBLE) AS p
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ),
+    b AS (
+      SELECT flag,
+             LEAST(CAST(FLOOR(p / {_QH_WIDTH}) AS BIGINT),
+                   {_QH_BINS - 1}) AS bin,
+             COUNT(*) AS c
+      FROM pr GROUP BY 1, 2
+    ),
+    tot AS (SELECT flag, SUM(c) AS n FROM b GROUP BY 1),
+    cum AS (
+      SELECT flag, bin,
+             SUM(c) OVER (PARTITION BY flag ORDER BY bin) AS cum
+      FROM b
+    ),
+    p50 AS (
+      SELECT cum.flag, MIN(bin) AS b50
+      FROM cum JOIN tot USING (flag)
+      WHERE CAST(cum.cum AS DOUBLE) >= 0.5 * CAST(tot.n AS DOUBLE)
+      GROUP BY 1
+    ),
+    p95 AS (
+      SELECT cum.flag, MIN(bin) AS b95
+      FROM cum JOIN tot USING (flag)
+      WHERE CAST(cum.cum AS DOUBLE) >= 0.95 * CAST(tot.n AS DOUBLE)
+      GROUP BY 1
+    )
+    SELECT flag AS l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           (b50 + 0.5) * {_QH_WIDTH} AS p50_est,
+           (b95 + 0.5) * {_QH_WIDTH} AS p95_est,
+           TRUE AS rollup_equals_direct
+    FROM tot JOIN p50 USING (flag) JOIN p95 USING (flag)
+    """,
+)
+def q_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketches: fixed-bin histograms (1000 bins ×
+    width 110 over l_extendedprice's domain) built per FINE group
+    (returnflag × ship month) are MERGED into per-returnflag sketches
+    by summing bin counts — the 100 TB pattern for quantiles over any
+    group hierarchy: materialize one ~8 KB count vector per partition
+    once, answer every rollup window by vector addition instead of
+    re-scanning raw values. Spark's ``percentile_approx`` (GK) is NOT
+    rollup-mergeable — two GK summaries for sibling groups cannot be
+    combined after the fact — which is exactly what the histogram form
+    buys: merge is exact by construction (integer addition commutes),
+    pinned here by comparing the merged vectors against histograms
+    built directly over the coarse groups (``rollup_equals_direct``
+    uses ``bool_and`` over a full-outer bin join — any count drift
+    fails the row). Quantile estimates are bin midpoints at the first
+    bin whose cumulative count crosses q·n — deterministic, so the
+    DuckDB oracle reproduces them bit-for-bit; estimation error is
+    bounded by the bin width (110 ≈ 0.1% of the domain), unlike a
+    sketch whose error grows with merges."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_returnflag").alias("flag"),
+            F.date_trunc(
+                "month", F.col("l_shipdate").cast("date")
+            ).alias("fine"),
+            F.col("l_extendedprice").cast("double").alias("p"),
+        )
+        .where(F.col("p").isNotNull())
+    )
+    bin_col = F.least(
+        F.floor(F.col("p") / _QH_WIDTH).cast("long"), F.lit(_QH_BINS - 1)
+    )
+    fine = li.groupBy("flag", "fine", bin_col.alias("bin")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    merged = fine.groupBy("flag", "bin").agg(F.sum("c").alias("c"))
+    direct = li.groupBy("flag", bin_col.alias("bin")).agg(
+        F.count(F.lit(1)).alias("cd")
+    )
+    eqchk = (
+        merged.join(direct, ["flag", "bin"], "full_outer")
+        .groupBy("flag")
+        .agg(
+            F.bool_and(
+                F.coalesce(F.col("c"), F.lit(0))
+                == F.coalesce(F.col("cd"), F.lit(0))
+            ).alias("rollup_equals_direct")
+        )
+    )
+    w = Window.partitionBy("flag").orderBy("bin")
+    cum = merged.withColumn("cum", F.sum("c").over(w))
+    tot = merged.groupBy("flag").agg(F.sum("c").alias("n"))
+    j = cum.join(tot, "flag")
+    b50 = (
+        j.where(F.col("cum").cast("double") >= 0.5 * F.col("n").cast("double"))
+        .groupBy("flag")
+        .agg(F.min("bin").alias("b50"))
+    )
+    b95 = (
+        j.where(
+            F.col("cum").cast("double") >= 0.95 * F.col("n").cast("double")
+        )
+        .groupBy("flag")
+        .agg(F.min("bin").alias("b95"))
+    )
+    return (
+        tot.join(b50, "flag")
+        .join(b95, "flag")
+        .join(eqchk, "flag")
+        .select(
+            F.col("flag").alias("l_returnflag"),
+            F.col("n").cast("long").alias("n"),
+            ((F.col("b50") + 0.5) * _QH_WIDTH).alias("p50_est"),
+            ((F.col("b95") + 0.5) * _QH_WIDTH).alias("p95_est"),
+            "rollup_equals_direct",
+        )
+    )

@@ -3220,8 +3220,9 @@ class VersionedTable:
         marker loses the ``expected_head`` CAS and, on re-run, hits
         ``restore()``'s horizon guard with ``VacuumedVersionError``.
         Either way no head can ever reference a reclaimed file. The
-        marker only lands when there is something to drop, so steady
-        no-op vacuums never grow the log.
+        marker only lands when dropped versions actually release data
+        files, so no-op vacuums (and maintenance loops whose drops are
+        manifest-only) never grow the log.
 
         Crash ordering: the retained-horizon checkpoint is written and
         the expired manifests/checkpoints are unlinked BEFORE any data
@@ -3291,7 +3292,13 @@ class VersionedTable:
                 dead_dv_dirs |= set(mv.get("dvs", {}).values())
             dead -= live
             dead_dv_dirs -= live_dv_dirs
-            if not drop_vs or dry_run:
+            if not drop_vs or dry_run or not (dead or dead_dv_dirs):
+                # no data to reclaim → no marker: dropping manifests
+                # whose files are all still live cannot strand a racing
+                # restore (it would reference live files), and a marker
+                # here would make a vacuum(retain_last=1) maintenance
+                # loop self-feeding — each pass dropping the previous
+                # pass's marker and landing a new one, forever.
                 break
             # HORIZON MARKER (closes the vacuum × RESTORE race): before
             # anything is unlinked, a metadata-only "vacuum" commit

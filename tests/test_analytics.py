@@ -184,3 +184,35 @@ def test_hll_union_transition_zone_tracks_direct(spark):
         assert abs(_hll_union_est(df, slices) - direct) / direct <= 0.04
     # 911 true distincts: the direct sketch is still coupon-exact here
     assert abs(direct - 911) / 911 <= 0.05
+
+
+def test_quantile_rollup_bounds_and_mergeability(spark):
+    """The histogram-sketch quantile rollup: merged estimates stay
+    within one bin width of the exact percentile, and the merge is
+    exact (rollup_equals_direct) at every row."""
+    from aws_lakehouse_project_spark.operators.analytics import (
+        _QH_WIDTH,
+        q_quantile_rollup,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    got = {r["l_returnflag"]: r for r in q_quantile_rollup(spark, sf).collect()}
+    assert got and all(r["rollup_equals_direct"] for r in got.values())
+    exact = {
+        r["l_returnflag"]: (r["e50"], r["e95"])
+        for r in spark.read.parquet(f"{sf}/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile(F.col("l_extendedprice").cast("double"), 0.5).alias(
+                "e50"
+            ),
+            F.percentile(F.col("l_extendedprice").cast("double"), 0.95).alias(
+                "e95"
+            ),
+        )
+        .collect()
+    }
+    for flag, r in got.items():
+        e50, e95 = exact[flag]
+        assert abs(r["p50_est"] - e50) <= _QH_WIDTH, (flag, r["p50_est"], e50)
+        assert abs(r["p95_est"] - e95) <= _QH_WIDTH, (flag, r["p95_est"], e95)

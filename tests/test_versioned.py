@@ -1252,7 +1252,10 @@ def test_vacuum_retain_hours_fresh_reader_ok(spark, vt, monkeypatch):
         vt.append(_mk(spark, [(10 + i, "x")]))
     monkeypatch.undo()
     res = vt.vacuum(retain_hours=2.0, now=10_000.0)  # cutoff 2_800: keep v2+
-    assert res["retained_versions"] == [2, 3, res["horizon_commit"]]
+    assert res["retained_versions"] == [2, 3]
+    # append ancestry: every dropped version's files are still live, so
+    # the drop is manifest-only and no horizon marker lands
+    assert res["horizon_commit"] is None
     fresh = VersionedTable(vt.path, stats_cols=["k"])
     assert len(_rows(fresh.read(spark))) == 4
     assert len(_rows(fresh.read(spark, version=2))) == 3
@@ -1710,3 +1713,22 @@ def test_set_bloom_cols_failed_ddl_does_not_linger(spark, vt):
     assert vt.bloom_cols is None
     vt.append(_mk(spark, [(2, "b")]))
     assert "bloom_cols" not in vt._manifest()
+
+
+def test_vacuum_loop_does_not_self_feed_markers(spark, vt):
+    """A vacuum(retain_last=1) maintenance loop must converge: the pass
+    after a reclaim drops only the pre-marker manifest (whose files the
+    marker keeps live) — a manifest-only drop lands NO new marker, so
+    the log stops growing."""
+    vt.write_full(_mk(spark, [(1, "a")]))
+    vt.write_full(_mk(spark, [(2, "b")]))
+    r1 = vt.vacuum(retain_last=1)
+    assert r1["horizon_commit"] == 2 and r1["removed_data_files"] >= 1
+    r2 = vt.vacuum(retain_last=1)
+    assert r2["horizon_commit"] is None  # manifest-only drop: no marker
+    assert r2["removed_data_files"] == 0
+    head = vt.latest_version()
+    r3 = vt.vacuum(retain_last=1)
+    assert r3["horizon_commit"] is None and r3["removed_versions"] == 0
+    assert vt.latest_version() == head
+    assert _rows(VersionedTable(vt.path).read(spark)) == [(2, "b")]
