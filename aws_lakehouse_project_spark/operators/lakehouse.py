@@ -1633,8 +1633,11 @@ def q_table_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vt.delete_where(spark, "cust_id % 5 = 0")
 
-    dry = vt.vacuum(retain_last=1, dry_run=True)
-    res = vt.vacuum(retain_last=1)
+    # single-writer demo: no concurrent readers exist, so the
+    # in-flight-reader retention floor is lifted for immediate reclaim
+    # (Delta: retentionDurationCheck disabled)
+    dry = vt.vacuum(retain_last=1, dry_run=True, retain_recent_s=0.0)
+    res = vt.vacuum(retain_last=1, retain_recent_s=0.0)
     if res["removed_data_files"] < 1:
         raise AssertionError(f"vacuum reclaimed nothing: {res}")
     if res["removed_files"] != dry["removed_files"]:
@@ -1711,7 +1714,15 @@ def q_vacuum_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
         def claim(self, final: str, payload: str) -> bool:
             if not self.fired:
                 self.fired = True
-                race.update(VersionedTable(path).vacuum(retain_last=1))
+                race.update(
+                    # deterministic race demo: the floor that matters
+                    # here is min_file_age_s (staged-commit orphans);
+                    # the reader floor is lifted so the seconds-old
+                    # dropped version reclaims mid-race
+                    VersionedTable(path).vacuum(
+                        retain_last=1, retain_recent_s=0.0
+                    )
+                )
             return self._inner.claim(final, payload)
 
     victim = VersionedTable(path, claim_backend=VacuumDuringClaim())
@@ -1750,7 +1761,7 @@ def q_vacuum_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = time.time() - 7200.0
     os.utime(stale, (old, old))
     os.utime(stale_dir, (old, old))
-    res = VersionedTable(path).vacuum(retain_last=2)
+    res = VersionedTable(path).vacuum(retain_last=2, retain_recent_s=0.0)
     if os.path.exists(stale) or res["removed_data_files"] < 1:
         raise AssertionError(f"aged orphan not reclaimed: {res}")
     fresh = VersionedTable(path)

@@ -332,13 +332,24 @@ class LakehouseSession:
         )
         if mm:
             # RETAIN n HOURS is Delta's surface form; the engine unions
-            # the time horizon with retain_last=1 (head always kept)
+            # the time horizon with retain_last=1 (head always kept).
+            # The stated retention also sets the in-flight-reader floor
+            # (retain_recent_s): one duration governs both, as Delta's
+            # retention does. An explicit RETAIN n VERSIONS is a
+            # count-retention opt-in — honoring exactly n versions
+            # requires lifting the time floor — while a bare VACUUM t
+            # keeps the safe default (~1 h).
             rep = self.table(mm.group("t")).vacuum(
                 retain_last=int(mm.group("n") or 1),
                 retain_hours=(
                     float(mm.group("h")) if mm.group("h") else None
                 ),
                 dry_run=bool(mm.group("dry")),
+                retain_recent_s=(
+                    float(mm.group("h")) * 3600.0
+                    if mm.group("h")
+                    else (0.0 if mm.group("n") else None)
+                ),
             )
             return self._row(
                 op="vacuum",

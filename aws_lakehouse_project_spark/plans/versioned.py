@@ -3189,6 +3189,7 @@ class VersionedTable:
         retain_hours: float | None = None,
         now: float | None = None,
         min_file_age_s: float = 3600.0,
+        retain_recent_s: float | None = None,
     ) -> dict:
         """Reclaim data files referenced ONLY by dropped versions;
         expired manifests are dropped too (time travel below the
@@ -3209,6 +3210,18 @@ class VersionedTable:
           floor, Delta's semantics; default 1 h vastly exceeds any
           stage→claim window). Younger orphans are reported as
           ``skipped_inflight_files`` and left for a later vacuum.
+
+        In-flight READERS get a time horizon (Delta's retention
+        duration): versions committed within ``retain_recent_s`` of
+        ``now`` are ALWAYS retained — a snapshot read or CoW rewrite
+        that began within that window never loses its files to a
+        concurrent vacuum. ``None`` (default) inherits
+        ``min_file_age_s``, so a default vacuum is safe against any
+        concurrent operation shorter than an hour; pass ``0.0`` only
+        when no concurrent readers can exist (single-writer
+        maintenance) — the moral equivalent of disabling Delta's
+        ``retentionDurationCheck``. ``retain_last`` alone is a COUNT
+        horizon and provides no such time guarantee.
 
         A concurrent RESTORE is serialized through the log itself:
         before unlinking anything, vacuum lands a metadata-only
@@ -3249,6 +3262,10 @@ class VersionedTable:
             raise ValueError("retain_hours must be non-negative")
         if min_file_age_s < 0:
             raise ValueError("min_file_age_s must be non-negative")
+        if retain_recent_s is None:
+            retain_recent_s = min_file_age_s
+        if retain_recent_s < 0:
+            raise ValueError("retain_recent_s must be non-negative")
         now0 = now if now is not None else time.time()
         marker_attempts = 0
         marker_v: int | None = None
@@ -3269,6 +3286,22 @@ class VersionedTable:
                     len(vs),
                 )
                 keep_from = min(keep_from, age_idx)
+            if retain_recent_s > 0:
+                # in-flight-reader horizon: a version younger than the
+                # floor may still have a snapshot read in progress —
+                # dropping it could unlink files mid-scan (count-based
+                # retention alone gives readers no time guarantee)
+                recent_cutoff = now0 - retain_recent_s
+                young_idx = next(
+                    (
+                        i
+                        for i, v in enumerate(vs)
+                        if self._raw_manifest(v).get("ts", 0.0)
+                        >= recent_cutoff
+                    ),
+                    len(vs),
+                )
+                keep_from = min(keep_from, young_idx)
             keep_vs = vs[keep_from:]
             drop_vs = vs[:keep_from]
             live: set[str] = set()

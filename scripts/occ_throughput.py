@@ -132,7 +132,12 @@ def main() -> None:
         h = VersionedTable(vt.path)
         try:
             while not stop_vac.is_set():
-                res = h.vacuum(retain_last=2)
+                # retain_recent_s=30 is the in-flight-reader floor:
+                # every storm op (merge snapshot read -> commit) runs
+                # well under 30 s, so no reader loses files mid-scan,
+                # while versions older than 30 s still reclaim DURING
+                # the storm (the contract: floor >= longest op)
+                res = h.vacuum(retain_last=2, retain_recent_s=30.0)
                 vac_stats["passes"] += 1
                 vac_stats["skipped_inflight"] += res["skipped_inflight_files"]
                 vac_stats["removed_files"] += res["removed_data_files"]

@@ -111,7 +111,7 @@ def test_vacuum_spares_live_sidecars_reclaims_dead(spark, bt):
     bt.write_full(
         spark.range(100).select(F.col("id").alias("k"), F.lit(0.0).alias("v"))
     )  # v0's files (and their sidecars' dirs) now dead
-    res = bt.vacuum(retain_last=1)
+    res = bt.vacuum(retain_last=1, retain_recent_s=0.0)
     assert res["removed_versions"] == 1
     for s in live_sides:
         assert not os.path.exists(s)  # dead dir's sidecar reclaimed
@@ -208,7 +208,7 @@ def test_reader_of_retained_head_survives_concurrent_vacuum(spark, bt):
         spark.range(50).select(F.col("id").alias("k"), F.lit(1.0).alias("v"))
     )
     df = bt.read(spark)  # plan resolved against the retained head
-    bt.vacuum(retain_last=1)  # drops v0 and reclaims its files
+    bt.vacuum(retain_last=1, retain_recent_s=0.0)  # drops v0 and reclaims its files
     assert df.count() == 50  # the lazy plan still executes cleanly
 
 

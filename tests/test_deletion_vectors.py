@@ -180,7 +180,7 @@ def test_vacuum_retains_live_dv_reclaims_dead(spark, vt):
     vt.write_full(_mk(spark, [(i, "x") for i in range(8)]))
     vt.delete_where(spark, "k < 2", mode="merge_on_read")
     vt.delete_where(spark, "k > 5", mode="merge_on_read")  # folds dv
-    rep = vt.vacuum(retain_last=1)
+    rep = vt.vacuum(retain_last=1, retain_recent_s=0.0)
     # v1's superseded dv dir is reclaimed; v2's survives and still reads
     assert rep["removed_versions"] == 2
     assert _rows(vt.read(spark)) == [(i, "x") for i in range(2, 6)]

@@ -187,7 +187,7 @@ def test_vacuum_backfills_checkpoint_for_fresh_readers(spark, vt):
     vt.write_full(_mk(spark, [(0, "r0")]).coalesce(1))
     for i in range(1, 4):
         vt.append(_mk(spark, [(i, f"r{i}")]).coalesce(1))
-    vt.vacuum(retain_last=1)
+    vt.vacuum(retain_last=1, retain_recent_s=0.0)
     assert os.path.exists(vt._ckpt_path(3))  # backfilled before unlink
     fresh = VersionedTable(vt.path)
     assert _rows(fresh.read(spark)) == [(i, f"r{i}") for i in range(4)]
@@ -201,7 +201,7 @@ def test_vacuum_retains_delta_chain_to_backfill(spark, vt):
     vt.write_full(_mk(spark, [(0, "r0")]).coalesce(1))
     for i in range(1, 6):
         vt.append(_mk(spark, [(i, f"r{i}")]).coalesce(1))
-    vt.vacuum(retain_last=3)  # keeps v3, v4, v5; drops v0-v2
+    vt.vacuum(retain_last=3, retain_recent_s=0.0)  # keeps v3, v4, v5; drops v0-v2
     fresh = VersionedTable(vt.path)
     for v, n in ((3, 4), (4, 5), (5, 6)):
         assert len(_rows(fresh.read(spark, version=v))) == n
@@ -217,7 +217,7 @@ def test_vacuum_drops_ckpt_sidecars_and_cache(spark, tmp_path):
     assert os.path.exists(vt._ckpt_path(2))
     # warm the cache on a version about to be dropped
     vt._manifest(2)
-    vt.vacuum(retain_last=1)
+    vt.vacuum(retain_last=1, retain_recent_s=0.0)
     assert not os.path.exists(vt._ckpt_path(2))
     assert 2 not in vt._mcache
     # the WARM instance (the r9 cache-bypass bug) raises too
@@ -230,7 +230,7 @@ def test_vacuum_drops_ckpt_sidecars_and_cache(spark, tmp_path):
 def test_restore_after_vacuum_raises_on_fresh_instance(spark, vt):
     vt.write_full(_mk(spark, [(1, "a")]))
     vt.write_full(_mk(spark, [(2, "b")]))
-    vt.vacuum(retain_last=1)
+    vt.vacuum(retain_last=1, retain_recent_s=0.0)
     fresh = VersionedTable(vt.path)
     with pytest.raises(VacuumedVersionError):
         fresh.restore(0)
@@ -240,7 +240,7 @@ def test_restore_after_vacuum_raises_on_fresh_instance(spark, vt):
 def test_vacuum_dry_run_leaves_manifests_resolvable(spark, vt):
     vt.write_full(_mk(spark, [(0, "a")]).coalesce(1))
     vt.append(_mk(spark, [(1, "b")]).coalesce(1))
-    vt.vacuum(retain_last=1, dry_run=True)
+    vt.vacuum(retain_last=1, dry_run=True, retain_recent_s=0.0)
     # dry run writes no checkpoint and drops nothing
     assert not os.path.exists(vt._ckpt_path(1))
     assert _rows(VersionedTable(vt.path).read(spark, version=0)) == [(0, "a")]

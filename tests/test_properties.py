@@ -720,7 +720,7 @@ def test_vacuum_model_invariants(spark, ops, tmp_path_factory):
             if v != before:  # no-op deletes commit nothing
                 snapshots[v] = list(current)
         else:
-            res = vt.vacuum(retain_last=p)
+            res = vt.vacuum(retain_last=p, retain_recent_s=0.0)
             if res["horizon_commit"] is not None:
                 # the marker commit is a metadata-only snapshot of the
                 # pre-vacuum head: same content, new version

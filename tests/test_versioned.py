@@ -160,7 +160,7 @@ def test_optimize_bin_packs_small_files_only(spark, vt):
 def test_vacuum_reclaims_and_guards_time_travel(spark, vt):
     vt.write_full(_mk(spark, [(1, "a")]))
     vt.write_full(_mk(spark, [(2, "b")]))  # v0's file now unreferenced by head
-    res = vt.vacuum(retain_last=1)
+    res = vt.vacuum(retain_last=1, retain_recent_s=0.0)
     assert res["removed_data_files"] >= 1
     assert res["removed_versions"] == 1
     assert _rows(vt.read(spark)) == [(2, "b")]
@@ -171,7 +171,7 @@ def test_vacuum_reclaims_and_guards_time_travel(spark, vt):
 def test_vacuum_never_touches_retained_files(spark, vt):
     vt.write_full(_mk(spark, [(1, "a")]))
     vt.append(_mk(spark, [(2, "b")]))
-    vt.vacuum(retain_last=2)  # both versions retained -> nothing to remove
+    vt.vacuum(retain_last=2, retain_recent_s=0.0)  # both versions retained -> nothing to remove
     assert _rows(vt.read(spark, version=0)) == [(1, "a")]
     assert _rows(vt.read(spark)) == [(1, "a"), (2, "b")]
 
@@ -346,7 +346,7 @@ def test_restore_is_metadata_only_and_roundtrips(spark, vt):
 def test_restore_after_vacuum_raises(spark, vt):
     vt.write_full(_mk(spark, [(1, "a")]))
     vt.write_full(_mk(spark, [(2, "b")]))
-    vt.vacuum(retain_last=1)
+    vt.vacuum(retain_last=1, retain_recent_s=0.0)
     with pytest.raises(VacuumedVersionError):
         vt.restore(0)
 
@@ -456,7 +456,7 @@ def test_cdf_vacuum_reclaims_expired_feed(spark, cdf_vt):
     vt.write_full(_mk(spark, [(1, "a")]))
     vt.write_full(_mk(spark, [(2, "b")]))
     vt.write_full(_mk(spark, [(3, "c")]))
-    res = vt.vacuum(retain_last=1)
+    res = vt.vacuum(retain_last=1, retain_recent_s=0.0)
     assert res["removed_change_feeds"] == 2
     assert not os.path.isdir(vt._cdf_version_dir(0))
     assert os.path.isdir(vt._cdf_version_dir(2))
@@ -538,7 +538,7 @@ def test_clone_vacuum_never_reclaims_source_files(spark, vt, tmp_path):
     vt.write_full(_mk(spark, [(1, "a"), (2, "b")]))
     cl = vt.clone(str(tmp_path / "cl"))
     cl.write_full(_mk(spark, [(9, "z")]))  # clone v1 drops the borrow
-    cl.vacuum(retain_last=1)
+    cl.vacuum(retain_last=1, retain_recent_s=0.0)
     # source data intact and readable
     assert _rows(vt.read(spark)) == [(1, "a"), (2, "b")]
     assert _rows(cl.read(spark)) == [(9, "z")]
@@ -561,7 +561,7 @@ def test_deep_clone_is_independent_of_source(spark, vt, tmp_path):
     assert all(cl._manifest(0)["stats"][f]["rows"] >= 0 for f in m["files"])
     # source vacuum/delete cannot affect a deep clone
     vt.write_full(_mk(spark, [(9, "z")]))
-    vt.vacuum(retain_last=1)
+    vt.vacuum(retain_last=1, retain_recent_s=0.0)
     assert _rows(cl.read(spark)) == [(1, "a"), (2, "b")]
 
 
@@ -912,14 +912,14 @@ def test_optimize_rewrite_all_reclusters_full_sized_files(spark, vt):
 def test_vacuum_dry_run_reports_without_deleting(spark, vt):
     vt.write_full(_mk(spark, [(1, "a")]))
     vt.write_full(_mk(spark, [(2, "b")]))
-    dry = vt.vacuum(retain_last=1, dry_run=True)
+    dry = vt.vacuum(retain_last=1, dry_run=True, retain_recent_s=0.0)
     assert dry["dry_run"] is True
     assert dry["removed_versions"] == 1 and dry["removed_data_files"] >= 1
     assert all(f.startswith("data") for f in dry["removed_files"])
     # nothing actually touched: old snapshot still readable
     assert _rows(vt.read(spark, version=0)) == [(1, "a")]
     # the real vacuum removes exactly what the dry run reported
-    real = vt.vacuum(retain_last=1)
+    real = vt.vacuum(retain_last=1, retain_recent_s=0.0)
     assert real["removed_files"] == dry["removed_files"]
     with pytest.raises(VacuumedVersionError):
         vt.read(spark, version=0)
@@ -1288,7 +1288,7 @@ def test_vacuum_spares_young_orphans(spark, vt):
         fh.write(b"not yet claimed")
     with open(os.path.join(stage, "_SUCCESS"), "w"):
         pass
-    res = vt.vacuum(retain_last=1)
+    res = vt.vacuum(retain_last=1, retain_recent_s=0.0)
     assert res["removed_versions"] == 1  # v0 dropped...
     assert res["removed_data_files"] >= 1  # ...and reclaimed immediately
     assert res["skipped_inflight_files"] == 1
@@ -1298,7 +1298,7 @@ def test_vacuum_spares_young_orphans(spark, vt):
     os.utime(orphan, (old, old))
     os.utime(os.path.join(stage, "_SUCCESS"), (old, old))
     os.utime(stage, (old, old))  # dir age gates the rmdir too
-    res2 = vt.vacuum(retain_last=1)
+    res2 = vt.vacuum(retain_last=1, retain_recent_s=0.0)
     assert res2["skipped_inflight_files"] == 0
     assert not os.path.exists(orphan) and not os.path.isdir(stage)
 
@@ -1343,7 +1343,7 @@ def test_vacuum_races_staged_commit_via_claim_seam(spark, tmp_path):
         def claim(self, final: str, payload: str) -> bool:
             if not self.fired:
                 self.fired = True
-                report.update(VersionedTable(path).vacuum(retain_last=1))
+                report.update(VersionedTable(path).vacuum(retain_last=1, retain_recent_s=0.0))
             return self._inner.claim(final, payload)
 
     victim = VersionedTable(path, claim_backend=VacuumDuringClaim())
@@ -1377,7 +1377,7 @@ def test_vacuum_concurrent_writer_stress(spark, vt):
         h = VersionedTable(vt.path)
         try:
             while not stop.is_set():
-                h.vacuum(retain_last=1)
+                h.vacuum(retain_last=1, retain_recent_s=0.0)
         except Exception as exc:  # noqa: BLE001
             errors.append(exc)
 
@@ -1422,7 +1422,7 @@ def test_vacuum_races_staged_cow_merge_via_claim_seam(spark, tmp_path):
         def claim(self, final: str, payload: str) -> bool:
             if not self.fired:
                 self.fired = True
-                report.update(VersionedTable(path).vacuum(retain_last=1))
+                report.update(VersionedTable(path).vacuum(retain_last=1, retain_recent_s=0.0))
             return self._inner.claim(final, payload)
 
     victim = VersionedTable(path, claim_backend=VacuumDuringClaim())
@@ -1533,7 +1533,7 @@ def test_convert_from_parquet_zero_copy(spark, tmp_path):
     assert before == after
     # vacuum walks only the table's own directory: dropping v0 cannot
     # reclaim borrowed source data
-    vt.vacuum(retain_last=1)
+    vt.vacuum(retain_last=1, retain_recent_s=0.0)
     assert all(os.path.exists(p) for p in before)
     assert len(_rows(vt.read(spark))) == 90
 
@@ -1571,7 +1571,7 @@ def test_vacuum_lands_horizon_marker_in_history(spark, vt):
     vacuums never grow the log."""
     vt.write_full(_mk(spark, [(1, "a")]))
     vt.write_full(_mk(spark, [(2, "b")]))
-    res = vt.vacuum(retain_last=1)
+    res = vt.vacuum(retain_last=1, retain_recent_s=0.0)
     assert res["horizon_commit"] == 2
     head = vt._manifest()
     assert head["op"] == "vacuum"
@@ -1582,7 +1582,7 @@ def test_vacuum_lands_horizon_marker_in_history(spark, vt):
     assert vt._manifest()["vacuum_horizon"] == 1
     # nothing to drop -> no marker, no new version
     head_v = vt.latest_version()
-    res2 = vt.vacuum(retain_last=10)
+    res2 = vt.vacuum(retain_last=10, retain_recent_s=0.0)
     assert res2["horizon_commit"] is None
     assert vt.latest_version() == head_v
 
@@ -1597,7 +1597,7 @@ def test_restore_below_horizon_raises_despite_warm_cache(spark, vt):
     vt.write_full(_mk(spark, [(2, "b")]))
     warm = VersionedTable(vt.path, stats_cols=["k"])
     assert _rows(warm.read(spark, version=0)) == [(1, "a")]  # warm v0
-    vt.vacuum(retain_last=1)
+    vt.vacuum(retain_last=1, retain_recent_s=0.0)
     with pytest.raises(VacuumedVersionError):
         warm.restore(0)
     assert vt._manifest()["op"] == "vacuum"  # no restore head landed
@@ -1621,7 +1621,7 @@ def test_restore_interleaving_vacuum_marker_keeps_files_live(spark, vt):
 
     vt._claim_version = racing_claim
     try:
-        res = vt.vacuum(retain_last=1)
+        res = vt.vacuum(retain_last=1, retain_recent_s=0.0)
     finally:
         vt._claim_version = orig_claim
     assert res["removed_data_files"] == 0  # restore resurrected v0's file
@@ -1722,13 +1722,32 @@ def test_vacuum_loop_does_not_self_feed_markers(spark, vt):
     the log stops growing."""
     vt.write_full(_mk(spark, [(1, "a")]))
     vt.write_full(_mk(spark, [(2, "b")]))
-    r1 = vt.vacuum(retain_last=1)
+    r1 = vt.vacuum(retain_last=1, retain_recent_s=0.0)
     assert r1["horizon_commit"] == 2 and r1["removed_data_files"] >= 1
-    r2 = vt.vacuum(retain_last=1)
+    r2 = vt.vacuum(retain_last=1, retain_recent_s=0.0)
     assert r2["horizon_commit"] is None  # manifest-only drop: no marker
     assert r2["removed_data_files"] == 0
     head = vt.latest_version()
-    r3 = vt.vacuum(retain_last=1)
+    r3 = vt.vacuum(retain_last=1, retain_recent_s=0.0)
     assert r3["horizon_commit"] is None and r3["removed_versions"] == 0
     assert vt.latest_version() == head
     assert _rows(VersionedTable(vt.path).read(spark)) == [(2, "b")]
+
+
+def test_vacuum_reader_retention_floor_default_safe(spark, vt):
+    """Default vacuum never drops a version committed within the
+    in-flight-reader floor (retain_recent_s, inheriting
+    min_file_age_s): a snapshot read started seconds ago keeps its
+    files. Lifting the floor (single-writer) reclaims immediately."""
+    vt.write_full(_mk(spark, [(1, "a")]))
+    vt.write_full(_mk(spark, [(2, "b")]))
+    res = vt.vacuum(retain_last=1)  # v0 is seconds old -> retained
+    assert res["removed_versions"] == 0
+    assert res["removed_data_files"] == 0
+    assert _rows(vt.read(spark, version=0)) == [(1, "a")]
+    res2 = vt.vacuum(retain_last=1, retain_recent_s=0.0)
+    assert res2["removed_versions"] == 1
+    with pytest.raises(VacuumedVersionError):
+        vt.read(spark, version=0)
+    with pytest.raises(ValueError):
+        vt.vacuum(retain_recent_s=-1.0)
