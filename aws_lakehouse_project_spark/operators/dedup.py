@@ -1607,3 +1607,157 @@ def q_dedup_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     many survive. See ``substring_scrub_accounting``."""
     docs = load_table(spark, sf_dir, "documents")
     return substring_scrub_accounting(docs, _SPAN_K)
+
+
+def substring_scrub_rewrite(docs: DataFrame, k: int = _SPAN_K) -> DataFrame:
+    """The rewrite half of ExactSubstr removal: documents with the
+    keep-first removal intervals of ``substring_scrub_accounting``
+    actually SPLICED OUT — tokens covered by any merged interval are
+    dropped and the survivors reassembled in order.
+
+    The splice itself never leaves the JVM: per doc the merged
+    intervals arrive as an array column (``collect_list`` after the
+    island merge — bounded by the doc's own span count), and the token
+    array is rebuilt with higher-order functions (``filter`` +
+    ``exists`` over (token, position) pairs) inside whole-stage
+    codegen — no UDF, no Python round trip. Unaffected docs pass
+    through untouched via a left join on the interval frame."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id",
+        F.split(F.coalesce(F.col("text"), F.lit("")), " ").alias("toks"),
+    ).withColumn("n", F.size("toks"))
+    grams = (
+        toks.filter(F.col("n") >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.col("n") - (k - 1))
+            ).alias("pos"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.md5(F.concat_ws(" ", F.slice("toks", F.col("pos"), k))).alias(
+                "h"
+            ),
+        )
+    )
+    wg = Window.partitionBy("h").orderBy("doc_id", "pos")
+    occ = grams.select(
+        "doc_id",
+        "pos",
+        F.row_number().over(wg).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("h")).alias("c"),
+    )
+    removal = occ.filter((F.col("c") > 1) & (F.col("rk") > 1)).select(
+        "doc_id",
+        F.col("pos").alias("s"),
+        (F.col("pos") + (k - 1)).alias("e"),
+    )
+    wd = Window.partitionBy("doc_id").orderBy("s")
+    cummax_prev = F.max("e").over(
+        wd.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    merged = (
+        removal.withColumn(
+            "brk",
+            F.when(
+                F.col("s") > F.coalesce(cummax_prev, F.lit(-1)), 1
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("brk").over(wd))
+        .groupBy("doc_id", "island")
+        .agg(F.min("s").alias("ms"), F.max("e").alias("me"))
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(F.struct("ms", "me")).alias("cuts")
+        )
+    )
+    joined = toks.join(merged, "doc_id", "left")
+    kept_idx = F.filter(
+        F.sequence(F.lit(1), F.col("n")),
+        lambda i: ~F.exists(
+            F.coalesce(F.col("cuts"), F.array()),
+            lambda c: (i >= c["ms"]) & (i <= c["me"]),
+        ),
+    )
+    clean = F.array_join(
+        F.transform(kept_idx, lambda i: F.element_at(F.col("toks"), i)), " "
+    )
+    return joined.select(
+        "doc_id",
+        clean.alias("clean_text"),
+    ).select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_md5"),
+        F.size(F.split("clean_text", " ")).cast("long").alias("n_tokens_kept"),
+    )
+
+
+_SUBSTR_REWRITE_ORACLE = f"""
+    WITH {_SUBSTR_GRAMS_SQL},
+    occ AS (
+      SELECT doc_id, pos,
+             ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos)
+               AS rk,
+             COUNT(*) OVER (PARTITION BY gram) AS c
+      FROM grams WHERE gram IS NOT NULL
+    ),
+    removal AS (
+      SELECT doc_id, pos AS s, pos + 7 AS e FROM occ
+      WHERE c > 1 AND rk > 1
+    ),
+    isl AS (
+      SELECT doc_id, s, e,
+             CASE WHEN s > COALESCE(MAX(e) OVER (
+                    PARTITION BY doc_id ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  -1)
+                  THEN 1 ELSE 0 END AS brk
+      FROM removal
+    ),
+    isl2 AS (
+      SELECT doc_id, s, e,
+             SUM(brk) OVER (
+               PARTITION BY doc_id ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM isl
+    ),
+    merged AS (
+      SELECT doc_id, MIN(s) AS ms, MAX(e) AS me
+      FROM isl2 GROUP BY doc_id, island
+    ),
+    alltoks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ),
+    keptdoc AS (
+      SELECT t.doc_id,
+             string_agg(t.tok, ' ' ORDER BY t.pos) AS clean_text
+      FROM alltoks t
+      WHERE NOT EXISTS (
+        SELECT 1 FROM merged mg
+        WHERE mg.doc_id = t.doc_id AND t.pos BETWEEN mg.ms AND mg.me
+      )
+      GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           md5(COALESCE(kd.clean_text, '')) AS clean_md5,
+           CAST(len(string_split(COALESCE(kd.clean_text, ''), ' '))
+                AS BIGINT) AS n_tokens_kept
+    FROM documents d LEFT JOIN keptdoc kd USING (doc_id)
+"""
+
+
+@demo_query("q_dedup_substring_rewrite", oracle=_SUBSTR_REWRITE_ORACLE)
+def q_dedup_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-span dedup, REWRITE pass: the keep-first removal
+    intervals actually spliced out of every document, verified by md5
+    of the reassembled text against an independent SQL reconstruction.
+    See ``substring_scrub_rewrite`` for the all-JVM splice plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    return substring_scrub_rewrite(docs, _SPAN_K)

@@ -170,6 +170,7 @@ EXTRA = [
     # round-11 continuation 2: exact substring-span dedup (ExactSubstr)
     "q_dedup_substring",
     "q_dedup_substring_scrub",
+    "q_dedup_substring_rewrite",
     # round-11 continuation 2: mergeable quantile-histogram rollup
     "q_quantile_rollup",
 ]

