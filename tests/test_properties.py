@@ -663,6 +663,7 @@ vacuum_ops = st.lists(
         st.tuples(st.just("overwrite"), st.integers(0, 9)),
         st.tuples(st.just("delete"), st.integers(0, 2)),
         st.tuples(st.just("vacuum"), st.integers(1, 3)),
+        st.tuples(st.just("restore"), st.integers(0, 9)),
     ),
     min_size=2,
     max_size=7,
@@ -719,6 +720,20 @@ def test_vacuum_model_invariants(spark, ops, tmp_path_factory):
             current = sorted(r for r in current if r[0] % 3 != p)
             if v != before:  # no-op deletes commit nothing
                 snapshots[v] = list(current)
+        elif kind == "restore":
+            all_vs = sorted(snapshots)
+            target = all_vs[p % len(all_vs)]
+            if target in dropped:
+                # below the vacuum horizon: the manifest is gone AND the
+                # head's vacuum_horizon guard refuses — either path must
+                # surface VacuumedVersionError, never a head referencing
+                # reclaimed files
+                with pytest.raises(VacuumedVersionError):
+                    vt.restore(target)
+            else:
+                v = vt.restore(target)
+                current = list(snapshots[target])
+                snapshots[v] = list(current)
         else:
             res = vt.vacuum(retain_last=p, retain_recent_s=0.0)
             if res["horizon_commit"] is not None:
@@ -740,3 +755,54 @@ def test_vacuum_model_invariants(spark, ops, tmp_path_factory):
     fresh = VersionedTable(path)
     got = sorted(tuple(r) for r in fresh.read(spark).collect())
     assert got == sorted(current)
+
+
+subdocs_strategy = st.lists(
+    st.lists(st.sampled_from("abc"), min_size=0, max_size=12),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(docs=subdocs_strategy)
+@settings(**SLOW)
+def test_substring_spans_match_bruteforce(spark, docs):
+    """substring_spans ≡ a brute-force Python reference (count k-gram
+    occurrences corpus-wide, flag duplicated positions, merge
+    consecutive runs maximally) for any random corpus."""
+    from collections import Counter
+
+    from aws_lakehouse_project_spark.operators.dedup import substring_spans
+
+    K = 3
+    grams: Counter = Counter()
+    for toks in docs:
+        for p in range(len(toks) - K + 1):
+            grams[tuple(toks[p : p + K])] += 1
+    expected = set()
+    for i, toks in enumerate(docs):
+        flagged = [
+            p + 1
+            for p in range(len(toks) - K + 1)
+            if grams[tuple(toks[p : p + K])] > 1
+        ]
+        run_start = None
+        prev = None
+        for p in flagged + [None]:
+            if p is not None and prev is not None and p == prev + 1:
+                prev = p
+                continue
+            if run_start is not None:
+                expected.add(
+                    (i, run_start, prev + K - 1, prev - run_start + K)
+                )
+            run_start, prev = p, p
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id LONG, text STRING",
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in substring_spans(df, k=K).collect()
+    }
+    assert got == expected, docs
