@@ -1356,39 +1356,25 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 # -- exact substring-span dedup (Lee et al. 2022, "Deduplicating Training
 # -- Data Makes Language Models Better" — the ExactSubstr shape) -------------
 
 _SPAN_K = 8  # tokens per shingle: spans >= K tokens are detectable
 
 
-def substring_spans(docs: DataFrame, k: int = _SPAN_K) -> DataFrame:
-    """Positions of corpus-wide duplicated ``k``-token shingles, merged
-    into MAXIMAL per-document spans — the distributed twin of the
-    suffix-array pass in exact-substring dedup: every duplicated token
-    run of length >= k appears as one (doc_id, span_start, span_end)
-    row covering the full run, not k-gram fragments.
-
-    Spark-first shape (no UDFs, 100 TB posture):
-
-    1. shingle: ``slice`` over the token array under ``posexplode`` of
-       a position sequence — one row per (doc, pos), positions 1-based;
-    2. flag: shingles grouped by ``md5`` digest (map-side partial
-       count; the 16-byte digest, not the raw k-gram string, is what
-       shuffles) — count > 1 means the shingle recurs somewhere in the
-       corpus;
-    3. merge: per doc, consecutive flagged positions collapse into
-       maximal runs via the gaps-and-islands ``pos - row_number()``
-       key — a run of R consecutive duplicated shingles is one span of
-       R + k - 1 tokens.
-
-    Tokenization is a plain single-space split (kept exactly
-    oracle-portable); swap in a real tokenizer upstream and feed the
-    token array instead. Docs shorter than k tokens yield no rows."""
-    from pyspark.sql import Window
-
+def _span_shingles(docs: DataFrame, k: int) -> tuple[DataFrame, DataFrame]:
+    """Shared shingle builder for the ExactSubstr passes: ``toks``
+    (doc_id, toks, n) and ``grams`` (doc_id, pos, h) — one row per
+    1-based shingle position with the md5 digest of the k-token window.
+    The three passes (detect / account / rewrite) MUST shingle
+    identically or they silently disagree; this is the single place
+    tokenization lives. NULL text coalesces to '' (one empty token,
+    < k, so no grams — matching the oracle, where unnesting NULL yields
+    no rows). Only 16-byte digests ever shuffle, never text."""
     toks = docs.select(
-        "doc_id", F.split("text", " ").alias("toks")
+        "doc_id",
+        F.split(F.coalesce(F.col("text"), F.lit("")), " ").alias("toks"),
     ).withColumn("n", F.size("toks"))
     grams = (
         toks.filter(F.col("n") >= k)
@@ -1407,6 +1393,69 @@ def substring_spans(docs: DataFrame, k: int = _SPAN_K) -> DataFrame:
             ),
         )
     )
+    return toks, grams
+
+
+def _removal_intervals(grams: DataFrame, k: int) -> DataFrame:
+    """Keep-first removal intervals (doc_id, s, e): every duplicated
+    shingle occurrence except the globally first — ordered by
+    (doc_id, pos), deterministic at any parallelism — marks its k-token
+    window for removal. Shared by the accounting and rewrite passes."""
+    from pyspark.sql import Window
+
+    wg = Window.partitionBy("h").orderBy("doc_id", "pos")
+    occ = grams.select(
+        "doc_id",
+        "pos",
+        F.row_number().over(wg).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("h")).alias("c"),
+    )
+    return occ.filter((F.col("c") > 1) & (F.col("rk") > 1)).select(
+        "doc_id",
+        F.col("pos").alias("s"),
+        (F.col("pos") + (k - 1)).alias("e"),
+    )
+
+
+def _merged_islands(removal: DataFrame) -> DataFrame:
+    """Union overlapping removal intervals per doc (gaps-and-islands on
+    a running-max window) → (doc_id, island, ms, me)."""
+    from pyspark.sql import Window
+
+    wd = Window.partitionBy("doc_id").orderBy("s")
+    cummax_prev = F.max("e").over(
+        wd.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        removal.withColumn(
+            "brk",
+            F.when(
+                F.col("s") > F.coalesce(cummax_prev, F.lit(-1)), 1
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("brk").over(wd))
+        .groupBy("doc_id", "island")
+        .agg(F.min("s").alias("ms"), F.max("e").alias("me"))
+    )
+
+
+def substring_spans(docs: DataFrame, k: int = _SPAN_K) -> DataFrame:
+    """Positions of corpus-wide duplicated ``k``-token shingles, merged
+    into MAXIMAL per-document spans — the distributed twin of the
+    suffix-array pass in exact-substring dedup: every duplicated token
+    run of length >= k appears as one (doc_id, span_start, span_end)
+    row covering the full run, not k-gram fragments.
+
+    Spark-first shape (no UDFs, 100 TB posture): shingle digests get a
+    map-side partial count, duplicated digests broadcast back as a semi
+    join, and per doc the consecutive flagged positions collapse into
+    maximal runs via the gaps-and-islands ``pos - row_number()`` key.
+    Tokenization is a plain single-space split (kept exactly
+    oracle-portable); swap a real tokenizer upstream and feed the token
+    array instead. Docs shorter than k tokens yield no rows."""
+    from pyspark.sql import Window
+
+    _toks, grams = _span_shingles(docs, k)
     dup_h = (
         grams.groupBy("h")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -1423,6 +1472,77 @@ def substring_spans(docs: DataFrame, k: int = _SPAN_K) -> DataFrame:
     ).select("doc_id", "span_start", "span_end", "span_tokens")
 
 
+def substring_scrub_accounting(docs: DataFrame, k: int = _SPAN_K) -> DataFrame:
+    """Keep-first exact-substring scrub accounting: removal intervals
+    (see ``_removal_intervals``) unioned per document and the token
+    budget reported — the bookkeeping half of ExactSubstr removal.
+    Scale: both windows partition by shingle digest / doc — the shuffle
+    carries (digest, doc_id, pos) triples; skew is bounded by the max
+    duplication count of a single shingle."""
+    toks, grams = _span_shingles(docs, k)
+    merged = _merged_islands(_removal_intervals(grams, k))
+    per_doc = merged.groupBy("doc_id").agg(
+        F.sum(F.col("me") - F.col("ms") + 1).alias("tokens_removed")
+    )
+    return (
+        per_doc.join(toks.select("doc_id", "n"), "doc_id")
+        .select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_tokens"),
+            F.col("tokens_removed").cast("long").alias("tokens_removed"),
+            (F.col("n") - F.col("tokens_removed"))
+            .cast("long")
+            .alias("tokens_kept"),
+        )
+    )
+
+
+def substring_scrub_rewrite(docs: DataFrame, k: int = _SPAN_K) -> DataFrame:
+    """The rewrite half of ExactSubstr removal: the keep-first removal
+    intervals actually SPLICED OUT — tokens covered by any merged
+    interval dropped, survivors reassembled in order.
+
+    The splice never leaves the JVM: per doc the merged intervals
+    arrive as an array column (``collect_list`` after the island merge
+    — bounded by the doc's own span count) and the kept positions are
+    rebuilt with higher-order functions (``filter``/``exists``/
+    ``transform`` + ``element_at``) inside whole-stage codegen — no
+    UDF, no Python round trip. Unaffected docs pass through untouched
+    via a left join on the interval frame."""
+    toks, grams = _span_shingles(docs, k)
+    cuts = _merged_islands(_removal_intervals(grams, k)).groupBy(
+        "doc_id"
+    ).agg(F.collect_list(F.struct("ms", "me")).alias("cuts"))
+    joined = toks.join(cuts, "doc_id", "left")
+    kept_idx = F.filter(
+        F.sequence(F.lit(1), F.col("n")),
+        lambda i: ~F.exists(
+            F.coalesce(F.col("cuts"), F.array()),
+            lambda c: (i >= c["ms"]) & (i <= c["me"]),
+        ),
+    )
+    clean = F.array_join(
+        F.transform(kept_idx, lambda i: F.element_at(F.col("toks"), i)), " "
+    )
+    # token count comes from the kept-position ARRAY, not a re-split of
+    # the joined string: a fully-scrubbed doc keeps 0 tokens, but
+    # split("", " ") would report 1 (the empty token) — disagreeing
+    # with substring_scrub_accounting's tokens_kept for the same doc
+    return joined.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.size(kept_idx).cast("long").alias("n_tokens_kept"),
+    ).select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_md5"),
+        "n_tokens_kept",
+    )
+
+
+# DuckDB twins. _SUBSTR_GRAMS_SQL mirrors _span_shingles (lead-chain
+# shingles, NULL at the tail = no gram); _SUBSTR_REMOVAL_SQL mirrors
+# _removal_intervals + _merged_islands. ONE copy each — the scrub and
+# rewrite oracles compose them, so the SQL can't drift apart either.
 _SUBSTR_GRAMS_SQL = """
     toks AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
@@ -1436,6 +1556,40 @@ _SUBSTR_GRAMS_SQL = """
              lead(tok, 4) OVER w || ' ' || lead(tok, 5) OVER w || ' ' ||
              lead(tok, 6) OVER w || ' ' || lead(tok, 7) OVER w AS gram
       FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    )
+"""
+
+_SUBSTR_REMOVAL_SQL = """
+    occ AS (
+      SELECT doc_id, pos,
+             ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos)
+               AS rk,
+             COUNT(*) OVER (PARTITION BY gram) AS c
+      FROM grams WHERE gram IS NOT NULL
+    ),
+    removal AS (
+      SELECT doc_id, pos AS s, pos + 7 AS e FROM occ
+      WHERE c > 1 AND rk > 1
+    ),
+    isl AS (
+      SELECT doc_id, s, e,
+             CASE WHEN s > COALESCE(MAX(e) OVER (
+                    PARTITION BY doc_id ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  -1)
+                  THEN 1 ELSE 0 END AS brk
+      FROM removal
+    ),
+    isl2 AS (
+      SELECT doc_id, s, e,
+             SUM(brk) OVER (
+               PARTITION BY doc_id ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM isl
+    ),
+    merged AS (
+      SELECT doc_id, MIN(s) AS ms, MAX(e) AS me
+      FROM isl2 GROUP BY doc_id, island
     )
 """
 
@@ -1460,132 +1614,9 @@ _SUBSTR_SPAN_ORACLE = f"""
     FROM runs GROUP BY doc_id, grp
 """
 
-
-@demo_query("q_dedup_substring", oracle=_SUBSTR_SPAN_ORACLE)
-def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact substring-span dedup, detection pass: maximal duplicated
-    token runs (>= 8 tokens) across the whole corpus. See
-    ``substring_spans`` for the plan shape; the DuckDB oracle builds
-    the same shingles with a window lead-chain and merges runs with the
-    identical gaps-and-islands key."""
-    docs = load_table(spark, sf_dir, "documents")
-    return substring_spans(docs, _SPAN_K).select(
-        "doc_id",
-        F.col("span_start").cast("long").alias("span_start"),
-        F.col("span_end").cast("long").alias("span_end"),
-        F.col("span_tokens").cast("long").alias("span_tokens"),
-    )
-
-
-def substring_scrub_accounting(docs: DataFrame, k: int = _SPAN_K) -> DataFrame:
-    """Keep-first exact-substring scrub accounting: every duplicated
-    k-shingle occurrence EXCEPT the globally first (ordered by
-    (doc_id, pos) — deterministic at any parallelism) is marked for
-    removal; overlapping removal intervals are unioned per document
-    (gaps-and-islands over a running-max window) and the per-doc token
-    budget reported. This is the bookkeeping half of ExactSubstr
-    removal — the rewrite itself is a substring splice driven by these
-    spans.
-
-    Scale: both windows partition by the shingle digest / doc — the
-    shuffle carries (digest, doc_id, pos) triples, never text; skew is
-    bounded by the max duplication count of a single shingle."""
-    from pyspark.sql import Window
-
-    toks = docs.select(
-        "doc_id", F.split("text", " ").alias("toks")
-    ).withColumn("n", F.size("toks"))
-    grams = (
-        toks.filter(F.col("n") >= k)
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.lit(1), F.col("n") - (k - 1))
-            ).alias("pos"),
-            "toks",
-        )
-        .select(
-            "doc_id",
-            "pos",
-            F.md5(F.concat_ws(" ", F.slice("toks", F.col("pos"), k))).alias(
-                "h"
-            ),
-        )
-    )
-    wg = Window.partitionBy("h").orderBy("doc_id", "pos")
-    occ = grams.select(
-        "doc_id",
-        "pos",
-        F.row_number().over(wg).alias("rk"),
-        F.count(F.lit(1)).over(Window.partitionBy("h")).alias("c"),
-    )
-    removal = occ.filter((F.col("c") > 1) & (F.col("rk") > 1)).select(
-        "doc_id",
-        F.col("pos").alias("s"),
-        (F.col("pos") + (k - 1)).alias("e"),
-    )
-    wd = Window.partitionBy("doc_id").orderBy("s")
-    cummax_prev = F.max("e").over(
-        wd.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    isl = removal.withColumn(
-        "brk",
-        F.when(F.col("s") > F.coalesce(cummax_prev, F.lit(-1)), 1).otherwise(
-            0
-        ),
-    ).withColumn("island", F.sum("brk").over(wd))
-    merged = isl.groupBy("doc_id", "island").agg(
-        F.min("s").alias("ms"), F.max("e").alias("me")
-    )
-    per_doc = merged.groupBy("doc_id").agg(
-        F.sum(F.col("me") - F.col("ms") + 1).alias("tokens_removed")
-    )
-    return (
-        per_doc.join(toks.select("doc_id", "n"), "doc_id")
-        .select(
-            "doc_id",
-            F.col("n").cast("long").alias("n_tokens"),
-            F.col("tokens_removed").cast("long").alias("tokens_removed"),
-            (F.col("n") - F.col("tokens_removed"))
-            .cast("long")
-            .alias("tokens_kept"),
-        )
-    )
-
-
 _SUBSTR_SCRUB_ORACLE = f"""
     WITH {_SUBSTR_GRAMS_SQL},
-    occ AS (
-      SELECT doc_id, pos,
-             ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos)
-               AS rk,
-             COUNT(*) OVER (PARTITION BY gram) AS c
-      FROM grams WHERE gram IS NOT NULL
-    ),
-    removal AS (
-      SELECT doc_id, pos AS s, pos + 7 AS e FROM occ
-      WHERE c > 1 AND rk > 1
-    ),
-    isl AS (
-      SELECT doc_id, s, e,
-             CASE WHEN s > COALESCE(MAX(e) OVER (
-                    PARTITION BY doc_id ORDER BY s
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                  -1)
-                  THEN 1 ELSE 0 END AS brk
-      FROM removal
-    ),
-    isl2 AS (
-      SELECT doc_id, s, e,
-             SUM(brk) OVER (
-               PARTITION BY doc_id ORDER BY s
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-      FROM isl
-    ),
-    merged AS (
-      SELECT doc_id, MIN(s) AS ms, MAX(e) AS me
-      FROM isl2 GROUP BY doc_id, island
-    ),
+    {_SUBSTR_REMOVAL_SQL},
     per_doc AS (
       SELECT doc_id, CAST(SUM(me - ms + 1) AS BIGINT) AS tokens_removed
       FROM merged GROUP BY doc_id
@@ -1598,138 +1629,9 @@ _SUBSTR_SCRUB_ORACLE = f"""
     FROM per_doc p JOIN documents d USING (doc_id)
 """
 
-
-@demo_query("q_dedup_substring_scrub", oracle=_SUBSTR_SCRUB_ORACLE)
-def q_dedup_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact substring-span dedup, keep-first accounting pass: per
-    affected document, how many tokens a globally-keep-first span
-    scrub removes (union of overlapping removal intervals) and how
-    many survive. See ``substring_scrub_accounting``."""
-    docs = load_table(spark, sf_dir, "documents")
-    return substring_scrub_accounting(docs, _SPAN_K)
-
-
-def substring_scrub_rewrite(docs: DataFrame, k: int = _SPAN_K) -> DataFrame:
-    """The rewrite half of ExactSubstr removal: documents with the
-    keep-first removal intervals of ``substring_scrub_accounting``
-    actually SPLICED OUT — tokens covered by any merged interval are
-    dropped and the survivors reassembled in order.
-
-    The splice itself never leaves the JVM: per doc the merged
-    intervals arrive as an array column (``collect_list`` after the
-    island merge — bounded by the doc's own span count), and the token
-    array is rebuilt with higher-order functions (``filter`` +
-    ``exists`` over (token, position) pairs) inside whole-stage
-    codegen — no UDF, no Python round trip. Unaffected docs pass
-    through untouched via a left join on the interval frame."""
-    from pyspark.sql import Window
-
-    toks = docs.select(
-        "doc_id",
-        F.split(F.coalesce(F.col("text"), F.lit("")), " ").alias("toks"),
-    ).withColumn("n", F.size("toks"))
-    grams = (
-        toks.filter(F.col("n") >= k)
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.lit(1), F.col("n") - (k - 1))
-            ).alias("pos"),
-            "toks",
-        )
-        .select(
-            "doc_id",
-            "pos",
-            F.md5(F.concat_ws(" ", F.slice("toks", F.col("pos"), k))).alias(
-                "h"
-            ),
-        )
-    )
-    wg = Window.partitionBy("h").orderBy("doc_id", "pos")
-    occ = grams.select(
-        "doc_id",
-        "pos",
-        F.row_number().over(wg).alias("rk"),
-        F.count(F.lit(1)).over(Window.partitionBy("h")).alias("c"),
-    )
-    removal = occ.filter((F.col("c") > 1) & (F.col("rk") > 1)).select(
-        "doc_id",
-        F.col("pos").alias("s"),
-        (F.col("pos") + (k - 1)).alias("e"),
-    )
-    wd = Window.partitionBy("doc_id").orderBy("s")
-    cummax_prev = F.max("e").over(
-        wd.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    merged = (
-        removal.withColumn(
-            "brk",
-            F.when(
-                F.col("s") > F.coalesce(cummax_prev, F.lit(-1)), 1
-            ).otherwise(0),
-        )
-        .withColumn("island", F.sum("brk").over(wd))
-        .groupBy("doc_id", "island")
-        .agg(F.min("s").alias("ms"), F.max("e").alias("me"))
-        .groupBy("doc_id")
-        .agg(
-            F.collect_list(F.struct("ms", "me")).alias("cuts")
-        )
-    )
-    joined = toks.join(merged, "doc_id", "left")
-    kept_idx = F.filter(
-        F.sequence(F.lit(1), F.col("n")),
-        lambda i: ~F.exists(
-            F.coalesce(F.col("cuts"), F.array()),
-            lambda c: (i >= c["ms"]) & (i <= c["me"]),
-        ),
-    )
-    clean = F.array_join(
-        F.transform(kept_idx, lambda i: F.element_at(F.col("toks"), i)), " "
-    )
-    return joined.select(
-        "doc_id",
-        clean.alias("clean_text"),
-    ).select(
-        "doc_id",
-        F.md5("clean_text").alias("clean_md5"),
-        F.size(F.split("clean_text", " ")).cast("long").alias("n_tokens_kept"),
-    )
-
-
 _SUBSTR_REWRITE_ORACLE = f"""
     WITH {_SUBSTR_GRAMS_SQL},
-    occ AS (
-      SELECT doc_id, pos,
-             ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos)
-               AS rk,
-             COUNT(*) OVER (PARTITION BY gram) AS c
-      FROM grams WHERE gram IS NOT NULL
-    ),
-    removal AS (
-      SELECT doc_id, pos AS s, pos + 7 AS e FROM occ
-      WHERE c > 1 AND rk > 1
-    ),
-    isl AS (
-      SELECT doc_id, s, e,
-             CASE WHEN s > COALESCE(MAX(e) OVER (
-                    PARTITION BY doc_id ORDER BY s
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                  -1)
-                  THEN 1 ELSE 0 END AS brk
-      FROM removal
-    ),
-    isl2 AS (
-      SELECT doc_id, s, e,
-             SUM(brk) OVER (
-               PARTITION BY doc_id ORDER BY s
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-      FROM isl
-    ),
-    merged AS (
-      SELECT doc_id, MIN(s) AS ms, MAX(e) AS me
-      FROM isl2 GROUP BY doc_id, island
-    ),
+    {_SUBSTR_REMOVAL_SQL},
     alltoks AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
              generate_subscripts(string_split(text, ' '), 1) AS pos
@@ -1737,7 +1639,8 @@ _SUBSTR_REWRITE_ORACLE = f"""
     ),
     keptdoc AS (
       SELECT t.doc_id,
-             string_agg(t.tok, ' ' ORDER BY t.pos) AS clean_text
+             string_agg(t.tok, ' ' ORDER BY t.pos) AS clean_text,
+             CAST(COUNT(*) AS BIGINT) AS n_kept
       FROM alltoks t
       WHERE NOT EXISTS (
         SELECT 1 FROM merged mg
@@ -1747,10 +1650,35 @@ _SUBSTR_REWRITE_ORACLE = f"""
     )
     SELECT d.doc_id,
            md5(COALESCE(kd.clean_text, '')) AS clean_md5,
-           CAST(len(string_split(COALESCE(kd.clean_text, ''), ' '))
-                AS BIGINT) AS n_tokens_kept
+           COALESCE(kd.n_kept, 0) AS n_tokens_kept
     FROM documents d LEFT JOIN keptdoc kd USING (doc_id)
 """
+
+
+@demo_query("q_dedup_substring", oracle=_SUBSTR_SPAN_ORACLE)
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-span dedup, detection pass: maximal duplicated
+    token runs (>= 8 tokens) across the whole corpus. See
+    ``substring_spans``; the oracle builds the same shingles with a
+    window lead-chain and merges runs with the identical
+    gaps-and-islands key."""
+    docs = load_table(spark, sf_dir, "documents")
+    return substring_spans(docs, _SPAN_K).select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("span_tokens").cast("long").alias("span_tokens"),
+    )
+
+
+@demo_query("q_dedup_substring_scrub", oracle=_SUBSTR_SCRUB_ORACLE)
+def q_dedup_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-span dedup, keep-first accounting pass: per
+    affected document, how many tokens the scrub removes (union of
+    overlapping removal intervals) and how many survive. See
+    ``substring_scrub_accounting``."""
+    docs = load_table(spark, sf_dir, "documents")
+    return substring_scrub_accounting(docs, _SPAN_K)
 
 
 @demo_query("q_dedup_substring_rewrite", oracle=_SUBSTR_REWRITE_ORACLE)

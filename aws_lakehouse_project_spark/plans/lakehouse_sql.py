@@ -16,7 +16,7 @@ shapes Delta Lake documents:
         WHEN NOT MATCHED THEN INSERT *
     MERGE INTO t USING s ON ... WHEN MATCHED THEN DELETE
     OPTIMIZE t [ZORDER BY (c1, c2)]
-    VACUUM t [RETAIN n VERSIONS | RETAIN n HOURS] [DRY RUN]
+    VACUUM t [RETAIN n VERSIONS | RETAIN n HOURS] [NO RETENTION CHECK] [DRY RUN]
     DESCRIBE HISTORY t | DESCRIBE DETAIL t
     RESTORE TABLE t TO VERSION AS OF n
     ALTER TABLE t ADD CONSTRAINT name CHECK (expr)
@@ -66,7 +66,7 @@ _GRAMMAR = """supported statements:
   UPDATE [/*+ MERGE_ON_READ */] t SET c=e[, ...] [WHERE p]
   MERGE INTO t USING s ON t.k=s.k [AND ...] WHEN MATCHED THEN UPDATE SET *
     WHEN NOT MATCHED THEN INSERT * | ... WHEN MATCHED THEN DELETE
-  OPTIMIZE t [ZORDER BY (c1, c2)] | VACUUM t [RETAIN n VERSIONS | RETAIN n HOURS] [DRY RUN]
+  OPTIMIZE t [ZORDER BY (c1, c2)] | VACUUM t [RETAIN n VERSIONS | RETAIN n HOURS] [NO RETENTION CHECK] [DRY RUN]
   DESCRIBE HISTORY t | DESCRIBE DETAIL t | RESTORE TABLE t TO VERSION AS OF n
   ALTER TABLE t ADD CONSTRAINT name CHECK (expr) | ALTER TABLE t DROP CONSTRAINT name
   ALTER TABLE t RENAME COLUMN a TO b | ALTER TABLE t DROP COLUMN c
@@ -327,7 +327,8 @@ class LakehouseSession:
         mm = re.fullmatch(
             rf"VACUUM\s+(?P<t>{_IDENT})"
             r"(?:\s+RETAIN\s+(?:(?P<n>\d+)\s+VERSIONS"
-            r"|(?P<h>\d+(?:\.\d+)?)\s+HOURS))?(?P<dry>\s+DRY\s+RUN)?",
+            r"|(?P<h>\d+(?:\.\d+)?)\s+HOURS))?"
+            r"(?P<nocheck>\s+NO\s+RETENTION\s+CHECK)?(?P<dry>\s+DRY\s+RUN)?",
             s, flags=re.IGNORECASE,
         )
         if mm:
@@ -335,10 +336,12 @@ class LakehouseSession:
             # the time horizon with retain_last=1 (head always kept).
             # The stated retention also sets the in-flight-reader floor
             # (retain_recent_s): one duration governs both, as Delta's
-            # retention does. An explicit RETAIN n VERSIONS is a
-            # count-retention opt-in — honoring exactly n versions
-            # requires lifting the time floor — while a bare VACUUM t
-            # keeps the safe default (~1 h).
+            # retention does. Every other form — including RETAIN n
+            # VERSIONS — keeps the safe default floor; lifting it takes
+            # the explicit NO RETENTION CHECK suffix (Delta's
+            # retentionDurationCheck.enabled=false), because a count
+            # request alone is not consent to yank files from under an
+            # in-flight reader.
             rep = self.table(mm.group("t")).vacuum(
                 retain_last=int(mm.group("n") or 1),
                 retain_hours=(
@@ -346,9 +349,13 @@ class LakehouseSession:
                 ),
                 dry_run=bool(mm.group("dry")),
                 retain_recent_s=(
-                    float(mm.group("h")) * 3600.0
-                    if mm.group("h")
-                    else (0.0 if mm.group("n") else None)
+                    0.0
+                    if mm.group("nocheck")
+                    else (
+                        float(mm.group("h")) * 3600.0
+                        if mm.group("h")
+                        else None
+                    )
                 ),
             )
             return self._row(

@@ -270,6 +270,17 @@ _DELTA_META_KEYS = (
     "column_mapping", "retired_cols", "bloom_cols", "vacuum_horizon",
 )
 
+# Ops whose commits change NO row data — layout rewrites and pure
+# metadata — so their change feed is empty by construction. ONE list
+# shared by materialize_changes (skip writing) and stream_changes'
+# completeness guard (skip requiring): the two drifting apart breaks
+# CDC streaming after any such commit (found when the vacuum
+# horizon-marker op joined the family).
+_FEEDLESS_OPS = (
+    "optimize", "set_constraint", "drop_constraint",
+    "rename_column", "drop_column", "set_bloom_index", "vacuum",
+)
+
 
 def _encode_delta(full: dict, parent: dict) -> dict:
     """``full`` (version N, files in canonical parent-relative order —
@@ -386,8 +397,9 @@ class VersionedTable:
         # Delta's autoCompact: (min_small_files, target_rows_per_file).
         # After any commit that changes the file LAYOUT through this
         # handle (write_full / append / replace_where / merge_upsert /
-        # merge_apply / copy-on-write delete & update — merge-on-read
-        # commits only add deletion vectors, never small files), if at
+        # merge_apply / write_audit_publish / copy-on-write delete &
+        # update — merge-on-read commits only add deletion vectors,
+        # never small files), if at
         # least min_small_files live files hold < target/2 rows, an
         # OPTIMIZE bin-pack lands as its own BEST-EFFORT follow-up
         # commit (lost races skipped; see _maybe_auto_compact) —
@@ -1852,10 +1864,7 @@ class VersionedTable:
         ``replicate`` additionally folds by whole-version ranges and is
         correct even for a sharded feed."""
         m = self._manifest(version)
-        if m["op"] in (
-            "optimize", "set_constraint", "drop_constraint",
-            "rename_column", "drop_column",
-        ):
+        if m["op"] in _FEEDLESS_OPS:
             return None  # layout/metadata-only: empty feed by construction
         if version == 0:
             feed = self.read(spark, 0).select(
@@ -1925,8 +1934,7 @@ class VersionedTable:
             v
             for v in self.versions()
             if v >= start
-            and self._manifest(v)["op"]
-            not in ("optimize", "set_constraint", "drop_constraint")
+            and self._manifest(v)["op"] not in _FEEDLESS_OPS
             and not os.path.isdir(self._cdf_version_dir(v))
         ]
         if missing:
@@ -2483,7 +2491,7 @@ class VersionedTable:
                 self._schema_json(df),
                 {**(meta or {}), "audits": len(audits)},
             )
-        return self._maybe_cdf(spark, v)
+        return self._maybe_auto_compact(spark, self._maybe_cdf(spark, v))
 
     def history(self) -> list[dict]:
         out = []
@@ -3268,6 +3276,7 @@ class VersionedTable:
             raise ValueError("retain_recent_s must be non-negative")
         now0 = now if now is not None else time.time()
         marker_attempts = 0
+        race_attempts = 0
         marker_v: int | None = None
         while True:
             vs = self.versions()
@@ -3306,23 +3315,34 @@ class VersionedTable:
             drop_vs = vs[:keep_from]
             live: set[str] = set()
             live_dv_dirs: set[str] = set()
-            for v in keep_vs:
-                mv = self._manifest(v)
-                live |= set(mv["files"])
-                # deletion-vector sidecars of retained snapshots are
-                # part of those snapshots' read paths — as immortal as
-                # their data
-                live_dv_dirs |= set(mv.get("dvs", {}).values())
-            # Files referenced by a DROPPED manifest were claimed by a
-            # completed commit — never another writer's in-flight stage
-            # — so they are reclaimable at any age. Resolve them BEFORE
-            # the manifests are unlinked below.
             dead: set[str] = set()
             dead_dv_dirs: set[str] = set()
-            for v in drop_vs:
-                mv = self._manifest(v)
-                dead |= set(mv["files"])
-                dead_dv_dirs |= set(mv.get("dvs", {}).values())
+            try:
+                for v in keep_vs:
+                    mv = self._manifest(v)
+                    live |= set(mv["files"])
+                    # deletion-vector sidecars of retained snapshots are
+                    # part of those snapshots' read paths — as immortal
+                    # as their data
+                    live_dv_dirs |= set(mv.get("dvs", {}).values())
+                # Files referenced by a DROPPED manifest were claimed by
+                # a completed commit — never another writer's in-flight
+                # stage — so they are reclaimable at any age. Resolve
+                # them BEFORE the manifests are unlinked below.
+                for v in drop_vs:
+                    mv = self._manifest(v)
+                    dead |= set(mv["files"])
+                    dead_dv_dirs |= set(mv.get("dvs", {}).values())
+            except (VacuumedVersionError, FileNotFoundError):
+                # a RACING VACUUM unlinked a manifest between our
+                # version listing and its resolution — re-list and
+                # re-resolve instead of dying (two maintenance loops on
+                # one table are legal; the data-file walk already
+                # tolerates the same race)
+                race_attempts += 1
+                if race_attempts >= 10:
+                    raise
+                continue
             dead -= live
             dead_dv_dirs -= live_dv_dirs
             if not drop_vs or dry_run or not (dead or dead_dv_dirs):
@@ -3346,7 +3366,13 @@ class VersionedTable:
             # head referencing exactly the files this vacuum is about
             # to reclaim (dropped-manifest files are reclaimed at any
             # age — the mtime floor only protects young orphans).
-            hm_head = self._manifest(vs[-1])
+            try:
+                hm_head = self._manifest(vs[-1])
+            except (VacuumedVersionError, FileNotFoundError):
+                race_attempts += 1  # racing vacuum advanced past us
+                if race_attempts >= 10:
+                    raise
+                continue
             try:
                 marker_v = self._commit(
                     "vacuum",
@@ -3371,10 +3397,19 @@ class VersionedTable:
             # commits that interleaved between the version listing and
             # the marker (appends, CoW rewrites, restores) are retained
             # by construction — fold their files into the live set
-            for v2 in range(vs[-1] + 1, marker_v + 1):
-                m2 = self._manifest(v2)
-                live |= set(m2["files"])
-                live_dv_dirs |= set(m2.get("dvs", {}).values())
+            try:
+                for v2 in range(vs[-1] + 1, marker_v + 1):
+                    m2 = self._manifest(v2)
+                    live |= set(m2["files"])
+                    live_dv_dirs |= set(m2.get("dvs", {}).values())
+            except (VacuumedVersionError, FileNotFoundError):
+                # a racing vacuum already dropped an interleaved version
+                # — without its manifest we cannot prove anything dead,
+                # so reclaim nothing manifest-derived this pass (the
+                # racing pass, which DID resolve it, reclaims; leftovers
+                # age into orphans)
+                dead = set()
+                dead_dv_dirs = set()
             dead -= live
             dead_dv_dirs -= live_dv_dirs
             keep_vs = keep_vs + list(range(vs[-1] + 1, marker_v + 1))
@@ -3393,22 +3428,34 @@ class VersionedTable:
             # Idempotent: manifests are immutable, so the bytes are
             # deterministic and a crash between this write and the
             # unlinks below just leaves a valid extra checkpoint.
-            self._write_checkpoint(self._manifest(keep_vs[0]))
+            try:
+                self._write_checkpoint(self._manifest(keep_vs[0]))
+            except (VacuumedVersionError, FileNotFoundError):
+                # a racing vacuum with a TIGHTER horizon already dropped
+                # keep_vs[0] — its own pass checkpointed ITS oldest
+                # retained version (above ours), so every still-live
+                # manifest resolves without our help
+                pass
         removed_cdf = 0
         for v in drop_vs:
             cdf = self._cdf_version_dir(v)
             if os.path.isdir(cdf):
                 removed_cdf += 1
                 if not dry_run:
-                    shutil.rmtree(cdf)
+                    shutil.rmtree(cdf, ignore_errors=True)
             if not dry_run:
-                os.unlink(self._log_path(v))
+                try:
+                    os.unlink(self._log_path(v))
+                except FileNotFoundError:
+                    pass  # already dropped by a racing vacuum
                 # drop the dropped version's checkpoint sidecar and evict
                 # it from the manifest cache: either could otherwise
                 # resolve a vacuumed version whose data files are gone
                 cp = self._ckpt_path(v)
-                if os.path.exists(cp):
+                try:
                     os.unlink(cp)
+                except FileNotFoundError:
+                    pass
                 self._mcache.pop(v, None)
         # Data files are deleted LAST (after the expired manifests are
         # gone): a crash anywhere above leaves a log whose every

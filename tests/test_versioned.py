@@ -1751,3 +1751,30 @@ def test_vacuum_reader_retention_floor_default_safe(spark, vt):
         vt.read(spark, version=0)
     with pytest.raises(ValueError):
         vt.vacuum(retain_recent_s=-1.0)
+
+
+def test_stream_changes_tolerates_all_feedless_ops(spark, cdf_vt, tmp_path):
+    """Metadata-only / layout-only commits write no change-feed dir by
+    design; the streaming source's completeness guard must exempt EVERY
+    such op — rename_column, bloom-index DDL, and the vacuum horizon
+    marker included (the guard and materialize_changes drifting apart
+    broke CDC streaming after a reclaiming vacuum)."""
+    vt = cdf_vt
+    vt.write_full(_mk(spark, [(1, "a"), (2, "b")]))
+    vt.write_full(_mk(spark, [(3, "c")], ))  # v0's files now dead
+    vt.rename_column("v", "val")
+    vt.set_bloom_cols(spark, ["k"])
+    res = vt.vacuum(retain_last=3, retain_recent_s=0.0)
+    assert res["horizon_commit"] is not None  # the marker op is live
+    sink = str(tmp_path / "sink")
+    q = (
+        vt.stream_changes(spark, starting_version=1)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = _rows(spark.read.parquet(sink).select("_change_type", "k"))
+    assert ("insert", 3) in got
