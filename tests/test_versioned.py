@@ -1778,3 +1778,47 @@ def test_stream_changes_tolerates_all_feedless_ops(spark, cdf_vt, tmp_path):
     q.awaitTermination(120)
     got = _rows(spark.read.parquet(sink).select("_change_type", "k"))
     assert ("insert", 3) in got
+
+
+def test_two_vacuum_loops_race_without_dying(spark, vt):
+    """Two concurrent maintenance loops vacuuming one table (plus a
+    writer) must both survive: the manifest phase tolerates a peer
+    unlinking manifests mid-pass (re-resolve / idempotent unlinks), the
+    same way the data-file walk always has."""
+    import threading
+
+    vt.write_full(_mk(spark, [(1, "a")]))
+    errors: list = []
+
+    def vac_loop():
+        h = VersionedTable(vt.path, stats_cols=["k"])
+        try:
+            for _ in range(15):
+                h.vacuum(retain_last=1, retain_recent_s=0.0)
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    def writer_loop():
+        h = VersionedTable(vt.path, stats_cols=["k"])
+        try:
+            for i in range(6):
+                h.write_full(_mk(spark, [(i, f"w{i}")]))
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=vac_loop),
+        threading.Thread(target=vac_loop),
+        threading.Thread(target=writer_loop),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == [], errors
+    fresh = VersionedTable(vt.path)
+    assert len(_rows(fresh.read(spark))) == 1  # last overwrite wins
+    # every retained manifest resolves to files on disk
+    for v in fresh.versions():
+        for f in fresh._manifest(v)["files"]:
+            assert os.path.exists(os.path.join(vt.path, f)), (v, f)
