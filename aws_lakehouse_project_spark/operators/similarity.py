@@ -1517,3 +1517,117 @@ def q_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return rows[0].unionByName(rows[1])
+
+
+# ---------------------------------------------------------------------------
+# PQ-ADC search: asymmetric distance computation over PQ codes — the
+# memory-bound 100 TB search path that completes the quantization story
+# (q_embedding_centroids trains, q_pq_encode compresses, this SEARCHES
+# the compressed store without ever touching raw vectors again).
+# ---------------------------------------------------------------------------
+
+
+def _pq_adc_oracle() -> str:
+    # doc codes exactly as q_pq_encode assigns them; ADC folds the
+    # QUERY-to-centroid subdistance selected by each doc's code
+    sub_terms = []
+    for s in range(_PQ_M):
+        lo = s * _PQ_DSUB + 1
+        hi = (s + 1) * _PQ_DSUB
+        doc_dists = []
+        lut = []
+        for c in range(1, _PQ_K + 1):
+            x = f"(e.v[{lo}:{hi}])"
+            cv = f"(c{c}.v[{lo}:{hi}])"
+            qs = f"(q.v[{lo}:{hi}])"
+            doc_dists.append(
+                f"(list_inner_product({x}, {x})"
+                f" - 2 * list_inner_product({x}, {cv})"
+                f" + list_inner_product({cv}, {cv}))"
+            )
+            lut.append(
+                f"(list_inner_product({qs}, {qs})"
+                f" - 2 * list_inner_product({qs}, {cv})"
+                f" + list_inner_product({cv}, {cv}))"
+            )
+        best = f"LEAST({', '.join(doc_dists)})"
+        term = "CASE " + " ".join(
+            f"WHEN {d} = {best} THEN {t}" for d, t in zip(doc_dists, lut)
+        ) + " END"
+        sub_terms.append(term)
+    adc = " + ".join(sub_terms)
+    froms = ", ".join(
+        f"(SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = {c}) c{c}"
+        for c in range(1, _PQ_K + 1)
+    )
+    return f"""
+    SELECT e.vec_id, ROUND({adc}, 6) AS adc_dist
+    FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+          WHERE vec_id != {_QUERY_VEC_ID}) e,
+         (SELECT embedding::DOUBLE[] AS v FROM embeddings
+          WHERE vec_id = {_QUERY_VEC_ID}) q,
+         {froms}
+    ORDER BY {adc}, e.vec_id
+    LIMIT {_TOPK}
+    """
+
+
+@demo_query("q_pq_adc_topk", oracle=_pq_adc_oracle())
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k over the PQ-compressed store: the query stays raw, the
+    corpus is represented ONLY by its per-subspace code ids, and each
+    doc's distance is the sum of query→centroid subdistances selected
+    by its codes — FAISS's IndexPQ search semantics.
+
+    Scale shape: at 100 TB the m-byte codes are ~64× smaller than the
+    raw vectors, so the scan is memory/IO-bound on codes; the per-query
+    LUT (m × k subdistances) is a 1-row broadcast (query + codebook
+    cross join), the fold is pure CASE-on-code expression work inside
+    whole-stage codegen, and orderBy+limit compiles to
+    TakeOrderedAndProject. Codes are assigned with the same
+    smallest-id-wins tie rule as q_pq_encode, so the oracle reproduces
+    distances bit-for-bit. Accuracy vs exact search is the PQ
+    reconstruction trade-off — measured by test_ann_recall, not assumed."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.filter(F.col("vec_id") != _QUERY_VEC_ID).select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    cb = (
+        emb.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= _PQ_K))
+        .select(F.col("vec_id").alias("cid"), as_double("embedding").alias("cv"))
+        .groupBy()
+        .pivot("cid", list(range(1, _PQ_K + 1)))
+        .agg(F.first("cv"))
+    )
+    q = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        as_double("embedding").alias("qv")
+    )
+    joined = e.crossJoin(F.broadcast(cb)).crossJoin(F.broadcast(q))
+
+    def sub(col: Column, s: int) -> Column:
+        return F.slice(col, s * _PQ_DSUB + 1, _PQ_DSUB)
+
+    adc_terms = []
+    for s in range(_PQ_M):
+        x = sub(F.col("v"), s)
+        qs = sub(F.col("qv"), s)
+        doc_dists = []
+        lut = []
+        for c in range(1, _PQ_K + 1):
+            cv = sub(F.col(str(c)), s)
+            doc_dists.append(dot(x, x) - 2 * dot(x, cv) + dot(cv, cv))
+            lut.append(dot(qs, qs) - 2 * dot(qs, cv) + dot(cv, cv))
+        best = F.least(*doc_dists)
+        term = F.when(doc_dists[0] == best, lut[0])
+        for c in range(1, _PQ_K):
+            term = term.when(doc_dists[c] == best, lut[c])
+        adc_terms.append(term)
+    adc = adc_terms[0]
+    for t in adc_terms[1:]:
+        adc = adc + t
+    return (
+        joined.select("vec_id", adc.alias("adc_raw"))
+        .orderBy(F.col("adc_raw"), F.col("vec_id"))
+        .limit(_TOPK)
+        .select("vec_id", F.round("adc_raw", 6).alias("adc_dist"))
+    )

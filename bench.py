@@ -173,6 +173,8 @@ EXTRA = [
     "q_dedup_substring_rewrite",
     # round-11 continuation 2: mergeable quantile-histogram rollup
     "q_quantile_rollup",
+    # round-11 continuation 2: PQ-ADC compressed-domain search
+    "q_pq_adc_topk",
 ]
 
 

@@ -204,3 +204,46 @@ def test_banded_pairs_beat_single_band_recall(spark):
     # band 0 of the banded layout IS the single-band bucketing: banded
     # candidates must be a superset of the single-band pairs
     assert single <= banded
+
+
+def test_pq_adc_recall_beats_random(spark):
+    """ADC over 4x4 PQ codes is a coarse quantizer by construction, but
+    its top-k must still beat random selection decisively (here >=2.5x
+    the k/n random expectation) against the exact Euclidean ranking —
+    the compressed-domain search is doing real work, not noise."""
+    from pyspark.sql import functions as F
+
+    from aws_lakehouse_project_spark.catalog import load_table
+    from aws_lakehouse_project_spark.operators.similarity import (
+        _QUERY_VEC_ID,
+        _TOPK,
+        as_double,
+        dot,
+        q_pq_adc_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    n = emb.count()
+    adc = {r["vec_id"] for r in q_pq_adc_topk(spark, sf).collect()}
+    q = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        as_double("embedding").alias("qv")
+    )
+    e = emb.filter(F.col("vec_id") != _QUERY_VEC_ID).select(
+        "vec_id", as_double("embedding").alias("ev")
+    )
+    l2 = (
+        dot(F.col("ev"), F.col("ev"))
+        - 2 * dot(F.col("ev"), F.col("qv"))
+        + dot(F.col("qv"), F.col("qv"))
+    )
+    exact = {
+        r["vec_id"]
+        for r in e.crossJoin(F.broadcast(q))
+        .select("vec_id", l2.alias("l2"))
+        .orderBy("l2", "vec_id")
+        .limit(_TOPK)
+        .collect()
+    }
+    recall = len(adc & exact) / _TOPK
+    assert recall >= 2.5 * (_TOPK / n), (recall, _TOPK / n)
