@@ -39,7 +39,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # lead the r12 window (added in r11: q_stats_minmax,
 # q_scan_null_skipping, q_auto_compact, q_convert_parquet,
 # q_dedup_substring, q_dedup_substring_scrub,
-# q_dedup_substring_rewrite, q_quantile_rollup, q_pq_adc_topk; plus
+# q_dedup_substring_rewrite, q_quantile_rollup, q_pq_adc_topk,
+# q_vacuum_restore; plus
 # anything newer), then the
 # r7-stale rows that did NOT fit
 # here: q_embedding_quantize, q_explode_pos, q_fact_daily,

@@ -1772,6 +1772,92 @@ def q_vacuum_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("order_count").cast("bigint").alias("order_count"),
     )
 
+
+VACUUM_RESTORE_ORACLE = f"""
+    WITH {_DAILY_CTE}
+    SELECT cust_id, dt, revenue, order_count FROM daily
+"""
+
+
+@demo_query("q_vacuum_restore", oracle=VACUUM_RESTORE_ORACLE)
+def q_vacuum_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM racing a RESTORE — the resurrection race the horizon
+    marker closes. Deterministically reproduced through the claim seam
+    in BOTH orders, and the query FAILS unless
+
+    1. a restore that claims BETWEEN vacuum's version listing and its
+       horizon-marker commit KEEPS its files (the marker rebases over
+       the restore; the interleaved-commit walk folds the restored file
+       references back into the live set — zero data files reclaimed);
+    2. after the marker lands, restoring below the published
+       ``vacuum_horizon`` raises ``VacuumedVersionError`` on a handle
+       whose manifest cache is WARM (the cache must not bypass the
+       horizon guard) as well as on a fresh instance;
+    3. every retained manifest resolves to files on disk, warm and
+       fresh — no head ever references a reclaimed file.
+
+    The oracle is the restored (original) daily fact: the interleaved
+    restore wins, so the delete that preceded it is rolled back."""
+    work = scratch_dir("spark_graft_vacuum_restore", unique=True)
+    path = os.path.join(work, "fact")
+    daily = _daily_orders(spark, sf_dir)
+    vt = VersionedTable(path, stats_cols=["dt"])
+    vt.write_full(daily.repartition(4))          # v0: the good snapshot
+    vt.delete_where(spark, "cust_id % 5 = 0")    # v1: the bad delete
+
+    # a second handle restores v0 at the instant vacuum tries to claim
+    # its horizon marker — the restore wins the version number and the
+    # marker rebases on top of it
+    orig_claim = vt._claim_version
+    raced = {"fired": False}
+
+    def racing_claim(manifest, parent=None):
+        if not raced["fired"] and manifest["op"] == "vacuum":
+            raced["fired"] = True
+            VersionedTable(path, stats_cols=["dt"]).restore(0)
+        return orig_claim(manifest, parent=parent)
+
+    vt._claim_version = racing_claim
+    try:
+        res = vt.vacuum(retain_last=1, retain_recent_s=0.0)
+    finally:
+        vt._claim_version = orig_claim
+    if not raced["fired"]:
+        raise AssertionError("race seam never fired")
+    if res["removed_data_files"] != 0:
+        raise AssertionError(
+            f"vacuum reclaimed files a racing restore resurrected: {res}"
+        )
+
+    # second pass, no race: v0/v1 drop for real and the horizon rises
+    warm = VersionedTable(path, stats_cols=["dt"])
+    warm.read(spark, version=1)  # warm the cache BELOW the horizon
+    res2 = vt.vacuum(retain_last=2, retain_recent_s=0.0)
+    if res2["removed_data_files"] < 1 or res2["horizon_commit"] is None:
+        raise AssertionError(f"second vacuum reclaimed nothing: {res2}")
+    for inst in (warm, VersionedTable(path)):
+        try:
+            inst.restore(1)
+            raise AssertionError(
+                "restore below the vacuum horizon did not raise"
+            )
+        except VacuumedVersionError:
+            pass
+        for v in inst.versions():
+            for f in inst._manifest(v)["files"]:
+                if not os.path.exists(os.path.join(path, f)):
+                    raise AssertionError(
+                        f"manifest v{v} references a deleted file: {f}"
+                    )
+    fresh = VersionedTable(path)
+    return fresh.read(spark).select(
+        "cust_id",
+        F.col("dt").cast("date").alias("dt"),
+        "revenue",
+        F.col("order_count").cast("bigint").alias("order_count"),
+    )
+
+
 SCAN_BLOOM_ORACLE = """
     SELECT o_orderkey, o_custkey,
            CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total_usd,

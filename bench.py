@@ -175,6 +175,8 @@ EXTRA = [
     "q_quantile_rollup",
     # round-11 continuation 2: PQ-ADC compressed-domain search
     "q_pq_adc_topk",
+    # round-11 continuation 2: vacuum x restore serialization guard
+    "q_vacuum_restore",
 ]
 
 
