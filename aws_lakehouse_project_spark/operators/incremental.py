@@ -564,3 +564,125 @@ def q_incremental_mv_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("max_price").cast("double").alias("max_price"),
         F.col("n_orders").cast("bigint").alias("n_orders"),
     )
+
+
+INCREMENTAL_MV_VAR_ORACLE = """
+    WITH stale AS (
+      SELECT o_custkey AS cust_id, CAST(o_orderdate AS DATE) AS dt,
+             SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS revenue,
+             CAST(COUNT(*) AS BIGINT) AS order_count
+      FROM orders WHERE o_orderkey % 10 <> 0 GROUP BY 1, 2
+    ),
+    daily AS (
+      SELECT o_custkey AS cust_id, CAST(o_orderdate AS DATE) AS dt,
+             SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS revenue,
+             CAST(COUNT(*) AS BIGINT) AS order_count
+      FROM orders GROUP BY 1, 2
+    ),
+    upd AS (
+      SELECT cust_id, dt, revenue * 2 AS revenue, order_count
+      FROM daily WHERE cust_id % 7 = 0
+    ),
+    v1 AS (
+      SELECT cust_id, dt, revenue, order_count
+      FROM stale WHERE cust_id % 7 <> 0
+      UNION ALL
+      SELECT cust_id, dt, revenue, order_count FROM upd
+    ),
+    v2 AS (SELECT * FROM v1 WHERE cust_id % 5 <> 0)
+    SELECT dt, CAST(COUNT(*) AS BIGINT) AS n_custs,
+           CAST(SUM(revenue) AS DOUBLE) AS revenue,
+           -- variance numerator n*Σx² − (Σx)² stays EXACT in decimal
+           -- (cancellation in double is engine-divergent); publishing
+           -- the STDDEV compresses the one remaining decimal→double
+           -- conversion ulp far below the 6-dp round
+           ROUND(
+             SQRT(CAST(
+               CAST(CAST(SUM(revenue * revenue) AS DECIMAL(33,4))
+                    * CAST(COUNT(*) AS DECIMAL(5,0)) AS DECIMAL(37,4))
+               - CAST(CAST(SUM(revenue) AS DECIMAL(19,2))
+                      * CAST(SUM(revenue) AS DECIMAL(19,2)) AS DECIMAL(37,4))
+             AS DOUBLE)) / COUNT(*),
+             6) AS rev_std
+    FROM v2 GROUP BY dt
+"""
+
+
+@demo_query("q_incremental_mv_var", oracle=INCREMENTAL_MV_VAR_ORACLE)
+def q_incremental_mv_var(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment MV maintenance: per-day revenue VARIANCE kept
+    current across MERGE and DELETE commits by the SAME SUM/COUNT fold
+    — the squared measure is just another additive column. (n, Σx,
+    Σx²) are each self-maintainable in exact decimal, so the folded
+    moments are bit-identical to a recompute and the variance
+    ((Σx² − (Σx)²/n)/n, computed in double at READ time with one fixed
+    expression order on both engines) matches the oracle's full
+    recompute exactly. The MIN/MAX contrast: those need bounded
+    rescans (q_incremental_mv_minmax); moments never do."""
+    work = scratch_dir("spark_graft_incmv_var", unique=True)
+    vt = VersionedTable(os.path.join(work, "fact"), stats_cols=["dt"])
+
+    orders = _daily_decimal(spark, sf_dir)
+    stale = _daily_agg(orders.filter(F.col("o_orderkey") % 10 != 0))
+    upd = (
+        _daily_agg(orders)
+        .filter(F.col("cust_id") % 7 == 0)
+        .withColumn("revenue", (F.col("revenue") * 2).cast(_DECIMAL_REV))
+    )
+    v0 = vt.write_full(stale.repartition(4))
+    versions = [v0]
+    versions.append(vt.merge_upsert(spark, upd, keys=["cust_id", "dt"]))
+    versions.append(vt.delete_where(spark, "cust_id % 5 = 0"))
+
+    sq = (F.col("revenue") * F.col("revenue")).cast("decimal(38,4)")
+
+    def materialize(df: DataFrame, gen: int) -> DataFrame:
+        path = os.path.join(work, f"mv_v{gen}")
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    mv = materialize(
+        vt.read(spark, v0)
+        .select("dt", "revenue", sq.alias("rev_sq"))
+        .groupBy("dt")
+        .agg(
+            F.sum("revenue").cast("decimal(38,2)").alias("revenue"),
+            F.sum("rev_sq").cast("decimal(38,4)").alias("rev_sq"),
+            F.count(F.lit(1)).alias("n_custs"),
+        ),
+        v0,
+    )
+    for frm, to in zip(versions, versions[1:]):
+        delta = vt.changes(spark, frm, to).select(
+            "_change_type", "dt", "revenue", sq.alias("rev_sq")
+        )
+        mv = materialize(
+            fold_changes_into_aggregate(
+                mv,
+                delta,
+                group_keys=["dt"],
+                sum_cols=["revenue", "rev_sq"],
+                count_col="n_custs",
+            ),
+            to,
+        )
+    # variance numerator n*Σx² − (Σx)² computed EXACTLY in decimal —
+    # the double form (Σx² − (Σx)²/n)/n suffers catastrophic
+    # cancellation whose last-ulp noise differs across engines; with an
+    # exact numerator, the single double division at the end is one
+    # correctly-rounded op and hash-matches the oracle bit-for-bit
+    s_c = F.col("revenue").cast("decimal(19,2)")
+    ss_n = (
+        F.col("rev_sq").cast("decimal(33,4)")
+        * F.col("n_custs").cast("decimal(5,0)")
+    ).cast("decimal(37,4)")
+    s2 = (s_c * s_c).cast("decimal(37,4)")
+    var_num = (ss_n - s2).cast("double")
+    return mv.select(
+        F.col("dt").cast("date").alias("dt"),
+        F.col("n_custs").cast("bigint").alias("n_custs"),
+        F.col("revenue").cast("double").alias("revenue"),
+        F.round(
+            F.sqrt(var_num) / F.col("n_custs").cast("double"), 6
+        ).alias("rev_std"),
+    )

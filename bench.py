@@ -177,6 +177,8 @@ EXTRA = [
     "q_pq_adc_topk",
     # round-11 continuation 2: vacuum x restore serialization guard
     "q_vacuum_restore",
+    # round-11 continuation 2: second-moment (variance) MV maintenance
+    "q_incremental_mv_var",
 ]
 
 
