@@ -664,6 +664,7 @@ vacuum_ops = st.lists(
         st.tuples(st.just("delete"), st.integers(0, 2)),
         st.tuples(st.just("vacuum"), st.integers(1, 3)),
         st.tuples(st.just("restore"), st.integers(0, 9)),
+        st.tuples(st.just("optimize"), st.integers(2, 50)),
     ),
     min_size=2,
     max_size=7,
@@ -720,6 +721,11 @@ def test_vacuum_model_invariants(spark, ops, tmp_path_factory):
             current = sorted(r for r in current if r[0] % 3 != p)
             if v != before:  # no-op deletes commit nothing
                 snapshots[v] = list(current)
+        elif kind == "optimize":
+            before = vt.latest_version()
+            v = vt.optimize(spark, target_rows_per_file=p)
+            if v != before:  # no-op optimize commits nothing
+                snapshots[v] = list(current)  # layout-only: same content
         elif kind == "restore":
             all_vs = sorted(snapshots)
             target = all_vs[p % len(all_vs)]
