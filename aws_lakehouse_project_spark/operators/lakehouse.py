@@ -2114,6 +2114,91 @@ AUTO_COMPACT_ORACLE = f"""
 """
 
 
+OPTIMIZE_WHERE_ORACLE = f"""
+    WITH {_DAILY_CTE}
+    SELECT cust_id, dt, revenue, order_count FROM daily
+    UNION ALL
+    SELECT cust_id, dt, revenue, order_count FROM daily
+    WHERE cust_id % 11 = 1 AND dt < DATE '{MERGE_HORIZON}'
+    UNION ALL
+    SELECT cust_id, dt, revenue, order_count FROM daily
+    WHERE cust_id % 11 = 2 AND dt < DATE '{MERGE_HORIZON}'
+    UNION ALL
+    SELECT cust_id, dt, revenue, order_count FROM daily
+    WHERE cust_id % 11 = 3 AND dt >= DATE '{MERGE_HORIZON}'
+"""
+
+
+@demo_query("q_optimize_where", oracle=OPTIMIZE_WHERE_ORACLE)
+def q_optimize_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate-scoped compaction — Delta's ``OPTIMIZE ... WHERE`` in
+    its stats-plane form: a dt-clustered fact accumulates small files
+    in BOTH the hot (early) and cold (late) date ranges;
+    ``optimize(where=("dt", lo, hi))`` must bin-pack ONLY the small
+    files whose manifest [min, max] dt span could intersect the range.
+    The query FAILS unless
+
+    1. the two hot-range small files are packed (gone from the head),
+    2. the cold-range small file survives BY NAME (carried by
+       reference — scoped maintenance never rewrites cold data),
+    3. the full-sized base files survive by name (the size threshold
+       composes with the scope), and
+    4. content is byte-identical to the union oracle (compaction is
+       layout-only) with the scope recorded in the commit meta.
+
+    At 100 TB this is the nightly maintenance shape: compact
+    yesterday's streaming trickle without touching years of cold
+    files. The SQL surface (``OPTIMIZE t WHERE dt BETWEEN ... AND
+    ...``) routes here — tests/test_lakehouse_sql.py drives it."""
+    work = scratch_dir("spark_graft_optwhere", unique=True)
+    daily = _daily_orders(spark, sf_dir)
+    # base quartile files hold ~rows/4 each; the appended slices hold
+    # ~rows/33 — a target of rows/5 keeps every base file full-sized
+    # and every appended slice small, at any SF (structural: rows/33 <
+    # rows/5 <= rows/4)
+    target = max(10, daily.count() // 5)
+    vt = VersionedTable(os.path.join(work, "fact"), stats_cols=["dt"])
+    vt.write_full(daily.repartitionByRange(4, "dt"))
+    hot1 = daily.filter(
+        (F.col("cust_id") % 11 == 1) & (F.col("dt") < F.lit(MERGE_HORIZON))
+    )
+    hot2 = daily.filter(
+        (F.col("cust_id") % 11 == 2) & (F.col("dt") < F.lit(MERGE_HORIZON))
+    )
+    cold = daily.filter(
+        (F.col("cust_id") % 11 == 3) & (F.col("dt") >= F.lit(MERGE_HORIZON))
+    )
+    for part in (hot1, hot2, cold):
+        vt.append(part.coalesce(1))
+    before = vt._manifest()
+    base_files = set(before["files"][:4])
+    hot_files = set(before["files"][4:6])
+    cold_file = before["files"][6]
+
+    v = vt.optimize(
+        spark,
+        target_rows_per_file=target,
+        where=("dt", "1992-01-01", "2000-12-31"),
+    )
+    after = VersionedTable(vt.path)._manifest(v)
+    files_after = set(after["files"])
+    if after["op"] != "optimize" or after["meta"].get("where") is None:
+        raise AssertionError(f"scoped optimize did not land: {after['op']}")
+    if hot_files & files_after:
+        raise AssertionError("hot-range small files were not packed")
+    if cold_file not in files_after:
+        raise AssertionError("cold-range small file was rewritten")
+    if not base_files <= files_after:
+        raise AssertionError("full-sized base files were rewritten")
+    fresh = VersionedTable(vt.path)
+    return fresh.read(spark).select(
+        "cust_id",
+        F.col("dt").cast("date").alias("dt"),
+        "revenue",
+        F.col("order_count").cast("bigint").alias("order_count"),
+    )
+
+
 @demo_query("q_auto_compact", oracle=AUTO_COMPACT_ORACLE)
 def q_auto_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """autoCompact under trickle ingestion (Delta's

@@ -15,7 +15,7 @@ shapes Delta Lake documents:
         WHEN MATCHED THEN UPDATE SET *
         WHEN NOT MATCHED THEN INSERT *
     MERGE INTO t USING s ON ... WHEN MATCHED THEN DELETE
-    OPTIMIZE t [ZORDER BY (c1, c2)]
+    OPTIMIZE t [WHERE c BETWEEN lo AND hi] [ZORDER BY (c1, c2)]
     VACUUM t [RETAIN n VERSIONS | RETAIN n HOURS] [NO RETENTION CHECK] [DRY RUN]
     DESCRIBE HISTORY t | DESCRIBE DETAIL t
     RESTORE TABLE t TO VERSION AS OF n
@@ -66,7 +66,7 @@ _GRAMMAR = """supported statements:
   UPDATE [/*+ MERGE_ON_READ */] t SET c=e[, ...] [WHERE p]
   MERGE INTO t USING s ON t.k=s.k [AND ...] WHEN MATCHED THEN UPDATE SET *
     WHEN NOT MATCHED THEN INSERT * | ... WHEN MATCHED THEN DELETE
-  OPTIMIZE t [ZORDER BY (c1, c2)] | VACUUM t [RETAIN n VERSIONS | RETAIN n HOURS] [NO RETENTION CHECK] [DRY RUN]
+  OPTIMIZE t [WHERE c BETWEEN lo AND hi] [ZORDER BY (c1, c2)] | VACUUM t [RETAIN n VERSIONS | RETAIN n HOURS] [NO RETENTION CHECK] [DRY RUN]
   DESCRIBE HISTORY t | DESCRIBE DETAIL t | RESTORE TABLE t TO VERSION AS OF n
   ALTER TABLE t ADD CONSTRAINT name CHECK (expr) | ALTER TABLE t DROP CONSTRAINT name
   ALTER TABLE t RENAME COLUMN a TO b | ALTER TABLE t DROP COLUMN c
@@ -295,11 +295,31 @@ class LakehouseSession:
 
         mm = re.fullmatch(
             rf"OPTIMIZE\s+(?P<t>{_IDENT})"
+            rf"(?:\s+WHERE\s+(?P<wc>{_IDENT})\s+BETWEEN\s+"
+            r"(?P<wlo>'[^']*'|-?\d+(?:\.\d+)?)\s+AND\s+"
+            r"(?P<whi>'[^']*'|-?\d+(?:\.\d+)?))?"
             r"(?:\s+ZORDER\s+BY\s+\((?P<z>[^)]+)\))?",
             s, flags=re.IGNORECASE,
         )
         if mm:
             vt = self.table(mm.group("t"))
+
+            def _wlit(raw: str):
+                return (
+                    raw[1:-1]
+                    if raw.startswith("'")
+                    else (float(raw) if "." in raw else int(raw))
+                )
+
+            # Delta's OPTIMIZE ... WHERE, stats-plane form: only files
+            # whose manifest [min,max] for the column could intersect
+            # the range are rewritten (compact the hot day, never touch
+            # the cold files)
+            scope = (
+                (mm.group("wc"), _wlit(mm.group("wlo")), _wlit(mm.group("whi")))
+                if mm.group("wc")
+                else None
+            )
             if mm.group("z"):
                 from ..sources.writers import zorder_value
 
@@ -319,9 +339,12 @@ class LakehouseSession:
                     target_rows_per_file=max(1, n // 8 + 1),
                     sort_within=[zorder_value(cols, los, his)],
                     rewrite_all=True,
+                    where=scope,
                 )
             else:
-                v = vt.optimize(self.spark, target_rows_per_file=10_000_000)
+                v = vt.optimize(
+                    self.spark, target_rows_per_file=10_000_000, where=scope
+                )
             return self._row(op="optimize", version=v)
 
         mm = re.fullmatch(

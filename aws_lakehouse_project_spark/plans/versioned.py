@@ -3128,6 +3128,7 @@ class VersionedTable:
         meta: dict | None = None,
         rewrite_all: bool = False,
         purge_dvs: bool = False,
+        where: tuple | None = None,
     ) -> int:
         """Incremental OPTIMIZE: bin-pack only files below the target
         into fewer right-sized files; full-sized files carry over by
@@ -3140,6 +3141,15 @@ class VersionedTable:
         key gives every rewritten file a narrow range in EVERY z-order
         dimension, which is what manifest min/max skipping then prunes
         on).
+
+        ``where=(col, lo, hi)`` scopes the pass (Delta's ``OPTIMIZE ...
+        WHERE``, stats-plane form): only candidate files whose manifest
+        [min, max] for ``col`` could intersect [lo, hi] are rewritten —
+        compacting one hot day of a 100 TB fact never touches the cold
+        files. Conservative by construction: a file with no stat for
+        the column stays IN scope (it might intersect, and rewriting it
+        is content-preserving either way); an all-null file is provably
+        outside any range. ``None`` bounds are open-ended.
 
         ``rewrite_all=True`` rewrites EVERY file, not just undersized
         ones — Delta's OPTIMIZE ZORDER semantics, where re-clustering is
@@ -3160,6 +3170,25 @@ class VersionedTable:
             or f in dvd
             or m["stats"].get(f, {}).get("rows", 0) < target_rows_per_file
         ]
+        if where is not None:
+            w_col, w_lo, w_hi = where
+            phys = m.get("column_mapping", {}).get(w_col, w_col)
+            lo_j, hi_j = _stat_json(w_lo), _stat_json(w_hi)
+
+            def _in_scope(f: str) -> bool:
+                st = m["stats"].get(f, {}).get(phys)
+                if st is None:
+                    return True  # unknown: may intersect — keep in scope
+                mn, mx = st
+                if mn is None or mx is None:
+                    return False  # all-null file: outside any range
+                if lo_j is not None and _bound_lt(mx, lo_j):
+                    return False
+                if hi_j is not None and _bound_lt(hi_j, mn):
+                    return False
+                return True
+
+            small = [f for f in small if _in_scope(f)]
         if len(small) <= 1 and not any(f in dvd for f in small):
             return self.latest_version()  # nothing to pack
         rows = sum(m["stats"].get(f, {}).get("rows", 0) for f in small)
@@ -3181,12 +3210,22 @@ class VersionedTable:
         files, stats = self._write_commit_files(df, hint)
         # no _maybe_cdf: a layout-only commit's change feed is empty by
         # construction (materialize_changes would no-op anyway)
+        scope = (
+            {"where": [where[0], str(where[1]), str(where[2])]}
+            if where is not None
+            else {}
+        )
         return self._commit(
             "optimize",
             files,
             stats,
             m["schema"],
-            {**(meta or {}), "packed_files": len(small), "packed_into": len(files)},
+            {
+                **(meta or {}),
+                **scope,
+                "packed_files": len(small),
+                "packed_into": len(files),
+            },
             cow={"read": m, "touched": small, "remove_touched": True},
         )
 

@@ -179,6 +179,8 @@ EXTRA = [
     "q_vacuum_restore",
     # round-11 continuation 2: second-moment (variance) MV maintenance
     "q_incremental_mv_var",
+    # round-11 continuation 2: predicate-scoped compaction
+    "q_optimize_where",
 ]
 
 

@@ -361,3 +361,18 @@ def test_point_lookup_leaves_no_temp_view_and_spares_user_views(lh, spark):
     assert after == before
     assert [tuple(r) for r in spark.table("t__eqscan").collect()] == [(1,)]
     spark.catalog.dropTempView("t__eqscan")
+
+
+def test_optimize_where_sql_scopes_compaction(lh, spark):
+    """OPTIMIZE t WHERE c BETWEEN lo AND hi routes the stats-plane
+    scope through the SQL surface; content is unchanged and the scope
+    rides the commit meta."""
+    lh.sql("INSERT INTO t SELECT 100 AS k, 'z' AS grp, 1.0 AS v")
+    lh.sql("INSERT INTO t SELECT 101 AS k, 'z' AS grp, 2.0 AS v")
+    before = _rows(lh.sql("SELECT k, grp, v FROM t"))
+    lh.sql("OPTIMIZE t WHERE k BETWEEN 90 AND 200")
+    vt = lh.table("t")
+    m = vt._manifest()
+    assert m["op"] == "optimize"
+    assert m["meta"]["where"] == ["k", "90", "200"]
+    assert _rows(lh.sql("SELECT k, grp, v FROM t")) == before

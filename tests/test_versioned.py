@@ -1822,3 +1822,37 @@ def test_two_vacuum_loops_race_without_dying(spark, vt):
     for v in fresh.versions():
         for f in fresh._manifest(v)["files"]:
             assert os.path.exists(os.path.join(vt.path, f)), (v, f)
+
+
+def test_optimize_where_scopes_by_stats(spark, vt):
+    """optimize(where=(col, lo, hi)) packs only files whose manifest
+    [min,max] could intersect the range; out-of-scope files and files
+    without the stat behave per contract (skip / conservatively
+    include)."""
+    vt.write_full(_mk(spark, [(i, "base") for i in range(100, 120)]).coalesce(1))
+    vt.append(_mk(spark, [(1, "hot")]).coalesce(1))
+    vt.append(_mk(spark, [(2, "hot")]).coalesce(1))
+    vt.append(_mk(spark, [(500, "cold")]).coalesce(1))
+    before = vt._manifest()
+    cold_file = before["files"][3]
+    v = vt.optimize(spark, target_rows_per_file=10, where=("k", 0, 50))
+    after = vt._manifest(v)
+    assert after["meta"]["where"] == ["k", "0", "50"]
+    assert cold_file in after["files"]  # out of scope: carried by name
+    assert before["files"][0] in after["files"]  # full-sized: carried
+    assert len(after["files"]) == 3  # 2 hot smalls packed into 1
+    assert _rows(vt.read(spark)) == _rows(vt.read(spark, 3))
+    # disjoint scope -> nothing to pack -> no new version
+    head = vt.latest_version()
+    assert vt.optimize(spark, 10, where=("k", 10_000, 20_000)) == head
+
+
+def test_optimize_where_includes_statless_files(spark, tmp_path):
+    """A file with no stat for the scope column MIGHT intersect — it
+    stays in scope (conservative; rewriting is content-preserving)."""
+    nostats = VersionedTable(str(tmp_path / "t"))  # no stats_cols
+    nostats.write_full(_mk(spark, [(1, "a")]).coalesce(1))
+    nostats.append(_mk(spark, [(2, "b")]).coalesce(1))
+    v = nostats.optimize(spark, 10, where=("k", 0, 0))
+    assert len(nostats._manifest(v)["files"]) == 1  # both packed
+    assert _rows(nostats.read(spark)) == [(1, "a"), (2, "b")]
