@@ -1856,3 +1856,30 @@ def test_optimize_where_includes_statless_files(spark, tmp_path):
     v = nostats.optimize(spark, 10, where=("k", 0, 0))
     assert len(nostats._manifest(v)["files"]) == 1  # both packed
     assert _rows(nostats.read(spark)) == [(1, "a"), (2, "b")]
+
+
+def test_optimize_where_packs_dv_files_and_sheds_dead_rows(spark, vt):
+    """A merge-on-read-deleted file inside the scope packs like any
+    small file and sheds its deletion vector (dead rows physically
+    dropped); a DV'd file OUTSIDE the scope keeps its DV untouched."""
+    vt.write_full(_mk(spark, [(i, "hot") for i in range(3)]).coalesce(1))
+    vt.append(_mk(spark, [(100 + i, "cold") for i in range(3)]).coalesce(1))
+    vt.delete_where(spark, "k = 1", mode="merge_on_read")
+    vt.delete_where(spark, "k = 101", mode="merge_on_read")
+    assert len(vt._manifest().get("dvs", {})) == 2
+    v = vt.optimize(spark, target_rows_per_file=10, where=("k", 0, 50))
+    m = vt._manifest(v)
+    # the hot file was alone in scope BUT carries a DV -> it still
+    # cannot pack with anything; scope with >=2 files is the packing
+    # case, so append another hot small first for a real pack
+    vt.append(_mk(spark, [(5, "hot2")]).coalesce(1))
+    v = vt.optimize(spark, target_rows_per_file=10, where=("k", 0, 50))
+    m = vt._manifest(v)
+    dvs = m.get("dvs", {})
+    # the cold file's DV survives; no hot file carries one anymore
+    assert len(dvs) == 1
+    (cold_dvd,) = dvs
+    assert _rows(vt.read(spark)) == [
+        (0, "hot"), (2, "hot"), (5, "hot2"),
+        (100, "cold"), (102, "cold"),
+    ]
