@@ -686,3 +686,220 @@ def q_incremental_mv_var(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(var_num) / F.col("n_custs").cast("double"), 6
         ).alias("rev_std"),
     )
+
+
+def join_signed_delta(
+    a_old: DataFrame,
+    da: DataFrame | None,
+    b_old: DataFrame,
+    db: DataFrame | None,
+    on: list[str],
+) -> DataFrame:
+    """Change feed of the JOIN VIEW ``A ⋈ B`` from each base table's
+    own change feed — the classic bilinear delta rule (DBSP / pg_ivm;
+    the identity every incremental view maintenance engine uses):
+
+        Δ(A ⋈ B) = ΔA ⋈ B₀  +  A₀ ⋈ ΔB  +  ΔA ⋈ ΔB
+
+    where A₀/B₀ are the PRE-change snapshots and each delta is a signed
+    multiset (``insert``/``update_postimage`` count +1, ``delete``/
+    ``update_preimage`` −1; an update is algebraically a delete+insert
+    pair, so signs multiply through the cross term). ``da``/``db`` are
+    ``VersionedTable.changes`` frames carrying exactly their side's
+    columns plus ``_change_type``; pass ``None`` for a side that did
+    not change and its terms vanish. Returns the joined rows
+    (``on`` keys + both sides' payload columns) with a ``_change_type``
+    of ``insert``/``delete``, ready for ``fold_changes_into_aggregate``
+    — so a JOIN-view aggregate MV refreshes without ever re-running the
+    join over the full base tables.
+
+    Why this is the 100 TB shape: the only full-snapshot inputs are the
+    two mixed terms, and each is LEFT SEMI pruned to the other side's
+    delta keys BEFORE its join — ``A₀ ⋈ ΔB`` reads only the A rows
+    whose join key appears in the (churn-sized) dim delta, which
+    partition/stats pruning turns into a partial scan; no term is ever
+    ``|A| × |B|``. AQE broadcasts the delta sides when they fit (no
+    forced hint: a delta CAN be large after a bulk backfill, and the
+    plan must survive that). Multiplicities are exact multiset algebra:
+    one +1 fact-delta row matching k dim rows yields k +1 joined rows.
+    """
+    a_cols = [c for c in a_old.columns if c not in on]
+    b_cols = [c for c in b_old.columns if c not in on]
+    overlap = set(a_cols) & set(b_cols)
+    if overlap:
+        raise ValueError(
+            f"join_signed_delta: non-key columns collide: {sorted(overlap)}"
+            " — alias one side before differencing"
+        )
+    for side, delta, base in (("da", da, a_old), ("db", db, b_old)):
+        if delta is None:
+            continue
+        want = set(base.columns) | {"_change_type"}
+        got = set(delta.columns)
+        if got != want:
+            raise ValueError(
+                f"join_signed_delta: {side} columns {sorted(got)} != "
+                f"base columns + _change_type {sorted(want)}"
+            )
+    sign = F.when(F.col("_change_type").isin(*_ADDITIVE), 1).otherwise(-1)
+    out = on + a_cols + b_cols
+    terms: list[DataFrame] = []
+    if da is not None:
+        da_s = da.select(*on, *a_cols, sign.alias("__sa"))
+        b_pruned = b_old.join(da_s.select(*on).distinct(), on, "left_semi")
+        terms.append(
+            da_s.join(b_pruned, on).select(*out, F.col("__sa").alias("__sign"))
+        )
+    if db is not None:
+        db_s = db.select(*on, *b_cols, sign.alias("__sb"))
+        a_pruned = a_old.join(db_s.select(*on).distinct(), on, "left_semi")
+        terms.append(
+            a_pruned.join(db_s, on).select(*out, F.col("__sb").alias("__sign"))
+        )
+    if da is not None and db is not None:
+        da_s = da.select(*on, *a_cols, sign.alias("__sa"))
+        db_s = db.select(*on, *b_cols, sign.alias("__sb"))
+        terms.append(
+            da_s.join(db_s, on).select(
+                *out, (F.col("__sa") * F.col("__sb")).alias("__sign")
+            )
+        )
+    if not terms:
+        raise ValueError("join_signed_delta: both deltas are None")
+    signed = reduce(DataFrame.unionByName, terms)
+    return signed.select(
+        *out,
+        F.when(F.col("__sign") > 0, F.lit("insert"))
+        .otherwise(F.lit("delete"))
+        .alias("_change_type"),
+    )
+
+
+INCREMENTAL_MV_JOIN_ORACLE = """
+    WITH fact AS (
+      SELECT o_orderkey, o_custkey AS cust_id,
+             CAST(CASE WHEN o_orderkey % 7 = 0
+                  THEN CAST(o_totalprice AS DECIMAL(12,2)) * 2
+                  ELSE CAST(o_totalprice AS DECIMAL(12,2)) END
+                  AS DECIMAL(12,2)) AS price
+      FROM orders WHERE o_custkey % 5 <> 0
+    ),
+    dim AS (
+      SELECT c_custkey AS cust_id,
+             CAST(CASE WHEN c_custkey % 3 = 0 THEN (c_nationkey + 1) % 25
+                  ELSE c_nationkey END AS INTEGER) AS nation
+      FROM customer
+    )
+    SELECT nation,
+           CAST(SUM(price) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM fact JOIN dim USING (cust_id)
+    GROUP BY nation
+"""
+
+
+@demo_query("q_incremental_mv_join", oracle=INCREMENTAL_MV_JOIN_ORACLE)
+def q_incremental_mv_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-VIEW materialized-view maintenance: a per-nation revenue MV
+    over ``fact ⋈ dim`` is built ONCE, then kept current while BOTH
+    base tables mutate — the fact takes a MERGE (inserts the %10
+    orders, doubles the %7 prices) then a DELETE (%5 customers), and
+    the dim takes an UPDATE that MOVES every %3 customer to a new
+    nation — using ``join_signed_delta``'s bilinear rule; the join is
+    never recomputed over the full tables. Refresh 2 changes BOTH
+    sides in one step, so all three delta terms fire (including the
+    ΔA ⋈ ΔB correction for customers deleted from the fact AND moved
+    in the dim — dropping it double-subtracts exactly those). The
+    oracle is the full recompute of the final join: incremental
+    maintenance must be indistinguishable from it, bit-exact in
+    decimal. Each MV generation round-trips through parquet (an MV is
+    a table)."""
+    work = scratch_dir("spark_graft_incmv_join", unique=True)
+    fact_vt = VersionedTable(os.path.join(work, "fact"), stats_cols=["cust_id"])
+    dim_vt = VersionedTable(os.path.join(work, "dim"), stats_cols=["cust_id"])
+
+    base = _daily_decimal(spark, sf_dir).select("o_orderkey", "cust_id", "price")
+    v0 = fact_vt.write_full(
+        base.filter(F.col("o_orderkey") % 10 != 0).repartition(4)
+    )
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            F.col("c_custkey").alias("cust_id"),
+            F.col("c_nationkey").cast("int").alias("nation"),
+        )
+    )
+    w0 = dim_vt.write_full(dim.repartition(2))
+
+    # fact commit 1: MERGE — %10 rows insert, %7 rows double their price
+    src = base.filter(
+        (F.col("o_orderkey") % 10 == 0) | (F.col("o_orderkey") % 7 == 0)
+    ).withColumn(
+        "price",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, (F.col("price") * 2)
+        )
+        .otherwise(F.col("price"))
+        .cast("decimal(12,2)"),
+    )
+    v1 = fact_vt.merge_upsert(spark, src, keys=["o_orderkey"])
+    # fact commit 2 + dim commit 1 land in the SAME refresh window
+    v2 = fact_vt.delete_where(spark, "cust_id % 5 = 0")
+    w1 = dim_vt.update_where(
+        spark, "cust_id % 3 = 0", {"nation": "(nation + 1) % 25"}
+    )
+
+    def materialize(df: DataFrame, gen: str) -> DataFrame:
+        path = os.path.join(work, f"mv_{gen}")
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    def to_fold_delta(joined: DataFrame) -> DataFrame:
+        return joined.select("_change_type", "nation", "price")
+
+    mv = materialize(
+        fact_vt.read(spark, v0)
+        .join(dim_vt.read(spark, w0), "cust_id")
+        .groupBy("nation")
+        .agg(
+            F.sum("price").cast("decimal(28,2)").alias("price"),
+            F.count(F.lit(1)).alias("n_lines"),
+        ),
+        "g0",
+    )
+    # refresh 1: only the fact changed — two of three terms vanish
+    d1 = join_signed_delta(
+        a_old=fact_vt.read(spark, v0),
+        da=fact_vt.changes(spark, v0, v1),
+        b_old=dim_vt.read(spark, w0),
+        db=None,
+        on=["cust_id"],
+    )
+    mv = materialize(
+        fold_changes_into_aggregate(
+            mv, to_fold_delta(d1), group_keys=["nation"],
+            sum_cols=["price"], count_col="n_lines",
+        ),
+        "g1",
+    )
+    # refresh 2: BOTH sides changed — all three terms, A₀/B₀ at the
+    # pre-refresh snapshots (v1, w0)
+    d2 = join_signed_delta(
+        a_old=fact_vt.read(spark, v1),
+        da=fact_vt.changes(spark, v1, v2),
+        b_old=dim_vt.read(spark, w0),
+        db=dim_vt.changes(spark, w0, w1),
+        on=["cust_id"],
+    )
+    mv = materialize(
+        fold_changes_into_aggregate(
+            mv, to_fold_delta(d2), group_keys=["nation"],
+            sum_cols=["price"], count_col="n_lines",
+        ),
+        "g2",
+    )
+    return mv.select(
+        F.col("nation").cast("int").alias("nation"),
+        F.col("price").cast("double").alias("revenue"),
+        F.col("n_lines").cast("bigint").alias("n_lines"),
+    )

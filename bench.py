@@ -181,6 +181,8 @@ EXTRA = [
     "q_incremental_mv_var",
     # round-11 continuation 2: predicate-scoped compaction
     "q_optimize_where",
+    # round-11 continuation 3: JOIN-view MV maintenance (bilinear rule)
+    "q_incremental_mv_join",
 ]
 
 

@@ -317,3 +317,151 @@ def test_minmax_fold_equals_recompute_random(spark):
     )
     assert _mm_dict(mv) == expect
     assert total_rescans >= 1
+
+
+# ---------------------------------------------------------------------------
+# join_signed_delta: the bilinear delta rule Δ(A⋈B) = ΔA⋈B₀ + A₀⋈ΔB + ΔA⋈ΔB
+# ---------------------------------------------------------------------------
+
+from aws_lakehouse_project_spark.operators.incremental import (  # noqa: E402
+    join_signed_delta,
+)
+
+A_SCHEMA = "cid bigint, amount decimal(28,2)"
+B_SCHEMA = "cid bigint, nation string"
+
+
+def _diff_cdf(old, new, cols):
+    ins = new.exceptAll(old).withColumn("_change_type", F.lit("insert"))
+    dels = old.exceptAll(new).withColumn("_change_type", F.lit("delete"))
+    return ins.unionByName(dels).select("_change_type", *cols)
+
+
+def _join_ms(a, b):
+    """Multiset of the join as a dict for exact comparison."""
+    rows = a.join(b, "cid").select("cid", "amount", "nation").collect()
+    out = {}
+    for r in rows:
+        key = (r["cid"], r["amount"], r["nation"])
+        out[key] = out.get(key, 0) + 1
+    return out
+
+
+def _apply_signed(base_ms, signed):
+    out = dict(base_ms)
+    for r in signed.collect():
+        key = (r["cid"], r["amount"], r["nation"])
+        s = 1 if r["_change_type"] == "insert" else -1
+        out[key] = out.get(key, 0) + s
+        if out[key] == 0:
+            del out[key]
+    return out
+
+
+def _scenario(spark):
+    a0 = spark.createDataFrame(
+        [(i % 6, Decimal(i)) for i in range(30)], A_SCHEMA
+    )
+    b0 = spark.createDataFrame(
+        [(c, f"n{c % 3}") for c in range(6)], B_SCHEMA
+    )
+    # A: delete amounts %5==0, double %3==0, insert new rows incl. a
+    # key with NO dim match (cid=99) and a duplicate-row multiset case
+    a1 = (
+        a0.filter(F.col("amount") % 5 != 0)
+        .withColumn(
+            "amount",
+            F.when(F.col("amount") % 3 == 0, F.col("amount") * 2)
+            .otherwise(F.col("amount"))
+            .cast("decimal(28,2)"),
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [(1, Decimal(500)), (1, Decimal(500)), (99, Decimal(7))],
+                A_SCHEMA,
+            )
+        )
+    )
+    # B: move cid%2==0 to a new nation, delete cid=5 entirely,
+    # insert a dim row with NO fact match (cid=100)
+    b1 = (
+        b0.filter(F.col("cid") != 5)
+        .withColumn(
+            "nation",
+            F.when(F.col("cid") % 2 == 0, F.concat(F.lit("m"), F.col("cid")))
+            .otherwise(F.col("nation")),
+        )
+        .unionByName(
+            spark.createDataFrame([(100, "x")], B_SCHEMA)
+        )
+    )
+    return a0, a1, b0, b1
+
+
+def test_join_delta_fact_only(spark):
+    a0, a1, b0, _ = _scenario(spark)
+    signed = join_signed_delta(
+        a0, _diff_cdf(a0, a1, ["cid", "amount"]), b0, None, on=["cid"]
+    )
+    assert _apply_signed(_join_ms(a0, b0), signed) == _join_ms(a1, b0)
+
+
+def test_join_delta_dim_only(spark):
+    a0, _, b0, b1 = _scenario(spark)
+    signed = join_signed_delta(
+        a0, None, b0, _diff_cdf(b0, b1, ["cid", "nation"]), on=["cid"]
+    )
+    assert _apply_signed(_join_ms(a0, b0), signed) == _join_ms(a0, b1)
+
+
+def test_join_delta_both_sides(spark):
+    """All three terms fire; the ΔA⋈ΔB cross term is what keeps keys
+    changed on BOTH sides (deleted fact rows of a moved dim key) from
+    being double-counted."""
+    a0, a1, b0, b1 = _scenario(spark)
+    signed = join_signed_delta(
+        a0,
+        _diff_cdf(a0, a1, ["cid", "amount"]),
+        b0,
+        _diff_cdf(b0, b1, ["cid", "nation"]),
+        on=["cid"],
+    )
+    assert _apply_signed(_join_ms(a0, b0), signed) == _join_ms(a1, b1)
+
+
+def test_join_delta_update_vocabulary(spark):
+    """update_preimage/update_postimage sign exactly like delete/insert."""
+    a0 = spark.createDataFrame([(1, Decimal(10))], A_SCHEMA)
+    b0 = spark.createDataFrame([(1, "n0")], B_SCHEMA)
+    da = spark.createDataFrame(
+        [("update_preimage", 1, Decimal(10)),
+         ("update_postimage", 1, Decimal(20))],
+        "_change_type string, cid bigint, amount decimal(28,2)",
+    )
+    signed = join_signed_delta(a0, da, b0, None, on=["cid"])
+    a1 = spark.createDataFrame([(1, Decimal(20))], A_SCHEMA)
+    assert _apply_signed(_join_ms(a0, b0), signed) == _join_ms(a1, b0)
+
+
+def test_join_delta_rejects_column_drift(spark):
+    a0, _, b0, _ = _scenario(spark)
+    bad = spark.createDataFrame(
+        [("insert", 1, Decimal(1))],
+        "_change_type string, cid bigint, price decimal(28,2)",
+    )
+    with pytest.raises(ValueError, match="columns"):
+        join_signed_delta(a0, bad, b0, None, on=["cid"])
+
+
+def test_join_delta_rejects_payload_collision(spark):
+    a0, _, b0, _ = _scenario(spark)
+    b_clash = b0.withColumnRenamed("nation", "amount")
+    with pytest.raises(ValueError, match="collide"):
+        join_signed_delta(a0, None, b_clash, b_clash.limit(0).withColumn(
+            "_change_type", F.lit("insert")), on=["cid"])
+
+
+def test_join_delta_both_none_rejected(spark):
+    a0, _, b0, _ = _scenario(spark)
+    with pytest.raises(ValueError, match="both deltas"):
+        join_signed_delta(a0, None, b0, None, on=["cid"])
