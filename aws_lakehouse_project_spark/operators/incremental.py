@@ -903,3 +903,89 @@ def q_incremental_mv_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("price").cast("double").alias("revenue"),
         F.col("n_lines").cast("bigint").alias("n_lines"),
     )
+
+
+INCREMENTAL_MV_DISTINCT_ORACLE = """
+    WITH fact AS (
+      SELECT o_custkey AS cust_id, CAST(o_orderdate AS DATE) AS dt
+      FROM orders WHERE o_custkey % 5 <> 0
+    )
+    SELECT dt,
+           CAST(COUNT(DISTINCT cust_id) AS BIGINT) AS n_custs,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM fact GROUP BY dt
+"""
+
+
+@demo_query("q_incremental_mv_distinct", oracle=INCREMENTAL_MV_DISTINCT_ORACLE)
+def q_incremental_mv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) materialized-view maintenance. A distinct count
+    is NOT self-maintainable from (group, count) alone — a delete only
+    lowers the count if it removed the group's LAST occurrence of that
+    value — so the standard construction (pg_ivm / Materialize) keeps
+    an auxiliary SUPPORT table keyed by (group, value) holding each
+    value's multiplicity, maintained by the SAME signed fold as any
+    SUM/COUNT MV (``fold_changes_into_aggregate`` with the value
+    promoted into the grouping key and no sum columns). A support row
+    retiring at multiplicity zero IS the distinct-count decrement; the
+    published per-day MV is a small aggregate over the support table
+    (|support| = Σ per-group distinct values — churn-proportional to
+    maintain, never a base-table rescan).
+
+    The scenario is adversarial for exactly the non-self-maintainable
+    cases: the MERGE's update pairs change a measure but not the
+    (dt, cust) pair — preimage/postimage must cancel in the support
+    fold and leave every distinct count untouched — and the DELETE
+    removes customers with MANY orders on the same day, where the
+    naive count-down-per-delete over-decrements. Oracle = full
+    COUNT(DISTINCT) recompute of the final state; n_rows doubles as
+    the plain-count cross-check from the same support table."""
+    work = scratch_dir("spark_graft_incmv_distinct", unique=True)
+    vt = VersionedTable(os.path.join(work, "fact"), stats_cols=["dt"])
+
+    base = _daily_decimal(spark, sf_dir)  # o_orderkey, cust_id, dt, price
+    v0 = vt.write_full(
+        base.filter(F.col("o_orderkey") % 10 != 0).repartition(4)
+    )
+    src = base.filter(
+        (F.col("o_orderkey") % 10 == 0) | (F.col("o_orderkey") % 7 == 0)
+    ).withColumn(
+        "price",
+        F.when(F.col("o_orderkey") % 7 == 0, F.col("price") * 2)
+        .otherwise(F.col("price"))
+        .cast("decimal(12,2)"),
+    )
+    versions = [v0]
+    versions.append(vt.merge_upsert(spark, src, keys=["o_orderkey"]))
+    versions.append(vt.delete_where(spark, "cust_id % 5 = 0"))
+
+    def materialize(df: DataFrame, gen: int) -> DataFrame:
+        path = os.path.join(work, f"support_v{gen}")
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    # support table: one row per (dt, cust_id) with its multiplicity
+    support = materialize(
+        vt.read(spark, v0)
+        .groupBy("dt", "cust_id")
+        .agg(F.count(F.lit(1)).alias("mult")),
+        v0,
+    )
+    for frm, to in zip(versions, versions[1:]):
+        delta = vt.changes(spark, frm, to).select(
+            "_change_type", "dt", "cust_id"
+        )
+        support = materialize(
+            fold_changes_into_aggregate(
+                support,
+                delta,
+                group_keys=["dt", "cust_id"],
+                sum_cols=[],
+                count_col="mult",
+            ),
+            to,
+        )
+    return support.groupBy("dt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_custs"),
+        F.sum("mult").cast("bigint").alias("n_rows"),
+    ).select(F.col("dt").cast("date").alias("dt"), "n_custs", "n_rows")

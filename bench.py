@@ -183,6 +183,8 @@ EXTRA = [
     "q_optimize_where",
     # round-11 continuation 3: JOIN-view MV maintenance (bilinear rule)
     "q_incremental_mv_join",
+    # round-11 continuation 3: COUNT(DISTINCT) support-table MV
+    "q_incremental_mv_distinct",
 ]
 
 

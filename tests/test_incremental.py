@@ -465,3 +465,64 @@ def test_join_delta_both_none_rejected(spark):
     a0, _, b0, _ = _scenario(spark)
     with pytest.raises(ValueError, match="both deltas"):
         join_signed_delta(a0, None, b0, None, on=["cid"])
+
+
+# ---------------------------------------------------------------------------
+# COUNT(DISTINCT) support-table maintenance (the value joins the group key)
+# ---------------------------------------------------------------------------
+
+
+def _support(spark, rows):
+    return spark.createDataFrame(rows, "g string, v bigint, mult bigint")
+
+
+def _sup_delta(spark, rows):
+    return spark.createDataFrame(rows, "_change_type string, g string, v bigint")
+
+
+def _fold_support(sup, delta):
+    return fold_changes_into_aggregate(
+        sup, delta, group_keys=["g", "v"], sum_cols=[], count_col="mult"
+    )
+
+
+def test_distinct_delete_decrements_only_on_last_occurrence(spark):
+    sup = _support(spark, [("a", 1, 2), ("a", 2, 1)])
+    # one of the two (a,1) rows goes: multiplicity 2→1, distinct stays 2
+    out1 = _fold_support(sup, _sup_delta(spark, [("delete", "a", 1)]))
+    assert {(r["g"], r["v"], r["mult"]) for r in out1.collect()} == {
+        ("a", 1, 1), ("a", 2, 1)
+    }
+    # the LAST (a,2) row goes: support row retires, distinct drops to 1
+    out2 = _fold_support(out1, _sup_delta(spark, [("delete", "a", 2)]))
+    assert {(r["g"], r["v"]) for r in out2.collect()} == {("a", 1)}
+
+
+def test_distinct_update_pair_same_value_cancels(spark):
+    """A measure-only update (same group, same distinct value) must not
+    move the multiplicity."""
+    sup = _support(spark, [("a", 1, 3)])
+    out = _fold_support(
+        sup,
+        _sup_delta(
+            spark,
+            [("update_preimage", "a", 1), ("update_postimage", "a", 1)],
+        ),
+    )
+    assert [(r["g"], r["v"], r["mult"]) for r in out.collect()] == [
+        ("a", 1, 3)
+    ]
+
+
+def test_distinct_update_moves_value_across_support_rows(spark):
+    sup = _support(spark, [("a", 1, 1)])
+    out = _fold_support(
+        sup,
+        _sup_delta(
+            spark,
+            [("update_preimage", "a", 1), ("update_postimage", "a", 9)],
+        ),
+    )
+    assert {(r["g"], r["v"], r["mult"]) for r in out.collect()} == {
+        ("a", 9, 1)
+    }
