@@ -206,3 +206,160 @@ def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(money("value")).cast("double").alias("total_value"),
     )
+
+
+def scd2_apply_changes(
+    hist: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    attrs: list[str],
+    version: int,
+    start_col: str = "start_v",
+    end_col: str = "end_v",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """Fold ONE change-feed delta (``VersionedTable.changes`` output)
+    into an SCD Type-2 history table — Delta Live Tables'
+    ``APPLY CHANGES ... STORED AS SCD TYPE 2``, re-derived on the CDF:
+    every key that appears in the delta has its current row CLOSED at
+    ``version`` (``end_col`` set, ``current_col`` dropped), and every
+    additive row (``insert`` / ``update_postimage``) OPENS a new
+    current row starting there. A pure delete closes without opening;
+    a brand-new key opens without closing (no current row exists); a
+    delete+insert pair from a multi-commit net diff closes the old
+    attribute row and opens the new one — the same motion as a paired
+    update. Validity ranges are half-open ``[start_v, end_v)`` in
+    commit-version space.
+
+    ``hist`` columns must be exactly ``keys + attrs + [start_col,
+    end_col, current_col]``. Keys must be non-null (a dimension's
+    primary key); closed history rows are immutable thereafter.
+
+    100 TB shape: the close pass is one equi-join of the history
+    against the delta's DISTINCT keys (churn-sized — AQE broadcasts
+    it) touching only ``current`` rows' flag columns, and the open
+    pass is a union of the churn. Nothing rescans the base table, and
+    stored as a versioned table partitioned on the key range the CoW
+    rewrite is file-granular."""
+    want = keys + attrs + [start_col, end_col, current_col]
+    if list(hist.columns) != want:
+        raise ValueError(
+            f"scd2_apply_changes: history columns {hist.columns} != {want}"
+        )
+    additive = ("insert", "update_postimage")
+    changed = delta.select(*keys).distinct().withColumn("__hit", F.lit(1))
+    closing = F.col("__hit").isNotNull() & F.col(current_col)
+    closed = (
+        hist.join(changed, keys, "left")
+        .select(
+            *keys,
+            *attrs,
+            F.col(start_col),
+            F.when(closing, F.lit(version).cast("long"))
+            .otherwise(F.col(end_col))
+            .alias(end_col),
+            F.when(closing, F.lit(False))
+            .otherwise(F.col(current_col))
+            .alias(current_col),
+        )
+    )
+    opened = (
+        delta.filter(F.col("_change_type").isin(*additive))
+        .select(*keys, *attrs)
+        .distinct()
+        .select(
+            *keys,
+            *attrs,
+            F.lit(version).cast("long").alias(start_col),
+            F.lit(None).cast("long").alias(end_col),
+            F.lit(True).alias(current_col),
+        )
+    )
+    return closed.unionByName(opened)
+
+
+SCD2_FROM_CDF_ORACLE = """
+    WITH c AS (
+      SELECT c_custkey AS cust_id, c_mktsegment AS segment FROM customer
+    ),
+    rows AS (
+      SELECT cust_id, segment, 0 AS start_v,
+             CASE WHEN cust_id % 3 = 0 THEN 1
+                  WHEN cust_id % 7 = 0 THEN 2 END AS end_v
+      FROM c
+      UNION ALL
+      SELECT cust_id, segment || '_v2', 1,
+             CASE WHEN cust_id % 7 = 0 THEN 2 END AS end_v
+      FROM c WHERE cust_id % 3 = 0
+    )
+    SELECT cust_id, segment,
+           CAST(start_v AS BIGINT) AS start_v,
+           CAST(end_v AS BIGINT) AS end_v,
+           end_v IS NULL AS is_current
+    FROM rows
+"""
+
+
+@demo_query("q_scd2_from_cdf", oracle=SCD2_FROM_CDF_ORACLE)
+def q_scd2_from_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history maintained from a VERSIONED dimension's
+    change feed (``scd2_apply_changes``): the customer dim is committed,
+    then every %3 customer's segment changes (UPDATE — the feed emits
+    paired pre/postimages) and every %7 customer is dropped (DELETE).
+    Each commit's CDF folds into the history with commit ORDINALS as
+    the validity timeline (ordinals, not raw version numbers, so
+    best-effort maintenance commits like autoCompact never shift the
+    contract). The oracle reconstructs the full expected history from
+    the scenario; the fold must reproduce it row-for-row — including
+    the double-transition %21 customers (segment change at 1, closed
+    at 2) and history immutability for closed rows."""
+    import os
+
+    from ..functions.scratch import scratch_dir
+    from ..plans.versioned import VersionedTable
+
+    work = scratch_dir("spark_graft_scd2cdf", unique=True)
+    vt = VersionedTable(os.path.join(work, "dim"), stats_cols=["cust_id"])
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    w0 = vt.write_full(dim.repartition(2))
+    w1 = vt.update_where(
+        spark, "cust_id % 3 = 0", {"segment": "concat(segment, '_v2')"}
+    )
+    w2 = vt.delete_where(spark, "cust_id % 7 = 0")
+
+    def materialize(df: DataFrame, gen: int) -> DataFrame:
+        path = os.path.join(work, f"hist_{gen}")
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    hist = materialize(
+        vt.read(spark, w0).select(
+            "cust_id",
+            "segment",
+            F.lit(0).cast("long").alias("start_v"),
+            F.lit(None).cast("long").alias("end_v"),
+            F.lit(True).alias("is_current"),
+        ),
+        0,
+    )
+    for ordinal, (frm, to) in enumerate(((w0, w1), (w1, w2)), start=1):
+        delta = vt.changes(spark, frm, to).select(
+            "_change_type", "cust_id", "segment"
+        )
+        hist = materialize(
+            scd2_apply_changes(
+                hist, delta, keys=["cust_id"], attrs=["segment"],
+                version=ordinal,
+            ),
+            ordinal,
+        )
+    return hist.select(
+        F.col("cust_id").cast("bigint").alias("cust_id"),
+        "segment",
+        F.col("start_v").cast("bigint").alias("start_v"),
+        F.col("end_v").cast("bigint").alias("end_v"),
+        "is_current",
+    )

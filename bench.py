@@ -185,6 +185,8 @@ EXTRA = [
     "q_incremental_mv_join",
     # round-11 continuation 3: COUNT(DISTINCT) support-table MV
     "q_incremental_mv_distinct",
+    # round-11 continuation 3: SCD2 history maintained from the CDF
+    "q_scd2_from_cdf",
 ]
 
 

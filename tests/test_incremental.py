@@ -526,3 +526,90 @@ def test_distinct_update_moves_value_across_support_rows(spark):
     assert {(r["g"], r["v"], r["mult"]) for r in out.collect()} == {
         ("a", 9, 1)
     }
+
+
+# ---------------------------------------------------------------------------
+# SCD2 from CDF (dimensions.scd2_apply_changes)
+# ---------------------------------------------------------------------------
+
+from aws_lakehouse_project_spark.operators.dimensions import (  # noqa: E402
+    scd2_apply_changes,
+)
+
+HIST_SCHEMA = (
+    "k bigint, seg string, start_v bigint, end_v bigint, is_current boolean"
+)
+CDF_SCHEMA = "_change_type string, k bigint, seg string"
+
+
+def _hist_rows(df):
+    return {
+        (r["k"], r["seg"], r["start_v"], r["end_v"], r["is_current"])
+        for r in df.collect()
+    }
+
+
+def test_scd2_update_pair_closes_and_opens(spark):
+    hist = spark.createDataFrame([(1, "A", 0, None, True)], HIST_SCHEMA)
+    delta = spark.createDataFrame(
+        [("update_preimage", 1, "A"), ("update_postimage", 1, "B")],
+        CDF_SCHEMA,
+    )
+    out = scd2_apply_changes(hist, delta, ["k"], ["seg"], version=1)
+    assert _hist_rows(out) == {
+        (1, "A", 0, 1, False),
+        (1, "B", 1, None, True),
+    }
+
+
+def test_scd2_delete_closes_without_opening(spark):
+    hist = spark.createDataFrame([(1, "A", 0, None, True)], HIST_SCHEMA)
+    delta = spark.createDataFrame([("delete", 1, "A")], CDF_SCHEMA)
+    out = scd2_apply_changes(hist, delta, ["k"], ["seg"], version=2)
+    assert _hist_rows(out) == {(1, "A", 0, 2, False)}
+
+
+def test_scd2_new_key_opens_without_closing(spark):
+    hist = spark.createDataFrame([(1, "A", 0, None, True)], HIST_SCHEMA)
+    delta = spark.createDataFrame([("insert", 2, "X")], CDF_SCHEMA)
+    out = scd2_apply_changes(hist, delta, ["k"], ["seg"], version=1)
+    assert _hist_rows(out) == {
+        (1, "A", 0, None, True),
+        (2, "X", 1, None, True),
+    }
+
+
+def test_scd2_reinsert_after_delete_reopens(spark):
+    hist = spark.createDataFrame([(1, "A", 0, 1, False)], HIST_SCHEMA)
+    delta = spark.createDataFrame([("insert", 1, "C")], CDF_SCHEMA)
+    out = scd2_apply_changes(hist, delta, ["k"], ["seg"], version=3)
+    assert _hist_rows(out) == {
+        (1, "A", 0, 1, False),
+        (1, "C", 3, None, True),
+    }
+
+
+def test_scd2_closed_rows_are_immutable(spark):
+    """A later change to a key must not touch its already-closed rows."""
+    hist = spark.createDataFrame(
+        [(1, "A", 0, 1, False), (1, "B", 1, None, True)], HIST_SCHEMA
+    )
+    delta = spark.createDataFrame(
+        [("update_preimage", 1, "B"), ("update_postimage", 1, "C")],
+        CDF_SCHEMA,
+    )
+    out = scd2_apply_changes(hist, delta, ["k"], ["seg"], version=2)
+    assert _hist_rows(out) == {
+        (1, "A", 0, 1, False),
+        (1, "B", 1, 2, False),
+        (1, "C", 2, None, True),
+    }
+
+
+def test_scd2_rejects_column_drift(spark):
+    hist = spark.createDataFrame(
+        [(1, "A", 0, None, True)], HIST_SCHEMA
+    ).select("k", "start_v", "seg", "end_v", "is_current")
+    delta = spark.createDataFrame([("insert", 1, "A")], CDF_SCHEMA)
+    with pytest.raises(ValueError, match="history columns"):
+        scd2_apply_changes(hist, delta, ["k"], ["seg"], version=1)
