@@ -2302,3 +2302,74 @@ def q_convert_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         F.col("order_count").cast("bigint").alias("order_count"),
     )
+
+
+MATERIALIZED_VIEW_ORACLE = """
+    WITH fact AS (
+      SELECT CAST(o_orderdate AS DATE) AS dt,
+             CAST(CASE WHEN o_orderkey % 7 = 0 AND o_orderkey % 10 <> 0
+                  THEN CAST(o_totalprice AS DECIMAL(12,2)) * 2
+                  ELSE CAST(o_totalprice AS DECIMAL(12,2)) END
+                  AS DECIMAL(12,2)) AS price
+      FROM orders WHERE o_custkey % 5 <> 0
+    )
+    SELECT dt,
+           CAST(SUM(price) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM fact GROUP BY dt
+"""
+
+
+@demo_query("q_materialized_view", oracle=MATERIALIZED_VIEW_ORACLE)
+def q_materialized_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative materialized view end-to-end through the SQL layer
+    (``plans/matview.py``): CREATE MATERIALIZED VIEW declares a per-day
+    revenue aggregate over the versioned fact; the fact then takes an
+    UPDATE (%7 prices double), an INSERT (the withheld %10 cohort
+    arrives), and a DELETE (%5 customers) — three commits — and ONE
+    ``REFRESH MATERIALIZED VIEW`` folds the multi-commit net change
+    feed into the stored MV via merge_apply (only touched groups
+    rewrite; retired groups delete). The guards assert the refresh was
+    INCREMENTAL (not a rebuild), that a second refresh is a watermark
+    no-op, and that the refreshed MV is read back through plain SQL.
+    Oracle = full recompute of the final state — the Databricks/pg_ivm
+    contract that REFRESH is indistinguishable from recomputation."""
+    from ..plans.lakehouse_sql import LakehouseSession
+
+    work = scratch_dir("spark_graft_matview", unique=True)
+    lh = LakehouseSession(spark)
+    lh.create("fact", os.path.join(work, "fact"), stats_cols=["dt"])
+    lh.create("daily_rev", os.path.join(work, "mv"))
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("cust_id"),
+        F.col("o_orderdate").cast("date").alias("dt"),
+        money("o_totalprice").alias("price"),
+    )
+    base.filter(F.col("o_orderkey") % 10 != 0).createOrReplaceTempView(
+        "orders_v0"
+    )
+    base.filter(F.col("o_orderkey") % 10 == 0).createOrReplaceTempView(
+        "orders_late"
+    )
+    lh.sql("CREATE TABLE fact AS SELECT * FROM orders_v0")
+    lh.sql(
+        "CREATE MATERIALIZED VIEW daily_rev AS "
+        "SELECT dt, SUM(price) AS revenue, COUNT(*) AS n_orders "
+        "FROM fact GROUP BY dt"
+    )
+    lh.sql("UPDATE fact SET price = price * 2 WHERE o_orderkey % 7 = 0")
+    lh.sql("INSERT INTO fact SELECT * FROM orders_late")
+    lh.sql("DELETE FROM fact WHERE cust_id % 5 = 0")
+
+    r1 = lh.sql("REFRESH MATERIALIZED VIEW daily_rev").first()
+    if r1["mode"] != "incremental":
+        raise AssertionError(f"expected incremental refresh, got {r1}")
+    r2 = lh.sql("REFRESH MATERIALIZED VIEW daily_rev").first()
+    if r2["mode"] != "noop" or r2["version"] != r1["version"]:
+        raise AssertionError(f"second refresh not a no-op: {r2}")
+    return lh.sql(
+        "SELECT dt, CAST(revenue AS DOUBLE) AS revenue, n_orders "
+        "FROM daily_rev"
+    )

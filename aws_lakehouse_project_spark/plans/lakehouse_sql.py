@@ -23,6 +23,8 @@ shapes Delta Lake documents:
     ALTER TABLE t DROP CONSTRAINT name
     SELECT ... FROM t [VERSION AS OF n | TIMESTAMP AS OF <epoch>] ...
     SELECT COUNT(*) FROM t [VERSION AS OF n]   -- metadata-only
+    CREATE MATERIALIZED VIEW mv AS SELECT ... FROM base GROUP BY ...
+    REFRESH MATERIALIZED VIEW mv [FULL]        -- CDF fold (plans/matview.py)
 
 Design decisions, each load-bearing:
 
@@ -77,7 +79,12 @@ _GRAMMAR = """supported statements:
   SELECT ... FROM t WHERE c = <lit>  (plan-time file skipping:
     manifest min/max stats + per-file bloom sidecar when present)
   CREATE BLOOMFILTER INDEX FOR COLUMNS (c1[, c2]) ON t [WITH BACKFILL]
-  DROP BLOOMFILTER INDEX ON t"""
+  DROP BLOOMFILTER INDEX ON t
+  CREATE MATERIALIZED VIEW mv AS SELECT [keys,] SUM(e) AS a [, ...]
+    [, COUNT(*) AS c] FROM base GROUP BY keys   (mv pre-registered;
+    definition + base-version watermark ride the commit meta)
+  REFRESH MATERIALIZED VIEW mv [FULL]   (folds base CDF since the
+    watermark via merge_apply — churn-proportional; FULL rebuilds)"""
 
 _IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
 _HINT = r"(?:/\*\+\s*(?P<hint>MERGE_ON_READ)\s*\*/\s*)?"
@@ -210,6 +217,86 @@ class LakehouseSession:
 
     def sql(self, statement: str) -> DataFrame:
         s = statement.strip().rstrip(";").strip()
+
+        mm = re.fullmatch(
+            rf"CREATE\s+MATERIALIZED\s+VIEW\s+(?P<mv>{_IDENT})\s+AS\s+"
+            rf"SELECT\s+(?P<items>.+?)\s+FROM\s+(?P<b>{_IDENT})\s+"
+            r"GROUP\s+BY\s+(?P<keys>.+)",
+            s, flags=re.IGNORECASE | re.DOTALL,
+        )
+        if mm:
+            from .matview import HIDDEN_COUNT, create_materialized_view
+
+            mv_name, base_name = mm.group("mv"), mm.group("b")
+            keys = []
+            for k in _split_top(mm.group("keys")):
+                if not re.fullmatch(_IDENT, k):
+                    raise ValueError(
+                        f"GROUP BY entries must be plain columns, got: {k!r}"
+                        f"\n{_GRAMMAR}"
+                    )
+                keys.append(k)
+            sums: list[list[str]] = []
+            count_col = None
+            selected_keys = []
+            for item in _split_top(mm.group("items")):
+                im = re.fullmatch(
+                    r"SUM\s*\((?P<e>.+)\)\s+AS\s+(?P<a>" + _IDENT + ")",
+                    item, flags=re.IGNORECASE | re.DOTALL,
+                )
+                if im:
+                    sums.append([im.group("e").strip(), im.group("a")])
+                    continue
+                im = re.fullmatch(
+                    r"COUNT\s*\(\s*\*\s*\)\s+AS\s+(?P<a>" + _IDENT + ")",
+                    item, flags=re.IGNORECASE,
+                )
+                if im:
+                    if count_col is not None:
+                        raise ValueError(
+                            "at most one COUNT(*) item in a materialized "
+                            f"view\n{_GRAMMAR}"
+                        )
+                    count_col = im.group("a")
+                    continue
+                if re.fullmatch(_IDENT, item):
+                    selected_keys.append(item)
+                    continue
+                raise ValueError(
+                    "materialized view items must be group keys, "
+                    f"SUM(expr) AS alias, or COUNT(*) AS alias — got: "
+                    f"{item!r}\n{_GRAMMAR}"
+                )
+            if set(selected_keys) != set(keys):
+                raise ValueError(
+                    f"selected columns {selected_keys} must be exactly "
+                    f"the GROUP BY keys {keys}\n{_GRAMMAR}"
+                )
+            v = create_materialized_view(
+                self.spark,
+                base_name,
+                self.table(base_name),
+                self.table(mv_name),
+                keys=keys,
+                sums=sums,
+                count_col=count_col or HIDDEN_COUNT,
+            )
+            return self._row(op="create_materialized_view", version=v)
+
+        mm = re.fullmatch(
+            rf"REFRESH\s+MATERIALIZED\s+VIEW\s+(?P<mv>{_IDENT})"
+            r"(?:\s+(?P<full>FULL))?",
+            s, flags=re.IGNORECASE,
+        )
+        if mm:
+            from .matview import definition, refresh_materialized_view
+
+            mv = self.table(mm.group("mv"))
+            base = self.table(definition(mv)["base"])
+            v, mode = refresh_materialized_view(
+                self.spark, mv, base, full=bool(mm.group("full"))
+            )
+            return self._row(op="refresh", mode=mode, version=v)
 
         mm = re.fullmatch(
             rf"CREATE\s+(?P<orr>OR\s+REPLACE\s+)?TABLE\s+(?P<t>{_IDENT})"

@@ -1,0 +1,198 @@
+"""Declarative materialized views over the transaction layer.
+
+The reference's marts ARE materialized views maintained by scheduled
+full/horizon merges (``dbt/models/marts/fct_daily_store_metrics.sql``);
+this module gives the same artifact the maintenance story modern
+lakehouses document (Databricks materialized views, pg_ivm,
+Materialize): a SQL-declared aggregate whose REFRESH folds the base
+table's change feed instead of recomputing — built on the pieces that
+already exist here (``VersionedTable.changes`` for churn-proportional
+deltas, ``operators/incremental.py``'s signed-fold algebra,
+``merge_apply`` for file-granular CoW commits of only the touched
+groups).
+
+Contract:
+
+- The MV is itself a ``VersionedTable``; its definition and the BASE
+  VERSION WATERMARK it reflects ride each MV commit's manifest ``meta``
+  (the same channel replication watermarks use), so a fresh handle — or
+  another process — can refresh it with no driver-side state.
+- ``REFRESH`` folds ``base.changes(watermark, head)`` — one churn-sized
+  scan however many base commits landed since — nets it per group
+  (map-side combine), joins the net against ONLY the touched groups of
+  the stored MV (LEFT SEMI prune), and commits via ``merge_apply``:
+  groups whose maintained count reaches zero are DELETED, others
+  upserted. Refresh cost ∝ churn at any table size; the base is never
+  re-aggregated.
+- Supported aggregates: ``SUM(<expr>) AS alias`` and ``COUNT(*) AS
+  alias`` — the self-maintainable set (``operators/incremental.py``
+  module docstring explains why MIN/MAX need bounded rescans instead).
+  A hidden ``__ivm_count`` column is maintained when the user didn't
+  select COUNT(*) — retire-at-zero needs it (pg_ivm keeps the same
+  hidden count).
+- Exactness: folds are bit-identical to recomputes for decimal/integer
+  measures (associative addition); double measures would drift exactly
+  as they do in any engine's incremental plan — declare decimals.
+- NULL group keys are REJECTED (at create, and at refresh if one
+  appears in the delta): the churn-keyed equi-joins underneath
+  (``merge_apply``) use SQL equality, where NULL never matches, so a
+  NULL-key group would silently stop folding. Loud refusal beats a
+  silently stale MV; the Python fold
+  (``fold_changes_into_aggregate``) handles NULL keys null-safely for
+  callers who need them.
+- If VACUUM reclaimed the watermark version's history,
+  ``VacuumedVersionError`` propagates — ``REFRESH ... FULL`` rebuilds
+  from the current snapshot and re-arms the watermark.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from .versioned import VersionedTable
+
+#: Hidden per-group row count when the view didn't SELECT COUNT(*).
+HIDDEN_COUNT = "__ivm_count"
+
+_META_KEY = "materialized_view"
+_ADDITIVE = ("insert", "update_postimage")
+
+
+def definition(mv: VersionedTable) -> dict:
+    """The stored MV definition (raises if the table isn't one)."""
+    d = mv._manifest()["meta"].get(_META_KEY)  # noqa: SLF001
+    if not d:
+        raise ValueError(
+            f"{mv.path}: not a materialized view (no {_META_KEY!r} "
+            "entry in the head commit's meta)"
+        )
+    return d
+
+
+def _null_key_guard(df: DataFrame, keys: list[str], where: str) -> None:
+    has_null = reduce(
+        lambda a, b: a | b, [F.col(k).isNull() for k in keys]
+    )
+    if not df.where(has_null).isEmpty():
+        raise ValueError(
+            f"materialized view {where}: NULL group key encountered — "
+            "NULL keys don't survive the equality joins incremental "
+            "maintenance uses; filter them in the base table or use "
+            "fold_changes_into_aggregate directly"
+        )
+
+
+def _aggregate(
+    snap: DataFrame, keys: list[str], sums: list[list[str]], count_col: str
+) -> DataFrame:
+    return snap.groupBy(*keys).agg(
+        *[F.sum(F.expr(e)).alias(a) for e, a in sums],
+        F.count(F.lit(1)).cast("long").alias(count_col),
+    )
+
+
+def create_materialized_view(
+    spark: SparkSession,
+    base_name: str,
+    base: VersionedTable,
+    mv: VersionedTable,
+    keys: list[str],
+    sums: list[list[str]],
+    count_col: str = HIDDEN_COUNT,
+) -> int:
+    """Build the MV from the base's CURRENT snapshot and stamp the
+    definition + watermark into the commit meta. ``sums`` is a list of
+    ``[expr, alias]`` pairs (expressions evaluate per base row)."""
+    base_v = base.latest_version()
+    agg = _aggregate(base.read(spark, base_v), keys, sums, count_col)
+    meta = {
+        _META_KEY: {
+            "base": base_name,
+            "base_version": base_v,
+            "group_keys": list(keys),
+            "sums": [list(p) for p in sums],
+            "count_col": count_col,
+        }
+    }
+    v = mv.write_full(agg, meta=meta)
+    # post-write so the check reads the (small) materialized parquet,
+    # not a second pass over the base
+    _null_key_guard(mv.read(spark, v), keys, "create")
+    return v
+
+
+def refresh_materialized_view(
+    spark: SparkSession,
+    mv: VersionedTable,
+    base: VersionedTable,
+    full: bool = False,
+) -> tuple[int, str]:
+    """Advance the MV to the base's head. Returns ``(mv_version,
+    mode)`` where mode is ``noop`` (watermark already at head),
+    ``incremental`` (CDF fold), or ``full`` (rebuild requested)."""
+    d = definition(mv)
+    keys, sums, cnt = d["group_keys"], d["sums"], d["count_col"]
+    head = base.latest_version()
+    if full:
+        agg = _aggregate(base.read(spark, head), keys, sums, cnt)
+        v = mv.write_full(
+            agg, meta={_META_KEY: {**d, "base_version": head}}
+        )
+        _null_key_guard(mv.read(spark, v), keys, "full refresh")
+        return v, "full"
+    wm = d["base_version"]
+    if head == wm:
+        return mv.latest_version(), "noop"
+    delta = base.changes(spark, wm, head)
+    sign = F.when(F.col("_change_type").isin(*_ADDITIVE), 1).otherwise(-1)
+    nets = (
+        delta.select(
+            *keys, sign.alias("__s"), *[F.expr(e).alias(a) for e, a in sums]
+        )
+        .groupBy(*keys)
+        .agg(
+            *[F.sum(F.col(a) * F.col("__s")).alias(a) for _, a in sums],
+            F.sum("__s").cast("long").alias(cnt),
+        )
+    )
+    _null_key_guard(nets, keys, "refresh")
+    mv_types = {
+        f.name: f.dataType
+        for f in StructType.fromJson(mv._manifest()["schema"]).fields  # noqa: SLF001
+    }
+    current = mv.read(spark).join(
+        nets.select(*keys).distinct(), keys, "left_semi"
+    )
+    merged = current.alias("m").join(nets.alias("d"), keys, "full_outer")
+    new_cnt = (
+        F.coalesce(F.col(f"m.{cnt}"), F.lit(0))
+        + F.coalesce(F.col(f"d.{cnt}"), F.lit(0))
+    ).cast("long")
+    changes_df = merged.select(
+        *keys,
+        *[
+            (
+                F.coalesce(F.col(f"m.{a}"), F.lit(0))
+                + F.coalesce(F.col(f"d.{a}"), F.lit(0))
+            )
+            .cast(mv_types[a])
+            .alias(a)
+            for _, a in sums
+        ],
+        new_cnt.alias(cnt),
+        F.when(new_cnt > 0, F.lit("upsert"))
+        .otherwise(F.lit("delete"))
+        .alias("__op"),
+    )
+    v = mv.merge_apply(
+        spark,
+        changes_df,
+        keys,
+        op_col="__op",
+        meta={_META_KEY: {**d, "base_version": head}},
+    )
+    return v, "incremental"

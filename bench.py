@@ -187,6 +187,8 @@ EXTRA = [
     "q_incremental_mv_distinct",
     # round-11 continuation 3: SCD2 history maintained from the CDF
     "q_scd2_from_cdf",
+    # round-11 continuation 3: declarative CREATE/REFRESH MATERIALIZED VIEW
+    "q_materialized_view",
 ]
 
 

@@ -1,0 +1,211 @@
+"""Declarative materialized views (plans/matview.py + the SQL front
+end): REFRESH must be indistinguishable from recomputation, watermarks
+must survive fresh handles, retired groups must disappear, NULL group
+keys must be refused loudly, and a vacuumed watermark must force FULL."""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from aws_lakehouse_project_spark.plans.lakehouse_sql import LakehouseSession
+from aws_lakehouse_project_spark.plans.matview import (
+    HIDDEN_COUNT,
+    definition,
+    refresh_materialized_view,
+)
+from aws_lakehouse_project_spark.plans.versioned import (
+    VacuumedVersionError,
+    VersionedTable,
+)
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(
+        [Row(k=k, amt=Decimal(a)) for k, a in rows],
+        "k string, amt decimal(12,2)",
+    )
+
+
+@pytest.fixture()
+def lh(spark, tmp_path):
+    s = LakehouseSession(spark)
+    s.create("base", str(tmp_path / "base"))
+    s.create("mv", str(tmp_path / "mv"))
+    return s
+
+
+def _create(spark, lh, rows):
+    _mk(spark, rows).createOrReplaceTempView("src0")
+    lh.sql("CREATE TABLE base AS SELECT * FROM src0")
+    lh.sql(
+        "CREATE MATERIALIZED VIEW mv AS "
+        "SELECT k, SUM(amt) AS total, COUNT(*) AS n FROM base GROUP BY k"
+    )
+
+
+def _mv_rows(lh):
+    return {
+        (r["k"], r["total"], r["n"])
+        for r in lh.sql("SELECT k, total, n FROM mv").collect()
+    }
+
+
+def _recompute(lh):
+    return {
+        (r["k"], r["total"], r["n"])
+        for r in lh.sql(
+            "SELECT k, SUM(amt) AS total, COUNT(*) AS n FROM base GROUP BY k"
+        ).collect()
+    }
+
+
+def test_refresh_equals_recompute_across_commits(spark, lh):
+    _create(spark, lh, [("a", "1.00"), ("a", "2.00"), ("b", "5.00")])
+    lh.sql("UPDATE base SET amt = amt * 2 WHERE k = 'a'")
+    _mk(spark, [("c", "9.00")]).createOrReplaceTempView("late")
+    lh.sql("INSERT INTO base SELECT * FROM late")
+    r = lh.sql("REFRESH MATERIALIZED VIEW mv").first()
+    assert r["mode"] == "incremental"
+    assert _mv_rows(lh) == _recompute(lh)
+
+
+def test_group_retires_and_is_born(spark, lh):
+    _create(spark, lh, [("a", "1.00"), ("b", "5.00")])
+    lh.sql("DELETE FROM base WHERE k = 'a'")
+    _mk(spark, [("z", "3.00")]).createOrReplaceTempView("newgrp")
+    lh.sql("INSERT INTO base SELECT * FROM newgrp")
+    lh.sql("REFRESH MATERIALIZED VIEW mv")
+    got = _mv_rows(lh)
+    assert got == _recompute(lh)
+    assert {k for k, *_ in got} == {"b", "z"}
+
+
+def test_noop_refresh_does_not_commit(spark, lh):
+    _create(spark, lh, [("a", "1.00")])
+    v0 = lh.table("mv").latest_version()
+    r = lh.sql("REFRESH MATERIALIZED VIEW mv").first()
+    assert r["mode"] == "noop" and r["version"] == v0
+    assert lh.table("mv").latest_version() == v0
+
+
+def test_watermark_survives_fresh_handles(spark, lh, tmp_path):
+    """The definition + watermark ride the commit meta — a brand-new
+    session over the same paths refreshes with no driver state."""
+    _create(spark, lh, [("a", "1.00"), ("b", "2.00")])
+    lh.sql("UPDATE base SET amt = amt + 1 WHERE k = 'b'")
+    fresh = LakehouseSession(spark)
+    fresh.create("base", str(tmp_path / "base"))
+    fresh.create("mv", str(tmp_path / "mv"))
+    r = fresh.sql("REFRESH MATERIALIZED VIEW mv").first()
+    assert r["mode"] == "incremental"
+    assert _mv_rows(fresh) == _recompute(fresh)
+    d = definition(fresh.table("mv"))
+    assert d["base_version"] == fresh.table("base").latest_version()
+
+
+def test_hidden_count_when_not_selected(spark, lh):
+    _mk(spark, [("a", "1.00"), ("a", "2.00")]).createOrReplaceTempView("s")
+    lh.sql("CREATE TABLE base AS SELECT * FROM s")
+    lh.sql(
+        "CREATE MATERIALIZED VIEW mv AS "
+        "SELECT k, SUM(amt) AS total FROM base GROUP BY k"
+    )
+    assert HIDDEN_COUNT in lh.table("mv").read(spark).columns
+    lh.sql("DELETE FROM base WHERE k = 'a'")
+    lh.sql("REFRESH MATERIALIZED VIEW mv")
+    assert lh.sql("SELECT * FROM mv").count() == 0  # retired via hidden n
+
+
+def test_sum_expression(spark, lh):
+    _mk(spark, [("a", "1.00"), ("a", "2.00")]).createOrReplaceTempView("s")
+    lh.sql("CREATE TABLE base AS SELECT * FROM s")
+    lh.sql(
+        "CREATE MATERIALIZED VIEW mv AS "
+        "SELECT k, SUM(amt * 2) AS dbl FROM base GROUP BY k"
+    )
+    _mk(spark, [("a", "10.00")]).createOrReplaceTempView("more")
+    lh.sql("INSERT INTO base SELECT * FROM more")
+    lh.sql("REFRESH MATERIALIZED VIEW mv")
+    [r] = lh.sql("SELECT k, dbl FROM mv").collect()
+    assert (r["k"], r["dbl"]) == ("a", Decimal("26.00"))
+
+
+def test_vacuumed_watermark_raises_then_full_rebuilds(spark, lh):
+    _create(spark, lh, [("a", "1.00"), ("b", "2.00")])
+    base = lh.table("base")
+    lh.sql("UPDATE base SET amt = amt + 1 WHERE k = 'a'")
+    lh.sql("DELETE FROM base WHERE k = 'b'")
+    base.vacuum(retain_last=1, min_file_age_s=0.0, retain_recent_s=0.0)
+    with pytest.raises(VacuumedVersionError):
+        lh.sql("REFRESH MATERIALIZED VIEW mv")
+    r = lh.sql("REFRESH MATERIALIZED VIEW mv FULL").first()
+    assert r["mode"] == "full"
+    assert _mv_rows(lh) == _recompute(lh)
+    # and the watermark is re-armed: further increments fold
+    _mk(spark, [("a", "5.00")]).createOrReplaceTempView("inc")
+    lh.sql("INSERT INTO base SELECT * FROM inc")
+    r = lh.sql("REFRESH MATERIALIZED VIEW mv").first()
+    assert r["mode"] == "incremental"
+    assert _mv_rows(lh) == _recompute(lh)
+
+
+def test_null_group_key_rejected_at_create(spark, lh):
+    spark.createDataFrame(
+        [Row(k=None, amt=Decimal("1.00"))], "k string, amt decimal(12,2)"
+    ).createOrReplaceTempView("nulls")
+    lh.sql("CREATE TABLE base AS SELECT * FROM nulls")
+    with pytest.raises(ValueError, match="NULL group key"):
+        lh.sql(
+            "CREATE MATERIALIZED VIEW mv AS "
+            "SELECT k, SUM(amt) AS total FROM base GROUP BY k"
+        )
+
+
+def test_null_group_key_rejected_at_refresh(spark, lh):
+    _create(spark, lh, [("a", "1.00")])
+    spark.createDataFrame(
+        [Row(k=None, amt=Decimal("2.00"))], "k string, amt decimal(12,2)"
+    ).createOrReplaceTempView("nullrow")
+    lh.sql("INSERT INTO base SELECT * FROM nullrow")
+    with pytest.raises(ValueError, match="NULL group key"):
+        lh.sql("REFRESH MATERIALIZED VIEW mv")
+
+
+def test_parse_rejections(spark, lh):
+    _mk(spark, [("a", "1.00")]).createOrReplaceTempView("s")
+    lh.sql("CREATE TABLE base AS SELECT * FROM s")
+    with pytest.raises(ValueError, match="items must be"):
+        lh.sql(
+            "CREATE MATERIALIZED VIEW mv AS "
+            "SELECT k, AVG(amt) AS a FROM base GROUP BY k"
+        )
+    with pytest.raises(ValueError, match="plain columns"):
+        lh.sql(
+            "CREATE MATERIALIZED VIEW mv AS "
+            "SELECT k, SUM(amt) AS t FROM base GROUP BY upper(k)"
+        )
+    with pytest.raises(ValueError, match="exactly"):
+        lh.sql(
+            "CREATE MATERIALIZED VIEW mv AS "
+            "SELECT SUM(amt) AS t FROM base GROUP BY k"
+        )
+    with pytest.raises(ValueError, match="at most one COUNT"):
+        lh.sql(
+            "CREATE MATERIALIZED VIEW mv AS SELECT k, COUNT(*) AS a, "
+            "COUNT(*) AS b FROM base GROUP BY k"
+        )
+    with pytest.raises(ValueError, match="not a materialized view"):
+        lh.sql("REFRESH MATERIALIZED VIEW base")
+
+
+def test_refresh_python_api_mode_tuple(spark, lh):
+    _create(spark, lh, [("a", "1.00")])
+    lh.sql("UPDATE base SET amt = amt * 3 WHERE k = 'a'")
+    v, mode = refresh_materialized_view(
+        spark, lh.table("mv"), lh.table("base")
+    )
+    assert mode == "incremental" and v == lh.table("mv").latest_version()
+    assert _mv_rows(lh) == _recompute(lh)
