@@ -2315,6 +2315,8 @@ MATERIALIZED_VIEW_ORACLE = """
     )
     SELECT dt,
            CAST(SUM(price) AS DOUBLE) AS revenue,
+           CAST(MIN(price) AS DOUBLE) AS lo,
+           CAST(MAX(price) AS DOUBLE) AS hi,
            CAST(COUNT(*) AS BIGINT) AS n_orders
     FROM fact GROUP BY dt
 """
@@ -2329,7 +2331,12 @@ def q_materialized_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrives), and a DELETE (%5 customers) — three commits — and ONE
     ``REFRESH MATERIALIZED VIEW`` folds the multi-commit net change
     feed into the stored MV via merge_apply (only touched groups
-    rewrite; retired groups delete). The guards assert the refresh was
+    rewrite; retired groups delete). MIN/MAX columns ride the same
+    refresh with the bounded rescan-on-retraction doctrine — the
+    UPDATE retracts old prices (some of them day-extrema) and the
+    DELETE retracts whole cohorts, so triggered groups recompute from
+    the base while untriggered ones fold join-free. The guards assert
+    the refresh was
     INCREMENTAL (not a rebuild), that a second refresh is a watermark
     no-op, and that the refreshed MV is read back through plain SQL.
     Oracle = full recompute of the final state — the Databricks/pg_ivm
@@ -2356,8 +2363,8 @@ def q_materialized_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     lh.sql("CREATE TABLE fact AS SELECT * FROM orders_v0")
     lh.sql(
         "CREATE MATERIALIZED VIEW daily_rev AS "
-        "SELECT dt, SUM(price) AS revenue, COUNT(*) AS n_orders "
-        "FROM fact GROUP BY dt"
+        "SELECT dt, SUM(price) AS revenue, MIN(price) AS lo, "
+        "MAX(price) AS hi, COUNT(*) AS n_orders FROM fact GROUP BY dt"
     )
     lh.sql("UPDATE fact SET price = price * 2 WHERE o_orderkey % 7 = 0")
     lh.sql("INSERT INTO fact SELECT * FROM orders_late")
@@ -2370,6 +2377,7 @@ def q_materialized_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     if r2["mode"] != "noop" or r2["version"] != r1["version"]:
         raise AssertionError(f"second refresh not a no-op: {r2}")
     return lh.sql(
-        "SELECT dt, CAST(revenue AS DOUBLE) AS revenue, n_orders "
+        "SELECT dt, CAST(revenue AS DOUBLE) AS revenue, "
+        "CAST(lo AS DOUBLE) AS lo, CAST(hi AS DOUBLE) AS hi, n_orders "
         "FROM daily_rev"
     )

@@ -80,9 +80,10 @@ _GRAMMAR = """supported statements:
     manifest min/max stats + per-file bloom sidecar when present)
   CREATE BLOOMFILTER INDEX FOR COLUMNS (c1[, c2]) ON t [WITH BACKFILL]
   DROP BLOOMFILTER INDEX ON t
-  CREATE MATERIALIZED VIEW mv AS SELECT [keys,] SUM(e) AS a [, ...]
-    [, COUNT(*) AS c] FROM base GROUP BY keys   (mv pre-registered;
-    definition + base-version watermark ride the commit meta)
+  CREATE MATERIALIZED VIEW mv AS SELECT [keys,] SUM|MIN|MAX(e) AS a
+    [, ...] [, COUNT(*) AS c] FROM base GROUP BY keys   (mv
+    pre-registered; definition + watermark ride the commit meta;
+    MIN/MAX refresh with bounded rescan-on-retraction)
   REFRESH MATERIALIZED VIEW mv [FULL]   (folds base CDF since the
     watermark via merge_apply — churn-proportional; FULL rebuilds)"""
 
@@ -237,15 +238,20 @@ class LakehouseSession:
                     )
                 keys.append(k)
             sums: list[list[str]] = []
+            mins: list[list[str]] = []
+            maxs: list[list[str]] = []
             count_col = None
             selected_keys = []
             for item in _split_top(mm.group("items")):
                 im = re.fullmatch(
-                    r"SUM\s*\((?P<e>.+)\)\s+AS\s+(?P<a>" + _IDENT + ")",
+                    r"(?P<f>SUM|MIN|MAX)\s*\((?P<e>.+)\)\s+AS\s+(?P<a>"
+                    + _IDENT + ")",
                     item, flags=re.IGNORECASE | re.DOTALL,
                 )
                 if im:
-                    sums.append([im.group("e").strip(), im.group("a")])
+                    {"SUM": sums, "MIN": mins, "MAX": maxs}[
+                        im.group("f").upper()
+                    ].append([im.group("e").strip(), im.group("a")])
                     continue
                 im = re.fullmatch(
                     r"COUNT\s*\(\s*\*\s*\)\s+AS\s+(?P<a>" + _IDENT + ")",
@@ -264,8 +270,8 @@ class LakehouseSession:
                     continue
                 raise ValueError(
                     "materialized view items must be group keys, "
-                    f"SUM(expr) AS alias, or COUNT(*) AS alias — got: "
-                    f"{item!r}\n{_GRAMMAR}"
+                    f"SUM/MIN/MAX(expr) AS alias, or COUNT(*) AS alias "
+                    f"— got: {item!r}\n{_GRAMMAR}"
                 )
             if set(selected_keys) != set(keys):
                 raise ValueError(
@@ -280,6 +286,8 @@ class LakehouseSession:
                 keys=keys,
                 sums=sums,
                 count_col=count_col or HIDDEN_COUNT,
+                mins=mins,
+                maxs=maxs,
             )
             return self._row(op="create_materialized_view", version=v)
 

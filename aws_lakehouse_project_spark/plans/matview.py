@@ -24,12 +24,16 @@ Contract:
   groups whose maintained count reaches zero are DELETED, others
   upserted. Refresh cost ∝ churn at any table size; the base is never
   re-aggregated.
-- Supported aggregates: ``SUM(<expr>) AS alias`` and ``COUNT(*) AS
-  alias`` — the self-maintainable set (``operators/incremental.py``
-  module docstring explains why MIN/MAX need bounded rescans instead).
-  A hidden ``__ivm_count`` column is maintained when the user didn't
-  select COUNT(*) — retire-at-zero needs it (pg_ivm keeps the same
-  hidden count).
+- Supported aggregates: ``SUM(<expr>) AS alias`` / ``COUNT(*) AS
+  alias`` (self-maintainable: pure fold) and ``MIN/MAX(<expr>) AS
+  alias`` with the BOUNDED rescan-on-retraction doctrine of
+  ``operators/incremental.py::fold_changes_into_minmax``: inserts fold
+  join-free via least/greatest; only groups where a DELETED value
+  ties-or-beats the maintained extremum are recomputed from the base —
+  semi-joined down to exactly those keys, one rescan covering every
+  MIN/MAX column of the group. A hidden ``__ivm_count`` column is
+  maintained when the user didn't select COUNT(*) — retire-at-zero
+  needs it (pg_ivm keeps the same hidden count).
 - Exactness: folds are bit-identical to recomputes for decimal/integer
   measures (associative addition); double measures would drift exactly
   as they do in any engine's incremental plan — declare decimals.
@@ -87,10 +91,17 @@ def _null_key_guard(df: DataFrame, keys: list[str], where: str) -> None:
 
 
 def _aggregate(
-    snap: DataFrame, keys: list[str], sums: list[list[str]], count_col: str
+    snap: DataFrame,
+    keys: list[str],
+    sums: list[list[str]],
+    count_col: str,
+    mins: list[list[str]] = (),
+    maxs: list[list[str]] = (),
 ) -> DataFrame:
     return snap.groupBy(*keys).agg(
         *[F.sum(F.expr(e)).alias(a) for e, a in sums],
+        *[F.min(F.expr(e)).alias(a) for e, a in mins],
+        *[F.max(F.expr(e)).alias(a) for e, a in maxs],
         F.count(F.lit(1)).cast("long").alias(count_col),
     )
 
@@ -103,18 +114,25 @@ def create_materialized_view(
     keys: list[str],
     sums: list[list[str]],
     count_col: str = HIDDEN_COUNT,
+    mins: list[list[str]] = (),
+    maxs: list[list[str]] = (),
 ) -> int:
     """Build the MV from the base's CURRENT snapshot and stamp the
-    definition + watermark into the commit meta. ``sums`` is a list of
-    ``[expr, alias]`` pairs (expressions evaluate per base row)."""
+    definition + watermark into the commit meta. ``sums`` / ``mins`` /
+    ``maxs`` are lists of ``[expr, alias]`` pairs (expressions evaluate
+    per base row)."""
     base_v = base.latest_version()
-    agg = _aggregate(base.read(spark, base_v), keys, sums, count_col)
+    agg = _aggregate(
+        base.read(spark, base_v), keys, sums, count_col, mins, maxs
+    )
     meta = {
         _META_KEY: {
             "base": base_name,
             "base_version": base_v,
             "group_keys": list(keys),
             "sums": [list(p) for p in sums],
+            "mins": [list(p) for p in mins],
+            "maxs": [list(p) for p in maxs],
             "count_col": count_col,
         }
     }
@@ -136,9 +154,10 @@ def refresh_materialized_view(
     ``incremental`` (CDF fold), or ``full`` (rebuild requested)."""
     d = definition(mv)
     keys, sums, cnt = d["group_keys"], d["sums"], d["count_col"]
+    mins, maxs = d.get("mins", []), d.get("maxs", [])
     head = base.latest_version()
     if full:
-        agg = _aggregate(base.read(spark, head), keys, sums, cnt)
+        agg = _aggregate(base.read(spark, head), keys, sums, cnt, mins, maxs)
         v = mv.write_full(
             agg, meta={_META_KEY: {**d, "base_version": head}}
         )
@@ -148,14 +167,38 @@ def refresh_materialized_view(
     if head == wm:
         return mv.latest_version(), "noop"
     delta = base.changes(spark, wm, head)
-    sign = F.when(F.col("_change_type").isin(*_ADDITIVE), 1).otherwise(-1)
+    add = F.col("_change_type").isin(*_ADDITIVE)
     nets = (
         delta.select(
-            *keys, sign.alias("__s"), *[F.expr(e).alias(a) for e, a in sums]
+            *keys,
+            F.when(add, 1).otherwise(-1).alias("__s"),
+            add.alias("__add"),
+            *[F.expr(e).alias(a) for e, a in sums],
+            *[F.expr(e).alias(a) for e, a in mins],
+            *[F.expr(e).alias(a) for e, a in maxs],
         )
         .groupBy(*keys)
         .agg(
             *[F.sum(F.col(a) * F.col("__s")).alias(a) for _, a in sums],
+            # insert-side fold candidates and deleted-side retraction
+            # probes, per extremum column (NULL values never probe:
+            # MIN/MAX ignore NULLs, so removing one retracts nothing)
+            *[
+                F.min(F.when(F.col("__add"), F.col(a))).alias(f"__ins__{a}")
+                for _, a in mins
+            ],
+            *[
+                F.min(F.when(~F.col("__add"), F.col(a))).alias(f"__del__{a}")
+                for _, a in mins
+            ],
+            *[
+                F.max(F.when(F.col("__add"), F.col(a))).alias(f"__ins__{a}")
+                for _, a in maxs
+            ],
+            *[
+                F.max(F.when(~F.col("__add"), F.col(a))).alias(f"__del__{a}")
+                for _, a in maxs
+            ],
             F.sum("__s").cast("long").alias(cnt),
         )
     )
@@ -172,7 +215,21 @@ def refresh_materialized_view(
         F.coalesce(F.col(f"m.{cnt}"), F.lit(0))
         + F.coalesce(F.col(f"d.{cnt}"), F.lit(0))
     ).cast("long")
-    changes_df = merged.select(
+    # a group needs a rescan only if it SURVIVES and a deleted value
+    # ties-or-beats its maintained extremum (the bounded doctrine of
+    # fold_changes_into_minmax); dead groups delete, fold-only groups
+    # take least/greatest against the insert candidates join-free
+    probes = [
+        F.coalesce(F.col(f"d.__del__{a}") <= F.col(f"m.{a}"), F.lit(False))
+        for _, a in mins
+    ] + [
+        F.coalesce(F.col(f"d.__del__{a}") >= F.col(f"m.{a}"), F.lit(False))
+        for _, a in maxs
+    ]
+    trigger = (
+        reduce(lambda x, y: x | y, probes) if probes else F.lit(False)
+    ) & (new_cnt > 0)
+    pre = merged.select(
         *keys,
         *[
             (
@@ -183,8 +240,47 @@ def refresh_materialized_view(
             .alias(a)
             for _, a in sums
         ],
+        *[
+            F.least(F.col(f"m.{a}"), F.col(f"d.__ins__{a}")).alias(a)
+            for _, a in mins
+        ],
+        *[
+            F.greatest(F.col(f"m.{a}"), F.col(f"d.__ins__{a}")).alias(a)
+            for _, a in maxs
+        ],
         new_cnt.alias(cnt),
-        F.when(new_cnt > 0, F.lit("upsert"))
+        trigger.alias("__trig"),
+    )
+    if mins or maxs:
+        trig_keys = pre.where(F.col("__trig")).select(*keys).distinct()
+        rescan = (
+            base.read(spark, head)
+            .join(F.broadcast(trig_keys), keys, "left_semi")
+            .groupBy(*keys)
+            .agg(
+                *[F.min(F.expr(e)).alias(f"__rs__{a}") for e, a in mins],
+                *[F.max(F.expr(e)).alias(f"__rs__{a}") for e, a in maxs],
+            )
+        )
+        pre = pre.join(rescan, keys, "left").select(
+            *keys,
+            *[F.col(a) for _, a in sums],
+            *[
+                F.when(F.col("__trig"), F.col(f"__rs__{a}"))
+                .otherwise(F.col(a))
+                .cast(mv_types[a])
+                .alias(a)
+                for _, a in mins + maxs
+            ],
+            F.col(cnt),
+            F.col("__trig"),
+        )
+    changes_df = pre.select(
+        *keys,
+        *[F.col(a) for _, a in sums],
+        *[F.col(a) for _, a in mins + maxs],
+        F.col(cnt),
+        F.when(F.col(cnt) > 0, F.lit("upsert"))
         .otherwise(F.lit("delete"))
         .alias("__op"),
     )

@@ -209,3 +209,106 @@ def test_refresh_python_api_mode_tuple(spark, lh):
     )
     assert mode == "incremental" and v == lh.table("mv").latest_version()
     assert _mv_rows(lh) == _recompute(lh)
+
+
+# ---------------------------------------------------------------------------
+# MIN/MAX columns: bounded rescan-on-retraction through the SQL surface
+# ---------------------------------------------------------------------------
+
+
+def _create_mm(spark, lh, rows):
+    _mk(spark, rows).createOrReplaceTempView("src_mm")
+    lh.sql("CREATE TABLE base AS SELECT * FROM src_mm")
+    lh.sql(
+        "CREATE MATERIALIZED VIEW mv AS SELECT k, MIN(amt) AS lo, "
+        "MAX(amt) AS hi, COUNT(*) AS n FROM base GROUP BY k"
+    )
+
+
+def _mm_rows(lh):
+    return {
+        (r["k"], r["lo"], r["hi"], r["n"])
+        for r in lh.sql("SELECT k, lo, hi, n FROM mv").collect()
+    }
+
+
+def _mm_recompute(lh):
+    return {
+        (r["k"], r["lo"], r["hi"], r["n"])
+        for r in lh.sql(
+            "SELECT k, MIN(amt) AS lo, MAX(amt) AS hi, COUNT(*) AS n "
+            "FROM base GROUP BY k"
+        ).collect()
+    }
+
+
+def test_minmax_insert_only_folds(spark, lh):
+    _create_mm(spark, lh, [("a", "5.00"), ("a", "7.00")])
+    _mk(spark, [("a", "1.00"), ("b", "9.00")]).createOrReplaceTempView("i1")
+    lh.sql("INSERT INTO base SELECT * FROM i1")
+    lh.sql("REFRESH MATERIALIZED VIEW mv")
+    assert _mm_rows(lh) == _mm_recompute(lh)
+
+
+def test_minmax_retracted_extremum_rescans(spark, lh):
+    _create_mm(
+        spark, lh, [("a", "1.00"), ("a", "5.00"), ("b", "2.00"), ("b", "8.00")]
+    )
+    # delete a's MIN and b's MAX: both groups must rescan to exactness
+    lh.sql("DELETE FROM base WHERE amt = 1.00 OR amt = 8.00")
+    lh.sql("REFRESH MATERIALIZED VIEW mv")
+    assert _mm_rows(lh) == _mm_recompute(lh)
+
+
+def test_minmax_update_retraction_via_pairs(spark, lh):
+    _create_mm(spark, lh, [("a", "1.00"), ("a", "5.00")])
+    # the update RAISES the current min — preimage retracts 1.00
+    lh.sql("UPDATE base SET amt = 3.00 WHERE amt = 1.00")
+    lh.sql("REFRESH MATERIALIZED VIEW mv")
+    assert _mm_rows(lh) == {("a", Decimal("3.00"), Decimal("5.00"), 2)}
+
+
+def test_minmax_non_extremum_delete_no_rescan_still_exact(spark, lh):
+    _create_mm(spark, lh, [("a", "1.00"), ("a", "3.00"), ("a", "5.00")])
+    lh.sql("DELETE FROM base WHERE amt = 3.00")
+    lh.sql("REFRESH MATERIALIZED VIEW mv")
+    assert _mm_rows(lh) == {("a", Decimal("1.00"), Decimal("5.00"), 2)}
+
+
+def test_minmax_group_death_and_birth(spark, lh):
+    _create_mm(spark, lh, [("a", "1.00")])
+    lh.sql("DELETE FROM base WHERE k = 'a'")
+    _mk(spark, [("c", "4.00"), ("c", "2.00")]).createOrReplaceTempView("i2")
+    lh.sql("INSERT INTO base SELECT * FROM i2")
+    lh.sql("REFRESH MATERIALIZED VIEW mv")
+    assert _mm_rows(lh) == {("c", Decimal("2.00"), Decimal("4.00"), 2)}
+
+
+def test_minmax_mixed_with_sum_multi_commit(spark, lh):
+    _mk(
+        spark,
+        [("a", "1.00"), ("a", "4.00"), ("b", "2.00"), ("b", "6.00")],
+    ).createOrReplaceTempView("src_mix")
+    lh.sql("CREATE TABLE base AS SELECT * FROM src_mix")
+    lh.sql(
+        "CREATE MATERIALIZED VIEW mv AS SELECT k, SUM(amt) AS total, "
+        "MIN(amt) AS lo, MAX(amt) AS hi, COUNT(*) AS n "
+        "FROM base GROUP BY k"
+    )
+    lh.sql("UPDATE base SET amt = amt * 10 WHERE amt = 1.00")
+    lh.sql("DELETE FROM base WHERE amt = 6.00")
+    _mk(spark, [("a", "0.50")]).createOrReplaceTempView("i3")
+    lh.sql("INSERT INTO base SELECT * FROM i3")
+    lh.sql("REFRESH MATERIALIZED VIEW mv")
+    got = {
+        (r["k"], r["total"], r["lo"], r["hi"], r["n"])
+        for r in lh.sql("SELECT k, total, lo, hi, n FROM mv").collect()
+    }
+    want = {
+        (r["k"], r["total"], r["lo"], r["hi"], r["n"])
+        for r in lh.sql(
+            "SELECT k, SUM(amt) AS total, MIN(amt) AS lo, MAX(amt) AS hi, "
+            "COUNT(*) AS n FROM base GROUP BY k"
+        ).collect()
+    }
+    assert got == want
