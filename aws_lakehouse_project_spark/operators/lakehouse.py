@@ -2381,3 +2381,69 @@ def q_materialized_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(lo AS DOUBLE) AS lo, CAST(hi AS DOUBLE) AS hi, n_orders "
         "FROM daily_rev"
     )
+
+
+COPY_INTO_ORACLE = """
+    SELECT o_orderkey, o_custkey AS cust_id,
+           CAST(o_orderdate AS DATE) AS dt,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+    FROM orders
+"""
+
+
+@demo_query("q_copy_into", oracle=COPY_INTO_ORACLE)
+def q_copy_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotent file ingestion (``plans/ingest.py`` — Delta's COPY
+    INTO): orders land in three parquet waves; the first COPY INTO
+    loads wave 1, an immediate re-run loads NOTHING (files_loaded=0,
+    no commit — the guard), waves 2+3 arrive and one more COPY INTO
+    loads exactly those, and a FRESH session's final re-run is again a
+    no-op — the loaded-file ledger rides the commit meta, so
+    exactly-once holds across processes with no driver state. Oracle =
+    all orders: however many times the command ran, every source row
+    is in the table exactly once."""
+    from ..plans.lakehouse_sql import LakehouseSession
+
+    work = scratch_dir("spark_graft_copyinto", unique=True)
+    src = os.path.join(work, "landing")
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("cust_id"),
+        F.col("o_orderdate").cast("date").alias("dt"),
+        money("o_totalprice").alias("price"),
+    )
+    for wave in range(3):
+        base.filter(F.col("o_orderkey") % 3 == wave).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(src, f"wave{wave}"))
+        if wave == 0:
+            lh = LakehouseSession(spark)
+            lh.create("fact", os.path.join(work, "fact"))
+            r1 = lh.sql(
+                f"COPY INTO fact FROM '{src}' PATTERN = 'wave*/*.parquet'"
+            ).first()
+            if r1["files_loaded"] < 1:
+                raise AssertionError(f"first copy loaded nothing: {r1}")
+            r2 = lh.sql(
+                f"COPY INTO fact FROM '{src}' PATTERN = 'wave*/*.parquet'"
+            ).first()
+            if r2["files_loaded"] != 0 or r2["version"] != r1["version"]:
+                raise AssertionError(f"re-run not idempotent: {r2}")
+    r3 = lh.sql(
+        f"COPY INTO fact FROM '{src}' PATTERN = 'wave*/*.parquet'"
+    ).first()
+    if r3["files_loaded"] < 1 or r3["rows_loaded"] < 1:
+        raise AssertionError(f"waves 2+3 not loaded: {r3}")
+    fresh = LakehouseSession(spark)
+    fresh.create("fact", os.path.join(work, "fact"))
+    r4 = fresh.sql(
+        f"COPY INTO fact FROM '{src}' PATTERN = 'wave*/*.parquet'"
+    ).first()
+    if r4["files_loaded"] != 0 or r4["version"] != r3["version"]:
+        raise AssertionError(f"fresh-handle re-run not idempotent: {r4}")
+    return fresh.sql("SELECT * FROM fact").select(
+        "o_orderkey",
+        "cust_id",
+        F.col("dt").cast("date").alias("dt"),
+        F.col("price").cast("double").alias("price"),
+    )

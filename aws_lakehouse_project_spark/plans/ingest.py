@@ -1,0 +1,82 @@
+"""Idempotent file ingestion — Delta's ``COPY INTO`` re-derived on the
+transaction layer.
+
+The reference's landing flow drops raw files into a prefix and loads
+them into tables (``/root/reference/README.md`` raw→staged flow); the
+operational contract every warehouse gives that shape is COPY INTO:
+*load each source file exactly once, however many times the command
+re-runs*. The loaded-file ledger rides the table's commit ``meta``
+(the same channel materialized-view watermarks and replication
+watermarks use), so idempotency holds across processes and fresh
+handles with no driver-side state:
+
+- Each ``copy_into`` commit stores the CUMULATIVE set of ingested
+  source files (path-keyed); the current ledger is the most recent
+  commit that carries one — one backward history walk, no scan.
+- A re-run diffs the source listing against the ledger and appends
+  ONLY the new files, in one atomic commit; a no-op re-run commits
+  nothing and reports ``files_loaded=0``.
+- Source files are read schema-enforced against the table (the
+  ``append`` contract): a drifting file fails the whole command, it
+  never half-loads.
+
+100 TB shape: the listing diff is driver-side metadata (file names,
+same class as the engine's other bounded file-list operations); the
+data plane reads only the NEW files — ingestion cost is proportional
+to what arrived, never to the table or to the history of prior loads.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .versioned import VersionedTable
+
+_META_KEY = "copy_into_loaded"
+
+
+def loaded_files(vt: VersionedTable) -> list[str]:
+    """The cumulative ingestion ledger: most recent commit meta that
+    carries one (empty for a table never COPY'd into)."""
+    if not vt.exists():
+        return []
+    for v in reversed(vt.versions()):
+        m = vt._manifest(v)["meta"]  # noqa: SLF001
+        if _META_KEY in m:
+            return list(m[_META_KEY])
+    return []
+
+
+def copy_into(
+    spark: SparkSession,
+    vt: VersionedTable,
+    src: str,
+    pattern: str = "*.parquet",
+) -> dict:
+    """Load every not-yet-ingested file matching ``src/pattern`` into
+    ``vt`` as ONE append commit. Returns ``{"version", "files_loaded",
+    "rows_loaded"}``; a no-op re-run commits nothing."""
+    listing = sorted(glob.glob(os.path.join(src, pattern)))
+    if not listing:
+        raise FileNotFoundError(
+            f"COPY INTO: no files match {os.path.join(src, pattern)!r}"
+        )
+    seen = set(loaded_files(vt))
+    new = [f for f in listing if f not in seen]
+    if not new:
+        return {
+            "version": vt.latest_version(),
+            "files_loaded": 0,
+            "rows_loaded": 0,
+        }
+    df: DataFrame = spark.read.parquet(*new)
+    n_rows = df.count()
+    meta = {_META_KEY: sorted(seen | set(new))}
+    if vt.exists():
+        v = vt.append(df, meta=meta)
+    else:
+        v = vt.write_full(df, meta=meta)
+    return {"version": v, "files_loaded": len(new), "rows_loaded": n_rows}

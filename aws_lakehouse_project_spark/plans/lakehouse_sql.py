@@ -85,7 +85,10 @@ _GRAMMAR = """supported statements:
     pre-registered; definition + watermark ride the commit meta;
     MIN/MAX refresh with bounded rescan-on-retraction)
   REFRESH MATERIALIZED VIEW mv [FULL]   (folds base CDF since the
-    watermark via merge_apply — churn-proportional; FULL rebuilds)"""
+    watermark via merge_apply — churn-proportional; FULL rebuilds)
+  COPY INTO t FROM 'src' [FILEFORMAT = PARQUET] [PATTERN = 'glob']
+    (idempotent: each source file loads exactly once; the ledger
+    rides the commit meta — plans/ingest.py)"""
 
 _IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
 _HINT = r"(?:/\*\+\s*(?P<hint>MERGE_ON_READ)\s*\*/\s*)?"
@@ -290,6 +293,23 @@ class LakehouseSession:
                 maxs=maxs,
             )
             return self._row(op="create_materialized_view", version=v)
+
+        mm = re.fullmatch(
+            rf"COPY\s+INTO\s+(?P<t>{_IDENT})\s+FROM\s+'(?P<src>[^']+)'"
+            r"(?:\s+FILEFORMAT\s*=\s*(?P<fmt>PARQUET))?"
+            r"(?:\s+PATTERN\s*=\s*'(?P<pat>[^']+)')?",
+            s, flags=re.IGNORECASE,
+        )
+        if mm:
+            from .ingest import copy_into
+
+            out = copy_into(
+                self.spark,
+                self.table(mm.group("t")),
+                mm.group("src"),
+                pattern=mm.group("pat") or "*.parquet",
+            )
+            return self._row(op="copy_into", **out)
 
         mm = re.fullmatch(
             rf"REFRESH\s+MATERIALIZED\s+VIEW\s+(?P<mv>{_IDENT})"

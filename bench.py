@@ -189,6 +189,8 @@ EXTRA = [
     "q_scd2_from_cdf",
     # round-11 continuation 3: declarative CREATE/REFRESH MATERIALIZED VIEW
     "q_materialized_view",
+    # round-11 continuation 3: idempotent COPY INTO ingestion
+    "q_copy_into",
 ]
 
 

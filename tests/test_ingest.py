@@ -1,0 +1,97 @@
+"""COPY INTO (plans/ingest.py): exactly-once file ingestion whose
+ledger rides the commit meta — idempotent across re-runs, fresh
+handles, and interleaved unrelated commits; schema drift fails whole."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from aws_lakehouse_project_spark.plans.ingest import copy_into, loaded_files
+from aws_lakehouse_project_spark.plans.versioned import VersionedTable
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(
+        [Row(k=k, v=v) for k, v in rows], "k string, v int"
+    )
+
+
+def _land(spark, path, rows):
+    _mk(spark, rows).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+@pytest.fixture()
+def vt(tmp_path):
+    return VersionedTable(str(tmp_path / "t"))
+
+
+def _rows(spark, vt):
+    return sorted(tuple(r) for r in vt.read(spark).collect())
+
+
+def test_first_copy_creates_table(spark, vt, tmp_path):
+    _land(spark, str(tmp_path / "src/a"), [("x", 1)])
+    out = copy_into(spark, vt, str(tmp_path / "src"), "*/*.parquet")
+    assert out["files_loaded"] == 1 and out["rows_loaded"] == 1
+    assert _rows(spark, vt) == [("x", 1)]
+
+
+def test_rerun_is_noop_without_commit(spark, vt, tmp_path):
+    _land(spark, str(tmp_path / "src/a"), [("x", 1)])
+    copy_into(spark, vt, str(tmp_path / "src"), "*/*.parquet")
+    v = vt.latest_version()
+    out = copy_into(spark, vt, str(tmp_path / "src"), "*/*.parquet")
+    assert out == {"version": v, "files_loaded": 0, "rows_loaded": 0}
+    assert vt.latest_version() == v
+
+
+def test_only_new_files_load(spark, vt, tmp_path):
+    _land(spark, str(tmp_path / "src/a"), [("x", 1)])
+    copy_into(spark, vt, str(tmp_path / "src"), "*/*.parquet")
+    _land(spark, str(tmp_path / "src/b"), [("y", 2), ("z", 3)])
+    out = copy_into(spark, vt, str(tmp_path / "src"), "*/*.parquet")
+    assert out["files_loaded"] == 1 and out["rows_loaded"] == 2
+    assert _rows(spark, vt) == [("x", 1), ("y", 2), ("z", 3)]
+
+
+def test_ledger_survives_interleaved_commits(spark, vt, tmp_path):
+    """A DELETE between copies must not reset the ledger — the walk
+    finds the most recent commit that carries one."""
+    _land(spark, str(tmp_path / "src/a"), [("x", 1), ("y", 2)])
+    copy_into(spark, vt, str(tmp_path / "src"), "*/*.parquet")
+    vt.delete_where(spark, "k = 'x'")
+    out = copy_into(spark, vt, str(tmp_path / "src"), "*/*.parquet")
+    assert out["files_loaded"] == 0
+    # the deleted row must NOT come back via a sneaky re-load
+    assert _rows(spark, vt) == [("y", 2)]
+    _land(spark, str(tmp_path / "src/b"), [("z", 9)])
+    out = copy_into(spark, vt, str(tmp_path / "src"), "*/*.parquet")
+    assert out["files_loaded"] == 1
+    assert _rows(spark, vt) == [("y", 2), ("z", 9)]
+    assert len(loaded_files(vt)) == 2
+
+
+def test_fresh_handle_is_idempotent(spark, vt, tmp_path):
+    _land(spark, str(tmp_path / "src/a"), [("x", 1)])
+    copy_into(spark, vt, str(tmp_path / "src"), "*/*.parquet")
+    fresh = VersionedTable(vt.path)
+    out = copy_into(spark, fresh, str(tmp_path / "src"), "*/*.parquet")
+    assert out["files_loaded"] == 0
+
+
+def test_schema_drift_fails_whole_command(spark, vt, tmp_path):
+    _land(spark, str(tmp_path / "src/a"), [("x", 1)])
+    copy_into(spark, vt, str(tmp_path / "src"), "*/*.parquet")
+    spark.createDataFrame(
+        [Row(k="bad", other=1.5)], "k string, other double"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "src/b"))
+    with pytest.raises(Exception, match="schema|mismatch|merge"):
+        copy_into(spark, vt, str(tmp_path / "src"), "*/*.parquet")
+    # nothing half-loaded
+    assert _rows(spark, vt) == [("x", 1)]
+
+
+def test_empty_source_raises(spark, vt, tmp_path):
+    with pytest.raises(FileNotFoundError, match="no files match"):
+        copy_into(spark, vt, str(tmp_path / "nope"), "*.parquet")
