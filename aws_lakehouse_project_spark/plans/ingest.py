@@ -72,6 +72,28 @@ def copy_into(
             "files_loaded": 0,
             "rows_loaded": 0,
         }
+    # per-file footer check BEFORE reading: spark.read.parquet samples
+    # one file's schema for the whole batch, so a mixed batch (one
+    # drifting file among good ones) would otherwise coerce silently —
+    # missing columns as NULLs or an extra column dropped. Footers are
+    # driver-side metadata (same class as the listing diff).
+    import pyarrow.parquet as pq
+
+    if vt.exists():
+        want = {
+            f["name"]
+            for f in vt._manifest()["schema"]["fields"]  # noqa: SLF001
+        }
+    else:
+        want = set(pq.read_schema(new[0]).names)
+    for f in new:
+        got = set(pq.read_schema(f).names)
+        if got != want:
+            raise ValueError(
+                f"COPY INTO: {f!r} columns {sorted(got)} != expected "
+                f"{sorted(want)} — nothing loaded (fix or remove the "
+                "drifting file)"
+            )
     df: DataFrame = spark.read.parquet(*new)
     n_rows = df.count()
     meta = {_META_KEY: sorted(seen | set(new))}

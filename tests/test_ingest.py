@@ -95,3 +95,18 @@ def test_schema_drift_fails_whole_command(spark, vt, tmp_path):
 def test_empty_source_raises(spark, vt, tmp_path):
     with pytest.raises(FileNotFoundError, match="no files match"):
         copy_into(spark, vt, str(tmp_path / "nope"), "*.parquet")
+
+
+def test_mixed_batch_with_one_drifting_file_fails_whole(spark, vt, tmp_path):
+    """spark.read.parquet samples one file's schema for the batch, so a
+    drifting file among good ones would coerce silently — the per-file
+    footer check must fail the whole command instead."""
+    _land(spark, str(tmp_path / "src/a"), [("x", 1)])
+    copy_into(spark, vt, str(tmp_path / "src"), "*/*.parquet")
+    _land(spark, str(tmp_path / "src/good"), [("y", 2)])
+    spark.createDataFrame(
+        [Row(k="bad", v=1, extra=9.9)], "k string, v int, extra double"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "src/bad"))
+    with pytest.raises(ValueError, match="columns"):
+        copy_into(spark, vt, str(tmp_path / "src"), "*/*.parquet")
+    assert _rows(spark, vt) == [("x", 1)]  # the good file did NOT half-load
