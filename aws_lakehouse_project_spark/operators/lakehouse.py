@@ -2447,3 +2447,78 @@ def q_copy_into(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dt").cast("date").alias("dt"),
         F.col("price").cast("double").alias("price"),
     )
+
+
+from .incremental import INCREMENTAL_MV_JOIN_ORACLE  # noqa: E402
+
+
+@demo_query(
+    "q_materialized_view_join",
+    oracle=INCREMENTAL_MV_JOIN_ORACLE,
+)
+def q_materialized_view_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-view materialized view through the SQL surface: the MV
+    aggregates ``fact JOIN dim USING (cust_id)`` per nation; then the
+    fact takes a MERGE (inserts the %10 cohort, doubles %7 prices) and
+    a DELETE (%5 customers) while the dim takes an UPDATE that MOVES
+    every %3 customer's nation — and ONE ``REFRESH MATERIALIZED VIEW``
+    advances BOTH watermarks by building the join's own change feed
+    with the bilinear rule (all three delta terms fire, including the
+    ΔA⋈ΔB correction for customers deleted AND moved). Guards assert
+    the refresh was incremental and idempotent. Oracle (shared with
+    the Python-API twin q_incremental_mv_join) = full recompute of the
+    final join."""
+    from ..plans.lakehouse_sql import LakehouseSession
+
+    work = scratch_dir("spark_graft_mvjoin", unique=True)
+    lh = LakehouseSession(spark)
+    lh.create("fact", os.path.join(work, "fact"), stats_cols=["cust_id"])
+    lh.create("dim", os.path.join(work, "dim"), stats_cols=["cust_id"])
+    lh.create("nation_rev", os.path.join(work, "mv"))
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("cust_id"),
+        money("o_totalprice").alias("price"),
+    )
+    base.filter(F.col("o_orderkey") % 10 != 0).createOrReplaceTempView(
+        "fact_v0"
+    )
+    base.filter(
+        (F.col("o_orderkey") % 10 == 0) | (F.col("o_orderkey") % 7 == 0)
+    ).withColumn(
+        "price",
+        F.when(F.col("o_orderkey") % 7 == 0, F.col("price") * 2)
+        .otherwise(F.col("price"))
+        .cast("decimal(12,2)"),
+    ).createOrReplaceTempView("fact_src")
+    load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust_id"),
+        F.col("c_nationkey").cast("int").alias("nation"),
+    ).createOrReplaceTempView("dim_src")
+
+    lh.sql("CREATE TABLE fact AS SELECT * FROM fact_v0")
+    lh.sql("CREATE TABLE dim AS SELECT * FROM dim_src")
+    lh.sql(
+        "CREATE MATERIALIZED VIEW nation_rev AS "
+        "SELECT nation, SUM(price) AS revenue, COUNT(*) AS n_lines "
+        "FROM fact JOIN dim USING (cust_id) GROUP BY nation"
+    )
+    lh.sql(
+        "MERGE INTO fact USING fact_src "
+        "ON fact.o_orderkey = fact_src.o_orderkey "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    )
+    lh.sql("DELETE FROM fact WHERE cust_id % 5 = 0")
+    lh.sql("UPDATE dim SET nation = (nation + 1) % 25 WHERE cust_id % 3 = 0")
+
+    r1 = lh.sql("REFRESH MATERIALIZED VIEW nation_rev").first()
+    if r1["mode"] != "incremental":
+        raise AssertionError(f"expected incremental refresh, got {r1}")
+    r2 = lh.sql("REFRESH MATERIALIZED VIEW nation_rev").first()
+    if r2["mode"] != "noop" or r2["version"] != r1["version"]:
+        raise AssertionError(f"second refresh not a no-op: {r2}")
+    return lh.sql(
+        "SELECT nation, CAST(revenue AS DOUBLE) AS revenue, n_lines "
+        "FROM nation_rev"
+    )

@@ -81,9 +81,11 @@ _GRAMMAR = """supported statements:
   CREATE BLOOMFILTER INDEX FOR COLUMNS (c1[, c2]) ON t [WITH BACKFILL]
   DROP BLOOMFILTER INDEX ON t
   CREATE MATERIALIZED VIEW mv AS SELECT [keys,] SUM|MIN|MAX(e) AS a
-    [, ...] [, COUNT(*) AS c] FROM base GROUP BY keys   (mv
-    pre-registered; definition + watermark ride the commit meta;
-    MIN/MAX refresh with bounded rescan-on-retraction)
+    [, ...] [, COUNT(*) AS c] FROM base [JOIN b USING (k[, ...])]
+    GROUP BY keys   (mv pre-registered; definition + per-base
+    watermarks ride the commit meta; MIN/MAX refresh with bounded
+    rescan-on-retraction — single-table views only; JOIN views
+    refresh via the bilinear delta rule over both bases' CDFs)
   REFRESH MATERIALIZED VIEW mv [FULL]   (folds base CDF since the
     watermark via merge_apply — churn-proportional; FULL rebuilds)
   COPY INTO t FROM 'src' [FILEFORMAT = PARQUET] [PATTERN = 'glob']
@@ -224,12 +226,17 @@ class LakehouseSession:
 
         mm = re.fullmatch(
             rf"CREATE\s+MATERIALIZED\s+VIEW\s+(?P<mv>{_IDENT})\s+AS\s+"
-            rf"SELECT\s+(?P<items>.+?)\s+FROM\s+(?P<b>{_IDENT})\s+"
-            r"GROUP\s+BY\s+(?P<keys>.+)",
+            rf"SELECT\s+(?P<items>.+?)\s+FROM\s+(?P<b>{_IDENT})"
+            rf"(?:\s+JOIN\s+(?P<b2>{_IDENT})\s+USING\s+\((?P<on>[^)]+)\))?"
+            r"\s+GROUP\s+BY\s+(?P<keys>.+)",
             s, flags=re.IGNORECASE | re.DOTALL,
         )
         if mm:
-            from .matview import HIDDEN_COUNT, create_materialized_view
+            from .matview import (
+                HIDDEN_COUNT,
+                create_materialized_join_view,
+                create_materialized_view,
+            )
 
             mv_name, base_name = mm.group("mv"), mm.group("b")
             keys = []
@@ -281,6 +288,35 @@ class LakehouseSession:
                     f"selected columns {selected_keys} must be exactly "
                     f"the GROUP BY keys {keys}\n{_GRAMMAR}"
                 )
+            if mm.group("b2"):
+                if mins or maxs:
+                    raise ValueError(
+                        "MIN/MAX on a JOIN materialized view is not "
+                        "maintainable (the retraction rescan would "
+                        "recompute join slices) — declare it on a "
+                        f"single-table view\n{_GRAMMAR}"
+                    )
+                on = []
+                for c in _split_top(mm.group("on")):
+                    if not re.fullmatch(_IDENT, c):
+                        raise ValueError(
+                            f"USING entries must be plain columns: {c!r}"
+                            f"\n{_GRAMMAR}"
+                        )
+                    on.append(c)
+                v = create_materialized_join_view(
+                    self.spark,
+                    base_name,
+                    self.table(base_name),
+                    mm.group("b2"),
+                    self.table(mm.group("b2")),
+                    on=on,
+                    mv=self.table(mv_name),
+                    keys=keys,
+                    sums=sums,
+                    count_col=count_col or HIDDEN_COUNT,
+                )
+                return self._row(op="create_materialized_view", version=v)
             v = create_materialized_view(
                 self.spark,
                 base_name,
@@ -317,13 +353,29 @@ class LakehouseSession:
             s, flags=re.IGNORECASE,
         )
         if mm:
-            from .matview import definition, refresh_materialized_view
+            from .matview import (
+                definition,
+                refresh_materialized_join_view,
+                refresh_materialized_view,
+            )
 
             mv = self.table(mm.group("mv"))
-            base = self.table(definition(mv)["base"])
-            v, mode = refresh_materialized_view(
-                self.spark, mv, base, full=bool(mm.group("full"))
-            )
+            d = definition(mv)
+            if "base_b" in d:
+                v, mode = refresh_materialized_join_view(
+                    self.spark,
+                    mv,
+                    self.table(d["base"]),
+                    self.table(d["base_b"]),
+                    full=bool(mm.group("full")),
+                )
+            else:
+                v, mode = refresh_materialized_view(
+                    self.spark,
+                    mv,
+                    self.table(d["base"]),
+                    full=bool(mm.group("full")),
+                )
             return self._row(op="refresh", mode=mode, version=v)
 
         mm = re.fullmatch(

@@ -47,6 +47,15 @@ Contract:
 - If VACUUM reclaimed the watermark version's history,
   ``VacuumedVersionError`` propagates — ``REFRESH ... FULL`` rebuilds
   from the current snapshot and re-arms the watermark.
+- JOIN VIEWS: ``CREATE MATERIALIZED VIEW mv AS SELECT ... FROM a JOIN
+  b USING (k) GROUP BY ...`` maintains an aggregate over a two-table
+  equi-join with ONE watermark per base; REFRESH builds the join's own
+  change feed from both bases' CDFs via the bilinear rule
+  (``operators/incremental.py::join_signed_delta`` — Δ(A⋈B) = ΔA⋈B₀ +
+  A₀⋈ΔB + ΔA⋈ΔB, mixed terms semi-pruned to the other side's delta
+  keys) and folds it with the same SUM/COUNT machinery. MIN/MAX on a
+  join view is refused (its retraction rescan would recompute join
+  slices; declare it on a single-table view).
 """
 
 from __future__ import annotations
@@ -290,5 +299,124 @@ def refresh_materialized_view(
         keys,
         op_col="__op",
         meta={_META_KEY: {**d, "base_version": head}},
+    )
+    return v, "incremental"
+
+
+def create_materialized_join_view(
+    spark: SparkSession,
+    a_name: str,
+    a: VersionedTable,
+    b_name: str,
+    b: VersionedTable,
+    on: list[str],
+    mv: VersionedTable,
+    keys: list[str],
+    sums: list[list[str]],
+    count_col: str = HIDDEN_COUNT,
+) -> int:
+    """Build an aggregate MV over ``a ⋈ b`` (equi-join USING ``on``)
+    and stamp the two-watermark definition into the commit meta."""
+    va, vb = a.latest_version(), b.latest_version()
+    joined = a.read(spark, va).join(b.read(spark, vb), on)
+    agg = _aggregate(joined, keys, sums, count_col)
+    meta = {
+        _META_KEY: {
+            "base": a_name,
+            "base_version": va,
+            "base_b": b_name,
+            "base_b_version": vb,
+            "join_on": list(on),
+            "group_keys": list(keys),
+            "sums": [list(p) for p in sums],
+            "count_col": count_col,
+        }
+    }
+    v = mv.write_full(agg, meta=meta)
+    _null_key_guard(mv.read(spark, v), keys, "create")
+    return v
+
+
+def refresh_materialized_join_view(
+    spark: SparkSession,
+    mv: VersionedTable,
+    a: VersionedTable,
+    b: VersionedTable,
+    full: bool = False,
+) -> tuple[int, str]:
+    """Advance a JOIN-view MV to both bases' heads: the join's own
+    change feed comes from the bilinear delta rule over the two CDFs,
+    then folds exactly like a single-table refresh. Returns
+    ``(mv_version, mode)``."""
+    from ..operators.incremental import join_signed_delta
+
+    d = definition(mv)
+    keys, sums, cnt = d["group_keys"], d["sums"], d["count_col"]
+    on = d["join_on"]
+    ha, hb = a.latest_version(), b.latest_version()
+    if full:
+        joined = a.read(spark, ha).join(b.read(spark, hb), on)
+        v = mv.write_full(
+            _aggregate(joined, keys, sums, cnt),
+            meta={
+                _META_KEY: {**d, "base_version": ha, "base_b_version": hb}
+            },
+        )
+        _null_key_guard(mv.read(spark, v), keys, "full refresh")
+        return v, "full"
+    wa, wb = d["base_version"], d["base_b_version"]
+    if (ha, hb) == (wa, wb):
+        return mv.latest_version(), "noop"
+    da = a.changes(spark, wa, ha) if ha != wa else None
+    db = b.changes(spark, wb, hb) if hb != wb else None
+    delta = join_signed_delta(
+        a.read(spark, wa), da, b.read(spark, wb), db, on=on
+    )
+    sign = F.when(F.col("_change_type").isin(*_ADDITIVE), 1).otherwise(-1)
+    nets = (
+        delta.select(
+            *keys, sign.alias("__s"), *[F.expr(e).alias(al) for e, al in sums]
+        )
+        .groupBy(*keys)
+        .agg(
+            *[F.sum(F.col(al) * F.col("__s")).alias(al) for _, al in sums],
+            F.sum("__s").cast("long").alias(cnt),
+        )
+    )
+    _null_key_guard(nets, keys, "refresh")
+    mv_types = {
+        f.name: f.dataType
+        for f in StructType.fromJson(mv._manifest()["schema"]).fields  # noqa: SLF001
+    }
+    current = mv.read(spark).join(
+        nets.select(*keys).distinct(), keys, "left_semi"
+    )
+    merged = current.alias("m").join(nets.alias("d"), keys, "full_outer")
+    new_cnt = (
+        F.coalesce(F.col(f"m.{cnt}"), F.lit(0))
+        + F.coalesce(F.col(f"d.{cnt}"), F.lit(0))
+    ).cast("long")
+    changes_df = merged.select(
+        *keys,
+        *[
+            (
+                F.coalesce(F.col(f"m.{al}"), F.lit(0))
+                + F.coalesce(F.col(f"d.{al}"), F.lit(0))
+            )
+            .cast(mv_types[al])
+            .alias(al)
+            for _, al in sums
+        ],
+        new_cnt.alias(cnt),
+        F.when(new_cnt > 0, F.lit("upsert"))
+        .otherwise(F.lit("delete"))
+        .alias("__op"),
+    )
+    v = mv.merge_apply(
+        spark,
+        changes_df,
+        keys,
+        op_col="__op",
+        meta={_META_KEY: {**d, "base_version": ha, "base_b_version": hb}},
     )
     return v, "incremental"

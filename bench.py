@@ -191,6 +191,8 @@ EXTRA = [
     "q_materialized_view",
     # round-11 continuation 3: idempotent COPY INTO ingestion
     "q_copy_into",
+    # round-11 continuation 3: JOIN-view MV through the SQL surface
+    "q_materialized_view_join",
 ]
 
 

@@ -312,3 +312,101 @@ def test_minmax_mixed_with_sum_multi_commit(spark, lh):
         ).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# JOIN-view MVs: dual watermarks, bilinear refresh
+# ---------------------------------------------------------------------------
+
+
+def _mk_dim(spark, rows):
+    return spark.createDataFrame(
+        [Row(k=k, seg=s) for k, s in rows], "k string, seg string"
+    )
+
+
+@pytest.fixture()
+def lhj(spark, tmp_path):
+    s = LakehouseSession(spark)
+    s.create("fa", str(tmp_path / "fa"))
+    s.create("di", str(tmp_path / "di"))
+    s.create("jmv", str(tmp_path / "jmv"))
+    return s
+
+
+def _jmv_create(spark, lhj):
+    _mk(spark, [("a", "1.00"), ("a", "2.00"), ("b", "5.00")]).createOrReplaceTempView("jf")
+    _mk_dim(spark, [("a", "s1"), ("b", "s2")]).createOrReplaceTempView("jd")
+    lhj.sql("CREATE TABLE fa AS SELECT * FROM jf")
+    lhj.sql("CREATE TABLE di AS SELECT * FROM jd")
+    lhj.sql(
+        "CREATE MATERIALIZED VIEW jmv AS SELECT seg, SUM(amt) AS total, "
+        "COUNT(*) AS n FROM fa JOIN di USING (k) GROUP BY seg"
+    )
+
+
+def _jmv_rows(lhj):
+    return {
+        (r["seg"], r["total"], r["n"])
+        for r in lhj.sql("SELECT seg, total, n FROM jmv").collect()
+    }
+
+
+def _jmv_recompute(lhj):
+    return {
+        (r["seg"], r["total"], r["n"])
+        for r in lhj.sql(
+            "SELECT seg, SUM(amt) AS total, COUNT(*) AS n "
+            "FROM fa JOIN di ON fa.k = di.k GROUP BY seg"
+        ).collect()
+    }
+
+
+def test_join_mv_fact_only_change(spark, lhj):
+    _jmv_create(spark, lhj)
+    lhj.sql("UPDATE fa SET amt = amt * 2 WHERE k = 'a'")
+    r = lhj.sql("REFRESH MATERIALIZED VIEW jmv").first()
+    assert r["mode"] == "incremental"
+    assert _jmv_rows(lhj) == _jmv_recompute(lhj)
+
+
+def test_join_mv_dim_only_change(spark, lhj):
+    _jmv_create(spark, lhj)
+    lhj.sql("UPDATE di SET seg = 's9' WHERE k = 'a'")
+    lhj.sql("REFRESH MATERIALIZED VIEW jmv")
+    assert _jmv_rows(lhj) == _jmv_recompute(lhj)
+
+
+def test_join_mv_both_sides_one_refresh(spark, lhj):
+    """All three bilinear terms incl. the ΔA⋈ΔB correction (k='a' rows
+    deleted from the fact AND moved in the dim in the same window)."""
+    _jmv_create(spark, lhj)
+    lhj.sql("DELETE FROM fa WHERE amt = 1.00")
+    _mk(spark, [("b", "7.00")]).createOrReplaceTempView("jins")
+    lhj.sql("INSERT INTO fa SELECT * FROM jins")
+    lhj.sql("UPDATE di SET seg = 'moved' WHERE k = 'a'")
+    r = lhj.sql("REFRESH MATERIALIZED VIEW jmv").first()
+    assert r["mode"] == "incremental"
+    assert _jmv_rows(lhj) == _jmv_recompute(lhj)
+    r2 = lhj.sql("REFRESH MATERIALIZED VIEW jmv").first()
+    assert r2["mode"] == "noop"
+
+
+def test_join_mv_full_rebuild(spark, lhj):
+    _jmv_create(spark, lhj)
+    lhj.sql("DELETE FROM fa WHERE k = 'b'")
+    r = lhj.sql("REFRESH MATERIALIZED VIEW jmv FULL").first()
+    assert r["mode"] == "full"
+    assert _jmv_rows(lhj) == _jmv_recompute(lhj)
+
+
+def test_join_mv_minmax_refused(spark, lhj):
+    _mk(spark, [("a", "1.00")]).createOrReplaceTempView("jf2")
+    _mk_dim(spark, [("a", "s1")]).createOrReplaceTempView("jd2")
+    lhj.sql("CREATE TABLE fa AS SELECT * FROM jf2")
+    lhj.sql("CREATE TABLE di AS SELECT * FROM jd2")
+    with pytest.raises(ValueError, match="MIN/MAX on a JOIN"):
+        lhj.sql(
+            "CREATE MATERIALIZED VIEW jmv AS SELECT seg, MIN(amt) AS lo "
+            "FROM fa JOIN di USING (k) GROUP BY seg"
+        )
