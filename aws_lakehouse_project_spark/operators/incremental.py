@@ -92,7 +92,14 @@ def fold_changes_into_aggregate(
         for k in group_keys
     ]
     sums = [
-        (
+        # both sides NULL → NULL (SQL SUM of an all-NULL group is NULL,
+        # and a NULL-sum group untouched by values must stay NULL —
+        # coalesce-to-0 alone would silently rewrite it as 0)
+        F.when(
+            F.col(f"m.{c}").isNull() & F.col(f"d.{c}").isNull(),
+            F.lit(None),
+        )
+        .otherwise(
             F.coalesce(F.col(f"m.{c}"), F.lit(0))
             + F.coalesce(F.col(f"d.{c}"), F.lit(0))
         )

@@ -241,7 +241,13 @@ def refresh_materialized_view(
     pre = merged.select(
         *keys,
         *[
-            (
+            # both sides NULL -> NULL: SQL SUM of an all-NULL group is
+            # NULL; coalesce-to-0 alone would rewrite it as 0
+            F.when(
+                F.col(f"m.{a}").isNull() & F.col(f"d.{a}").isNull(),
+                F.lit(None),
+            )
+            .otherwise(
                 F.coalesce(F.col(f"m.{a}"), F.lit(0))
                 + F.coalesce(F.col(f"d.{a}"), F.lit(0))
             )
@@ -399,7 +405,13 @@ def refresh_materialized_join_view(
     changes_df = merged.select(
         *keys,
         *[
-            (
+            # both sides NULL -> NULL: SQL SUM of an all-NULL group is
+            # NULL; coalesce-to-0 alone would rewrite it as 0
+            F.when(
+                F.col(f"m.{al}").isNull() & F.col(f"d.{al}").isNull(),
+                F.lit(None),
+            )
+            .otherwise(
                 F.coalesce(F.col(f"m.{al}"), F.lit(0))
                 + F.coalesce(F.col(f"d.{al}"), F.lit(0))
             )

@@ -613,3 +613,31 @@ def test_scd2_rejects_column_drift(spark):
     delta = spark.createDataFrame([("insert", 1, "A")], CDF_SCHEMA)
     with pytest.raises(ValueError, match="history columns"):
         scd2_apply_changes(hist, delta, ["k"], ["seg"], version=1)
+
+
+def test_null_sum_group_stays_null(spark):
+    """SQL SUM of an all-NULL group is NULL; a fold whose delta adds no
+    values must not rewrite it as 0 (and a value arriving later sums
+    from 0, matching SUM-ignores-NULLs)."""
+    mv = spark.createDataFrame(
+        [("a", None, 2), ("b", Decimal("3.00"), 1)],
+        "k string, rev decimal(28,2), n bigint",
+    )
+    # delta touches group a with a NULL-valued insert: count moves, sum stays NULL
+    out = _fold(
+        mv,
+        spark.createDataFrame(
+            [("insert", "a", None)],
+            "_change_type string, k string, rev decimal(28,2)",
+        ),
+    )
+    assert _as_dict(out) == {"a": (None, 3), "b": (Decimal("3.00"), 1)}
+    # a real value arriving later starts the sum from 0, not NULL
+    out2 = _fold(
+        out,
+        spark.createDataFrame(
+            [("insert", "a", Decimal("5.00"))],
+            "_change_type string, k string, rev decimal(28,2)",
+        ),
+    )
+    assert _as_dict(out2)["a"] == (Decimal("5.00"), 4)

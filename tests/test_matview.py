@@ -410,3 +410,23 @@ def test_join_mv_minmax_refused(spark, lhj):
             "CREATE MATERIALIZED VIEW jmv AS SELECT seg, MIN(amt) AS lo "
             "FROM fa JOIN di USING (k) GROUP BY seg"
         )
+
+
+def test_null_sum_group_preserved_through_refresh(spark, lh):
+    """A group whose measure values are all NULL keeps a NULL sum
+    through an incremental refresh that touches it."""
+    spark.createDataFrame(
+        [Row(k="a", amt=None), Row(k="a", amt=None)],
+        "k string, amt decimal(12,2)",
+    ).createOrReplaceTempView("nullamt")
+    lh.sql("CREATE TABLE base AS SELECT * FROM nullamt")
+    lh.sql(
+        "CREATE MATERIALIZED VIEW mv AS SELECT k, SUM(amt) AS total, "
+        "COUNT(*) AS n FROM base GROUP BY k"
+    )
+    spark.createDataFrame(
+        [Row(k="a", amt=None)], "k string, amt decimal(12,2)"
+    ).createOrReplaceTempView("morenull")
+    lh.sql("INSERT INTO base SELECT * FROM morenull")
+    lh.sql("REFRESH MATERIALIZED VIEW mv")
+    assert _mv_rows(lh) == _recompute(lh) == {("a", None, 3)}
