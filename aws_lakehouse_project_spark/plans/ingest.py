@@ -24,6 +24,20 @@ handles with no driver-side state:
 same class as the engine's other bounded file-list operations); the
 data plane reads only the NEW files — ingestion cost is proportional
 to what arrived, never to the table or to the history of prior loads.
+
+Interplay contracts:
+
+- **VACUUM never forfeits the ledger**: when a vacuum would drop the
+  last ledger-carrying manifest, the ledger rides the vacuum's
+  horizon-marker commit (``plans/versioned.py``) — including the
+  no-data-released case, where the marker fires just for the rescue.
+  Without this, the next COPY INTO would silently re-ingest every
+  already-loaded file.
+- **RESTORE does not rewind the ledger** (Delta's COPY INTO contract):
+  the backward walk finds the newest ledger in the log regardless of
+  the restored content, so files loaded after the restore point are
+  NOT re-ingested. Re-loading them after a restore is an explicit
+  decision — truncate-and-reload with a fresh table.
 """
 
 from __future__ import annotations

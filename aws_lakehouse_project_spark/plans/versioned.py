@@ -3356,6 +3356,8 @@ class VersionedTable:
             live_dv_dirs: set[str] = set()
             dead: set[str] = set()
             dead_dv_dirs: set[str] = set()
+            kept_ledger = False
+            dropped_ledger = None
             try:
                 for v in keep_vs:
                     mv = self._manifest(v)
@@ -3364,6 +3366,8 @@ class VersionedTable:
                     # part of those snapshots' read paths — as immortal
                     # as their data
                     live_dv_dirs |= set(mv.get("dvs", {}).values())
+                    if "copy_into_loaded" in mv["meta"]:
+                        kept_ledger = True
                 # Files referenced by a DROPPED manifest were claimed by
                 # a completed commit — never another writer's in-flight
                 # stage — so they are reclaimable at any age. Resolve
@@ -3372,6 +3376,10 @@ class VersionedTable:
                     mv = self._manifest(v)
                     dead |= set(mv["files"])
                     dead_dv_dirs |= set(mv.get("dvs", {}).values())
+                    # ascending walk → last assignment is the NEWEST
+                    # dropped COPY INTO ledger (plans/ingest.py)
+                    if "copy_into_loaded" in mv["meta"]:
+                        dropped_ledger = mv["meta"]["copy_into_loaded"]
             except (VacuumedVersionError, FileNotFoundError):
                 # a RACING VACUUM unlinked a manifest between our
                 # version listing and its resolution — re-list and
@@ -3384,7 +3392,21 @@ class VersionedTable:
                 continue
             dead -= live
             dead_dv_dirs -= live_dv_dirs
-            if not drop_vs or dry_run or not (dead or dead_dv_dirs):
+            # a drop that would discard the LAST COPY INTO ledger forces
+            # the marker even when no data is released: losing the
+            # ledger would make the next COPY INTO re-ingest every
+            # already-loaded file (silent duplication). The rescue
+            # terminates — the marker itself carries the ledger, so
+            # while it is retained no further rescue fires.
+            ledger_rescue = (
+                bool(drop_vs)
+                and not dry_run
+                and not kept_ledger
+                and dropped_ledger is not None
+            )
+            if not drop_vs or dry_run or (
+                not (dead or dead_dv_dirs) and not ledger_rescue
+            ):
                 # no data to reclaim → no marker: dropping manifests
                 # whose files are all still live cannot strand a racing
                 # restore (it would reference live files), and a marker
@@ -3412,16 +3434,21 @@ class VersionedTable:
                 if race_attempts >= 10:
                     raise
                 continue
+            marker_meta = {
+                "vacuum_horizon": keep_vs[0],
+                "dropped_versions": len(drop_vs),
+            }
+            if not kept_ledger and dropped_ledger is not None:
+                # carry the COPY INTO ledger forward so ingestion
+                # dedup history survives its carrying commit's drop
+                marker_meta["copy_into_loaded"] = dropped_ledger
             try:
                 marker_v = self._commit(
                     "vacuum",
                     [],
                     {},
                     hm_head["schema"],
-                    {
-                        "vacuum_horizon": keep_vs[0],
-                        "dropped_versions": len(drop_vs),
-                    },
+                    marker_meta,
                     retry_append_files=[],
                     read_m=hm_head,
                     vacuum_horizon=keep_vs[0],

@@ -110,3 +110,48 @@ def test_mixed_batch_with_one_drifting_file_fails_whole(spark, vt, tmp_path):
     with pytest.raises(ValueError, match="columns"):
         copy_into(spark, vt, str(tmp_path / "src"), "*/*.parquet")
     assert _rows(spark, vt) == [("x", 1)]  # the good file did NOT half-load
+
+
+def test_vacuum_preserves_ledger_with_data_release(spark, vt, tmp_path):
+    """Vacuum that drops the ledger-carrying commit (releasing its
+    rewritten predecessors' files) must carry the ledger onto its
+    horizon-marker commit — the next COPY INTO stays a no-op."""
+    _land(spark, str(tmp_path / "src/a"), [("x", 1), ("y", 2)])
+    copy_into(spark, vt, str(tmp_path / "src"), "*/*.parquet")
+    # CoW delete rewrites files → the copy commit's files become dead
+    vt.delete_where(spark, "k = 'x'")
+    vt.delete_where(spark, "k = 'nope'")  # no-op predicate, extra commit
+    vt.vacuum(retain_last=1, min_file_age_s=0.0, retain_recent_s=0.0)
+    assert len(loaded_files(vt)) == 1
+    out = copy_into(spark, vt, str(tmp_path / "src"), "*/*.parquet")
+    assert out["files_loaded"] == 0
+    assert _rows(spark, vt) == [("y", 2)]
+
+
+def test_vacuum_ledger_rescue_without_data_release(spark, vt, tmp_path):
+    """Even a drop that releases NO data files (append-only history,
+    every file still live at head) must not discard the last ledger —
+    the rescue marker fires just for it."""
+    _land(spark, str(tmp_path / "src/a"), [("x", 1)])
+    copy_into(spark, vt, str(tmp_path / "src"), "*/*.parquet")
+    # append-only commits: the copy commit's file stays live forever
+    vt.append(_mk(spark, [("z", 5)]))
+    vt.append(_mk(spark, [("w", 6)]))
+    rep = vt.vacuum(retain_last=1, min_file_age_s=0.0, retain_recent_s=0.0)
+    assert len(loaded_files(vt)) == 1, f"ledger lost: {rep}"
+    out = copy_into(spark, vt, str(tmp_path / "src"), "*/*.parquet")
+    assert out["files_loaded"] == 0
+    assert sorted(r[0] for r in _rows(spark, vt)) == ["w", "x", "z"]
+
+
+def test_vacuum_ledger_rescue_terminates(spark, vt, tmp_path):
+    """A second vacuum after a rescue retains the marker's ledger and
+    does NOT stack another rescue marker (no self-feeding loop)."""
+    _land(spark, str(tmp_path / "src/a"), [("x", 1)])
+    copy_into(spark, vt, str(tmp_path / "src"), "*/*.parquet")
+    vt.append(_mk(spark, [("z", 5)]))
+    vt.vacuum(retain_last=1, min_file_age_s=0.0, retain_recent_s=0.0)
+    head = vt.latest_version()
+    vt.vacuum(retain_last=1, min_file_age_s=0.0, retain_recent_s=0.0)
+    assert vt.latest_version() == head  # nothing new committed
+    assert len(loaded_files(vt)) == 1

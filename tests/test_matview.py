@@ -430,3 +430,46 @@ def test_null_sum_group_preserved_through_refresh(spark, lh):
     lh.sql("INSERT INTO base SELECT * FROM morenull")
     lh.sql("REFRESH MATERIALIZED VIEW mv")
     assert _mv_rows(lh) == _recompute(lh) == {("a", None, 3)}
+
+
+# ---------------------------------------------------------------------------
+# Interplay probes: refresh vs the rest of the transaction layer
+# ---------------------------------------------------------------------------
+
+
+def test_refresh_after_optimize_is_cheap_noop_fold(spark, lh):
+    """OPTIMIZE is feedless — a refresh spanning it advances the
+    watermark without changing MV values."""
+    _create(spark, lh, [("a", "1.00"), ("a", "2.00"), ("b", "5.00")])
+    before = _mv_rows(lh)
+    lh.sql("OPTIMIZE base")
+    r = lh.sql("REFRESH MATERIALIZED VIEW mv").first()
+    assert r["mode"] == "incremental"
+    assert _mv_rows(lh) == before
+    from aws_lakehouse_project_spark.plans.matview import definition
+
+    assert definition(lh.table("mv"))["base_version"] == lh.table(
+        "base"
+    ).latest_version()
+    # and the next refresh is a pure noop
+    assert lh.sql("REFRESH MATERIALIZED VIEW mv").first()["mode"] == "noop"
+
+
+def test_refresh_after_mor_delete_folds_dv_changes(spark, lh):
+    """A merge-on-read DELETE mutates via deletion vectors, not file
+    rewrites — the CDF still feeds the fold exactly."""
+    _create(spark, lh, [("a", "1.00"), ("a", "2.00"), ("b", "5.00")])
+    lh.sql("DELETE /*+ MERGE_ON_READ */ FROM base WHERE amt = 2.00")
+    lh.sql("REFRESH MATERIALIZED VIEW mv")
+    assert _mv_rows(lh) == _recompute(lh)
+
+
+def test_refresh_after_base_rename_fails_loudly(spark, lh):
+    """RENAME COLUMN on the base invalidates the stored definition's
+    expressions — the refresh must raise, never fold garbage."""
+    _create(spark, lh, [("a", "1.00")])
+    _mk(spark, [("a", "3.00")]).createOrReplaceTempView("r1")
+    lh.sql("INSERT INTO base SELECT * FROM r1")
+    lh.sql("ALTER TABLE base RENAME COLUMN amt TO amount")
+    with pytest.raises(Exception, match="amt|UNRESOLVED|cannot be resolved"):
+        lh.sql("REFRESH MATERIALIZED VIEW mv")
