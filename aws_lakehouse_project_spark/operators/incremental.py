@@ -71,6 +71,16 @@ def fold_changes_into_aggregate(
     join on the grouping key merges it into the MV; groups whose
     maintained row count reaches zero are retired. Keys join
     null-safely: a NULL group key is a legal aggregate group.
+
+    NULL-measure contract: a group whose sum is NULL (zero non-null
+    values) STAYS NULL while no values touch it, but a delete that
+    removes a group's LAST non-null value folds to 0 where SQL's SUM
+    would return NULL — distinguishing those needs a per-column
+    non-null count the (sum, row-count) pair doesn't carry. Callers
+    needing NULL-exact sums under such deletes should maintain the
+    hidden ``__nn__`` columns the way ``plans/matview.py`` does
+    (pg_ivm's construction); measures declared NOT NULL (every demo
+    here) are exact either way.
     """
     sign = F.when(F.col("_change_type").isin(*_ADDITIVE), 1).otherwise(-1)
     d = (

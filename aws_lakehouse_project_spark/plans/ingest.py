@@ -11,32 +11,45 @@ watermarks use), so idempotency holds across processes and fresh
 handles with no driver-side state:
 
 - Each ``copy_into`` commit stores the CUMULATIVE set of ingested
-  source files (path-keyed); the current ledger is the most recent
-  commit that carries one — one backward history walk, no scan.
+  source files (path-keyed); the current ledger is the UNION of every
+  ledger in the retained log — raw-manifest reads (meta-only, no
+  snapshot replay), one backward walk. Union, not newest-wins: ledgers
+  only grow, so the union equals the newest under single-writer
+  operation, and under races (a vacuum marker carrying a
+  snapshot-stale ledger concurrent with a fresh COPY INTO) the union
+  is the correct superset where newest-wins would silently forget
+  loads and re-ingest them.
 - A re-run diffs the source listing against the ledger and appends
   ONLY the new files, in one atomic commit; a no-op re-run commits
   nothing and reports ``files_loaded=0``.
-- Source files are read schema-enforced against the table (the
-  ``append`` contract): a drifting file fails the whole command, it
-  never half-loads.
+- Every new file's parquet FOOTER is checked against the expected
+  schema — names AND arrow types — before anything is read:
+  ``spark.read.parquet`` samples one file's schema for the whole
+  batch, so a mixed batch would otherwise coerce silently. After the
+  read, the batch's Spark schema must equal the table's exactly
+  (name + type): a drifting batch fails whole, nothing half-loads.
+- ``rows_loaded`` comes from the footers' row counts — driver-side
+  metadata; the data plane reads each new file exactly once (the
+  append itself).
 
-100 TB shape: the listing diff is driver-side metadata (file names,
-same class as the engine's other bounded file-list operations); the
-data plane reads only the NEW files — ingestion cost is proportional
-to what arrived, never to the table or to the history of prior loads.
+100 TB shape: the listing diff and footer checks are driver-side
+metadata (file names + footers, same class as the engine's other
+bounded file-list operations); the data plane reads only the NEW
+files — ingestion cost is proportional to what arrived, never to the
+table or to the history of prior loads.
 
 Interplay contracts:
 
 - **VACUUM never forfeits the ledger**: when a vacuum would drop the
-  last ledger-carrying manifest, the ledger rides the vacuum's
-  horizon-marker commit (``plans/versioned.py``) — including the
-  no-data-released case, where the marker fires just for the rescue.
-  Without this, the next COPY INTO would silently re-ingest every
-  already-loaded file.
+  last ledger-carrying manifest, the union of the dropped ledgers
+  rides the vacuum's horizon-marker commit (``plans/versioned.py``) —
+  including the no-data-released case, where the marker fires just for
+  the rescue. Without this, the next COPY INTO would silently
+  re-ingest every already-loaded file.
 - **RESTORE does not rewind the ledger** (Delta's COPY INTO contract):
-  the backward walk finds the newest ledger in the log regardless of
-  the restored content, so files loaded after the restore point are
-  NOT re-ingested. Re-loading them after a restore is an explicit
+  the walk unions every ledger in the log regardless of the restored
+  content, so files loaded after the restore point are NOT
+  re-ingested. Re-loading them after a restore is an explicit
   decision — truncate-and-reload with a fresh table.
 """
 
@@ -46,6 +59,7 @@ import glob
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
 
 from .versioned import VersionedTable
 
@@ -53,15 +67,15 @@ _META_KEY = "copy_into_loaded"
 
 
 def loaded_files(vt: VersionedTable) -> list[str]:
-    """The cumulative ingestion ledger: most recent commit meta that
-    carries one (empty for a table never COPY'd into)."""
-    if not vt.exists():
-        return []
-    for v in reversed(vt.versions()):
-        m = vt._manifest(v)["meta"]  # noqa: SLF001
-        if _META_KEY in m:
-            return list(m[_META_KEY])
-    return []
+    """The cumulative ingestion ledger: union of every ledger in the
+    retained log (meta-only raw-manifest reads; empty for a table
+    never COPY'd into)."""
+    out: set[str] = set()
+    if vt.exists():
+        for v in vt.versions():
+            m = vt._raw_manifest(v).get("meta", {})  # noqa: SLF001
+            out.update(m.get(_META_KEY, ()))
+    return sorted(out)
 
 
 def copy_into(
@@ -86,30 +100,52 @@ def copy_into(
             "files_loaded": 0,
             "rows_loaded": 0,
         }
-    # per-file footer check BEFORE reading: spark.read.parquet samples
-    # one file's schema for the whole batch, so a mixed batch (one
-    # drifting file among good ones) would otherwise coerce silently —
-    # missing columns as NULLs or an extra column dropped. Footers are
-    # driver-side metadata (same class as the listing diff).
+    # per-file footer check BEFORE reading: names AND types, against
+    # the first new file (creation) or the table's footprint via the
+    # post-read Spark-schema check below. Footers are driver-side
+    # metadata (same class as the listing diff) and also yield the
+    # exact row count for free — no counting scan.
     import pyarrow.parquet as pq
 
     if vt.exists():
-        want = {
+        want_names = {
             f["name"]
             for f in vt._manifest()["schema"]["fields"]  # noqa: SLF001
         }
     else:
-        want = set(pq.read_schema(new[0]).names)
+        want_names = set(pq.read_schema(new[0]).names)
+    first_schema = pq.read_schema(new[0])
+    n_rows = 0
     for f in new:
-        got = set(pq.read_schema(f).names)
-        if got != want:
+        sch = pq.read_schema(f)
+        if set(sch.names) != want_names:
             raise ValueError(
-                f"COPY INTO: {f!r} columns {sorted(got)} != expected "
-                f"{sorted(want)} — nothing loaded (fix or remove the "
+                f"COPY INTO: {f!r} columns {sorted(sch.names)} != expected "
+                f"{sorted(want_names)} — nothing loaded (fix or remove the "
                 "drifting file)"
             )
+        if not sch.equals(first_schema, check_metadata=False):
+            raise ValueError(
+                f"COPY INTO: {f!r} schema differs from {new[0]!r} "
+                f"({sch} vs {first_schema}) — a mixed batch would coerce "
+                "silently; nothing loaded"
+            )
+        n_rows += pq.read_metadata(f).num_rows
     df: DataFrame = spark.read.parquet(*new)
-    n_rows = df.count()
+    if vt.exists():
+        # type drift vs the TABLE (names alone can't catch it): the
+        # batch's Spark schema must match field-for-field
+        table_schema = StructType.fromJson(
+            vt._manifest()["schema"]  # noqa: SLF001
+        )
+        got = {f.name: f.dataType for f in df.schema.fields}
+        want = {f.name: f.dataType for f in table_schema.fields}
+        drift = {n: (got[n], want[n]) for n in want if got.get(n) != want[n]}
+        if drift:
+            raise ValueError(
+                f"COPY INTO: batch column types drift from the table: "
+                f"{drift} — nothing loaded"
+            )
     meta = {_META_KEY: sorted(seen | set(new))}
     if vt.exists():
         v = vt.append(df, meta=meta)

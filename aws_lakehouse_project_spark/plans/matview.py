@@ -14,16 +14,23 @@ groups).
 Contract:
 
 - The MV is itself a ``VersionedTable``; its definition and the BASE
-  VERSION WATERMARK it reflects ride each MV commit's manifest ``meta``
+  VERSION WATERMARK it reflects ride the MV's commit manifest ``meta``
   (the same channel replication watermarks use), so a fresh handle — or
-  another process — can refresh it with no driver-side state.
+  another process — can refresh it with no driver-side state. The
+  definition is found by a BACKWARD walk over raw manifests (cheap
+  meta-only reads), never just the head: maintenance commits on the MV
+  table itself (OPTIMIZE, autoCompact, a vacuum horizon marker) carry
+  their own meta and must not brick REFRESH.
 - ``REFRESH`` folds ``base.changes(watermark, head)`` — one churn-sized
   scan however many base commits landed since — nets it per group
   (map-side combine), joins the net against ONLY the touched groups of
   the stored MV (LEFT SEMI prune), and commits via ``merge_apply``:
   groups whose maintained count reaches zero are DELETED, others
   upserted. Refresh cost ∝ churn at any table size; the base is never
-  re-aggregated.
+  re-aggregated. The nets frame is cached for the duration of the
+  refresh — it feeds the NULL-key guard, the semi prune, and the merge,
+  and re-running the CDF pipeline per consumer would multiply the
+  churn scan.
 - Supported aggregates: ``SUM(<expr>) AS alias`` / ``COUNT(*) AS
   alias`` (self-maintainable: pure fold) and ``MIN/MAX(<expr>) AS
   alias`` with the BOUNDED rescan-on-retraction doctrine of
@@ -34,13 +41,22 @@ Contract:
   MIN/MAX column of the group. A hidden ``__ivm_count`` column is
   maintained when the user didn't select COUNT(*) — retire-at-zero
   needs it (pg_ivm keeps the same hidden count).
+- NULL-exact SUMs: each SUM column carries a hidden per-group
+  NON-NULL VALUE COUNT (``__nn__<alias>`` — pg_ivm's construction).
+  SQL's SUM is NULL exactly when a group has zero non-null values, and
+  a (sum, row-count) pair cannot distinguish "all values NULL" from
+  "values summing to 0" under deletes — the non-null count can: the
+  published sum is NULL iff it reaches zero. This keeps the fold
+  bit-identical to a recompute even when a delete removes a group's
+  LAST non-null value.
 - Exactness: folds are bit-identical to recomputes for decimal/integer
   measures (associative addition); double measures would drift exactly
   as they do in any engine's incremental plan — declare decimals.
-- NULL group keys are REJECTED (at create, and at refresh if one
-  appears in the delta): the churn-keyed equi-joins underneath
-  (``merge_apply``) use SQL equality, where NULL never matches, so a
-  NULL-key group would silently stop folding. Loud refusal beats a
+- NULL group keys are REJECTED — at CREATE/FULL the guard runs on the
+  aggregate BEFORE the MV commits (a poisoned-but-registered MV would
+  silently never fold that group), and at refresh if one appears in
+  the delta. The churn-keyed equi-joins underneath (``merge_apply``)
+  use SQL equality, where NULL never matches. Loud refusal beats a
   silently stale MV; the Python fold
   (``fold_changes_into_aggregate``) handles NULL keys null-safely for
   callers who need them.
@@ -53,9 +69,9 @@ Contract:
   change feed from both bases' CDFs via the bilinear rule
   (``operators/incremental.py::join_signed_delta`` — Δ(A⋈B) = ΔA⋈B₀ +
   A₀⋈ΔB + ΔA⋈ΔB, mixed terms semi-pruned to the other side's delta
-  keys) and folds it with the same SUM/COUNT machinery. MIN/MAX on a
-  join view is refused (its retraction rescan would recompute join
-  slices; declare it on a single-table view).
+  keys) and folds it through the SAME merge path as single-table
+  views. MIN/MAX on a join view is refused (its retraction rescan
+  would recompute join slices; declare it on a single-table view).
 """
 
 from __future__ import annotations
@@ -75,15 +91,25 @@ _META_KEY = "materialized_view"
 _ADDITIVE = ("insert", "update_postimage")
 
 
+def _nn(alias: str) -> str:
+    """Hidden non-null value count column for a SUM alias."""
+    return f"__nn__{alias}"
+
+
 def definition(mv: VersionedTable) -> dict:
-    """The stored MV definition (raises if the table isn't one)."""
-    d = mv._manifest()["meta"].get(_META_KEY)  # noqa: SLF001
-    if not d:
-        raise ValueError(
-            f"{mv.path}: not a materialized view (no {_META_KEY!r} "
-            "entry in the head commit's meta)"
-        )
-    return d
+    """The stored MV definition: most recent commit whose meta carries
+    one (raises if no commit does). Raw-manifest walk — meta-only, no
+    snapshot replay — because maintenance commits on the MV table
+    (OPTIMIZE / autoCompact / vacuum markers) carry their own meta."""
+    if mv.exists():
+        for v in reversed(mv.versions()):
+            d = mv._raw_manifest(v).get("meta", {}).get(_META_KEY)  # noqa: SLF001
+            if d:
+                return d
+    raise ValueError(
+        f"{mv.path}: not a materialized view (no {_META_KEY!r} entry "
+        "in any commit's meta)"
+    )
 
 
 def _null_key_guard(df: DataFrame, keys: list[str], where: str) -> None:
@@ -111,8 +137,31 @@ def _aggregate(
         *[F.sum(F.expr(e)).alias(a) for e, a in sums],
         *[F.min(F.expr(e)).alias(a) for e, a in mins],
         *[F.max(F.expr(e)).alias(a) for e, a in maxs],
+        # COUNT(expr) counts exactly the non-null values — the hidden
+        # state that makes SUM NULL-exact under deletes
+        *[F.count(F.expr(e)).cast("long").alias(_nn(a)) for e, a in sums],
         F.count(F.lit(1)).cast("long").alias(count_col),
     )
+
+
+def _build_and_guard(
+    spark: SparkSession,
+    snap: DataFrame,
+    mv: VersionedTable,
+    d: dict,
+    where: str,
+) -> int:
+    """Aggregate → NULL-key guard BEFORE the commit → write_full."""
+    agg = _aggregate(
+        snap,
+        d["group_keys"],
+        d["sums"],
+        d["count_col"],
+        d.get("mins", []),
+        d.get("maxs", []),
+    )
+    _null_key_guard(agg, d["group_keys"], where)
+    return mv.write_full(agg, meta={_META_KEY: d})
 
 
 def create_materialized_view(
@@ -131,25 +180,204 @@ def create_materialized_view(
     ``maxs`` are lists of ``[expr, alias]`` pairs (expressions evaluate
     per base row)."""
     base_v = base.latest_version()
-    agg = _aggregate(
-        base.read(spark, base_v), keys, sums, count_col, mins, maxs
-    )
-    meta = {
-        _META_KEY: {
-            "base": base_name,
-            "base_version": base_v,
-            "group_keys": list(keys),
-            "sums": [list(p) for p in sums],
-            "mins": [list(p) for p in mins],
-            "maxs": [list(p) for p in maxs],
-            "count_col": count_col,
-        }
+    d = {
+        "base": base_name,
+        "base_version": base_v,
+        "group_keys": list(keys),
+        "sums": [list(p) for p in sums],
+        "mins": [list(p) for p in mins],
+        "maxs": [list(p) for p in maxs],
+        "count_col": count_col,
     }
-    v = mv.write_full(agg, meta=meta)
-    # post-write so the check reads the (small) materialized parquet,
-    # not a second pass over the base
-    _null_key_guard(mv.read(spark, v), keys, "create")
-    return v
+    return _build_and_guard(spark, base.read(spark, base_v), mv, d, "create")
+
+
+def create_materialized_join_view(
+    spark: SparkSession,
+    a_name: str,
+    a: VersionedTable,
+    b_name: str,
+    b: VersionedTable,
+    on: list[str],
+    mv: VersionedTable,
+    keys: list[str],
+    sums: list[list[str]],
+    count_col: str = HIDDEN_COUNT,
+) -> int:
+    """Build an aggregate MV over ``a ⋈ b`` (equi-join USING ``on``)
+    and stamp the two-watermark definition into the commit meta."""
+    va, vb = a.latest_version(), b.latest_version()
+    d = {
+        "base": a_name,
+        "base_version": va,
+        "base_b": b_name,
+        "base_b_version": vb,
+        "join_on": list(on),
+        "group_keys": list(keys),
+        "sums": [list(p) for p in sums],
+        "count_col": count_col,
+    }
+    joined = a.read(spark, va).join(b.read(spark, vb), on)
+    return _build_and_guard(spark, joined, mv, d, "create")
+
+
+def _nets(
+    delta: DataFrame, keys: list[str], sums: list[list[str]], cnt: str
+) -> DataFrame:
+    """Per-group signed nets of one change feed: sum deltas, non-null
+    value-count deltas, and the row-count delta."""
+    add = F.col("_change_type").isin(*_ADDITIVE)
+    return (
+        delta.select(
+            *keys,
+            F.when(add, 1).otherwise(-1).alias("__s"),
+            *[F.expr(e).alias(a) for e, a in sums],
+        )
+        .groupBy(*keys)
+        .agg(
+            *[F.sum(F.col(a) * F.col("__s")).alias(a) for _, a in sums],
+            *[
+                F.sum(
+                    F.when(F.col(a).isNotNull(), F.col("__s")).otherwise(0)
+                )
+                .cast("long")
+                .alias(_nn(a))
+                for _, a in sums
+            ],
+            F.sum("__s").cast("long").alias(cnt),
+        )
+    )
+
+
+def _merged_sum_exprs(
+    sums: list[list[str]], mv_types: dict
+) -> tuple[list, list]:
+    """The shared signed-fold merge expressions over an m/d-aliased
+    full-outer join: NULL-exact sums (NULL iff the merged non-null
+    value count reaches zero) and the hidden nn columns themselves."""
+    sum_exprs = []
+    nn_exprs = []
+    for _, a in sums:
+        nn_new = (
+            F.coalesce(F.col(f"m.{_nn(a)}"), F.lit(0))
+            + F.coalesce(F.col(f"d.{_nn(a)}"), F.lit(0))
+        ).cast("long")
+        sum_exprs.append(
+            F.when(nn_new <= 0, F.lit(None))
+            .otherwise(
+                F.coalesce(F.col(f"m.{a}"), F.lit(0))
+                + F.coalesce(F.col(f"d.{a}"), F.lit(0))
+            )
+            .cast(mv_types[a])
+            .alias(a)
+        )
+        nn_exprs.append(nn_new.alias(_nn(a)))
+    return sum_exprs, nn_exprs
+
+
+def _merge_nets(
+    spark: SparkSession,
+    mv: VersionedTable,
+    nets: DataFrame,
+    keys: list[str],
+    sums: list[list[str]],
+    cnt: str,
+    head_meta: dict,
+    base: VersionedTable | None = None,
+    mins: list[list[str]] = (),
+    maxs: list[list[str]] = (),
+    base_head: int | None = None,
+) -> int:
+    """Fold cached per-group nets into the stored MV via merge_apply —
+    ONE implementation shared by single-table and join refreshes. With
+    ``mins``/``maxs``, retraction-triggered groups rescan ``base`` at
+    ``base_head`` (single-table views only)."""
+    mv_types = {
+        f.name: f.dataType
+        for f in StructType.fromJson(mv._manifest()["schema"]).fields  # noqa: SLF001
+    }
+    current = mv.read(spark).join(
+        nets.select(*keys).distinct(), keys, "left_semi"
+    )
+    merged = current.alias("m").join(nets.alias("d"), keys, "full_outer")
+    new_cnt = (
+        F.coalesce(F.col(f"m.{cnt}"), F.lit(0))
+        + F.coalesce(F.col(f"d.{cnt}"), F.lit(0))
+    ).cast("long")
+    sum_exprs, nn_exprs = _merged_sum_exprs(sums, mv_types)
+    if not (mins or maxs):
+        changes_df = merged.select(
+            *keys,
+            *sum_exprs,
+            *nn_exprs,
+            new_cnt.alias(cnt),
+            F.when(new_cnt > 0, F.lit("upsert"))
+            .otherwise(F.lit("delete"))
+            .alias("__op"),
+        )
+        return mv.merge_apply(
+            spark, changes_df, keys, op_col="__op", meta=head_meta
+        )
+    # MIN/MAX path: a group needs a rescan only if it SURVIVES and a
+    # deleted value ties-or-beats its maintained extremum (the bounded
+    # doctrine of fold_changes_into_minmax); dead groups delete,
+    # fold-only groups take least/greatest join-free. NULL deleted
+    # values never probe (MIN/MAX ignore NULLs).
+    probes = [
+        F.coalesce(F.col(f"d.__del__{a}") <= F.col(f"m.{a}"), F.lit(False))
+        for _, a in mins
+    ] + [
+        F.coalesce(F.col(f"d.__del__{a}") >= F.col(f"m.{a}"), F.lit(False))
+        for _, a in maxs
+    ]
+    trigger = reduce(lambda x, y: x | y, probes) & (new_cnt > 0)
+    pre = merged.select(
+        *keys,
+        *sum_exprs,
+        *nn_exprs,
+        *[
+            F.least(F.col(f"m.{a}"), F.col(f"d.__ins__{a}")).alias(a)
+            for _, a in mins
+        ],
+        *[
+            F.greatest(F.col(f"m.{a}"), F.col(f"d.__ins__{a}")).alias(a)
+            for _, a in maxs
+        ],
+        new_cnt.alias(cnt),
+        trigger.alias("__trig"),
+    ).persist()
+    try:
+        trig_keys = pre.where(F.col("__trig")).select(*keys).distinct()
+        rescan = (
+            base.read(spark, base_head)
+            .join(F.broadcast(trig_keys), keys, "left_semi")
+            .groupBy(*keys)
+            .agg(
+                *[F.min(F.expr(e)).alias(f"__rs__{a}") for e, a in mins],
+                *[F.max(F.expr(e)).alias(f"__rs__{a}") for e, a in maxs],
+            )
+        )
+        changes_df = pre.join(rescan, keys, "left").select(
+            *keys,
+            *[F.col(a) for _, a in sums],
+            *[F.col(_nn(a)) for _, a in sums],
+            *[
+                F.when(F.col("__trig"), F.col(f"__rs__{a}"))
+                .otherwise(F.col(a))
+                .cast(mv_types[a])
+                .alias(a)
+                for _, a in mins + maxs
+            ],
+            F.col(cnt),
+            F.when(F.col(cnt) > 0, F.lit("upsert"))
+            .otherwise(F.lit("delete"))
+            .alias("__op"),
+        )
+        return mv.merge_apply(
+            spark, changes_df, keys, op_col="__op", meta=head_meta
+        )
+    finally:
+        pre.unpersist()
 
 
 def refresh_materialized_view(
@@ -166,11 +394,13 @@ def refresh_materialized_view(
     mins, maxs = d.get("mins", []), d.get("maxs", [])
     head = base.latest_version()
     if full:
-        agg = _aggregate(base.read(spark, head), keys, sums, cnt, mins, maxs)
-        v = mv.write_full(
-            agg, meta={_META_KEY: {**d, "base_version": head}}
+        v = _build_and_guard(
+            spark,
+            base.read(spark, head),
+            mv,
+            {**d, "base_version": head},
+            "full refresh",
         )
-        _null_key_guard(mv.read(spark, v), keys, "full refresh")
         return v, "full"
     wm = d["base_version"]
     if head == wm:
@@ -189,9 +419,16 @@ def refresh_materialized_view(
         .groupBy(*keys)
         .agg(
             *[F.sum(F.col(a) * F.col("__s")).alias(a) for _, a in sums],
+            *[
+                F.sum(
+                    F.when(F.col(a).isNotNull(), F.col("__s")).otherwise(0)
+                )
+                .cast("long")
+                .alias(_nn(a))
+                for _, a in sums
+            ],
             # insert-side fold candidates and deleted-side retraction
-            # probes, per extremum column (NULL values never probe:
-            # MIN/MAX ignore NULLs, so removing one retracts nothing)
+            # probes, per extremum column
             *[
                 F.min(F.when(F.col("__add"), F.col(a))).alias(f"__ins__{a}")
                 for _, a in mins
@@ -210,137 +447,25 @@ def refresh_materialized_view(
             ],
             F.sum("__s").cast("long").alias(cnt),
         )
-    )
-    _null_key_guard(nets, keys, "refresh")
-    mv_types = {
-        f.name: f.dataType
-        for f in StructType.fromJson(mv._manifest()["schema"]).fields  # noqa: SLF001
-    }
-    current = mv.read(spark).join(
-        nets.select(*keys).distinct(), keys, "left_semi"
-    )
-    merged = current.alias("m").join(nets.alias("d"), keys, "full_outer")
-    new_cnt = (
-        F.coalesce(F.col(f"m.{cnt}"), F.lit(0))
-        + F.coalesce(F.col(f"d.{cnt}"), F.lit(0))
-    ).cast("long")
-    # a group needs a rescan only if it SURVIVES and a deleted value
-    # ties-or-beats its maintained extremum (the bounded doctrine of
-    # fold_changes_into_minmax); dead groups delete, fold-only groups
-    # take least/greatest against the insert candidates join-free
-    probes = [
-        F.coalesce(F.col(f"d.__del__{a}") <= F.col(f"m.{a}"), F.lit(False))
-        for _, a in mins
-    ] + [
-        F.coalesce(F.col(f"d.__del__{a}") >= F.col(f"m.{a}"), F.lit(False))
-        for _, a in maxs
-    ]
-    trigger = (
-        reduce(lambda x, y: x | y, probes) if probes else F.lit(False)
-    ) & (new_cnt > 0)
-    pre = merged.select(
-        *keys,
-        *[
-            # both sides NULL -> NULL: SQL SUM of an all-NULL group is
-            # NULL; coalesce-to-0 alone would rewrite it as 0
-            F.when(
-                F.col(f"m.{a}").isNull() & F.col(f"d.{a}").isNull(),
-                F.lit(None),
-            )
-            .otherwise(
-                F.coalesce(F.col(f"m.{a}"), F.lit(0))
-                + F.coalesce(F.col(f"d.{a}"), F.lit(0))
-            )
-            .cast(mv_types[a])
-            .alias(a)
-            for _, a in sums
-        ],
-        *[
-            F.least(F.col(f"m.{a}"), F.col(f"d.__ins__{a}")).alias(a)
-            for _, a in mins
-        ],
-        *[
-            F.greatest(F.col(f"m.{a}"), F.col(f"d.__ins__{a}")).alias(a)
-            for _, a in maxs
-        ],
-        new_cnt.alias(cnt),
-        trigger.alias("__trig"),
-    )
-    if mins or maxs:
-        trig_keys = pre.where(F.col("__trig")).select(*keys).distinct()
-        rescan = (
-            base.read(spark, head)
-            .join(F.broadcast(trig_keys), keys, "left_semi")
-            .groupBy(*keys)
-            .agg(
-                *[F.min(F.expr(e)).alias(f"__rs__{a}") for e, a in mins],
-                *[F.max(F.expr(e)).alias(f"__rs__{a}") for e, a in maxs],
-            )
+    ).persist()
+    try:
+        _null_key_guard(nets, keys, "refresh")
+        v = _merge_nets(
+            spark,
+            mv,
+            nets,
+            keys,
+            sums,
+            cnt,
+            head_meta={_META_KEY: {**d, "base_version": head}},
+            base=base,
+            mins=mins,
+            maxs=maxs,
+            base_head=head,
         )
-        pre = pre.join(rescan, keys, "left").select(
-            *keys,
-            *[F.col(a) for _, a in sums],
-            *[
-                F.when(F.col("__trig"), F.col(f"__rs__{a}"))
-                .otherwise(F.col(a))
-                .cast(mv_types[a])
-                .alias(a)
-                for _, a in mins + maxs
-            ],
-            F.col(cnt),
-            F.col("__trig"),
-        )
-    changes_df = pre.select(
-        *keys,
-        *[F.col(a) for _, a in sums],
-        *[F.col(a) for _, a in mins + maxs],
-        F.col(cnt),
-        F.when(F.col(cnt) > 0, F.lit("upsert"))
-        .otherwise(F.lit("delete"))
-        .alias("__op"),
-    )
-    v = mv.merge_apply(
-        spark,
-        changes_df,
-        keys,
-        op_col="__op",
-        meta={_META_KEY: {**d, "base_version": head}},
-    )
+    finally:
+        nets.unpersist()
     return v, "incremental"
-
-
-def create_materialized_join_view(
-    spark: SparkSession,
-    a_name: str,
-    a: VersionedTable,
-    b_name: str,
-    b: VersionedTable,
-    on: list[str],
-    mv: VersionedTable,
-    keys: list[str],
-    sums: list[list[str]],
-    count_col: str = HIDDEN_COUNT,
-) -> int:
-    """Build an aggregate MV over ``a ⋈ b`` (equi-join USING ``on``)
-    and stamp the two-watermark definition into the commit meta."""
-    va, vb = a.latest_version(), b.latest_version()
-    joined = a.read(spark, va).join(b.read(spark, vb), on)
-    agg = _aggregate(joined, keys, sums, count_col)
-    meta = {
-        _META_KEY: {
-            "base": a_name,
-            "base_version": va,
-            "base_b": b_name,
-            "base_b_version": vb,
-            "join_on": list(on),
-            "group_keys": list(keys),
-            "sums": [list(p) for p in sums],
-            "count_col": count_col,
-        }
-    }
-    v = mv.write_full(agg, meta=meta)
-    _null_key_guard(mv.read(spark, v), keys, "create")
-    return v
 
 
 def refresh_materialized_join_view(
@@ -352,8 +477,8 @@ def refresh_materialized_join_view(
 ) -> tuple[int, str]:
     """Advance a JOIN-view MV to both bases' heads: the join's own
     change feed comes from the bilinear delta rule over the two CDFs,
-    then folds exactly like a single-table refresh. Returns
-    ``(mv_version, mode)``."""
+    then folds through the SAME merge path as a single-table refresh.
+    Returns ``(mv_version, mode)``."""
     from ..operators.incremental import join_signed_delta
 
     d = definition(mv)
@@ -362,13 +487,13 @@ def refresh_materialized_join_view(
     ha, hb = a.latest_version(), b.latest_version()
     if full:
         joined = a.read(spark, ha).join(b.read(spark, hb), on)
-        v = mv.write_full(
-            _aggregate(joined, keys, sums, cnt),
-            meta={
-                _META_KEY: {**d, "base_version": ha, "base_b_version": hb}
-            },
+        v = _build_and_guard(
+            spark,
+            joined,
+            mv,
+            {**d, "base_version": ha, "base_b_version": hb},
+            "full refresh",
         )
-        _null_key_guard(mv.read(spark, v), keys, "full refresh")
         return v, "full"
     wa, wb = d["base_version"], d["base_b_version"]
     if (ha, hb) == (wa, wb):
@@ -378,57 +503,20 @@ def refresh_materialized_join_view(
     delta = join_signed_delta(
         a.read(spark, wa), da, b.read(spark, wb), db, on=on
     )
-    sign = F.when(F.col("_change_type").isin(*_ADDITIVE), 1).otherwise(-1)
-    nets = (
-        delta.select(
-            *keys, sign.alias("__s"), *[F.expr(e).alias(al) for e, al in sums]
+    nets = _nets(delta, keys, sums, cnt).persist()
+    try:
+        _null_key_guard(nets, keys, "refresh")
+        v = _merge_nets(
+            spark,
+            mv,
+            nets,
+            keys,
+            sums,
+            cnt,
+            head_meta={
+                _META_KEY: {**d, "base_version": ha, "base_b_version": hb}
+            },
         )
-        .groupBy(*keys)
-        .agg(
-            *[F.sum(F.col(al) * F.col("__s")).alias(al) for _, al in sums],
-            F.sum("__s").cast("long").alias(cnt),
-        )
-    )
-    _null_key_guard(nets, keys, "refresh")
-    mv_types = {
-        f.name: f.dataType
-        for f in StructType.fromJson(mv._manifest()["schema"]).fields  # noqa: SLF001
-    }
-    current = mv.read(spark).join(
-        nets.select(*keys).distinct(), keys, "left_semi"
-    )
-    merged = current.alias("m").join(nets.alias("d"), keys, "full_outer")
-    new_cnt = (
-        F.coalesce(F.col(f"m.{cnt}"), F.lit(0))
-        + F.coalesce(F.col(f"d.{cnt}"), F.lit(0))
-    ).cast("long")
-    changes_df = merged.select(
-        *keys,
-        *[
-            # both sides NULL -> NULL: SQL SUM of an all-NULL group is
-            # NULL; coalesce-to-0 alone would rewrite it as 0
-            F.when(
-                F.col(f"m.{al}").isNull() & F.col(f"d.{al}").isNull(),
-                F.lit(None),
-            )
-            .otherwise(
-                F.coalesce(F.col(f"m.{al}"), F.lit(0))
-                + F.coalesce(F.col(f"d.{al}"), F.lit(0))
-            )
-            .cast(mv_types[al])
-            .alias(al)
-            for _, al in sums
-        ],
-        new_cnt.alias(cnt),
-        F.when(new_cnt > 0, F.lit("upsert"))
-        .otherwise(F.lit("delete"))
-        .alias("__op"),
-    )
-    v = mv.merge_apply(
-        spark,
-        changes_df,
-        keys,
-        op_col="__op",
-        meta={_META_KEY: {**d, "base_version": ha, "base_b_version": hb}},
-    )
+    finally:
+        nets.unpersist()
     return v, "incremental"

@@ -3376,10 +3376,15 @@ class VersionedTable:
                     mv = self._manifest(v)
                     dead |= set(mv["files"])
                     dead_dv_dirs |= set(mv.get("dvs", {}).values())
-                    # ascending walk → last assignment is the NEWEST
-                    # dropped COPY INTO ledger (plans/ingest.py)
+                    # UNION of dropped COPY INTO ledgers (they only
+                    # grow, so the union is the newest under
+                    # single-writer operation and a correct superset
+                    # under races; plans/ingest.py reads by union too)
                     if "copy_into_loaded" in mv["meta"]:
-                        dropped_ledger = mv["meta"]["copy_into_loaded"]
+                        dropped_ledger = sorted(
+                            set(dropped_ledger or ())
+                            | set(mv["meta"]["copy_into_loaded"])
+                        )
             except (VacuumedVersionError, FileNotFoundError):
                 # a RACING VACUUM unlinked a manifest between our
                 # version listing and its resolution — re-list and

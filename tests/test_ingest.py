@@ -155,3 +155,32 @@ def test_vacuum_ledger_rescue_terminates(spark, vt, tmp_path):
     vt.vacuum(retain_last=1, min_file_age_s=0.0, retain_recent_s=0.0)
     assert vt.latest_version() == head  # nothing new committed
     assert len(loaded_files(vt)) == 1
+
+
+def test_ledger_is_union_across_commits(spark, vt, tmp_path):
+    """A later commit carrying a SNAPSHOT-STALE ledger (the vacuum
+    marker race shape) must not forget newer loads — the read is a
+    union over the log, not newest-wins."""
+    _land(spark, str(tmp_path / "src/a"), [("x", 1)])
+    copy_into(spark, vt, str(tmp_path / "src"), "*/*.parquet")
+    first_ledger = loaded_files(vt)
+    _land(spark, str(tmp_path / "src/b"), [("y", 2)])
+    copy_into(spark, vt, str(tmp_path / "src"), "*/*.parquet")
+    # simulate the stale-marker: a newer commit carrying only the OLD ledger
+    vt.append(_mk(spark, [("m", 9)]), meta={"copy_into_loaded": first_ledger})
+    assert len(loaded_files(vt)) == 2  # union, not newest-wins
+    out = copy_into(spark, vt, str(tmp_path / "src"), "*/*.parquet")
+    assert out["files_loaded"] == 0  # nothing re-ingested
+
+
+def test_type_drift_same_names_fails_whole(spark, vt, tmp_path):
+    """Same column names, drifted type (v int → v double): the typed
+    footer/schema checks must refuse the batch."""
+    _land(spark, str(tmp_path / "src/a"), [("x", 1)])
+    copy_into(spark, vt, str(tmp_path / "src"), "*/*.parquet")
+    spark.createDataFrame(
+        [Row(k="bad", v=1.5)], "k string, v double"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "src/b"))
+    with pytest.raises(ValueError, match="drift|differs"):
+        copy_into(spark, vt, str(tmp_path / "src"), "*/*.parquet")
+    assert _rows(spark, vt) == [("x", 1)]

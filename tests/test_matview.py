@@ -473,3 +473,33 @@ def test_refresh_after_base_rename_fails_loudly(spark, lh):
     lh.sql("ALTER TABLE base RENAME COLUMN amt TO amount")
     with pytest.raises(Exception, match="amt|UNRESOLVED|cannot be resolved"):
         lh.sql("REFRESH MATERIALIZED VIEW mv")
+
+
+def test_delete_of_last_nonnull_value_yields_null_sum(spark, lh):
+    """The case a (sum, count) pair cannot express: deleting a group's
+    last non-NULL value must publish SUM = NULL, not 0 — the hidden
+    per-column non-null count makes the fold exact."""
+    spark.createDataFrame(
+        [Row(k="a", amt=Decimal("5.00")), Row(k="a", amt=None)],
+        "k string, amt decimal(12,2)",
+    ).createOrReplaceTempView("mixed")
+    lh.sql("CREATE TABLE base AS SELECT * FROM mixed")
+    lh.sql(
+        "CREATE MATERIALIZED VIEW mv AS SELECT k, SUM(amt) AS total, "
+        "COUNT(*) AS n FROM base GROUP BY k"
+    )
+    lh.sql("DELETE FROM base WHERE amt = 5.00")
+    lh.sql("REFRESH MATERIALIZED VIEW mv")
+    assert _mv_rows(lh) == _recompute(lh) == {("a", None, 1)}
+
+
+def test_refresh_survives_maintenance_commits_on_the_mv(spark, lh):
+    """OPTIMIZE on the MV TABLE itself commits its own meta — the
+    definition walk must look past it, not brick the refresh."""
+    _create(spark, lh, [("a", "1.00"), ("b", "2.00")])
+    lh.sql("OPTIMIZE mv")
+    _mk(spark, [("a", "4.00")]).createOrReplaceTempView("m1")
+    lh.sql("INSERT INTO base SELECT * FROM m1")
+    r = lh.sql("REFRESH MATERIALIZED VIEW mv").first()
+    assert r["mode"] == "incremental"
+    assert _mv_rows(lh) == _recompute(lh)
