@@ -69,7 +69,8 @@ _GRAMMAR = """supported statements:
   MERGE INTO t USING s ON t.k=s.k [AND ...] WHEN MATCHED THEN UPDATE SET *
     WHEN NOT MATCHED THEN INSERT * | ... WHEN MATCHED THEN DELETE
   OPTIMIZE t [WHERE c BETWEEN lo AND hi] [ZORDER BY (c1, c2)] | VACUUM t [RETAIN n VERSIONS | RETAIN n HOURS] [NO RETENTION CHECK] [DRY RUN]
-  DESCRIBE HISTORY t | DESCRIBE DETAIL t | RESTORE TABLE t TO VERSION AS OF n
+  DESCRIBE HISTORY t | DESCRIBE DETAIL t | DESCRIBE MATERIALIZED VIEW mv
+  RESTORE TABLE t TO VERSION AS OF n
   ALTER TABLE t ADD CONSTRAINT name CHECK (expr) | ALTER TABLE t DROP CONSTRAINT name
   ALTER TABLE t RENAME COLUMN a TO b | ALTER TABLE t DROP COLUMN c
   SELECT ... FROM t [VERSION AS OF n | TIMESTAMP AS OF epoch] ...
@@ -329,6 +330,30 @@ class LakehouseSession:
                 maxs=maxs,
             )
             return self._row(op="create_materialized_view", version=v)
+
+        mm = re.fullmatch(
+            rf"DESCRIBE\s+MATERIALIZED\s+VIEW\s+(?P<mv>{_IDENT})",
+            s, flags=re.IGNORECASE,
+        )
+        if mm:
+            from .matview import definition
+
+            d = definition(self.table(mm.group("mv")))
+            aggs = [f"SUM({e}) AS {a}" for e, a in d["sums"]]
+            aggs += [f"MIN({e}) AS {a}" for e, a in d.get("mins", [])]
+            aggs += [f"MAX({e}) AS {a}" for e, a in d.get("maxs", [])]
+            row = {
+                "base": d["base"],
+                "base_version": d["base_version"],
+                "group_keys": ", ".join(d["group_keys"]),
+                "aggregates": "; ".join(aggs),
+                "count_col": d["count_col"],
+            }
+            if "base_b" in d:
+                row["base_b"] = d["base_b"]
+                row["base_b_version"] = d["base_b_version"]
+                row["join_on"] = ", ".join(d["join_on"])
+            return self._row(**row)
 
         mm = re.fullmatch(
             rf"COPY\s+INTO\s+(?P<t>{_IDENT})\s+FROM\s+'(?P<src>[^']+)'"

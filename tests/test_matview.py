@@ -503,3 +503,20 @@ def test_refresh_survives_maintenance_commits_on_the_mv(spark, lh):
     r = lh.sql("REFRESH MATERIALIZED VIEW mv").first()
     assert r["mode"] == "incremental"
     assert _mv_rows(lh) == _recompute(lh)
+
+
+def test_describe_materialized_view(spark, lh):
+    _create(spark, lh, [("a", "1.00")])
+    row = lh.sql("DESCRIBE MATERIALIZED VIEW mv").first()
+    assert row["base"] == "base" and row["group_keys"] == "k"
+    assert "SUM(amt) AS total" in row["aggregates"]
+    assert row["count_col"] == "n"
+    assert row["base_version"] == lh.table("base").latest_version()
+    with pytest.raises(ValueError, match="not a materialized view"):
+        lh.sql("DESCRIBE MATERIALIZED VIEW base")
+
+
+def test_describe_materialized_join_view(spark, lhj):
+    _jmv_create(spark, lhj)
+    row = lhj.sql("DESCRIBE MATERIALIZED VIEW jmv").first()
+    assert (row["base"], row["base_b"], row["join_on"]) == ("fa", "di", "k")
