@@ -2317,6 +2317,9 @@ MATERIALIZED_VIEW_ORACLE = """
            CAST(SUM(price) AS DOUBLE) AS revenue,
            CAST(MIN(price) AS DOUBLE) AS lo,
            CAST(MAX(price) AS DOUBLE) AS hi,
+           -- the engine publishes AVG as ONE double division of the
+           -- exact decimal sum by the non-null count; mirror it
+           CAST(SUM(price) AS DOUBLE) / COUNT(price) AS avg_price,
            CAST(COUNT(*) AS BIGINT) AS n_orders
     FROM fact GROUP BY dt
 """
@@ -2364,7 +2367,8 @@ def q_materialized_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     lh.sql(
         "CREATE MATERIALIZED VIEW daily_rev AS "
         "SELECT dt, SUM(price) AS revenue, MIN(price) AS lo, "
-        "MAX(price) AS hi, COUNT(*) AS n_orders FROM fact GROUP BY dt"
+        "MAX(price) AS hi, AVG(price) AS avg_price, COUNT(*) AS n_orders "
+        "FROM fact GROUP BY dt"
     )
     lh.sql("UPDATE fact SET price = price * 2 WHERE o_orderkey % 7 = 0")
     lh.sql("INSERT INTO fact SELECT * FROM orders_late")
@@ -2378,8 +2382,8 @@ def q_materialized_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise AssertionError(f"second refresh not a no-op: {r2}")
     return lh.sql(
         "SELECT dt, CAST(revenue AS DOUBLE) AS revenue, "
-        "CAST(lo AS DOUBLE) AS lo, CAST(hi AS DOUBLE) AS hi, n_orders "
-        "FROM daily_rev"
+        "CAST(lo AS DOUBLE) AS lo, CAST(hi AS DOUBLE) AS hi, "
+        "avg_price, n_orders FROM daily_rev"
     )
 
 

@@ -81,7 +81,7 @@ _GRAMMAR = """supported statements:
     manifest min/max stats + per-file bloom sidecar when present)
   CREATE BLOOMFILTER INDEX FOR COLUMNS (c1[, c2]) ON t [WITH BACKFILL]
   DROP BLOOMFILTER INDEX ON t
-  CREATE MATERIALIZED VIEW mv AS SELECT [keys,] SUM|MIN|MAX(e) AS a
+  CREATE MATERIALIZED VIEW mv AS SELECT [keys,] SUM|MIN|MAX|AVG(e) AS a
     [, ...] [, COUNT(*) AS c] FROM base [JOIN b USING (k[, ...])]
     GROUP BY keys   (mv pre-registered; definition + per-base
     watermarks ride the commit meta; MIN/MAX refresh with bounded
@@ -251,16 +251,17 @@ class LakehouseSession:
             sums: list[list[str]] = []
             mins: list[list[str]] = []
             maxs: list[list[str]] = []
+            avgs: list[list[str]] = []
             count_col = None
             selected_keys = []
             for item in _split_top(mm.group("items")):
                 im = re.fullmatch(
-                    r"(?P<f>SUM|MIN|MAX)\s*\((?P<e>.+)\)\s+AS\s+(?P<a>"
+                    r"(?P<f>SUM|MIN|MAX|AVG)\s*\((?P<e>.+)\)\s+AS\s+(?P<a>"
                     + _IDENT + ")",
                     item, flags=re.IGNORECASE | re.DOTALL,
                 )
                 if im:
-                    {"SUM": sums, "MIN": mins, "MAX": maxs}[
+                    {"SUM": sums, "MIN": mins, "MAX": maxs, "AVG": avgs}[
                         im.group("f").upper()
                     ].append([im.group("e").strip(), im.group("a")])
                     continue
@@ -316,6 +317,7 @@ class LakehouseSession:
                     keys=keys,
                     sums=sums,
                     count_col=count_col or HIDDEN_COUNT,
+                    avgs=avgs,
                 )
                 return self._row(op="create_materialized_view", version=v)
             v = create_materialized_view(
@@ -328,6 +330,7 @@ class LakehouseSession:
                 count_col=count_col or HIDDEN_COUNT,
                 mins=mins,
                 maxs=maxs,
+                avgs=avgs,
             )
             return self._row(op="create_materialized_view", version=v)
 

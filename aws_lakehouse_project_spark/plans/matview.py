@@ -96,6 +96,35 @@ def _nn(alias: str) -> str:
     return f"__nn__{alias}"
 
 
+def _avg_sum(alias: str) -> str:
+    """Hidden exact-sum column backing an AVG alias."""
+    return f"__avg_sum__{alias}"
+
+
+def _eff_sums(d: dict) -> list[list[str]]:
+    """The sums the fold actually maintains: the user's SUM columns
+    plus one hidden exact sum per AVG (its non-null count comes from
+    the same ``__nn__`` machinery — AVG divides by the non-null count,
+    not the row count)."""
+    return list(d["sums"]) + [
+        [e, _avg_sum(a)] for e, a in d.get("avgs", [])
+    ]
+
+
+def _avg_publish_exprs(avgs: list[list[str]]) -> list:
+    """Published AVG columns, derived from the hidden state with ONE
+    fixed double division (deterministic on both engines; NULL when
+    the group has zero non-null values)."""
+    return [
+        F.when(
+            F.col(_nn(_avg_sum(a))) > 0,
+            F.col(_avg_sum(a)).cast("double")
+            / F.col(_nn(_avg_sum(a))).cast("double"),
+        ).alias(a)
+        for _, a in avgs
+    ]
+
+
 def definition(mv: VersionedTable) -> dict:
     """The stored MV definition: most recent commit whose meta carries
     one (raises if no commit does). Raw-manifest walk — meta-only, no
@@ -132,16 +161,22 @@ def _aggregate(
     count_col: str,
     mins: list[list[str]] = (),
     maxs: list[list[str]] = (),
+    avgs: list[list[str]] = (),
 ) -> DataFrame:
-    return snap.groupBy(*keys).agg(
-        *[F.sum(F.expr(e)).alias(a) for e, a in sums],
+    eff = list(sums) + [[e, _avg_sum(a)] for e, a in avgs]
+    out = snap.groupBy(*keys).agg(
+        *[F.sum(F.expr(e)).alias(a) for e, a in eff],
         *[F.min(F.expr(e)).alias(a) for e, a in mins],
         *[F.max(F.expr(e)).alias(a) for e, a in maxs],
         # COUNT(expr) counts exactly the non-null values — the hidden
-        # state that makes SUM NULL-exact under deletes
-        *[F.count(F.expr(e)).cast("long").alias(_nn(a)) for e, a in sums],
+        # state that makes SUM NULL-exact under deletes (and AVG's
+        # denominator)
+        *[F.count(F.expr(e)).cast("long").alias(_nn(a)) for e, a in eff],
         F.count(F.lit(1)).cast("long").alias(count_col),
     )
+    if avgs:
+        out = out.select("*", *_avg_publish_exprs(avgs))
+    return out
 
 
 def _build_and_guard(
@@ -159,6 +194,7 @@ def _build_and_guard(
         d["count_col"],
         d.get("mins", []),
         d.get("maxs", []),
+        d.get("avgs", []),
     )
     _null_key_guard(agg, d["group_keys"], where)
     return mv.write_full(agg, meta={_META_KEY: d})
@@ -174,11 +210,12 @@ def create_materialized_view(
     count_col: str = HIDDEN_COUNT,
     mins: list[list[str]] = (),
     maxs: list[list[str]] = (),
+    avgs: list[list[str]] = (),
 ) -> int:
     """Build the MV from the base's CURRENT snapshot and stamp the
     definition + watermark into the commit meta. ``sums`` / ``mins`` /
-    ``maxs`` are lists of ``[expr, alias]`` pairs (expressions evaluate
-    per base row)."""
+    ``maxs`` / ``avgs`` are lists of ``[expr, alias]`` pairs
+    (expressions evaluate per base row)."""
     base_v = base.latest_version()
     d = {
         "base": base_name,
@@ -187,6 +224,7 @@ def create_materialized_view(
         "sums": [list(p) for p in sums],
         "mins": [list(p) for p in mins],
         "maxs": [list(p) for p in maxs],
+        "avgs": [list(p) for p in avgs],
         "count_col": count_col,
     }
     return _build_and_guard(spark, base.read(spark, base_v), mv, d, "create")
@@ -203,6 +241,7 @@ def create_materialized_join_view(
     keys: list[str],
     sums: list[list[str]],
     count_col: str = HIDDEN_COUNT,
+    avgs: list[list[str]] = (),
 ) -> int:
     """Build an aggregate MV over ``a ⋈ b`` (equi-join USING ``on``)
     and stamp the two-watermark definition into the commit meta."""
@@ -215,6 +254,7 @@ def create_materialized_join_view(
         "join_on": list(on),
         "group_keys": list(keys),
         "sums": [list(p) for p in sums],
+        "avgs": [list(p) for p in avgs],
         "count_col": count_col,
     }
     joined = a.read(spark, va).join(b.read(spark, vb), on)
@@ -287,6 +327,7 @@ def _merge_nets(
     mins: list[list[str]] = (),
     maxs: list[list[str]] = (),
     base_head: int | None = None,
+    avgs: list[list[str]] = (),
 ) -> int:
     """Fold cached per-group nets into the stored MV via merge_apply —
     ONE implementation shared by single-table and join refreshes. With
@@ -315,6 +356,8 @@ def _merge_nets(
             .otherwise(F.lit("delete"))
             .alias("__op"),
         )
+        if avgs:
+            changes_df = changes_df.select("*", *_avg_publish_exprs(avgs))
         return mv.merge_apply(
             spark, changes_df, keys, op_col="__op", meta=head_meta
         )
@@ -373,6 +416,8 @@ def _merge_nets(
             .otherwise(F.lit("delete"))
             .alias("__op"),
         )
+        if avgs:
+            changes_df = changes_df.select("*", *_avg_publish_exprs(avgs))
         return mv.merge_apply(
             spark, changes_df, keys, op_col="__op", meta=head_meta
         )
@@ -390,7 +435,9 @@ def refresh_materialized_view(
     mode)`` where mode is ``noop`` (watermark already at head),
     ``incremental`` (CDF fold), or ``full`` (rebuild requested)."""
     d = definition(mv)
-    keys, sums, cnt = d["group_keys"], d["sums"], d["count_col"]
+    keys, cnt = d["group_keys"], d["count_col"]
+    sums = _eff_sums(d)
+    avgs = d.get("avgs", [])
     mins, maxs = d.get("mins", []), d.get("maxs", [])
     head = base.latest_version()
     if full:
@@ -462,6 +509,7 @@ def refresh_materialized_view(
             mins=mins,
             maxs=maxs,
             base_head=head,
+            avgs=avgs,
         )
     finally:
         nets.unpersist()
@@ -482,7 +530,9 @@ def refresh_materialized_join_view(
     from ..operators.incremental import join_signed_delta
 
     d = definition(mv)
-    keys, sums, cnt = d["group_keys"], d["sums"], d["count_col"]
+    keys, cnt = d["group_keys"], d["count_col"]
+    sums = _eff_sums(d)
+    avgs = d.get("avgs", [])
     on = d["join_on"]
     ha, hb = a.latest_version(), b.latest_version()
     if full:
@@ -516,6 +566,7 @@ def refresh_materialized_join_view(
             head_meta={
                 _META_KEY: {**d, "base_version": ha, "base_b_version": hb}
             },
+            avgs=avgs,
         )
     finally:
         nets.unpersist()

@@ -520,3 +520,65 @@ def test_describe_materialized_join_view(spark, lhj):
     _jmv_create(spark, lhj)
     row = lhj.sql("DESCRIBE MATERIALIZED VIEW jmv").first()
     assert (row["base"], row["base_b"], row["join_on"]) == ("fa", "di", "k")
+
+
+def test_avg_maintained_through_refresh(spark, lh):
+    """AVG = hidden exact sum / hidden non-null count; deletes, NULL
+    values, and the divide-by-non-null-count semantics all fold."""
+    spark.createDataFrame(
+        [
+            Row(k="a", amt=Decimal("2.00")),
+            Row(k="a", amt=Decimal("4.00")),
+            Row(k="a", amt=None),  # AVG ignores NULLs: divisor is 2
+            Row(k="b", amt=Decimal("10.00")),
+        ],
+        "k string, amt decimal(12,2)",
+    ).createOrReplaceTempView("avgsrc")
+    lh.sql("CREATE TABLE base AS SELECT * FROM avgsrc")
+    lh.sql(
+        "CREATE MATERIALIZED VIEW mv AS SELECT k, AVG(amt) AS mean, "
+        "COUNT(*) AS n FROM base GROUP BY k"
+    )
+    got = {
+        (r["k"], r["mean"], r["n"])
+        for r in lh.sql("SELECT k, mean, n FROM mv").collect()
+    }
+    assert got == {("a", 3.0, 3), ("b", 10.0, 1)}
+    # delete one of a's values and the last non-null makes mean exact
+    lh.sql("DELETE FROM base WHERE amt = 2.00")
+    lh.sql("REFRESH MATERIALIZED VIEW mv")
+    got = {
+        (r["k"], r["mean"], r["n"])
+        for r in lh.sql("SELECT k, mean, n FROM mv").collect()
+    }
+    assert got == {("a", 4.0, 2), ("b", 10.0, 1)}
+    lh.sql("DELETE FROM base WHERE amt = 4.00")
+    lh.sql("REFRESH MATERIALIZED VIEW mv")
+    got = {
+        (r["k"], r["mean"], r["n"])
+        for r in lh.sql("SELECT k, mean, n FROM mv").collect()
+    }
+    assert got == {("a", None, 1), ("b", 10.0, 1)}  # zero non-nulls → NULL
+
+
+def test_avg_on_join_view(spark, lhj):
+    _jmv_create(spark, lhj)
+    lhj.create("jmv2", lhj.table("jmv").path + "2")
+    lhj.sql(
+        "CREATE MATERIALIZED VIEW jmv2 AS SELECT seg, AVG(amt) AS mean "
+        "FROM fa JOIN di USING (k) GROUP BY seg"
+    )
+    lhj.sql("UPDATE fa SET amt = amt * 3 WHERE k = 'a'")
+    lhj.sql("REFRESH MATERIALIZED VIEW jmv2")
+    got = {
+        (r["seg"], r["mean"])
+        for r in lhj.sql("SELECT seg, mean FROM jmv2").collect()
+    }
+    want = {
+        (r["seg"], r["mean"])
+        for r in lhj.sql(
+            "SELECT seg, CAST(SUM(amt) AS DOUBLE) / COUNT(amt) AS mean "
+            "FROM fa JOIN di ON fa.k = di.k GROUP BY seg"
+        ).collect()
+    }
+    assert got == want
