@@ -665,6 +665,7 @@ vacuum_ops = st.lists(
         st.tuples(st.just("vacuum"), st.integers(1, 3)),
         st.tuples(st.just("restore"), st.integers(0, 9)),
         st.tuples(st.just("optimize"), st.integers(2, 50)),
+        st.tuples(st.just("copy"), st.integers(0, 9)),
     ),
     min_size=2,
     max_size=7,
@@ -678,16 +679,27 @@ def test_vacuum_model_invariants(spark, ops, tmp_path_factory):
     vacuum, (1) every RETAINED version's content is exactly what the
     Python model holds for it, (2) every retained manifest resolves to
     files on disk, (3) every DROPPED version raises
-    VacuumedVersionError — regardless of how appends, overwrites, CoW
-    deletes, and vacuums interleave."""
+    VacuumedVersionError, and (4) the COPY INTO ledger equals the
+    model's loaded-file set at every step — vacuum must rescue it when
+    the last carrier drops, restore must not rewind it, and a re-run
+    copy must never re-ingest — regardless of how appends, overwrites,
+    CoW deletes, copies, restores, and vacuums interleave."""
     import os
 
+    from aws_lakehouse_project_spark.plans.ingest import (
+        copy_into,
+        loaded_files,
+    )
     from aws_lakehouse_project_spark.plans.versioned import (
         VacuumedVersionError,
         VersionedTable,
     )
 
-    path = str(tmp_path_factory.mktemp("vacprop") / "t")
+    base_dir = tmp_path_factory.mktemp("vacprop")
+    path = str(base_dir / "t")
+    landing = str(base_dir / "landing")
+    ledger_model: set[str] = set()
+    wave = [0]
     vt = VersionedTable(path, stats_cols=["k"])
     vt.write_full(
         spark.createDataFrame([(100 + i, "seed") for i in range(4)],
@@ -726,6 +738,24 @@ def test_vacuum_model_invariants(spark, ops, tmp_path_factory):
             v = vt.optimize(spark, target_rows_per_file=p)
             if v != before:  # no-op optimize commits nothing
                 snapshots[v] = list(current)  # layout-only: same content
+        elif kind == "copy":
+            import glob as _glob
+
+            df, rows = _df(p)
+            wdir = os.path.join(landing, f"wave{wave[0]}")
+            wave[0] += 1
+            df.write.mode("overwrite").parquet(wdir)
+            new_files = set(_glob.glob(os.path.join(wdir, "*.parquet")))
+            out = copy_into(spark, vt, landing, "wave*/*.parquet")
+            assert out["files_loaded"] == len(new_files - ledger_model)
+            ledger_model |= new_files
+            if out["files_loaded"]:
+                current = sorted(current + rows)
+                snapshots[out["version"]] = list(current)
+            # exactly-once: an immediate re-run ingests nothing
+            rerun = copy_into(spark, vt, landing, "wave*/*.parquet")
+            assert rerun["files_loaded"] == 0
+            assert set(loaded_files(vt)) == ledger_model
         elif kind == "restore":
             all_vs = sorted(snapshots)
             target = all_vs[p % len(all_vs)]
@@ -757,10 +787,14 @@ def test_vacuum_model_invariants(spark, ops, tmp_path_factory):
             for u in sorted(dropped):
                 with pytest.raises(VacuumedVersionError):
                     vt.read(spark, u)
+        # ledger invariant after EVERY op: vacuum rescues it, restore
+        # doesn't rewind it, copies grow it
+        assert set(loaded_files(vt)) == ledger_model, (kind, ops)
     # terminal audit on a FRESH instance (cold cache)
     fresh = VersionedTable(path)
     got = sorted(tuple(r) for r in fresh.read(spark).collect())
     assert got == sorted(current)
+    assert set(loaded_files(fresh)) == ledger_model
 
 
 subdocs_strategy = st.lists(
