@@ -290,6 +290,20 @@ class LakehouseSession:
                     f"selected columns {selected_keys} must be exactly "
                     f"the GROUP BY keys {keys}\n{_GRAMMAR}"
                 )
+            out_names = (
+                keys
+                + [a for _, a in sums + mins + maxs + avgs]
+                + ([count_col] if count_col else [])
+            )
+            dupes = sorted(
+                {n for n in out_names if out_names.count(n) > 1}
+            )
+            if dupes:
+                raise ValueError(
+                    f"materialized view output names collide: {dupes} — "
+                    f"every key and aggregate alias must be distinct"
+                    f"\n{_GRAMMAR}"
+                )
             if mm.group("b2"):
                 if mins or maxs:
                     raise ValueError(

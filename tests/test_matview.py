@@ -180,7 +180,7 @@ def test_parse_rejections(spark, lh):
     with pytest.raises(ValueError, match="items must be"):
         lh.sql(
             "CREATE MATERIALIZED VIEW mv AS "
-            "SELECT k, AVG(amt) AS a FROM base GROUP BY k"
+            "SELECT k, MEDIAN(amt) AS a FROM base GROUP BY k"
         )
     with pytest.raises(ValueError, match="plain columns"):
         lh.sql(
@@ -582,3 +582,18 @@ def test_avg_on_join_view(spark, lhj):
         ).collect()
     }
     assert got == want
+
+
+def test_duplicate_output_aliases_rejected(spark, lh):
+    _mk(spark, [("a", "1.00")]).createOrReplaceTempView("s2")
+    lh.sql("CREATE TABLE base AS SELECT * FROM s2")
+    with pytest.raises(ValueError, match="collide"):
+        lh.sql(
+            "CREATE MATERIALIZED VIEW mv AS SELECT k, SUM(amt) AS t, "
+            "MIN(amt) AS t FROM base GROUP BY k"
+        )
+    with pytest.raises(ValueError, match="collide"):
+        lh.sql(
+            "CREATE MATERIALIZED VIEW mv AS SELECT k, SUM(amt) AS k "
+            "FROM base GROUP BY k"
+        )
