@@ -359,6 +359,7 @@ class LakehouseSession:
             aggs = [f"SUM({e}) AS {a}" for e, a in d["sums"]]
             aggs += [f"MIN({e}) AS {a}" for e, a in d.get("mins", [])]
             aggs += [f"MAX({e}) AS {a}" for e, a in d.get("maxs", [])]
+            aggs += [f"AVG({e}) AS {a}" for e, a in d.get("avgs", [])]
             row = {
                 "base": d["base"],
                 "base_version": d["base_version"],
