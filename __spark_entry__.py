@@ -42,8 +42,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # q_dedup_substring_rewrite, q_quantile_rollup, q_pq_adc_topk,
 # q_vacuum_restore, q_incremental_mv_var, q_optimize_where,
 # q_incremental_mv_join, q_incremental_mv_distinct, q_scd2_from_cdf,
-# q_materialized_view, q_materialized_view_join, q_copy_into; plus
-# anything newer), then the
+# q_materialized_view, q_materialized_view_join,
+# q_materialized_view_stream, q_copy_into; plus anything newer), then
+# the
 # r7-stale rows that did NOT fit
 # here: q_embedding_quantize, q_explode_pos, q_fact_daily,
 # q_first_last, q_funnel, q_grouped_ols, q_mixture,

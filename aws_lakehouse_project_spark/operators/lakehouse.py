@@ -2526,3 +2526,91 @@ def q_materialized_view_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT nation, CAST(revenue AS DOUBLE) AS revenue, n_lines "
         "FROM nation_rev"
     )
+
+
+MATERIALIZED_VIEW_STREAM_ORACLE = """
+    WITH fact AS (
+      SELECT CAST(o_orderdate AS DATE) AS dt,
+             CAST(CASE WHEN o_orderkey % 7 = 0 AND o_orderkey % 10 <> 0
+                  THEN CAST(o_totalprice AS DECIMAL(12,2)) * 2
+                  ELSE CAST(o_totalprice AS DECIMAL(12,2)) END
+                  AS DECIMAL(12,2)) AS price
+      FROM orders WHERE o_custkey % 5 <> 0
+    )
+    SELECT dt,
+           CAST(SUM(price) AS DOUBLE) AS revenue,
+           CAST(SUM(price) AS DOUBLE) / COUNT(price) AS avg_price,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM fact GROUP BY dt
+"""
+
+
+@demo_query(
+    "q_materialized_view_stream", oracle=MATERIALIZED_VIEW_STREAM_ORACLE
+)
+def q_materialized_view_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS refresh of a declarative MV (DLT's continuous mode,
+    ``plans/matview.py::stream_refresh_materialized_view``): the same
+    UPDATE+INSERT+DELETE scenario as q_materialized_view, but the MV
+    advances by DRAINING the base's change-feed stream — every
+    micro-batch folds through the same merge path as batch REFRESH,
+    and each fold commit advances the version watermark to what it
+    folded. Guards assert (1) several micro-batches actually folded
+    (maxFilesPerTrigger=1), (2) a SECOND streaming run with a FRESH
+    checkpoint — which replays the whole feed — folds NOTHING (the
+    watermark filter is the double-fold proof), and (3) a subsequent
+    batch REFRESH is a noop (streaming left the watermark at head).
+    Oracle = full recompute of the final state."""
+    from ..plans.lakehouse_sql import LakehouseSession
+    from ..plans.matview import stream_refresh_materialized_view
+
+    work = scratch_dir("spark_graft_mvstream", unique=True)
+    lh = LakehouseSession(spark)
+    lh.create(
+        "fact", os.path.join(work, "fact"), stats_cols=["dt"],
+        change_feed=True,
+    )
+    lh.create("daily_rev", os.path.join(work, "mv"))
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("cust_id"),
+        F.col("o_orderdate").cast("date").alias("dt"),
+        money("o_totalprice").alias("price"),
+    )
+    base.filter(F.col("o_orderkey") % 10 != 0).createOrReplaceTempView(
+        "orders_v0s"
+    )
+    base.filter(F.col("o_orderkey") % 10 == 0).createOrReplaceTempView(
+        "orders_lates"
+    )
+    lh.sql("CREATE TABLE fact AS SELECT * FROM orders_v0s")
+    lh.sql(
+        "CREATE MATERIALIZED VIEW daily_rev AS "
+        "SELECT dt, SUM(price) AS revenue, AVG(price) AS avg_price, "
+        "COUNT(*) AS n_orders FROM fact GROUP BY dt"
+    )
+    lh.sql("UPDATE fact SET price = price * 2 WHERE o_orderkey % 7 = 0")
+    lh.sql("INSERT INTO fact SELECT * FROM orders_lates")
+    lh.sql("DELETE FROM fact WHERE cust_id % 5 = 0")
+
+    mv, fact = lh.table("daily_rev"), lh.table("fact")
+    n1 = stream_refresh_materialized_view(
+        spark, mv, fact, os.path.join(work, "ckpt1"),
+        max_files_per_trigger=1,
+    )
+    if n1 < 2:
+        raise AssertionError(f"expected several folded batches, got {n1}")
+    n2 = stream_refresh_materialized_view(
+        spark, mv, fact, os.path.join(work, "ckpt2"),  # FRESH checkpoint
+        max_files_per_trigger=1,
+    )
+    if n2 != 0:
+        raise AssertionError(f"fresh-checkpoint replay double-folded: {n2}")
+    r = lh.sql("REFRESH MATERIALIZED VIEW daily_rev").first()
+    if r["mode"] != "noop":
+        raise AssertionError(f"batch refresh after streaming not noop: {r}")
+    return lh.sql(
+        "SELECT dt, CAST(revenue AS DOUBLE) AS revenue, avg_price, "
+        "n_orders FROM daily_rev"
+    )

@@ -571,3 +571,96 @@ def refresh_materialized_join_view(
     finally:
         nets.unpersist()
     return v, "incremental"
+
+
+def stream_refresh_materialized_view(
+    spark: SparkSession,
+    mv: VersionedTable,
+    base: VersionedTable,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+    timeout_s: float = 300.0,
+) -> int:
+    """CONTINUOUS refresh (Delta Live Tables' mode): drain the base's
+    materialized change feed (``stream_changes`` — exactly-once per
+    feed file) with ``availableNow`` and fold every micro-batch into
+    the MV through the SAME ``_merge_nets`` path as batch REFRESH.
+    Returns the number of micro-batches that folded.
+
+    Composes with batch REFRESH in both directions because each fold
+    commit ADVANCES the stored ``base_version`` watermark to the
+    highest ``_commit_version`` it folded: a later batch REFRESH folds
+    only what streaming hasn't, and a later streaming run — even with
+    a FRESH checkpoint, which replays the whole feed — drops every row
+    at or below the watermark before folding (double-fold proof). Within
+    a run, ``foreachBatch`` is at-least-once: a retried batch re-arrives
+    under the same monotone ``batch_id``, and the last folded id rides
+    the MV commit meta, so a retry of an already-committed batch is a
+    no-op (the q_stream_mv idempotency doctrine, here enforced through
+    the MV's own log instead of driver state).
+
+    Restrictions: single-table SUM/COUNT/AVG views only — MIN/MAX needs
+    the bounded base rescan (batch REFRESH gives it); JOIN views need
+    both feeds (batch REFRESH handles the bilinear rule).
+    """
+    d0 = definition(mv)
+    if "base_b" in d0:
+        raise ValueError(
+            "streaming refresh of a JOIN view is not supported — the "
+            "bilinear rule needs both bases' feeds; use batch REFRESH"
+        )
+    if d0.get("mins") or d0.get("maxs"):
+        raise ValueError(
+            "streaming refresh with MIN/MAX is not supported — "
+            "retraction rescans need a base snapshot; use batch REFRESH"
+        )
+    keys, cnt = d0["group_keys"], d0["count_col"]
+    sums, avgs = _eff_sums(d0), d0.get("avgs", [])
+    folded = [0]
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        d = definition(mv)  # re-read: prior batches advanced it
+        if batch_id <= d.get("stream_batch_id", -1):
+            return  # within-run retry of an already-committed batch
+        live = batch.where(F.col("_commit_version") > d["base_version"])
+        hi = live.agg(F.max("_commit_version")).first()[0]
+        if hi is None:
+            return  # pure replay below the watermark: nothing to fold
+        nets = _nets(live, keys, sums, cnt).persist()
+        try:
+            _null_key_guard(nets, keys, "stream refresh")
+            _merge_nets(
+                spark,
+                mv,
+                nets,
+                keys,
+                sums,
+                cnt,
+                head_meta={
+                    _META_KEY: {
+                        **d,
+                        "base_version": max(d["base_version"], int(hi)),
+                        "stream_batch_id": batch_id,
+                    }
+                },
+                avgs=avgs,
+            )
+        finally:
+            nets.unpersist()
+        folded[0] += 1
+
+    reader = base.stream_changes(
+        spark, max_files_per_trigger=max_files_per_trigger
+    )
+    q = (
+        reader.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"streaming refresh did not drain within {timeout_s}s"
+        )
+    return folded[0]

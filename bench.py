@@ -193,6 +193,8 @@ EXTRA = [
     "q_copy_into",
     # round-11 continuation 3: JOIN-view MV through the SQL surface
     "q_materialized_view_join",
+    # round-11 continuation 3: continuous (streaming) MV refresh
+    "q_materialized_view_stream",
 ]
 
 

@@ -597,3 +597,60 @@ def test_duplicate_output_aliases_rejected(spark, lh):
             "CREATE MATERIALIZED VIEW mv AS SELECT k, SUM(amt) AS k "
             "FROM base GROUP BY k"
         )
+
+
+# ---------------------------------------------------------------------------
+# Streaming (continuous) refresh
+# ---------------------------------------------------------------------------
+
+from aws_lakehouse_project_spark.plans.matview import (  # noqa: E402
+    stream_refresh_materialized_view,
+)
+
+
+@pytest.fixture()
+def lhs(spark, tmp_path):
+    s = LakehouseSession(spark)
+    s.create("base", str(tmp_path / "base"), change_feed=True)
+    s.create("mv", str(tmp_path / "mv"))
+    return s
+
+
+def test_stream_refresh_equals_recompute_and_composes(spark, lhs, tmp_path):
+    _create(spark, lhs, [("a", "1.00"), ("a", "2.00"), ("b", "5.00")])
+    lhs.sql("UPDATE base SET amt = amt * 2 WHERE k = 'a'")
+    lhs.sql("DELETE FROM base WHERE k = 'b'")
+    n = stream_refresh_materialized_view(
+        spark, lhs.table("mv"), lhs.table("base"), str(tmp_path / "c1")
+    )
+    assert n >= 1
+    assert _mv_rows(lhs) == _recompute(lhs)
+    # fresh checkpoint replays the WHOLE feed: nothing may double-fold
+    n2 = stream_refresh_materialized_view(
+        spark, lhs.table("mv"), lhs.table("base"), str(tmp_path / "c2")
+    )
+    assert n2 == 0 and _mv_rows(lhs) == _recompute(lhs)
+    # batch refresh after streaming: watermark already at head
+    assert lhs.sql("REFRESH MATERIALIZED VIEW mv").first()["mode"] == "noop"
+    # and batch → streaming also composes
+    _mk(spark, [("z", "7.00")]).createOrReplaceTempView("zrow")
+    lhs.sql("INSERT INTO base SELECT * FROM zrow")
+    lhs.sql("REFRESH MATERIALIZED VIEW mv")
+    n3 = stream_refresh_materialized_view(
+        spark, lhs.table("mv"), lhs.table("base"), str(tmp_path / "c3")
+    )
+    assert n3 == 0  # batch already folded it; replay is below watermark
+    assert _mv_rows(lhs) == _recompute(lhs)
+
+
+def test_stream_refresh_refuses_minmax_and_join_views(spark, lhs, tmp_path):
+    _mk(spark, [("a", "1.00")]).createOrReplaceTempView("s3")
+    lhs.sql("CREATE TABLE base AS SELECT * FROM s3")
+    lhs.sql(
+        "CREATE MATERIALIZED VIEW mv AS SELECT k, MIN(amt) AS lo "
+        "FROM base GROUP BY k"
+    )
+    with pytest.raises(ValueError, match="MIN/MAX"):
+        stream_refresh_materialized_view(
+            spark, lhs.table("mv"), lhs.table("base"), str(tmp_path / "c")
+        )
