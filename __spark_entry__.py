@@ -43,8 +43,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # q_vacuum_restore, q_incremental_mv_var, q_optimize_where,
 # q_incremental_mv_join, q_incremental_mv_distinct, q_scd2_from_cdf,
 # q_materialized_view, q_materialized_view_join,
-# q_materialized_view_stream, q_copy_into; plus anything newer), then
-# the
+# q_materialized_view_stream, q_materialized_view_cascade,
+# q_copy_into; plus anything newer), then the
 # r7-stale rows that did NOT fit
 # here: q_embedding_quantize, q_explode_pos, q_fact_daily,
 # q_first_last, q_funnel, q_grouped_ols, q_mixture,

@@ -2614,3 +2614,91 @@ def q_materialized_view_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT dt, CAST(revenue AS DOUBLE) AS revenue, avg_price, "
         "n_orders FROM daily_rev"
     )
+
+
+MATERIALIZED_VIEW_CASCADE_ORACLE = """
+    WITH fact AS (
+      SELECT DATE_TRUNC('month', CAST(o_orderdate AS DATE)) AS month,
+             CAST(o_orderdate AS DATE) AS dt,
+             CAST(CASE WHEN o_orderkey % 7 = 0 AND o_orderkey % 10 <> 0
+                  THEN CAST(o_totalprice AS DECIMAL(12,2)) * 2
+                  ELSE CAST(o_totalprice AS DECIMAL(12,2)) END
+                  AS DECIMAL(12,2)) AS price
+      FROM orders WHERE o_custkey % 5 <> 0
+    )
+    SELECT CAST(month AS DATE) AS month,
+           CAST(SUM(price) AS DOUBLE) AS revenue,
+           CAST(COUNT(DISTINCT dt) AS BIGINT) AS n_days,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM fact GROUP BY month
+"""
+
+
+@demo_query(
+    "q_materialized_view_cascade", oracle=MATERIALIZED_VIEW_CASCADE_ORACLE
+)
+def q_materialized_view_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASCADING materialized views — MVs compose through the change
+    feed with ZERO extra machinery: an MV is itself a versioned table,
+    so creating the daily MV with ``change_feed=True`` makes its
+    REFRESH commits (merge_apply) materialize their own CDF, and a
+    MONTHLY rollup MV declared ON TOP of the daily MV refreshes from
+    that feed — the monthly fold reads only the daily MV's churn,
+    never the base fact, never the whole daily MV. The base takes the
+    usual UPDATE+INSERT+DELETE; one refresh per tier propagates the
+    change end-to-end. Guards assert both refreshes were incremental
+    and that the DAILY refresh landed before the monthly one read its
+    feed (tier ordering is the operator's contract, as in any DAG of
+    MVs). Oracle = full recompute of the monthly rollup from the final
+    base state. The monthly n_orders comes from SUM(daily n_orders) —
+    folds compose — and n_days counts the daily MV's live groups per
+    month (COUNT(*) over tier-1 rows ≡ COUNT(DISTINCT dt) over the
+    base)."""
+    from ..plans.lakehouse_sql import LakehouseSession
+
+    work = scratch_dir("spark_graft_mvcascade", unique=True)
+    lh = LakehouseSession(spark)
+    lh.create("fact", os.path.join(work, "fact"), stats_cols=["dt"])
+    lh.create(
+        "daily_rev", os.path.join(work, "mv1"), stats_cols=["dt"],
+        change_feed=True,
+    )
+    lh.create("monthly_rev", os.path.join(work, "mv2"))
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("cust_id"),
+        F.trunc(F.col("o_orderdate").cast("date"), "month").alias("month"),
+        F.col("o_orderdate").cast("date").alias("dt"),
+        money("o_totalprice").alias("price"),
+    )
+    base.filter(F.col("o_orderkey") % 10 != 0).createOrReplaceTempView(
+        "cas_v0"
+    )
+    base.filter(F.col("o_orderkey") % 10 == 0).createOrReplaceTempView(
+        "cas_late"
+    )
+    lh.sql("CREATE TABLE fact AS SELECT * FROM cas_v0")
+    lh.sql(
+        "CREATE MATERIALIZED VIEW daily_rev AS "
+        "SELECT month, dt, SUM(price) AS revenue, COUNT(*) AS n_orders "
+        "FROM fact GROUP BY month, dt"
+    )
+    lh.sql(
+        "CREATE MATERIALIZED VIEW monthly_rev AS "
+        "SELECT month, SUM(revenue) AS revenue, "
+        "SUM(n_orders) AS n_orders, COUNT(*) AS n_days "
+        "FROM daily_rev GROUP BY month"
+    )
+    lh.sql("UPDATE fact SET price = price * 2 WHERE o_orderkey % 7 = 0")
+    lh.sql("INSERT INTO fact SELECT * FROM cas_late")
+    lh.sql("DELETE FROM fact WHERE cust_id % 5 = 0")
+
+    r1 = lh.sql("REFRESH MATERIALIZED VIEW daily_rev").first()
+    r2 = lh.sql("REFRESH MATERIALIZED VIEW monthly_rev").first()
+    if (r1["mode"], r2["mode"]) != ("incremental", "incremental"):
+        raise AssertionError(f"cascade not incremental: {r1}, {r2}")
+    return lh.sql(
+        "SELECT month, CAST(revenue AS DOUBLE) AS revenue, n_days, "
+        "n_orders FROM monthly_rev"
+    )

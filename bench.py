@@ -195,6 +195,8 @@ EXTRA = [
     "q_materialized_view_join",
     # round-11 continuation 3: continuous (streaming) MV refresh
     "q_materialized_view_stream",
+    # round-11 continuation 3: cascading MVs (tier-2 folds tier-1's CDF)
+    "q_materialized_view_cascade",
 ]
 
 

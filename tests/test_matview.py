@@ -654,3 +654,42 @@ def test_stream_refresh_refuses_minmax_and_join_views(spark, lhs, tmp_path):
         stream_refresh_materialized_view(
             spark, lhs.table("mv"), lhs.table("base"), str(tmp_path / "c")
         )
+
+
+def test_cascade_day_retirement_propagates(spark, tmp_path):
+    """Deleting a whole day from the base retires its tier-1 (daily)
+    row; that retirement is a DELETE in the daily MV's change feed, so
+    the tier-2 (monthly) fold decrements n_days — composition carries
+    group birth/death across tiers."""
+    lh = LakehouseSession(spark)
+    lh.create("fact", str(tmp_path / "f"))
+    lh.create("d", str(tmp_path / "d"), change_feed=True)
+    lh.create("m", str(tmp_path / "m"))
+    spark.createDataFrame(
+        [
+            Row(mo="2024-01", day="2024-01-05", amt=Decimal("1.00")),
+            Row(mo="2024-01", day="2024-01-06", amt=Decimal("2.00")),
+            Row(mo="2024-02", day="2024-02-01", amt=Decimal("4.00")),
+        ],
+        "mo string, day string, amt decimal(12,2)",
+    ).createOrReplaceTempView("cf")
+    lh.sql("CREATE TABLE fact AS SELECT * FROM cf")
+    lh.sql(
+        "CREATE MATERIALIZED VIEW d AS SELECT mo, day, SUM(amt) AS rev, "
+        "COUNT(*) AS n FROM fact GROUP BY mo, day"
+    )
+    lh.sql(
+        "CREATE MATERIALIZED VIEW m AS SELECT mo, SUM(rev) AS rev, "
+        "COUNT(*) AS n_days FROM d GROUP BY mo"
+    )
+    lh.sql("DELETE FROM fact WHERE day = '2024-01-05'")
+    assert lh.sql("REFRESH MATERIALIZED VIEW d").first()["mode"] == "incremental"
+    assert lh.sql("REFRESH MATERIALIZED VIEW m").first()["mode"] == "incremental"
+    got = {
+        (r["mo"], r["rev"], r["n_days"])
+        for r in lh.sql("SELECT mo, rev, n_days FROM m").collect()
+    }
+    assert got == {
+        ("2024-01", Decimal("2.00"), 1),
+        ("2024-02", Decimal("4.00"), 1),
+    }
