@@ -282,8 +282,8 @@ class LakehouseSession:
                     continue
                 raise ValueError(
                     "materialized view items must be group keys, "
-                    f"SUM/MIN/MAX(expr) AS alias, or COUNT(*) AS alias "
-                    f"— got: {item!r}\n{_GRAMMAR}"
+                    f"SUM/MIN/MAX/AVG(expr) AS alias, or COUNT(*) AS "
+                    f"alias — got: {item!r}\n{_GRAMMAR}"
                 )
             if set(selected_keys) != set(keys):
                 raise ValueError(
@@ -303,6 +303,16 @@ class LakehouseSession:
                     f"materialized view output names collide: {dupes} — "
                     f"every key and aggregate alias must be distinct"
                     f"\n{_GRAMMAR}"
+                )
+            reserved = sorted(n for n in out_names if n.startswith("__"))
+            if reserved:
+                # the engine's hidden state rides __-prefixed columns
+                # (__nn__<alias>, __avg_sum__<alias>, __ivm_count) — a
+                # user alias there would collide with them downstream
+                raise ValueError(
+                    f"materialized view names {reserved} use the "
+                    "reserved '__' prefix (hidden maintenance state); "
+                    f"pick different aliases\n{_GRAMMAR}"
                 )
             if mm.group("b2"):
                 if mins or maxs:

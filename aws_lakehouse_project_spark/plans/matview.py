@@ -594,10 +594,15 @@ def stream_refresh_materialized_view(
     a FRESH checkpoint, which replays the whole feed — drops every row
     at or below the watermark before folding (double-fold proof). Within
     a run, ``foreachBatch`` is at-least-once: a retried batch re-arrives
-    under the same monotone ``batch_id``, and the last folded id rides
-    the MV commit meta, so a retry of an already-committed batch is a
-    no-op (the q_stream_mv idempotency doctrine, here enforced through
-    the MV's own log instead of driver state).
+    under the same monotone ``batch_id``, and the last folded
+    (run-token, id) pair rides the MV commit meta, so a retry of an
+    already-committed batch is a no-op (the q_stream_mv idempotency
+    doctrine, here enforced through the MV's own log instead of driver
+    state). The guard is SCOPED to this run's token: Structured
+    Streaming batch ids restart at 0 per checkpoint lineage, so a
+    table-wide id comparison would silently skip a fresh-checkpoint
+    run's early batches — new data included; across runs only the
+    watermark filter decides.
 
     Restrictions: single-table SUM/COUNT/AVG views only — MIN/MAX needs
     the bounded base rescan (batch REFRESH gives it); JOIN views need
@@ -617,36 +622,47 @@ def stream_refresh_materialized_view(
     keys, cnt = d0["group_keys"], d0["count_col"]
     sums, avgs = _eff_sums(d0), d0.get("avgs", [])
     folded = [0]
+    import uuid
+
+    run_token = uuid.uuid4().hex
 
     def fold(batch: DataFrame, batch_id: int) -> None:
         d = definition(mv)  # re-read: prior batches advanced it
-        if batch_id <= d.get("stream_batch_id", -1):
+        if d.get("stream_run") == run_token and batch_id <= d.get(
+            "stream_batch_id", -1
+        ):
             return  # within-run retry of an already-committed batch
-        live = batch.where(F.col("_commit_version") > d["base_version"])
-        hi = live.agg(F.max("_commit_version")).first()[0]
-        if hi is None:
-            return  # pure replay below the watermark: nothing to fold
-        nets = _nets(live, keys, sums, cnt).persist()
+        live = batch.where(
+            F.col("_commit_version") > d["base_version"]
+        ).persist()
         try:
-            _null_key_guard(nets, keys, "stream refresh")
-            _merge_nets(
-                spark,
-                mv,
-                nets,
-                keys,
-                sums,
-                cnt,
-                head_meta={
-                    _META_KEY: {
-                        **d,
-                        "base_version": max(d["base_version"], int(hi)),
-                        "stream_batch_id": batch_id,
-                    }
-                },
-                avgs=avgs,
-            )
+            hi = live.agg(F.max("_commit_version")).first()[0]
+            if hi is None:
+                return  # pure replay below the watermark: nothing to fold
+            nets = _nets(live, keys, sums, cnt).persist()
+            try:
+                _null_key_guard(nets, keys, "stream refresh")
+                _merge_nets(
+                    spark,
+                    mv,
+                    nets,
+                    keys,
+                    sums,
+                    cnt,
+                    head_meta={
+                        _META_KEY: {
+                            **d,
+                            "base_version": max(d["base_version"], int(hi)),
+                            "stream_run": run_token,
+                            "stream_batch_id": batch_id,
+                        }
+                    },
+                    avgs=avgs,
+                )
+            finally:
+                nets.unpersist()
         finally:
-            nets.unpersist()
+            live.unpersist()
         folded[0] += 1
 
     reader = base.stream_changes(

@@ -693,3 +693,47 @@ def test_cascade_day_retirement_propagates(spark, tmp_path):
         ("2024-01", Decimal("2.00"), 1),
         ("2024-02", Decimal("4.00"), 1),
     }
+
+
+def test_stream_refresh_fresh_checkpoint_folds_new_data(spark, lhs, tmp_path):
+    """THE cross-run correctness case: new base commits between two
+    streaming runs with DIFFERENT checkpoints must fold in run 2 —
+    batch ids restart at 0 per checkpoint, so the retry guard must be
+    run-scoped, never table-scoped (a table-wide id comparison would
+    skip run 2's batch 0 wholesale, new data included)."""
+    _create(spark, lhs, [("a", "1.00")])
+    lhs.sql("UPDATE base SET amt = amt * 2 WHERE k = 'a'")
+    n1 = stream_refresh_materialized_view(
+        spark, lhs.table("mv"), lhs.table("base"), str(tmp_path / "cA")
+    )
+    assert n1 >= 1
+    _mk(spark, [("b", "9.00")]).createOrReplaceTempView("newrow")
+    lhs.sql("INSERT INTO base SELECT * FROM newrow")
+    n2 = stream_refresh_materialized_view(
+        spark, lhs.table("mv"), lhs.table("base"), str(tmp_path / "cB")
+    )
+    assert n2 >= 1, "fresh-checkpoint run silently skipped new data"
+    assert _mv_rows(lhs) == _recompute(lhs)
+
+
+def test_stream_refresh_refuses_join_views(spark, lhj, tmp_path):
+    _jmv_create(spark, lhj)
+    with pytest.raises(ValueError, match="JOIN view"):
+        stream_refresh_materialized_view(
+            spark, lhj.table("jmv"), lhj.table("fa"), str(tmp_path / "c")
+        )
+
+
+def test_reserved_prefix_aliases_rejected(spark, lh):
+    _mk(spark, [("a", "1.00")]).createOrReplaceTempView("s4")
+    lh.sql("CREATE TABLE base AS SELECT * FROM s4")
+    with pytest.raises(ValueError, match="reserved"):
+        lh.sql(
+            "CREATE MATERIALIZED VIEW mv AS SELECT k, SUM(amt) AS total, "
+            "MAX(amt) AS __nn__total FROM base GROUP BY k"
+        )
+    with pytest.raises(ValueError, match="reserved"):
+        lh.sql(
+            "CREATE MATERIALIZED VIEW mv AS SELECT k, "
+            "SUM(amt) AS __ivm_count FROM base GROUP BY k"
+        )
