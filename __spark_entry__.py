@@ -59,30 +59,41 @@ def entry(spark: SparkSession) -> DataFrame:
 # q_vocab_encode, q_window_cumsum, q_zipf (43 rows); remaining slots
 # to the then-stalest r9 rows (alphabetical).
 _VERIFY_FIRST = [
-    # NEW in round 10 — must earn driver rows (r10 rotation note)
-    "q_incremental_mv", "q_stream_mv", "q_hll_rollup", "q_bloom_join",
-    # NEW in round 11 — vacuum OCC safety, bloom data skipping,
-    # MIN/MAX MV maintenance, metadata-only COUNT(*)
-    "q_vacuum_concurrent", "q_scan_bloom_skipping",
-    "q_incremental_mv_minmax", "q_count_stats",
-    # r5-stale (1 row) + r6-stale remainder (36 rows: q_dedup_minhash
-    # plus the 35 the r10 note lists)
-    "q_dedup_simhash", "q_dedup_minhash",
-    "q_dedup_minhash_portable", "q_dedup_minhash_recall",
-    "q_fingerprint", "q_histogram", "q_join_inner", "q_lang_id",
-    "q_left_join_hist", "q_merge_delete", "q_merge_upsert",
-    "q_multimodal_resize", "q_ngram_jaccard", "q_pack_sequences",
-    "q_pii_scrub", "q_pivot", "q_quantile_filter", "q_range_join",
-    "q_rank_eval", "q_repetition", "q_rollup", "q_salted_agg",
-    "q_semi_join", "q_similarity_batch_ivf", "q_similarity_ivf",
-    "q_similarity_ivf_pruned", "q_similarity_lsh", "q_similarity_topk",
-    "q_sink_partitioned", "q_skew_salted_join", "q_stratified_sample",
-    "q_table_diff", "q_text_quality", "q_tfidf", "q_token_count",
-    "q_tpch_q3", "q_tpch_q7",
-    # stalest r7 rows, alphabetical, to fill the 50-slot window
-    "q_collect_sorted", "q_contamination", "q_cube",
-    "q_dedup_clusters_semantic_scaled", "q_dedup_keep_first",
+    # ROUND-12 WINDOW. NEW in round 12 lead (SQL surfaces over
+    # judge-verified folds; each reuses the oracle of its Python twin;
+    # q_materialized_view_cascade itself became SQL-first via the new
+    # WITH CHANGE FEED clause and is re-verified below):
+    "q_materialized_view_distinct", "q_scd2_sql",
+    "q_materialized_view_join_minmax",
+    # r11-added queries with a judge MATCH but no driver row yet
+    # (the r12 rotation note below, honored verbatim):
+    "q_stats_minmax", "q_scan_null_skipping", "q_auto_compact",
+    "q_convert_parquet", "q_dedup_substring", "q_dedup_substring_scrub",
+    "q_dedup_substring_rewrite", "q_quantile_rollup", "q_pq_adc_topk",
+    "q_vacuum_restore", "q_incremental_mv_var", "q_optimize_where",
+    "q_incremental_mv_join", "q_incremental_mv_distinct",
+    "q_scd2_from_cdf", "q_materialized_view", "q_materialized_view_join",
+    "q_materialized_view_stream", "q_materialized_view_cascade",
+    "q_copy_into",
+    # r7-stale rows (alphabetical; the 27 that fit — the remainder
+    # q_stream_merge..q_zipf rolls to the r13 window)
+    "q_embedding_quantize", "q_explode_pos", "q_fact_daily",
+    "q_first_last", "q_funnel", "q_grouped_ols", "q_mixture",
+    "q_multimodal_features", "q_ntile", "q_nullsafe_join",
+    "q_percentile", "q_ratio_to_report", "q_retention", "q_scan_csv",
+    "q_scan_json", "q_scan_parquet", "q_scd2_lookup",
+    "q_semantic_decontam_scaled", "q_sessionize",
+    "q_similarity_pairs_banded", "q_similarity_pairs_scaled",
+    "q_sql_fact", "q_stage_orders", "q_stream_daily", "q_stream_dedup",
+    "q_stream_enrich", "q_stream_join",
 ]
+# ROUND-13 ROTATION NOTE: queries ADDED in r12 or later lead the r13
+# window, then the r7-stale remainder that did NOT fit here
+# (q_stream_merge, q_stream_sessions, q_stream_sliding,
+# q_tpch_q10, q_tpch_q14, q_tpch_q15, q_tpch_q19, q_tpch_q21,
+# q_tpch_q22, q_tpch_q5, q_tpch_q6, q_tpch_q8, q_unpivot,
+# q_vocab_encode, q_window_cumsum, q_zipf — 16 rows), then the
+# then-stalest r9 rows (alphabetical) to fill 50.
 
 
 def _registry():

@@ -363,3 +363,57 @@ def q_scd2_from_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("end_v").cast("bigint").alias("end_v"),
         "is_current",
     )
+
+
+@demo_query("q_scd2_sql", oracle=SCD2_FROM_CDF_ORACLE)
+def q_scd2_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-driven twin of ``q_scd2_from_cdf``: the SAME scenario and
+    oracle, but every step goes through ``LakehouseSession.sql`` and
+    the history is maintained by the declarative ``APPLY CHANGES INTO
+    dim FROM CHANGES(src) KEYS (k) SCD TYPE 2`` statement (DLT's verb,
+    ``plans/apply_changes.py``) instead of hand-driving the fold. The
+    first APPLY opens the snapshot at ordinal 0; the UPDATE (%3
+    segments move) and DELETE (%7 customers drop) then fold as
+    ordinals 1 and 2 in ONE statement — the applied watermark rides
+    the history table's commit meta, so the guards assert init →
+    incremental(2 ordinals) → noop across three invocations. The
+    history advances via file-granular merge_apply on (cust_id,
+    start_v): closed rows are immutable, only churned keys rewrite."""
+    import os
+
+    from ..functions.scratch import scratch_dir
+    from ..plans.lakehouse_sql import LakehouseSession
+
+    work = scratch_dir("spark_graft_scd2sql", unique=True)
+    lh = LakehouseSession(spark)
+    lh.create("cust", os.path.join(work, "src"), stats_cols=["cust_id"])
+    lh.create("dim_hist", os.path.join(work, "hist"))
+    load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust_id"),
+        F.col("c_mktsegment").alias("segment"),
+    ).createOrReplaceTempView("cust_src")
+    lh.sql("CREATE TABLE cust AS SELECT * FROM cust_src")
+
+    stmt = (
+        "APPLY CHANGES INTO dim_hist FROM CHANGES(cust) "
+        "KEYS (cust_id) SCD TYPE 2"
+    )
+    r0 = lh.sql(stmt).first()
+    if r0["mode"] != "init":
+        raise AssertionError(f"first APPLY must init, got {r0}")
+    lh.sql(
+        "UPDATE cust SET segment = concat(segment, '_v2') "
+        "WHERE cust_id % 3 = 0"
+    )
+    lh.sql("DELETE FROM cust WHERE cust_id % 7 = 0")
+    r1 = lh.sql(stmt).first()
+    if r1["mode"] != "incremental" or r1["ordinals_applied"] != 2:
+        raise AssertionError(f"expected 2 incremental ordinals, got {r1}")
+    r2 = lh.sql(stmt).first()
+    if r2["mode"] != "noop" or r2["ordinals_applied"] != 0:
+        raise AssertionError(f"third APPLY not a no-op: {r2}")
+    return lh.sql(
+        "SELECT CAST(cust_id AS BIGINT) AS cust_id, segment, "
+        "CAST(start_v AS BIGINT) AS start_v, "
+        "CAST(end_v AS BIGINT) AS end_v, is_current FROM dim_hist"
+    )

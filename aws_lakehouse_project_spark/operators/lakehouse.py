@@ -2387,6 +2387,87 @@ def q_materialized_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MATERIALIZED_VIEW_DISTINCT_ORACLE = """
+    WITH fact AS (
+      SELECT CAST(o_orderdate AS DATE) AS dt, o_custkey AS cust_id,
+             CAST(CASE WHEN o_orderkey % 7 = 0 AND o_orderkey % 10 <> 0
+                  THEN CAST(o_totalprice AS DECIMAL(12,2)) * 2
+                  ELSE CAST(o_totalprice AS DECIMAL(12,2)) END
+                  AS DECIMAL(12,2)) AS price
+      FROM orders WHERE o_custkey % 5 <> 0
+    )
+    SELECT dt,
+           CAST(COUNT(DISTINCT cust_id) AS BIGINT) AS n_custs,
+           CAST(SUM(price) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM fact GROUP BY dt
+"""
+
+
+@demo_query(
+    "q_materialized_view_distinct", oracle=MATERIALIZED_VIEW_DISTINCT_ORACLE
+)
+def q_materialized_view_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) in a DECLARATIVE materialized view
+    (``plans/matview.py`` + the SQL front end): the distinct count is
+    not self-maintainable from (group, count) alone, so the engine
+    keeps a hidden SUPPORT table per distinct column (pg_ivm's
+    construction — one row per (group, value) with its multiplicity,
+    at ``<mv>/_support/<alias>``), maintained by the same signed fold
+    as any SUM MV with the value promoted into the grouping key;
+    REFRESH then recounts surviving support rows for ONLY the touched
+    groups. The scenario hits exactly the traps: the UPDATE doubles %7
+    prices — measure moves, (dt, cust) pair doesn't, so every
+    update_preimage/postimage pair must CANCEL in the support fold and
+    leave the distinct counts untouched — and the DELETE removes
+    customers with MANY orders on the same day, where naive
+    count-down-per-delete over-decrements. One REFRESH folds all three
+    commits; the guards assert it was incremental and that a second
+    refresh is a watermark no-op. Oracle = full COUNT(DISTINCT)
+    recompute of the final state (the pg_ivm/Databricks contract that
+    REFRESH is indistinguishable from recomputation)."""
+    from ..plans.lakehouse_sql import LakehouseSession
+
+    work = scratch_dir("spark_graft_matview_distinct", unique=True)
+    lh = LakehouseSession(spark)
+    lh.create("fact", os.path.join(work, "fact"), stats_cols=["dt"])
+    lh.create("daily_custs", os.path.join(work, "mv"))
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("cust_id"),
+        F.col("o_orderdate").cast("date").alias("dt"),
+        money("o_totalprice").alias("price"),
+    )
+    base.filter(F.col("o_orderkey") % 10 != 0).createOrReplaceTempView(
+        "dorders_v0"
+    )
+    base.filter(F.col("o_orderkey") % 10 == 0).createOrReplaceTempView(
+        "dorders_late"
+    )
+    lh.sql("CREATE TABLE fact AS SELECT * FROM dorders_v0")
+    lh.sql(
+        "CREATE MATERIALIZED VIEW daily_custs AS "
+        "SELECT dt, COUNT(DISTINCT cust_id) AS n_custs, "
+        "SUM(price) AS revenue, COUNT(*) AS n_orders "
+        "FROM fact GROUP BY dt"
+    )
+    lh.sql("UPDATE fact SET price = price * 2 WHERE o_orderkey % 7 = 0")
+    lh.sql("INSERT INTO fact SELECT * FROM dorders_late")
+    lh.sql("DELETE FROM fact WHERE cust_id % 5 = 0")
+
+    r1 = lh.sql("REFRESH MATERIALIZED VIEW daily_custs").first()
+    if r1["mode"] != "incremental":
+        raise AssertionError(f"expected incremental refresh, got {r1}")
+    r2 = lh.sql("REFRESH MATERIALIZED VIEW daily_custs").first()
+    if r2["mode"] != "noop" or r2["version"] != r1["version"]:
+        raise AssertionError(f"second refresh not a no-op: {r2}")
+    return lh.sql(
+        "SELECT dt, n_custs, CAST(revenue AS DOUBLE) AS revenue, "
+        "n_orders FROM daily_custs"
+    )
+
+
 COPY_INTO_ORACLE = """
     SELECT o_orderkey, o_custkey AS cust_id,
            CAST(o_orderdate AS DATE) AS dt,
@@ -2528,6 +2609,113 @@ def q_materialized_view_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MATERIALIZED_VIEW_JOIN_MINMAX_ORACLE = """
+    WITH fact AS (
+      SELECT o_orderkey, o_custkey AS cust_id,
+             CAST(CASE WHEN o_orderkey % 7 = 0
+                  THEN CAST(o_totalprice AS DECIMAL(12,2)) * 2
+                  ELSE CAST(o_totalprice AS DECIMAL(12,2)) END
+                  AS DECIMAL(12,2)) AS price
+      FROM orders WHERE o_custkey % 5 <> 0
+    ),
+    dim AS (
+      SELECT c_custkey AS cust_id,
+             CAST(CASE WHEN c_custkey % 3 = 0 THEN (c_nationkey + 1) % 25
+                  ELSE c_nationkey END AS INTEGER) AS nation
+      FROM customer
+    )
+    SELECT nation,
+           CAST(SUM(price) AS DOUBLE) AS revenue,
+           CAST(MIN(price) AS DOUBLE) AS lo,
+           CAST(MAX(price) AS DOUBLE) AS hi,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM fact JOIN dim USING (cust_id)
+    GROUP BY nation
+"""
+
+
+@demo_query(
+    "q_materialized_view_join_minmax",
+    oracle=MATERIALIZED_VIEW_JOIN_MINMAX_ORACLE,
+)
+def q_materialized_view_join_minmax(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MIN/MAX on a JOIN materialized view — the r11 refusal, now
+    implemented with the BOUNDED JOIN-SLICE rescan
+    (``plans/matview.py::refresh_materialized_join_view``): inserts
+    fold join-free via least/greatest exactly like single-table views;
+    a retraction that ties-or-beats a group's maintained extremum
+    triggers a rescan of ONLY that group's join slice — the triggered
+    group keys semi-prune each base on the keys that side carries
+    (here ``nation`` lives on the dim side, so the dim prunes directly
+    and the fact prunes through the pruned dim's join keys), never the
+    full ``fact ⋈ dim``. The scenario forces all the hard paths: the
+    fact MERGE doubles %7 prices (paired retraction+insert, many
+    per-nation extrema move), the fact DELETE (%5 customers) retracts
+    whole slices, and the dim UPDATE MOVES %3 customers between
+    nations — a retraction in the old group and an insert in the new
+    one through the bilinear ΔA⋈ΔB correction. Guards assert the
+    refresh was incremental and idempotent. Oracle = full recompute of
+    the final join with MIN/MAX columns."""
+    from ..plans.lakehouse_sql import LakehouseSession
+
+    work = scratch_dir("spark_graft_mvjoin_minmax", unique=True)
+    lh = LakehouseSession(spark)
+    lh.create("fact", os.path.join(work, "fact"), stats_cols=["cust_id"])
+    lh.create("dim", os.path.join(work, "dim"), stats_cols=["cust_id"])
+    lh.create("nation_rev", os.path.join(work, "mv"))
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("cust_id"),
+        money("o_totalprice").alias("price"),
+    )
+    base.filter(F.col("o_orderkey") % 10 != 0).createOrReplaceTempView(
+        "jmm_fact_v0"
+    )
+    base.filter(
+        (F.col("o_orderkey") % 10 == 0) | (F.col("o_orderkey") % 7 == 0)
+    ).withColumn(
+        "price",
+        F.when(F.col("o_orderkey") % 7 == 0, F.col("price") * 2)
+        .otherwise(F.col("price"))
+        .cast("decimal(12,2)"),
+    ).createOrReplaceTempView("jmm_fact_src")
+    load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust_id"),
+        F.col("c_nationkey").cast("int").alias("nation"),
+    ).createOrReplaceTempView("jmm_dim_src")
+
+    lh.sql("CREATE TABLE fact AS SELECT * FROM jmm_fact_v0")
+    lh.sql("CREATE TABLE dim AS SELECT * FROM jmm_dim_src")
+    lh.sql(
+        "CREATE MATERIALIZED VIEW nation_rev AS "
+        "SELECT nation, SUM(price) AS revenue, MIN(price) AS lo, "
+        "MAX(price) AS hi, COUNT(*) AS n_lines "
+        "FROM fact JOIN dim USING (cust_id) GROUP BY nation"
+    )
+    lh.sql(
+        "MERGE INTO fact USING jmm_fact_src "
+        "ON fact.o_orderkey = jmm_fact_src.o_orderkey "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    )
+    lh.sql("DELETE FROM fact WHERE cust_id % 5 = 0")
+    lh.sql("UPDATE dim SET nation = (nation + 1) % 25 WHERE cust_id % 3 = 0")
+
+    r1 = lh.sql("REFRESH MATERIALIZED VIEW nation_rev").first()
+    if r1["mode"] != "incremental":
+        raise AssertionError(f"expected incremental refresh, got {r1}")
+    r2 = lh.sql("REFRESH MATERIALIZED VIEW nation_rev").first()
+    if r2["mode"] != "noop" or r2["version"] != r1["version"]:
+        raise AssertionError(f"second refresh not a no-op: {r2}")
+    return lh.sql(
+        "SELECT nation, CAST(revenue AS DOUBLE) AS revenue, "
+        "CAST(lo AS DOUBLE) AS lo, CAST(hi AS DOUBLE) AS hi, n_lines "
+        "FROM nation_rev"
+    )
+
+
 MATERIALIZED_VIEW_STREAM_ORACLE = """
     WITH fact AS (
       SELECT CAST(o_orderdate AS DATE) AS dt,
@@ -2653,16 +2841,17 @@ def q_materialized_view_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     base state. The monthly n_orders comes from SUM(daily n_orders) —
     folds compose — and n_days counts the daily MV's live groups per
     month (COUNT(*) over tier-1 rows ≡ COUNT(DISTINCT dt) over the
-    base)."""
+    base). SQL-first end-to-end: the tier-1 feed is declared with the
+    ``WITH CHANGE FEED`` clause (persisted table property), not a
+    Python-side constructor flag — the whole cascade drives through
+    ``LakehouseSession.sql`` alone (the Python ``change_feed=True``
+    path stays covered by ``tests/test_matview.py``'s cascade test)."""
     from ..plans.lakehouse_sql import LakehouseSession
 
     work = scratch_dir("spark_graft_mvcascade", unique=True)
     lh = LakehouseSession(spark)
     lh.create("fact", os.path.join(work, "fact"), stats_cols=["dt"])
-    lh.create(
-        "daily_rev", os.path.join(work, "mv1"), stats_cols=["dt"],
-        change_feed=True,
-    )
+    lh.create("daily_rev", os.path.join(work, "mv1"), stats_cols=["dt"])
     lh.create("monthly_rev", os.path.join(work, "mv2"))
 
     base = load_table(spark, sf_dir, "orders").select(
@@ -2680,7 +2869,7 @@ def q_materialized_view_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lh.sql("CREATE TABLE fact AS SELECT * FROM cas_v0")
     lh.sql(
-        "CREATE MATERIALIZED VIEW daily_rev AS "
+        "CREATE MATERIALIZED VIEW daily_rev WITH CHANGE FEED AS "
         "SELECT month, dt, SUM(price) AS revenue, COUNT(*) AS n_orders "
         "FROM fact GROUP BY month, dt"
     )

@@ -11,7 +11,9 @@ watermarks use), so idempotency holds across processes and fresh
 handles with no driver-side state:
 
 - Each ``copy_into`` commit stores the CUMULATIVE set of ingested
-  source files (path-keyed); the current ledger is the UNION of every
+  source files (keyed by canonical ``os.path.realpath`` so relative /
+  symlinked / CWD-dependent spellings of one physical file collapse to
+  one ledger entry); the current ledger is the UNION of every
   ledger in the retained log — raw-manifest reads (meta-only, no
   snapshot replay), one backward walk. Union, not newest-wins: ledgers
   only grow, so the union equals the newest under single-writer
@@ -74,7 +76,10 @@ def loaded_files(vt: VersionedTable) -> list[str]:
     if vt.exists():
         for v in vt.versions():
             m = vt._raw_manifest(v).get("meta", {})  # noqa: SLF001
-            out.update(m.get(_META_KEY, ()))
+            # realpath on read migrates ledgers written before path
+            # normalization (relative/symlinked spellings) to the
+            # canonical form the diff below compares against.
+            out.update(os.path.realpath(f) for f in m.get(_META_KEY, ()))
     return sorted(out)
 
 
@@ -87,7 +92,13 @@ def copy_into(
     """Load every not-yet-ingested file matching ``src/pattern`` into
     ``vt`` as ONE append commit. Returns ``{"version", "files_loaded",
     "rows_loaded"}``; a no-op re-run commits nothing."""
-    listing = sorted(glob.glob(os.path.join(src, pattern)))
+    # Canonicalize the listing (realpath) so a relative vs absolute
+    # src, a different CWD, or a symlinked prefix never makes an
+    # already-loaded file look new: the ledger stores and the diff
+    # compares ONE spelling per physical file.
+    listing = sorted(
+        os.path.realpath(f) for f in glob.glob(os.path.join(src, pattern))
+    )
     if not listing:
         raise FileNotFoundError(
             f"COPY INTO: no files match {os.path.join(src, pattern)!r}"

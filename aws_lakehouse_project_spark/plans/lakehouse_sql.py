@@ -73,6 +73,10 @@ _GRAMMAR = """supported statements:
   RESTORE TABLE t TO VERSION AS OF n
   ALTER TABLE t ADD CONSTRAINT name CHECK (expr) | ALTER TABLE t DROP CONSTRAINT name
   ALTER TABLE t RENAME COLUMN a TO b | ALTER TABLE t DROP COLUMN c
+  ALTER TABLE t SET CHANGE FEED = true|false [WITH BACKFILL]
+    (persisted table property — every later handle materializes each
+    commit's row-level feed; WITH BACKFILL also materializes retained
+    earlier commits so streams can start from version 0)
   SELECT ... FROM t [VERSION AS OF n | TIMESTAMP AS OF epoch] ...
   SELECT COUNT(*) | MIN(c) | MAX(c) [, ...] FROM t [VERSION AS OF n]
     (metadata-only from manifest stats; Catalyst fallthrough whenever
@@ -81,17 +85,26 @@ _GRAMMAR = """supported statements:
     manifest min/max stats + per-file bloom sidecar when present)
   CREATE BLOOMFILTER INDEX FOR COLUMNS (c1[, c2]) ON t [WITH BACKFILL]
   DROP BLOOMFILTER INDEX ON t
-  CREATE MATERIALIZED VIEW mv AS SELECT [keys,] SUM|MIN|MAX|AVG(e) AS a
-    [, ...] [, COUNT(*) AS c] FROM base [JOIN b USING (k[, ...])]
+  CREATE MATERIALIZED VIEW mv [WITH CHANGE FEED] AS
+    SELECT [keys,] SUM|MIN|MAX|AVG(e) AS a
+    [, ...] [, COUNT(DISTINCT e) AS a] [, COUNT(*) AS c]
+    FROM base [JOIN b USING (k[, ...])]
     GROUP BY keys   (mv pre-registered; definition + per-base
     watermarks ride the commit meta; MIN/MAX refresh with bounded
-    rescan-on-retraction — single-table views only; JOIN views
-    refresh via the bilinear delta rule over both bases' CDFs)
+    rescan-on-retraction — on JOIN views the rescan is the triggered
+    groups' JOIN SLICE; COUNT(DISTINCT) via a hidden support table,
+    single-table views only; JOIN views refresh via the bilinear
+    delta rule over both bases' CDFs)
   REFRESH MATERIALIZED VIEW mv [FULL]   (folds base CDF since the
     watermark via merge_apply — churn-proportional; FULL rebuilds)
   COPY INTO t FROM 'src' [FILEFORMAT = PARQUET] [PATTERN = 'glob']
     (idempotent: each source file loads exactly once; the ledger
-    rides the commit meta — plans/ingest.py)"""
+    rides the commit meta — plans/ingest.py)
+  APPLY CHANGES INTO dim FROM CHANGES(src) KEYS (k[, ...]) SCD TYPE 2
+    (DLT's declarative SCD2: first APPLY opens the source snapshot at
+    ordinal 0; each later data commit folds its change feed — churned
+    keys' current rows close, additive rows open; the watermark rides
+    the history's commit meta — plans/apply_changes.py)"""
 
 _IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
 _HINT = r"(?:/\*\+\s*(?P<hint>MERGE_ON_READ)\s*\*/\s*)?"
@@ -226,7 +239,8 @@ class LakehouseSession:
         s = statement.strip().rstrip(";").strip()
 
         mm = re.fullmatch(
-            rf"CREATE\s+MATERIALIZED\s+VIEW\s+(?P<mv>{_IDENT})\s+AS\s+"
+            rf"CREATE\s+MATERIALIZED\s+VIEW\s+(?P<mv>{_IDENT})\s+"
+            r"(?:(?P<cf>WITH\s+CHANGE\s+FEED)\s+)?AS\s+"
             rf"SELECT\s+(?P<items>.+?)\s+FROM\s+(?P<b>{_IDENT})"
             rf"(?:\s+JOIN\s+(?P<b2>{_IDENT})\s+USING\s+\((?P<on>[^)]+)\))?"
             r"\s+GROUP\s+BY\s+(?P<keys>.+)",
@@ -240,6 +254,10 @@ class LakehouseSession:
             )
 
             mv_name, base_name = mm.group("mv"), mm.group("b")
+            if mm.group("cf"):
+                # the MV itself emits a change feed — a tier-2 MV can
+                # then fold THIS view's CDF (cascading tiers)
+                self.table(mv_name).change_feed = True
             keys = []
             for k in _split_top(mm.group("keys")):
                 if not re.fullmatch(_IDENT, k):
@@ -252,9 +270,18 @@ class LakehouseSession:
             mins: list[list[str]] = []
             maxs: list[list[str]] = []
             avgs: list[list[str]] = []
+            distincts: list[list[str]] = []
             count_col = None
             selected_keys = []
             for item in _split_top(mm.group("items")):
+                im = re.fullmatch(
+                    r"COUNT\s*\(\s*DISTINCT\s+(?P<e>.+)\)\s+AS\s+(?P<a>"
+                    + _IDENT + ")",
+                    item, flags=re.IGNORECASE | re.DOTALL,
+                )
+                if im:
+                    distincts.append([im.group("e").strip(), im.group("a")])
+                    continue
                 im = re.fullmatch(
                     r"(?P<f>SUM|MIN|MAX|AVG)\s*\((?P<e>.+)\)\s+AS\s+(?P<a>"
                     + _IDENT + ")",
@@ -282,8 +309,9 @@ class LakehouseSession:
                     continue
                 raise ValueError(
                     "materialized view items must be group keys, "
-                    f"SUM/MIN/MAX/AVG(expr) AS alias, or COUNT(*) AS "
-                    f"alias — got: {item!r}\n{_GRAMMAR}"
+                    f"SUM/MIN/MAX/AVG(expr) AS alias, COUNT(DISTINCT "
+                    f"expr) AS alias, or COUNT(*) AS alias — got: "
+                    f"{item!r}\n{_GRAMMAR}"
                 )
             if set(selected_keys) != set(keys):
                 raise ValueError(
@@ -292,7 +320,7 @@ class LakehouseSession:
                 )
             out_names = (
                 keys
-                + [a for _, a in sums + mins + maxs + avgs]
+                + [a for _, a in sums + mins + maxs + avgs + distincts]
                 + ([count_col] if count_col else [])
             )
             dupes = sorted(
@@ -315,11 +343,11 @@ class LakehouseSession:
                     f"pick different aliases\n{_GRAMMAR}"
                 )
             if mm.group("b2"):
-                if mins or maxs:
+                if distincts:
                     raise ValueError(
-                        "MIN/MAX on a JOIN materialized view is not "
-                        "maintainable (the retraction rescan would "
-                        "recompute join slices) — declare it on a "
+                        "COUNT(DISTINCT) on a JOIN materialized view "
+                        "is not supported (the support fold needs one "
+                        "base's change feed) — declare it on a "
                         f"single-table view\n{_GRAMMAR}"
                     )
                 on = []
@@ -342,6 +370,8 @@ class LakehouseSession:
                     sums=sums,
                     count_col=count_col or HIDDEN_COUNT,
                     avgs=avgs,
+                    mins=mins,
+                    maxs=maxs,
                 )
                 return self._row(op="create_materialized_view", version=v)
             v = create_materialized_view(
@@ -355,6 +385,7 @@ class LakehouseSession:
                 mins=mins,
                 maxs=maxs,
                 avgs=avgs,
+                distincts=distincts,
             )
             return self._row(op="create_materialized_view", version=v)
 
@@ -430,6 +461,37 @@ class LakehouseSession:
                     full=bool(mm.group("full")),
                 )
             return self._row(op="refresh", mode=mode, version=v)
+
+        mm = re.fullmatch(
+            rf"APPLY\s+CHANGES\s+INTO\s+(?P<dim>{_IDENT})\s+FROM\s+"
+            rf"CHANGES\s*\(\s*(?P<src>{_IDENT})\s*\)\s+"
+            r"KEYS\s*\((?P<keys>[^)]+)\)\s+SCD\s+TYPE\s+2",
+            s, flags=re.IGNORECASE,
+        )
+        if mm:
+            from .apply_changes import apply_changes_scd2
+
+            keys = []
+            for k in _split_top(mm.group("keys")):
+                if not re.fullmatch(_IDENT, k):
+                    raise ValueError(
+                        f"KEYS entries must be plain columns, got: {k!r}"
+                        f"\n{_GRAMMAR}"
+                    )
+                keys.append(k)
+            out = apply_changes_scd2(
+                self.spark,
+                self.table(mm.group("dim")),
+                self.table(mm.group("src")),
+                mm.group("src"),
+                keys,
+            )
+            return self._row(
+                op="apply_changes",
+                mode=out["mode"],
+                version=out["version"],
+                ordinals_applied=out["ordinals_applied"],
+            )
 
         mm = re.fullmatch(
             rf"CREATE\s+(?P<orr>OR\s+REPLACE\s+)?TABLE\s+(?P<t>{_IDENT})"
@@ -688,6 +750,19 @@ class LakehouseSession:
         if mm:
             v = self.table(mm.group("t")).drop_constraint(mm.group("n"))
             return self._row(op="drop_constraint", version=v)
+
+        mm = re.fullmatch(
+            rf"ALTER\s+TABLE\s+(?P<t>{_IDENT})\s+SET\s+CHANGE\s+FEED\s*"
+            r"=\s*(?P<v>TRUE|FALSE)(?P<bf>\s+WITH\s+BACKFILL)?",
+            s, flags=re.IGNORECASE,
+        )
+        if mm:
+            v = self.table(mm.group("t")).set_change_feed(
+                self.spark,
+                mm.group("v").upper() == "TRUE",
+                backfill=bool(mm.group("bf")),
+            )
+            return self._row(op="set_change_feed", version=v)
 
         mm = re.fullmatch(
             rf"ALTER\s+TABLE\s+(?P<t>{_IDENT})\s+RENAME\s+COLUMN\s+"

@@ -63,6 +63,20 @@ Contract:
 - If VACUUM reclaimed the watermark version's history,
   ``VacuumedVersionError`` propagates — ``REFRESH ... FULL`` rebuilds
   from the current snapshot and re-arms the watermark.
+- ``COUNT(DISTINCT e) AS a``: not self-maintainable from (group,
+  count) alone — a delete only lowers the count if it removed the
+  group's LAST occurrence of the value — so each distinct column
+  keeps a hidden SUPPORT table (pg_ivm / Materialize construction) at
+  ``<mv>/_support/<a>``: one row per (group keys, value) with its
+  multiplicity, maintained by the SAME signed fold (value promoted
+  into the grouping key); a support row retiring at multiplicity zero
+  IS the decrement. REFRESH recounts surviving support rows for ONLY
+  the touched groups (key-pruned — churn-proportional). The support
+  table carries its OWN watermark in its commit meta, so a crash
+  between the support fold and the MV commit recovers without a
+  double fold. UPDATE pairs that move a measure but not the value
+  cancel in the fold; multi-occurrence deletes never over-decrement.
+  Single-table batch REFRESH only (streaming and JOIN views refuse).
 - JOIN VIEWS: ``CREATE MATERIALIZED VIEW mv AS SELECT ... FROM a JOIN
   b USING (k) GROUP BY ...`` maintains an aggregate over a two-table
   equi-join with ONE watermark per base; REFRESH builds the join's own
@@ -70,24 +84,31 @@ Contract:
   (``operators/incremental.py::join_signed_delta`` — Δ(A⋈B) = ΔA⋈B₀ +
   A₀⋈ΔB + ΔA⋈ΔB, mixed terms semi-pruned to the other side's delta
   keys) and folds it through the SAME merge path as single-table
-  views. MIN/MAX on a join view is refused (its retraction rescan
-  would recompute join slices; declare it on a single-table view).
+  views. MIN/MAX on a join view refreshes with the BOUNDED JOIN-SLICE
+  rescan: retraction-triggered group keys semi-prune each base on the
+  group keys that side carries (cross-pruning the other side through
+  the join keys), so only the triggered groups' join slices recompute
+  — never the full ``A ⋈ B``. COUNT(DISTINCT) stays single-table (the
+  support fold needs one base's feed).
 """
 
 from __future__ import annotations
 
+import os
 from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-from .versioned import VersionedTable
+from .versioned import _FEEDLESS_OPS, VersionedTable
 
 #: Hidden per-group row count when the view didn't SELECT COUNT(*).
 HIDDEN_COUNT = "__ivm_count"
 
 _META_KEY = "materialized_view"
+#: Meta key carrying a COUNT(DISTINCT) support table's own watermark.
+_SUPPORT_META = "mv_support"
 _ADDITIVE = ("insert", "update_postimage")
 
 
@@ -162,12 +183,17 @@ def _aggregate(
     mins: list[list[str]] = (),
     maxs: list[list[str]] = (),
     avgs: list[list[str]] = (),
+    distincts: list[list[str]] = (),
 ) -> DataFrame:
     eff = list(sums) + [[e, _avg_sum(a)] for e, a in avgs]
     out = snap.groupBy(*keys).agg(
         *[F.sum(F.expr(e)).alias(a) for e, a in eff],
         *[F.min(F.expr(e)).alias(a) for e, a in mins],
         *[F.max(F.expr(e)).alias(a) for e, a in maxs],
+        *[
+            F.count_distinct(F.expr(e)).cast("long").alias(a)
+            for e, a in distincts
+        ],
         # COUNT(expr) counts exactly the non-null values — the hidden
         # state that makes SUM NULL-exact under deletes (and AVG's
         # denominator)
@@ -177,6 +203,84 @@ def _aggregate(
     if avgs:
         out = out.select("*", *_avg_publish_exprs(avgs))
     return out
+
+
+def _validate_output_names(
+    keys: list[str],
+    sums: list[list[str]],
+    mins: list[list[str]],
+    maxs: list[list[str]],
+    avgs: list[list[str]],
+    count_col: str,
+    distincts: list[list[str]] = (),
+) -> None:
+    """Reject colliding output names and user aliases under the
+    reserved ``__`` prefix. Shared by BOTH entry points — the SQL
+    parser (which re-raises with grammar help) and direct Python
+    callers, who could otherwise declare an alias like ``__ivm_count``
+    or a MIN alias equal to a SUM alias and silently corrupt the
+    hidden maintenance columns (``__nn__<a>``, ``__avg_sum__<a>``,
+    ``__ivm_count``)."""
+    out_names = (
+        list(keys)
+        + [a for _, a in [*sums, *mins, *maxs, *avgs, *distincts]]
+        + ([count_col] if count_col != HIDDEN_COUNT else [])
+    )
+    dupes = sorted({n for n in out_names if out_names.count(n) > 1})
+    if dupes:
+        raise ValueError(
+            f"materialized view output names collide: {dupes} — every "
+            "key and aggregate alias must be distinct"
+        )
+    reserved = sorted(n for n in out_names if n.startswith("__"))
+    if reserved:
+        raise ValueError(
+            f"materialized view names {reserved} use the reserved "
+            "'__' prefix (hidden maintenance state); pick different "
+            "aliases"
+        )
+
+
+def _support_table(mv: VersionedTable, alias: str) -> VersionedTable:
+    """The hidden support table for one COUNT(DISTINCT) column: a
+    VersionedTable at ``<mv>/_support/<alias>`` — inside the MV's
+    directory but OUTSIDE its ``data/`` root, so the MV's vacuum
+    orphan walk never sees it (same placement rule as
+    ``_change_data/``). One row per (group keys, distinct value) with
+    its multiplicity; rows retire at multiplicity zero."""
+    return VersionedTable(os.path.join(mv.path, "_support", alias))
+
+
+def _support_wm(sup: VersionedTable) -> int:
+    """The support table's own base-version watermark (backward
+    raw-manifest walk, same doctrine as ``definition``): stored
+    SEPARATELY from the MV's so a crash between the support fold and
+    the MV commit re-runs as a no-op support fold, never a double
+    fold."""
+    for v in reversed(sup.versions()):
+        m = sup._raw_manifest(v).get("meta", {}).get(_SUPPORT_META)  # noqa: SLF001
+        if m:
+            return int(m["watermark"])
+    raise ValueError(
+        f"{sup.path}: no {_SUPPORT_META!r} watermark in any commit meta"
+    )
+
+
+def _rebuild_supports(
+    spark: SparkSession, snap: DataFrame, mv: VersionedTable, d: dict
+) -> None:
+    """(Re)build every distinct-support table from the base snapshot.
+    Runs BEFORE the MV commit: if the MV commit then crashes, the MV
+    watermark lags the support watermark and the next refresh skips
+    the already-advanced support fold (idempotent recovery)."""
+    for e, a in d.get("distincts", []):
+        # NULL values never count toward COUNT(DISTINCT)
+        _support_table(mv, a).write_full(
+            snap.where(F.expr(e).isNotNull())
+            .groupBy(*d["group_keys"], F.expr(e).alias("__dv"))
+            .agg(F.count(F.lit(1)).cast("long").alias("__mult")),
+            meta={_SUPPORT_META: {"watermark": d["base_version"]}},
+        )
 
 
 def _build_and_guard(
@@ -195,8 +299,10 @@ def _build_and_guard(
         d.get("mins", []),
         d.get("maxs", []),
         d.get("avgs", []),
+        d.get("distincts", []),
     )
     _null_key_guard(agg, d["group_keys"], where)
+    _rebuild_supports(spark, snap, mv, d)
     return mv.write_full(agg, meta={_META_KEY: d})
 
 
@@ -211,11 +317,15 @@ def create_materialized_view(
     mins: list[list[str]] = (),
     maxs: list[list[str]] = (),
     avgs: list[list[str]] = (),
+    distincts: list[list[str]] = (),
 ) -> int:
     """Build the MV from the base's CURRENT snapshot and stamp the
     definition + watermark into the commit meta. ``sums`` / ``mins`` /
-    ``maxs`` / ``avgs`` are lists of ``[expr, alias]`` pairs
-    (expressions evaluate per base row)."""
+    ``maxs`` / ``avgs`` / ``distincts`` are lists of ``[expr, alias]``
+    pairs (expressions evaluate per base row). Each COUNT(DISTINCT)
+    column additionally materializes a hidden support table (pg_ivm's
+    construction — see ``_support_table``)."""
+    _validate_output_names(keys, sums, mins, maxs, avgs, count_col, distincts)
     base_v = base.latest_version()
     d = {
         "base": base_name,
@@ -225,6 +335,7 @@ def create_materialized_view(
         "mins": [list(p) for p in mins],
         "maxs": [list(p) for p in maxs],
         "avgs": [list(p) for p in avgs],
+        "distincts": [list(p) for p in distincts],
         "count_col": count_col,
     }
     return _build_and_guard(spark, base.read(spark, base_v), mv, d, "create")
@@ -242,9 +353,14 @@ def create_materialized_join_view(
     sums: list[list[str]],
     count_col: str = HIDDEN_COUNT,
     avgs: list[list[str]] = (),
+    mins: list[list[str]] = (),
+    maxs: list[list[str]] = (),
 ) -> int:
     """Build an aggregate MV over ``a ⋈ b`` (equi-join USING ``on``)
-    and stamp the two-watermark definition into the commit meta."""
+    and stamp the two-watermark definition into the commit meta.
+    MIN/MAX columns refresh with the bounded JOIN-SLICE rescan (see
+    ``refresh_materialized_join_view``)."""
+    _validate_output_names(keys, sums, mins, maxs, avgs, count_col)
     va, vb = a.latest_version(), b.latest_version()
     d = {
         "base": a_name,
@@ -254,6 +370,8 @@ def create_materialized_join_view(
         "join_on": list(on),
         "group_keys": list(keys),
         "sums": [list(p) for p in sums],
+        "mins": [list(p) for p in mins],
+        "maxs": [list(p) for p in maxs],
         "avgs": [list(p) for p in avgs],
         "count_col": count_col,
     }
@@ -283,6 +401,63 @@ def _nets(
                 .cast("long")
                 .alias(_nn(a))
                 for _, a in sums
+            ],
+            F.sum("__s").cast("long").alias(cnt),
+        )
+    )
+
+
+def _nets_with_extrema(
+    delta: DataFrame,
+    keys: list[str],
+    sums: list[list[str]],
+    mins: list[list[str]],
+    maxs: list[list[str]],
+    cnt: str,
+) -> DataFrame:
+    """Per-group signed nets of one change feed INCLUDING the MIN/MAX
+    maintenance columns: insert-side fold candidates (``__ins__a``) and
+    deleted-side retraction probes (``__del__a``) per extremum column.
+    Shared by single-table refresh (base CDF) and JOIN-view refresh
+    (bilinear join delta) — both feeds carry ``_change_type``."""
+    add = F.col("_change_type").isin(*_ADDITIVE)
+    return (
+        delta.select(
+            *keys,
+            F.when(add, 1).otherwise(-1).alias("__s"),
+            add.alias("__add"),
+            *[F.expr(e).alias(a) for e, a in sums],
+            *[F.expr(e).alias(a) for e, a in mins],
+            *[F.expr(e).alias(a) for e, a in maxs],
+        )
+        .groupBy(*keys)
+        .agg(
+            *[F.sum(F.col(a) * F.col("__s")).alias(a) for _, a in sums],
+            *[
+                F.sum(
+                    F.when(F.col(a).isNotNull(), F.col("__s")).otherwise(0)
+                )
+                .cast("long")
+                .alias(_nn(a))
+                for _, a in sums
+            ],
+            # insert-side fold candidates and deleted-side retraction
+            # probes, per extremum column
+            *[
+                F.min(F.when(F.col("__add"), F.col(a))).alias(f"__ins__{a}")
+                for _, a in mins
+            ],
+            *[
+                F.min(F.when(~F.col("__add"), F.col(a))).alias(f"__del__{a}")
+                for _, a in mins
+            ],
+            *[
+                F.max(F.when(F.col("__add"), F.col(a))).alias(f"__ins__{a}")
+                for _, a in maxs
+            ],
+            *[
+                F.max(F.when(~F.col("__add"), F.col(a))).alias(f"__del__{a}")
+                for _, a in maxs
             ],
             F.sum("__s").cast("long").alias(cnt),
         )
@@ -323,16 +498,33 @@ def _merge_nets(
     sums: list[list[str]],
     cnt: str,
     head_meta: dict,
-    base: VersionedTable | None = None,
+    rescan_fn=None,
     mins: list[list[str]] = (),
     maxs: list[list[str]] = (),
-    base_head: int | None = None,
     avgs: list[list[str]] = (),
+    distincts: list[list[str]] = (),
+    dist_df: DataFrame | None = None,
 ) -> int:
     """Fold cached per-group nets into the stored MV via merge_apply —
     ONE implementation shared by single-table and join refreshes. With
-    ``mins``/``maxs``, retraction-triggered groups rescan ``base`` at
-    ``base_head`` (single-table views only)."""
+    ``mins``/``maxs``, retraction-triggered groups recompute from
+    ``rescan_fn(trig_keys)`` — a callable returning the rows of exactly
+    those groups (the base snapshot semi-pruned for single-table views;
+    the bounded join slice for JOIN views). With ``distincts``,
+    ``dist_df`` carries the recomputed ``__dist__<alias>`` counts for
+    every touched group (from the support tables) and overwrites the
+    published columns."""
+
+    def _publish_dists(changes_df: DataFrame) -> DataFrame:
+        if dist_df is None:
+            return changes_df
+        out = changes_df.join(dist_df, keys, "left")
+        for _, a in distincts:
+            out = out.withColumn(
+                a,
+                F.coalesce(F.col(f"__dist__{a}"), F.lit(0)).cast("long"),
+            ).drop(f"__dist__{a}")
+        return out
     mv_types = {
         f.name: f.dataType
         for f in StructType.fromJson(mv._manifest()["schema"]).fields  # noqa: SLF001
@@ -359,7 +551,8 @@ def _merge_nets(
         if avgs:
             changes_df = changes_df.select("*", *_avg_publish_exprs(avgs))
         return mv.merge_apply(
-            spark, changes_df, keys, op_col="__op", meta=head_meta
+            spark, _publish_dists(changes_df), keys, op_col="__op",
+            meta=head_meta,
         )
     # MIN/MAX path: a group needs a rescan only if it SURVIVES and a
     # deleted value ties-or-beats its maintained extremum (the bounded
@@ -391,14 +584,9 @@ def _merge_nets(
     ).persist()
     try:
         trig_keys = pre.where(F.col("__trig")).select(*keys).distinct()
-        rescan = (
-            base.read(spark, base_head)
-            .join(F.broadcast(trig_keys), keys, "left_semi")
-            .groupBy(*keys)
-            .agg(
-                *[F.min(F.expr(e)).alias(f"__rs__{a}") for e, a in mins],
-                *[F.max(F.expr(e)).alias(f"__rs__{a}") for e, a in maxs],
-            )
+        rescan = rescan_fn(trig_keys).groupBy(*keys).agg(
+            *[F.min(F.expr(e)).alias(f"__rs__{a}") for e, a in mins],
+            *[F.max(F.expr(e)).alias(f"__rs__{a}") for e, a in maxs],
         )
         changes_df = pre.join(rescan, keys, "left").select(
             *keys,
@@ -419,7 +607,8 @@ def _merge_nets(
         if avgs:
             changes_df = changes_df.select("*", *_avg_publish_exprs(avgs))
         return mv.merge_apply(
-            spark, changes_df, keys, op_col="__op", meta=head_meta
+            spark, _publish_dists(changes_df), keys, op_col="__op",
+            meta=head_meta,
         )
     finally:
         pre.unpersist()
@@ -440,63 +629,100 @@ def refresh_materialized_view(
     avgs = d.get("avgs", [])
     mins, maxs = d.get("mins", []), d.get("maxs", [])
     head = base.latest_version()
+    # A successful advance to head subsumes any out-of-order exception
+    # set a streaming run left behind — drop it from the stored meta.
+    d_adv = {k: v for k, v in d.items() if k != "stream_folded"}
     if full:
         v = _build_and_guard(
             spark,
             base.read(spark, head),
             mv,
-            {**d, "base_version": head},
+            {**d_adv, "base_version": head},
             "full refresh",
         )
         return v, "full"
     wm = d["base_version"]
     if head == wm:
         return mv.latest_version(), "noop"
-    delta = base.changes(spark, wm, head)
-    add = F.col("_change_type").isin(*_ADDITIVE)
-    nets = (
-        delta.select(
-            *keys,
-            F.when(add, 1).otherwise(-1).alias("__s"),
-            add.alias("__add"),
-            *[F.expr(e).alias(a) for e, a in sums],
-            *[F.expr(e).alias(a) for e, a in mins],
-            *[F.expr(e).alias(a) for e, a in maxs],
+    folded = {int(x) for x in d.get("stream_folded", ())}
+    if folded:
+        # A streaming run folded some above-floor versions out of
+        # order; changes(wm, head) would double-fold them. Fold the
+        # per-version feeds of ONLY the pending data commits — same
+        # total churn, per-commit file diffs.
+        pending = [
+            v
+            for v in base.versions()
+            if wm < v <= head
+            and v not in folded
+            and base._manifest(v)["op"] not in _FEEDLESS_OPS  # noqa: SLF001
+        ]
+        if not pending:
+            return mv.latest_version(), "noop"
+        delta = reduce(
+            DataFrame.unionByName,
+            [base.changes(spark, v - 1, v) for v in pending],
         )
-        .groupBy(*keys)
-        .agg(
-            *[F.sum(F.col(a) * F.col("__s")).alias(a) for _, a in sums],
-            *[
-                F.sum(
-                    F.when(F.col(a).isNotNull(), F.col("__s")).otherwise(0)
-                )
-                .cast("long")
-                .alias(_nn(a))
-                for _, a in sums
-            ],
-            # insert-side fold candidates and deleted-side retraction
-            # probes, per extremum column
-            *[
-                F.min(F.when(F.col("__add"), F.col(a))).alias(f"__ins__{a}")
-                for _, a in mins
-            ],
-            *[
-                F.min(F.when(~F.col("__add"), F.col(a))).alias(f"__del__{a}")
-                for _, a in mins
-            ],
-            *[
-                F.max(F.when(F.col("__add"), F.col(a))).alias(f"__ins__{a}")
-                for _, a in maxs
-            ],
-            *[
-                F.max(F.when(~F.col("__add"), F.col(a))).alias(f"__del__{a}")
-                for _, a in maxs
-            ],
-            F.sum("__s").cast("long").alias(cnt),
-        )
-    ).persist()
+    else:
+        delta = base.changes(spark, wm, head)
+    nets = _nets_with_extrema(delta, keys, sums, mins, maxs, cnt).persist()
+    touched = None
     try:
         _null_key_guard(nets, keys, "refresh")
+        dists = d.get("distincts", [])
+        dist_df = None
+        if dists:
+            touched = nets.select(*keys).distinct().persist()
+            dist_df = touched
+            for e, a in dists:
+                sup = _support_table(mv, a)
+                s_wm = _support_wm(sup)
+                if s_wm < head:
+                    # normal case reuses the already-built delta; a
+                    # crash between support fold and MV commit leaves
+                    # s_wm ahead of wm — re-fold only the lag
+                    sdelta = (
+                        delta if s_wm == wm
+                        else base.changes(spark, s_wm, head)
+                    )
+                    snets = _nets(
+                        sdelta.where(F.expr(e).isNotNull()).select(
+                            "_change_type",
+                            *keys,
+                            F.expr(e).alias("__dv"),
+                        ),
+                        [*keys, "__dv"],
+                        [],
+                        "__mult",
+                    )
+                    _merge_nets(
+                        spark,
+                        sup,
+                        snets,
+                        [*keys, "__dv"],
+                        [],
+                        "__mult",
+                        head_meta={_SUPPORT_META: {"watermark": head}},
+                    )
+                # published count = surviving support rows per touched
+                # group (support is key-pruned: cost ∝ churned groups'
+                # distinct values, never the base)
+                dist_df = dist_df.join(
+                    sup.read(spark)
+                    .join(touched, keys, "left_semi")
+                    .groupBy(*keys)
+                    .agg(
+                        F.count(F.lit(1))
+                        .cast("long")
+                        .alias(f"__dist__{a}")
+                    ),
+                    keys,
+                    "left",
+                )
+        # No forced broadcast in the rescan semi-join: a bulk delete can
+        # trigger millions of groups; AQE picks broadcast when trig_keys
+        # is actually small (same doctrine as join_signed_delta's
+        # mixed-term prunes).
         v = _merge_nets(
             spark,
             mv,
@@ -504,15 +730,20 @@ def refresh_materialized_view(
             keys,
             sums,
             cnt,
-            head_meta={_META_KEY: {**d, "base_version": head}},
-            base=base,
+            head_meta={_META_KEY: {**d_adv, "base_version": head}},
+            rescan_fn=lambda trig: base.read(spark, head).join(
+                trig, keys, "left_semi"
+            ),
             mins=mins,
             maxs=maxs,
-            base_head=head,
             avgs=avgs,
+            distincts=dists,
+            dist_df=dist_df,
         )
     finally:
         nets.unpersist()
+        if touched is not None:
+            touched.unpersist()
     return v, "incremental"
 
 
@@ -526,13 +757,20 @@ def refresh_materialized_join_view(
     """Advance a JOIN-view MV to both bases' heads: the join's own
     change feed comes from the bilinear delta rule over the two CDFs,
     then folds through the SAME merge path as a single-table refresh.
-    Returns ``(mv_version, mode)``."""
+    Returns ``(mv_version, mode)``.
+
+    MIN/MAX retraction rescan uses the BOUNDED JOIN SLICE: triggered
+    group keys semi-prune EACH base on the subset of group keys that
+    side carries (and the un-pruned side through the pruned side's
+    join keys), so only the triggered groups' join slices recompute —
+    never ``A ⋈ B`` over the full bases."""
     from ..operators.incremental import join_signed_delta
 
     d = definition(mv)
     keys, cnt = d["group_keys"], d["count_col"]
     sums = _eff_sums(d)
     avgs = d.get("avgs", [])
+    mins, maxs = d.get("mins", []), d.get("maxs", [])
     on = d["join_on"]
     ha, hb = a.latest_version(), b.latest_version()
     if full:
@@ -553,7 +791,28 @@ def refresh_materialized_join_view(
     delta = join_signed_delta(
         a.read(spark, wa), da, b.read(spark, wb), db, on=on
     )
-    nets = _nets(delta, keys, sums, cnt).persist()
+    nets = _nets_with_extrema(delta, keys, sums, mins, maxs, cnt).persist()
+
+    def _join_slice(trig: DataFrame) -> DataFrame:
+        """Rows of exactly the triggered groups' join slices at the new
+        heads: semi-prune each base on its own subset of group keys,
+        cross-prune a side with no direct group key through the other
+        side's join keys, then re-assert the full key set post-join
+        (the per-side prunes are supersets when keys span both sides).
+        No forced broadcasts — AQE sizes the churn-keyed semi joins."""
+        sa, sb = a.read(spark, ha), b.read(spark, hb)
+        ka = [k for k in keys if k in sa.columns]
+        kb = [k for k in keys if k in sb.columns]
+        if ka:
+            sa = sa.join(trig.select(*ka).distinct(), ka, "left_semi")
+        if kb:
+            sb = sb.join(trig.select(*kb).distinct(), kb, "left_semi")
+        if ka and not kb:
+            sb = sb.join(sa.select(*on).distinct(), on, "left_semi")
+        if kb and not ka:
+            sa = sa.join(sb.select(*on).distinct(), on, "left_semi")
+        return sa.join(sb, on).join(trig, keys, "left_semi")
+
     try:
         _null_key_guard(nets, keys, "refresh")
         v = _merge_nets(
@@ -566,11 +825,100 @@ def refresh_materialized_join_view(
             head_meta={
                 _META_KEY: {**d, "base_version": ha, "base_b_version": hb}
             },
+            rescan_fn=_join_slice,
+            mins=mins,
+            maxs=maxs,
             avgs=avgs,
         )
     finally:
         nets.unpersist()
     return v, "incremental"
+
+
+def _fold_stream_batch(
+    spark: SparkSession,
+    mv: VersionedTable,
+    base: VersionedTable,
+    batch: DataFrame,
+    batch_id: int,
+    run_token: str,
+) -> bool:
+    """Fold ONE change-feed micro-batch into the MV; returns whether a
+    commit happened. Module-level (not a closure) so tests can drive
+    batches in an adversarial delivery order deterministically.
+
+    Out-of-order delivery guard: the file source breaks mtime ties
+    lexicographically (``_commit_version=10`` sorts before ``=9``), so
+    a single high-watermark would mark 10 folded and later drop 9's
+    rows as replay. Folded state is therefore a contiguous FLOOR
+    (``base_version``: every data commit ≤ it is folded) plus an
+    above-floor exception SET (``stream_folded``) — bounded by the
+    delivery skew, not the history, because the floor advances through
+    the base's commit sequence (feedless commits count as folded: they
+    produce no feed rows by construction) and the set keeps only
+    what's beyond the first unfolded gap. SUM/COUNT/AVG folds commute,
+    so within-batch order never matters — only the replay filter does.
+    """
+    d = definition(mv)  # re-read: prior batches advanced it
+    keys, cnt = d["group_keys"], d["count_col"]
+    sums, avgs = _eff_sums(d), d.get("avgs", [])
+    if d.get("stream_run") == run_token and batch_id <= d.get(
+        "stream_batch_id", -1
+    ):
+        return False  # within-run retry of an already-committed batch
+    floor = d["base_version"]
+    folded_set = {int(v) for v in d.get("stream_folded", ())}
+    live = batch.where(F.col("_commit_version") > floor)
+    if folded_set:
+        live = live.where(~F.col("_commit_version").isin(*sorted(folded_set)))
+    live = live.persist()
+    try:
+        # bounded collect: one row per commit version in this
+        # micro-batch (feed files are one-per-commit)
+        vs = {
+            int(r[0])
+            for r in live.select("_commit_version").distinct().collect()
+        }
+        if not vs:
+            return False  # pure replay below the floor: nothing to fold
+        new_set = folded_set | vs
+        new_floor = floor
+        for bv in base.versions():
+            if bv <= new_floor:
+                continue
+            if bv in new_set:
+                new_set.discard(bv)
+                new_floor = bv
+            elif base._manifest(bv)["op"] in _FEEDLESS_OPS:  # noqa: SLF001
+                new_floor = bv  # no feed rows ever: implicitly folded
+            else:
+                break  # first unfolded data commit: floor stops here
+        nets = _nets(live, keys, sums, cnt).persist()
+        try:
+            _null_key_guard(nets, keys, "stream refresh")
+            _merge_nets(
+                spark,
+                mv,
+                nets,
+                keys,
+                sums,
+                cnt,
+                head_meta={
+                    _META_KEY: {
+                        **d,
+                        "base_version": new_floor,
+                        "stream_folded": sorted(new_set),
+                        "stream_run": run_token,
+                        "stream_batch_id": batch_id,
+                    }
+                },
+                avgs=avgs,
+            )
+        finally:
+            nets.unpersist()
+    finally:
+        live.unpersist()
+    return True
 
 
 def stream_refresh_materialized_view(
@@ -605,8 +953,9 @@ def stream_refresh_materialized_view(
     watermark filter decides.
 
     Restrictions: single-table SUM/COUNT/AVG views only — MIN/MAX needs
-    the bounded base rescan (batch REFRESH gives it); JOIN views need
-    both feeds (batch REFRESH handles the bilinear rule).
+    the bounded base rescan, COUNT(DISTINCT) needs the support-table
+    fold (batch REFRESH gives both); JOIN views need both feeds (batch
+    REFRESH handles the bilinear rule).
     """
     d0 = definition(mv)
     if "base_b" in d0:
@@ -619,51 +968,19 @@ def stream_refresh_materialized_view(
             "streaming refresh with MIN/MAX is not supported — "
             "retraction rescans need a base snapshot; use batch REFRESH"
         )
-    keys, cnt = d0["group_keys"], d0["count_col"]
-    sums, avgs = _eff_sums(d0), d0.get("avgs", [])
+    if d0.get("distincts"):
+        raise ValueError(
+            "streaming refresh with COUNT(DISTINCT) is not supported — "
+            "the support-table fold rides batch REFRESH"
+        )
     folded = [0]
     import uuid
 
     run_token = uuid.uuid4().hex
 
     def fold(batch: DataFrame, batch_id: int) -> None:
-        d = definition(mv)  # re-read: prior batches advanced it
-        if d.get("stream_run") == run_token and batch_id <= d.get(
-            "stream_batch_id", -1
-        ):
-            return  # within-run retry of an already-committed batch
-        live = batch.where(
-            F.col("_commit_version") > d["base_version"]
-        ).persist()
-        try:
-            hi = live.agg(F.max("_commit_version")).first()[0]
-            if hi is None:
-                return  # pure replay below the watermark: nothing to fold
-            nets = _nets(live, keys, sums, cnt).persist()
-            try:
-                _null_key_guard(nets, keys, "stream refresh")
-                _merge_nets(
-                    spark,
-                    mv,
-                    nets,
-                    keys,
-                    sums,
-                    cnt,
-                    head_meta={
-                        _META_KEY: {
-                            **d,
-                            "base_version": max(d["base_version"], int(hi)),
-                            "stream_run": run_token,
-                            "stream_batch_id": batch_id,
-                        }
-                    },
-                    avgs=avgs,
-                )
-            finally:
-                nets.unpersist()
-        finally:
-            live.unpersist()
-        folded[0] += 1
+        if _fold_stream_batch(spark, mv, base, batch, batch_id, run_token):
+            folded[0] += 1
 
     reader = base.stream_changes(
         spark, max_files_per_trigger=max_files_per_trigger

@@ -268,6 +268,7 @@ def _fmt_version(v: int) -> str:
 _DELTA_META_KEYS = (
     "version", "op", "ts", "schema", "meta", "constraints",
     "column_mapping", "retired_cols", "bloom_cols", "vacuum_horizon",
+    "change_feed",
 )
 
 # Ops whose commits change NO row data — layout rewrites and pure
@@ -279,6 +280,7 @@ _DELTA_META_KEYS = (
 _FEEDLESS_OPS = (
     "optimize", "set_constraint", "drop_constraint",
     "rename_column", "drop_column", "set_bloom_index", "vacuum",
+    "set_change_feed",
 )
 
 
@@ -377,7 +379,7 @@ class VersionedTable:
         self,
         path: str,
         stats_cols: Sequence[str] = (),
-        change_feed: bool = False,
+        change_feed: bool | None = None,
         claim_backend: CommitClaimBackend | None = None,
         checkpoint_interval: int = 20,
         bloom_cols: Sequence[str] | None = None,
@@ -407,7 +409,14 @@ class VersionedTable:
         # bounded in file count instead of degrading every later scan.
         # Policy is per-handle, like stats_cols.
         self.auto_compact = auto_compact
-        self.change_feed = change_feed
+        # Change-feed enablement is TABLE metadata persisted in the
+        # manifest (Delta's delta.enableChangeDataFeed table property,
+        # same inheritance rule as bloom_cols): None inherits the
+        # head's setting — a fresh handle on a CDF table keeps
+        # materializing feeds — an explicit bool sets/updates it at
+        # this handle's next commit. SQL: ALTER TABLE t SET CHANGE
+        # FEED = true|false.
+        self._change_feed = change_feed
         self._claim = claim_backend or PosixLinkClaim()
         # delta-log knobs: commits claim action deltas (see module-level
         # _encode_delta) and every `checkpoint_interval` versions the
@@ -426,6 +435,24 @@ class VersionedTable:
         os.makedirs(os.path.join(path, _DATA_DIR), exist_ok=True)
         if change_feed:
             os.makedirs(os.path.join(path, _CDF_DIR), exist_ok=True)
+
+    @property
+    def change_feed(self) -> bool:
+        """Effective change-feed setting: this handle's explicit choice,
+        else the persisted table property from the head manifest."""
+        if self._change_feed is not None:
+            return self._change_feed
+        try:
+            head = self.latest_version()
+        except OSError:
+            return False
+        if head is None:
+            return False
+        return bool(self._manifest(head).get("change_feed", False))
+
+    @change_feed.setter
+    def change_feed(self, value: bool | None) -> None:
+        self._change_feed = value
 
     # -- manifest plumbing --------------------------------------------------
 
@@ -1090,6 +1117,11 @@ class VersionedTable:
                 if self.bloom_cols is not None
                 else (list(hm.get("bloom_cols", [])) if hm else [])
             )
+            cf = (
+                self._change_feed
+                if self._change_feed is not None
+                else (bool(hm.get("change_feed", False)) if hm else False)
+            )
             # the vacuum horizon (lowest restorable version) is monotone
             # and inherited by every commit, so any writer's head always
             # knows how far back a restore may legally reach — see
@@ -1144,6 +1176,8 @@ class VersionedTable:
                 manifest["retired_cols"] = retired
             if bloom:
                 manifest["bloom_cols"] = bloom
+            if cf:
+                manifest["change_feed"] = True
             if vh:
                 manifest["vacuum_horizon"] = vh
             if self._claim_version(manifest, parent=hm):
@@ -2320,6 +2354,48 @@ class VersionedTable:
                 self._write_bloom_sidecars(
                     spark, os.path.join(self.path, d), fs, m["stats"], mapping
                 )
+        return v
+
+    def set_change_feed(
+        self, spark: SparkSession, enabled: bool, backfill: bool = False
+    ) -> int:
+        """Delta's ``delta.enableChangeDataFeed`` table property as DDL
+        (SQL: ``ALTER TABLE t SET CHANGE FEED = true|false [WITH
+        BACKFILL]``): persist enablement as a metadata-only commit so
+        EVERY later handle — any process — materializes each commit's
+        row-level feed. Like Delta, enablement covers commits from the
+        DDL on; ``backfill=True`` additionally materializes the feed
+        for every RETAINED earlier data commit (version 0 as
+        snapshot-inserts — idempotent overwrites, cost ∝ retained
+        churn), letting ``stream_changes`` start from version 0
+        instead of ``starting_version``."""
+        m = self._manifest()
+        prev = self._change_feed
+        self._change_feed = bool(enabled)  # explicit: _commit persists it
+        if enabled:
+            os.makedirs(os.path.join(self.path, _CDF_DIR), exist_ok=True)
+        try:
+            v = self._commit(
+                "set_change_feed",
+                m["files"],
+                m["stats"],
+                m["schema"],
+                {"change_feed": bool(enabled)},
+                expected_head=m["version"],
+            )
+        except BaseException:
+            # a failed DDL must not linger on this handle (same doctrine
+            # as set_bloom_cols)
+            self._change_feed = prev
+            raise
+        if enabled and backfill:
+            for bv in self.versions():
+                if bv > v:
+                    break
+                if self._manifest(bv)["op"] in _FEEDLESS_OPS:
+                    continue
+                if not os.path.isdir(self._cdf_version_dir(bv)):
+                    self.materialize_changes(spark, bv)
         return v
 
     def drop_constraint(self, name: str) -> int:

@@ -184,3 +184,25 @@ def test_type_drift_same_names_fails_whole(spark, vt, tmp_path):
     with pytest.raises(ValueError, match="drift|differs"):
         copy_into(spark, vt, str(tmp_path / "src"), "*/*.parquet")
     assert _rows(spark, vt) == [("x", 1)]
+
+
+def test_path_spelling_never_reingests(spark, vt, tmp_path, monkeypatch):
+    """The ledger is keyed by canonical realpath: a relative src, a
+    different CWD, or a symlinked prefix are the SAME physical files
+    and must diff as already-loaded (exactly-once contract)."""
+    _land(spark, str(tmp_path / "src/a"), [("x", 1)])
+    copy_into(spark, vt, str(tmp_path / "src"), "*/*.parquet")
+    v = vt.latest_version()
+    # relative spelling from a different CWD
+    monkeypatch.chdir(tmp_path)
+    out = copy_into(spark, vt, "src", "*/*.parquet")
+    assert out["files_loaded"] == 0 and vt.latest_version() == v
+    # symlinked prefix
+    (tmp_path / "alias").symlink_to(tmp_path / "src")
+    out = copy_into(spark, vt, str(tmp_path / "alias"), "*/*.parquet")
+    assert out["files_loaded"] == 0 and vt.latest_version() == v
+    # and genuinely new files still load through the alias
+    _land(spark, str(tmp_path / "src/b"), [("y", 2)])
+    out = copy_into(spark, vt, str(tmp_path / "alias"), "*/*.parquet")
+    assert out["files_loaded"] == 1
+    assert _rows(spark, vt) == [("x", 1), ("y", 2)]

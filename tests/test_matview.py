@@ -400,16 +400,68 @@ def test_join_mv_full_rebuild(spark, lhj):
     assert _jmv_rows(lhj) == _jmv_recompute(lhj)
 
 
-def test_join_mv_minmax_refused(spark, lhj):
-    _mk(spark, [("a", "1.00")]).createOrReplaceTempView("jf2")
-    _mk_dim(spark, [("a", "s1")]).createOrReplaceTempView("jd2")
+def _jmv_minmax_create(spark, lhj):
+    _mk(spark, [("a", "1.00"), ("a", "2.00"), ("b", "5.00"), ("b", "3.00")]).createOrReplaceTempView("jf2")
+    _mk_dim(spark, [("a", "s1"), ("b", "s1")]).createOrReplaceTempView("jd2")
     lhj.sql("CREATE TABLE fa AS SELECT * FROM jf2")
     lhj.sql("CREATE TABLE di AS SELECT * FROM jd2")
-    with pytest.raises(ValueError, match="MIN/MAX on a JOIN"):
-        lhj.sql(
-            "CREATE MATERIALIZED VIEW jmv AS SELECT seg, MIN(amt) AS lo "
+    lhj.sql(
+        "CREATE MATERIALIZED VIEW jmv AS SELECT seg, MIN(amt) AS lo, "
+        "MAX(amt) AS hi, COUNT(*) AS n FROM fa JOIN di USING (k) "
+        "GROUP BY seg"
+    )
+
+
+def _jmv_minmax_recompute(lhj):
+    return {
+        tuple(r)
+        for r in lhj.sql(
+            "SELECT seg, MIN(amt) AS lo, MAX(amt) AS hi, COUNT(*) AS n "
             "FROM fa JOIN di USING (k) GROUP BY seg"
-        )
+        ).collect()
+    }
+
+
+def _jmv_minmax_rows(lhj):
+    return {
+        tuple(r) for r in lhj.sql("SELECT seg, lo, hi, n FROM jmv").collect()
+    }
+
+
+def test_join_mv_minmax_insert_only_folds(spark, lhj):
+    _jmv_minmax_create(spark, lhj)
+    _mk(spark, [("a", "0.50"), ("b", "9.00")]).createOrReplaceTempView("jadd")
+    lhj.sql("INSERT INTO fa SELECT * FROM jadd")
+    assert lhj.sql("REFRESH MATERIALIZED VIEW jmv").first()["mode"] == (
+        "incremental"
+    )
+    assert _jmv_minmax_rows(lhj) == _jmv_minmax_recompute(lhj)
+
+
+def test_join_mv_minmax_fact_retraction_rescans_join_slice(spark, lhj):
+    """Deleting the joined extremum row must trigger the bounded
+    join-slice rescan and land on the recompute."""
+    _jmv_minmax_create(spark, lhj)
+    lhj.sql("DELETE FROM fa WHERE amt = 1.00")  # group's MIN retires
+    lhj.sql("REFRESH MATERIALIZED VIEW jmv")
+    assert _jmv_minmax_rows(lhj) == _jmv_minmax_recompute(lhj)
+
+
+def test_join_mv_minmax_dim_side_change(spark, lhj):
+    """A dim-side UPDATE moves whole key slices between groups — both
+    the retracted group and the receiving group must be exact."""
+    _jmv_minmax_create(spark, lhj)
+    lhj.sql("UPDATE di SET seg = 's2' WHERE k = 'a'")
+    lhj.sql("REFRESH MATERIALIZED VIEW jmv")
+    assert _jmv_minmax_rows(lhj) == _jmv_minmax_recompute(lhj)
+
+
+def test_join_mv_minmax_group_death(spark, lhj):
+    _jmv_minmax_create(spark, lhj)
+    lhj.sql("DELETE FROM di WHERE k = 'a'")
+    lhj.sql("DELETE FROM fa WHERE k = 'b'")
+    lhj.sql("REFRESH MATERIALIZED VIEW jmv")
+    assert _jmv_minmax_rows(lhj) == _jmv_minmax_recompute(lhj)
 
 
 def test_null_sum_group_preserved_through_refresh(spark, lh):
@@ -737,3 +789,450 @@ def test_reserved_prefix_aliases_rejected(spark, lh):
             "CREATE MATERIALIZED VIEW mv AS SELECT k, "
             "SUM(amt) AS __ivm_count FROM base GROUP BY k"
         )
+
+
+# ---------------------------------------------------------------------------
+# Out-of-order feed delivery (floor + exception-set watermark)
+# ---------------------------------------------------------------------------
+
+from aws_lakehouse_project_spark.plans.matview import (  # noqa: E402
+    _fold_stream_batch,
+    create_materialized_join_view,
+    create_materialized_view,
+)
+
+
+def _feed(spark, base, v):
+    root = f"{base.path}/_change_data"
+    return (
+        spark.read.schema(base.changes_schema())
+        .option("basePath", root)
+        .parquet(f"{root}/_commit_version={v}")
+    )
+
+
+def _two_commits(spark, lhs):
+    """base v0 (create) + v1 + v2; MV watermark at 0."""
+    _create(spark, lhs, [("a", "1.00")])
+    _mk(spark, [("b", "2.00")]).createOrReplaceTempView("oo1")
+    lhs.sql("INSERT INTO base SELECT * FROM oo1")
+    _mk(spark, [("c", "3.00")]).createOrReplaceTempView("oo2")
+    lhs.sql("INSERT INTO base SELECT * FROM oo2")
+    return lhs.table("base"), lhs.table("mv")
+
+
+def test_stream_fold_out_of_order_delivery(spark, lhs):
+    """v2's feed file delivered BEFORE v1's (mtime-tie lexicographic
+    ordering under maxFilesPerTrigger) must not drop v1's rows: the
+    floor stays, the exception set carries v2, and the late v1 batch
+    folds and collapses the set."""
+    base, mv = _two_commits(spark, lhs)
+    assert _fold_stream_batch(spark, mv, base, _feed(spark, base, 2), 0, "t")
+    d = definition(mv)
+    assert d["base_version"] == 0 and d["stream_folded"] == [2]
+    assert _fold_stream_batch(spark, mv, base, _feed(spark, base, 1), 1, "t")
+    d = definition(mv)
+    assert d["base_version"] == 2 and d["stream_folded"] == []
+    assert _mv_rows(lhs) == _recompute(lhs)
+    # replaying either version again is a pure no-op
+    assert not _fold_stream_batch(
+        spark, mv, base, _feed(spark, base, 2), 0, "t2"
+    )
+    assert _mv_rows(lhs) == _recompute(lhs)
+
+
+def test_batch_refresh_skips_stream_folded_versions(spark, lhs):
+    """A streaming run died after folding ONLY v2 (out of order); batch
+    REFRESH must fold v1 exactly once — changes(floor, head) would
+    double-fold v2 — and clear the exception set."""
+    base, mv = _two_commits(spark, lhs)
+    assert _fold_stream_batch(spark, mv, base, _feed(spark, base, 2), 0, "t")
+    r = lhs.sql("REFRESH MATERIALIZED VIEW mv").first()
+    assert r["mode"] == "incremental"
+    assert _mv_rows(lhs) == _recompute(lhs)
+    d = definition(mv)
+    assert d["base_version"] == 2 and "stream_folded" not in d
+
+
+def test_stream_refresh_resumes_after_out_of_order_partial(spark, lhs, tmp_path):
+    """A fresh streaming run after the partial out-of-order state must
+    fold v1 (below the folded v2, above the floor) instead of dropping
+    it as replay, and end with a collapsed set."""
+    base, mv = _two_commits(spark, lhs)
+    assert _fold_stream_batch(spark, mv, base, _feed(spark, base, 2), 0, "t")
+    stream_refresh_materialized_view(
+        spark, mv, base, str(tmp_path / "oo_ckpt")
+    )
+    d = definition(mv)
+    assert d["base_version"] == 2 and d["stream_folded"] == []
+    assert _mv_rows(lhs) == _recompute(lhs)
+
+
+def test_python_create_shares_alias_validation(spark, lh):
+    """Direct Python callers hit the same duplicate/reserved-prefix
+    checks as the SQL parser — an alias like __ivm_count or a SUM alias
+    equal to a key would silently corrupt hidden maintenance columns."""
+    _mk(spark, [("a", "1.00")]).createOrReplaceTempView("pv0")
+    lh.sql("CREATE TABLE base AS SELECT * FROM pv0")
+    base, mv = lh.table("base"), lh.table("mv")
+    with pytest.raises(ValueError, match="reserved"):
+        create_materialized_view(
+            spark, "base", base, mv, keys=["k"],
+            sums=[["amt", "__ivm_count"]],
+        )
+    with pytest.raises(ValueError, match="collide"):
+        create_materialized_view(
+            spark, "base", base, mv, keys=["k"], sums=[["amt", "k"]]
+        )
+    with pytest.raises(ValueError, match="collide"):
+        create_materialized_view(
+            spark, "base", base, mv, keys=["k"],
+            sums=[["amt", "t"]], mins=[["amt", "t"]],
+        )
+    with pytest.raises(ValueError, match="collide"):
+        create_materialized_join_view(
+            spark, "base", base, "base", base, on=["k"], mv=mv,
+            keys=["k"], sums=[["amt", "k"]],
+        )
+    assert not mv.exists()  # nothing committed by any rejected create
+
+
+# ---------------------------------------------------------------------------
+# COUNT(DISTINCT) — hidden support table
+# ---------------------------------------------------------------------------
+
+
+def _mk3(spark, rows):
+    return spark.createDataFrame(
+        [Row(k=k, cust=c, amt=Decimal(a)) for k, c, a in rows],
+        "k string, cust int, amt decimal(12,2)",
+    )
+
+
+def _dcreate(spark, lh, rows):
+    _mk3(spark, rows).createOrReplaceTempView("dsrc")
+    lh.sql("CREATE TABLE base AS SELECT * FROM dsrc")
+    lh.sql(
+        "CREATE MATERIALIZED VIEW mv AS SELECT k, "
+        "COUNT(DISTINCT cust) AS n_custs, SUM(amt) AS total, "
+        "COUNT(*) AS n FROM base GROUP BY k"
+    )
+
+
+def _drows(lh):
+    return {
+        (r["k"], r["n_custs"], r["total"], r["n"])
+        for r in lh.sql("SELECT k, n_custs, total, n FROM mv").collect()
+    }
+
+
+def _drecompute(lh):
+    return {
+        (r["k"], r["n_custs"], r["total"], r["n"])
+        for r in lh.sql(
+            "SELECT k, COUNT(DISTINCT cust) AS n_custs, SUM(amt) AS "
+            "total, COUNT(*) AS n FROM base GROUP BY k"
+        ).collect()
+    }
+
+
+def test_distinct_mv_create_matches_recompute(spark, lh):
+    _dcreate(
+        spark, lh,
+        [("a", 1, "1.00"), ("a", 1, "2.00"), ("a", 2, "3.00"),
+         ("b", 1, "5.00")],
+    )
+    assert _drows(lh) == _drecompute(lh)
+
+
+def test_distinct_update_moves_measure_not_value(spark, lh):
+    """UPDATE pairs that change a measure but not the distinct value
+    must cancel in the support fold — counts untouched, sums moved."""
+    _dcreate(
+        spark, lh,
+        [("a", 1, "1.00"), ("a", 1, "2.00"), ("a", 2, "3.00")],
+    )
+    lh.sql("UPDATE base SET amt = amt * 10 WHERE cust = 1")
+    r = lh.sql("REFRESH MATERIALIZED VIEW mv").first()
+    assert r["mode"] == "incremental"
+    assert _drows(lh) == _drecompute(lh)
+
+
+def test_distinct_multi_occurrence_delete_no_over_decrement(spark, lh):
+    """Deleting ONE of a customer's several same-group rows must not
+    decrement the distinct count; deleting the LAST one must."""
+    _dcreate(
+        spark, lh,
+        [("a", 1, "1.00"), ("a", 1, "2.00"), ("a", 2, "3.00"),
+         ("b", 2, "4.00")],
+    )
+    lh.sql("DELETE FROM base WHERE amt = 1.00")  # cust 1 keeps a row in a
+    lh.sql("REFRESH MATERIALIZED VIEW mv")
+    assert _drows(lh) == _drecompute(lh)
+    lh.sql("DELETE FROM base WHERE amt = 2.00")  # cust 1's LAST a-row
+    lh.sql("REFRESH MATERIALIZED VIEW mv")
+    assert _drows(lh) == _drecompute(lh)
+    got = {r["k"]: r["n_custs"] for r in lh.sql("SELECT * FROM mv").collect()}
+    assert got == {"a": 1, "b": 1}
+
+
+def test_distinct_group_retire_and_new_value(spark, lh):
+    _dcreate(spark, lh, [("a", 1, "1.00"), ("b", 1, "2.00")])
+    lh.sql("DELETE FROM base WHERE k = 'b'")
+    _mk3(spark, [("a", 9, "3.00"), ("c", 9, "4.00")]).createOrReplaceTempView(
+        "dnew"
+    )
+    lh.sql("INSERT INTO base SELECT * FROM dnew")
+    lh.sql("REFRESH MATERIALIZED VIEW mv")
+    assert _drows(lh) == _drecompute(lh)
+
+
+def test_distinct_null_values_never_count(spark, lh):
+    spark.createDataFrame(
+        [Row(k="a", cust=None, amt=Decimal("1.00")),
+         Row(k="a", cust=7, amt=Decimal("2.00"))],
+        "k string, cust int, amt decimal(12,2)",
+    ).createOrReplaceTempView("dsrc")
+    lh.sql("CREATE TABLE base AS SELECT * FROM dsrc")
+    lh.sql(
+        "CREATE MATERIALIZED VIEW mv AS SELECT k, "
+        "COUNT(DISTINCT cust) AS n_custs, COUNT(*) AS n "
+        "FROM base GROUP BY k"
+    )
+    got = lh.sql("SELECT * FROM mv").first()
+    assert got["n_custs"] == 1 and got["n"] == 2
+    lh.sql("DELETE FROM base WHERE cust IS NULL")
+    lh.sql("REFRESH MATERIALIZED VIEW mv")
+    got = lh.sql("SELECT * FROM mv").first()
+    assert got["n_custs"] == 1 and got["n"] == 1
+
+
+def test_distinct_full_refresh_rebuilds_support(spark, lh):
+    _dcreate(spark, lh, [("a", 1, "1.00"), ("a", 2, "2.00")])
+    lh.sql("DELETE FROM base WHERE cust = 2")
+    r = lh.sql("REFRESH MATERIALIZED VIEW mv FULL").first()
+    assert r["mode"] == "full"
+    assert _drows(lh) == _drecompute(lh)
+    # incremental refresh after the rebuild still folds correctly
+    _mk3(spark, [("a", 3, "9.00")]).createOrReplaceTempView("dmore")
+    lh.sql("INSERT INTO base SELECT * FROM dmore")
+    lh.sql("REFRESH MATERIALIZED VIEW mv")
+    assert _drows(lh) == _drecompute(lh)
+
+
+def test_distinct_rejections(spark, lhj, lhs, tmp_path):
+    _mk3(spark, [("a", 1, "1.00")]).createOrReplaceTempView("dj")
+    lhj.sql("CREATE TABLE fa AS SELECT * FROM dj")
+    lhj.sql("CREATE TABLE di AS SELECT * FROM dj")
+    with pytest.raises(ValueError, match="COUNT\\(DISTINCT\\).*JOIN"):
+        lhj.sql(
+            "CREATE MATERIALIZED VIEW jmv AS SELECT k, "
+            "COUNT(DISTINCT cust) AS n FROM fa JOIN di USING (k) "
+            "GROUP BY k"
+        )
+    # streaming refresh refuses distinct views
+    _mk3(spark, [("a", 1, "1.00")]).createOrReplaceTempView("ds")
+    lhs.sql("CREATE TABLE base AS SELECT * FROM ds")
+    lhs.sql(
+        "CREATE MATERIALIZED VIEW mv AS SELECT k, "
+        "COUNT(DISTINCT cust) AS n FROM base GROUP BY k"
+    )
+    with pytest.raises(ValueError, match="DISTINCT"):
+        stream_refresh_materialized_view(
+            spark, lhs.table("mv"), lhs.table("base"), str(tmp_path / "dc")
+        )
+    # alias rules apply to distinct aliases too
+    with pytest.raises(ValueError, match="reserved"):
+        lhs.sql(
+            "CREATE MATERIALIZED VIEW mv AS SELECT k, "
+            "COUNT(DISTINCT cust) AS __n FROM base GROUP BY k"
+        )
+
+
+# ---------------------------------------------------------------------------
+# APPLY CHANGES INTO ... SCD TYPE 2
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def lha(spark, tmp_path):
+    s = LakehouseSession(spark)
+    s.create("src", str(tmp_path / "src"))
+    s.create("dim", str(tmp_path / "dim"))
+    return s
+
+
+def _hist_rows(lha):
+    return {
+        tuple(r)
+        for r in lha.sql(
+            "SELECT k, amt, start_v, end_v, is_current FROM dim"
+        ).collect()
+    }
+
+
+def test_apply_changes_init_then_folds(spark, lha):
+    _mk(spark, [("a", "1.00"), ("b", "2.00")]).createOrReplaceTempView("a0")
+    lha.sql("CREATE TABLE src AS SELECT * FROM a0")
+    r = lha.sql(
+        "APPLY CHANGES INTO dim FROM CHANGES(src) KEYS (k) SCD TYPE 2"
+    ).first()
+    assert r["mode"] == "init"
+    assert _hist_rows(lha) == {
+        ("a", Decimal("1.00"), 0, None, True),
+        ("b", Decimal("2.00"), 0, None, True),
+    }
+    # UPDATE closes + reopens; DELETE closes only; new key opens only
+    lha.sql("UPDATE src SET amt = amt * 10 WHERE k = 'a'")
+    lha.sql("DELETE FROM src WHERE k = 'b'")
+    _mk(spark, [("c", "9.00")]).createOrReplaceTempView("a1")
+    lha.sql("INSERT INTO src SELECT * FROM a1")
+    r = lha.sql(
+        "APPLY CHANGES INTO dim FROM CHANGES(src) KEYS (k) SCD TYPE 2"
+    ).first()
+    assert r["mode"] == "incremental" and r["ordinals_applied"] == 3
+    assert _hist_rows(lha) == {
+        ("a", Decimal("1.00"), 0, 1, False),
+        ("a", Decimal("10.00"), 1, None, True),
+        ("b", Decimal("2.00"), 0, 2, False),
+        ("c", Decimal("9.00"), 3, None, True),
+    }
+    # re-run with no new commits: noop, history unchanged
+    r = lha.sql(
+        "APPLY CHANGES INTO dim FROM CHANGES(src) KEYS (k) SCD TYPE 2"
+    ).first()
+    assert r["mode"] == "noop" and r["ordinals_applied"] == 0
+
+
+def test_apply_changes_feedless_commits_never_shift_ordinals(spark, lha):
+    _mk(spark, [("a", "1.00")]).createOrReplaceTempView("b0")
+    lha.sql("CREATE TABLE src AS SELECT * FROM b0")
+    lha.sql("APPLY CHANGES INTO dim FROM CHANGES(src) KEYS (k) SCD TYPE 2")
+    lha.sql("OPTIMIZE src")  # feedless: must not consume an ordinal
+    lha.sql("UPDATE src SET amt = 5.00 WHERE k = 'a'")
+    lha.sql("APPLY CHANGES INTO dim FROM CHANGES(src) KEYS (k) SCD TYPE 2")
+    assert _hist_rows(lha) == {
+        ("a", Decimal("1.00"), 0, 1, False),
+        ("a", Decimal("5.00"), 1, None, True),
+    }
+
+
+def test_apply_changes_survives_fresh_handle(spark, lha, tmp_path):
+    _mk(spark, [("a", "1.00")]).createOrReplaceTempView("c0")
+    lha.sql("CREATE TABLE src AS SELECT * FROM c0")
+    lha.sql("APPLY CHANGES INTO dim FROM CHANGES(src) KEYS (k) SCD TYPE 2")
+    lha.sql("UPDATE src SET amt = 2.00 WHERE k = 'a'")
+    # fresh session, fresh handles — watermark must ride the table
+    s2 = LakehouseSession(spark)
+    s2.create("src", str(tmp_path / "src"))
+    s2.create("dim", str(tmp_path / "dim"))
+    r = s2.sql(
+        "APPLY CHANGES INTO dim FROM CHANGES(src) KEYS (k) SCD TYPE 2"
+    ).first()
+    assert r["mode"] == "incremental"
+    assert _hist_rows(lha) == {
+        ("a", Decimal("1.00"), 0, 1, False),
+        ("a", Decimal("2.00"), 1, None, True),
+    }
+
+
+def test_apply_changes_rejections(spark, lha):
+    _mk(spark, [("a", "1.00")]).createOrReplaceTempView("d0")
+    lha.sql("CREATE TABLE src AS SELECT * FROM d0")
+    lha.sql("APPLY CHANGES INTO dim FROM CHANGES(src) KEYS (k) SCD TYPE 2")
+    with pytest.raises(ValueError, match="KEYS"):
+        lha.sql(
+            "APPLY CHANGES INTO dim FROM CHANGES(src) KEYS (amt) "
+            "SCD TYPE 2"
+        )
+    with pytest.raises(ValueError, match="KEYS entries"):
+        lha.sql(
+            "APPLY CHANGES INTO dim FROM CHANGES(src) KEYS (k+1) "
+            "SCD TYPE 2"
+        )
+
+
+# ---------------------------------------------------------------------------
+# SQL CDF enablement (ALTER TABLE ... SET CHANGE FEED / WITH CHANGE FEED)
+# ---------------------------------------------------------------------------
+
+
+def test_alter_table_set_change_feed_persists(spark, lh, tmp_path):
+    """Enablement is a TABLE property riding the manifest: a FRESH
+    handle (no constructor flag) must keep materializing feeds, and
+    WITH BACKFILL must cover pre-enablement commits so a stream can
+    start from version 0."""
+    _mk(spark, [("a", "1.00")]).createOrReplaceTempView("cf0")
+    lh.sql("CREATE TABLE base AS SELECT * FROM cf0")  # v0: no feed yet
+    r = lh.sql(
+        "ALTER TABLE base SET CHANGE FEED = true WITH BACKFILL"
+    ).first()
+    assert r["op"] == "set_change_feed"
+    # fresh handle, no flag: inherits enablement from the manifest
+    vt2 = VersionedTable(lh.table("base").path)
+    assert vt2.change_feed is True
+    vt2.delete_where(spark, "k = 'a'")
+    feed = vt2.stream_changes(spark)  # completeness guard must pass
+    assert feed is not None
+    # v0 backfilled as snapshot-inserts, delete commit fed by vt2
+    import os as _os
+    assert _os.path.isdir(vt2._cdf_version_dir(0))
+    assert any(
+        _os.path.isdir(vt2._cdf_version_dir(v))
+        for v in vt2.versions()
+        if v > 1
+    ) or _os.path.isdir(vt2._cdf_version_dir(2))
+
+
+def test_alter_table_set_change_feed_false_disables(spark, lh):
+    _mk(spark, [("a", "1.00")]).createOrReplaceTempView("cf1")
+    lh.sql("CREATE TABLE base AS SELECT * FROM cf1")
+    lh.sql("ALTER TABLE base SET CHANGE FEED = true")
+    lh.sql("ALTER TABLE base SET CHANGE FEED = false")
+    vt2 = VersionedTable(lh.table("base").path)
+    assert vt2.change_feed is False
+    with pytest.raises(ValueError, match="change_feed=True"):
+        vt2.stream_changes(spark)
+
+
+def test_create_mv_with_change_feed_clause_cascades(spark, tmp_path):
+    """The WITH CHANGE FEED clause makes tier-1 REFRESH commits emit a
+    CDF that a tier-2 MV folds — no Python constructor flag anywhere,
+    and a FRESH session refreshes both tiers."""
+    s = LakehouseSession(spark)
+    s.create("base", str(tmp_path / "b"))
+    s.create("t1", str(tmp_path / "t1"))
+    s.create("t2", str(tmp_path / "t2"))
+    _mk(spark, [("a", "1.00"), ("a", "2.00"), ("b", "5.00")]) \
+        .createOrReplaceTempView("wcf0")
+    s.sql("CREATE TABLE base AS SELECT * FROM wcf0")
+    s.sql(
+        "CREATE MATERIALIZED VIEW t1 WITH CHANGE FEED AS "
+        "SELECT k, SUM(amt) AS total, COUNT(*) AS n FROM base GROUP BY k"
+    )
+    s.sql(
+        "CREATE MATERIALIZED VIEW t2 AS SELECT total, COUNT(*) AS nk "
+        "FROM t1 GROUP BY total"
+    )
+    s.sql("UPDATE base SET amt = amt * 2 WHERE k = 'a'")
+    # fresh session: enablement must ride the table, not the handle
+    s2 = LakehouseSession(spark)
+    s2.create("base", str(tmp_path / "b"))
+    s2.create("t1", str(tmp_path / "t1"))
+    s2.create("t2", str(tmp_path / "t2"))
+    r1 = s2.sql("REFRESH MATERIALIZED VIEW t1").first()
+    r2 = s2.sql("REFRESH MATERIALIZED VIEW t2").first()
+    assert (r1["mode"], r2["mode"]) == ("incremental", "incremental")
+    want = {
+        (r["total"], r["nk"])
+        for r in s2.sql(
+            "SELECT total, COUNT(*) AS nk FROM "
+            "(SELECT k, SUM(amt) AS total FROM base GROUP BY k) "
+            "GROUP BY total"
+        ).collect()
+    }
+    got = {
+        (r["total"], r["nk"])
+        for r in s2.sql("SELECT total, nk FROM t2").collect()
+    }
+    assert got == want
