@@ -2304,6 +2304,100 @@ def q_convert_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: (sf_dir → (fact_path, v0)) and (sf_dir → (fact, dim, fv0, dv0)):
+#: per-PROCESS memo of the MV family's shared committed fixtures.
+_MV_FIXTURE_CACHE: dict[str, tuple[str, int]] = {}
+_MV_JOIN_FIXTURE_CACHE: dict[str, tuple[str, str, int, int]] = {}
+
+
+def _mv_fact_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
+    """ONE committed versioned fact history shared by the single-table
+    declarative-MV demos in this process (r11 VERDICT task: the five
+    slowest bench extras were each rebuilding this same
+    UPDATE+INSERT+DELETE fixture — commit cost dominated the folds
+    being measured). Columns are the family superset (o_orderkey,
+    cust_id, month, dt, price); the scenario is the canonical one
+    every MV oracle encodes: v0 = the %10≠0 cohort, then UPDATE
+    (%7 prices double), INSERT (the %10 cohort arrives), DELETE
+    (%5 customers). NO materialized change feed: batch REFRESH folds
+    ``changes()`` straight off the manifest file diff — materialized
+    feeds are a STREAMING-only need, and writing them triples the
+    fixture cost (measured r12) — so ``q_materialized_view_stream``
+    keeps its own private CDF fixture. Returns ``(table_path, v0)``;
+    consumers treat the table as READ-ONLY and declare their view
+    ``VERSION AS OF v0`` so the first REFRESH folds the whole shared
+    history. Coverage is unchanged: every query still exercises its
+    own CREATE / REFRESH / support-fold path — only the base-history
+    commits are shared."""
+    got = _MV_FIXTURE_CACHE.get(sf_dir)
+    if got and os.path.isdir(got[0]):
+        return got
+    work = scratch_dir("spark_graft_mvfixture", unique=True)
+    path = os.path.join(work, "fact")
+    vt = VersionedTable(path, stats_cols=["dt"])
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("cust_id"),
+        F.trunc(F.col("o_orderdate").cast("date"), "month").alias("month"),
+        F.col("o_orderdate").cast("date").alias("dt"),
+        money("o_totalprice").alias("price"),
+    )
+    v0 = vt.write_full(base.filter(F.col("o_orderkey") % 10 != 0))
+    vt.update_where(
+        spark, "o_orderkey % 7 = 0",
+        {"price": "cast(price * 2 as decimal(12,2))"},
+    )
+    vt.append(base.filter(F.col("o_orderkey") % 10 == 0))
+    vt.delete_where(spark, "cust_id % 5 = 0")
+    _MV_FIXTURE_CACHE[sf_dir] = (path, v0)
+    return path, v0
+
+
+def _mv_join_fixture(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, str, int, int]:
+    """The JOIN-view twins' shared two-table history: fact takes a
+    MERGE (inserts the %10 cohort, doubles %7 prices) then a DELETE
+    (%5 customers); dim takes an UPDATE that MOVES every %3 customer's
+    nation. Returns ``(fact_path, dim_path, fact_v0, dim_v0)``; same
+    read-only AS-OF contract as ``_mv_fact_fixture``."""
+    got = _MV_JOIN_FIXTURE_CACHE.get(sf_dir)
+    if got and os.path.isdir(got[0]):
+        return got
+    work = scratch_dir("spark_graft_mvjoinfix", unique=True)
+    fpath = os.path.join(work, "fact")
+    dpath = os.path.join(work, "dim")
+    fact = VersionedTable(fpath, stats_cols=["cust_id"])
+    dim = VersionedTable(dpath, stats_cols=["cust_id"])
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("cust_id"),
+        money("o_totalprice").alias("price"),
+    )
+    fv0 = fact.write_full(base.filter(F.col("o_orderkey") % 10 != 0))
+    src = base.filter(
+        (F.col("o_orderkey") % 10 == 0) | (F.col("o_orderkey") % 7 == 0)
+    ).withColumn(
+        "price",
+        F.when(F.col("o_orderkey") % 7 == 0, F.col("price") * 2)
+        .otherwise(F.col("price"))
+        .cast("decimal(12,2)"),
+    )
+    fact.merge_upsert(spark, src, keys=["o_orderkey"])
+    fact.delete_where(spark, "cust_id % 5 = 0")
+    dv0 = dim.write_full(
+        load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("cust_id"),
+            F.col("c_nationkey").cast("int").alias("nation"),
+        )
+    )
+    dim.update_where(
+        spark, "cust_id % 3 = 0", {"nation": "cast((nation + 1) % 25 as int)"}
+    )
+    _MV_JOIN_FIXTURE_CACHE[sf_dir] = (fpath, dpath, fv0, dv0)
+    return fpath, dpath, fv0, dv0
+
+
 MATERIALIZED_VIEW_ORACLE = """
     WITH fact AS (
       SELECT CAST(o_orderdate AS DATE) AS dt,
@@ -2343,36 +2437,25 @@ def q_materialized_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     INCREMENTAL (not a rebuild), that a second refresh is a watermark
     no-op, and that the refreshed MV is read back through plain SQL.
     Oracle = full recompute of the final state — the Databricks/pg_ivm
-    contract that REFRESH is indistinguishable from recomputation."""
+    contract that REFRESH is indistinguishable from recomputation.
+    The base history is the family's SHARED read-only fixture
+    (``_mv_fact_fixture``); the view is declared ``VERSION AS OF`` its
+    pre-mutation version, so the refresh folds the identical
+    UPDATE+INSERT+DELETE churn without this query paying the commit
+    fixtures again (r11 VERDICT task 7)."""
     from ..plans.lakehouse_sql import LakehouseSession
 
     work = scratch_dir("spark_graft_matview", unique=True)
+    fact_path, v0 = _mv_fact_fixture(spark, sf_dir)
     lh = LakehouseSession(spark)
-    lh.create("fact", os.path.join(work, "fact"), stats_cols=["dt"])
+    lh.register("fact", VersionedTable(fact_path))
     lh.create("daily_rev", os.path.join(work, "mv"))
-
-    base = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        F.col("o_custkey").alias("cust_id"),
-        F.col("o_orderdate").cast("date").alias("dt"),
-        money("o_totalprice").alias("price"),
-    )
-    base.filter(F.col("o_orderkey") % 10 != 0).createOrReplaceTempView(
-        "orders_v0"
-    )
-    base.filter(F.col("o_orderkey") % 10 == 0).createOrReplaceTempView(
-        "orders_late"
-    )
-    lh.sql("CREATE TABLE fact AS SELECT * FROM orders_v0")
     lh.sql(
         "CREATE MATERIALIZED VIEW daily_rev AS "
         "SELECT dt, SUM(price) AS revenue, MIN(price) AS lo, "
         "MAX(price) AS hi, AVG(price) AS avg_price, COUNT(*) AS n_orders "
-        "FROM fact GROUP BY dt"
+        f"FROM fact VERSION AS OF {v0} GROUP BY dt"
     )
-    lh.sql("UPDATE fact SET price = price * 2 WHERE o_orderkey % 7 = 0")
-    lh.sql("INSERT INTO fact SELECT * FROM orders_late")
-    lh.sql("DELETE FROM fact WHERE cust_id % 5 = 0")
 
     r1 = lh.sql("REFRESH MATERIALIZED VIEW daily_rev").first()
     if r1["mode"] != "incremental":
@@ -2425,36 +2508,22 @@ def q_materialized_view_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     commits; the guards assert it was incremental and that a second
     refresh is a watermark no-op. Oracle = full COUNT(DISTINCT)
     recompute of the final state (the pg_ivm/Databricks contract that
-    REFRESH is indistinguishable from recomputation)."""
+    REFRESH is indistinguishable from recomputation). Base history =
+    the family's shared read-only fixture, view declared VERSION AS OF
+    its pre-mutation version (``_mv_fact_fixture``)."""
     from ..plans.lakehouse_sql import LakehouseSession
 
     work = scratch_dir("spark_graft_matview_distinct", unique=True)
+    fact_path, v0 = _mv_fact_fixture(spark, sf_dir)
     lh = LakehouseSession(spark)
-    lh.create("fact", os.path.join(work, "fact"), stats_cols=["dt"])
+    lh.register("fact", VersionedTable(fact_path))
     lh.create("daily_custs", os.path.join(work, "mv"))
-
-    base = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        F.col("o_custkey").alias("cust_id"),
-        F.col("o_orderdate").cast("date").alias("dt"),
-        money("o_totalprice").alias("price"),
-    )
-    base.filter(F.col("o_orderkey") % 10 != 0).createOrReplaceTempView(
-        "dorders_v0"
-    )
-    base.filter(F.col("o_orderkey") % 10 == 0).createOrReplaceTempView(
-        "dorders_late"
-    )
-    lh.sql("CREATE TABLE fact AS SELECT * FROM dorders_v0")
     lh.sql(
         "CREATE MATERIALIZED VIEW daily_custs AS "
         "SELECT dt, COUNT(DISTINCT cust_id) AS n_custs, "
         "SUM(price) AS revenue, COUNT(*) AS n_orders "
-        "FROM fact GROUP BY dt"
+        f"FROM fact VERSION AS OF {v0} GROUP BY dt"
     )
-    lh.sql("UPDATE fact SET price = price * 2 WHERE o_orderkey % 7 = 0")
-    lh.sql("INSERT INTO fact SELECT * FROM dorders_late")
-    lh.sql("DELETE FROM fact WHERE cust_id % 5 = 0")
 
     r1 = lh.sql("REFRESH MATERIALIZED VIEW daily_custs").first()
     if r1["mode"] != "incremental":
@@ -2552,50 +2621,23 @@ def q_materialized_view_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ΔA⋈ΔB correction for customers deleted AND moved). Guards assert
     the refresh was incremental and idempotent. Oracle (shared with
     the Python-API twin q_incremental_mv_join) = full recompute of the
-    final join."""
+    final join. Both base histories come from the JOIN twins' shared
+    read-only fixture (``_mv_join_fixture``); the view is declared
+    VERSION AS OF each base's pre-mutation version."""
     from ..plans.lakehouse_sql import LakehouseSession
 
     work = scratch_dir("spark_graft_mvjoin", unique=True)
+    fpath, dpath, fv0, dv0 = _mv_join_fixture(spark, sf_dir)
     lh = LakehouseSession(spark)
-    lh.create("fact", os.path.join(work, "fact"), stats_cols=["cust_id"])
-    lh.create("dim", os.path.join(work, "dim"), stats_cols=["cust_id"])
+    lh.register("fact", VersionedTable(fpath))
+    lh.register("dim", VersionedTable(dpath))
     lh.create("nation_rev", os.path.join(work, "mv"))
-
-    base = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        F.col("o_custkey").alias("cust_id"),
-        money("o_totalprice").alias("price"),
-    )
-    base.filter(F.col("o_orderkey") % 10 != 0).createOrReplaceTempView(
-        "fact_v0"
-    )
-    base.filter(
-        (F.col("o_orderkey") % 10 == 0) | (F.col("o_orderkey") % 7 == 0)
-    ).withColumn(
-        "price",
-        F.when(F.col("o_orderkey") % 7 == 0, F.col("price") * 2)
-        .otherwise(F.col("price"))
-        .cast("decimal(12,2)"),
-    ).createOrReplaceTempView("fact_src")
-    load_table(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("cust_id"),
-        F.col("c_nationkey").cast("int").alias("nation"),
-    ).createOrReplaceTempView("dim_src")
-
-    lh.sql("CREATE TABLE fact AS SELECT * FROM fact_v0")
-    lh.sql("CREATE TABLE dim AS SELECT * FROM dim_src")
     lh.sql(
         "CREATE MATERIALIZED VIEW nation_rev AS "
         "SELECT nation, SUM(price) AS revenue, COUNT(*) AS n_lines "
-        "FROM fact JOIN dim USING (cust_id) GROUP BY nation"
+        f"FROM fact VERSION AS OF {fv0} "
+        f"JOIN dim VERSION AS OF {dv0} USING (cust_id) GROUP BY nation"
     )
-    lh.sql(
-        "MERGE INTO fact USING fact_src "
-        "ON fact.o_orderkey = fact_src.o_orderkey "
-        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
-    )
-    lh.sql("DELETE FROM fact WHERE cust_id % 5 = 0")
-    lh.sql("UPDATE dim SET nation = (nation + 1) % 25 WHERE cust_id % 3 = 0")
 
     r1 = lh.sql("REFRESH MATERIALIZED VIEW nation_rev").first()
     if r1["mode"] != "incremental":
@@ -2657,51 +2699,24 @@ def q_materialized_view_join_minmax(
     nations — a retraction in the old group and an insert in the new
     one through the bilinear ΔA⋈ΔB correction. Guards assert the
     refresh was incremental and idempotent. Oracle = full recompute of
-    the final join with MIN/MAX columns."""
+    the final join with MIN/MAX columns. Base histories = the JOIN
+    twins' shared read-only fixture (``_mv_join_fixture``), view
+    declared VERSION AS OF each base's pre-mutation version."""
     from ..plans.lakehouse_sql import LakehouseSession
 
     work = scratch_dir("spark_graft_mvjoin_minmax", unique=True)
+    fpath, dpath, fv0, dv0 = _mv_join_fixture(spark, sf_dir)
     lh = LakehouseSession(spark)
-    lh.create("fact", os.path.join(work, "fact"), stats_cols=["cust_id"])
-    lh.create("dim", os.path.join(work, "dim"), stats_cols=["cust_id"])
+    lh.register("fact", VersionedTable(fpath))
+    lh.register("dim", VersionedTable(dpath))
     lh.create("nation_rev", os.path.join(work, "mv"))
-
-    base = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        F.col("o_custkey").alias("cust_id"),
-        money("o_totalprice").alias("price"),
-    )
-    base.filter(F.col("o_orderkey") % 10 != 0).createOrReplaceTempView(
-        "jmm_fact_v0"
-    )
-    base.filter(
-        (F.col("o_orderkey") % 10 == 0) | (F.col("o_orderkey") % 7 == 0)
-    ).withColumn(
-        "price",
-        F.when(F.col("o_orderkey") % 7 == 0, F.col("price") * 2)
-        .otherwise(F.col("price"))
-        .cast("decimal(12,2)"),
-    ).createOrReplaceTempView("jmm_fact_src")
-    load_table(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("cust_id"),
-        F.col("c_nationkey").cast("int").alias("nation"),
-    ).createOrReplaceTempView("jmm_dim_src")
-
-    lh.sql("CREATE TABLE fact AS SELECT * FROM jmm_fact_v0")
-    lh.sql("CREATE TABLE dim AS SELECT * FROM jmm_dim_src")
     lh.sql(
         "CREATE MATERIALIZED VIEW nation_rev AS "
         "SELECT nation, SUM(price) AS revenue, MIN(price) AS lo, "
         "MAX(price) AS hi, COUNT(*) AS n_lines "
-        "FROM fact JOIN dim USING (cust_id) GROUP BY nation"
+        f"FROM fact VERSION AS OF {fv0} "
+        f"JOIN dim VERSION AS OF {dv0} USING (cust_id) GROUP BY nation"
     )
-    lh.sql(
-        "MERGE INTO fact USING jmm_fact_src "
-        "ON fact.o_orderkey = jmm_fact_src.o_orderkey "
-        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
-    )
-    lh.sql("DELETE FROM fact WHERE cust_id % 5 = 0")
-    lh.sql("UPDATE dim SET nation = (nation + 1) % 25 WHERE cust_id % 3 = 0")
 
     r1 = lh.sql("REFRESH MATERIALIZED VIEW nation_rev").first()
     if r1["mode"] != "incremental":
@@ -2748,7 +2763,11 @@ def q_materialized_view_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoint — which replays the whole feed — folds NOTHING (the
     watermark filter is the double-fold proof), and (3) a subsequent
     batch REFRESH is a noop (streaming left the watermark at head).
-    Oracle = full recompute of the final state."""
+    Oracle = full recompute of the final state. This demo keeps its
+    OWN change-feed fixture (not the family's shared plain one):
+    streaming is the one consumer that needs materialized feed files,
+    and paying their write in the shared fixture taxed every batch
+    demo (measured r12)."""
     from ..plans.lakehouse_sql import LakehouseSession
     from ..plans.matview import stream_refresh_materialized_view
 
@@ -2845,33 +2864,22 @@ def q_materialized_view_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``WITH CHANGE FEED`` clause (persisted table property), not a
     Python-side constructor flag — the whole cascade drives through
     ``LakehouseSession.sql`` alone (the Python ``change_feed=True``
-    path stays covered by ``tests/test_matview.py``'s cascade test)."""
+    path stays covered by ``tests/test_matview.py``'s cascade test).
+    Base history = the family's shared read-only fixture; tier-1 is
+    declared VERSION AS OF the pre-mutation version, so its refresh
+    folds the shared churn and emits the tier-1 CDF tier-2 folds."""
     from ..plans.lakehouse_sql import LakehouseSession
 
     work = scratch_dir("spark_graft_mvcascade", unique=True)
+    fact_path, v0 = _mv_fact_fixture(spark, sf_dir)
     lh = LakehouseSession(spark)
-    lh.create("fact", os.path.join(work, "fact"), stats_cols=["dt"])
+    lh.register("fact", VersionedTable(fact_path))
     lh.create("daily_rev", os.path.join(work, "mv1"), stats_cols=["dt"])
     lh.create("monthly_rev", os.path.join(work, "mv2"))
-
-    base = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        F.col("o_custkey").alias("cust_id"),
-        F.trunc(F.col("o_orderdate").cast("date"), "month").alias("month"),
-        F.col("o_orderdate").cast("date").alias("dt"),
-        money("o_totalprice").alias("price"),
-    )
-    base.filter(F.col("o_orderkey") % 10 != 0).createOrReplaceTempView(
-        "cas_v0"
-    )
-    base.filter(F.col("o_orderkey") % 10 == 0).createOrReplaceTempView(
-        "cas_late"
-    )
-    lh.sql("CREATE TABLE fact AS SELECT * FROM cas_v0")
     lh.sql(
         "CREATE MATERIALIZED VIEW daily_rev WITH CHANGE FEED AS "
         "SELECT month, dt, SUM(price) AS revenue, COUNT(*) AS n_orders "
-        "FROM fact GROUP BY month, dt"
+        f"FROM fact VERSION AS OF {v0} GROUP BY month, dt"
     )
     lh.sql(
         "CREATE MATERIALIZED VIEW monthly_rev AS "
@@ -2879,9 +2887,6 @@ def q_materialized_view_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SUM(n_orders) AS n_orders, COUNT(*) AS n_days "
         "FROM daily_rev GROUP BY month"
     )
-    lh.sql("UPDATE fact SET price = price * 2 WHERE o_orderkey % 7 = 0")
-    lh.sql("INSERT INTO fact SELECT * FROM cas_late")
-    lh.sql("DELETE FROM fact WHERE cust_id % 5 = 0")
 
     r1 = lh.sql("REFRESH MATERIALIZED VIEW daily_rev").first()
     r2 = lh.sql("REFRESH MATERIALIZED VIEW monthly_rev").first()

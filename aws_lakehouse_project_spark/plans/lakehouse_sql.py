@@ -88,7 +88,9 @@ _GRAMMAR = """supported statements:
   CREATE MATERIALIZED VIEW mv [WITH CHANGE FEED] AS
     SELECT [keys,] SUM|MIN|MAX|AVG(e) AS a
     [, ...] [, COUNT(DISTINCT e) AS a] [, COUNT(*) AS c]
-    FROM base [JOIN b USING (k[, ...])]
+    FROM base [VERSION AS OF n] [JOIN b [VERSION AS OF n] USING (k[, ...])]
+    (VERSION AS OF creates the view — watermark included — at a
+     historical snapshot; the first REFRESH folds everything since)
     GROUP BY keys   (mv pre-registered; definition + per-base
     watermarks ride the commit meta; MIN/MAX refresh with bounded
     rescan-on-retraction — on JOIN views the rescan is the triggered
@@ -242,7 +244,10 @@ class LakehouseSession:
             rf"CREATE\s+MATERIALIZED\s+VIEW\s+(?P<mv>{_IDENT})\s+"
             r"(?:(?P<cf>WITH\s+CHANGE\s+FEED)\s+)?AS\s+"
             rf"SELECT\s+(?P<items>.+?)\s+FROM\s+(?P<b>{_IDENT})"
-            rf"(?:\s+JOIN\s+(?P<b2>{_IDENT})\s+USING\s+\((?P<on>[^)]+)\))?"
+            r"(?:\s+VERSION\s+AS\s+OF\s+(?P<bv>\d+))?"
+            rf"(?:\s+JOIN\s+(?P<b2>{_IDENT})"
+            r"(?:\s+VERSION\s+AS\s+OF\s+(?P<b2v>\d+))?"
+            r"\s+USING\s+\((?P<on>[^)]+)\))?"
             r"\s+GROUP\s+BY\s+(?P<keys>.+)",
             s, flags=re.IGNORECASE | re.DOTALL,
         )
@@ -372,6 +377,12 @@ class LakehouseSession:
                     avgs=avgs,
                     mins=mins,
                     maxs=maxs,
+                    at_version=(
+                        int(mm.group("bv")) if mm.group("bv") else None
+                    ),
+                    at_version_b=(
+                        int(mm.group("b2v")) if mm.group("b2v") else None
+                    ),
                 )
                 return self._row(op="create_materialized_view", version=v)
             v = create_materialized_view(
@@ -386,6 +397,7 @@ class LakehouseSession:
                 maxs=maxs,
                 avgs=avgs,
                 distincts=distincts,
+                at_version=int(mm.group("bv")) if mm.group("bv") else None,
             )
             return self._row(op="create_materialized_view", version=v)
 

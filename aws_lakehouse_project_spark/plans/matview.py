@@ -318,15 +318,21 @@ def create_materialized_view(
     maxs: list[list[str]] = (),
     avgs: list[list[str]] = (),
     distincts: list[list[str]] = (),
+    at_version: int | None = None,
 ) -> int:
     """Build the MV from the base's CURRENT snapshot and stamp the
     definition + watermark into the commit meta. ``sums`` / ``mins`` /
     ``maxs`` / ``avgs`` / ``distincts`` are lists of ``[expr, alias]``
     pairs (expressions evaluate per base row). Each COUNT(DISTINCT)
     column additionally materializes a hidden support table (pg_ivm's
-    construction — see ``_support_table``)."""
+    construction — see ``_support_table``). ``at_version`` (SQL:
+    ``FROM base VERSION AS OF n``) creates the view AS OF a historical
+    snapshot — watermark included — so the first REFRESH folds
+    everything committed since ``n``; besides time-travel ergonomics
+    this lets many views share ONE committed base history instead of
+    each mutating a private fixture."""
     _validate_output_names(keys, sums, mins, maxs, avgs, count_col, distincts)
-    base_v = base.latest_version()
+    base_v = base.latest_version() if at_version is None else int(at_version)
     d = {
         "base": base_name,
         "base_version": base_v,
@@ -355,13 +361,18 @@ def create_materialized_join_view(
     avgs: list[list[str]] = (),
     mins: list[list[str]] = (),
     maxs: list[list[str]] = (),
+    at_version: int | None = None,
+    at_version_b: int | None = None,
 ) -> int:
     """Build an aggregate MV over ``a ⋈ b`` (equi-join USING ``on``)
     and stamp the two-watermark definition into the commit meta.
     MIN/MAX columns refresh with the bounded JOIN-SLICE rescan (see
-    ``refresh_materialized_join_view``)."""
+    ``refresh_materialized_join_view``). ``at_version[_b]`` create the
+    view AS OF historical snapshots of either base (SQL: ``VERSION AS
+    OF n`` after the table name)."""
     _validate_output_names(keys, sums, mins, maxs, avgs, count_col)
-    va, vb = a.latest_version(), b.latest_version()
+    va = a.latest_version() if at_version is None else int(at_version)
+    vb = b.latest_version() if at_version_b is None else int(at_version_b)
     d = {
         "base": a_name,
         "base_version": va,

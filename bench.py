@@ -197,6 +197,15 @@ EXTRA = [
     "q_materialized_view_stream",
     # round-11 continuation 3: cascading MVs (tier-2 folds tier-1's CDF)
     "q_materialized_view_cascade",
+    # round-12: COUNT(DISTINCT) in declarative MVs (support table),
+    # MIN/MAX on JOIN views (bounded join-slice rescan), and the
+    # SQL-driven APPLY CHANGES INTO ... SCD TYPE 2 statement. The MV
+    # family now shares ONE committed base history per process
+    # (_mv_fact_fixture / _mv_join_fixture + CREATE ... VERSION AS OF),
+    # so extras totals before/after r12 compare fixture-free.
+    "q_materialized_view_distinct",
+    "q_materialized_view_join_minmax",
+    "q_scd2_sql",
 ]
 
 

@@ -1236,3 +1236,25 @@ def test_create_mv_with_change_feed_clause_cascades(spark, tmp_path):
         for r in s2.sql("SELECT total, nk FROM t2").collect()
     }
     assert got == want
+
+
+def test_create_mv_version_as_of(spark, lh):
+    """VERSION AS OF in the MV definition creates the view — watermark
+    included — at a historical snapshot; the first REFRESH folds
+    everything committed since."""
+    _mk(spark, [("a", "1.00"), ("b", "5.00")]).createOrReplaceTempView("ao0")
+    lh.sql("CREATE TABLE base AS SELECT * FROM ao0")          # v0
+    lh.sql("UPDATE base SET amt = amt * 2 WHERE k = 'a'")      # v1
+    lh.sql("DELETE FROM base WHERE k = 'b'")                   # v2
+    lh.sql(
+        "CREATE MATERIALIZED VIEW mv AS SELECT k, SUM(amt) AS total, "
+        "COUNT(*) AS n FROM base VERSION AS OF 0 GROUP BY k"
+    )
+    # MV reflects v0, not head
+    assert _mv_rows(lh) == {
+        ("a", Decimal("1.00"), 1), ("b", Decimal("5.00"), 1)
+    }
+    assert definition(lh.table("mv"))["base_version"] == 0
+    r = lh.sql("REFRESH MATERIALIZED VIEW mv").first()
+    assert r["mode"] == "incremental"
+    assert _mv_rows(lh) == _recompute(lh) == {("a", Decimal("2.00"), 1)}
