@@ -2362,7 +2362,7 @@ def _mv_join_fixture(
     nation. Returns ``(fact_path, dim_path, fact_v0, dim_v0)``; same
     read-only AS-OF contract as ``_mv_fact_fixture``."""
     got = _MV_JOIN_FIXTURE_CACHE.get(sf_dir)
-    if got and os.path.isdir(got[0]):
+    if got and os.path.isdir(got[0]) and os.path.isdir(got[1]):
         return got
     work = scratch_dir("spark_graft_mvjoinfix", unique=True)
     fpath = os.path.join(work, "fact")

@@ -54,15 +54,11 @@ _META_KEY = "apply_changes"
 
 
 def _watermark(hist: VersionedTable) -> dict | None:
-    """Most recent commit meta carrying the applied watermark (backward
-    raw-manifest walk — maintenance commits on the history table carry
-    their own meta and must not brick the statement)."""
-    if hist.exists():
-        for v in reversed(hist.versions()):
-            m = hist._raw_manifest(v).get("meta", {}).get(_META_KEY)  # noqa: SLF001
-            if m:
-                return m
-    return None
+    """Most recent commit meta carrying the applied watermark
+    (``VersionedTable.latest_meta`` — maintenance commits on the
+    history table carry their own meta and must not brick the
+    statement)."""
+    return hist.latest_meta(_META_KEY)
 
 
 def apply_changes_scd2(
@@ -130,10 +126,22 @@ def apply_changes_scd2(
         }
     applied = 0
     hv = hist.latest_version()
-    for v in src.versions():
+    vers = [v for v in src.versions() if v > from_v]
+    # manifest-classified up front (cheap meta reads), so each fold can
+    # persist a watermark that already covers the feedless run right
+    # AFTER it — a trailing OPTIMIZE/vacuum-marker run is then never
+    # re-walked by later APPLYs. (An empty-churn DATA commit can't be
+    # classified without reading its delta; a trailing one re-checks on
+    # the next APPLY — one churn-sized isEmpty, rare shape.)
+    feedless = {
+        v
+        for v in vers
+        if src._manifest(v)["op"] in _FEEDLESS_OPS  # noqa: SLF001
+    }
+    for i, v in enumerate(vers):
         if v <= from_v:
-            continue
-        if src._manifest(v)["op"] in _FEEDLESS_OPS:  # noqa: SLF001
+            continue  # covered by a prior fold's feedless look-ahead
+        if v in feedless:
             from_v = v
             continue
         delta = src.changes(spark, v - 1, v).persist()
@@ -141,6 +149,11 @@ def apply_changes_scd2(
             if delta.isEmpty():
                 from_v = v
                 continue
+            wm_v = v
+            for nxt in vers[i + 1:]:
+                if nxt not in feedless:
+                    break
+                wm_v = nxt
             changed = delta.select(*keys).distinct()
             slice_ = (
                 hist.read(spark)
@@ -162,7 +175,7 @@ def apply_changes_scd2(
                 meta={
                     _META_KEY: {
                         "src": src_name,
-                        "src_version": v,
+                        "src_version": wm_v,
                         "keys": list(keys),
                         "next_ordinal": ordinal + 1,
                     }
@@ -170,7 +183,7 @@ def apply_changes_scd2(
             )
             ordinal += 1
             applied += 1
-            from_v = v
+            from_v = wm_v
         finally:
             delta.unpersist()
     return {

@@ -95,9 +95,13 @@ def copy_into(
     # Canonicalize the listing (realpath) so a relative vs absolute
     # src, a different CWD, or a symlinked prefix never makes an
     # already-loaded file look new: the ledger stores and the diff
-    # compares ONE spelling per physical file.
+    # compares ONE spelling per physical file. The set also collapses
+    # two directory ENTRIES resolving to the same physical file (a
+    # 'latest' symlink beside its target) — without it both spellings
+    # survive the diff and the file's rows would load twice in one
+    # commit.
     listing = sorted(
-        os.path.realpath(f) for f in glob.glob(os.path.join(src, pattern))
+        {os.path.realpath(f) for f in glob.glob(os.path.join(src, pattern))}
     )
     if not listing:
         raise FileNotFoundError(

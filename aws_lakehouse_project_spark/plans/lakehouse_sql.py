@@ -235,6 +235,77 @@ class LakehouseSession:
             keys.append(ca)
         return keys
 
+    def _create_mv(
+        self,
+        mm: re.Match,
+        base_name: str,
+        mv_vt: VersionedTable,
+        keys: list[str],
+        sums: list[list[str]],
+        mins: list[list[str]],
+        maxs: list[list[str]],
+        avgs: list[list[str]],
+        distincts: list[list[str]],
+        count_col: str | None,
+    ) -> int:
+        """Dispatch a parsed CREATE MATERIALIZED VIEW to the single-
+        table or JOIN-view constructor (validation already ran)."""
+        from .matview import (
+            HIDDEN_COUNT,
+            create_materialized_join_view,
+            create_materialized_view,
+        )
+
+        if mm.group("b2"):
+            if distincts:
+                raise ValueError(
+                    "COUNT(DISTINCT) on a JOIN materialized view "
+                    "is not supported (the support fold needs one "
+                    "base's change feed) — declare it on a "
+                    f"single-table view\n{_GRAMMAR}"
+                )
+            on = []
+            for c in _split_top(mm.group("on")):
+                if not re.fullmatch(_IDENT, c):
+                    raise ValueError(
+                        f"USING entries must be plain columns: {c!r}"
+                        f"\n{_GRAMMAR}"
+                    )
+                on.append(c)
+            return create_materialized_join_view(
+                self.spark,
+                base_name,
+                self.table(base_name),
+                mm.group("b2"),
+                self.table(mm.group("b2")),
+                on=on,
+                mv=mv_vt,
+                keys=keys,
+                sums=sums,
+                count_col=count_col or HIDDEN_COUNT,
+                avgs=avgs,
+                mins=mins,
+                maxs=maxs,
+                at_version=int(mm.group("bv")) if mm.group("bv") else None,
+                at_version_b=(
+                    int(mm.group("b2v")) if mm.group("b2v") else None
+                ),
+            )
+        return create_materialized_view(
+            self.spark,
+            base_name,
+            self.table(base_name),
+            mv_vt,
+            keys=keys,
+            sums=sums,
+            count_col=count_col or HIDDEN_COUNT,
+            mins=mins,
+            maxs=maxs,
+            avgs=avgs,
+            distincts=distincts,
+            at_version=int(mm.group("bv")) if mm.group("bv") else None,
+        )
+
     # -- dispatcher -----------------------------------------------------------
 
     def sql(self, statement: str) -> DataFrame:
@@ -252,17 +323,9 @@ class LakehouseSession:
             s, flags=re.IGNORECASE | re.DOTALL,
         )
         if mm:
-            from .matview import (
-                HIDDEN_COUNT,
-                create_materialized_join_view,
-                create_materialized_view,
-            )
+            from .matview import HIDDEN_COUNT, _validate_output_names
 
             mv_name, base_name = mm.group("mv"), mm.group("b")
-            if mm.group("cf"):
-                # the MV itself emits a change feed — a tier-2 MV can
-                # then fold THIS view's CDF (cascading tiers)
-                self.table(mv_name).change_feed = True
             keys = []
             for k in _split_top(mm.group("keys")):
                 if not re.fullmatch(_IDENT, k):
@@ -323,83 +386,34 @@ class LakehouseSession:
                     f"selected columns {selected_keys} must be exactly "
                     f"the GROUP BY keys {keys}\n{_GRAMMAR}"
                 )
-            out_names = (
-                keys
-                + [a for _, a in sums + mins + maxs + avgs + distincts]
-                + ([count_col] if count_col else [])
-            )
-            dupes = sorted(
-                {n for n in out_names if out_names.count(n) > 1}
-            )
-            if dupes:
-                raise ValueError(
-                    f"materialized view output names collide: {dupes} — "
-                    f"every key and aggregate alias must be distinct"
-                    f"\n{_GRAMMAR}"
+            # ONE implementation of the duplicate-alias / reserved-
+            # __-prefix rules (shared with direct Python callers):
+            # create_* re-runs it, but failing HERE keeps the grammar
+            # help attached and nothing armed on any handle
+            try:
+                _validate_output_names(
+                    keys, sums, mins, maxs, avgs,
+                    count_col or HIDDEN_COUNT, distincts,
                 )
-            reserved = sorted(n for n in out_names if n.startswith("__"))
-            if reserved:
-                # the engine's hidden state rides __-prefixed columns
-                # (__nn__<alias>, __avg_sum__<alias>, __ivm_count) — a
-                # user alias there would collide with them downstream
-                raise ValueError(
-                    f"materialized view names {reserved} use the "
-                    "reserved '__' prefix (hidden maintenance state); "
-                    f"pick different aliases\n{_GRAMMAR}"
-                )
-            if mm.group("b2"):
-                if distincts:
-                    raise ValueError(
-                        "COUNT(DISTINCT) on a JOIN materialized view "
-                        "is not supported (the support fold needs one "
-                        "base's change feed) — declare it on a "
-                        f"single-table view\n{_GRAMMAR}"
-                    )
-                on = []
-                for c in _split_top(mm.group("on")):
-                    if not re.fullmatch(_IDENT, c):
-                        raise ValueError(
-                            f"USING entries must be plain columns: {c!r}"
-                            f"\n{_GRAMMAR}"
-                        )
-                    on.append(c)
-                v = create_materialized_join_view(
-                    self.spark,
-                    base_name,
-                    self.table(base_name),
-                    mm.group("b2"),
-                    self.table(mm.group("b2")),
-                    on=on,
-                    mv=self.table(mv_name),
-                    keys=keys,
-                    sums=sums,
-                    count_col=count_col or HIDDEN_COUNT,
-                    avgs=avgs,
-                    mins=mins,
-                    maxs=maxs,
-                    at_version=(
-                        int(mm.group("bv")) if mm.group("bv") else None
-                    ),
-                    at_version_b=(
-                        int(mm.group("b2v")) if mm.group("b2v") else None
-                    ),
-                )
-                return self._row(op="create_materialized_view", version=v)
-            v = create_materialized_view(
-                self.spark,
-                base_name,
-                self.table(base_name),
-                self.table(mv_name),
-                keys=keys,
-                sums=sums,
-                count_col=count_col or HIDDEN_COUNT,
-                mins=mins,
-                maxs=maxs,
-                avgs=avgs,
-                distincts=distincts,
-                at_version=int(mm.group("bv")) if mm.group("bv") else None,
-            )
+            except ValueError as exc:
+                raise ValueError(f"{exc}\n{_GRAMMAR}") from None
+            mv_vt = self.table(mv_name)
+            prev_cf = mv_vt._change_feed  # noqa: SLF001
+            if mm.group("cf"):
+                # the MV itself emits a change feed — a tier-2 MV can
+                # then fold THIS view's CDF (cascading tiers). Set just
+                # before the create and rolled back on ANY failure, so
+                # a rejected statement never leaves the flag armed for
+                # a later plain CREATE to silently persist.
+                mv_vt.change_feed = True
+            try:
+                v = self._create_mv(mm, base_name, mv_vt, keys, sums,
+                                    mins, maxs, avgs, distincts, count_col)
+            except BaseException:
+                mv_vt.change_feed = prev_cf
+                raise
             return self._row(op="create_materialized_view", version=v)
+
 
         mm = re.fullmatch(
             rf"DESCRIBE\s+MATERIALIZED\s+VIEW\s+(?P<mv>{_IDENT})",
@@ -413,6 +427,10 @@ class LakehouseSession:
             aggs += [f"MIN({e}) AS {a}" for e, a in d.get("mins", [])]
             aggs += [f"MAX({e}) AS {a}" for e, a in d.get("maxs", [])]
             aggs += [f"AVG({e}) AS {a}" for e, a in d.get("avgs", [])]
+            aggs += [
+                f"COUNT(DISTINCT {e}) AS {a}"
+                for e, a in d.get("distincts", [])
+            ]
             row = {
                 "base": d["base"],
                 "base_version": d["base_version"],

@@ -62,7 +62,12 @@ Contract:
   callers who need them.
 - If VACUUM reclaimed the watermark version's history,
   ``VacuumedVersionError`` propagates — ``REFRESH ... FULL`` rebuilds
-  from the current snapshot and re-arms the watermark.
+  from the current snapshot and re-arms the watermark (COUNT(DISTINCT)
+  support tables rebuild with it). The same recovery applies after a
+  RESTORE of the MV table itself: restore rolls back the MV's rows but
+  not its support tables' — run ``REFRESH ... FULL`` to re-align
+  (Databricks MVs don't support restore at all; here it degrades to a
+  rebuild instead of wrong counts going unnoticed).
 - ``COUNT(DISTINCT e) AS a``: not self-maintainable from (group,
   count) alone — a delete only lowers the count if it removed the
   group's LAST occurrence of the value — so each distinct column
@@ -148,14 +153,12 @@ def _avg_publish_exprs(avgs: list[list[str]]) -> list:
 
 def definition(mv: VersionedTable) -> dict:
     """The stored MV definition: most recent commit whose meta carries
-    one (raises if no commit does). Raw-manifest walk — meta-only, no
-    snapshot replay — because maintenance commits on the MV table
+    one (raises if no commit does). ``latest_meta`` walk — meta-only,
+    no snapshot replay — because maintenance commits on the MV table
     (OPTIMIZE / autoCompact / vacuum markers) carry their own meta."""
-    if mv.exists():
-        for v in reversed(mv.versions()):
-            d = mv._raw_manifest(v).get("meta", {}).get(_META_KEY)  # noqa: SLF001
-            if d:
-                return d
+    d = mv.latest_meta(_META_KEY)
+    if d:
+        return d
     raise ValueError(
         f"{mv.path}: not a materialized view (no {_META_KEY!r} entry "
         "in any commit's meta)"
@@ -252,15 +255,13 @@ def _support_table(mv: VersionedTable, alias: str) -> VersionedTable:
 
 
 def _support_wm(sup: VersionedTable) -> int:
-    """The support table's own base-version watermark (backward
-    raw-manifest walk, same doctrine as ``definition``): stored
-    SEPARATELY from the MV's so a crash between the support fold and
-    the MV commit re-runs as a no-op support fold, never a double
-    fold."""
-    for v in reversed(sup.versions()):
-        m = sup._raw_manifest(v).get("meta", {}).get(_SUPPORT_META)  # noqa: SLF001
-        if m:
-            return int(m["watermark"])
+    """The support table's own base-version watermark (``latest_meta``
+    walk, same doctrine as ``definition``): stored SEPARATELY from the
+    MV's so a crash between the support fold and the MV commit re-runs
+    as a no-op support fold, never a double fold."""
+    m = sup.latest_meta(_SUPPORT_META)
+    if m:
+        return int(m["watermark"])
     raise ValueError(
         f"{sup.path}: no {_SUPPORT_META!r} watermark in any commit meta"
     )
@@ -846,6 +847,23 @@ def refresh_materialized_join_view(
     return v, "incremental"
 
 
+def _feed_has_rows(base: VersionedTable, version: int) -> bool | None:
+    """Driver-side parquet-FOOTER check of one commit's materialized
+    feed: True/False row presence if the feed dir exists, None if the
+    commit never materialized one. Bounded metadata (one footer per
+    feed file; feeds are one-file-per-commit), no Spark job."""
+    d = base._cdf_version_dir(version)  # noqa: SLF001
+    if not os.path.isdir(d):
+        return None
+    import pyarrow.parquet as pq
+
+    total = 0
+    for name in os.listdir(d):
+        if name.endswith(".parquet"):
+            total += pq.read_metadata(os.path.join(d, name)).num_rows
+    return total > 0
+
+
 def _fold_stream_batch(
     spark: SparkSession,
     mv: VersionedTable,
@@ -871,6 +889,15 @@ def _fold_stream_batch(
     so within-batch order never matters — only the replay filter does.
     """
     d = definition(mv)  # re-read: prior batches advanced it
+    if d.get("mins") or d.get("maxs") or d.get("distincts"):
+        # stream_refresh_materialized_view refuses these up front; this
+        # guard keeps a direct caller from folding past the MIN/MAX
+        # rescan or the distinct support tables and silently corrupting
+        # the view
+        raise ValueError(
+            "streaming fold supports SUM/COUNT/AVG views only — "
+            "MIN/MAX and COUNT(DISTINCT) need batch REFRESH"
+        )
     keys, cnt = d["group_keys"], d["count_col"]
     sums, avgs = _eff_sums(d), d.get("avgs", [])
     if d.get("stream_run") == run_token and batch_id <= d.get(
@@ -902,6 +929,13 @@ def _fold_stream_batch(
                 new_floor = bv
             elif base._manifest(bv)["op"] in _FEEDLESS_OPS:  # noqa: SLF001
                 new_floor = bv  # no feed rows ever: implicitly folded
+            elif _feed_has_rows(base, bv) is False:
+                # a DATA commit whose net churn was empty (e.g. an
+                # UPDATE matching zero rows): its feed file has no rows
+                # to ever arrive, so without this the floor would stall
+                # here and the exception set would grow per commit
+                # forever
+                new_floor = bv
             else:
                 break  # first unfolded data commit: floor stops here
         nets = _nets(live, keys, sums, cnt).persist()

@@ -469,6 +469,19 @@ class VersionedTable:
         vs = self.versions()
         return vs[-1] if vs else None
 
+    def latest_meta(self, key: str):
+        """Most recent commit whose ``meta`` carries ``key`` (backward
+        raw-manifest walk — meta-only reads, no snapshot replay), or
+        None. The shared lookup for every state that rides commit meta
+        (MV definitions, support/apply-changes watermarks): maintenance
+        commits carry their own meta and must not shadow it."""
+        if self.exists():
+            for v in reversed(self.versions()):
+                m = self._raw_manifest(v).get("meta", {}).get(key)
+                if m is not None:
+                    return m
+        return None
+
     def exists(self) -> bool:
         return self.latest_version() is not None
 

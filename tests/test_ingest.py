@@ -206,3 +206,18 @@ def test_path_spelling_never_reingests(spark, vt, tmp_path, monkeypatch):
     out = copy_into(spark, vt, str(tmp_path / "alias"), "*/*.parquet")
     assert out["files_loaded"] == 1
     assert _rows(spark, vt) == [("x", 1), ("y", 2)]
+
+
+def test_symlink_beside_target_loads_once(spark, vt, tmp_path):
+    """Two directory ENTRIES resolving to one physical file (a 'latest'
+    symlink next to its target) must collapse to one listing entry —
+    not load the file's rows twice in one commit."""
+    _land(spark, str(tmp_path / "src/a"), [("x", 1)])
+    import glob as _glob
+    [real] = _glob.glob(str(tmp_path / "src/a/*.parquet"))
+    (tmp_path / "src/a/latest.parquet").symlink_to(real)
+    out = copy_into(spark, vt, str(tmp_path / "src"), "*/*.parquet")
+    assert out["files_loaded"] == 1 and out["rows_loaded"] == 1
+    assert _rows(spark, vt) == [("x", 1)]
+    out = copy_into(spark, vt, str(tmp_path / "src"), "*/*.parquet")
+    assert out["files_loaded"] == 0

@@ -1258,3 +1258,87 @@ def test_create_mv_version_as_of(spark, lh):
     r = lh.sql("REFRESH MATERIALIZED VIEW mv").first()
     assert r["mode"] == "incremental"
     assert _mv_rows(lh) == _recompute(lh) == {("a", Decimal("2.00"), 1)}
+
+
+def test_distinct_vacuumed_watermark_full_rebuild_realigns_support(spark, lh):
+    """VacuumedVersionError → REFRESH FULL must rebuild the support
+    tables alongside the MV, and later increments must fold exactly."""
+    _dcreate(spark, lh, [("a", 1, "1.00"), ("a", 2, "2.00")])
+    base = lh.table("base")
+    lh.sql("DELETE FROM base WHERE cust = 2")
+    lh.sql("UPDATE base SET amt = amt * 3 WHERE cust = 1")
+    base.vacuum(retain_last=1, min_file_age_s=0.0, retain_recent_s=0.0)
+    with pytest.raises(VacuumedVersionError):
+        lh.sql("REFRESH MATERIALIZED VIEW mv")
+    r = lh.sql("REFRESH MATERIALIZED VIEW mv FULL").first()
+    assert r["mode"] == "full"
+    assert _drows(lh) == _drecompute(lh)
+    _mk3(spark, [("a", 9, "4.00")]).createOrReplaceTempView("dvac")
+    lh.sql("INSERT INTO base SELECT * FROM dvac")
+    r = lh.sql("REFRESH MATERIALIZED VIEW mv").first()
+    assert r["mode"] == "incremental"
+    assert _drows(lh) == _drecompute(lh)
+
+
+def test_rejected_with_change_feed_does_not_arm_flag(spark, lh):
+    """A rejected CREATE ... WITH CHANGE FEED must roll the handle's
+    flag back — a later plain CREATE must NOT persist the property."""
+    _mk(spark, [("a", "1.00")]).createOrReplaceTempView("wcfr")
+    lh.sql("CREATE TABLE base AS SELECT * FROM wcfr")
+    with pytest.raises(ValueError, match="collide"):
+        lh.sql(
+            "CREATE MATERIALIZED VIEW mv WITH CHANGE FEED AS "
+            "SELECT k, SUM(amt) AS k FROM base GROUP BY k"
+        )
+    lh.sql(
+        "CREATE MATERIALIZED VIEW mv AS SELECT k, SUM(amt) AS t "
+        "FROM base GROUP BY k"
+    )
+    assert VersionedTable(lh.table("mv").path).change_feed is False
+
+
+def test_describe_shows_count_distinct(spark, lh):
+    _dcreate(spark, lh, [("a", 1, "1.00")])
+    row = lh.sql("DESCRIBE MATERIALIZED VIEW mv").first()
+    assert "COUNT(DISTINCT cust) AS n_custs" in row["aggregates"]
+
+
+def test_stream_floor_advances_past_empty_churn_commit(spark, lhs):
+    """A DATA commit whose net churn is empty (an INSERT of zero rows)
+    materializes a zero-row feed file; the floor must advance past it
+    instead of accumulating an exception set forever."""
+    base, mv = _two_commits(spark, lhs)            # v0..v2
+    # v3: a data commit with EMPTY net churn → zero-row feed file
+    lhs.sql("INSERT INTO base SELECT * FROM oo2 WHERE 1 = 0")
+    _mk(spark, [("d", "4.00")]).createOrReplaceTempView("oo4")
+    lhs.sql("INSERT INTO base SELECT * FROM oo4")          # v4
+    n = stream_refresh_materialized_view(
+        spark, mv, base, str(lhs.table("base").path + "_ck"),
+        max_files_per_trigger=1,
+    )
+    assert n >= 1
+    d = definition(mv)
+    assert d["base_version"] == 4 and d["stream_folded"] == []
+    assert _mv_rows(lhs) == _recompute(lhs)
+
+
+def test_apply_changes_trailing_feedless_advances_watermark(spark, lha):
+    """A fold's stored watermark covers the feedless run right after
+    it, so a later APPLY is a pure noop without re-walking OPTIMIZE
+    commits."""
+    _mk(spark, [("a", "1.00")]).createOrReplaceTempView("tf0")
+    lha.sql("CREATE TABLE src AS SELECT * FROM tf0")
+    lha.sql("APPLY CHANGES INTO dim FROM CHANGES(src) KEYS (k) SCD TYPE 2")
+    lha.sql("UPDATE src SET amt = 2.00 WHERE k = 'a'")
+    lha.sql("OPTIMIZE src")  # trailing feedless commit
+    r = lha.sql(
+        "APPLY CHANGES INTO dim FROM CHANGES(src) KEYS (k) SCD TYPE 2"
+    ).first()
+    assert r["mode"] == "incremental"
+    from aws_lakehouse_project_spark.plans.apply_changes import _watermark
+    wm = _watermark(lha.table("dim"))
+    assert wm["src_version"] == lha.table("src").latest_version()
+    r = lha.sql(
+        "APPLY CHANGES INTO dim FROM CHANGES(src) KEYS (k) SCD TYPE 2"
+    ).first()
+    assert r["mode"] == "noop"
