@@ -18,7 +18,8 @@ shapes Delta Lake documents:
     OPTIMIZE t [WHERE c BETWEEN lo AND hi] [ZORDER BY (c1, c2)]
     VACUUM t [RETAIN n VERSIONS | RETAIN n HOURS] [NO RETENTION CHECK] [DRY RUN]
     DESCRIBE HISTORY t | DESCRIBE DETAIL t
-    RESTORE TABLE t TO VERSION AS OF n
+    RESTORE TABLE t TO VERSION AS OF n | TO TIMESTAMP AS OF epoch
+    CREATE TABLE c [SHALLOW|DEEP] CLONE s [VERSION AS OF n]
     ALTER TABLE t ADD CONSTRAINT name CHECK (expr)
     ALTER TABLE t DROP CONSTRAINT name
     SELECT ... FROM t [VERSION AS OF n | TIMESTAMP AS OF <epoch>] ...
@@ -70,7 +71,10 @@ _GRAMMAR = """supported statements:
     WHEN NOT MATCHED THEN INSERT * | ... WHEN MATCHED THEN DELETE
   OPTIMIZE t [WHERE c BETWEEN lo AND hi] [ZORDER BY (c1, c2)] | VACUUM t [RETAIN n VERSIONS | RETAIN n HOURS] [NO RETENTION CHECK] [DRY RUN]
   DESCRIBE HISTORY t | DESCRIBE DETAIL t | DESCRIBE MATERIALIZED VIEW mv
-  RESTORE TABLE t TO VERSION AS OF n
+  RESTORE TABLE t TO VERSION AS OF n | RESTORE TABLE t TO TIMESTAMP AS OF epoch
+  CREATE TABLE c [SHALLOW|DEEP] CLONE s [VERSION AS OF n]
+    (c pre-registered; SHALLOW is metadata-only — source files by
+    reference, independent history from the clone commit on)
   ALTER TABLE t ADD CONSTRAINT name CHECK (expr) | ALTER TABLE t DROP CONSTRAINT name
   ALTER TABLE t RENAME COLUMN a TO b | ALTER TABLE t DROP COLUMN c
   ALTER TABLE t SET CHANGE FEED = true|false [WITH BACKFILL]
@@ -657,6 +661,17 @@ class LakehouseSession:
                 v = vt.optimize(
                     self.spark, target_rows_per_file=10_000_000, where=scope
                 )
+            if not scope and not mm.group("z"):
+                # plain OPTIMIZE on a materialized view also bin-packs
+                # its hidden COUNT(DISTINCT) support tables (one merge
+                # commit per REFRESH accretes small files there, and
+                # users can't name the tables themselves). WHERE/ZORDER
+                # forms don't cascade: their columns target the MV's
+                # schema, not the support tables'.
+                from .matview import support_tables
+
+                for sup in support_tables(vt):
+                    sup.optimize(self.spark, target_rows_per_file=10_000_000)
             return self._row(op="optimize", version=v)
 
         mm = re.fullmatch(
@@ -677,7 +692,7 @@ class LakehouseSession:
             # retentionDurationCheck.enabled=false), because a count
             # request alone is not consent to yank files from under an
             # in-flight reader.
-            rep = self.table(mm.group("t")).vacuum(
+            kw = dict(
                 retain_last=int(mm.group("n") or 1),
                 retain_hours=(
                     float(mm.group("h")) if mm.group("h") else None
@@ -693,10 +708,25 @@ class LakehouseSession:
                     )
                 ),
             )
+            vt = self.table(mm.group("t"))
+            rep = vt.vacuum(**kw)
+            removed_f = rep["removed_data_files"]
+            removed_v = rep["removed_versions"]
+            # VACUUM on a materialized view covers its hidden
+            # COUNT(DISTINCT) support tables (same retention terms):
+            # they take one commit per REFRESH and the user cannot name
+            # them directly, so skipping them would grow their logs and
+            # dead files without bound.
+            from .matview import support_tables
+
+            for sup in support_tables(vt):
+                srep = sup.vacuum(**kw)
+                removed_f += srep["removed_data_files"]
+                removed_v += srep["removed_versions"]
             return self._row(
                 op="vacuum",
-                removed_data_files=rep["removed_data_files"],
-                removed_versions=rep["removed_versions"],
+                removed_data_files=removed_f,
+                removed_versions=removed_v,
             )
 
         mm = re.fullmatch(
@@ -752,14 +782,45 @@ class LakehouseSession:
             )
 
         mm = re.fullmatch(
-            rf"RESTORE\s+TABLE\s+(?P<t>{_IDENT})\s+TO\s+VERSION\s+AS\s+OF\s+"
-            r"(?P<v>\d+)",
+            rf"RESTORE\s+TABLE\s+(?P<t>{_IDENT})\s+TO\s+"
+            r"(?:VERSION\s+AS\s+OF\s+(?P<v>\d+)"
+            r"|TIMESTAMP\s+AS\s+OF\s+(?P<ts>\d+(?:\.\d+)?))",
             s, flags=re.IGNORECASE,
         )
         if mm:
             vt = self.table(mm.group("t"))
-            v = vt.restore(int(mm.group("v")), spark=self.spark)
+            target = (
+                int(mm.group("v"))
+                if mm.group("v")
+                else vt.version_at(float(mm.group("ts")))
+            )
+            v = vt.restore(target, spark=self.spark)
             return self._row(op="restore", version=v)
+
+        mm = re.fullmatch(
+            rf"CREATE\s+TABLE\s+(?P<c>{_IDENT})\s+"
+            r"(?:(?P<kind>SHALLOW|DEEP)\s+)?CLONE\s+"
+            rf"(?P<src>{_IDENT})"
+            r"(?:\s+VERSION\s+AS\s+OF\s+(?P<v>\d+))?",
+            s, flags=re.IGNORECASE,
+        )
+        if mm:
+            # Delta's CREATE TABLE ... [SHALLOW|DEEP] CLONE. The clone
+            # target must be pre-registered (it carries the path, like
+            # every table here); the statement materializes it.
+            dest = self.table(mm.group("c"))
+            if dest.exists():
+                raise ValueError(
+                    f"clone target {mm.group('c')!r} already has a table "
+                    f"(head version {dest.latest_version()})"
+                )
+            cloned = self.table(mm.group("src")).clone(
+                dest.path,
+                shallow=(mm.group("kind") or "SHALLOW").upper() == "SHALLOW",
+                version=int(mm.group("v")) if mm.group("v") else None,
+            )
+            self.register(mm.group("c"), cloned)
+            return self._row(op="clone", version=0)
 
         mm = re.fullmatch(
             rf"ALTER\s+TABLE\s+(?P<t>{_IDENT})\s+ADD\s+CONSTRAINT\s+"

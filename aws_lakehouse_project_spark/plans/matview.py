@@ -254,6 +254,24 @@ def _support_table(mv: VersionedTable, alias: str) -> VersionedTable:
     return VersionedTable(os.path.join(mv.path, "_support", alias))
 
 
+def support_tables(mv: VersionedTable) -> list[VersionedTable]:
+    """The hidden COUNT(DISTINCT) support tables of an MV — empty for
+    non-MV tables and views without distinct columns. Maintenance
+    entry points (SQL VACUUM / OPTIMIZE) cascade through this: every
+    REFRESH lands one merge commit on each support table, so left
+    unmaintained their logs and small files would grow without bound
+    while staying invisible to the user."""
+    d = mv.latest_meta(_META_KEY)
+    if not d:
+        return []
+    out = []
+    for _, a in d.get("distincts", []):
+        t = _support_table(mv, a)
+        if t.exists():
+            out.append(t)
+    return out
+
+
 def _support_wm(sup: VersionedTable) -> int:
     """The support table's own base-version watermark (``latest_meta``
     walk, same doctrine as ``definition``): stored SEPARATELY from the

@@ -376,3 +376,34 @@ def test_optimize_where_sql_scopes_compaction(lh, spark):
     assert m["op"] == "optimize"
     assert m["meta"]["where"] == ["k", "90", "200"]
     assert _rows(lh.sql("SELECT k, grp, v FROM t")) == before
+
+
+def test_restore_timestamp_as_of(lh, spark):
+    import time as _t
+
+    v0_rows = _rows(lh.sql("SELECT * FROM t"))
+    ts_after_v0 = _t.time()
+    _t.sleep(0.05)
+    lh.sql("DELETE FROM t WHERE grp = 'a'")
+    lh.sql(f"RESTORE TABLE t TO TIMESTAMP AS OF {ts_after_v0}")
+    assert _rows(lh.sql("SELECT * FROM t")) == v0_rows
+
+
+def test_create_table_clone_sql(lh, spark, tmp_path):
+    lh.create("c", str(tmp_path / "c"))
+    r = lh.sql("CREATE TABLE c SHALLOW CLONE t").first()
+    assert r["op"] == "clone"
+    assert _rows(lh.sql("SELECT * FROM c")) == _rows(lh.sql("SELECT * FROM t"))
+    # clone evolves independently of the source
+    lh.sql("DELETE FROM c WHERE grp = 'a'")
+    assert len(_rows(lh.sql("SELECT * FROM c"))) < len(
+        _rows(lh.sql("SELECT * FROM t"))
+    )
+    # cloning at a version pins the snapshot
+    lh.create("c0", str(tmp_path / "c0"))
+    lh.sql("DELETE FROM t WHERE grp = 'b'")
+    lh.sql("CREATE TABLE c0 DEEP CLONE t VERSION AS OF 0")
+    assert len(_rows(lh.sql("SELECT * FROM c0"))) == 6
+    # a second clone into an existing table refuses
+    with pytest.raises(ValueError, match="already has a table"):
+        lh.sql("CREATE TABLE c SHALLOW CLONE t")

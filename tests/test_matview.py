@@ -1342,3 +1342,32 @@ def test_apply_changes_trailing_feedless_advances_watermark(spark, lha):
         "APPLY CHANGES INTO dim FROM CHANGES(src) KEYS (k) SCD TYPE 2"
     ).first()
     assert r["mode"] == "noop"
+
+
+def test_vacuum_and_optimize_cascade_to_support_tables(spark, lh):
+    """SQL VACUUM / OPTIMIZE on a distinct MV must maintain its hidden
+    support tables too — they take a commit per REFRESH and the user
+    cannot name them."""
+    from aws_lakehouse_project_spark.plans.matview import support_tables
+
+    _dcreate(spark, lh, [("a", 1, "1.00"), ("b", 2, "2.00")])
+    for i in range(3):
+        _mk3(spark, [("a", 10 + i, f"{i + 1}.00")]).createOrReplaceTempView(
+            "supx"
+        )
+        lh.sql("INSERT INTO base SELECT * FROM supx")
+        lh.sql("REFRESH MATERIALIZED VIEW mv")
+    [sup] = support_tables(lh.table("mv"))
+    n0 = len(sup.versions())
+    assert n0 >= 4  # create + 3 refresh folds
+    r = lh.sql("VACUUM mv RETAIN 1 VERSIONS NO RETENTION CHECK").first()
+    assert r["removed_versions"] > 0
+    assert len(sup.versions()) < n0  # support log shrank with the MV's
+    lh.sql("OPTIMIZE mv")
+    assert sup.history()[-1]["op"] == "optimize"
+    # the view still reads correctly and further refreshes fold
+    assert _drows(lh) == _drecompute(lh)
+    _mk3(spark, [("c", 99, "9.00")]).createOrReplaceTempView("supy")
+    lh.sql("INSERT INTO base SELECT * FROM supy")
+    lh.sql("REFRESH MATERIALIZED VIEW mv")
+    assert _drows(lh) == _drecompute(lh)
