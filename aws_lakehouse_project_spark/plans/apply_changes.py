@@ -19,6 +19,12 @@ Contract:
   ORDINALS (a counter of applied data commits — ordinals, not raw
   source versions, so best-effort maintenance commits like autoCompact
   never shift the timeline; same doctrine as ``q_scd2_from_cdf``).
+- KEYS are the dimension's primary key: the source must hold at most
+  one row per key (DLT's APPLY CHANGES makes the same demand absent a
+  SEQUENCE BY). A multi-row key does not corrupt the history — the
+  current rows still mirror the source exactly — but the key carries
+  several concurrent open rows, so the one-open-interval-per-key
+  reading of the timeline no longer applies.
 - The applied watermark (source version + next ordinal) rides the
   history table's commit meta (key ``apply_changes``) — a fresh handle
   or another process resumes exactly where the last APPLY stopped, and

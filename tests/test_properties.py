@@ -846,3 +846,196 @@ def test_substring_spans_match_bruteforce(spark, docs):
         for r in substring_spans(df, k=K).collect()
     }
     assert got == expected, docs
+
+
+# ---------------------------------------------------------------------------
+# COUNT(DISTINCT) materialized-view maintenance (plans/matview.py)
+# ---------------------------------------------------------------------------
+
+_dmv_ops = st.lists(
+    st.one_of(
+        st.tuples(st.just("insert"), st.integers(0, 4)),
+        st.tuples(st.just("delete"), st.integers(0, 4)),
+        st.tuples(st.just("bump"), st.integers(0, 4)),
+        st.tuples(st.just("move"), st.integers(0, 4)),
+        st.tuples(st.just("refresh"), st.just(0)),
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(ops=_dmv_ops)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_distinct_mv_model(spark, ops, tmp_path_factory):
+    """COUNT(DISTINCT) MV invariant under random op interleavings:
+    after every REFRESH (and a final one) the view equals the full
+    recompute — the support-table fold may never drift, whatever mix
+    of inserts (incl. NULL distinct values), multi-occurrence deletes,
+    measure-only updates (support pairs must cancel), and value-MOVING
+    updates (decrement old value, increment new) preceded it."""
+    from aws_lakehouse_project_spark.plans.lakehouse_sql import (
+        LakehouseSession,
+    )
+
+    base_dir = tmp_path_factory.mktemp("dmvprop")
+    lh = LakehouseSession(spark)
+    lh.create("b", str(base_dir / "b"))
+    lh.create("m", str(base_dir / "m"))
+
+    def _mk(rows):
+        return spark.createDataFrame(
+            [
+                (k, c, Decimal(a))
+                for k, c, a in rows
+            ],
+            "k string, cust int, amt decimal(12,2)",
+        )
+
+    _mk(
+        [("a", 1, "1.00"), ("a", None, "2.00"), ("b", 1, "3.00"),
+         ("b", 2, "3.50")]
+    ).createOrReplaceTempView("dmv_seed")
+    lh.sql("CREATE TABLE b AS SELECT * FROM dmv_seed")
+    lh.sql(
+        "CREATE MATERIALIZED VIEW m AS SELECT k, "
+        "COUNT(DISTINCT cust) AS d, SUM(amt) AS s, COUNT(*) AS n "
+        "FROM b GROUP BY k"
+    )
+
+    def _check():
+        got = {
+            tuple(r) for r in lh.sql("SELECT k, d, s, n FROM m").collect()
+        }
+        want = {
+            tuple(r)
+            for r in lh.sql(
+                "SELECT k, COUNT(DISTINCT cust) AS d, SUM(amt) AS s, "
+                "COUNT(*) AS n FROM b GROUP BY k"
+            ).collect()
+        }
+        assert got == want
+
+    _check()
+    nins = [0]
+    for kind, p in ops:
+        if kind == "insert":
+            nins[0] += 1
+            _mk(
+                [
+                    ("a" if p % 2 else "b", p if p % 3 else None,
+                     f"{p + 1}.25"),
+                    ("b", (p + nins[0]) % 5, f"{p}.75"),
+                ]
+            ).createOrReplaceTempView("dmv_ins")
+            lh.sql("INSERT INTO b SELECT * FROM dmv_ins")
+        elif kind == "delete":
+            lh.sql(f"DELETE FROM b WHERE cust = {p}")
+        elif kind == "bump":
+            lh.sql(f"UPDATE b SET amt = amt + 1 WHERE cust = {p}")
+        elif kind == "move":
+            lh.sql(f"UPDATE b SET cust = cust + 1 WHERE cust = {p}")
+        else:
+            lh.sql("REFRESH MATERIALIZED VIEW m")
+            _check()
+    lh.sql("REFRESH MATERIALIZED VIEW m")
+    _check()
+
+
+# ---------------------------------------------------------------------------
+# APPLY CHANGES INTO ... SCD TYPE 2 (plans/apply_changes.py)
+# ---------------------------------------------------------------------------
+
+_scd_sql_ops = st.lists(
+    st.one_of(
+        st.tuples(st.just("upsert"), st.integers(0, 4)),
+        st.tuples(st.just("delete"), st.integers(0, 4)),
+        st.tuples(st.just("apply"), st.just(0)),
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(ops=_scd_sql_ops)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_apply_changes_scd2_model(spark, ops, tmp_path_factory):
+    """APPLY CHANGES ... SCD TYPE 2 invariants under random commit
+    interleavings, checked after every APPLY: (1) the current rows are
+    exactly the source snapshot, one current row per live key; (2) each
+    key's validity intervals are disjoint and ordered with only the
+    last open; (3) closed rows are immutable — once closed, a row
+    never changes or disappears across later APPLYs."""
+    from aws_lakehouse_project_spark.plans.lakehouse_sql import (
+        LakehouseSession,
+    )
+
+    base_dir = tmp_path_factory.mktemp("scdprop")
+    lh = LakehouseSession(spark)
+    lh.create("src", str(base_dir / "src"))
+    lh.create("dim", str(base_dir / "dim"))
+
+    def _mk(rows):
+        return spark.createDataFrame(
+            [(k, Decimal(a)) for k, a in rows],
+            "k string, amt decimal(12,2)",
+        )
+
+    _mk([("k0", "0.00"), ("k1", "1.00")]).createOrReplaceTempView("sc_seed")
+    lh.sql("CREATE TABLE src AS SELECT * FROM sc_seed")
+    stmt = "APPLY CHANGES INTO dim FROM CHANGES(src) KEYS (k) SCD TYPE 2"
+    closed_seen: set = set()
+    tick = [0]
+
+    def _apply_and_check():
+        lh.sql(stmt)
+        rows = lh.sql(
+            "SELECT k, amt, start_v, end_v, is_current FROM dim"
+        ).collect()
+        cur = sorted((r.k, r.amt) for r in rows if r.is_current)
+        src = sorted(
+            (r.k, r.amt)
+            for r in lh.sql("SELECT k, amt FROM src").collect()
+        )
+        assert cur == src  # exactly the snapshot, one current row/key
+        by_key: dict = {}
+        for r in rows:
+            by_key.setdefault(r.k, []).append((r.start_v, r.end_v))
+        for ivs in by_key.values():
+            ivs.sort(key=lambda t: t[0])
+            for (s1, e1), (s2, _e2) in zip(ivs, ivs[1:]):
+                assert e1 is not None and e1 <= s2  # disjoint, ordered
+            assert all(e is not None for _, e in ivs[:-1])
+        closed = {
+            (r.k, r.amt, r.start_v, r.end_v)
+            for r in rows
+            if not r.is_current
+        }
+        assert closed_seen <= closed  # closed history immutable
+        closed_seen.clear()
+        closed_seen.update(closed)
+
+    _apply_and_check()  # init
+    for kind, p in ops:
+        if kind == "upsert":
+            tick[0] += 1
+            # KEYS is the dim's primary key: one row per key per batch
+            # (the statement's documented contract, as in DLT)
+            q = (p + tick[0]) % 5
+            if q == p:
+                q = (q + 1) % 5
+            _mk(
+                [(f"k{p}", f"{tick[0]}.25"), (f"k{q}", f"{tick[0]}.75")]
+            ).createOrReplaceTempView("sc_up")
+            lh.sql(
+                "MERGE INTO src USING sc_up ON src.k = sc_up.k "
+                "WHEN MATCHED THEN UPDATE SET * "
+                "WHEN NOT MATCHED THEN INSERT *"
+            )
+        elif kind == "delete":
+            lh.sql(f"DELETE FROM src WHERE k = 'k{p}'")
+        else:
+            _apply_and_check()
+    _apply_and_check()
