@@ -61,7 +61,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .versioned import VersionedTable
+from .versioned import _FEEDLESS_OPS, VersionedTable
 
 _GRAMMAR = """supported statements:
   CREATE [OR REPLACE] TABLE t AS SELECT ... | INSERT INTO t [REPLACE WHERE p] SELECT ...
@@ -87,6 +87,10 @@ _GRAMMAR = """supported statements:
      metadata cannot guarantee the answer — DVs, decimals, no stat)
   SELECT ... FROM t WHERE c = <lit>  (plan-time file skipping:
     manifest min/max stats + per-file bloom sidecar when present)
+  SELECT ... FROM TABLE_CHANGES('t', lo[, hi]) ...  (Delta's CDF TVF:
+    row-level changes with _change_type + _commit_version; lo
+    INCLUSIVE, version 0 = initial snapshot as inserts; manifest-diff
+    per commit — churn-proportional, never a snapshot pair)
   CREATE BLOOMFILTER INDEX FOR COLUMNS (c1[, c2]) ON t [WITH BACKFILL]
   DROP BLOOMFILTER INDEX ON t
   CREATE MATERIALIZED VIEW mv [WITH CHANGE FEED] AS
@@ -188,10 +192,60 @@ class LakehouseSession:
                 vt.read(self.spark).createOrReplaceTempView(name)
 
     def _run_select(self, statement: str) -> DataFrame:
-        """Rewrite time-travel clauses into per-version temp views, then
-        delegate to Spark SQL with all registered tables as views."""
+        """Rewrite time-travel clauses and ``table_changes(...)`` TVF
+        calls into per-version temp views, then delegate to Spark SQL
+        with all registered tables as views."""
         self._register_views()
         text = statement
+
+        def _tc(mm: re.Match) -> str:
+            # Delta's CDF table-valued function: table_changes('t', lo
+            # [, hi]) — rewritten to a temp view over the manifest-diff
+            # change feed (VersionedTable.changes; churn-proportional,
+            # _commit_version carried for multi-commit ranges via
+            # per-version union like the stream source's contract)
+            name = mm.group("t")
+            if name not in self._tables:
+                raise ValueError(
+                    f"table_changes: unknown table {name!r} (registered: "
+                    f"{sorted(self._tables)})"
+                )
+            vt = self._tables[name]
+            lo = int(mm.group("lo"))
+            hi = int(mm.group("hi")) if mm.group("hi") else vt.latest_version()
+            feed = None
+            for v in vt.versions():
+                # Delta's contract: starting version INCLUSIVE, version
+                # 0's "changes" being the initial snapshot as inserts
+                if not (lo <= v <= hi):
+                    continue
+                if vt._manifest(v)["op"] in _FEEDLESS_OPS:  # noqa: SLF001
+                    continue
+                if v == 0:
+                    part = vt.read(self.spark, 0).select(
+                        F.lit("insert").alias("_change_type"), "*"
+                    )
+                else:
+                    part = vt.changes(self.spark, v - 1, v)
+                part = part.withColumn(
+                    "_commit_version", F.lit(v).cast("long")
+                )
+                feed = part if feed is None else feed.unionByName(part)
+            if feed is None:
+                feed = self.spark.createDataFrame(
+                    [], vt.changes_schema(hi)
+                )
+            view = f"{name}__changes_{lo}_{hi}"
+            feed.createOrReplaceTempView(view)
+            return view
+
+        text = re.sub(
+            rf"TABLE_CHANGES\s*\(\s*'(?P<t>{_IDENT})'\s*,\s*(?P<lo>\d+)"
+            r"(?:\s*,\s*(?P<hi>\d+))?\s*\)",
+            _tc,
+            text,
+            flags=re.IGNORECASE,
+        )
 
         def _tt(mm: re.Match) -> str:
             name = mm.group("t")

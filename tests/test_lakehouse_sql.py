@@ -407,3 +407,37 @@ def test_create_table_clone_sql(lh, spark, tmp_path):
     # a second clone into an existing table refuses
     with pytest.raises(ValueError, match="already has a table"):
         lh.sql("CREATE TABLE c SHALLOW CLONE t")
+
+
+def test_table_changes_tvf(lh, spark):
+    """Delta's table_changes TVF: SELECT over the row-level CDF with
+    _change_type and _commit_version, starting version INCLUSIVE,
+    version 0 = the initial snapshot as inserts."""
+    lh.sql("DELETE FROM t WHERE grp = 'a'")                     # v1
+    lh.sql("UPDATE t SET v = v + 10 WHERE k = 5")               # v2
+    rows = _rows(
+        lh.sql(
+            "SELECT _change_type, k, _commit_version "
+            "FROM TABLE_CHANGES('t', 1) ORDER BY _commit_version, k"
+        )
+    )
+    # v1: three deletes (k 0..2); v2: UPDATE pairs carry Delta's full
+    # CDF vocabulary (single-commit diffs tag pre/postimage)
+    assert ("delete", 0, 1) in rows and ("delete", 2, 1) in rows
+    assert ("update_preimage", 5, 2) in rows
+    assert ("update_postimage", 5, 2) in rows
+    assert all(cv in (1, 2) for _, _, cv in rows)
+    # inclusive lo=0 prepends the initial snapshot as inserts
+    n0 = lh.sql(
+        "SELECT COUNT(*) AS n FROM TABLE_CHANGES('t', 0, 0)"
+    ).first()["n"]
+    assert n0 == 6
+    # UPDATE pairs still isolate when a multi-commit range is sliced
+    # to the merge commit alone, and the TVF composes with plain SQL
+    agg = lh.sql(
+        "SELECT _change_type, COUNT(*) AS n FROM TABLE_CHANGES('t', 1, 1) "
+        "GROUP BY _change_type"
+    ).first()
+    assert (agg["_change_type"], agg["n"]) == ("delete", 3)
+    with pytest.raises(ValueError, match="unknown table"):
+        lh.sql("SELECT * FROM TABLE_CHANGES('nope', 0)")
