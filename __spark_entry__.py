@@ -87,8 +87,10 @@ _VERIFY_FIRST = [
     "q_sql_fact", "q_stage_orders", "q_stream_daily", "q_stream_dedup",
     "q_stream_enrich", "q_stream_join",
 ]
-# ROUND-13 ROTATION NOTE: queries ADDED in r12 or later lead the r13
-# window, then the r7-stale remainder that did NOT fit here
+# ROUND-13 ROTATION NOTE: queries ADDED OR CHANGED in r12 or later
+# lead the r13 window (changed in r12 and not in this window:
+# q_table_changes — rewritten SQL-first over the TABLE_CHANGES TVF),
+# then the r7-stale remainder that did NOT fit here
 # (q_stream_merge, q_stream_sessions, q_stream_sliding,
 # q_tpch_q10, q_tpch_q14, q_tpch_q15, q_tpch_q19, q_tpch_q21,
 # q_tpch_q22, q_tpch_q5, q_tpch_q6, q_tpch_q8, q_unpivot,

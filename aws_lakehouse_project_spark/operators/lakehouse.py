@@ -264,19 +264,26 @@ def q_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewritten files cancel out; brand-new keys appear once as
     ``insert``. A unit test (test_changes_reads_only_churned_
     files) pins the only-churn scan property; this query pins the
-    row-level semantics against DuckDB."""
-    work = scratch_dir("spark_graft_tablechanges", unique=True)
-    vt = VersionedTable(os.path.join(work, "fact"), stats_cols=["dt"])
+    row-level semantics against DuckDB — SQL-first since r12: the read
+    goes through Delta's ``TABLE_CHANGES('t', lo, hi)`` table-valued
+    function in ``LakehouseSession.sql``, so the CDF composes with the
+    whole SELECT surface (the Python ``changes()`` twin stays covered
+    by test_versioned)."""
+    from ..plans.lakehouse_sql import LakehouseSession
 
+    work = scratch_dir("spark_graft_tablechanges", unique=True)
+    lh = LakehouseSession(spark)
+    vt = lh.create(
+        "fact", os.path.join(work, "fact"), stats_cols=["dt"]
+    )
     stale, upd = _stale_and_upd(spark, sf_dir)
     v0 = vt.write_full(stale.repartition(4))
     v1 = vt.merge_upsert(spark, upd, keys=["cust_id", "dt"])
-    return vt.changes(spark, v0, v1).select(
-        F.col("_change_type").alias("change_type"),
-        "cust_id",
-        F.col("dt").cast("date").alias("dt"),
-        "revenue",
-        F.col("order_count").cast("bigint").alias("order_count"),
+    return lh.sql(
+        "SELECT _change_type AS change_type, cust_id, "
+        "CAST(dt AS DATE) AS dt, revenue, "
+        "CAST(order_count AS BIGINT) AS order_count "
+        f"FROM TABLE_CHANGES('fact', {v0 + 1}, {v1})"
     )
 
 
