@@ -24,7 +24,13 @@ Contract:
   SEQUENCE BY). A multi-row key does not corrupt the history — the
   current rows still mirror the source exactly — but the key carries
   several concurrent open rows, so the one-open-interval-per-key
-  reading of the timeline no longer applies.
+  reading of the timeline no longer applies. ``SEQUENCE BY c`` makes
+  the engine enforce the discipline instead (``_sequence_filter``):
+  per commit only the highest-``c`` row per key applies, and
+  out-of-order (late) changes — additive or delete — are dropped
+  rather than regressing the dimension.
+- ``SCD TYPE 1`` (``apply_changes_scd1``) keeps only each key's latest
+  row — same watermark machinery, no validity columns; deletes remove.
 - The applied watermark (source version + next ordinal) rides the
   history table's commit meta (key ``apply_changes``) — a fresh handle
   or another process resumes exactly where the last APPLY stopped, and
@@ -67,51 +73,107 @@ def _watermark(hist: VersionedTable) -> dict | None:
     return hist.latest_meta(_META_KEY)
 
 
-def apply_changes_scd2(
-    spark: SparkSession,
-    hist: VersionedTable,
-    src: VersionedTable,
-    src_name: str,
+def _sequence_filter(
+    delta: DataFrame,
+    cur: DataFrame,
     keys: list[str],
-) -> dict:
-    """Advance ``hist`` (SCD2 history) to ``src``'s head. Returns
-    ``{"version", "ordinals_applied", "mode"}`` where mode is
-    ``init`` (first apply — snapshot opens), ``incremental`` (per-commit
-    CDF folds), or ``noop`` (watermark already at head)."""
-    head = src.latest_version()
-    if head is None:
-        raise ValueError(f"APPLY CHANGES: source {src_name!r} has no commits")
-    attrs = [
-        f.name
-        for f in src.read(spark).schema.fields
-        if f.name not in keys
-    ]
-    missing = [k for k in keys if k not in src.read(spark).columns]
+    attrs: list[str],
+    seq_col: str,
+) -> DataFrame:
+    """DLT's ``SEQUENCE BY`` discipline applied to one commit's change
+    feed, returning a SYNTHESIZED feed the ordinary fold consumes:
+
+    - of a key's additive rows, only the highest-``seq_col`` one
+      survives (deterministic tiebreak on a hash of the attrs) — a
+      multi-row key collapses to its latest version instead of opening
+      several concurrent rows;
+    - a surviving additive row is DROPPED as late if its sequence does
+      not exceed the key's CURRENT row's (out-of-order arrivals never
+      regress the dimension; an equal sequence is a replay);
+    - a key whose delta is purely deletes closes only if the deleted
+      row's sequence is at least the current row's (late deletes
+      dropped);
+    - a key whose every additive row was dropped as late contributes
+      NOTHING — its paired preimage must not close the current row.
+    """
+    from pyspark.sql import Window
+
+    add = delta.filter(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).select(*keys, *attrs)
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(seq_col).desc_nulls_last(),
+        F.xxhash64(*attrs).desc(),
+    )
+    best = (
+        add.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    cur_seq = cur.select(
+        *keys, F.col(seq_col).alias("__cur_seq")
+    )
+    surviving = (
+        best.join(cur_seq, keys, "left")
+        .where(
+            F.col("__cur_seq").isNull()
+            | (F.col(seq_col) > F.col("__cur_seq"))
+        )
+        .drop("__cur_seq")
+    )
+    add_keys = add.select(*keys).distinct()
+    dels = (
+        delta.filter(~F.col("_change_type").isin(
+            "insert", "update_postimage"
+        ))
+        .select(*keys, *attrs)
+        .join(add_keys, keys, "left_anti")  # pure-delete keys only
+        .withColumn(
+            "__rn",
+            F.row_number().over(w),
+        )
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+        .join(cur_seq, keys, "left")
+        .where(
+            F.col("__cur_seq").isNull()
+            | (F.col(seq_col) >= F.col("__cur_seq"))
+        )
+        .drop("__cur_seq")
+    )
+    return surviving.select(
+        F.lit("insert").alias("_change_type"), *keys, *attrs
+    ).unionByName(
+        dels.select(F.lit("delete").alias("_change_type"), *keys, *attrs)
+    )
+
+
+def _src_attrs(
+    spark: SparkSession, src: VersionedTable, src_name: str, keys: list[str],
+    seq_col: str | None,
+) -> list[str]:
+    cols = src.read(spark).columns
+    missing = [k for k in keys if k not in cols]
     if missing:
         raise ValueError(
             f"APPLY CHANGES: KEYS {missing} not in source columns"
         )
-    wm = _watermark(hist)
-    if wm is None:
-        snap = src.read(spark, head).select(
-            *keys,
-            *attrs,
-            F.lit(0).cast("long").alias("start_v"),
-            F.lit(None).cast("long").alias("end_v"),
-            F.lit(True).alias("is_current"),
+    if seq_col is not None and seq_col not in cols:
+        raise ValueError(
+            f"APPLY CHANGES: SEQUENCE BY column {seq_col!r} not in "
+            f"source columns {sorted(cols)}"
         )
-        v = hist.write_full(
-            snap,
-            meta={
-                _META_KEY: {
-                    "src": src_name,
-                    "src_version": head,
-                    "keys": list(keys),
-                    "next_ordinal": 1,
-                }
-            },
+    if seq_col in keys:
+        raise ValueError(
+            "APPLY CHANGES: SEQUENCE BY column cannot be a KEY"
         )
-        return {"version": v, "ordinals_applied": 1, "mode": "init"}
+    return [c for c in cols if c not in keys]
+
+
+def _check_wm(
+    wm: dict, src_name: str, keys: list[str], seq_col: str | None,
+    scd_type: int,
+) -> None:
     if wm.get("src") != src_name:
         raise ValueError(
             f"APPLY CHANGES: history tracks source {wm.get('src')!r}, "
@@ -122,6 +184,80 @@ def apply_changes_scd2(
             f"APPLY CHANGES: history was built with KEYS "
             f"{wm.get('keys')}, not {list(keys)}"
         )
+    if wm.get("seq_col") != seq_col:
+        raise ValueError(
+            f"APPLY CHANGES: history was built with SEQUENCE BY "
+            f"{wm.get('seq_col')!r}, not {seq_col!r}"
+        )
+    if int(wm.get("scd_type", 2)) != scd_type:
+        raise ValueError(
+            f"APPLY CHANGES: history was built as SCD TYPE "
+            f"{wm.get('scd_type', 2)}, not {scd_type}"
+        )
+
+
+def apply_changes_scd2(
+    spark: SparkSession,
+    hist: VersionedTable,
+    src: VersionedTable,
+    src_name: str,
+    keys: list[str],
+    seq_col: str | None = None,
+) -> dict:
+    """Advance ``hist`` (SCD2 history) to ``src``'s head. Returns
+    ``{"version", "ordinals_applied", "mode"}`` where mode is
+    ``init`` (first apply — snapshot opens), ``incremental`` (per-commit
+    CDF folds), or ``noop`` (watermark already at head). With
+    ``seq_col`` (SQL: ``SEQUENCE BY c``) each commit's feed passes the
+    ``_sequence_filter`` discipline first — multi-row keys collapse to
+    their latest version and out-of-order arrivals never regress the
+    history (DLT's contract)."""
+    head = src.latest_version()
+    if head is None:
+        raise ValueError(f"APPLY CHANGES: source {src_name!r} has no commits")
+    attrs = _src_attrs(spark, src, src_name, keys, seq_col)
+    meta_base = {
+        "src": src_name,
+        "keys": list(keys),
+        "seq_col": seq_col,
+        "scd_type": 2,
+    }
+    wm = _watermark(hist)
+    if wm is None:
+        base = src.read(spark, head)
+        if seq_col is not None:
+            # SEQUENCE BY dedups the snapshot too: one (latest) row
+            # per key from the start
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(*keys).orderBy(
+                F.col(seq_col).desc_nulls_last(),
+                F.xxhash64(*attrs).desc(),
+            )
+            base = (
+                base.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        snap = base.select(
+            *keys,
+            *attrs,
+            F.lit(0).cast("long").alias("start_v"),
+            F.lit(None).cast("long").alias("end_v"),
+            F.lit(True).alias("is_current"),
+        )
+        v = hist.write_full(
+            snap,
+            meta={
+                _META_KEY: {
+                    **meta_base,
+                    "src_version": head,
+                    "next_ordinal": 1,
+                }
+            },
+        )
+        return {"version": v, "ordinals_applied": 1, "mode": "init"}
+    _check_wm(wm, src_name, keys, seq_col, 2)
     from_v = int(wm["src_version"])
     ordinal = int(wm["next_ordinal"])
     if head == from_v:
@@ -160,7 +296,22 @@ def apply_changes_scd2(
                 if nxt not in feedless:
                     break
                 wm_v = nxt
-            changed = delta.select(*keys).distinct()
+            feed = delta.select("_change_type", *keys, *attrs)
+            if seq_col is not None:
+                feed = _sequence_filter(
+                    feed,
+                    hist.read(spark).where(F.col("is_current")),
+                    keys,
+                    attrs,
+                    seq_col,
+                ).persist()
+                if feed.isEmpty():
+                    # every change in this commit was late/replayed —
+                    # advance the watermark, consume no ordinal
+                    feed.unpersist()
+                    from_v = wm_v
+                    continue
+            changed = feed.select(*keys).distinct()
             slice_ = (
                 hist.read(spark)
                 .where(F.col("is_current"))
@@ -168,7 +319,7 @@ def apply_changes_scd2(
             )
             upd = scd2_apply_changes(
                 slice_,
-                delta.select("_change_type", *keys, *attrs),
+                feed,
                 keys=keys,
                 attrs=attrs,
                 version=ordinal,
@@ -180,13 +331,14 @@ def apply_changes_scd2(
                 op_col="__op",
                 meta={
                     _META_KEY: {
-                        "src": src_name,
+                        **meta_base,
                         "src_version": wm_v,
-                        "keys": list(keys),
                         "next_ordinal": ordinal + 1,
                     }
                 },
             )
+            if seq_col is not None:
+                feed.unpersist()
             ordinal += 1
             applied += 1
             from_v = wm_v
@@ -194,6 +346,165 @@ def apply_changes_scd2(
             delta.unpersist()
     return {
         "version": hv,
+        "ordinals_applied": applied,
+        "mode": "incremental" if applied else "noop",
+    }
+
+
+def apply_changes_scd1(
+    spark: SparkSession,
+    dim: VersionedTable,
+    src: VersionedTable,
+    src_name: str,
+    keys: list[str],
+    seq_col: str | None = None,
+) -> dict:
+    """``APPLY CHANGES ... STORED AS SCD TYPE 1``: the dimension holds
+    only each key's LATEST row — additive changes upsert, deletes
+    remove, no validity columns. Same watermark machinery as the SCD2
+    form (per-source watermark + applied-commit counter in the dim's
+    commit meta; feedless/empty commits skipped; trailing-feedless
+    look-ahead); with ``seq_col`` each commit's feed passes the same
+    ``_sequence_filter`` late/duplicate discipline first. The dim
+    advances via file-granular ``merge_apply`` on the KEYS — cost ∝
+    churn, never the dimension."""
+    head = src.latest_version()
+    if head is None:
+        raise ValueError(f"APPLY CHANGES: source {src_name!r} has no commits")
+    attrs = _src_attrs(spark, src, src_name, keys, seq_col)
+    meta_base = {
+        "src": src_name,
+        "keys": list(keys),
+        "seq_col": seq_col,
+        "scd_type": 1,
+    }
+    wm = _watermark(dim)
+    if wm is None:
+        base = src.read(spark, head)
+        if seq_col is not None:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(*keys).orderBy(
+                F.col(seq_col).desc_nulls_last(),
+                F.xxhash64(*attrs).desc(),
+            )
+            base = (
+                base.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        v = dim.write_full(
+            base.select(*keys, *attrs),
+            meta={
+                _META_KEY: {
+                    **meta_base,
+                    "src_version": head,
+                    "next_ordinal": 1,
+                }
+            },
+        )
+        return {"version": v, "ordinals_applied": 1, "mode": "init"}
+    _check_wm(wm, src_name, keys, seq_col, 1)
+    from_v = int(wm["src_version"])
+    ordinal = int(wm["next_ordinal"])
+    if head == from_v:
+        return {
+            "version": dim.latest_version(),
+            "ordinals_applied": 0,
+            "mode": "noop",
+        }
+    applied = 0
+    dv = dim.latest_version()
+    vers = [v for v in src.versions() if v > from_v]
+    feedless = {
+        v
+        for v in vers
+        if src._manifest(v)["op"] in _FEEDLESS_OPS  # noqa: SLF001
+    }
+    for i, v in enumerate(vers):
+        if v <= from_v:
+            continue
+        if v in feedless:
+            from_v = v
+            continue
+        delta = src.changes(spark, v - 1, v).persist()
+        try:
+            if delta.isEmpty():
+                from_v = v
+                continue
+            wm_v = v
+            for nxt in vers[i + 1:]:
+                if nxt not in feedless:
+                    break
+                wm_v = nxt
+            feed = delta.select("_change_type", *keys, *attrs)
+            if seq_col is not None:
+                feed = _sequence_filter(
+                    feed, dim.read(spark), keys, attrs, seq_col
+                )
+            else:
+                # synthesize the same two-op shape the filter yields:
+                # per key, any additive row upserts; pure-delete keys
+                # delete (one representative row each)
+                add = feed.filter(
+                    F.col("_change_type").isin(
+                        "insert", "update_postimage"
+                    )
+                ).select(*keys, *attrs).distinct()
+                dels = (
+                    feed.filter(
+                        ~F.col("_change_type").isin(
+                            "insert", "update_postimage"
+                        )
+                    )
+                    .select(*keys, *attrs)
+                    .join(add.select(*keys).distinct(), keys, "left_anti")
+                    .dropDuplicates(keys)
+                )
+                feed = add.select(
+                    F.lit("insert").alias("_change_type"), *keys, *attrs
+                ).unionByName(
+                    dels.select(
+                        F.lit("delete").alias("_change_type"),
+                        *keys,
+                        *attrs,
+                    )
+                )
+            feed = feed.persist()
+            if feed.isEmpty():
+                feed.unpersist()
+                from_v = wm_v
+                continue
+            changes_df = feed.select(
+                *keys,
+                *attrs,
+                F.when(
+                    F.col("_change_type") == "insert", F.lit("upsert")
+                )
+                .otherwise(F.lit("delete"))
+                .alias("__op"),
+            )
+            dv = dim.merge_apply(
+                spark,
+                changes_df,
+                keys=keys,
+                op_col="__op",
+                meta={
+                    _META_KEY: {
+                        **meta_base,
+                        "src_version": wm_v,
+                        "next_ordinal": ordinal + 1,
+                    }
+                },
+            )
+            feed.unpersist()
+            ordinal += 1
+            applied += 1
+            from_v = wm_v
+        finally:
+            delta.unpersist()
+    return {
+        "version": dv,
         "ordinals_applied": applied,
         "mode": "incremental" if applied else "noop",
     }

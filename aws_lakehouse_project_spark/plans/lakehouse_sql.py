@@ -110,11 +110,15 @@ _GRAMMAR = """supported statements:
   COPY INTO t FROM 'src' [FILEFORMAT = PARQUET] [PATTERN = 'glob']
     (idempotent: each source file loads exactly once; the ledger
     rides the commit meta — plans/ingest.py)
-  APPLY CHANGES INTO dim FROM CHANGES(src) KEYS (k[, ...]) SCD TYPE 2
-    (DLT's declarative SCD2: first APPLY opens the source snapshot at
-    ordinal 0; each later data commit folds its change feed — churned
-    keys' current rows close, additive rows open; the watermark rides
-    the history's commit meta — plans/apply_changes.py)"""
+  APPLY CHANGES INTO dim FROM CHANGES(src) KEYS (k[, ...])
+    [SEQUENCE BY c] SCD TYPE 1|2
+    (DLT's declarative verb: TYPE 2 keeps [start,end) ordinal history,
+    TYPE 1 keeps only each key's latest row; first APPLY loads the
+    source snapshot, each later data commit folds its change feed —
+    churned keys' current rows close/replace, additive rows open;
+    SEQUENCE BY collapses multi-row keys to their highest-sequence row
+    and drops out-of-order (late) changes; the watermark rides the
+    target's commit meta — plans/apply_changes.py)"""
 
 _IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
 _HINT = r"(?:/\*\+\s*(?P<hint>MERGE_ON_READ)\s*\*/\s*)?"
@@ -553,11 +557,16 @@ class LakehouseSession:
         mm = re.fullmatch(
             rf"APPLY\s+CHANGES\s+INTO\s+(?P<dim>{_IDENT})\s+FROM\s+"
             rf"CHANGES\s*\(\s*(?P<src>{_IDENT})\s*\)\s+"
-            r"KEYS\s*\((?P<keys>[^)]+)\)\s+SCD\s+TYPE\s+2",
+            r"KEYS\s*\((?P<keys>[^)]+)\)\s+"
+            rf"(?:SEQUENCE\s+BY\s+(?P<seq>{_IDENT})\s+)?"
+            r"SCD\s+TYPE\s+(?P<ty>[12])",
             s, flags=re.IGNORECASE,
         )
         if mm:
-            from .apply_changes import apply_changes_scd2
+            from .apply_changes import (
+                apply_changes_scd1,
+                apply_changes_scd2,
+            )
 
             keys = []
             for k in _split_top(mm.group("keys")):
@@ -567,12 +576,18 @@ class LakehouseSession:
                         f"\n{_GRAMMAR}"
                     )
                 keys.append(k)
-            out = apply_changes_scd2(
+            fn = (
+                apply_changes_scd2
+                if mm.group("ty") == "2"
+                else apply_changes_scd1
+            )
+            out = fn(
                 self.spark,
                 self.table(mm.group("dim")),
                 self.table(mm.group("src")),
                 mm.group("src"),
                 keys,
+                seq_col=mm.group("seq"),
             )
             return self._row(
                 op="apply_changes",

@@ -1371,3 +1371,130 @@ def test_vacuum_and_optimize_cascade_to_support_tables(spark, lh):
     lh.sql("INSERT INTO base SELECT * FROM supy")
     lh.sql("REFRESH MATERIALIZED VIEW mv")
     assert _drows(lh) == _drecompute(lh)
+
+
+# ---------------------------------------------------------------------------
+# APPLY CHANGES: SCD TYPE 1 and SEQUENCE BY
+# ---------------------------------------------------------------------------
+
+
+def _mk_seq(spark, rows):
+    return spark.createDataFrame(
+        [Row(k=k, amt=Decimal(a), seq=s) for k, a, s in rows],
+        "k string, amt decimal(12,2), seq bigint",
+    )
+
+
+def test_apply_changes_scd1(spark, lha):
+    _mk(spark, [("a", "1.00"), ("b", "2.00")]).createOrReplaceTempView("t1a")
+    lha.sql("CREATE TABLE src AS SELECT * FROM t1a")
+    r = lha.sql(
+        "APPLY CHANGES INTO dim FROM CHANGES(src) KEYS (k) SCD TYPE 1"
+    ).first()
+    assert r["mode"] == "init"
+    lha.sql("UPDATE src SET amt = amt * 10 WHERE k = 'a'")
+    lha.sql("DELETE FROM src WHERE k = 'b'")
+    _mk(spark, [("c", "9.00")]).createOrReplaceTempView("t1b")
+    lha.sql("INSERT INTO src SELECT * FROM t1b")
+    r = lha.sql(
+        "APPLY CHANGES INTO dim FROM CHANGES(src) KEYS (k) SCD TYPE 1"
+    ).first()
+    assert r["mode"] == "incremental"
+    got = {tuple(r) for r in lha.sql("SELECT k, amt FROM dim").collect()}
+    want = {tuple(r) for r in lha.sql("SELECT k, amt FROM src").collect()}
+    assert got == want == {("a", Decimal("10.00")), ("c", Decimal("9.00"))}
+    # type mismatch on an existing history is refused
+    with pytest.raises(ValueError, match="SCD TYPE"):
+        lha.sql(
+            "APPLY CHANGES INTO dim FROM CHANGES(src) KEYS (k) SCD TYPE 2"
+        )
+
+
+def test_apply_changes_sequence_by_dedups_and_drops_late(spark, lha):
+    """SEQUENCE BY: a multi-row key collapses to its highest-sequence
+    row; a later commit carrying a LOWER sequence is dropped instead
+    of regressing the dimension; same-key history stays one-open."""
+    _mk_seq(spark, [("a", "1.00", 10)]).createOrReplaceTempView("sq0")
+    lha.sql("CREATE TABLE src AS SELECT * FROM sq0")
+    stmt = (
+        "APPLY CHANGES INTO dim FROM CHANGES(src) KEYS (k) "
+        "SEQUENCE BY seq SCD TYPE 2"
+    )
+    lha.sql(stmt)
+    # commit 1: two rows for 'a' in one batch (seq 30 wins), plus 'b'
+    _mk_seq(
+        spark, [("a", "3.00", 30), ("a", "2.00", 20), ("b", "5.00", 1)]
+    ).createOrReplaceTempView("sq1")
+    lha.sql("INSERT INTO src SELECT * FROM sq1")
+    lha.sql(stmt)
+    rows = {
+        tuple(r)
+        for r in lha.sql(
+            "SELECT k, amt, seq, is_current FROM dim WHERE is_current"
+        ).collect()
+    }
+    assert rows == {
+        ("a", Decimal("3.00"), 30, True),
+        ("b", Decimal("5.00"), 1, True),
+    }
+    # commit 2: a LATE row for 'a' (seq 25 < 30) — dropped, no close
+    lha.sql("DELETE FROM src WHERE seq = 20")  # tidy the dup row first
+    lha.sql(stmt)
+    _mk_seq(spark, [("a", "9.99", 25)]).createOrReplaceTempView("sq2")
+    lha.sql("INSERT INTO src SELECT * FROM sq2")
+    r = lha.sql(stmt).first()
+    cur = {
+        (r2["k"], r2["amt"], r2["seq"])
+        for r2 in lha.sql(
+            "SELECT k, amt, seq FROM dim WHERE is_current"
+        ).collect()
+    }
+    assert ("a", Decimal("3.00"), 30) in cur  # late row did not regress
+    assert ("a", Decimal("9.99"), 25) not in cur
+    # one open row per key throughout
+    opens = lha.sql(
+        "SELECT k, COUNT(*) AS n FROM dim WHERE is_current GROUP BY k"
+    ).collect()
+    assert all(r["n"] == 1 for r in opens)
+
+
+def test_apply_changes_scd1_sequence_by(spark, lha):
+    _mk_seq(
+        spark, [("a", "1.00", 5), ("a", "2.00", 7)]
+    ).createOrReplaceTempView("s1q0")
+    lha.sql("CREATE TABLE src AS SELECT * FROM s1q0")
+    stmt = (
+        "APPLY CHANGES INTO dim FROM CHANGES(src) KEYS (k) "
+        "SEQUENCE BY seq SCD TYPE 1"
+    )
+    lha.sql(stmt)  # init dedups the snapshot to seq 7
+    got = {tuple(r) for r in lha.sql("SELECT k, amt, seq FROM dim").collect()}
+    assert got == {("a", Decimal("2.00"), 7)}
+    # a late arrival in a new commit is dropped
+    _mk_seq(spark, [("a", "0.50", 6)]).createOrReplaceTempView("s1q1")
+    lha.sql("INSERT INTO src SELECT * FROM s1q1")
+    lha.sql(stmt)
+    got = {tuple(r) for r in lha.sql("SELECT k, amt, seq FROM dim").collect()}
+    assert got == {("a", Decimal("2.00"), 7)}
+    # a fresh (higher-seq) change applies
+    _mk_seq(spark, [("a", "4.00", 9)]).createOrReplaceTempView("s1q2")
+    lha.sql("INSERT INTO src SELECT * FROM s1q2")
+    lha.sql(stmt)
+    got = {tuple(r) for r in lha.sql("SELECT k, amt, seq FROM dim").collect()}
+    assert got == {("a", Decimal("4.00"), 9)}
+
+
+def test_apply_changes_sequence_by_rejections(spark, lha):
+    _mk(spark, [("a", "1.00")]).createOrReplaceTempView("sqr0")
+    lha.sql("CREATE TABLE src AS SELECT * FROM sqr0")
+    with pytest.raises(ValueError, match="SEQUENCE BY column"):
+        lha.sql(
+            "APPLY CHANGES INTO dim FROM CHANGES(src) KEYS (k) "
+            "SEQUENCE BY nope SCD TYPE 2"
+        )
+    lha.sql("APPLY CHANGES INTO dim FROM CHANGES(src) KEYS (k) SCD TYPE 2")
+    with pytest.raises(ValueError, match="SEQUENCE BY"):
+        lha.sql(
+            "APPLY CHANGES INTO dim FROM CHANGES(src) KEYS (k) "
+            "SEQUENCE BY amt SCD TYPE 2"
+        )
