@@ -88,8 +88,9 @@ _VERIFY_FIRST = [
     "q_stream_enrich", "q_stream_join",
 ]
 # ROUND-13 ROTATION NOTE: queries ADDED OR CHANGED in r12 or later
-# lead the r13 window (changed in r12 and not in this window:
-# q_table_changes — rewritten SQL-first over the TABLE_CHANGES TVF),
+# lead the r13 window (added/changed in r12 and not in this window:
+# q_scd1_sql — APPLY CHANGES SCD TYPE 1; q_table_changes — rewritten
+# SQL-first over the TABLE_CHANGES TVF),
 # then the r7-stale remainder that did NOT fit here
 # (q_stream_merge, q_stream_sessions, q_stream_sliding,
 # q_tpch_q10, q_tpch_q14, q_tpch_q15, q_tpch_q19, q_tpch_q21,

@@ -417,3 +417,64 @@ def q_scd2_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(start_v AS BIGINT) AS start_v, "
         "CAST(end_v AS BIGINT) AS end_v, is_current FROM dim_hist"
     )
+
+
+SCD1_SQL_ORACLE = """
+    SELECT c_custkey AS cust_id,
+           CASE WHEN c_custkey % 3 = 0 THEN c_mktsegment || '_v2'
+                ELSE c_mktsegment END AS segment
+    FROM customer WHERE c_custkey % 7 <> 0
+"""
+
+
+@demo_query("q_scd1_sql", oracle=SCD1_SQL_ORACLE)
+def q_scd1_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``APPLY CHANGES ... SCD TYPE 1`` (``plans/apply_changes.py``):
+    the latest-row-only twin of ``q_scd2_sql`` — same scenario (every
+    %3 customer's segment moves, every %7 customer drops), but the
+    target keeps no history: additive changes upsert, deletes remove.
+    Guards assert init → incremental → noop across three invocations
+    and that each APPLY leaves the dim EQUAL to the source snapshot
+    (the TYPE 1 contract). The dim advances via file-granular
+    merge_apply on the key — cost ∝ churn. Oracle = the mutated
+    source's final state."""
+    import os
+
+    from ..functions.scratch import scratch_dir
+    from ..plans.lakehouse_sql import LakehouseSession
+
+    work = scratch_dir("spark_graft_scd1sql", unique=True)
+    lh = LakehouseSession(spark)
+    lh.create("cust", os.path.join(work, "src"), stats_cols=["cust_id"])
+    lh.create("dim_latest", os.path.join(work, "dim"))
+    load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust_id"),
+        F.col("c_mktsegment").alias("segment"),
+    ).createOrReplaceTempView("cust1_src")
+    lh.sql("CREATE TABLE cust AS SELECT * FROM cust1_src")
+
+    stmt = (
+        "APPLY CHANGES INTO dim_latest FROM CHANGES(cust) "
+        "KEYS (cust_id) SCD TYPE 1"
+    )
+    r0 = lh.sql(stmt).first()
+    if r0["mode"] != "init":
+        raise AssertionError(f"first APPLY must init, got {r0}")
+    lh.sql(
+        "UPDATE cust SET segment = concat(segment, '_v2') "
+        "WHERE cust_id % 3 = 0"
+    )
+    lh.sql("DELETE FROM cust WHERE cust_id % 7 = 0")
+    r1 = lh.sql(stmt).first()
+    if r1["mode"] != "incremental":
+        raise AssertionError(f"expected incremental, got {r1}")
+    r2 = lh.sql(stmt).first()
+    if r2["mode"] != "noop":
+        raise AssertionError(f"third APPLY not a no-op: {r2}")
+    n_dim = lh.sql("SELECT COUNT(*) AS n FROM dim_latest").first()["n"]
+    n_src = lh.sql("SELECT COUNT(*) AS n FROM cust").first()["n"]
+    if n_dim != n_src:
+        raise AssertionError(f"TYPE 1 dim must mirror source: {n_dim} != {n_src}")
+    return lh.sql(
+        "SELECT CAST(cust_id AS BIGINT) AS cust_id, segment FROM dim_latest"
+    )

@@ -206,6 +206,7 @@ EXTRA = [
     "q_materialized_view_distinct",
     "q_materialized_view_join_minmax",
     "q_scd2_sql",
+    "q_scd1_sql",
 ]
 
 
