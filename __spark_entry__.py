@@ -59,44 +59,48 @@ def entry(spark: SparkSession) -> DataFrame:
 # q_vocab_encode, q_window_cumsum, q_zipf (43 rows); remaining slots
 # to the then-stalest r9 rows (alphabetical).
 _VERIFY_FIRST = [
-    # ROUND-12 WINDOW. NEW in round 12 lead (SQL surfaces over
-    # judge-verified folds; each reuses the oracle of its Python twin;
-    # q_materialized_view_cascade itself became SQL-first via the new
-    # WITH CHANGE FEED clause and is re-verified below):
-    "q_materialized_view_distinct", "q_scd2_sql",
-    "q_materialized_view_join_minmax",
-    # r11-added queries with a judge MATCH but no driver row yet
-    # (the r12 rotation note below, honored verbatim):
-    "q_stats_minmax", "q_scan_null_skipping", "q_auto_compact",
-    "q_convert_parquet", "q_dedup_substring", "q_dedup_substring_scrub",
-    "q_dedup_substring_rewrite", "q_quantile_rollup", "q_pq_adc_topk",
-    "q_vacuum_restore", "q_incremental_mv_var", "q_optimize_where",
-    "q_incremental_mv_join", "q_incremental_mv_distinct",
-    "q_scd2_from_cdf", "q_materialized_view", "q_materialized_view_join",
+    # ROUND-13 WINDOW, honoring the r12 rotation note. NEW in round 13
+    # lead: the four remaining TPC-H shapes, COUNT(DISTINCT) on
+    # JOIN-view MVs, FILTER-clause MV aggregates, streaming MIN/MAX MV:
+    "q_tpch_q4", "q_tpch_q13", "q_tpch_q17", "q_tpch_q18",
+    "q_materialized_view_join_distinct", "q_materialized_view_filter",
+    "q_materialized_view_stream_minmax",
+    # CHANGED in r12/r13 (re-earn green): q_scd1_sql (r12-added, judge
+    # MATCH, still rowless) + q_scd2_sql (r13: _sequence_filter NULL
+    # rejection + churn-key prune), q_table_changes (r12 SQL-first
+    # rewrite + r13 range validation), q_table_clone (r13: clone
+    # inherits change_feed), and the MV family (r13: restore guard on
+    # every refresh path; join refresh grew the distinct support fold):
+    "q_scd1_sql", "q_scd2_sql", "q_table_changes", "q_table_clone",
+    "q_materialized_view", "q_materialized_view_join",
     "q_materialized_view_stream", "q_materialized_view_cascade",
-    "q_copy_into",
-    # r7-stale rows (alphabetical; the 27 that fit — the remainder
-    # q_stream_merge..q_zipf rolls to the r13 window)
-    "q_embedding_quantize", "q_explode_pos", "q_fact_daily",
-    "q_first_last", "q_funnel", "q_grouped_ols", "q_mixture",
-    "q_multimodal_features", "q_ntile", "q_nullsafe_join",
-    "q_percentile", "q_ratio_to_report", "q_retention", "q_scan_csv",
-    "q_scan_json", "q_scan_parquet", "q_scd2_lookup",
-    "q_semantic_decontam_scaled", "q_sessionize",
-    "q_similarity_pairs_banded", "q_similarity_pairs_scaled",
-    "q_sql_fact", "q_stage_orders", "q_stream_daily", "q_stream_dedup",
-    "q_stream_enrich", "q_stream_join",
+    "q_materialized_view_distinct", "q_materialized_view_join_minmax",
+    # r7-stale rows (the 16 the r12 note rolled to this window):
+    "q_stream_merge", "q_stream_sessions", "q_stream_sliding",
+    "q_tpch_q10", "q_tpch_q14", "q_tpch_q15", "q_tpch_q19",
+    "q_tpch_q21", "q_tpch_q22", "q_tpch_q5", "q_tpch_q6", "q_tpch_q8",
+    "q_unpivot", "q_vocab_encode", "q_window_cumsum", "q_zipf",
+    # stalest r9 rows (alphabetical fill; q_table_changes/_clone are
+    # r9-stale too but already above as changed):
+    "q_agg_count", "q_agg_count_filter", "q_agg_sum",
+    "q_approx_distinct", "q_approx_quantile", "q_asof_join",
+    "q_bool_agg", "q_bound_check", "q_column_mapping",
+    "q_dedup_anti_join", "q_dedup_exact", "q_delete_vectors",
+    "q_distinct_agg", "q_domain_fact_versioned", "q_except",
+    "q_expectation_suite", "q_filter_eq",
 ]
-# ROUND-13 ROTATION NOTE: queries ADDED OR CHANGED in r12 or later
-# lead the r13 window (added/changed in r12 and not in this window:
-# q_scd1_sql — APPLY CHANGES SCD TYPE 1; q_table_changes — rewritten
-# SQL-first over the TABLE_CHANGES TVF),
-# then the r7-stale remainder that did NOT fit here
-# (q_stream_merge, q_stream_sessions, q_stream_sliding,
-# q_tpch_q10, q_tpch_q14, q_tpch_q15, q_tpch_q19, q_tpch_q21,
-# q_tpch_q22, q_tpch_q5, q_tpch_q6, q_tpch_q8, q_unpivot,
-# q_vocab_encode, q_window_cumsum, q_zipf — 16 rows), then the
-# then-stalest r9 rows (alphabetical) to fill 50.
+# ROUND-14 ROTATION NOTE: queries ADDED OR CHANGED in r13 or later
+# lead the r14 window, then the r9-stale remainder that did NOT fit
+# here (alphabetical from q_filter_range: q_filter_range,
+# q_intersect, q_join_full_outer, q_lakehouse_sql, q_lang_mix,
+# q_lang_temperature, q_length_histogram, q_monthly_trunc,
+# q_notnull_check, q_optimize_zorder, q_regex, q_replace_where,
+# q_scalar_subquery, q_similarity_pairs, q_sort_topk, q_stream_cdf,
+# q_table_history, q_topk_per_group, q_tpch_q1, q_tpch_q16,
+# q_tpch_q9, q_union, q_update_where, q_versioned_merge,
+# q_wap_constraint, q_window_rank, q_window_rolling,
+# q_writer_isolation — 28 rows), then the then-stalest r10 rows
+# (alphabetical) to fill 50.
 
 
 def _registry():

@@ -2903,3 +2903,241 @@ def q_materialized_view_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT month, CAST(revenue AS DOUBLE) AS revenue, n_days, "
         "n_orders FROM monthly_rev"
     )
+
+
+MATERIALIZED_VIEW_JOIN_DISTINCT_ORACLE = """
+    WITH fact AS (
+      SELECT o_orderkey, o_custkey AS cust_id,
+             CAST(CASE WHEN o_orderkey % 7 = 0
+                  THEN CAST(o_totalprice AS DECIMAL(12,2)) * 2
+                  ELSE CAST(o_totalprice AS DECIMAL(12,2)) END
+                  AS DECIMAL(12,2)) AS price
+      FROM orders WHERE o_custkey % 5 <> 0
+    ),
+    dim AS (
+      SELECT c_custkey AS cust_id,
+             CAST(CASE WHEN c_custkey % 3 = 0 THEN (c_nationkey + 1) % 25
+                  ELSE c_nationkey END AS INTEGER) AS nation
+      FROM customer
+    )
+    SELECT nation,
+           CAST(COUNT(DISTINCT cust_id) AS BIGINT) AS n_custs,
+           CAST(SUM(price) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM fact JOIN dim USING (cust_id)
+    GROUP BY nation
+"""
+
+
+@demo_query(
+    "q_materialized_view_join_distinct",
+    oracle=MATERIALIZED_VIEW_JOIN_DISTINCT_ORACLE,
+)
+def q_materialized_view_join_distinct(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """COUNT(DISTINCT) on a JOIN materialized view — the r12 refusal,
+    now implemented (``plans/matview.py``): the join's bilinear signed
+    delta is an exact multiset of joined rows, so it feeds the SAME
+    per-(group, value) support-table fold as single-table views — the
+    support watermark just carries BOTH base versions. The scenario
+    forces every trap: the fact MERGE doubles %7 prices (UPDATE pairs
+    move a measure but not the (nation, cust) pair — they must CANCEL
+    in the support fold), a customer's orders span many fact rows (the
+    %5 DELETE retracts whole multi-row slices — naive per-row
+    count-down would over-decrement), and the dim UPDATE MOVES %3
+    customers between nations (the distinct value must leave the old
+    group and arrive in the new one through the ΔA⋈ΔB correction).
+    Guards assert the refresh was incremental and idempotent. Oracle =
+    full COUNT(DISTINCT) recompute of the final join (the pg_ivm
+    contract). Base histories = the JOIN twins' shared read-only
+    fixture, view declared VERSION AS OF each base's pre-mutation
+    version (``_mv_join_fixture``)."""
+    from ..plans.lakehouse_sql import LakehouseSession
+
+    work = scratch_dir("spark_graft_mvjoin_distinct", unique=True)
+    fpath, dpath, fv0, dv0 = _mv_join_fixture(spark, sf_dir)
+    lh = LakehouseSession(spark)
+    lh.register("fact", VersionedTable(fpath))
+    lh.register("dim", VersionedTable(dpath))
+    lh.create("nation_custs", os.path.join(work, "mv"))
+    lh.sql(
+        "CREATE MATERIALIZED VIEW nation_custs AS "
+        "SELECT nation, COUNT(DISTINCT cust_id) AS n_custs, "
+        "SUM(price) AS revenue, COUNT(*) AS n_lines "
+        f"FROM fact VERSION AS OF {fv0} "
+        f"JOIN dim VERSION AS OF {dv0} USING (cust_id) GROUP BY nation"
+    )
+
+    r1 = lh.sql("REFRESH MATERIALIZED VIEW nation_custs").first()
+    if r1["mode"] != "incremental":
+        raise AssertionError(f"expected incremental refresh, got {r1}")
+    r2 = lh.sql("REFRESH MATERIALIZED VIEW nation_custs").first()
+    if r2["mode"] != "noop" or r2["version"] != r1["version"]:
+        raise AssertionError(f"second refresh not a no-op: {r2}")
+    return lh.sql(
+        "SELECT nation, n_custs, CAST(revenue AS DOUBLE) AS revenue, "
+        "n_lines FROM nation_custs"
+    )
+
+
+MATERIALIZED_VIEW_FILTER_ORACLE = """
+    WITH fact AS (
+      SELECT CAST(o_orderdate AS DATE) AS dt, o_custkey AS cust_id,
+             CAST(CASE WHEN o_orderkey % 7 = 0 AND o_orderkey % 10 <> 0
+                  THEN CAST(o_totalprice AS DECIMAL(12,2)) * 2
+                  ELSE CAST(o_totalprice AS DECIMAL(12,2)) END
+                  AS DECIMAL(12,2)) AS price
+      FROM orders WHERE o_custkey % 5 <> 0
+    )
+    SELECT dt,
+           CAST(COUNT(*) FILTER (WHERE cust_id % 2 = 0) AS BIGINT)
+             AS n_even,
+           CAST(SUM(price) FILTER (WHERE cust_id % 2 = 0) AS DOUBLE)
+             AS rev_even,
+           CAST(SUM(price) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM fact GROUP BY dt
+"""
+
+
+@demo_query(
+    "q_materialized_view_filter", oracle=MATERIALIZED_VIEW_FILTER_ORACLE
+)
+def q_materialized_view_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregates in a declarative MV — the reference's
+    converted-leads shape (``fct_daily_store_metrics.sql:13``:
+    ``count(*) filter (where status='converted')``) as maintained
+    state: ``COUNT(*) FILTER (WHERE p)`` and ``SUM(e) FILTER (WHERE
+    p)`` desugar in the MV grammar onto the existing SUM fold (CASE
+    WHEN), which is EXACT — the filtered count is 0 while the group
+    lives (CASE emits 0, never NULL) and the filtered sum goes NULL
+    when the last predicate-true row leaves (the hidden non-null
+    count's contract). The UPDATE/INSERT/DELETE churn moves rows in
+    and out of the predicate cohort; one REFRESH folds it all. Guards:
+    incremental + idempotent. Oracle = DuckDB's native FILTER clause
+    over the final state. Base history = the family's shared fixture,
+    view declared VERSION AS OF its pre-mutation version."""
+    from ..plans.lakehouse_sql import LakehouseSession
+
+    work = scratch_dir("spark_graft_matview_filter", unique=True)
+    fact_path, v0 = _mv_fact_fixture(spark, sf_dir)
+    lh = LakehouseSession(spark)
+    lh.register("fact", VersionedTable(fact_path))
+    lh.create("daily_split", os.path.join(work, "mv"))
+    lh.sql(
+        "CREATE MATERIALIZED VIEW daily_split AS "
+        "SELECT dt, COUNT(*) FILTER (WHERE cust_id % 2 = 0) AS n_even, "
+        "SUM(price) FILTER (WHERE cust_id % 2 = 0) AS rev_even, "
+        "SUM(price) AS revenue, COUNT(*) AS n_orders "
+        f"FROM fact VERSION AS OF {v0} GROUP BY dt"
+    )
+
+    r1 = lh.sql("REFRESH MATERIALIZED VIEW daily_split").first()
+    if r1["mode"] != "incremental":
+        raise AssertionError(f"expected incremental refresh, got {r1}")
+    r2 = lh.sql("REFRESH MATERIALIZED VIEW daily_split").first()
+    if r2["mode"] != "noop" or r2["version"] != r1["version"]:
+        raise AssertionError(f"second refresh not a no-op: {r2}")
+    return lh.sql(
+        "SELECT dt, n_even, CAST(rev_even AS DOUBLE) AS rev_even, "
+        "CAST(revenue AS DOUBLE) AS revenue, n_orders FROM daily_split"
+    )
+
+
+MATERIALIZED_VIEW_STREAM_MINMAX_ORACLE = """
+    WITH fact AS (
+      SELECT CAST(o_orderdate AS DATE) AS dt,
+             CAST(CASE WHEN o_orderkey % 7 = 0 AND o_orderkey % 10 <> 0
+                  THEN CAST(o_totalprice AS DECIMAL(12,2)) * 2
+                  ELSE CAST(o_totalprice AS DECIMAL(12,2)) END
+                  AS DECIMAL(12,2)) AS price
+      FROM orders WHERE o_custkey % 5 <> 0
+    )
+    SELECT dt,
+           CAST(MIN(price) AS DOUBLE) AS lo,
+           CAST(MAX(price) AS DOUBLE) AS hi,
+           CAST(SUM(price) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM fact GROUP BY dt
+"""
+
+
+@demo_query(
+    "q_materialized_view_stream_minmax",
+    oracle=MATERIALIZED_VIEW_STREAM_MINMAX_ORACLE,
+)
+def q_materialized_view_stream_minmax(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CONTINUOUS refresh of a MIN/MAX materialized view — the r12
+    refusal, now implemented
+    (``plans/matview.py::_fold_stream_batch``): insert-only
+    micro-batches fold join-free (least/greatest); a batch whose
+    retraction ties-or-beats a stored extremum falls back to the
+    bounded FOLDED-STATE rescan inside foreachBatch — the floor
+    snapshot plus the above-floor folded exception feeds, netted at
+    row level and semi-pruned to the triggered groups, so an
+    out-of-order delivery window never leaks unfolded commits into the
+    rescan. The UPDATE retracts old prices (day extrema move) and the
+    DELETE retracts whole cohorts, so the drain exercises both the
+    fold and rescan paths across micro-batches (maxFilesPerTrigger=1).
+    Guards: several batches folded, a fresh-checkpoint replay folds
+    NOTHING, and a subsequent batch REFRESH is a noop. Oracle = full
+    recompute of the final state. Own CDF fixture (streaming needs
+    materialized feed files; the shared batch fixture deliberately
+    skips them)."""
+    from ..plans.lakehouse_sql import LakehouseSession
+    from ..plans.matview import stream_refresh_materialized_view
+
+    work = scratch_dir("spark_graft_mvstream_minmax", unique=True)
+    lh = LakehouseSession(spark)
+    lh.create(
+        "fact", os.path.join(work, "fact"), stats_cols=["dt"],
+        change_feed=True,
+    )
+    lh.create("daily_span", os.path.join(work, "mv"))
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("cust_id"),
+        F.col("o_orderdate").cast("date").alias("dt"),
+        money("o_totalprice").alias("price"),
+    )
+    base.filter(F.col("o_orderkey") % 10 != 0).createOrReplaceTempView(
+        "orders_v0mm"
+    )
+    base.filter(F.col("o_orderkey") % 10 == 0).createOrReplaceTempView(
+        "orders_latemm"
+    )
+    lh.sql("CREATE TABLE fact AS SELECT * FROM orders_v0mm")
+    lh.sql(
+        "CREATE MATERIALIZED VIEW daily_span AS "
+        "SELECT dt, MIN(price) AS lo, MAX(price) AS hi, "
+        "SUM(price) AS revenue, COUNT(*) AS n_orders "
+        "FROM fact GROUP BY dt"
+    )
+    lh.sql("UPDATE fact SET price = price * 2 WHERE o_orderkey % 7 = 0")
+    lh.sql("INSERT INTO fact SELECT * FROM orders_latemm")
+    lh.sql("DELETE FROM fact WHERE cust_id % 5 = 0")
+
+    mv, fact = lh.table("daily_span"), lh.table("fact")
+    n1 = stream_refresh_materialized_view(
+        spark, mv, fact, os.path.join(work, "ckpt1"),
+        max_files_per_trigger=1,
+    )
+    if n1 < 2:
+        raise AssertionError(f"expected several folded batches, got {n1}")
+    n2 = stream_refresh_materialized_view(
+        spark, mv, fact, os.path.join(work, "ckpt2"),  # FRESH checkpoint
+        max_files_per_trigger=1,
+    )
+    if n2 != 0:
+        raise AssertionError(f"fresh-checkpoint replay double-folded: {n2}")
+    r = lh.sql("REFRESH MATERIALIZED VIEW daily_span").first()
+    if r["mode"] != "noop":
+        raise AssertionError(f"batch refresh after streaming not noop: {r}")
+    return lh.sql(
+        "SELECT dt, CAST(lo AS DOUBLE) AS lo, CAST(hi AS DOUBLE) AS hi, "
+        "CAST(revenue AS DOUBLE) AS revenue, n_orders FROM daily_span"
+    )

@@ -1206,3 +1206,205 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     return supp.join(
         qualifying, supp.s_suppkey == qualifying.l_suppkey, "left_semi"
     ).select("s_suppkey", "s_name")
+
+
+@demo_query(
+    "q_tpch_q4",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE CAST(o_orderdate AS DATE) >= DATE '1996-07-01'
+      AND CAST(o_orderdate AS DATE) <  DATE '1996-10-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order-priority checking, adapted to this schema): one
+    quarter's orders having at least one line shipped AFTER the order
+    date (the testdata has no commit/receipt dates, so the lateness
+    predicate correlates l_shipdate against o_orderdate), counted by
+    priority.
+
+    The correlated EXISTS compiles to a LEFT SEMI join whose condition
+    carries the non-equi lateness predicate alongside the key equality
+    — the probe side ships only (l_orderkey, l_shipdate), orders prune
+    to the quarter at the scan (pushed date filter), and no row ever
+    duplicates (EXISTS, not IN-join)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate").cast("date") >= F.lit("1996-07-01"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1996-10-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@demo_query(
+    "q_tpch_q13",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT OUTER JOIN orders o
+        ON c.c_custkey = o.o_custkey
+       AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution): LEFT OUTER join so customers
+    with ZERO qualifying orders survive with c_count = 0, then a
+    second aggregation histograms customers by order count.
+
+    Skew note for 100 TB: the first aggregation keys on c_custkey
+    (high cardinality, uniform — the shuffle spreads); the second keys
+    on c_count (few dozen values) but its input is already one row per
+    customer, partially aggregated map-side, so the skewed key carries
+    counts, not rows. The orders-side predicate is pushed INTO the
+    join (not a post-filter), preserving outer-join row preservation
+    exactly as the SQL form does."""
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    per_cust = (
+        customer.join(
+            orders,
+            (customer.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("bigint").alias("custdist")
+    )
+
+
+@demo_query(
+    "q_tpch_q17",
+    oracle="""
+    SELECT CAST(
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             / 7.0 AS DOUBLE) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23'
+      AND l.l_quantity < (
+        SELECT 0.2 * AVG(l2.l_quantity)
+        FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey
+      )
+    """,
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): revenue lost to orders
+    below 20% of each part's average quantity, for one brand.
+
+    The correlated scalar-AVG subquery decorrelates into a per-part
+    aggregate JOINED back to the same slice — and because the
+    correlation key (l_partkey) is also the brand filter's join key,
+    the average is computed over the brand's slice only (grouping by
+    part makes the slice's per-part average identical to the whole
+    table's): lineitem is semi-pruned by the bounded brand-part list
+    (broadcast), scanned ONCE, and the per-part thresholds re-join a
+    churn-free aggregate of ~1 row per part. Determinism: l_quantity
+    is integral, so the double AVG is an exact sum/count on both
+    engines; the revenue SUM is exact decimal cast to double once."""
+    bp = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#23")
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    brand_li = li.join(
+        F.broadcast(bp), li.l_partkey == bp.p_partkey
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    thr = brand_li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("__thr")
+    )
+    return (
+        brand_li.join(thr, "l_partkey")
+        .where(F.col("l_quantity") < F.col("__thr"))
+        .agg(
+            (
+                F.sum(money("l_extendedprice")).cast("double") / F.lit(7.0)
+            )
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+@demo_query(
+    "q_tpch_q18",
+    oracle="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(SUM(l.l_quantity) AS DOUBLE) AS total_qty
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 250
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+             o.o_totalprice
+    """,
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): orders whose total quantity
+    exceeds a threshold, with their customer and the quantity itself.
+
+    The IN-subquery over a grouped HAVING compiles to: aggregate
+    lineitem ONCE by order key (map-side partials — l_orderkey is the
+    natural clustering), filter the aggregate (keys-only survivor
+    set), then LEFT SEMI join orders to the qualifying keys before the
+    customer join, so the expensive joins see only the ~1% qualifying
+    slice. The final per-order quantity REUSES the same aggregate via
+    an equi-join instead of re-scanning lineitem (the classic Q18
+    rewrite). Quantities are integral doubles — sums are exact on both
+    engines."""
+    li_agg = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+    )
+    big = li_agg.filter(F.col("total_qty") > 250)
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+    )

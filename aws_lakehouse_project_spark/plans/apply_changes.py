@@ -95,9 +95,24 @@ def _sequence_filter(
       dropped);
     - a key whose every additive row was dropped as late contributes
       NOTHING — its paired preimage must not close the current row.
+
+    NULL sequence values are REJECTED (DLT's contract): NULL orders
+    against nothing, so accepting it would either silently drop the
+    change as "late" or regress the ordering discipline — fail loudly
+    instead. ``cur`` is left-semi pruned to the feed's keys before its
+    ``(keys, seq)`` projection is read, so the per-commit cost is a
+    broadcast semi join against a churn-sized key set — never a
+    full-dimension shuffle (same shape as the SCD2 close pass).
     """
     from pyspark.sql import Window
 
+    if not delta.where(F.col(seq_col).isNull()).isEmpty():
+        raise ValueError(
+            f"APPLY CHANGES: NULL value in SEQUENCE BY column "
+            f"{seq_col!r} — sequence values must be non-null (a NULL "
+            "cannot be ordered against the key's current sequence)"
+        )
+    cur = cur.join(delta.select(*keys).distinct(), keys, "left_semi")
     add = delta.filter(
         F.col("_change_type").isin("insert", "update_postimage")
     ).select(*keys, *attrs)
@@ -227,9 +242,17 @@ def apply_changes_scd2(
         base = src.read(spark, head)
         if seq_col is not None:
             # SEQUENCE BY dedups the snapshot too: one (latest) row
-            # per key from the start
+            # per key from the start. NULL sequence values are rejected
+            # up front (DLT) — a NULL-seq row admitted here would
+            # order against nothing on every later commit.
             from pyspark.sql import Window
 
+            if not base.where(F.col(seq_col).isNull()).isEmpty():
+                raise ValueError(
+                    f"APPLY CHANGES: NULL value in SEQUENCE BY column "
+                    f"{seq_col!r} in the initial snapshot — sequence "
+                    "values must be non-null"
+                )
             w = Window.partitionBy(*keys).orderBy(
                 F.col(seq_col).desc_nulls_last(),
                 F.xxhash64(*attrs).desc(),
@@ -384,6 +407,12 @@ def apply_changes_scd1(
         if seq_col is not None:
             from pyspark.sql import Window
 
+            if not base.where(F.col(seq_col).isNull()).isEmpty():
+                raise ValueError(
+                    f"APPLY CHANGES: NULL value in SEQUENCE BY column "
+                    f"{seq_col!r} in the initial snapshot — sequence "
+                    "values must be non-null"
+                )
             w = Window.partitionBy(*keys).orderBy(
                 F.col(seq_col).desc_nulls_last(),
                 F.xxhash64(*attrs).desc(),

@@ -95,6 +95,7 @@ _GRAMMAR = """supported statements:
   DROP BLOOMFILTER INDEX ON t
   CREATE MATERIALIZED VIEW mv [WITH CHANGE FEED] AS
     SELECT [keys,] SUM|MIN|MAX|AVG(e) AS a
+    [, COUNT(*) FILTER (WHERE p) AS a | SUM(e) FILTER (WHERE p) AS a]
     [, ...] [, COUNT(DISTINCT e) AS a] [, COUNT(*) AS c]
     FROM base [VERSION AS OF n] [JOIN b [VERSION AS OF n] USING (k[, ...])]
     (VERSION AS OF creates the view — watermark included — at a
@@ -102,9 +103,10 @@ _GRAMMAR = """supported statements:
     GROUP BY keys   (mv pre-registered; definition + per-base
     watermarks ride the commit meta; MIN/MAX refresh with bounded
     rescan-on-retraction — on JOIN views the rescan is the triggered
-    groups' JOIN SLICE; COUNT(DISTINCT) via a hidden support table,
-    single-table views only; JOIN views refresh via the bilinear
-    delta rule over both bases' CDFs)
+    groups' JOIN SLICE; COUNT(DISTINCT) via a hidden support table
+    fed by the base CDF (single-table) or the bilinear join delta
+    (JOIN views); JOIN views refresh via the bilinear delta rule
+    over both bases' CDFs)
   REFRESH MATERIALIZED VIEW mv [FULL]   (folds base CDF since the
     watermark via merge_apply — churn-proportional; FULL rebuilds)
   COPY INTO t FROM 'src' [FILEFORMAT = PARQUET] [PATTERN = 'glob']
@@ -215,8 +217,25 @@ class LakehouseSession:
                     f"{sorted(self._tables)})"
                 )
             vt = self._tables[name]
+            head = vt.latest_version()
+            if head is None:
+                raise ValueError(
+                    f"table_changes: table {name!r} has no commits — "
+                    "TABLE_CHANGES('t', lo[, hi]) needs at least one "
+                    "version to read changes from"
+                )
             lo = int(mm.group("lo"))
-            hi = int(mm.group("hi")) if mm.group("hi") else vt.latest_version()
+            hi = int(mm.group("hi")) if mm.group("hi") else head
+            # Delta raises a clean out-of-range error rather than a raw
+            # missing-manifest failure; mirror that (versionAsOf-style
+            # VERSION_NOT_FOUND semantics)
+            if hi > head or lo > hi:
+                raise ValueError(
+                    f"table_changes: requested range [{lo}, {hi}] is out "
+                    f"of bounds for {name!r} (versions 0..{head}); "
+                    "TABLE_CHANGES('t', lo[, hi]) with lo <= hi <= "
+                    "latest version"
+                )
             feed = None
             for v in vt.versions():
                 # Delta's contract: starting version INCLUSIVE, version
@@ -319,13 +338,6 @@ class LakehouseSession:
         )
 
         if mm.group("b2"):
-            if distincts:
-                raise ValueError(
-                    "COUNT(DISTINCT) on a JOIN materialized view "
-                    "is not supported (the support fold needs one "
-                    "base's change feed) — declare it on a "
-                    f"single-table view\n{_GRAMMAR}"
-                )
             on = []
             for c in _split_top(mm.group("on")):
                 if not re.fullmatch(_IDENT, c):
@@ -348,6 +360,7 @@ class LakehouseSession:
                 avgs=avgs,
                 mins=mins,
                 maxs=maxs,
+                distincts=distincts,
                 at_version=int(mm.group("bv")) if mm.group("bv") else None,
                 at_version_b=(
                     int(mm.group("b2v")) if mm.group("b2v") else None
@@ -404,6 +417,46 @@ class LakehouseSession:
             count_col = None
             selected_keys = []
             for item in _split_top(mm.group("items")):
+                # FILTER-clause sugar FIRST (the generic agg pattern's
+                # greedy expr would swallow a trailing FILTER clause).
+                # Both desugar onto the existing SUM fold with EXACT
+                # semantics: COUNT(*) FILTER counts predicate-true rows
+                # (never NULL while the group lives); SUM(e) FILTER
+                # sums predicate-true rows and the hidden non-null
+                # count makes it NULL when none match — precisely
+                # standard FILTER behavior, so the fold is maintenance-
+                # free sugar, not a new aggregate kind.
+                im = re.fullmatch(
+                    r"COUNT\s*\(\s*\*\s*\)\s+FILTER\s*\(\s*WHERE\s+"
+                    r"(?P<p>.+)\)\s+AS\s+(?P<a>" + _IDENT + ")",
+                    item, flags=re.IGNORECASE | re.DOTALL,
+                )
+                if im:
+                    sums.append([
+                        f"CASE WHEN ({im.group('p').strip()}) THEN "
+                        "CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END",
+                        im.group("a"),
+                    ])
+                    continue
+                im = re.fullmatch(
+                    r"SUM\s*\((?P<e>.+?)\)\s+FILTER\s*\(\s*WHERE\s+"
+                    r"(?P<p>.+)\)\s+AS\s+(?P<a>" + _IDENT + ")",
+                    item, flags=re.IGNORECASE | re.DOTALL,
+                )
+                if im:
+                    sums.append([
+                        f"CASE WHEN ({im.group('p').strip()}) THEN "
+                        f"({im.group('e').strip()}) END",
+                        im.group("a"),
+                    ])
+                    continue
+                if re.search(r"\)\s+FILTER\s*\(", item, flags=re.IGNORECASE):
+                    # keep the generic agg pattern's greedy expr from
+                    # silently swallowing an unsupported FILTER clause
+                    raise ValueError(
+                        "FILTER (WHERE p) is supported on COUNT(*) and "
+                        f"SUM(e) only — got: {item!r}\n{_GRAMMAR}"
+                    )
                 im = re.fullmatch(
                     r"COUNT\s*\(\s*DISTINCT\s+(?P<e>.+)\)\s+AS\s+(?P<a>"
                     + _IDENT + ")",

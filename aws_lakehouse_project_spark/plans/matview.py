@@ -63,11 +63,14 @@ Contract:
 - If VACUUM reclaimed the watermark version's history,
   ``VacuumedVersionError`` propagates — ``REFRESH ... FULL`` rebuilds
   from the current snapshot and re-arms the watermark (COUNT(DISTINCT)
-  support tables rebuild with it). The same recovery applies after a
-  RESTORE of the MV table itself: restore rolls back the MV's rows but
-  not its support tables' — run ``REFRESH ... FULL`` to re-align
-  (Databricks MVs don't support restore at all; here it degrades to a
-  rebuild instead of wrong counts going unnoticed).
+  support tables rebuild with it). A RESTORE of the MV table itself is
+  DETECTED (``_restore_guard``: a restore commit newer than the newest
+  MV-meta commit): incremental refresh and streaming folds refuse with
+  a pointer to ``REFRESH ... FULL``, because the restored rows no
+  longer match the stored watermark and the support tables were not
+  rolled back (Databricks MVs don't support restore at all; here it
+  degrades to an explicit rebuild instead of wrong counts going
+  unnoticed).
 - ``COUNT(DISTINCT e) AS a``: not self-maintainable from (group,
   count) alone — a delete only lowers the count if it removed the
   group's LAST occurrence of the value — so each distinct column
@@ -81,7 +84,7 @@ Contract:
   between the support fold and the MV commit recovers without a
   double fold. UPDATE pairs that move a measure but not the value
   cancel in the fold; multi-occurrence deletes never over-decrement.
-  Single-table batch REFRESH only (streaming and JOIN views refuse).
+  Batch REFRESH only (streaming refuses).
 - JOIN VIEWS: ``CREATE MATERIALIZED VIEW mv AS SELECT ... FROM a JOIN
   b USING (k) GROUP BY ...`` maintains an aggregate over a two-table
   equi-join with ONE watermark per base; REFRESH builds the join's own
@@ -93,8 +96,12 @@ Contract:
   rescan: retraction-triggered group keys semi-prune each base on the
   group keys that side carries (cross-pruning the other side through
   the join keys), so only the triggered groups' join slices recompute
-  — never the full ``A ⋈ B``. COUNT(DISTINCT) stays single-table (the
-  support fold needs one base's feed).
+  — never the full ``A ⋈ B``. COUNT(DISTINCT) on a join view keeps
+  the SAME support construction: the bilinear delta is an exact
+  signed multiset of joined rows, so it feeds the per-(group, value)
+  multiplicity fold unchanged — the support watermark just carries
+  both base versions (crash recovery rebuilds only the lag window's
+  bilinear delta from the support's own watermarks).
 """
 
 from __future__ import annotations
@@ -163,6 +170,32 @@ def definition(mv: VersionedTable) -> dict:
         f"{mv.path}: not a materialized view (no {_META_KEY!r} entry "
         "in any commit's meta)"
     )
+
+
+def _restore_guard(mv: VersionedTable) -> None:
+    """Refuse incremental maintenance after a RESTORE of the MV table
+    itself. RESTORE rolls the MV's ROWS back to a prior snapshot but
+    the restore commit carries no ``materialized_view`` meta, so
+    ``definition()`` still returns the PRE-restore watermark
+    (``base_version`` = base head at the LAST refresh): an incremental
+    refresh would fold only post-watermark base churn onto the stale
+    restored rows and commit silently wrong aggregates (COUNT(DISTINCT)
+    support tables aren't rolled back either). One backward meta-only
+    manifest walk — if a ``restore`` commit is newer than the newest
+    commit carrying MV meta, require ``REFRESH ... FULL`` (which
+    rebuilds from the base head and re-arms the watermark)."""
+    for v in reversed(mv.versions()):
+        raw = mv._raw_manifest(v)  # noqa: SLF001
+        if raw.get("meta", {}).get(_META_KEY) is not None:
+            return
+        if raw.get("op") == "restore":
+            raise ValueError(
+                f"{mv.path}: the materialized view was RESTOREd (commit "
+                f"{v}) after its last refresh — its rows no longer match "
+                "the stored watermark, so incremental refresh would "
+                "commit wrong aggregates. Run REFRESH MATERIALIZED VIEW "
+                "... FULL to rebuild and re-arm the watermark"
+            )
 
 
 def _null_key_guard(df: DataFrame, keys: list[str], where: str) -> None:
@@ -288,17 +321,22 @@ def _support_wm(sup: VersionedTable) -> int:
 def _rebuild_supports(
     spark: SparkSession, snap: DataFrame, mv: VersionedTable, d: dict
 ) -> None:
-    """(Re)build every distinct-support table from the base snapshot.
-    Runs BEFORE the MV commit: if the MV commit then crashes, the MV
-    watermark lags the support watermark and the next refresh skips
-    the already-advanced support fold (idempotent recovery)."""
+    """(Re)build every distinct-support table from the base snapshot
+    (single-table view) or the joined snapshot (JOIN view — the
+    watermark then carries BOTH base versions). Runs BEFORE the MV
+    commit: if the MV commit then crashes, the MV watermark lags the
+    support watermark and the next refresh skips the already-advanced
+    support fold (idempotent recovery)."""
+    wm: dict = {"watermark": d["base_version"]}
+    if "base_b_version" in d:
+        wm["watermark_b"] = d["base_b_version"]
     for e, a in d.get("distincts", []):
         # NULL values never count toward COUNT(DISTINCT)
         _support_table(mv, a).write_full(
             snap.where(F.expr(e).isNotNull())
             .groupBy(*d["group_keys"], F.expr(e).alias("__dv"))
             .agg(F.count(F.lit(1)).cast("long").alias("__mult")),
-            meta={_SUPPORT_META: {"watermark": d["base_version"]}},
+            meta={_SUPPORT_META: wm},
         )
 
 
@@ -380,16 +418,21 @@ def create_materialized_join_view(
     avgs: list[list[str]] = (),
     mins: list[list[str]] = (),
     maxs: list[list[str]] = (),
+    distincts: list[list[str]] = (),
     at_version: int | None = None,
     at_version_b: int | None = None,
 ) -> int:
     """Build an aggregate MV over ``a ⋈ b`` (equi-join USING ``on``)
     and stamp the two-watermark definition into the commit meta.
     MIN/MAX columns refresh with the bounded JOIN-SLICE rescan (see
-    ``refresh_materialized_join_view``). ``at_version[_b]`` create the
-    view AS OF historical snapshots of either base (SQL: ``VERSION AS
-    OF n`` after the table name)."""
-    _validate_output_names(keys, sums, mins, maxs, avgs, count_col)
+    ``refresh_materialized_join_view``). COUNT(DISTINCT) columns keep
+    the SAME hidden support table as single-table views — the join's
+    bilinear signed delta is an exact multiset feed, so the per-(group,
+    value) multiplicity fold is unchanged; the support watermark just
+    carries both base versions. ``at_version[_b]`` create the view AS
+    OF historical snapshots of either base (SQL: ``VERSION AS OF n``
+    after the table name)."""
+    _validate_output_names(keys, sums, mins, maxs, avgs, count_col, distincts)
     va = a.latest_version() if at_version is None else int(at_version)
     vb = b.latest_version() if at_version_b is None else int(at_version_b)
     d = {
@@ -403,6 +446,7 @@ def create_materialized_join_view(
         "mins": [list(p) for p in mins],
         "maxs": [list(p) for p in maxs],
         "avgs": [list(p) for p in avgs],
+        "distincts": [list(p) for p in distincts],
         "count_col": count_col,
     }
     joined = a.read(spark, va).join(b.read(spark, vb), on)
@@ -671,6 +715,7 @@ def refresh_materialized_view(
             "full refresh",
         )
         return v, "full"
+    _restore_guard(mv)
     wm = d["base_version"]
     if head == wm:
         return mv.latest_version(), "noop"
@@ -813,6 +858,7 @@ def refresh_materialized_join_view(
             "full refresh",
         )
         return v, "full"
+    _restore_guard(mv)
     wa, wb = d["base_version"], d["base_b_version"]
     if (ha, hb) == (wa, wb):
         return mv.latest_version(), "noop"
@@ -821,6 +867,12 @@ def refresh_materialized_join_view(
     delta = join_signed_delta(
         a.read(spark, wa), da, b.read(spark, wb), db, on=on
     )
+    dists = d.get("distincts", [])
+    if dists:
+        # the bilinear delta feeds both the MV nets and each distinct
+        # support fold — cache it once (churn-proportional by the
+        # semi-pruned mixed terms)
+        delta = delta.persist()
     nets = _nets_with_extrema(delta, keys, sums, mins, maxs, cnt).persist()
 
     def _join_slice(trig: DataFrame) -> DataFrame:
@@ -843,8 +895,74 @@ def refresh_materialized_join_view(
             sa = sa.join(sb.select(*on).distinct(), on, "left_semi")
         return sa.join(sb, on).join(trig, keys, "left_semi")
 
+    touched = None
     try:
         _null_key_guard(nets, keys, "refresh")
+        dist_df = None
+        if dists:
+            touched = nets.select(*keys).distinct().persist()
+            dist_df = touched
+            for e, al in dists:
+                sup = _support_table(mv, al)
+                sm = sup.latest_meta(_SUPPORT_META)
+                s_wa = int(sm["watermark"])
+                s_wb = int(sm["watermark_b"])
+                if (s_wa, s_wb) != (ha, hb):
+                    # normal case reuses the already-built delta; a
+                    # crash between support fold and MV commit leaves
+                    # the support ahead — rebuild ONLY the lag window's
+                    # bilinear delta from the support's own watermarks
+                    sdelta = (
+                        delta
+                        if (s_wa, s_wb) == (wa, wb)
+                        else join_signed_delta(
+                            a.read(spark, s_wa),
+                            a.changes(spark, s_wa, ha)
+                            if ha != s_wa
+                            else None,
+                            b.read(spark, s_wb),
+                            b.changes(spark, s_wb, hb)
+                            if hb != s_wb
+                            else None,
+                            on=on,
+                        )
+                    )
+                    snets = _nets(
+                        sdelta.where(F.expr(e).isNotNull()).select(
+                            "_change_type",
+                            *keys,
+                            F.expr(e).alias("__dv"),
+                        ),
+                        [*keys, "__dv"],
+                        [],
+                        "__mult",
+                    )
+                    _merge_nets(
+                        spark,
+                        sup,
+                        snets,
+                        [*keys, "__dv"],
+                        [],
+                        "__mult",
+                        head_meta={
+                            _SUPPORT_META: {
+                                "watermark": ha,
+                                "watermark_b": hb,
+                            }
+                        },
+                    )
+                dist_df = dist_df.join(
+                    sup.read(spark)
+                    .join(touched, keys, "left_semi")
+                    .groupBy(*keys)
+                    .agg(
+                        F.count(F.lit(1))
+                        .cast("long")
+                        .alias(f"__dist__{al}")
+                    ),
+                    keys,
+                    "left",
+                )
         v = _merge_nets(
             spark,
             mv,
@@ -859,9 +977,15 @@ def refresh_materialized_join_view(
             mins=mins,
             maxs=maxs,
             avgs=avgs,
+            distincts=dists,
+            dist_df=dist_df,
         )
     finally:
         nets.unpersist()
+        if dists:
+            delta.unpersist()
+        if touched is not None:
+            touched.unpersist()
     return v, "incremental"
 
 
@@ -907,17 +1031,20 @@ def _fold_stream_batch(
     so within-batch order never matters — only the replay filter does.
     """
     d = definition(mv)  # re-read: prior batches advanced it
-    if d.get("mins") or d.get("maxs") or d.get("distincts"):
+    _restore_guard(mv)
+    if d.get("distincts") or "base_b" in d:
         # stream_refresh_materialized_view refuses these up front; this
-        # guard keeps a direct caller from folding past the MIN/MAX
-        # rescan or the distinct support tables and silently corrupting
-        # the view
+        # guard keeps a direct caller from folding past the distinct
+        # support tables (or folding ONE feed into a join view) and
+        # silently corrupting the view
         raise ValueError(
-            "streaming fold supports SUM/COUNT/AVG views only — "
-            "MIN/MAX and COUNT(DISTINCT) need batch REFRESH"
+            "streaming fold supports single-table SUM/COUNT/AVG/MIN/MAX "
+            "views only — COUNT(DISTINCT) and JOIN views need batch "
+            "REFRESH"
         )
     keys, cnt = d["group_keys"], d["count_col"]
     sums, avgs = _eff_sums(d), d.get("avgs", [])
+    mins, maxs = d.get("mins", []), d.get("maxs", [])
     if d.get("stream_run") == run_token and batch_id <= d.get(
         "stream_batch_id", -1
     ):
@@ -956,7 +1083,48 @@ def _fold_stream_batch(
                 new_floor = bv
             else:
                 break  # first unfolded data commit: floor stops here
-        nets = _nets(live, keys, sums, cnt).persist()
+        nets = (
+            _nets_with_extrema(live, keys, sums, mins, maxs, cnt)
+            if (mins or maxs)
+            else _nets(live, keys, sums, cnt)
+        ).persist()
+
+        def _folded_state_rows(trig: DataFrame) -> DataFrame:
+            """Rows of exactly the retraction-triggered groups in the
+            FOLDED state this commit publishes: the floor snapshot plus
+            the above-floor EXCEPTION versions' feeds, netted at row
+            level (signed multiset) with surviving rows kept once —
+            MIN/MAX are multiplicity-blind, so the distinct survivors
+            rescan exactly. With an empty exception set (in-order
+            delivery, the common case) this is precisely the batch
+            path's semi-pruned snapshot rescan at the new watermark."""
+            base_cols = base.read(spark, new_floor).columns
+            parts = [
+                base.read(spark, new_floor)
+                .join(trig, keys, "left_semi")
+                .select(*base_cols, F.lit(1).alias("__s"))
+            ]
+            for v in sorted(new_set):
+                parts.append(
+                    base.changes(spark, v - 1, v)
+                    .join(trig, keys, "left_semi")
+                    .select(
+                        *base_cols,
+                        F.when(
+                            F.col("_change_type").isin(*_ADDITIVE), 1
+                        )
+                        .otherwise(-1)
+                        .alias("__s"),
+                    )
+                )
+            allr = reduce(DataFrame.unionByName, parts)
+            return (
+                allr.groupBy(*base_cols)
+                .agg(F.sum("__s").alias("__m"))
+                .where(F.col("__m") > 0)
+                .drop("__m")
+            )
+
         try:
             _null_key_guard(nets, keys, "stream refresh")
             _merge_nets(
@@ -975,6 +1143,9 @@ def _fold_stream_batch(
                         "stream_batch_id": batch_id,
                     }
                 },
+                rescan_fn=_folded_state_rows if (mins or maxs) else None,
+                mins=mins,
+                maxs=maxs,
                 avgs=avgs,
             )
         finally:
@@ -1015,21 +1186,23 @@ def stream_refresh_materialized_view(
     run's early batches — new data included; across runs only the
     watermark filter decides.
 
-    Restrictions: single-table SUM/COUNT/AVG views only — MIN/MAX needs
-    the bounded base rescan, COUNT(DISTINCT) needs the support-table
-    fold (batch REFRESH gives both); JOIN views need both feeds (batch
-    REFRESH handles the bilinear rule).
+    MIN/MAX views stream too: the insert-only fold is join-free
+    (least/greatest inside ``_merge_nets``); a retraction batch that
+    ties-or-beats a stored extremum falls back to the bounded rescan
+    over the FOLDED state — the floor snapshot plus the above-floor
+    folded exception feeds, netted at row level and semi-pruned to the
+    triggered groups (``_folded_state_rows``), so an out-of-order
+    delivery window never leaks unfolded commits into the rescan.
+
+    Restrictions: single-table views only (JOIN views need both feeds —
+    batch REFRESH handles the bilinear rule) and no COUNT(DISTINCT)
+    (the support-table fold rides batch REFRESH).
     """
     d0 = definition(mv)
     if "base_b" in d0:
         raise ValueError(
             "streaming refresh of a JOIN view is not supported — the "
             "bilinear rule needs both bases' feeds; use batch REFRESH"
-        )
-    if d0.get("mins") or d0.get("maxs"):
-        raise ValueError(
-            "streaming refresh with MIN/MAX is not supported — "
-            "retraction rescans need a base snapshot; use batch REFRESH"
         )
     if d0.get("distincts"):
         raise ValueError(

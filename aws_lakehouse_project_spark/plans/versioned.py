@@ -2169,7 +2169,7 @@ class VersionedTable:
         shallow: bool = True,
         version: int | None = None,
         stats_cols: Sequence[str] | None = None,
-        change_feed: bool = False,
+        change_feed: bool | None = None,
     ) -> "VersionedTable":
         """CREATE TABLE ... CLONE (Delta semantics).
 
@@ -2191,10 +2191,16 @@ class VersionedTable:
         The clone starts a fresh history (its version 0 is the clone
         commit, ``meta.source``/``meta.source_version`` record
         provenance); source stats carry over so data skipping works
-        immediately.
+        immediately. Table properties inherit like Delta CLONE copies
+        ``delta.enableChangeDataFeed``: ``change_feed=None`` (default)
+        carries the SOURCE snapshot's flag into the clone's version-0
+        manifest, so streams against a CDF-enabled clone keep working;
+        pass an explicit bool to override.
         """
         m = self._manifest(version)
         src_version = m["version"]
+        if change_feed is None:
+            change_feed = bool(m.get("change_feed", False))
         dest = VersionedTable(
             dest_path,
             stats_cols=self.stats_cols if stats_cols is None else stats_cols,

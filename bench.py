@@ -207,6 +207,17 @@ EXTRA = [
     "q_materialized_view_join_minmax",
     "q_scd2_sql",
     "q_scd1_sql",
+    # round-13: the four remaining TPC-H shapes (EXISTS semi with a
+    # non-equi correlate, outer-join histogram, correlated scalar-avg
+    # decorrelation, grouped-HAVING IN), COUNT(DISTINCT) on JOIN-view
+    # MVs, FILTER-clause MV aggregates, streaming MIN/MAX MV refresh
+    "q_tpch_q4",
+    "q_tpch_q13",
+    "q_tpch_q17",
+    "q_tpch_q18",
+    "q_materialized_view_join_distinct",
+    "q_materialized_view_filter",
+    "q_materialized_view_stream_minmax",
 ]
 
 
@@ -280,8 +291,33 @@ def main() -> None:
         timings[name] = vals[len(vals) // 2] if vals else None
     warm([n for n in EXTRA if n in registry])  # after headline timing
     extra: dict[str, float | None] = {}
+    extra_steal: dict[str, float | None] = {}
     for name in [n for n in EXTRA if n in registry]:
+        c0, s0 = _cpu_times()
         timed(name, extra)
+        first = extra[name]
+        if first is not None and first > 5.0:
+            # drift guard (VERDICT r12 task 8): extras run single-pass,
+            # so one hot-window read on a slow extra masquerades as a
+            # 2x regression (r12's q_stream_merge: 30.5s driver window
+            # vs 11.8s quiet re-read). Best-of-2 for extras over 5s,
+            # with the window's steal%% published beside the reading so
+            # a residual outlier is attributable without an A/B cycle.
+            second: dict[str, float | None] = {}
+            timed(name, second)
+            if second[name] is not None:
+                extra[name] = round(min(first, second[name]), 3)
+            c1, s1 = _cpu_times()
+            extra_steal[name] = (
+                round(100.0 * (s1 - s0) / (c1 - c0), 2)
+                if c1 > c0
+                else None
+            )
+            print(
+                f"# {name}: best-of-2 {extra[name]}s (first {first}s, "
+                f"window steal {extra_steal[name]}%)",
+                file=sys.stderr,
+            )
     cpu1, steal1 = _cpu_times()
     steal_pct = (
         round(100.0 * (steal1 - steal0) / (cpu1 - cpu0), 2) if cpu1 > cpu0 else None
@@ -315,6 +351,9 @@ def main() -> None:
                 ],
                 "median": total,
                 "extra_queries": extra,
+                # per-window steal%% for the slow extras that got a
+                # best-of-2 re-read (drift attribution, r12 task 8)
+                "extra_steal_pct": extra_steal,
                 "failed_queries": failed,
                 "n_headline_completed": sum(
                     1 for v in timings.values() if v is not None

@@ -3,6 +3,18 @@
 Writes PLAN_AUDIT.md: per query, the counts that matter at 100 TB —
 shuffle exchanges, join strategies (broadcast vs sort-merge vs anything
 cartesian), whole-stage-codegen coverage, and Python/Arrow boundaries.
+
+The audit covers EXECUTED plans of ALL jobs a query runs, not just the
+returned DataFrame's read plan (VERDICT r12 task 7): MV/lakehouse
+queries do their real work in refresh/commit jobs BEFORE the final
+read, so a ``QueryExecutionListener`` (registered through the py4j
+callback server) captures every finalized AQE plan the query executes
+and the per-query row aggregates across them. Shared per-process
+fixtures (``_mv_fact_fixture`` etc.) are built inside the FIRST query
+that needs them, so that query's row includes the fixture's jobs —
+noted in the summary rather than subtracted, since fixture plans must
+pass the same no-cartesian/no-UDF bar.
+
 Streaming demo queries are skipped (constructing them drives a real
 streaming job; their plan posture is covered by tests instead).
 
@@ -13,8 +25,60 @@ from __future__ import annotations
 
 import re
 import sys
+import time
 
 sys.path.insert(0, ".")
+
+
+class _PlanCapture:
+    """Python-side QueryExecutionListener: collects the EXECUTED plan
+    string of every successful action (py4j callback — the same
+    mechanism PySpark's streaming listeners use)."""
+
+    def __init__(self) -> None:
+        self.plans: list[str] = []
+
+    def onSuccess(self, funcName, qe, durationNs) -> None:  # noqa: N802
+        try:
+            self.plans.append(qe.executedPlan().toString())
+        except Exception:  # noqa: BLE001 — never break the bus
+            pass
+
+    def onFailure(self, funcName, qe, exception) -> None:  # noqa: N802
+        pass
+
+    class Java:
+        implements = ["org.apache.spark.sql.util.QueryExecutionListener"]
+
+
+def _drain(spark) -> None:
+    """Wait for async listener delivery (ExecutionListenerBus rides the
+    shared listener bus) so per-query attribution doesn't bleed."""
+    try:
+        spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty(10_000)
+    except Exception:  # noqa: BLE001 — signature drift across versions
+        try:
+            spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()
+        except Exception:  # noqa: BLE001
+            time.sleep(1.0)
+
+
+def _counts(plan: str) -> tuple[int, int, int, int, int, int]:
+    plan = plan.split("== Initial Plan ==")[0]
+    exch = len(re.findall(r"Exchange (?:hash|range|Single)", plan))
+    bhj = plan.count("BroadcastHashJoin")
+    smj = plan.count("SortMergeJoin")
+    cart = plan.count("CartesianProduct") + plan.count(
+        "BroadcastNestedLoopJoin"
+    )
+    wsc = len(set(re.findall(r"\*\((\d+)\)", plan)))
+    py = (
+        plan.count("ArrowEvalPython")
+        + plan.count("MapInPandas")
+        + plan.count("BatchEvalPython")
+        + plan.count("FlatMapGroupsInPandas")  # applyInPandas
+    )
+    return exch, bhj, smj, cart, wsc, py
 
 
 def main() -> None:
@@ -23,8 +87,16 @@ def main() -> None:
     import __spark_entry__ as entrymod
     from aws_lakehouse_project_spark.session import build_session
 
-    spark = build_session(app_name="plan-audit", master="local[4]", shuffle_partitions=4)
+    spark = build_session(
+        app_name="plan-audit", master="local[4]", shuffle_partitions=4
+    )
     q = entrymod.queries()
+
+    from pyspark.java_gateway import ensure_callback_server_started
+
+    ensure_callback_server_started(spark.sparkContext._gateway)
+    cap = _PlanCapture()
+    spark._jsparkSession.listenerManager().register(cap)
 
     global _NOTES
     _NOTES = {
@@ -40,6 +112,7 @@ def main() -> None:
         "q_multimodal_features": "python = documented Arrow decode seam",
         "q_lang_mix": "BNL = 1-row broadcast token total",
         "q_tpch_q11": "BNL = 1-row broadcast global-value total",
+        "q_tpch_q17": "scalar-avg subquery decorrelated to per-part agg join",
         "q_ratio_to_report": "global window runs on 6-row post-agg frame",
         "q_window_lag": "global window runs on calendar-bounded post-agg frame",
         "q_kmeans_assign": "BNL = k-row broadcast centroid table per iteration",
@@ -54,6 +127,8 @@ def main() -> None:
             "python = bucket-local union-find (FlatMapGroupsInPandas); "
             "components cannot span single-probe LSH buckets"
         ),
+        "q_pq_adc_topk": "BNL = 1-row broadcast ADC lookup table",
+        "q_quantile_rollup": "BNL = 1-row broadcast merged histogram",
     }
 
     rows = []
@@ -64,11 +139,13 @@ def main() -> None:
             # by the streaming test suites — emit a pointer row so the
             # audit still covers the full registry count
             rows.append(
-                (name, "—", "—", "—", "—", "—", "—",
+                (name, "—", "—", "—", "—", "—", "—", "—",
                  "streaming: audited in tests/test_streaming.py / "
                  "tests/test_stateful_streaming.py")
             )
             continue
+        _drain(spark)
+        cap.plans.clear()
         try:
             df = fn(spark, sf_dir)
             # execute THIS DataFrame's queryExecution so AQE finalizes —
@@ -77,46 +154,49 @@ def main() -> None:
             # execute a different QueryExecution and leave this one
             # un-finalized.
             df.collect()
-            plan = df._jdf.queryExecution().executedPlan().toString()
-            # AQE prints "== Final Plan ==" followed by "== Initial Plan
-            # ==" — audit only the final (executed) section
-            plan = plan.split("== Initial Plan ==")[0]
+            final_plan = df._jdf.queryExecution().executedPlan().toString()
         except Exception as exc:  # noqa: BLE001
-            rows.append((name, f"ERROR: {exc}", "", "", "", "", ""))
+            rows.append((name, f"ERROR: {exc}", "", "", "", "", "", "", ""))
             continue
-        exch = len(re.findall(r"Exchange (?:hash|range|Single)", plan))
-        bhj = plan.count("BroadcastHashJoin")
-        smj = plan.count("SortMergeJoin")
-        cart = plan.count("CartesianProduct") + plan.count("BroadcastNestedLoopJoin")
-        wsc = len(set(re.findall(r"\*\((\d+)\)", plan)))
-        py = (
-            plan.count("ArrowEvalPython")
-            + plan.count("MapInPandas")
-            + plan.count("BatchEvalPython")
-            + plan.count("FlatMapGroupsInPandas")  # applyInPandas
-        )
+        _drain(spark)
+        # aggregate over every job the query executed (commit/refresh/
+        # guard jobs captured by the listener) plus the final read plan
+        # if the listener missed it (collect() usually reports it too,
+        # so dedupe by object identity of the plan string)
+        all_plans = list(cap.plans)
+        if final_plan not in all_plans:
+            all_plans.append(final_plan)
+        agg = [0, 0, 0, 0, 0, 0]
+        for p in all_plans:
+            for i, v in enumerate(_counts(p)):
+                agg[i] += v
+        exch, bhj, smj, cart, wsc, py = agg
         note = _NOTES.get(name, "")
-        rows.append((name, exch, bhj, smj, cart, wsc, py, note))
+        rows.append((name, len(all_plans), exch, bhj, smj, cart, wsc, py, note))
 
     with open("PLAN_AUDIT.md", "w") as fh:
         fh.write(
             "# PLAN_AUDIT — physical-plan posture per registered query\n\n"
             f"Generated by `python scripts/plan_audit.py {sf_dir}` "
-            "(initial AQE plans; streaming queries audited in tests instead).\n\n"
-            "Columns: shuffle exchanges / broadcast hash joins / sort-merge "
-            "joins / cartesian-or-BNL joins / whole-stage-codegen spans / "
-            "Python-Arrow boundaries.\n\n"
-            "| query | exchanges | BHJ | SMJ | cartesian | codegen spans | python | note |\n"
-            "|---|---|---|---|---|---|---|---|\n"
+            "(EXECUTED plans aggregated across ALL jobs each query runs, "
+            "captured by a QueryExecutionListener — commit/refresh jobs "
+            "included; streaming queries audited in tests instead).\n\n"
+            "Columns: executed jobs captured / shuffle exchanges / "
+            "broadcast hash joins / sort-merge joins / cartesian-or-BNL "
+            "joins / whole-stage-codegen spans / Python-Arrow "
+            "boundaries — summed over the query's jobs.\n\n"
+            "| query | jobs | exchanges | BHJ | SMJ | cartesian | "
+            "codegen spans | python | note |\n"
+            "|---|---|---|---|---|---|---|---|---|\n"
         )
         for r in rows:
             fh.write("| " + " | ".join(str(x) for x in r) + " |\n")
-        n_cart = sum(1 for r in rows if isinstance(r[4], int) and r[4] > 0)
-        py_names = [r[0] for r in rows if isinstance(r[6], int) and r[6] > 0]
+        n_cart = sum(1 for r in rows if isinstance(r[5], int) and r[5] > 0)
+        py_names = [r[0] for r in rows if isinstance(r[7], int) and r[7] > 0]
         n_stream = sum(1 for r in rows if r[1] == "—")
         fh.write(
             f"\n**Summary:** {len(rows)} queries audited "
-            f"({len(rows) - n_stream} batch plans + {n_stream} streaming "
+            f"({len(rows) - n_stream} batch rows + {n_stream} streaming "
             "pointer rows); "
             f"{n_cart} with cartesian/BNL joins (each annotated 1-row or "
             "k-row broadcast); "
@@ -125,8 +205,13 @@ def main() -> None:
             "seams plus the per-group pandas kernels (grouped OLS, "
             "bucket-local union-find), all Arrow-batched grouped/map "
             "operators, never row-at-a-time UDFs.\n"
-            "\n**Driver-side collect sites added in round 11 (metadata "
-            "plane, audited):**\n"
+            "\n**Attribution note:** shared per-process fixtures "
+            "(`_mv_fact_fixture`, `_mv_join_fixture`) build inside the "
+            "FIRST query that needs them, so that query's job count "
+            "includes the fixture commits; every fixture plan passes "
+            "the same bar (no cartesian, no row-UDFs), so the audit "
+            "reports them rather than subtracting.\n"
+            "\n**Driver-side collect sites (metadata plane, audited):**\n"
             "`plans/versioned.py::_write_bloom_sidecars` collects the "
             "per-file (block, bits) aggregate rows at COMMIT time — "
             "bounded by the bloom sidecar's own size (≤ min(rows, "
@@ -139,9 +224,12 @@ def main() -> None:
             "— only when a candidate dir actually has a sidecar, so "
             "bloom-less tables pay nothing; pruning itself "
             "is driver-side JSON reads, one sidecar per candidate "
-            "commit dir. Demo-query `.first()`/`.collect()` calls "
-            "(probe selection, metadata answers) are tiny bounded "
-            "fixture reads, not engine hot paths.\n"
+            "commit dir. `plans/matview.py::_fold_stream_batch` "
+            "collects one row per commit version in a micro-batch "
+            "(feed files are one-per-commit). Demo-query "
+            "`.first()`/`.collect()` calls (probe selection, metadata "
+            "answers) are tiny bounded fixture reads, not engine hot "
+            "paths.\n"
         )
     print(f"wrote PLAN_AUDIT.md ({len(rows)} queries)")
 

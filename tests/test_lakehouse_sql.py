@@ -441,3 +441,19 @@ def test_table_changes_tvf(lh, spark):
     assert (agg["_change_type"], agg["n"]) == ("delete", 3)
     with pytest.raises(ValueError, match="unknown table"):
         lh.sql("SELECT * FROM TABLE_CHANGES('nope', 0)")
+
+
+def test_table_changes_range_validation(lh, spark, tmp_path):
+    """Out-of-range TABLE_CHANGES requests raise a clean ValueError
+    (Delta's behavior) instead of a raw missing-manifest failure; an
+    empty table is named explicitly."""
+    head = lh.table("t").latest_version()
+    with pytest.raises(ValueError, match="out of bounds"):
+        lh.sql(f"SELECT * FROM TABLE_CHANGES('t', 0, {head + 5})")
+    with pytest.raises(ValueError, match="out of bounds"):
+        lh.sql(f"SELECT * FROM TABLE_CHANGES('t', {head + 1})")
+    with pytest.raises(ValueError, match="out of bounds"):
+        lh.sql("SELECT * FROM TABLE_CHANGES('t', 2, 1)")
+    lh.create("empty", str(tmp_path / "empty"))
+    with pytest.raises(ValueError, match="no commits"):
+        lh.sql("SELECT * FROM TABLE_CHANGES('empty', 0)")

@@ -695,16 +695,99 @@ def test_stream_refresh_equals_recompute_and_composes(spark, lhs, tmp_path):
     assert _mv_rows(lhs) == _recompute(lhs)
 
 
-def test_stream_refresh_refuses_minmax_and_join_views(spark, lhs, tmp_path):
-    _mk(spark, [("a", "1.00")]).createOrReplaceTempView("s3")
+def _mm_create(spark, lhs, rows):
+    _mk(spark, rows).createOrReplaceTempView("s3")
     lhs.sql("CREATE TABLE base AS SELECT * FROM s3")
     lhs.sql(
-        "CREATE MATERIALIZED VIEW mv AS SELECT k, MIN(amt) AS lo "
+        "CREATE MATERIALIZED VIEW mv AS SELECT k, MIN(amt) AS lo, "
+        "MAX(amt) AS hi, COUNT(*) AS n FROM base GROUP BY k"
+    )
+
+
+def _mm_rows(lhs, rel="mv"):
+    sql = (
+        f"SELECT k, lo, hi, n FROM {rel}"
+        if rel == "mv"
+        else "SELECT k, MIN(amt) AS lo, MAX(amt) AS hi, COUNT(*) AS n "
         "FROM base GROUP BY k"
     )
-    with pytest.raises(ValueError, match="MIN/MAX"):
+    return {tuple(r) for r in lhs.sql(sql).collect()}
+
+
+def test_stream_refresh_minmax_folds_and_rescans(spark, lhs, tmp_path):
+    """Streaming MIN/MAX: insert-only batches fold join-free
+    (least/greatest); a retraction that beats the stored extremum
+    triggers the bounded folded-state rescan inside foreachBatch."""
+    _mm_create(
+        spark, lhs, [("a", "1.00"), ("a", "4.00"), ("b", "5.00")]
+    )
+    # insert-only commit: pure fold path
+    _mk(spark, [("a", "0.50"), ("b", "9.00")]).createOrReplaceTempView("mm1")
+    lhs.sql("INSERT INTO base SELECT * FROM mm1")
+    n = stream_refresh_materialized_view(
+        spark, lhs.table("mv"), lhs.table("base"), str(tmp_path / "m1")
+    )
+    assert n >= 1
+    assert _mm_rows(lhs) == _mm_rows(lhs, "recompute")
+    # retraction of the reigning min AND max: rescan path
+    lhs.sql("DELETE FROM base WHERE amt = 0.50 OR amt = 9.00")
+    n = stream_refresh_materialized_view(
+        spark, lhs.table("mv"), lhs.table("base"), str(tmp_path / "m2")
+    )
+    assert n >= 1
+    assert _mm_rows(lhs) == _mm_rows(lhs, "recompute") == {
+        ("a", Decimal("1.00"), Decimal("4.00"), 2),
+        ("b", Decimal("5.00"), Decimal("5.00"), 1),
+    }
+    # group retirement + batch/stream composition stays intact
+    lhs.sql("DELETE FROM base WHERE k = 'b'")
+    stream_refresh_materialized_view(
+        spark, lhs.table("mv"), lhs.table("base"), str(tmp_path / "m3")
+    )
+    assert _mm_rows(lhs) == _mm_rows(lhs, "recompute")
+    assert lhs.sql("REFRESH MATERIALIZED VIEW mv").first()["mode"] == "noop"
+
+
+def test_stream_fold_minmax_out_of_order_rescan(spark, lhs):
+    """THE hard case the folded-state rescan exists for: v2 (which
+    deletes the reigning max) arrives BEFORE v1 (which inserted a new
+    mid value). The rescan at the out-of-order point must see floor
+    snapshot + folded v2 only — never v1's unfolded insert."""
+    _mm_create(spark, lhs, [("a", "1.00"), ("a", "9.00")])
+    _mk(spark, [("a", "5.00")]).createOrReplaceTempView("oo_mm1")
+    lhs.sql("INSERT INTO base SELECT * FROM oo_mm1")          # v1
+    lhs.sql("DELETE FROM base WHERE amt = 9.00")              # v2
+    base, mv = lhs.table("base"), lhs.table("mv")
+    # v2 first: max retracts; folded state = v0 snapshot + v2 feed =
+    # {1.00} (v1's 5.00 must NOT appear yet)
+    assert _fold_stream_batch(spark, mv, base, _feed(spark, base, 2), 0, "m")
+    got = {tuple(r) for r in lhs.sql("SELECT k, lo, hi, n FROM mv").collect()}
+    assert got == {("a", Decimal("1.00"), Decimal("1.00"), 1)}
+    # late v1 folds join-free and collapses the exception set
+    assert _fold_stream_batch(spark, mv, base, _feed(spark, base, 1), 1, "m")
+    assert _mm_rows(lhs) == _mm_rows(lhs, "recompute") == {
+        ("a", Decimal("1.00"), Decimal("5.00"), 2)
+    }
+    d = definition(mv)
+    assert d["base_version"] == 2 and d["stream_folded"] == []
+
+
+def test_stream_refresh_refuses_join_views(spark, tmp_path):
+    lh = LakehouseSession(spark)
+    lh.create("fa", str(tmp_path / "fa"), change_feed=True)
+    lh.create("di", str(tmp_path / "di"), change_feed=True)
+    lh.create("jmv", str(tmp_path / "jmv"))
+    _mk(spark, [("a", "1.00")]).createOrReplaceTempView("sj1")
+    _mk_dim(spark, [("a", "s1")]).createOrReplaceTempView("sj2")
+    lh.sql("CREATE TABLE fa AS SELECT * FROM sj1")
+    lh.sql("CREATE TABLE di AS SELECT * FROM sj2")
+    lh.sql(
+        "CREATE MATERIALIZED VIEW jmv AS SELECT seg, SUM(amt) AS t "
+        "FROM fa JOIN di USING (k) GROUP BY seg"
+    )
+    with pytest.raises(ValueError, match="JOIN view"):
         stream_refresh_materialized_view(
-            spark, lhs.table("mv"), lhs.table("base"), str(tmp_path / "c")
+            spark, lh.table("jmv"), lh.table("fa"), str(tmp_path / "c")
         )
 
 
@@ -1020,16 +1103,68 @@ def test_distinct_full_refresh_rebuilds_support(spark, lh):
     assert _drows(lh) == _drecompute(lh)
 
 
-def test_distinct_rejections(spark, lhj, lhs, tmp_path):
-    _mk3(spark, [("a", 1, "1.00")]).createOrReplaceTempView("dj")
-    lhj.sql("CREATE TABLE fa AS SELECT * FROM dj")
-    lhj.sql("CREATE TABLE di AS SELECT * FROM dj")
-    with pytest.raises(ValueError, match="COUNT\\(DISTINCT\\).*JOIN"):
-        lhj.sql(
-            "CREATE MATERIALIZED VIEW jmv AS SELECT k, "
-            "COUNT(DISTINCT cust) AS n FROM fa JOIN di USING (k) "
-            "GROUP BY k"
-        )
+def _jmv_dist_recompute(lhj):
+    return {
+        tuple(r)
+        for r in lhj.sql(
+            "SELECT seg, COUNT(DISTINCT amt) AS n_vals, COUNT(*) AS n "
+            "FROM fa JOIN di ON fa.k = di.k GROUP BY seg"
+        ).collect()
+    }
+
+
+def test_join_mv_count_distinct_folds(spark, lhj):
+    """COUNT(DISTINCT) on a JOIN view: the bilinear delta feeds the
+    same support fold. Multi-occurrence deletes never over-decrement;
+    a dim UPDATE that moves a whole group's rows cancels across sides
+    (old seg loses the values, new seg gains them)."""
+    _mk(spark, [("a", "1.00"), ("a", "1.00"), ("a", "2.00"), ("b", "5.00")]).createOrReplaceTempView("jdf")
+    _mk_dim(spark, [("a", "s1"), ("b", "s2")]).createOrReplaceTempView("jdd")
+    lhj.sql("CREATE TABLE fa AS SELECT * FROM jdf")
+    lhj.sql("CREATE TABLE di AS SELECT * FROM jdd")
+    lhj.sql(
+        "CREATE MATERIALIZED VIEW jmv AS SELECT seg, "
+        "COUNT(DISTINCT amt) AS n_vals, COUNT(*) AS n "
+        "FROM fa JOIN di USING (k) GROUP BY seg"
+    )
+    q = "SELECT seg, n_vals, n FROM jmv"
+    assert {tuple(r) for r in lhj.sql(q).collect()} == _jmv_dist_recompute(
+        lhj
+    ) == {("s1", 2, 3), ("s2", 1, 1)}
+    # multi-occurrence delete: one of the two 1.00 rows goes — the
+    # distinct count must NOT drop
+    lhj.sql("DELETE FROM fa WHERE k = 'a' AND amt = 1.00")  # deletes both
+    _mk(spark, [("a", "1.00")]).createOrReplaceTempView("jdb")
+    lhj.sql("INSERT INTO fa SELECT * FROM jdb")  # re-add one
+    r = lhj.sql("REFRESH MATERIALIZED VIEW jmv").first()
+    assert r["mode"] == "incremental"
+    got = {tuple(r2) for r2 in lhj.sql(q).collect()}
+    assert got == _jmv_dist_recompute(lhj) == {("s1", 2, 2), ("s2", 1, 1)}
+    # dim move: every 'a' row relocates s1 -> s9; values follow exactly
+    lhj.sql("UPDATE di SET seg = 's9' WHERE k = 'a'")
+    # and an UPDATE that moves a measure but not the join/group keys
+    lhj.sql("UPDATE fa SET amt = 2.00 WHERE k = 'b'")
+    lhj.sql("REFRESH MATERIALIZED VIEW jmv")
+    assert {tuple(r2) for r2 in lhj.sql(q).collect()} == _jmv_dist_recompute(
+        lhj
+    )
+    # group retirement: drop the whole 'b' slice
+    lhj.sql("DELETE FROM fa WHERE k = 'b'")
+    lhj.sql("REFRESH MATERIALIZED VIEW jmv")
+    assert {tuple(r2) for r2 in lhj.sql(q).collect()} == _jmv_dist_recompute(
+        lhj
+    )
+    # FULL rebuild re-arms both support watermarks; incremental resumes
+    lhj.sql("REFRESH MATERIALIZED VIEW jmv FULL")
+    _mk(spark, [("a", "7.00")]).createOrReplaceTempView("jdc")
+    lhj.sql("INSERT INTO fa SELECT * FROM jdc")
+    lhj.sql("REFRESH MATERIALIZED VIEW jmv")
+    assert {tuple(r2) for r2 in lhj.sql(q).collect()} == _jmv_dist_recompute(
+        lhj
+    )
+
+
+def test_distinct_rejections(spark, lhs, tmp_path):
     # streaming refresh refuses distinct views
     _mk3(spark, [("a", 1, "1.00")]).createOrReplaceTempView("ds")
     lhs.sql("CREATE TABLE base AS SELECT * FROM ds")
@@ -1497,4 +1632,135 @@ def test_apply_changes_sequence_by_rejections(spark, lha):
         lha.sql(
             "APPLY CHANGES INTO dim FROM CHANGES(src) KEYS (k) "
             "SEQUENCE BY amt SCD TYPE 2"
+        )
+
+
+# ---------------------------------------------------------------------------
+# SEQUENCE BY: NULL rejection + churn-key prune; MV restore guard
+# ---------------------------------------------------------------------------
+
+
+def test_apply_changes_null_sequence_rejected(spark, lha):
+    """DLT's contract: NULL SEQUENCE BY values are rejected outright —
+    NULL orders against nothing, so accepting one would silently drop
+    or misorder changes. Both the initial snapshot and a later commit's
+    feed fail loudly."""
+    spark.createDataFrame(
+        [Row(k="a", amt=Decimal("1.00"), seq=None)],
+        "k string, amt decimal(12,2), seq bigint",
+    ).createOrReplaceTempView("nq0")
+    lha.sql("CREATE TABLE src AS SELECT * FROM nq0")
+    stmt = (
+        "APPLY CHANGES INTO dim FROM CHANGES(src) KEYS (k) "
+        "SEQUENCE BY seq SCD TYPE 2"
+    )
+    with pytest.raises(ValueError, match="NULL value in SEQUENCE BY"):
+        lha.sql(stmt)
+    # clean snapshot inits fine; a NULL-seq row in a LATER commit raises
+    lha.sql("DELETE FROM src WHERE seq IS NULL")
+    _mk_seq(spark, [("a", "1.00", 1)]).createOrReplaceTempView("nq1")
+    lha.sql("INSERT INTO src SELECT * FROM nq1")
+    lha.sql(stmt)
+    spark.createDataFrame(
+        [Row(k="b", amt=Decimal("2.00"), seq=None)],
+        "k string, amt decimal(12,2), seq bigint",
+    ).createOrReplaceTempView("nq2")
+    lha.sql("INSERT INTO src SELECT * FROM nq2")
+    with pytest.raises(ValueError, match="NULL value in SEQUENCE BY"):
+        lha.sql(stmt)
+
+
+def test_sequence_filter_prunes_cur_to_churn_keys(spark):
+    """The SEQUENCE BY late-arrival check reads the current dimension
+    LEFT-SEMI pruned to the feed's keys — per-commit cost is a
+    broadcast semi join against churn-sized keys, never a full-dim
+    shuffle (VERDICT r12: same shape as the SCD2 close pass)."""
+    from aws_lakehouse_project_spark.plans.apply_changes import (
+        _sequence_filter,
+    )
+
+    delta = spark.createDataFrame(
+        [Row(_change_type="insert", k="a", amt=Decimal("2.00"), seq=2)],
+        "_change_type string, k string, amt decimal(12,2), seq bigint",
+    )
+    cur = _mk_seq(
+        spark, [("a", "1.00", 1), ("b", "5.00", 9), ("c", "6.00", 9)]
+    )
+    out = _sequence_filter(delta, cur, ["k"], ["amt", "seq"], "seq")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftSemi" in plan  # cur pruned before its (keys, seq) read
+    rows = {(r["_change_type"], r["k"], r["seq"]) for r in out.collect()}
+    assert rows == {("insert", "a", 2)}  # b/c untouched, a's 2 > 1
+
+
+def test_restore_guard_refuses_incremental_after_mv_restore(spark, lh):
+    """RESTORE of the MV rolls its rows back but not its watermark meta
+    — incremental refresh (or a streaming fold) would fold new churn
+    onto stale rows. The guard detects the restore commit and demands
+    REFRESH ... FULL, which rebuilds and re-arms."""
+    _create(spark, lh, [("a", "1.00"), ("b", "5.00")])
+    lh.sql("UPDATE base SET amt = amt + 1 WHERE k = 'a'")
+    lh.sql("REFRESH MATERIALIZED VIEW mv")  # mv v1 carries watermark
+    lh.sql("RESTORE TABLE mv TO VERSION AS OF 0")
+    lh.sql("UPDATE base SET amt = amt + 1 WHERE k = 'b'")
+    with pytest.raises(ValueError, match="RESTOREd"):
+        lh.sql("REFRESH MATERIALIZED VIEW mv")
+    r = lh.sql("REFRESH MATERIALIZED VIEW mv FULL").first()
+    assert r["mode"] == "full"
+    assert _mv_rows(lh) == _recompute(lh)
+    # watermark re-armed: incremental works again after the rebuild
+    lh.sql("UPDATE base SET amt = amt + 1 WHERE k = 'a'")
+    r = lh.sql("REFRESH MATERIALIZED VIEW mv").first()
+    assert r["mode"] == "incremental"
+    assert _mv_rows(lh) == _recompute(lh)
+
+
+def test_mv_filter_clause_aggregates(spark, lh):
+    """``COUNT(*) FILTER (WHERE p)`` / ``SUM(e) FILTER (WHERE p)``
+    desugar onto the SUM fold with exact semantics: the filtered count
+    is 0 (not NULL) when no row matches while the group lives; the
+    filtered sum is NULL then. Fold ≡ recompute under UPDATE/DELETE
+    churn (the reference's converted-leads shape)."""
+    _mk3(
+        spark,
+        [("a", 1, "1.00"), ("a", 2, "2.00"), ("b", 1, "5.00")],
+    ).createOrReplaceTempView("fsrc")
+    lh.sql("CREATE TABLE base AS SELECT * FROM fsrc")
+    lh.sql(
+        "CREATE MATERIALIZED VIEW mv AS SELECT k, "
+        "COUNT(*) FILTER (WHERE cust = 1) AS n_c1, "
+        "SUM(amt) FILTER (WHERE cust = 1) AS amt_c1, "
+        "COUNT(*) AS n FROM base GROUP BY k"
+    )
+
+    def recompute():
+        return {
+            tuple(r)
+            for r in lh.sql(
+                "SELECT k, COUNT(*) FILTER (WHERE cust = 1) AS n_c1, "
+                "SUM(amt) FILTER (WHERE cust = 1) AS amt_c1, "
+                "COUNT(*) AS n FROM base GROUP BY k"
+            ).collect()
+        }
+
+    q = "SELECT k, n_c1, amt_c1, n FROM mv"
+    assert {tuple(r) for r in lh.sql(q).collect()} == recompute() == {
+        ("a", 1, Decimal("1.00"), 2),
+        ("b", 1, Decimal("5.00"), 1),
+    }
+    # churn: the last cust=1 row of 'a' leaves (count -> 0, sum -> NULL)
+    lh.sql("DELETE FROM base WHERE k = 'a' AND cust = 1")
+    lh.sql("UPDATE base SET amt = amt + 1 WHERE k = 'b'")
+    r = lh.sql("REFRESH MATERIALIZED VIEW mv").first()
+    assert r["mode"] == "incremental"
+    got = {tuple(r2) for r2 in lh.sql(q).collect()}
+    assert got == recompute() == {
+        ("a", 0, None, 1),
+        ("b", 1, Decimal("6.00"), 1),
+    }
+    # unsupported FILTER targets are refused, not mis-parsed
+    with pytest.raises(ValueError, match="FILTER"):
+        lh.sql(
+            "CREATE MATERIALIZED VIEW mv AS SELECT k, "
+            "MIN(amt) FILTER (WHERE cust = 1) AS m FROM base GROUP BY k"
         )

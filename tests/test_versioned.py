@@ -1883,3 +1883,25 @@ def test_optimize_where_packs_dv_files_and_sheds_dead_rows(spark, vt):
         (0, "hot"), (2, "hot"), (5, "hot2"),
         (100, "cold"), (102, "cold"),
     ]
+
+
+def test_clone_inherits_change_feed_from_source(spark, cdf_vt, tmp_path):
+    """Delta's CLONE copies table properties, including
+    delta.enableChangeDataFeed: with change_feed=None (default) the
+    clone inherits the SOURCE snapshot's flag, so post-clone commits
+    keep materializing feeds; an explicit False still overrides."""
+    cdf_vt.write_full(_mk(spark, [(1, "a"), (2, "b")]))
+    cl = cdf_vt.clone(str(tmp_path / "cl"))
+    assert cl.change_feed is True
+    # a FRESH handle (no constructor flag) sees the persisted property
+    fresh = VersionedTable(str(tmp_path / "cl"))
+    assert fresh.change_feed is True
+    # and a post-clone commit materializes its feed
+    fresh.delete_where(spark, "k = 1")
+    feed = fresh.changes(spark, 0, fresh.latest_version())
+    assert [(r["_change_type"], r["k"]) for r in feed.collect()] == [
+        ("delete", 1)
+    ]
+    # explicit override still wins
+    off = cdf_vt.clone(str(tmp_path / "cl_off"), change_feed=False)
+    assert off.change_feed is False
