@@ -478,3 +478,79 @@ def q_scd1_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lh.sql(
         "SELECT CAST(cust_id AS BIGINT) AS cust_id, segment FROM dim_latest"
     )
+
+
+SCD1_CDC_ORACLE = """
+    SELECT c_custkey AS cust_id,
+           CASE WHEN c_custkey % 3 = 0 THEN c_mktsegment || '_v2'
+                ELSE c_mktsegment END AS segment
+    FROM customer
+    WHERE c_custkey % 11 <> 0 AND c_custkey % 7 <> 0
+"""
+
+
+@demo_query("q_scd1_cdc", oracle=SCD1_CDC_ORACLE)
+def q_scd1_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic CDC ingestion pattern through ``APPLY CHANGES``
+    (DLT's full clause set, ``plans/apply_changes.py``): the source
+    carries an operation marker column, and the statement is
+
+        APPLY CHANGES INTO dim FROM CHANGES(src) KEYS (cust_id)
+          APPLY AS DELETE WHEN op = 'D'
+          COLUMNS * EXCEPT (op) SCD TYPE 1
+
+    — soft-deletes (op flips to 'D') remove the key, and the marker
+    column itself never reaches the dimension, even though the delete
+    condition reads it (the reclassification runs on the full feed
+    BEFORE the column projection). Coverage: the initial snapshot
+    already contains op='D' rows (%11 customers) which must be DROPPED
+    at init; a later segment UPDATE (%3) that touches an
+    already-deleted %33 customer arrives with op='D' and must stay
+    deleted (reclassified to a delete of a nonexistent key — a no-op,
+    never a resurrection); a soft-delete wave (%7 flips to 'D')
+    removes live keys. Guards assert init → incremental → noop and
+    that the dim schema excludes the marker. Oracle = the surviving
+    customers' final segments."""
+    import os
+
+    from ..functions.scratch import scratch_dir
+    from ..plans.lakehouse_sql import LakehouseSession
+
+    work = scratch_dir("spark_graft_scd1cdc", unique=True)
+    lh = LakehouseSession(spark)
+    lh.create("cust_cdc", os.path.join(work, "src"), stats_cols=["cust_id"])
+    lh.create("dim_cdc", os.path.join(work, "dim"))
+    load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust_id"),
+        F.col("c_mktsegment").alias("segment"),
+        F.when(F.col("c_custkey") % 11 == 0, F.lit("D"))
+        .otherwise(F.lit("I"))
+        .alias("op"),
+    ).createOrReplaceTempView("cdc_src")
+    lh.sql("CREATE TABLE cust_cdc AS SELECT * FROM cdc_src")
+
+    stmt = (
+        "APPLY CHANGES INTO dim_cdc FROM CHANGES(cust_cdc) "
+        "KEYS (cust_id) APPLY AS DELETE WHEN op = 'D' "
+        "COLUMNS * EXCEPT (op) SCD TYPE 1"
+    )
+    r0 = lh.sql(stmt).first()
+    if r0["mode"] != "init":
+        raise AssertionError(f"first APPLY must init, got {r0}")
+    lh.sql(
+        "UPDATE cust_cdc SET segment = concat(segment, '_v2') "
+        "WHERE cust_id % 3 = 0"
+    )
+    lh.sql("UPDATE cust_cdc SET op = 'D' WHERE cust_id % 7 = 0")
+    r1 = lh.sql(stmt).first()
+    if r1["mode"] != "incremental" or r1["ordinals_applied"] != 2:
+        raise AssertionError(f"expected 2 incremental ordinals, got {r1}")
+    r2 = lh.sql(stmt).first()
+    if r2["mode"] != "noop":
+        raise AssertionError(f"third APPLY not a no-op: {r2}")
+    cols = lh.sql("SELECT * FROM dim_cdc").columns
+    if "op" in cols:
+        raise AssertionError(f"COLUMNS * EXCEPT leaked the marker: {cols}")
+    return lh.sql(
+        "SELECT CAST(cust_id AS BIGINT) AS cust_id, segment FROM dim_cdc"
+    )

@@ -166,6 +166,7 @@ def _sequence_filter(
 def _src_attrs(
     spark: SparkSession, src: VersionedTable, src_name: str, keys: list[str],
     seq_col: str | None,
+    except_cols: list[str] | tuple = (),
 ) -> list[str]:
     cols = src.read(spark).columns
     missing = [k for k in keys if k not in cols]
@@ -182,12 +183,55 @@ def _src_attrs(
         raise ValueError(
             "APPLY CHANGES: SEQUENCE BY column cannot be a KEY"
         )
-    return [c for c in cols if c not in keys]
+    ex = list(except_cols or ())
+    missing_ex = [c for c in ex if c not in cols]
+    if missing_ex:
+        raise ValueError(
+            f"APPLY CHANGES: COLUMNS * EXCEPT names {missing_ex} not in "
+            f"source columns {sorted(cols)}"
+        )
+    bad = [c for c in ex if c in keys]
+    if bad:
+        raise ValueError(
+            f"APPLY CHANGES: COLUMNS * EXCEPT cannot drop KEYS {bad}"
+        )
+    if seq_col is not None and seq_col in ex:
+        # documented divergence from DLT: the stored sequence IS what
+        # the late-arrival discipline compares each commit's changes
+        # against — dropping it from the target would leave nothing to
+        # order against across APPLYs
+        raise ValueError(
+            "APPLY CHANGES: COLUMNS * EXCEPT cannot drop the SEQUENCE "
+            f"BY column {seq_col!r} (the stored sequence anchors the "
+            "late-arrival check); project it away downstream instead"
+        )
+    return [c for c in cols if c not in keys and c not in ex]
+
+
+def _apply_delete_when(delta: DataFrame, delete_when: str | None) -> DataFrame:
+    """``APPLY AS DELETE WHEN cond`` (DLT): an ADDITIVE source change
+    matching ``cond`` is a soft delete — reclassify it as a ``delete``
+    of its key before the fold/sequence discipline sees the feed (the
+    condition may reference columns later dropped by ``COLUMNS *
+    EXCEPT``, the classic CDC ``op = 'D'`` marker pattern). NULL
+    condition values never delete."""
+    if delete_when is None:
+        return delta
+    add = F.col("_change_type").isin("insert", "update_postimage")
+    cond = F.coalesce(F.expr(delete_when), F.lit(False))
+    return delta.withColumn(
+        "_change_type",
+        F.when(add & cond, F.lit("delete")).otherwise(
+            F.col("_change_type")
+        ),
+    )
 
 
 def _check_wm(
     wm: dict, src_name: str, keys: list[str], seq_col: str | None,
     scd_type: int,
+    delete_when: str | None = None,
+    except_cols: list[str] | tuple = (),
 ) -> None:
     if wm.get("src") != src_name:
         raise ValueError(
@@ -209,6 +253,16 @@ def _check_wm(
             f"APPLY CHANGES: history was built as SCD TYPE "
             f"{wm.get('scd_type', 2)}, not {scd_type}"
         )
+    if wm.get("delete_when") != delete_when:
+        raise ValueError(
+            f"APPLY CHANGES: history was built with APPLY AS DELETE "
+            f"WHEN {wm.get('delete_when')!r}, not {delete_when!r}"
+        )
+    if list(wm.get("except_cols", [])) != list(except_cols or ()):
+        raise ValueError(
+            f"APPLY CHANGES: history was built with COLUMNS * EXCEPT "
+            f"{wm.get('except_cols', [])}, not {list(except_cols or ())}"
+        )
 
 
 def apply_changes_scd2(
@@ -218,6 +272,8 @@ def apply_changes_scd2(
     src_name: str,
     keys: list[str],
     seq_col: str | None = None,
+    delete_when: str | None = None,
+    except_cols: list[str] | tuple = (),
 ) -> dict:
     """Advance ``hist`` (SCD2 history) to ``src``'s head. Returns
     ``{"version", "ordinals_applied", "mode"}`` where mode is
@@ -226,20 +282,33 @@ def apply_changes_scd2(
     ``seq_col`` (SQL: ``SEQUENCE BY c``) each commit's feed passes the
     ``_sequence_filter`` discipline first — multi-row keys collapse to
     their latest version and out-of-order arrivals never regress the
-    history (DLT's contract)."""
+    history (DLT's contract). ``delete_when`` (SQL: ``APPLY AS DELETE
+    WHEN cond``) reclassifies matching additive changes as soft
+    deletes — and drops matching rows from the initial snapshot;
+    ``except_cols`` (SQL: ``COLUMNS * EXCEPT (...)``) keeps the named
+    source columns out of the history (the delete condition may still
+    reference them — the CDC ``op`` marker pattern)."""
     head = src.latest_version()
     if head is None:
         raise ValueError(f"APPLY CHANGES: source {src_name!r} has no commits")
-    attrs = _src_attrs(spark, src, src_name, keys, seq_col)
+    attrs = _src_attrs(spark, src, src_name, keys, seq_col, except_cols)
     meta_base = {
         "src": src_name,
         "keys": list(keys),
         "seq_col": seq_col,
         "scd_type": 2,
+        "delete_when": delete_when,
+        "except_cols": list(except_cols or ()),
     }
     wm = _watermark(hist)
     if wm is None:
         base = src.read(spark, head)
+        if delete_when is not None:
+            # DLT: snapshot rows already matching the delete condition
+            # never enter the dimension
+            base = base.where(
+                ~F.coalesce(F.expr(delete_when), F.lit(False))
+            )
         if seq_col is not None:
             # SEQUENCE BY dedups the snapshot too: one (latest) row
             # per key from the start. NULL sequence values are rejected
@@ -280,7 +349,7 @@ def apply_changes_scd2(
             },
         )
         return {"version": v, "ordinals_applied": 1, "mode": "init"}
-    _check_wm(wm, src_name, keys, seq_col, 2)
+    _check_wm(wm, src_name, keys, seq_col, 2, delete_when, except_cols)
     from_v = int(wm["src_version"])
     ordinal = int(wm["next_ordinal"])
     if head == from_v:
@@ -319,7 +388,9 @@ def apply_changes_scd2(
                 if nxt not in feedless:
                     break
                 wm_v = nxt
-            feed = delta.select("_change_type", *keys, *attrs)
+            feed = _apply_delete_when(delta, delete_when).select(
+                "_change_type", *keys, *attrs
+            )
             if seq_col is not None:
                 feed = _sequence_filter(
                     feed,
@@ -381,6 +452,8 @@ def apply_changes_scd1(
     src_name: str,
     keys: list[str],
     seq_col: str | None = None,
+    delete_when: str | None = None,
+    except_cols: list[str] | tuple = (),
 ) -> dict:
     """``APPLY CHANGES ... STORED AS SCD TYPE 1``: the dimension holds
     only each key's LATEST row — additive changes upsert, deletes
@@ -388,22 +461,29 @@ def apply_changes_scd1(
     form (per-source watermark + applied-commit counter in the dim's
     commit meta; feedless/empty commits skipped; trailing-feedless
     look-ahead); with ``seq_col`` each commit's feed passes the same
-    ``_sequence_filter`` late/duplicate discipline first. The dim
+    ``_sequence_filter`` late/duplicate discipline first;
+    ``delete_when``/``except_cols`` behave as in the SCD2 form. The dim
     advances via file-granular ``merge_apply`` on the KEYS — cost ∝
     churn, never the dimension."""
     head = src.latest_version()
     if head is None:
         raise ValueError(f"APPLY CHANGES: source {src_name!r} has no commits")
-    attrs = _src_attrs(spark, src, src_name, keys, seq_col)
+    attrs = _src_attrs(spark, src, src_name, keys, seq_col, except_cols)
     meta_base = {
         "src": src_name,
         "keys": list(keys),
         "seq_col": seq_col,
         "scd_type": 1,
+        "delete_when": delete_when,
+        "except_cols": list(except_cols or ()),
     }
     wm = _watermark(dim)
     if wm is None:
         base = src.read(spark, head)
+        if delete_when is not None:
+            base = base.where(
+                ~F.coalesce(F.expr(delete_when), F.lit(False))
+            )
         if seq_col is not None:
             from pyspark.sql import Window
 
@@ -433,7 +513,7 @@ def apply_changes_scd1(
             },
         )
         return {"version": v, "ordinals_applied": 1, "mode": "init"}
-    _check_wm(wm, src_name, keys, seq_col, 1)
+    _check_wm(wm, src_name, keys, seq_col, 1, delete_when, except_cols)
     from_v = int(wm["src_version"])
     ordinal = int(wm["next_ordinal"])
     if head == from_v:
@@ -466,7 +546,9 @@ def apply_changes_scd1(
                 if nxt not in feedless:
                     break
                 wm_v = nxt
-            feed = delta.select("_change_type", *keys, *attrs)
+            feed = _apply_delete_when(delta, delete_when).select(
+                "_change_type", *keys, *attrs
+            )
             if seq_col is not None:
                 feed = _sequence_filter(
                     feed, dim.read(spark), keys, attrs, seq_col

@@ -113,14 +113,20 @@ _GRAMMAR = """supported statements:
     (idempotent: each source file loads exactly once; the ledger
     rides the commit meta — plans/ingest.py)
   APPLY CHANGES INTO dim FROM CHANGES(src) KEYS (k[, ...])
-    [SEQUENCE BY c] SCD TYPE 1|2
+    [APPLY AS DELETE WHEN cond] [SEQUENCE BY c]
+    [COLUMNS * EXCEPT (c[, ...])] SCD TYPE 1|2
     (DLT's declarative verb: TYPE 2 keeps [start,end) ordinal history,
     TYPE 1 keeps only each key's latest row; first APPLY loads the
     source snapshot, each later data commit folds its change feed —
     churned keys' current rows close/replace, additive rows open;
-    SEQUENCE BY collapses multi-row keys to their highest-sequence row
-    and drops out-of-order (late) changes; the watermark rides the
-    target's commit meta — plans/apply_changes.py)"""
+    APPLY AS DELETE WHEN treats matching additive changes as soft
+    deletes (and drops matching snapshot rows at init); SEQUENCE BY
+    collapses multi-row keys to their highest-sequence row and drops
+    out-of-order (late) changes — NULL sequence values are rejected;
+    COLUMNS * EXCEPT keeps the named source columns out of the target
+    (the delete condition may still reference them — the CDC op-marker
+    pattern); the watermark rides the target's commit meta —
+    plans/apply_changes.py)"""
 
 _IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
 _HINT = r"(?:/\*\+\s*(?P<hint>MERGE_ON_READ)\s*\*/\s*)?"
@@ -611,9 +617,11 @@ class LakehouseSession:
             rf"APPLY\s+CHANGES\s+INTO\s+(?P<dim>{_IDENT})\s+FROM\s+"
             rf"CHANGES\s*\(\s*(?P<src>{_IDENT})\s*\)\s+"
             r"KEYS\s*\((?P<keys>[^)]+)\)\s+"
+            r"(?:APPLY\s+AS\s+DELETE\s+WHEN\s+(?P<del>.+?)\s+)?"
             rf"(?:SEQUENCE\s+BY\s+(?P<seq>{_IDENT})\s+)?"
+            r"(?:COLUMNS\s+\*\s+EXCEPT\s*\((?P<ex>[^)]+)\)\s+)?"
             r"SCD\s+TYPE\s+(?P<ty>[12])",
-            s, flags=re.IGNORECASE,
+            s, flags=re.IGNORECASE | re.DOTALL,
         )
         if mm:
             from .apply_changes import (
@@ -629,6 +637,14 @@ class LakehouseSession:
                         f"\n{_GRAMMAR}"
                     )
                 keys.append(k)
+            except_cols = []
+            for c in _split_top(mm.group("ex") or ""):
+                if not re.fullmatch(_IDENT, c):
+                    raise ValueError(
+                        f"COLUMNS * EXCEPT entries must be plain "
+                        f"columns, got: {c!r}\n{_GRAMMAR}"
+                    )
+                except_cols.append(c)
             fn = (
                 apply_changes_scd2
                 if mm.group("ty") == "2"
@@ -641,6 +657,10 @@ class LakehouseSession:
                 mm.group("src"),
                 keys,
                 seq_col=mm.group("seq"),
+                delete_when=(
+                    mm.group("del").strip() if mm.group("del") else None
+                ),
+                except_cols=except_cols,
             )
             return self._row(
                 op="apply_changes",

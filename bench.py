@@ -218,6 +218,9 @@ EXTRA = [
     "q_materialized_view_join_distinct",
     "q_materialized_view_filter",
     "q_materialized_view_stream_minmax",
+    # round-13: full DLT APPLY CHANGES clause set (APPLY AS DELETE
+    # WHEN + COLUMNS * EXCEPT — the CDC op-marker pattern)
+    "q_scd1_cdc",
 ]
 
 

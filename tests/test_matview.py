@@ -1764,3 +1764,60 @@ def test_mv_filter_clause_aggregates(spark, lh):
             "CREATE MATERIALIZED VIEW mv AS SELECT k, "
             "MIN(amt) FILTER (WHERE cust = 1) AS m FROM base GROUP BY k"
         )
+
+
+def test_apply_changes_delete_when_and_except(spark, lha):
+    """APPLY AS DELETE WHEN + COLUMNS * EXCEPT (DLT's CDC clause set):
+    snapshot rows matching the condition never enter; a later additive
+    change matching it deletes the key; the marker column stays out of
+    the target while the condition still reads it; SCD2 closes (never
+    reopens) on a soft delete."""
+    spark.createDataFrame(
+        [
+            Row(k="a", amt=Decimal("1.00"), op="I"),
+            Row(k="b", amt=Decimal("2.00"), op="D"),  # dead on arrival
+        ],
+        "k string, amt decimal(12,2), op string",
+    ).createOrReplaceTempView("cdc0")
+    lha.sql("CREATE TABLE src AS SELECT * FROM cdc0")
+    stmt = (
+        "APPLY CHANGES INTO dim FROM CHANGES(src) KEYS (k) "
+        "APPLY AS DELETE WHEN op = 'D' COLUMNS * EXCEPT (op) SCD TYPE 2"
+    )
+    lha.sql(stmt)
+    rows = {tuple(r) for r in lha.sql("SELECT * FROM dim").collect()}
+    cols = lha.sql("SELECT * FROM dim").columns
+    assert "op" not in cols
+    assert rows == {("a", Decimal("1.00"), 0, None, True)}
+    # soft delete: op flips to 'D' — the SCD2 row closes
+    lha.sql("UPDATE src SET op = 'D' WHERE k = 'a'")
+    lha.sql(stmt)
+    rows = {
+        tuple(r)
+        for r in lha.sql("SELECT k, amt, end_v, is_current FROM dim").collect()
+    }
+    assert rows == {("a", Decimal("1.00"), 1, False)}
+    # drift guard: re-running with different clauses is refused
+    with pytest.raises(ValueError, match="DELETE\\s+WHEN"):
+        lha.sql(
+            "APPLY CHANGES INTO dim FROM CHANGES(src) KEYS (k) "
+            "COLUMNS * EXCEPT (op) SCD TYPE 2"
+        )
+    # validation: EXCEPT cannot drop keys / unknown / SEQUENCE BY column
+    with pytest.raises(ValueError, match="EXCEPT cannot drop KEYS"):
+        lha.sql(
+            "APPLY CHANGES INTO dim FROM CHANGES(src) KEYS (k) "
+            "APPLY AS DELETE WHEN op = 'D' COLUMNS * EXCEPT (k, op) "
+            "SCD TYPE 2"
+        )
+    with pytest.raises(ValueError, match="EXCEPT names"):
+        lha.sql(
+            "APPLY CHANGES INTO dim FROM CHANGES(src) KEYS (k) "
+            "APPLY AS DELETE WHEN op = 'D' COLUMNS * EXCEPT (nope) "
+            "SCD TYPE 2"
+        )
+    with pytest.raises(ValueError, match="SEQUENCE"):
+        lha.sql(
+            "APPLY CHANGES INTO dim FROM CHANGES(src) KEYS (k) "
+            "SEQUENCE BY amt COLUMNS * EXCEPT (amt) SCD TYPE 2"
+        )
