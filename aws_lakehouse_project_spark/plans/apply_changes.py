@@ -208,6 +208,39 @@ def _src_attrs(
     return [c for c in cols if c not in keys and c not in ex]
 
 
+def _coalesce_null_updates(
+    feed: DataFrame,
+    cur: DataFrame,
+    keys: list[str],
+    attrs: list[str],
+) -> DataFrame:
+    """``IGNORE NULL UPDATES`` (DLT): an additive change whose attr is
+    NULL keeps the key's CURRENT value instead of overwriting it with
+    NULL — partial-column CDC feeds merge column-wise. The current
+    side is left-semi pruned to the additive keys first (churn-sized
+    broadcast join, same shape as the sequence filter's prune); a key
+    with no current row keeps its NULLs (nothing to preserve)."""
+    add_t = F.col("_change_type").isin("insert", "update_postimage")
+    add = feed.filter(add_t)
+    others = feed.filter(~add_t)
+    cur_p = cur.select(*keys, *attrs).join(
+        add.select(*keys).distinct(), keys, "left_semi"
+    )
+    merged = (
+        add.alias("n")
+        .join(cur_p.alias("c"), keys, "left")
+        .select(
+            F.col("n._change_type").alias("_change_type"),
+            *keys,
+            *[
+                F.coalesce(F.col(f"n.{a}"), F.col(f"c.{a}")).alias(a)
+                for a in attrs
+            ],
+        )
+    )
+    return merged.unionByName(others)
+
+
 def _apply_delete_when(delta: DataFrame, delete_when: str | None) -> DataFrame:
     """``APPLY AS DELETE WHEN cond`` (DLT): an ADDITIVE source change
     matching ``cond`` is a soft delete — reclassify it as a ``delete``
@@ -232,6 +265,7 @@ def _check_wm(
     scd_type: int,
     delete_when: str | None = None,
     except_cols: list[str] | tuple = (),
+    ignore_null_updates: bool = False,
 ) -> None:
     if wm.get("src") != src_name:
         raise ValueError(
@@ -263,6 +297,14 @@ def _check_wm(
             f"APPLY CHANGES: history was built with COLUMNS * EXCEPT "
             f"{wm.get('except_cols', [])}, not {list(except_cols or ())}"
         )
+    if bool(wm.get("ignore_null_updates", False)) != bool(
+        ignore_null_updates
+    ):
+        raise ValueError(
+            f"APPLY CHANGES: history was built with IGNORE NULL "
+            f"UPDATES = {bool(wm.get('ignore_null_updates', False))}, "
+            f"not {bool(ignore_null_updates)}"
+        )
 
 
 def apply_changes_scd2(
@@ -274,6 +316,7 @@ def apply_changes_scd2(
     seq_col: str | None = None,
     delete_when: str | None = None,
     except_cols: list[str] | tuple = (),
+    ignore_null_updates: bool = False,
 ) -> dict:
     """Advance ``hist`` (SCD2 history) to ``src``'s head. Returns
     ``{"version", "ordinals_applied", "mode"}`` where mode is
@@ -287,7 +330,11 @@ def apply_changes_scd2(
     deletes — and drops matching rows from the initial snapshot;
     ``except_cols`` (SQL: ``COLUMNS * EXCEPT (...)``) keeps the named
     source columns out of the history (the delete condition may still
-    reference them — the CDC ``op`` marker pattern)."""
+    reference them — the CDC ``op`` marker pattern);
+    ``ignore_null_updates`` (SQL: ``IGNORE NULL UPDATES``) merges
+    partial-column feeds column-wise — a NULL attr in an additive
+    change keeps the key's current value (applied AFTER the sequence
+    discipline resolves which row wins, matching DLT)."""
     head = src.latest_version()
     if head is None:
         raise ValueError(f"APPLY CHANGES: source {src_name!r} has no commits")
@@ -299,6 +346,7 @@ def apply_changes_scd2(
         "scd_type": 2,
         "delete_when": delete_when,
         "except_cols": list(except_cols or ()),
+        "ignore_null_updates": bool(ignore_null_updates),
     }
     wm = _watermark(hist)
     if wm is None:
@@ -349,7 +397,10 @@ def apply_changes_scd2(
             },
         )
         return {"version": v, "ordinals_applied": 1, "mode": "init"}
-    _check_wm(wm, src_name, keys, seq_col, 2, delete_when, except_cols)
+    _check_wm(
+        wm, src_name, keys, seq_col, 2, delete_when, except_cols,
+        ignore_null_updates,
+    )
     from_v = int(wm["src_version"])
     ordinal = int(wm["next_ordinal"])
     if head == from_v:
@@ -391,20 +442,29 @@ def apply_changes_scd2(
             feed = _apply_delete_when(delta, delete_when).select(
                 "_change_type", *keys, *attrs
             )
+            seq_feed = None
             if seq_col is not None:
-                feed = _sequence_filter(
+                seq_feed = _sequence_filter(
                     feed,
                     hist.read(spark).where(F.col("is_current")),
                     keys,
                     attrs,
                     seq_col,
                 ).persist()
-                if feed.isEmpty():
+                if seq_feed.isEmpty():
                     # every change in this commit was late/replayed —
                     # advance the watermark, consume no ordinal
-                    feed.unpersist()
+                    seq_feed.unpersist()
                     from_v = wm_v
                     continue
+                feed = seq_feed
+            if ignore_null_updates:
+                feed = _coalesce_null_updates(
+                    feed,
+                    hist.read(spark).where(F.col("is_current")),
+                    keys,
+                    attrs,
+                )
             changed = feed.select(*keys).distinct()
             slice_ = (
                 hist.read(spark)
@@ -431,8 +491,8 @@ def apply_changes_scd2(
                     }
                 },
             )
-            if seq_col is not None:
-                feed.unpersist()
+            if seq_feed is not None:
+                seq_feed.unpersist()
             ordinal += 1
             applied += 1
             from_v = wm_v
@@ -454,6 +514,7 @@ def apply_changes_scd1(
     seq_col: str | None = None,
     delete_when: str | None = None,
     except_cols: list[str] | tuple = (),
+    ignore_null_updates: bool = False,
 ) -> dict:
     """``APPLY CHANGES ... STORED AS SCD TYPE 1``: the dimension holds
     only each key's LATEST row — additive changes upsert, deletes
@@ -476,6 +537,7 @@ def apply_changes_scd1(
         "scd_type": 1,
         "delete_when": delete_when,
         "except_cols": list(except_cols or ()),
+        "ignore_null_updates": bool(ignore_null_updates),
     }
     wm = _watermark(dim)
     if wm is None:
@@ -513,7 +575,10 @@ def apply_changes_scd1(
             },
         )
         return {"version": v, "ordinals_applied": 1, "mode": "init"}
-    _check_wm(wm, src_name, keys, seq_col, 1, delete_when, except_cols)
+    _check_wm(
+        wm, src_name, keys, seq_col, 1, delete_when, except_cols,
+        ignore_null_updates,
+    )
     from_v = int(wm["src_version"])
     ordinal = int(wm["next_ordinal"])
     if head == from_v:
@@ -580,6 +645,10 @@ def apply_changes_scd1(
                         *keys,
                         *attrs,
                     )
+                )
+            if ignore_null_updates:
+                feed = _coalesce_null_updates(
+                    feed, dim.read(spark), keys, attrs
                 )
             feed = feed.persist()
             if feed.isEmpty():

@@ -113,13 +113,15 @@ _GRAMMAR = """supported statements:
     (idempotent: each source file loads exactly once; the ledger
     rides the commit meta — plans/ingest.py)
   APPLY CHANGES INTO dim FROM CHANGES(src) KEYS (k[, ...])
-    [APPLY AS DELETE WHEN cond] [SEQUENCE BY c]
+    [IGNORE NULL UPDATES] [APPLY AS DELETE WHEN cond] [SEQUENCE BY c]
     [COLUMNS * EXCEPT (c[, ...])] SCD TYPE 1|2
     (DLT's declarative verb: TYPE 2 keeps [start,end) ordinal history,
     TYPE 1 keeps only each key's latest row; first APPLY loads the
     source snapshot, each later data commit folds its change feed —
     churned keys' current rows close/replace, additive rows open;
-    APPLY AS DELETE WHEN treats matching additive changes as soft
+    IGNORE NULL UPDATES merges partial-column feeds column-wise (a
+    NULL attr keeps the key's current value); APPLY AS DELETE WHEN
+    treats matching additive changes as soft
     deletes (and drops matching snapshot rows at init); SEQUENCE BY
     collapses multi-row keys to their highest-sequence row and drops
     out-of-order (late) changes — NULL sequence values are rejected;
@@ -617,6 +619,7 @@ class LakehouseSession:
             rf"APPLY\s+CHANGES\s+INTO\s+(?P<dim>{_IDENT})\s+FROM\s+"
             rf"CHANGES\s*\(\s*(?P<src>{_IDENT})\s*\)\s+"
             r"KEYS\s*\((?P<keys>[^)]+)\)\s+"
+            r"(?:(?P<inu>IGNORE\s+NULL\s+UPDATES)\s+)?"
             r"(?:APPLY\s+AS\s+DELETE\s+WHEN\s+(?P<del>.+?)\s+)?"
             rf"(?:SEQUENCE\s+BY\s+(?P<seq>{_IDENT})\s+)?"
             r"(?:COLUMNS\s+\*\s+EXCEPT\s*\((?P<ex>[^)]+)\)\s+)?"
@@ -661,6 +664,7 @@ class LakehouseSession:
                     mm.group("del").strip() if mm.group("del") else None
                 ),
                 except_cols=except_cols,
+                ignore_null_updates=bool(mm.group("inu")),
             )
             return self._row(
                 op="apply_changes",

@@ -1821,3 +1821,70 @@ def test_apply_changes_delete_when_and_except(spark, lha):
             "APPLY CHANGES INTO dim FROM CHANGES(src) KEYS (k) "
             "SEQUENCE BY amt COLUMNS * EXCEPT (amt) SCD TYPE 2"
         )
+
+
+def test_apply_changes_ignore_null_updates(spark, lha):
+    """IGNORE NULL UPDATES (DLT): a NULL attr in an additive change
+    keeps the key's current value (partial-column CDC merge); without
+    the flag the NULL overwrites. SCD1 and SCD2 both honor it; drift
+    vs the stored watermark is refused."""
+    spark.createDataFrame(
+        [Row(k="a", amt=Decimal("1.00"), note="first")],
+        "k string, amt decimal(12,2), note string",
+    ).createOrReplaceTempView("inu0")
+    lha.sql("CREATE TABLE src AS SELECT * FROM inu0")
+    stmt = (
+        "APPLY CHANGES INTO dim FROM CHANGES(src) KEYS (k) "
+        "IGNORE NULL UPDATES SCD TYPE 1"
+    )
+    lha.sql(stmt)
+    # partial update: amt moves, note arrives NULL — note must survive
+    lha.sql("UPDATE src SET amt = 2.00, note = NULL WHERE k = 'a'")
+    lha.sql(stmt)
+    got = {tuple(r) for r in lha.sql("SELECT k, amt, note FROM dim").collect()}
+    assert got == {("a", Decimal("2.00"), "first")}
+    # flag drift is refused
+    with pytest.raises(ValueError, match="IGNORE NULL"):
+        lha.sql(
+            "APPLY CHANGES INTO dim FROM CHANGES(src) KEYS (k) SCD TYPE 1"
+        )
+
+
+def test_apply_changes_ignore_null_updates_scd2(spark, lha):
+    """SCD2 + IGNORE NULL UPDATES: the newly-opened history row
+    inherits the closing row's value for NULL attrs; a brand-new key's
+    NULLs stay NULL (nothing to preserve)."""
+    spark.createDataFrame(
+        [Row(k="a", amt=Decimal("1.00"), note="keepme")],
+        "k string, amt decimal(12,2), note string",
+    ).createOrReplaceTempView("inu2a")
+    lha.sql("CREATE TABLE src AS SELECT * FROM inu2a")
+    stmt = (
+        "APPLY CHANGES INTO dim FROM CHANGES(src) KEYS (k) "
+        "IGNORE NULL UPDATES SCD TYPE 2"
+    )
+    lha.sql(stmt)
+    lha.sql("UPDATE src SET amt = 5.00, note = NULL WHERE k = 'a'")
+    spark.createDataFrame(
+        [Row(k="b", amt=Decimal("9.00"), note=None)],
+        "k string, amt decimal(12,2), note string",
+    ).createOrReplaceTempView("inu2b")
+    lha.sql("INSERT INTO src SELECT * FROM inu2b")
+    lha.sql(stmt)
+    cur = {
+        tuple(r)
+        for r in lha.sql(
+            "SELECT k, amt, note FROM dim WHERE is_current"
+        ).collect()
+    }
+    assert cur == {
+        ("a", Decimal("5.00"), "keepme"),  # inherited across the close
+        ("b", Decimal("9.00"), None),      # new key: nothing to keep
+    }
+    closed = {
+        tuple(r)
+        for r in lha.sql(
+            "SELECT k, amt, note FROM dim WHERE NOT is_current"
+        ).collect()
+    }
+    assert closed == {("a", Decimal("1.00"), "keepme")}
