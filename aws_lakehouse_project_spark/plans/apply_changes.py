@@ -241,6 +241,56 @@ def _coalesce_null_updates(
     return merged.unionByName(others)
 
 
+def _split_track_history(
+    feed: DataFrame,
+    cur: DataFrame,
+    keys: list[str],
+    attrs: list[str],
+    tracked: list[str],
+) -> tuple[DataFrame, DataFrame]:
+    """``TRACK HISTORY ON * EXCEPT (…)`` (DLT): an additive change
+    whose TRACKED columns all null-safe-equal the key's current row
+    updates that row IN PLACE (no close, no new history row) — only
+    tracked-column changes open history. Returns ``(kernel_feed,
+    inplace)``: the rows the ordinary close/open fold should still
+    see, and the in-place rows (keys + new attrs; the caller re-joins
+    the current row's ``start_v`` and merges on it). A key routed in
+    place keeps its paired preimage OUT of the kernel feed — a leaked
+    preimage would read as a pure delete and close the row. New keys
+    (no current row) always route to the kernel (they open)."""
+    from functools import reduce
+    from operator import or_
+
+    add_t = F.col("_change_type").isin("insert", "update_postimage")
+    add = feed.filter(add_t)
+    cur_k = cur.select(*keys, *attrs, F.lit(True).alias("__has_cur"))
+    j = add.alias("n").join(cur_k.alias("c"), keys, "left")
+    changed_tracked = (
+        reduce(
+            or_,
+            [
+                ~F.col(f"n.{a}").eqNullSafe(F.col(f"c.{a}"))
+                for a in tracked
+            ],
+        )
+        if tracked
+        else F.lit(False)
+    )
+    route_normal = F.col("__has_cur").isNull() | changed_tracked
+    normal_add = j.where(route_normal).select(
+        F.col("n._change_type").alias("_change_type"),
+        *keys,
+        *[F.col(f"n.{a}").alias(a) for a in attrs],
+    )
+    inplace = j.where(~route_normal).select(
+        *keys, *[F.col(f"n.{a}").alias(a) for a in attrs]
+    )
+    others = feed.filter(~add_t).join(
+        inplace.select(*keys).distinct(), keys, "left_anti"
+    )
+    return normal_add.unionByName(others), inplace
+
+
 def _apply_delete_when(delta: DataFrame, delete_when: str | None) -> DataFrame:
     """``APPLY AS DELETE WHEN cond`` (DLT): an ADDITIVE source change
     matching ``cond`` is a soft delete — reclassify it as a ``delete``
@@ -266,6 +316,7 @@ def _check_wm(
     delete_when: str | None = None,
     except_cols: list[str] | tuple = (),
     ignore_null_updates: bool = False,
+    track_except: list[str] | tuple = (),
 ) -> None:
     if wm.get("src") != src_name:
         raise ValueError(
@@ -305,6 +356,12 @@ def _check_wm(
             f"UPDATES = {bool(wm.get('ignore_null_updates', False))}, "
             f"not {bool(ignore_null_updates)}"
         )
+    if list(wm.get("track_except", [])) != list(track_except or ()):
+        raise ValueError(
+            f"APPLY CHANGES: history was built with TRACK HISTORY ON "
+            f"* EXCEPT {wm.get('track_except', [])}, not "
+            f"{list(track_except or ())}"
+        )
 
 
 def apply_changes_scd2(
@@ -317,6 +374,7 @@ def apply_changes_scd2(
     delete_when: str | None = None,
     except_cols: list[str] | tuple = (),
     ignore_null_updates: bool = False,
+    track_except: list[str] | tuple = (),
 ) -> dict:
     """Advance ``hist`` (SCD2 history) to ``src``'s head. Returns
     ``{"version", "ordinals_applied", "mode"}`` where mode is
@@ -334,11 +392,23 @@ def apply_changes_scd2(
     ``ignore_null_updates`` (SQL: ``IGNORE NULL UPDATES``) merges
     partial-column feeds column-wise — a NULL attr in an additive
     change keeps the key's current value (applied AFTER the sequence
-    discipline resolves which row wins, matching DLT)."""
+    discipline resolves which row wins, matching DLT);
+    ``track_except`` (SQL: ``TRACK HISTORY ON * EXCEPT (...)``)
+    updates the current row IN PLACE when only the named untracked
+    columns changed — history rows open only for tracked-column
+    changes."""
     head = src.latest_version()
     if head is None:
         raise ValueError(f"APPLY CHANGES: source {src_name!r} has no commits")
     attrs = _src_attrs(spark, src, src_name, keys, seq_col, except_cols)
+    bad_track = [c for c in (track_except or ()) if c not in attrs]
+    if bad_track:
+        raise ValueError(
+            f"APPLY CHANGES: TRACK HISTORY ON * EXCEPT names "
+            f"{bad_track} are not stored attribute columns "
+            f"(attrs: {sorted(attrs)})"
+        )
+    tracked = [a for a in attrs if a not in (track_except or ())]
     meta_base = {
         "src": src_name,
         "keys": list(keys),
@@ -347,6 +417,7 @@ def apply_changes_scd2(
         "delete_when": delete_when,
         "except_cols": list(except_cols or ()),
         "ignore_null_updates": bool(ignore_null_updates),
+        "track_except": list(track_except or ()),
     }
     wm = _watermark(hist)
     if wm is None:
@@ -399,7 +470,7 @@ def apply_changes_scd2(
         return {"version": v, "ordinals_applied": 1, "mode": "init"}
     _check_wm(
         wm, src_name, keys, seq_col, 2, delete_when, except_cols,
-        ignore_null_updates,
+        ignore_null_updates, track_except,
     )
     from_v = int(wm["src_version"])
     ordinal = int(wm["next_ordinal"])
@@ -465,6 +536,15 @@ def apply_changes_scd2(
                     keys,
                     attrs,
                 )
+            inplace = None
+            if track_except:
+                feed, inplace = _split_track_history(
+                    feed,
+                    hist.read(spark).where(F.col("is_current")),
+                    keys,
+                    attrs,
+                    tracked,
+                )
             changed = feed.select(*keys).distinct()
             slice_ = (
                 hist.read(spark)
@@ -478,6 +558,24 @@ def apply_changes_scd2(
                 attrs=attrs,
                 version=ordinal,
             ).withColumn("__op", F.lit("upsert"))
+            if inplace is not None:
+                # untracked-only changes overwrite the CURRENT row at
+                # its existing (keys, start_v) — no close, no new row
+                cur_sv = (
+                    hist.read(spark)
+                    .where(F.col("is_current"))
+                    .select(*keys, "start_v")
+                )
+                upd = upd.unionByName(
+                    inplace.join(cur_sv, keys).select(
+                        *keys,
+                        *attrs,
+                        F.col("start_v"),
+                        F.lit(None).cast("long").alias("end_v"),
+                        F.lit(True).alias("is_current"),
+                        F.lit("upsert").alias("__op"),
+                    )
+                )
             hv = hist.merge_apply(
                 spark,
                 upd,

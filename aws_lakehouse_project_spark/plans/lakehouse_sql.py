@@ -114,7 +114,8 @@ _GRAMMAR = """supported statements:
     rides the commit meta — plans/ingest.py)
   APPLY CHANGES INTO dim FROM CHANGES(src) KEYS (k[, ...])
     [IGNORE NULL UPDATES] [APPLY AS DELETE WHEN cond] [SEQUENCE BY c]
-    [COLUMNS * EXCEPT (c[, ...])] SCD TYPE 1|2
+    [COLUMNS * EXCEPT (c[, ...])]
+    [TRACK HISTORY ON * EXCEPT (c[, ...])] SCD TYPE 1|2
     (DLT's declarative verb: TYPE 2 keeps [start,end) ordinal history,
     TYPE 1 keeps only each key's latest row; first APPLY loads the
     source snapshot, each later data commit folds its change feed —
@@ -127,7 +128,9 @@ _GRAMMAR = """supported statements:
     out-of-order (late) changes — NULL sequence values are rejected;
     COLUMNS * EXCEPT keeps the named source columns out of the target
     (the delete condition may still reference them — the CDC op-marker
-    pattern); the watermark rides the target's commit meta —
+    pattern); TRACK HISTORY ON * EXCEPT updates the current row in
+    place when only the named untracked columns changed (TYPE 2 only);
+    the watermark rides the target's commit meta —
     plans/apply_changes.py)"""
 
 _IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
@@ -623,6 +626,8 @@ class LakehouseSession:
             r"(?:APPLY\s+AS\s+DELETE\s+WHEN\s+(?P<del>.+?)\s+)?"
             rf"(?:SEQUENCE\s+BY\s+(?P<seq>{_IDENT})\s+)?"
             r"(?:COLUMNS\s+\*\s+EXCEPT\s*\((?P<ex>[^)]+)\)\s+)?"
+            r"(?:TRACK\s+HISTORY\s+ON\s+\*\s+EXCEPT\s*"
+            r"\((?P<th>[^)]+)\)\s+)?"
             r"SCD\s+TYPE\s+(?P<ty>[12])",
             s, flags=re.IGNORECASE | re.DOTALL,
         )
@@ -648,23 +653,39 @@ class LakehouseSession:
                         f"columns, got: {c!r}\n{_GRAMMAR}"
                     )
                 except_cols.append(c)
-            fn = (
-                apply_changes_scd2
-                if mm.group("ty") == "2"
-                else apply_changes_scd1
-            )
+            track_except = []
+            for c in _split_top(mm.group("th") or ""):
+                if not re.fullmatch(_IDENT, c):
+                    raise ValueError(
+                        f"TRACK HISTORY ON * EXCEPT entries must be "
+                        f"plain columns, got: {c!r}\n{_GRAMMAR}"
+                    )
+                track_except.append(c)
+            kw: dict = {
+                "seq_col": mm.group("seq"),
+                "delete_when": (
+                    mm.group("del").strip() if mm.group("del") else None
+                ),
+                "except_cols": except_cols,
+                "ignore_null_updates": bool(mm.group("inu")),
+            }
+            if mm.group("ty") == "2":
+                fn = apply_changes_scd2
+                kw["track_except"] = track_except
+            else:
+                if track_except:
+                    raise ValueError(
+                        "TRACK HISTORY ON * EXCEPT applies to SCD TYPE "
+                        f"2 only (TYPE 1 keeps no history)\n{_GRAMMAR}"
+                    )
+                fn = apply_changes_scd1
             out = fn(
                 self.spark,
                 self.table(mm.group("dim")),
                 self.table(mm.group("src")),
                 mm.group("src"),
                 keys,
-                seq_col=mm.group("seq"),
-                delete_when=(
-                    mm.group("del").strip() if mm.group("del") else None
-                ),
-                except_cols=except_cols,
-                ignore_null_updates=bool(mm.group("inu")),
+                **kw,
             )
             return self._row(
                 op="apply_changes",

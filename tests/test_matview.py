@@ -1888,3 +1888,76 @@ def test_apply_changes_ignore_null_updates_scd2(spark, lha):
         ).collect()
     }
     assert closed == {("a", Decimal("1.00"), "keepme")}
+
+
+def test_apply_changes_track_history_except(spark, lha):
+    """TRACK HISTORY ON * EXCEPT (DLT): an untracked-only change
+    updates the current row IN PLACE (same start_v, no close, no new
+    row); a tracked change still closes+opens; the in-place key's
+    paired preimage never leaks into the fold as a delete; TYPE 1
+    refuses the clause."""
+    spark.createDataFrame(
+        [Row(k="a", seg="s1", bal=Decimal("10.00")),
+         Row(k="b", seg="s1", bal=Decimal("20.00"))],
+        "k string, seg string, bal decimal(12,2)",
+    ).createOrReplaceTempView("th0")
+    lha.sql("CREATE TABLE src AS SELECT * FROM th0")
+    stmt = (
+        "APPLY CHANGES INTO dim FROM CHANGES(src) KEYS (k) "
+        "TRACK HISTORY ON * EXCEPT (bal) SCD TYPE 2"
+    )
+    lha.sql(stmt)
+    # untracked-only churn: bal moves, seg doesn't — in-place update
+    lha.sql("UPDATE src SET bal = bal + 5 WHERE k = 'a'")
+    r = lha.sql(stmt).first()
+    assert r["mode"] == "incremental"
+    rows = {
+        tuple(r2)
+        for r2 in lha.sql(
+            "SELECT k, seg, bal, start_v, end_v, is_current FROM dim"
+        ).collect()
+    }
+    assert rows == {
+        ("a", "s1", Decimal("15.00"), 0, None, True),  # in place
+        ("b", "s1", Decimal("20.00"), 0, None, True),
+    }
+    # tracked churn: seg moves — ordinary close+open; and one MIXED
+    # commit where a's bal ALSO moved earlier stays closed-immutable
+    lha.sql("UPDATE src SET seg = 's2' WHERE k = 'a'")
+    lha.sql(stmt)
+    rows = {
+        tuple(r2)
+        for r2 in lha.sql(
+            "SELECT k, seg, bal, start_v, end_v, is_current FROM dim"
+        ).collect()
+    }
+    assert rows == {
+        ("a", "s1", Decimal("15.00"), 0, 2, False),
+        ("a", "s2", Decimal("15.00"), 2, None, True),
+        ("b", "s1", Decimal("20.00"), 0, None, True),
+    }
+    # deletes still close even under track-history
+    lha.sql("DELETE FROM src WHERE k = 'b'")
+    lha.sql(stmt)
+    cur = {
+        tuple(r2)
+        for r2 in lha.sql(
+            "SELECT k, is_current FROM dim WHERE k = 'b'"
+        ).collect()
+    }
+    assert cur == {("b", False)}
+    # drift + TYPE 1 refusals
+    with pytest.raises(ValueError, match="TRACK HISTORY"):
+        lha.sql(
+            "APPLY CHANGES INTO dim FROM CHANGES(src) KEYS (k) SCD TYPE 2"
+        )
+    with pytest.raises(ValueError, match="TYPE 2 only"):
+        lha.sql(
+            "APPLY CHANGES INTO dim FROM CHANGES(src) KEYS (k) "
+            "TRACK HISTORY ON * EXCEPT (bal) SCD TYPE 1"
+        )
+    with pytest.raises(ValueError, match="not stored attribute"):
+        lha.sql(
+            "APPLY CHANGES INTO dim FROM CHANGES(src) KEYS (k) "
+            "TRACK HISTORY ON * EXCEPT (nope) SCD TYPE 2"
+        )
