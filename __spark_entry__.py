@@ -65,6 +65,7 @@ _VERIFY_FIRST = [
     "q_tpch_q4", "q_tpch_q13", "q_tpch_q17", "q_tpch_q18",
     "q_materialized_view_join_distinct", "q_materialized_view_filter",
     "q_materialized_view_stream_minmax", "q_scd1_cdc",
+    "q_materialized_view_exprkey",
     # CHANGED in r12/r13 (re-earn green): q_scd1_sql (r12-added, judge
     # MATCH, still rowless) + q_scd2_sql (r13: _sequence_filter NULL
     # rejection + churn-key prune), q_table_changes (r12 SQL-first
@@ -87,12 +88,11 @@ _VERIFY_FIRST = [
     "q_bool_agg", "q_bound_check", "q_column_mapping",
     "q_dedup_anti_join", "q_dedup_exact", "q_delete_vectors",
     "q_distinct_agg", "q_domain_fact_versioned", "q_except",
-    "q_expectation_suite",
 ]
 # ROUND-14 ROTATION NOTE: queries ADDED OR CHANGED in r13 or later
 # lead the r14 window, then the r9-stale remainder that did NOT fit
-# here (alphabetical from q_filter_eq: q_filter_eq,
-# q_filter_range,
+# here (alphabetical from q_expectation_suite:
+# q_expectation_suite, q_filter_eq, q_filter_range,
 # q_intersect, q_join_full_outer, q_lakehouse_sql, q_lang_mix,
 # q_lang_temperature, q_length_histogram, q_monthly_trunc,
 # q_notnull_check, q_optimize_zorder, q_regex, q_replace_where,
@@ -100,7 +100,7 @@ _VERIFY_FIRST = [
 # q_table_history, q_topk_per_group, q_tpch_q1, q_tpch_q16,
 # q_tpch_q9, q_union, q_update_where, q_versioned_merge,
 # q_wap_constraint, q_window_rank, q_window_rolling,
-# q_writer_isolation — 29 rows), then the then-stalest r10 rows
+# q_writer_isolation — 30 rows), then the then-stalest r10 rows
 # (alphabetical) to fill 50.
 
 

@@ -3141,3 +3141,75 @@ def q_materialized_view_stream_minmax(
         "SELECT dt, CAST(lo AS DOUBLE) AS lo, CAST(hi AS DOUBLE) AS hi, "
         "CAST(revenue AS DOUBLE) AS revenue, n_orders FROM daily_span"
     )
+
+
+MATERIALIZED_VIEW_EXPRKEY_ORACLE = """
+    WITH fact AS (
+      SELECT CAST(o_orderdate AS DATE) AS dt,
+             CAST(CASE WHEN o_orderkey % 7 = 0 AND o_orderkey % 10 <> 0
+                  THEN CAST(o_totalprice AS DECIMAL(12,2)) * 2
+                  ELSE CAST(o_totalprice AS DECIMAL(12,2)) END
+                  AS DECIMAL(12,2)) AS price
+      FROM orders WHERE o_custkey % 5 <> 0
+    )
+    SELECT CAST(date_trunc('month', dt) AS DATE) AS mon,
+           CAST(SUM(price) AS DOUBLE) AS revenue,
+           CAST(MIN(price) AS DOUBLE) AS lo,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM fact GROUP BY 1
+"""
+
+
+@demo_query(
+    "q_materialized_view_exprkey", oracle=MATERIALIZED_VIEW_EXPRKEY_ORACLE
+)
+def q_materialized_view_exprkey(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXPRESSION group keys in a declarative MV — the canonical
+    monthly-rollup shape ``GROUP BY trunc(dt, 'month')``: the key
+    expression is stamped into the definition (``key_exprs``) and
+    materialized onto every frame the maintenance paths read (the
+    initial build, the multi-commit CDF nets, the MIN/MAX
+    retraction-rescan slice, the streaming folded-state rows), so the
+    stored MV keys on the ALIAS column while the base never carries
+    it. The UPDATE/INSERT/DELETE churn crosses month boundaries and
+    retracts per-month minima (the MIN column forces the rescan path
+    through the expression). Guards: incremental + idempotent; also
+    REFRESHes a second view created with the GROUP-BY-alias spelling
+    to pin both accepted forms. Oracle = DuckDB date_trunc recompute
+    of the final state."""
+    from ..plans.lakehouse_sql import LakehouseSession
+
+    work = scratch_dir("spark_graft_mv_exprkey", unique=True)
+    fact_path, v0 = _mv_fact_fixture(spark, sf_dir)
+    lh = LakehouseSession(spark)
+    lh.register("fact", VersionedTable(fact_path))
+    lh.create("monthly", os.path.join(work, "mv"))
+    lh.sql(
+        "CREATE MATERIALIZED VIEW monthly AS "
+        "SELECT trunc(dt, 'month') AS mon, SUM(price) AS revenue, "
+        "MIN(price) AS lo, COUNT(*) AS n_orders "
+        f"FROM fact VERSION AS OF {v0} GROUP BY trunc(dt, 'month')"
+    )
+    r1 = lh.sql("REFRESH MATERIALIZED VIEW monthly").first()
+    if r1["mode"] != "incremental":
+        raise AssertionError(f"expected incremental refresh, got {r1}")
+    r2 = lh.sql("REFRESH MATERIALIZED VIEW monthly").first()
+    if r2["mode"] != "noop" or r2["version"] != r1["version"]:
+        raise AssertionError(f"second refresh not a no-op: {r2}")
+    # the GROUP-BY-alias spelling is the same view
+    lh.create("monthly2", os.path.join(work, "mv2"))
+    lh.sql(
+        "CREATE MATERIALIZED VIEW monthly2 AS "
+        "SELECT trunc(dt, 'month') AS mon, COUNT(*) AS n_orders "
+        "FROM fact GROUP BY mon"
+    )
+    n1 = lh.sql("SELECT SUM(n_orders) AS s FROM monthly").first()["s"]
+    n2 = lh.sql("SELECT SUM(n_orders) AS s FROM monthly2").first()["s"]
+    if n1 != n2:
+        raise AssertionError(f"alias spelling diverged: {n1} != {n2}")
+    return lh.sql(
+        "SELECT mon, CAST(revenue AS DOUBLE) AS revenue, "
+        "CAST(lo AS DOUBLE) AS lo, n_orders FROM monthly"
+    )

@@ -94,13 +94,15 @@ _GRAMMAR = """supported statements:
   CREATE BLOOMFILTER INDEX FOR COLUMNS (c1[, c2]) ON t [WITH BACKFILL]
   DROP BLOOMFILTER INDEX ON t
   CREATE MATERIALIZED VIEW mv [WITH CHANGE FEED] AS
-    SELECT [keys,] SUM|MIN|MAX|AVG(e) AS a
+    SELECT [key | key_expr AS alias, ...] SUM|MIN|MAX|AVG(e) AS a
     [, COUNT(*) FILTER (WHERE p) AS a | SUM(e) FILTER (WHERE p) AS a]
     [, ...] [, COUNT(DISTINCT e) AS a] [, COUNT(*) AS c]
     FROM base [VERSION AS OF n] [JOIN b [VERSION AS OF n] USING (k[, ...])]
     (VERSION AS OF creates the view — watermark included — at a
      historical snapshot; the first REFRESH folds everything since)
-    GROUP BY keys   (mv pre-registered; definition + per-base
+    GROUP BY keys   (keys may be expressions — GROUP BY the alias or
+    the exact expression text, e.g. GROUP BY date_trunc('month', dt);
+    single-table views only; mv pre-registered; definition + per-base
     watermarks ride the commit meta; MIN/MAX refresh with bounded
     rescan-on-retraction — on JOIN views the rescan is the triggered
     groups' JOIN SLICE; COUNT(DISTINCT) via a hidden support table
@@ -339,6 +341,7 @@ class LakehouseSession:
         avgs: list[list[str]],
         distincts: list[list[str]],
         count_col: str | None,
+        key_exprs: list[list[str]] | None = None,
     ) -> int:
         """Dispatch a parsed CREATE MATERIALIZED VIEW to the single-
         table or JOIN-view constructor (validation already ran)."""
@@ -349,6 +352,14 @@ class LakehouseSession:
         )
 
         if mm.group("b2"):
+            if key_exprs and any(e != a for e, a in key_exprs):
+                raise ValueError(
+                    "expression GROUP BY keys on a JOIN materialized "
+                    "view are not supported (the join-slice rescan "
+                    "prunes each base by the key subset that side "
+                    "carries, which a cross-side expression breaks) — "
+                    f"group by plain columns\n{_GRAMMAR}"
+                )
             on = []
             for c in _split_top(mm.group("on")):
                 if not re.fullmatch(_IDENT, c):
@@ -390,6 +401,7 @@ class LakehouseSession:
             avgs=avgs,
             distincts=distincts,
             at_version=int(mm.group("bv")) if mm.group("bv") else None,
+            key_exprs=key_exprs,
         )
 
     # -- dispatcher -----------------------------------------------------------
@@ -412,14 +424,7 @@ class LakehouseSession:
             from .matview import HIDDEN_COUNT, _validate_output_names
 
             mv_name, base_name = mm.group("mv"), mm.group("b")
-            keys = []
-            for k in _split_top(mm.group("keys")):
-                if not re.fullmatch(_IDENT, k):
-                    raise ValueError(
-                        f"GROUP BY entries must be plain columns, got: {k!r}"
-                        f"\n{_GRAMMAR}"
-                    )
-                keys.append(k)
+            raw_keys = _split_top(mm.group("keys"))
             sums: list[list[str]] = []
             mins: list[list[str]] = []
             maxs: list[list[str]] = []
@@ -427,6 +432,7 @@ class LakehouseSession:
             distincts: list[list[str]] = []
             count_col = None
             selected_keys = []
+            expr_keys: list[list[str]] = []
             for item in _split_top(mm.group("items")):
                 # FILTER-clause sugar FIRST (the generic agg pattern's
                 # greedy expr would swallow a trailing FILTER clause).
@@ -501,16 +507,53 @@ class LakehouseSession:
                 if re.fullmatch(_IDENT, item):
                     selected_keys.append(item)
                     continue
+                im = re.fullmatch(
+                    r"(?P<e>.+)\s+AS\s+(?P<a>" + _IDENT + ")",
+                    item, flags=re.IGNORECASE | re.DOTALL,
+                )
+                if im:
+                    # EXPRESSION group key candidate (GROUP BY
+                    # date_trunc('month', dt) — the canonical rollup):
+                    # resolved against the GROUP BY entries below
+                    expr_keys.append([im.group("e").strip(), im.group("a")])
+                    continue
                 raise ValueError(
-                    "materialized view items must be group keys, "
+                    "materialized view items must be group keys "
+                    "(column or expr AS alias), "
                     f"SUM/MIN/MAX/AVG(expr) AS alias, COUNT(DISTINCT "
                     f"expr) AS alias, or COUNT(*) AS alias — got: "
                     f"{item!r}\n{_GRAMMAR}"
                 )
-            if set(selected_keys) != set(keys):
+            # resolve GROUP BY entries: a selected plain column, a
+            # selected expression's alias, or its exact expression text
+            by_alias = {a: [e, a] for e, a in expr_keys}
+            by_expr = {e: [e, a] for e, a in expr_keys}
+            key_exprs: list[list[str]] = []
+            for g in raw_keys:
+                if re.fullmatch(_IDENT, g):
+                    if g in selected_keys:
+                        key_exprs.append([g, g])
+                    elif g in by_alias:
+                        key_exprs.append(by_alias[g])
+                    else:
+                        raise ValueError(
+                            f"GROUP BY entry {g!r} is not a selected "
+                            f"column or expression alias\n{_GRAMMAR}"
+                        )
+                elif g in by_expr:
+                    key_exprs.append(by_expr[g])
+                else:
+                    raise ValueError(
+                        f"GROUP BY entry {g!r} must be a selected "
+                        "column, a selected expression's alias, or "
+                        f"that expression's exact text\n{_GRAMMAR}"
+                    )
+            keys = [a for _, a in key_exprs]
+            sel_out = set(selected_keys) | {a for _, a in expr_keys}
+            if sel_out != set(keys):
                 raise ValueError(
-                    f"selected columns {selected_keys} must be exactly "
-                    f"the GROUP BY keys {keys}\n{_GRAMMAR}"
+                    f"selected key columns {sorted(sel_out)} must be "
+                    f"exactly the GROUP BY keys {keys}\n{_GRAMMAR}"
                 )
             # ONE implementation of the duplicate-alias / reserved-
             # __-prefix rules (shared with direct Python callers):
@@ -534,7 +577,8 @@ class LakehouseSession:
                 mv_vt.change_feed = True
             try:
                 v = self._create_mv(mm, base_name, mv_vt, keys, sums,
-                                    mins, maxs, avgs, distincts, count_col)
+                                    mins, maxs, avgs, distincts, count_col,
+                                    key_exprs=key_exprs)
             except BaseException:
                 mv_vt.change_feed = prev_cf
                 raise
@@ -560,7 +604,12 @@ class LakehouseSession:
             row = {
                 "base": d["base"],
                 "base_version": d["base_version"],
-                "group_keys": ", ".join(d["group_keys"]),
+                "group_keys": ", ".join(
+                    a if e == a else f"{e} AS {a}"
+                    for e, a in d.get(
+                        "key_exprs", [[k, k] for k in d["group_keys"]]
+                    )
+                ),
                 "aggregates": "; ".join(aggs),
                 "count_col": d["count_col"],
             }

@@ -172,6 +172,23 @@ def definition(mv: VersionedTable) -> dict:
     )
 
 
+def _with_key_exprs(df: DataFrame, d: dict) -> DataFrame:
+    """Materialize EXPRESSION group keys (``GROUP BY date_trunc('month',
+    dt)`` — the canonical rollup shape) as alias columns on a base/feed
+    frame before it reaches any grouping, net, rescan, or support fold.
+    ``d["key_exprs"]`` holds ``[expr, alias]`` per key; plain-column
+    keys (expr == alias) are no-ops, and views created before the
+    feature (no ``key_exprs`` in their stored definition) fall through
+    untouched. Single-table views only — JOIN views refuse expression
+    keys at create (the join-slice rescan prunes each base by the key
+    subset that side carries, which an arbitrary cross-side expression
+    breaks)."""
+    for e, a in d.get("key_exprs", []):
+        if e != a:
+            df = df.withColumn(a, F.expr(e))
+    return df
+
+
 def _restore_guard(mv: VersionedTable) -> None:
     """Refuse incremental maintenance after a RESTORE of the MV table
     itself. RESTORE rolls the MV's ROWS back to a prior snapshot but
@@ -348,6 +365,7 @@ def _build_and_guard(
     where: str,
 ) -> int:
     """Aggregate → NULL-key guard BEFORE the commit → write_full."""
+    snap = _with_key_exprs(snap, d)
     agg = _aggregate(
         snap,
         d["group_keys"],
@@ -376,6 +394,7 @@ def create_materialized_view(
     avgs: list[list[str]] = (),
     distincts: list[list[str]] = (),
     at_version: int | None = None,
+    key_exprs: list[list[str]] | None = None,
 ) -> int:
     """Build the MV from the base's CURRENT snapshot and stamp the
     definition + watermark into the commit meta. ``sums`` / ``mins`` /
@@ -387,13 +406,33 @@ def create_materialized_view(
     snapshot — watermark included — so the first REFRESH folds
     everything committed since ``n``; besides time-travel ergonomics
     this lets many views share ONE committed base history instead of
-    each mutating a private fixture."""
+    each mutating a private fixture. ``key_exprs`` (``[[expr, alias],
+    …]``, aligned with ``keys``) declares EXPRESSION group keys —
+    ``GROUP BY date_trunc('month', dt) AS month`` — materialized onto
+    every frame the maintenance paths read (``_with_key_exprs``); an
+    alias may not shadow a base column (measures would silently read
+    the transformed value)."""
     _validate_output_names(keys, sums, mins, maxs, avgs, count_col, distincts)
     base_v = base.latest_version() if at_version is None else int(at_version)
+    ke = [list(p) for p in (key_exprs or [[k, k] for k in keys])]
+    if [a for _, a in ke] != list(keys):
+        raise ValueError(
+            f"materialized view key_exprs aliases {[a for _, a in ke]} "
+            f"must equal the group keys {list(keys)}"
+        )
+    base_cols = set(base.read(spark, base_v).columns)
+    shadowed = sorted(a for e, a in ke if e != a and a in base_cols)
+    if shadowed:
+        raise ValueError(
+            f"materialized view key aliases {shadowed} shadow base "
+            "columns — pick aliases the base does not already use "
+            "(aggregate expressions would read the transformed value)"
+        )
     d = {
         "base": base_name,
         "base_version": base_v,
         "group_keys": list(keys),
+        "key_exprs": ke,
         "sums": [list(p) for p in sums],
         "mins": [list(p) for p in mins],
         "maxs": [list(p) for p in maxs],
@@ -740,6 +779,7 @@ def refresh_materialized_view(
         )
     else:
         delta = base.changes(spark, wm, head)
+    delta = _with_key_exprs(delta, d)
     nets = _nets_with_extrema(delta, keys, sums, mins, maxs, cnt).persist()
     touched = None
     try:
@@ -758,7 +798,9 @@ def refresh_materialized_view(
                     # s_wm ahead of wm — re-fold only the lag
                     sdelta = (
                         delta if s_wm == wm
-                        else base.changes(spark, s_wm, head)
+                        else _with_key_exprs(
+                            base.changes(spark, s_wm, head), d
+                        )
                     )
                     snets = _nets(
                         sdelta.where(F.expr(e).isNotNull()).select(
@@ -806,9 +848,9 @@ def refresh_materialized_view(
             sums,
             cnt,
             head_meta={_META_KEY: {**d_adv, "base_version": head}},
-            rescan_fn=lambda trig: base.read(spark, head).join(
-                trig, keys, "left_semi"
-            ),
+            rescan_fn=lambda trig: _with_key_exprs(
+                base.read(spark, head), d
+            ).join(trig, keys, "left_semi"),
             mins=mins,
             maxs=maxs,
             avgs=avgs,
@@ -1083,10 +1125,11 @@ def _fold_stream_batch(
                 new_floor = bv
             else:
                 break  # first unfolded data commit: floor stops here
+        live_k = _with_key_exprs(live, d)
         nets = (
-            _nets_with_extrema(live, keys, sums, mins, maxs, cnt)
+            _nets_with_extrema(live_k, keys, sums, mins, maxs, cnt)
             if (mins or maxs)
-            else _nets(live, keys, sums, cnt)
+            else _nets(live_k, keys, sums, cnt)
         ).persist()
 
         def _folded_state_rows(trig: DataFrame) -> DataFrame:
@@ -1099,14 +1142,17 @@ def _fold_stream_batch(
             delivery, the common case) this is precisely the batch
             path's semi-pruned snapshot rescan at the new watermark."""
             base_cols = base.read(spark, new_floor).columns
+            # expression keys are materialized BEFORE each semi-join
+            # (trig carries alias columns) and re-derived after the
+            # multiset net, which groups on the raw base columns only
             parts = [
-                base.read(spark, new_floor)
+                _with_key_exprs(base.read(spark, new_floor), d)
                 .join(trig, keys, "left_semi")
                 .select(*base_cols, F.lit(1).alias("__s"))
             ]
             for v in sorted(new_set):
                 parts.append(
-                    base.changes(spark, v - 1, v)
+                    _with_key_exprs(base.changes(spark, v - 1, v), d)
                     .join(trig, keys, "left_semi")
                     .select(
                         *base_cols,
@@ -1118,11 +1164,12 @@ def _fold_stream_batch(
                     )
                 )
             allr = reduce(DataFrame.unionByName, parts)
-            return (
+            return _with_key_exprs(
                 allr.groupBy(*base_cols)
                 .agg(F.sum("__s").alias("__m"))
                 .where(F.col("__m") > 0)
-                .drop("__m")
+                .drop("__m"),
+                d,
             )
 
         try:

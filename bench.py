@@ -221,6 +221,8 @@ EXTRA = [
     # round-13: full DLT APPLY CHANGES clause set (APPLY AS DELETE
     # WHEN + COLUMNS * EXCEPT — the CDC op-marker pattern)
     "q_scd1_cdc",
+    # round-13: expression group keys in declarative MVs
+    "q_materialized_view_exprkey",
 ]
 
 

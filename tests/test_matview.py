@@ -1961,3 +1961,79 @@ def test_apply_changes_track_history_except(spark, lha):
             "APPLY CHANGES INTO dim FROM CHANGES(src) KEYS (k) "
             "TRACK HISTORY ON * EXCEPT (nope) SCD TYPE 2"
         )
+
+
+def test_mv_expression_group_keys(spark, tmp_path):
+    """Expression group keys: the alias column never exists on the
+    base; refresh ≡ recompute across churn that moves rows between
+    expression groups and retracts extrema (MIN forces the rescan
+    through the expression); both GROUP BY spellings accepted;
+    shadowing a base column and JOIN-view expr keys are refused."""
+    lh = LakehouseSession(spark)
+    lh.create("base", str(tmp_path / "b"))
+    lh.create("mv", str(tmp_path / "m"))
+    spark.createDataFrame(
+        [
+            Row(k="aa", amt=Decimal("1.00")),
+            Row(k="ab", amt=Decimal("2.00")),
+            Row(k="bb", amt=Decimal("5.00")),
+        ],
+        "k string, amt decimal(12,2)",
+    ).createOrReplaceTempView("ek0")
+    lh.sql("CREATE TABLE base AS SELECT * FROM ek0")
+    lh.sql(
+        "CREATE MATERIALIZED VIEW mv AS "
+        "SELECT substring(k, 1, 1) AS fam, SUM(amt) AS total, "
+        "MIN(amt) AS lo, COUNT(*) AS n "
+        "FROM base GROUP BY substring(k, 1, 1)"
+    )
+
+    def recompute():
+        return {
+            tuple(r)
+            for r in lh.sql(
+                "SELECT substring(k, 1, 1) AS fam, SUM(amt) AS total, "
+                "MIN(amt) AS lo, COUNT(*) AS n FROM base GROUP BY 1"
+            ).collect()
+        }
+
+    q = "SELECT fam, total, lo, n FROM mv"
+    assert {tuple(r) for r in lh.sql(q).collect()} == recompute()
+    # churn: retract the 'a' family minimum + move a row across
+    # families (the key itself changes => delete+insert in the feed)
+    lh.sql("DELETE FROM base WHERE k = 'aa'")
+    lh.sql("UPDATE base SET amt = amt + 1 WHERE k = 'bb'")
+    _mk(spark, [("ba", "0.50")]).createOrReplaceTempView("ek1")
+    lh.sql("INSERT INTO base SELECT * FROM ek1")
+    r = lh.sql("REFRESH MATERIALIZED VIEW mv").first()
+    assert r["mode"] == "incremental"
+    assert {tuple(r2) for r2 in lh.sql(q).collect()} == recompute()
+    # group retirement via expression
+    lh.sql("DELETE FROM base WHERE k LIKE 'a%'")
+    lh.sql("REFRESH MATERIALIZED VIEW mv")
+    got = {tuple(r2) for r2 in lh.sql(q).collect()}
+    assert got == recompute() and {g for g, *_ in got} == {"b"}
+    # refusals: alias shadowing a base column; expr keys on JOIN views;
+    # GROUP BY entry not selected
+    lh.create("mvx", str(tmp_path / "mx"))
+    with pytest.raises(ValueError, match="shadow"):
+        lh.sql(
+            "CREATE MATERIALIZED VIEW mvx AS "
+            "SELECT upper(k) AS amt, COUNT(*) AS n FROM base "
+            "GROUP BY upper(k)"
+        )
+    with pytest.raises(ValueError, match="not a selected"):
+        lh.sql(
+            "CREATE MATERIALIZED VIEW mvx AS "
+            "SELECT upper(k) AS fam, COUNT(*) AS n FROM base "
+            "GROUP BY nope"
+        )
+    lh.create("di", str(tmp_path / "d"))
+    _mk_dim(spark, [("ba", "s1")]).createOrReplaceTempView("ekd")
+    lh.sql("CREATE TABLE di AS SELECT * FROM ekd")
+    with pytest.raises(ValueError, match="JOIN materialized"):
+        lh.sql(
+            "CREATE MATERIALIZED VIEW mvx AS "
+            "SELECT upper(seg) AS s2, COUNT(*) AS n "
+            "FROM base JOIN di USING (k) GROUP BY upper(seg)"
+        )
