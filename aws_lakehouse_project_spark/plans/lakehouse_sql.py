@@ -95,7 +95,8 @@ _GRAMMAR = """supported statements:
   DROP BLOOMFILTER INDEX ON t
   CREATE MATERIALIZED VIEW mv [WITH CHANGE FEED] AS
     SELECT [key | key_expr AS alias, ...] SUM|MIN|MAX|AVG(e) AS a
-    [, COUNT(*) FILTER (WHERE p) AS a | SUM(e) FILTER (WHERE p) AS a]
+    [, SUM|MIN|MAX|AVG(e)|COUNT(*)|COUNT(DISTINCT e)
+       FILTER (WHERE p) AS a]
     [, ...] [, COUNT(DISTINCT e) AS a] [, COUNT(*) AS c]
     FROM base [VERSION AS OF n] [JOIN b [VERSION AS OF n] USING (k[, ...])]
     (VERSION AS OF creates the view — watermark included — at a
@@ -456,12 +457,32 @@ class LakehouseSession:
                     ])
                     continue
                 im = re.fullmatch(
-                    r"SUM\s*\((?P<e>.+?)\)\s+FILTER\s*\(\s*WHERE\s+"
-                    r"(?P<p>.+)\)\s+AS\s+(?P<a>" + _IDENT + ")",
+                    r"(?P<f>SUM|MIN|MAX|AVG)\s*\((?P<e>.+?)\)\s+FILTER"
+                    r"\s*\(\s*WHERE\s+(?P<p>.+)\)\s+AS\s+(?P<a>"
+                    + _IDENT + ")",
                     item, flags=re.IGNORECASE | re.DOTALL,
                 )
                 if im:
-                    sums.append([
+                    # AGG(e) FILTER (WHERE p) ≡ AGG(CASE WHEN p THEN e
+                    # END) exactly: SUM/AVG ignore the NULLs via the
+                    # hidden non-null counts, MIN/MAX ignore NULLs by
+                    # definition — every kind rides its existing fold
+                    {"SUM": sums, "MIN": mins, "MAX": maxs, "AVG": avgs}[
+                        im.group("f").upper()
+                    ].append([
+                        f"CASE WHEN ({im.group('p').strip()}) THEN "
+                        f"({im.group('e').strip()}) END",
+                        im.group("a"),
+                    ])
+                    continue
+                im = re.fullmatch(
+                    r"COUNT\s*\(\s*DISTINCT\s+(?P<e>.+?)\)\s+FILTER"
+                    r"\s*\(\s*WHERE\s+(?P<p>.+)\)\s+AS\s+(?P<a>"
+                    + _IDENT + ")",
+                    item, flags=re.IGNORECASE | re.DOTALL,
+                )
+                if im:
+                    distincts.append([
                         f"CASE WHEN ({im.group('p').strip()}) THEN "
                         f"({im.group('e').strip()}) END",
                         im.group("a"),
@@ -469,10 +490,12 @@ class LakehouseSession:
                     continue
                 if re.search(r"\)\s+FILTER\s*\(", item, flags=re.IGNORECASE):
                     # keep the generic agg pattern's greedy expr from
-                    # silently swallowing an unsupported FILTER clause
+                    # silently swallowing a malformed FILTER clause
                     raise ValueError(
-                        "FILTER (WHERE p) is supported on COUNT(*) and "
-                        f"SUM(e) only — got: {item!r}\n{_GRAMMAR}"
+                        "could not parse FILTER clause item — expected "
+                        "COUNT(*)|SUM|MIN|MAX|AVG|COUNT(DISTINCT e) "
+                        f"FILTER (WHERE p) AS alias, got: {item!r}"
+                        f"\n{_GRAMMAR}"
                     )
                 im = re.fullmatch(
                     r"COUNT\s*\(\s*DISTINCT\s+(?P<e>.+)\)\s+AS\s+(?P<a>"

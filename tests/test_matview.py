@@ -1758,11 +1758,40 @@ def test_mv_filter_clause_aggregates(spark, lh):
         ("a", 0, None, 1),
         ("b", 1, Decimal("6.00"), 1),
     }
-    # unsupported FILTER targets are refused, not mis-parsed
+    # every aggregate kind takes FILTER via the CASE desugar — MIN
+    # rides the rescan machinery (NULLs ignored), COUNT(DISTINCT) the
+    # support table (NULL values never counted)
+    lh.create("mv2", str(lh.table("mv").path) + "2")
+    lh.sql(
+        "CREATE MATERIALIZED VIEW mv2 AS SELECT k, "
+        "MIN(amt) FILTER (WHERE cust = 2) AS lo_c2, "
+        "AVG(amt) FILTER (WHERE cust = 2) AS avg_c2, "
+        "COUNT(DISTINCT amt) FILTER (WHERE cust = 2) AS nv_c2, "
+        "COUNT(*) AS n FROM base GROUP BY k"
+    )
+    lh.sql("DELETE FROM base WHERE k = 'b'")
+    lh.sql("REFRESH MATERIALIZED VIEW mv2")
+    got = {
+        tuple(r2)
+        for r2 in lh.sql(
+            "SELECT k, lo_c2, avg_c2, nv_c2, n FROM mv2"
+        ).collect()
+    }
+    want = {
+        tuple(r2)
+        for r2 in lh.sql(
+            "SELECT k, MIN(amt) FILTER (WHERE cust = 2) AS lo_c2, "
+            "CAST(AVG(amt) FILTER (WHERE cust = 2) AS DOUBLE) AS avg_c2, "
+            "COUNT(DISTINCT amt) FILTER (WHERE cust = 2) AS nv_c2, "
+            "COUNT(*) AS n FROM base GROUP BY k"
+        ).collect()
+    }
+    assert got == want
+    # malformed FILTER items still refuse rather than mis-parse
     with pytest.raises(ValueError, match="FILTER"):
         lh.sql(
-            "CREATE MATERIALIZED VIEW mv AS SELECT k, "
-            "MIN(amt) FILTER (WHERE cust = 1) AS m FROM base GROUP BY k"
+            "CREATE MATERIALIZED VIEW mv2 AS SELECT k, "
+            "COUNT(amt) FILTER (WHERE cust = 1) AS m FROM base GROUP BY k"
         )
 
 
