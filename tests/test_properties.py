@@ -1039,3 +1039,134 @@ def test_apply_changes_scd2_model(spark, ops, tmp_path_factory):
         else:
             _apply_and_check()
     _apply_and_check()
+
+
+# ---------------------------------------------------------------------------
+# APPLY CHANGES full clause set vs a dict reference model
+# ---------------------------------------------------------------------------
+
+_ac_step = st.tuples(
+    # upserts: key -> (val-or-None, seq, op)
+    st.dictionaries(
+        st.sampled_from(["a", "b", "c", "d"]),
+        st.tuples(
+            st.one_of(st.none(), st.sampled_from(["x", "y", "z"])),
+            st.integers(min_value=0, max_value=5),
+            st.sampled_from(["I", "I", "I", "D"]),  # deletes rarer
+        ),
+        max_size=4,
+    ),
+    # hard deletes
+    st.sets(st.sampled_from(["a", "b", "c", "d"]), max_size=2),
+)
+
+
+@given(
+    snap=st.dictionaries(
+        st.sampled_from(["a", "b", "c", "d"]),
+        st.tuples(
+            st.one_of(st.none(), st.sampled_from(["x", "y", "z"])),
+            st.integers(min_value=0, max_value=5),
+            st.sampled_from(["I", "I", "D"]),
+        ),
+        max_size=4,
+    ),
+    steps=st.lists(_ac_step, min_size=1, max_size=3),
+)
+@settings(**SLOW)
+def test_apply_changes_full_clause_model(spark, tmp_path_factory, snap, steps):
+    """APPLY CHANGES with the FULL clause set — IGNORE NULL UPDATES +
+    APPLY AS DELETE WHEN op = 'D' + SEQUENCE BY seq + COLUMNS * EXCEPT
+    (op), SCD TYPE 1 — against a dict reference model, for any
+    snapshot and mutation sequence. The model encodes the documented
+    semantics: op='D' rows never enter (init) / delete (later, with
+    the winning sequence of the reclassified postimage vs the paired
+    preimage); additive changes apply only when their sequence exceeds
+    the stored one; NULL vals keep the current value; hard deletes use
+    the deleted row's sequence."""
+    from aws_lakehouse_project_spark.plans.lakehouse_sql import (
+        LakehouseSession,
+    )
+
+    work = tmp_path_factory.mktemp("ac_model")
+    lh = LakehouseSession(spark)
+    lh.create("src", str(work / "src"))
+    lh.create("dim", str(work / "dim"))
+
+    def df_of(d):
+        from pyspark.sql import Row
+        rows = [
+            Row(k=k, val=v, seq=s, op=o) for k, (v, s, o) in sorted(d.items())
+        ]
+        return spark.createDataFrame(
+            rows, "k string, val string, seq bigint, op string"
+        )
+
+    src_state = dict(snap)
+    df_of(src_state).createOrReplaceTempView("ac_seed")
+    lh.sql("CREATE TABLE src AS SELECT * FROM ac_seed")
+    stmt = (
+        "APPLY CHANGES INTO dim FROM CHANGES(src) KEYS (k) "
+        "IGNORE NULL UPDATES APPLY AS DELETE WHEN op = 'D' "
+        "SEQUENCE BY seq COLUMNS * EXCEPT (op) SCD TYPE 1"
+    )
+    # first APPLY loads the SNAPSHOT (the documented init contract);
+    # the mutation commits after it fold per-commit
+    lh.sql(stmt)
+    commits = []  # (before, after) per data commit, in order
+    for upserts, deletes in steps:
+        if deletes:
+            before = dict(src_state)
+            for k in deletes:
+                src_state.pop(k, None)
+            lh.table("src").delete_where(
+                spark,
+                " OR ".join(f"k = '{k}'" for k in sorted(deletes)),
+            )
+            commits.append((before, dict(src_state)))
+        if upserts:
+            before = dict(src_state)
+            src_state.update(upserts)
+            lh.table("src").merge_upsert(spark, df_of(upserts), keys=["k"])
+            commits.append((before, dict(src_state)))
+    lh.sql(stmt)
+
+    # ---- reference model -------------------------------------------------
+    dim = {
+        k: (v, s)
+        for k, (v, s, o) in snap.items()
+        if o != "D"  # delete-marked snapshot rows never enter
+    }
+    for before, after in commits:
+        for k in sorted(set(before) | set(after)):
+            b, a = before.get(k), after.get(k)
+            if b == a:
+                continue
+            cur = dim.get(k)
+            if a is None:  # hard delete: deleted row's seq
+                kind, seq = "del", b[1]
+            elif a[2] == "D":
+                # reclassified delete; if an update pair, the paired
+                # preimage is also delete-side and the higher sequence
+                # wins the dedup window
+                kind = "del"
+                seq = a[1] if b is None else max(a[1], b[1])
+            else:
+                kind, seq = "add", a[1]
+            if kind == "del":
+                if cur is not None and seq >= cur[1]:
+                    del dim[k]
+            else:
+                if cur is None or seq > cur[1]:
+                    val = a[0]
+                    if val is None and cur is not None:
+                        val = cur[0]  # IGNORE NULL UPDATES
+                    dim[k] = (val, seq)
+
+    got = {
+        r["k"]: (r["val"], r["seq"])
+        for r in lh.sql("SELECT k, val, seq FROM dim").collect()
+    }
+    assert got == dim
+    # and the statement is idempotent at head
+    assert lh.sql(stmt).first()["mode"] == "noop"
