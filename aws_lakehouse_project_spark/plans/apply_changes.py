@@ -257,9 +257,20 @@ def _split_track_history(
     the current row's ``start_v`` and merges on it). A key routed in
     place keeps its paired preimage OUT of the kernel feed — a leaked
     preimage would read as a pure delete and close the row. New keys
-    (no current row) always route to the kernel (they open)."""
+    (no current row) always route to the kernel (they open).
+
+    Routing is per KEY, not per row: a commit carrying several
+    additive rows for one key (legal without SEQUENCE BY) routes the
+    WHOLE key to the kernel if ANY of its rows is a tracked change —
+    per-row routing would emit contradictory merge rows for the same
+    ``(keys, start_v)`` (an in-place rewrite AND a kernel close). A
+    key whose rows are all untracked-only collapses to ONE in-place
+    row (deterministic hash tiebreak, mirroring the sequence filter's
+    multi-row discipline)."""
     from functools import reduce
     from operator import or_
+
+    from pyspark.sql import Window
 
     add_t = F.col("_change_type").isin("insert", "update_postimage")
     add = feed.filter(add_t)
@@ -277,13 +288,20 @@ def _split_track_history(
         else F.lit(False)
     )
     route_normal = F.col("__has_cur").isNull() | changed_tracked
-    normal_add = j.where(route_normal).select(
-        F.col("n._change_type").alias("_change_type"),
-        *keys,
-        *[F.col(f"n.{a}").alias(a) for a in attrs],
+    normal_keys = (
+        j.groupBy(*keys)
+        .agg(F.max(route_normal.cast("int")).alias("__any"))
+        .where(F.col("__any") == 1)
+        .select(*keys)
     )
-    inplace = j.where(~route_normal).select(
-        *keys, *[F.col(f"n.{a}").alias(a) for a in attrs]
+    normal_add = add.join(normal_keys, keys, "left_semi")
+    w = Window.partitionBy(*keys).orderBy(F.xxhash64(*attrs).desc())
+    inplace = (
+        j.join(normal_keys, keys, "left_anti")
+        .select(*keys, *[F.col(f"n.{a}").alias(a) for a in attrs])
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
     )
     others = feed.filter(~add_t).join(
         inplace.select(*keys).distinct(), keys, "left_anti"

@@ -534,10 +534,19 @@ class LakehouseSession:
                     r"(?P<e>.+)\s+AS\s+(?P<a>" + _IDENT + ")",
                     item, flags=re.IGNORECASE | re.DOTALL,
                 )
-                if im:
+                if im and not re.match(
+                    r"(?:SUM|MIN|MAX|AVG|COUNT)\s*\(",
+                    im.group("e").strip(),
+                    flags=re.IGNORECASE,
+                ):
                     # EXPRESSION group key candidate (GROUP BY
                     # date_trunc('month', dt) — the canonical rollup):
-                    # resolved against the GROUP BY entries below
+                    # resolved against the GROUP BY entries below. An
+                    # aggregate-shaped expr that reached here is an
+                    # UNSUPPORTED aggregate item (e.g. COUNT(col)) —
+                    # let it fall to the precise item error instead of
+                    # silently absorbing it as a key and failing later
+                    # with a raw AnalysisException inside withColumn.
                     expr_keys.append([im.group("e").strip(), im.group("a")])
                     continue
                 raise ValueError(

@@ -2066,3 +2066,58 @@ def test_mv_expression_group_keys(spark, tmp_path):
             "SELECT upper(seg) AS s2, COUNT(*) AS n "
             "FROM base JOIN di USING (k) GROUP BY upper(seg)"
         )
+
+
+def test_track_history_multi_row_key_routes_per_key(spark, lha):
+    """Review fix: a commit carrying BOTH an untracked-only row and a
+    tracked-change row for the same key (legal without SEQUENCE BY)
+    must route the WHOLE key through the kernel — per-row routing
+    would emit contradictory merge rows for the same (keys, start_v)
+    and could leave two open rows. And a key with several
+    untracked-only rows collapses to ONE in-place row."""
+    spark.createDataFrame(
+        [Row(k="a", seg="s1", bal=Decimal("10.00"))],
+        "k string, seg string, bal decimal(12,2)",
+    ).createOrReplaceTempView("thm0")
+    lha.sql("CREATE TABLE src AS SELECT * FROM thm0")
+    stmt = (
+        "APPLY CHANGES INTO dim FROM CHANGES(src) KEYS (k) "
+        "TRACK HISTORY ON * EXCEPT (bal) SCD TYPE 2"
+    )
+    lha.sql(stmt)
+    # one commit inserts TWO rows for 'a': an untracked-only twin
+    # (same seg, new bal) and a tracked change (new seg)
+    spark.createDataFrame(
+        [Row(k="a", seg="s1", bal=Decimal("99.00")),
+         Row(k="a", seg="s2", bal=Decimal("10.00"))],
+        "k string, seg string, bal decimal(12,2)",
+    ).createOrReplaceTempView("thm1")
+    lha.sql("INSERT INTO src SELECT * FROM thm1")
+    lha.sql(stmt)
+    rows = sorted(
+        tuple(r)
+        for r in lha.sql(
+            "SELECT k, seg, bal, start_v, is_current FROM dim"
+        ).collect()
+    )
+    # the whole key went through the kernel: row0 closed exactly once,
+    # both new rows opened at ordinal 1; NO in-place rewrite of (a, 0)
+    assert ("a", "s1", Decimal("10.00"), 0, False) in rows
+    opens = [r for r in rows if r[4]]
+    assert {(r[1], r[2]) for r in opens} == {
+        ("s1", Decimal("99.00")), ("s2", Decimal("10.00")),
+    }
+    assert all(r[3] == 1 for r in opens)
+
+
+def test_mv_rejects_unsupported_aggregate_items_precisely(spark, lh):
+    """Review fix: COUNT(col) (or a misspelled aggregate) must hit the
+    precise items error, not be absorbed as an expression group key
+    and fail later inside withColumn with a raw AnalysisException."""
+    _mk(spark, [("a", "1.00")]).createOrReplaceTempView("uai0")
+    lh.sql("CREATE TABLE base AS SELECT * FROM uai0")
+    with pytest.raises(ValueError, match="items must be group keys"):
+        lh.sql(
+            "CREATE MATERIALIZED VIEW mv AS SELECT k, "
+            "COUNT(amt) AS n FROM base GROUP BY k"
+        )
