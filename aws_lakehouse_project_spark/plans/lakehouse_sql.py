@@ -581,6 +581,23 @@ class LakehouseSession:
                         f"that expression's exact text\n{_GRAMMAR}"
                     )
             keys = [a for _, a in key_exprs]
+            # an expr item no GROUP BY entry references is either an
+            # unsupported aggregate (MEDIAN(x) AS a) or a stray
+            # projection — name it with the items error, not a
+            # confusing key-set mismatch
+            unref = [
+                f"{e} AS {a}"
+                for e, a in expr_keys
+                if [e, a] not in key_exprs
+            ]
+            if unref:
+                raise ValueError(
+                    f"selected items {unref} are not GROUP BY keys — "
+                    "materialized view items must be group keys "
+                    "(column or expr AS alias), SUM/MIN/MAX/AVG(expr) "
+                    "AS alias, COUNT(DISTINCT expr) AS alias, or "
+                    f"COUNT(*) AS alias\n{_GRAMMAR}"
+                )
             sel_out = set(selected_keys) | {a for _, a in expr_keys}
             if sel_out != set(keys):
                 raise ValueError(

@@ -182,7 +182,9 @@ def test_parse_rejections(spark, lh):
             "CREATE MATERIALIZED VIEW mv AS "
             "SELECT k, MEDIAN(amt) AS a FROM base GROUP BY k"
         )
-    with pytest.raises(ValueError, match="plain columns"):
+    # r13: GROUP BY expressions are legal when SELECTED — an
+    # unselected one is now named as such
+    with pytest.raises(ValueError, match="selected"):
         lh.sql(
             "CREATE MATERIALIZED VIEW mv AS "
             "SELECT k, SUM(amt) AS t FROM base GROUP BY upper(k)"
