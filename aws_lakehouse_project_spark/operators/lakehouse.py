@@ -2995,6 +2995,10 @@ MATERIALIZED_VIEW_FILTER_ORACLE = """
              AS n_even,
            CAST(SUM(price) FILTER (WHERE cust_id % 2 = 0) AS DOUBLE)
              AS rev_even,
+           CAST(MIN(price) FILTER (WHERE cust_id % 2 = 0) AS DOUBLE)
+             AS lo_even,
+           CAST(COUNT(DISTINCT cust_id) FILTER (WHERE cust_id % 2 = 0)
+                AS BIGINT) AS nc_even,
            CAST(SUM(price) AS DOUBLE) AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_orders
     FROM fact GROUP BY dt
@@ -3008,16 +3012,20 @@ def q_materialized_view_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional aggregates in a declarative MV — the reference's
     converted-leads shape (``fct_daily_store_metrics.sql:13``:
     ``count(*) filter (where status='converted')``) as maintained
-    state: ``COUNT(*) FILTER (WHERE p)`` and ``SUM(e) FILTER (WHERE
-    p)`` desugar in the MV grammar onto the existing SUM fold (CASE
-    WHEN), which is EXACT — the filtered count is 0 while the group
-    lives (CASE emits 0, never NULL) and the filtered sum goes NULL
-    when the last predicate-true row leaves (the hidden non-null
-    count's contract). The UPDATE/INSERT/DELETE churn moves rows in
-    and out of the predicate cohort; one REFRESH folds it all. Guards:
-    incremental + idempotent. Oracle = DuckDB's native FILTER clause
-    over the final state. Base history = the family's shared fixture,
-    view declared VERSION AS OF its pre-mutation version."""
+    state, on EVERY aggregate kind: ``COUNT(*)``/``SUM``/``MIN``/
+    ``COUNT(DISTINCT)`` ``FILTER (WHERE p)`` each desugar in the MV
+    grammar to ``AGG(CASE WHEN p THEN e END)`` and ride their existing
+    folds EXACTLY — the filtered count is 0 while the group lives
+    (CASE emits 0, never NULL), the filtered sum goes NULL when the
+    last predicate-true row leaves (the hidden non-null count's
+    contract), the filtered MIN rides the rescan machinery (NULLs
+    never probe), and the filtered distinct count rides the support
+    table (NULL values never counted). The UPDATE/INSERT/DELETE churn
+    moves rows in and out of the predicate cohort; one REFRESH folds
+    it all. Guards: incremental + idempotent. Oracle = DuckDB's native
+    FILTER clause over the final state. Base history = the family's
+    shared fixture, view declared VERSION AS OF its pre-mutation
+    version."""
     from ..plans.lakehouse_sql import LakehouseSession
 
     work = scratch_dir("spark_graft_matview_filter", unique=True)
@@ -3029,6 +3037,9 @@ def q_materialized_view_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CREATE MATERIALIZED VIEW daily_split AS "
         "SELECT dt, COUNT(*) FILTER (WHERE cust_id % 2 = 0) AS n_even, "
         "SUM(price) FILTER (WHERE cust_id % 2 = 0) AS rev_even, "
+        "MIN(price) FILTER (WHERE cust_id % 2 = 0) AS lo_even, "
+        "COUNT(DISTINCT cust_id) FILTER (WHERE cust_id % 2 = 0) "
+        "AS nc_even, "
         "SUM(price) AS revenue, COUNT(*) AS n_orders "
         f"FROM fact VERSION AS OF {v0} GROUP BY dt"
     )
@@ -3041,6 +3052,7 @@ def q_materialized_view_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise AssertionError(f"second refresh not a no-op: {r2}")
     return lh.sql(
         "SELECT dt, n_even, CAST(rev_even AS DOUBLE) AS rev_even, "
+        "CAST(lo_even AS DOUBLE) AS lo_even, nc_even, "
         "CAST(revenue AS DOUBLE) AS revenue, n_orders FROM daily_split"
     )
 
