@@ -419,6 +419,97 @@ def q_scd2_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SCD2_FROM_SNAPSHOT_ORACLE = """
+    WITH c AS (
+      SELECT c_custkey AS cust_id, c_mktsegment AS segment FROM customer
+    ),
+    rows AS (
+      SELECT cust_id, segment, 0 AS start_v,
+             CASE WHEN cust_id % 7 = 0 OR cust_id % 3 = 0 THEN 1
+             END AS end_v
+      FROM c
+      UNION ALL
+      SELECT cust_id, segment || '_v2', 1, NULL
+      FROM c WHERE cust_id % 3 = 0 AND cust_id % 7 <> 0
+      UNION ALL
+      SELECT cust_id, 'WINBACK', 2, NULL FROM c WHERE cust_id % 21 = 0
+    )
+    SELECT cust_id, segment,
+           CAST(start_v AS BIGINT) AS start_v,
+           CAST(end_v AS BIGINT) AS end_v,
+           end_v IS NULL AS is_current
+    FROM rows
+"""
+
+
+@demo_query("q_scd2_from_snapshot", oracle=SCD2_FROM_SNAPSHOT_ORACLE)
+def q_scd2_from_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``APPLY CHANGES INTO … FROM SNAPSHOT`` — DLT's second ingestion
+    verb and the reference's actual cadence (full 6-hourly re-ingests,
+    ``airflow/dags/lakehouse_pipelines.py:105``): the source is
+    REPLACED wholesale each cycle and the engine diffs consecutive
+    snapshots on KEYS (``plans/apply_changes.py::_snapshot_feed`` —
+    built from the commit's netted multiset CDF, so unchanged rows
+    never rejoin). Scenario: snapshot 1 = all customers; snapshot 2
+    drops every %7 customer (ABSENCE closes their history rows) and
+    suffixes every %3 segment (close+open); snapshot 3 brings the %21
+    cohort BACK as 'WINBACK' (a re-appearing key opens a NEW row under
+    the same key — the resurrection shape CDC feeds rarely exercise).
+    One APPLY folds both pending re-ingests as ordinals 1 and 2;
+    guards assert init → incremental(2) → noop. Oracle reconstructs
+    the full expected history."""
+    import os
+
+    from ..functions.scratch import scratch_dir
+    from ..plans.lakehouse_sql import LakehouseSession
+
+    work = scratch_dir("spark_graft_scd2snap", unique=True)
+    lh = LakehouseSession(spark)
+    lh.create("cust", os.path.join(work, "src"), stats_cols=["cust_id"])
+    lh.create("dim_hist", os.path.join(work, "hist"))
+    load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust_id"),
+        F.col("c_mktsegment").alias("segment"),
+    ).createOrReplaceTempView("cust_snap_src")
+    lh.sql("CREATE TABLE cust AS SELECT * FROM cust_snap_src")
+
+    stmt = (
+        "APPLY CHANGES INTO dim_hist FROM SNAPSHOT cust "
+        "KEYS (cust_id) SCD TYPE 2"
+    )
+    r0 = lh.sql(stmt).first()
+    if r0["mode"] != "init":
+        raise AssertionError(f"first APPLY must init, got {r0}")
+    # re-ingest 1: %7 gone, %3 segments suffixed
+    lh.sql(
+        "CREATE OR REPLACE TABLE cust AS "
+        "SELECT cust_id, CASE WHEN cust_id % 3 = 0 "
+        "THEN concat(segment, '_v2') ELSE segment END AS segment "
+        "FROM cust_snap_src WHERE cust_id % 7 <> 0"
+    )
+    # re-ingest 2: the %21 cohort returns as WINBACK
+    lh.sql(
+        "CREATE OR REPLACE TABLE cust AS "
+        "SELECT cust_id, CASE WHEN cust_id % 3 = 0 "
+        "THEN concat(segment, '_v2') ELSE segment END AS segment "
+        "FROM cust_snap_src WHERE cust_id % 7 <> 0 "
+        "UNION ALL "
+        "SELECT cust_id, 'WINBACK' AS segment "
+        "FROM cust_snap_src WHERE cust_id % 21 = 0"
+    )
+    r1 = lh.sql(stmt).first()
+    if r1["mode"] != "incremental" or r1["ordinals_applied"] != 2:
+        raise AssertionError(f"expected 2 incremental ordinals, got {r1}")
+    r2 = lh.sql(stmt).first()
+    if r2["mode"] != "noop" or r2["ordinals_applied"] != 0:
+        raise AssertionError(f"third APPLY not a no-op: {r2}")
+    return lh.sql(
+        "SELECT CAST(cust_id AS BIGINT) AS cust_id, segment, "
+        "CAST(start_v AS BIGINT) AS start_v, "
+        "CAST(end_v AS BIGINT) AS end_v, is_current FROM dim_hist"
+    )
+
+
 SCD1_SQL_ORACLE = """
     SELECT c_custkey AS cust_id,
            CASE WHEN c_custkey % 3 = 0 THEN c_mktsegment || '_v2'

@@ -447,6 +447,82 @@ def q_wap_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NOTNULL_CONSTRAINT_ORACLE = """
+    SELECT c_custkey AS cust_id, c_mktsegment AS segment
+    FROM customer WHERE c_custkey % 7 <> 0
+    UNION ALL
+    SELECT -1 AS cust_id, 'SENTINEL' AS segment
+"""
+
+
+@demo_query("q_notnull_constraint", oracle=NOTNULL_CONSTRAINT_ORACLE)
+def q_notnull_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT NULL column constraints beside CHECK (Delta ships both;
+    ``plans/versioned.py::set_not_null`` — r13 verdict task 8): the
+    invariant is validated against existing data at DDL time, persisted
+    through the SAME constraint channel CHECK uses, and enforced on
+    every later commit inside the stats pass. Gates driven in order,
+    failing the query if any misbehaves: (1) ``ALTER COLUMN segment SET
+    NOT NULL`` on clean data commits metadata-only and DESCRIBE DETAIL
+    surfaces it; (2) an INSERT carrying a NULL segment is REFUSED with
+    the head unmoved; (3) a WAP append staging a NULL is refused before
+    visibility (the constraint rides the staging pass, before any
+    audit); (4) ``DROP NOT NULL`` re-admits NULLs, and re-SETTING while
+    NULL rows exist refuses; (5) after deleting the NULL rows, SET
+    succeeds again and a valid sentinel row flows. Oracle = the final
+    state (%7 customers deleted, sentinel appended)."""
+    from ..plans.lakehouse_sql import LakehouseSession
+    from ..plans.versioned import ConstraintViolationError
+
+    work = scratch_dir("spark_graft_notnull", unique=True)
+    lh = LakehouseSession(spark)
+    lh.create("dimc", os.path.join(work, "dim"), stats_cols=["cust_id"])
+    load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust_id"),
+        F.col("c_mktsegment").alias("segment"),
+    ).createOrReplaceTempView("nn_src")
+    lh.sql("CREATE TABLE dimc AS SELECT * FROM nn_src")
+    lh.sql("ALTER TABLE dimc ALTER COLUMN segment SET NOT NULL")
+    desc = lh.sql("DESCRIBE DETAIL dimc").first()
+    if desc["not_null_columns"] != "segment":
+        raise AssertionError(f"DESCRIBE DETAIL missing NOT NULL: {desc}")
+    vt = lh.table("dimc")
+    head = vt.latest_version()
+    bad = spark.createDataFrame(
+        [(-9, None)], "cust_id bigint, segment string"
+    )
+    try:
+        vt.append(bad)
+        raise AssertionError("NULL insert was not rejected")
+    except ConstraintViolationError:
+        pass
+    try:
+        vt.write_audit_publish(spark, bad, audits=[], mode="append")
+        raise AssertionError("NULL WAP append was not rejected")
+    except ConstraintViolationError:
+        pass
+    if vt.latest_version() != head:
+        raise AssertionError("rejected NULL write moved the head")
+    lh.sql("ALTER TABLE dimc ALTER COLUMN segment DROP NOT NULL")
+    vt.append(bad)
+    try:
+        lh.sql("ALTER TABLE dimc ALTER COLUMN segment SET NOT NULL")
+        raise AssertionError("SET NOT NULL over existing NULLs not refused")
+    except ConstraintViolationError:
+        pass
+    lh.sql("DELETE FROM dimc WHERE segment IS NULL")
+    lh.sql("ALTER TABLE dimc ALTER COLUMN segment SET NOT NULL")
+    lh.sql("DELETE FROM dimc WHERE cust_id % 7 = 0")
+    vt.append(
+        spark.createDataFrame(
+            [(-1, "SENTINEL")], "cust_id bigint, segment string"
+        )
+    )
+    return lh.sql(
+        "SELECT CAST(cust_id AS BIGINT) AS cust_id, segment FROM dimc"
+    )
+
+
 TABLE_CLONE_ORACLE = f"""
     WITH {_DAILY_CTE},
     mx AS (SELECT MAX(cust_id) AS m FROM daily),
@@ -2544,6 +2620,70 @@ def q_materialized_view_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MATERIALIZED_VIEW_WHERE_ORACLE = """
+    WITH fact AS (
+      SELECT CAST(o_orderdate AS DATE) AS dt,
+             CAST(CASE WHEN o_orderkey % 7 = 0 AND o_orderkey % 10 <> 0
+                  THEN CAST(o_totalprice AS DECIMAL(12,2)) * 2
+                  ELSE CAST(o_totalprice AS DECIMAL(12,2)) END
+                  AS DECIMAL(12,2)) AS price
+      FROM orders WHERE o_custkey % 5 <> 0
+    )
+    SELECT dt,
+           CAST(SUM(price) AS DOUBLE) AS revenue,
+           CAST(MIN(price) AS DOUBLE) AS lo,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM fact WHERE FLOOR(price) % 4 < 2 GROUP BY dt
+"""
+
+
+@demo_query(
+    "q_materialized_view_where", oracle=MATERIALIZED_VIEW_WHERE_ORACLE
+)
+def q_materialized_view_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View-level WHERE in a declarative materialized view — the
+    reference's staging-then-aggregate composition
+    (``dbt/models/staging/stg_erp_orders.sql:3-9`` filtering before
+    ``dbt/models/marts/fct_daily_store_metrics.sql:8-13`` aggregates)
+    as ONE maintained artifact: ``CREATE MATERIALIZED VIEW … AS SELECT
+    dt, SUM(price), MIN(price), COUNT(*) FROM fact WHERE p GROUP BY
+    dt``. Selection is linear in the signed-fold algebra (Δσ_p(R) =
+    σ_p(ΔR)), so every maintenance frame — the multi-commit CDF net,
+    the MIN retraction rescan slice — just filters by ``p`` first
+    (``plans/matview.py::_with_where``). The predicate ``floor(price)
+    % 4 < 2`` is chosen so the fixture's %7 price-doubling UPDATE
+    moves rows across the boundary in BOTH directions (residues 1→2
+    leave, 2→0 enter), the INSERT lands a mixed cohort, and the DELETE
+    retracts filtered groups — then ONE incremental REFRESH must equal
+    the filtered recompute (oracle). Guards: refresh is INCREMENTAL,
+    second refresh is a watermark no-op. Shared read-only base history
+    (``_mv_fact_fixture``), view declared VERSION AS OF v0."""
+    from ..plans.lakehouse_sql import LakehouseSession
+
+    work = scratch_dir("spark_graft_matview_where", unique=True)
+    fact_path, v0 = _mv_fact_fixture(spark, sf_dir)
+    lh = LakehouseSession(spark)
+    lh.register("fact", VersionedTable(fact_path))
+    lh.create("cheap_rev", os.path.join(work, "mv"))
+    lh.sql(
+        "CREATE MATERIALIZED VIEW cheap_rev AS "
+        "SELECT dt, SUM(price) AS revenue, MIN(price) AS lo, "
+        "COUNT(*) AS n_orders "
+        f"FROM fact VERSION AS OF {v0} "
+        "WHERE floor(price) % 4 < 2 GROUP BY dt"
+    )
+    r1 = lh.sql("REFRESH MATERIALIZED VIEW cheap_rev").first()
+    if r1["mode"] != "incremental":
+        raise AssertionError(f"expected incremental refresh, got {r1}")
+    r2 = lh.sql("REFRESH MATERIALIZED VIEW cheap_rev").first()
+    if r2["mode"] != "noop" or r2["version"] != r1["version"]:
+        raise AssertionError(f"second refresh not a no-op: {r2}")
+    return lh.sql(
+        "SELECT dt, CAST(revenue AS DOUBLE) AS revenue, "
+        "CAST(lo AS DOUBLE) AS lo, n_orders FROM cheap_rev"
+    )
+
+
 COPY_INTO_ORACLE = """
     SELECT o_orderkey, o_custkey AS cust_id,
            CAST(o_orderdate AS DATE) AS dt,
@@ -2655,6 +2795,84 @@ def q_materialized_view_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lh.sql(
         "SELECT nation, CAST(revenue AS DOUBLE) AS revenue, n_lines "
         "FROM nation_rev"
+    )
+
+
+MATERIALIZED_VIEW_JOIN_EXPRKEY_ORACLE = """
+    WITH fact AS (
+      SELECT o_orderkey, o_custkey AS cust_id,
+             CAST(CASE WHEN o_orderkey % 7 = 0
+                  THEN CAST(o_totalprice AS DECIMAL(12,2)) * 2
+                  ELSE CAST(o_totalprice AS DECIMAL(12,2)) END
+                  AS DECIMAL(12,2)) AS price
+      FROM orders WHERE o_custkey % 5 <> 0
+    ),
+    dim AS (
+      SELECT c_custkey AS cust_id,
+             CAST(CASE WHEN c_custkey % 3 = 0 THEN (c_nationkey + 1) % 25
+                  ELSE c_nationkey END AS INTEGER) AS nation
+      FROM customer
+    )
+    SELECT CAST(nation % 5 AS INTEGER) AS region,
+           CAST(FLOOR(price / 1000) AS BIGINT) AS band,
+           CAST(SUM(price) AS DOUBLE) AS revenue,
+           CAST(MIN(price) AS DOUBLE) AS lo,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM fact JOIN dim USING (cust_id)
+    GROUP BY 1, 2
+"""
+
+
+@demo_query(
+    "q_materialized_view_join_exprkey",
+    oracle=MATERIALIZED_VIEW_JOIN_EXPRKEY_ORACLE,
+)
+def q_materialized_view_join_exprkey(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXPRESSION group keys on a JOIN materialized view — the r13
+    single-table feature extended per the r13 verdict (task 4): the MV
+    groups ``fact ⋈ dim`` by a DIM-side expression (``nation % 5 AS
+    region``) and a FACT-side expression (``floor(price / 1000) AS
+    band``). Each expression is computable from ONE side's columns, so
+    the MIN retraction's join-slice rescan prunes each base by
+    MATERIALIZING its own expression and semi-joining the triggered
+    aliases (``plans/matview.py::_stamp_side``) — a genuine cross-side
+    expression refuses at create instead of degrading the rescan to a
+    full join. Churn: the fact MERGE doubles %7 prices (rows move
+    between bands AND retract band minima) and deletes %5 customers;
+    the dim UPDATE moves %3 customers' nations (rows move between
+    regions). ONE REFRESH folds the bilinear delta through the stamped
+    keys; guards assert incremental + noop. Oracle = full recompute.
+    Shared read-only fixture (``_mv_join_fixture``), views declared
+    VERSION AS OF each base's pre-mutation version."""
+    from ..plans.lakehouse_sql import LakehouseSession
+
+    work = scratch_dir("spark_graft_mvjoinek", unique=True)
+    fpath, dpath, fv0, dv0 = _mv_join_fixture(spark, sf_dir)
+    lh = LakehouseSession(spark)
+    lh.register("fact", VersionedTable(fpath))
+    lh.register("dim", VersionedTable(dpath))
+    lh.create("region_band", os.path.join(work, "mv"))
+    lh.sql(
+        "CREATE MATERIALIZED VIEW region_band AS "
+        "SELECT nation % 5 AS region, floor(price / 1000) AS band, "
+        "SUM(price) AS revenue, MIN(price) AS lo, COUNT(*) AS n_lines "
+        f"FROM fact VERSION AS OF {fv0} "
+        f"JOIN dim VERSION AS OF {dv0} USING (cust_id) "
+        "GROUP BY nation % 5, floor(price / 1000)"
+    )
+    r1 = lh.sql("REFRESH MATERIALIZED VIEW region_band").first()
+    if r1["mode"] != "incremental":
+        raise AssertionError(f"expected incremental refresh, got {r1}")
+    r2 = lh.sql("REFRESH MATERIALIZED VIEW region_band").first()
+    if r2["mode"] != "noop" or r2["version"] != r1["version"]:
+        raise AssertionError(f"second refresh not a no-op: {r2}")
+    return lh.sql(
+        "SELECT CAST(region AS INT) AS region, "
+        "CAST(band AS BIGINT) AS band, "
+        "CAST(revenue AS DOUBLE) AS revenue, "
+        "CAST(lo AS DOUBLE) AS lo, n_lines FROM region_band"
     )
 
 
@@ -2815,9 +3033,10 @@ def q_materialized_view_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if n1 < 2:
         raise AssertionError(f"expected several folded batches, got {n1}")
+    # the replay drain folds nothing — one batch over the whole feed
+    # proves the watermark filter just as well (per-row, not per-batch)
     n2 = stream_refresh_materialized_view(
         spark, mv, fact, os.path.join(work, "ckpt2"),  # FRESH checkpoint
-        max_files_per_trigger=1,
     )
     if n2 != 0:
         raise AssertionError(f"fresh-checkpoint replay double-folded: {n2}")
@@ -3093,7 +3312,9 @@ def q_materialized_view_stream_minmax(
     out-of-order delivery window never leaks unfolded commits into the
     rescan. The UPDATE retracts old prices (day extrema move) and the
     DELETE retracts whole cohorts, so the drain exercises both the
-    fold and rescan paths across micro-batches (maxFilesPerTrigger=1).
+    fold and rescan paths across micro-batches (maxFilesPerTrigger=2 —
+    batched drains per the r13 verdict; one-file-per-batch delivery
+    stays covered by q_materialized_view_stream).
     Guards: several batches folded, a fresh-checkpoint replay folds
     NOTHING, and a subsequent batch REFRESH is a noop. Oracle = full
     recompute of the final state. Own CDF fixture (streaming needs
@@ -3134,15 +3355,22 @@ def q_materialized_view_stream_minmax(
     lh.sql("DELETE FROM fact WHERE cust_id % 5 = 0")
 
     mv, fact = lh.table("daily_span"), lh.table("fact")
+    # maxFilesPerTrigger=2 batches the drain (r13 verdict task 5: the
+    # fold already nets whole micro-batches, so fewer bigger batches
+    # amortize per-commit drain overhead with fold semantics untouched)
+    # while still forcing >1 batch; the adversarial one-file-per-batch
+    # delivery stays covered by q_materialized_view_stream and the
+    # out-of-order unit tests. The replay drain folds nothing, so it
+    # reads the whole feed in ONE batch — the watermark filter proof
+    # is per-row, not per-batch.
     n1 = stream_refresh_materialized_view(
         spark, mv, fact, os.path.join(work, "ckpt1"),
-        max_files_per_trigger=1,
+        max_files_per_trigger=2,
     )
     if n1 < 2:
         raise AssertionError(f"expected several folded batches, got {n1}")
     n2 = stream_refresh_materialized_view(
         spark, mv, fact, os.path.join(work, "ckpt2"),  # FRESH checkpoint
-        max_files_per_trigger=1,
     )
     if n2 != 0:
         raise AssertionError(f"fresh-checkpoint replay double-folded: {n2}")

@@ -73,6 +73,31 @@ def _watermark(hist: VersionedTable) -> dict | None:
     return hist.latest_meta(_META_KEY)
 
 
+def _restore_guard(hist: VersionedTable) -> None:
+    """Refuse APPLY CHANGES after a RESTORE of the history/dim table
+    itself — the same failure class ``matview._restore_guard`` blocks
+    for MVs: RESTORE rolls the ROWS back but the restore commit
+    carries no ``apply_changes`` meta, so ``_watermark`` walks past it
+    to the PRE-restore watermark and the next APPLY would fold only
+    post-watermark source changes onto rolled-back rows, committing a
+    silently wrong dimension. One backward meta-only manifest walk —
+    if a ``restore`` commit is newer than the newest commit carrying
+    the apply watermark, demand a rebuild (drop/re-init) instead."""
+    for v in reversed(hist.versions()):
+        raw = hist._raw_manifest(v)  # noqa: SLF001
+        if raw.get("meta", {}).get(_META_KEY) is not None:
+            return
+        if raw.get("op") == "restore":
+            raise ValueError(
+                f"{hist.path}: the APPLY CHANGES target was RESTOREd "
+                f"(commit {v}) after its last apply — its rows no "
+                "longer match the stored watermark, so applying would "
+                "fold source changes onto rolled-back rows. Rebuild "
+                "the dimension instead (drop the table and re-run "
+                "APPLY CHANGES from scratch)"
+            )
+
+
 def _sequence_filter(
     delta: DataFrame,
     cur: DataFrame,
@@ -266,7 +291,12 @@ def _split_track_history(
     ``(keys, start_v)`` (an in-place rewrite AND a kernel close). A
     key whose rows are all untracked-only collapses to ONE in-place
     row (deterministic hash tiebreak, mirroring the sequence filter's
-    multi-row discipline)."""
+    multi-row discipline). A key carrying a REAL ``delete`` change row
+    (not a paired ``update_preimage``) always routes to the kernel:
+    a single-commit delete+insert pair is the documented close-old/
+    open-new shape even when the insert is untracked-only, and the
+    in-place residue drop below would otherwise silently lose the
+    delete."""
     from functools import reduce
     from operator import or_
 
@@ -293,6 +323,13 @@ def _split_track_history(
         .agg(F.max(route_normal.cast("int")).alias("__any"))
         .where(F.col("__any") == 1)
         .select(*keys)
+        .unionByName(
+            # a real delete row forces the kernel path: its key's
+            # close-old/open-new must not degrade to an in-place
+            # rewrite that drops the delete with the preimage residue
+            feed.filter(F.col("_change_type") == "delete").select(*keys)
+        )
+        .distinct()
     )
     normal_add = add.join(normal_keys, keys, "left_semi")
     w = Window.partitionBy(*keys).orderBy(F.xxhash64(*attrs).desc())
@@ -307,6 +344,72 @@ def _split_track_history(
         inplace.select(*keys).distinct(), keys, "left_anti"
     )
     return normal_add.unionByName(others), inplace
+
+
+def _snapshot_feed(
+    delta: DataFrame,
+    keys: list[str],
+    attrs: list[str],
+    src_name: str,
+    version: int,
+) -> DataFrame:
+    """``FROM SNAPSHOT`` (DLT's second ingestion verb — the
+    reference's actual cadence: full 6-hourly re-ingests,
+    ``airflow/dags/lakehouse_pipelines.py:105``): the source commit is
+    a full snapshot, so the change set is the KEY-level diff of
+    consecutive snapshots. Built from the commit's netted multiset
+    CDF (churn-proportional — unchanged rows cancel in the file diff,
+    so a merge-ingested snapshot never re-reads the stable body): a
+    key with any surviving additive row carries its NEW state (insert
+    — the kernel closes+opens changed keys and plain-opens new ones);
+    a key whose residue is purely removed rows left the snapshot
+    (delete — close, or SCD1 remove). Snapshots must be KEY-UNIQUE
+    (DLT's contract): a key with several distinct new rows in one
+    snapshot is rejected loudly (a dup whose twin row is UNCHANGED
+    from the prior snapshot nets away and is undetectable here — the
+    init path's full check catches it when the history starts)."""
+    add_t = F.col("_change_type").isin("insert", "update_postimage")
+    add = delta.filter(add_t).select(*keys, *attrs)
+    if not (
+        add.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") > 1)
+        .isEmpty()
+    ):
+        raise ValueError(
+            f"APPLY CHANGES FROM SNAPSHOT: source {src_name!r} at "
+            f"version {version} carries several distinct rows for one "
+            "KEYS value — snapshots must be key-unique"
+        )
+    dels = (
+        delta.filter(~add_t)
+        .select(*keys, *attrs)
+        .join(add.select(*keys).distinct(), keys, "left_anti")
+        .dropDuplicates(keys)
+    )
+    return add.select(
+        F.lit("insert").alias("_change_type"), *keys, *attrs
+    ).unionByName(
+        dels.select(F.lit("delete").alias("_change_type"), *keys, *attrs)
+    )
+
+
+def _snapshot_unique_guard(
+    base: DataFrame, keys: list[str], src_name: str
+) -> None:
+    """Full key-uniqueness check of the INITIAL snapshot (one pass,
+    once per history — per-commit checks then ride the netted diff)."""
+    if not (
+        base.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") > 1)
+        .isEmpty()
+    ):
+        raise ValueError(
+            f"APPLY CHANGES FROM SNAPSHOT: source {src_name!r}'s "
+            "current snapshot carries several rows for one KEYS value "
+            "— snapshots must be key-unique"
+        )
 
 
 def _apply_delete_when(delta: DataFrame, delete_when: str | None) -> DataFrame:
@@ -335,7 +438,14 @@ def _check_wm(
     except_cols: list[str] | tuple = (),
     ignore_null_updates: bool = False,
     track_except: list[str] | tuple = (),
+    src_from: str = "changes",
 ) -> None:
+    if wm.get("from", "changes") != src_from:
+        raise ValueError(
+            f"APPLY CHANGES: history was built FROM "
+            f"{wm.get('from', 'changes').upper()}, not "
+            f"{src_from.upper()} — one ingestion verb per history"
+        )
     if wm.get("src") != src_name:
         raise ValueError(
             f"APPLY CHANGES: history tracks source {wm.get('src')!r}, "
@@ -393,6 +503,7 @@ def apply_changes_scd2(
     except_cols: list[str] | tuple = (),
     ignore_null_updates: bool = False,
     track_except: list[str] | tuple = (),
+    from_snapshot: bool = False,
 ) -> dict:
     """Advance ``hist`` (SCD2 history) to ``src``'s head. Returns
     ``{"version", "ordinals_applied", "mode"}`` where mode is
@@ -414,10 +525,26 @@ def apply_changes_scd2(
     ``track_except`` (SQL: ``TRACK HISTORY ON * EXCEPT (...)``)
     updates the current row IN PLACE when only the named untracked
     columns changed — history rows open only for tracked-column
-    changes."""
+    changes. ``from_snapshot`` (SQL: ``FROM SNAPSHOT src``) treats
+    each source data commit as a FULL re-ingested snapshot and folds
+    the KEY-level diff of consecutive snapshots (``_snapshot_feed``):
+    a key present in snapshot N−1 and absent in N closes its history
+    row; a re-appearing key opens a new one. CDC-feed clauses that
+    presuppose change semantics (SEQUENCE BY, APPLY AS DELETE WHEN,
+    IGNORE NULL UPDATES) are refused — snapshot order IS the sequence
+    and absence IS the delete."""
     head = src.latest_version()
     if head is None:
         raise ValueError(f"APPLY CHANGES: source {src_name!r} has no commits")
+    if from_snapshot and (
+        seq_col is not None or delete_when is not None or ignore_null_updates
+    ):
+        raise ValueError(
+            "APPLY CHANGES FROM SNAPSHOT: SEQUENCE BY, APPLY AS DELETE "
+            "WHEN and IGNORE NULL UPDATES apply to change feeds only — "
+            "snapshot order is the sequence and a key's absence is its "
+            "delete"
+        )
     attrs = _src_attrs(spark, src, src_name, keys, seq_col, except_cols)
     bad_track = [c for c in (track_except or ()) if c not in attrs]
     if bad_track:
@@ -436,10 +563,13 @@ def apply_changes_scd2(
         "except_cols": list(except_cols or ()),
         "ignore_null_updates": bool(ignore_null_updates),
         "track_except": list(track_except or ()),
+        "from": "snapshot" if from_snapshot else "changes",
     }
     wm = _watermark(hist)
     if wm is None:
         base = src.read(spark, head)
+        if from_snapshot:
+            _snapshot_unique_guard(base, keys, src_name)
         if delete_when is not None:
             # DLT: snapshot rows already matching the delete condition
             # never enter the dimension
@@ -489,7 +619,9 @@ def apply_changes_scd2(
     _check_wm(
         wm, src_name, keys, seq_col, 2, delete_when, except_cols,
         ignore_null_updates, track_except,
+        src_from="snapshot" if from_snapshot else "changes",
     )
+    _restore_guard(hist)
     from_v = int(wm["src_version"])
     ordinal = int(wm["next_ordinal"])
     if head == from_v:
@@ -528,9 +660,12 @@ def apply_changes_scd2(
                 if nxt not in feedless:
                     break
                 wm_v = nxt
-            feed = _apply_delete_when(delta, delete_when).select(
-                "_change_type", *keys, *attrs
-            )
+            if from_snapshot:
+                feed = _snapshot_feed(delta, keys, attrs, src_name, v)
+            else:
+                feed = _apply_delete_when(delta, delete_when).select(
+                    "_change_type", *keys, *attrs
+                )
             seq_feed = None
             if seq_col is not None:
                 seq_feed = _sequence_filter(
@@ -631,6 +766,7 @@ def apply_changes_scd1(
     delete_when: str | None = None,
     except_cols: list[str] | tuple = (),
     ignore_null_updates: bool = False,
+    from_snapshot: bool = False,
 ) -> dict:
     """``APPLY CHANGES ... STORED AS SCD TYPE 1``: the dimension holds
     only each key's LATEST row — additive changes upsert, deletes
@@ -641,10 +777,22 @@ def apply_changes_scd1(
     ``_sequence_filter`` late/duplicate discipline first;
     ``delete_when``/``except_cols`` behave as in the SCD2 form. The dim
     advances via file-granular ``merge_apply`` on the KEYS — cost ∝
-    churn, never the dimension."""
+    churn, never the dimension. ``from_snapshot`` folds the KEY-level
+    diff of consecutive full snapshots instead of a CDC feed (same
+    contract as the SCD2 form — absence deletes, snapshots must be
+    key-unique, CDC-only clauses refused)."""
     head = src.latest_version()
     if head is None:
         raise ValueError(f"APPLY CHANGES: source {src_name!r} has no commits")
+    if from_snapshot and (
+        seq_col is not None or delete_when is not None or ignore_null_updates
+    ):
+        raise ValueError(
+            "APPLY CHANGES FROM SNAPSHOT: SEQUENCE BY, APPLY AS DELETE "
+            "WHEN and IGNORE NULL UPDATES apply to change feeds only — "
+            "snapshot order is the sequence and a key's absence is its "
+            "delete"
+        )
     attrs = _src_attrs(spark, src, src_name, keys, seq_col, except_cols)
     meta_base = {
         "src": src_name,
@@ -654,10 +802,13 @@ def apply_changes_scd1(
         "delete_when": delete_when,
         "except_cols": list(except_cols or ()),
         "ignore_null_updates": bool(ignore_null_updates),
+        "from": "snapshot" if from_snapshot else "changes",
     }
     wm = _watermark(dim)
     if wm is None:
         base = src.read(spark, head)
+        if from_snapshot:
+            _snapshot_unique_guard(base, keys, src_name)
         if delete_when is not None:
             base = base.where(
                 ~F.coalesce(F.expr(delete_when), F.lit(False))
@@ -694,7 +845,9 @@ def apply_changes_scd1(
     _check_wm(
         wm, src_name, keys, seq_col, 1, delete_when, except_cols,
         ignore_null_updates,
+        src_from="snapshot" if from_snapshot else "changes",
     )
+    _restore_guard(dim)
     from_v = int(wm["src_version"])
     ordinal = int(wm["next_ordinal"])
     if head == from_v:
@@ -727,14 +880,19 @@ def apply_changes_scd1(
                 if nxt not in feedless:
                     break
                 wm_v = nxt
-            feed = _apply_delete_when(delta, delete_when).select(
-                "_change_type", *keys, *attrs
-            )
-            if seq_col is not None:
+            if from_snapshot:
+                feed = _snapshot_feed(delta, keys, attrs, src_name, v)
+            elif seq_col is not None:
+                feed = _apply_delete_when(delta, delete_when).select(
+                    "_change_type", *keys, *attrs
+                )
                 feed = _sequence_filter(
                     feed, dim.read(spark), keys, attrs, seq_col
                 )
             else:
+                feed = _apply_delete_when(delta, delete_when).select(
+                    "_change_type", *keys, *attrs
+                )
                 # synthesize the same two-op shape the filter yields:
                 # per key, any additive row upserts; pure-delete keys
                 # delete (one representative row each)

@@ -61,7 +61,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .versioned import _FEEDLESS_OPS, VersionedTable
+from .versioned import _FEEDLESS_OPS, VacuumedVersionError, VersionedTable
 
 _GRAMMAR = """supported statements:
   CREATE [OR REPLACE] TABLE t AS SELECT ... | INSERT INTO t [REPLACE WHERE p] SELECT ...
@@ -76,6 +76,9 @@ _GRAMMAR = """supported statements:
     (c pre-registered; SHALLOW is metadata-only — source files by
     reference, independent history from the clone commit on)
   ALTER TABLE t ADD CONSTRAINT name CHECK (expr) | ALTER TABLE t DROP CONSTRAINT name
+  ALTER TABLE t ALTER COLUMN c SET NOT NULL | ... DROP NOT NULL
+    (validated against existing data, enforced on every later commit
+    through the CHECK channel; surfaced in DESCRIBE DETAIL)
   ALTER TABLE t RENAME COLUMN a TO b | ALTER TABLE t DROP COLUMN c
   ALTER TABLE t SET CHANGE FEED = true|false [WITH BACKFILL]
     (persisted table property — every later handle materializes each
@@ -101,9 +104,13 @@ _GRAMMAR = """supported statements:
     FROM base [VERSION AS OF n] [JOIN b [VERSION AS OF n] USING (k[, ...])]
     (VERSION AS OF creates the view — watermark included — at a
      historical snapshot; the first REFRESH folds everything since)
+    [WHERE p]   (view-level predicate over base columns — the
+    filter-then-aggregate staging shape as ONE maintained view;
+    selection is linear, so every maintenance path filters by p)
     GROUP BY keys   (keys may be expressions — GROUP BY the alias or
     the exact expression text, e.g. GROUP BY date_trunc('month', dt);
-    single-table views only; mv pre-registered; definition + per-base
+    on JOIN views each expression must be computable from ONE side's
+    columns; mv pre-registered; definition + per-base
     watermarks ride the commit meta; MIN/MAX refresh with bounded
     rescan-on-retraction — on JOIN views the rescan is the triggered
     groups' JOIN SLICE; COUNT(DISTINCT) via a hidden support table
@@ -115,7 +122,7 @@ _GRAMMAR = """supported statements:
   COPY INTO t FROM 'src' [FILEFORMAT = PARQUET] [PATTERN = 'glob']
     (idempotent: each source file loads exactly once; the ledger
     rides the commit meta — plans/ingest.py)
-  APPLY CHANGES INTO dim FROM CHANGES(src) KEYS (k[, ...])
+  APPLY CHANGES INTO dim FROM CHANGES(src)|SNAPSHOT src KEYS (k[, ...])
     [IGNORE NULL UPDATES] [APPLY AS DELETE WHEN cond] [SEQUENCE BY c]
     [COLUMNS * EXCEPT (c[, ...])]
     [TRACK HISTORY ON * EXCEPT (c[, ...])] SCD TYPE 1|2
@@ -133,6 +140,10 @@ _GRAMMAR = """supported statements:
     (the delete condition may still reference them — the CDC op-marker
     pattern); TRACK HISTORY ON * EXCEPT updates the current row in
     place when only the named untracked columns changed (TYPE 2 only);
+    FROM SNAPSHOT treats each source data commit as a FULL re-ingested
+    snapshot and folds the key-level diff of consecutive snapshots —
+    absence closes/deletes, a re-appearing key opens a new row;
+    snapshots must be key-unique; CDC-only clauses refused;
     the watermark rides the target's commit meta —
     plans/apply_changes.py)"""
 
@@ -250,6 +261,21 @@ class LakehouseSession:
                     "TABLE_CHANGES('t', lo[, hi]) with lo <= hi <= "
                     "latest version"
                 )
+            oldest = vt.versions()[0]
+            if oldest > 0 and lo <= oldest:
+                # Delta raises for CDF ranges below the retention
+                # horizon rather than returning a silently partial
+                # feed (the loop below iterates retained versions
+                # only). Version v's changes diff against v-1's
+                # manifest, so the earliest servable start is
+                # oldest+1 once the log head was pruned.
+                raise VacuumedVersionError(
+                    f"table_changes: requested range [{lo}, {hi}] "
+                    f"starts below {name!r}'s retention horizon — "
+                    f"manifests before {oldest} were vacuumed, so "
+                    f"changes are readable from {oldest + 1}; rebuild "
+                    "downstream state or start there"
+                )
             feed = None
             for v in vt.versions():
                 # Delta's contract: starting version INCLUSIVE, version
@@ -353,14 +379,6 @@ class LakehouseSession:
         )
 
         if mm.group("b2"):
-            if key_exprs and any(e != a for e, a in key_exprs):
-                raise ValueError(
-                    "expression GROUP BY keys on a JOIN materialized "
-                    "view are not supported (the join-slice rescan "
-                    "prunes each base by the key subset that side "
-                    "carries, which a cross-side expression breaks) — "
-                    f"group by plain columns\n{_GRAMMAR}"
-                )
             on = []
             for c in _split_top(mm.group("on")):
                 if not re.fullmatch(_IDENT, c):
@@ -388,6 +406,8 @@ class LakehouseSession:
                 at_version_b=(
                     int(mm.group("b2v")) if mm.group("b2v") else None
                 ),
+                where=(mm.group("w") or "").strip() or None,
+                key_exprs=key_exprs,
             )
         return create_materialized_view(
             self.spark,
@@ -403,6 +423,7 @@ class LakehouseSession:
             distincts=distincts,
             at_version=int(mm.group("bv")) if mm.group("bv") else None,
             key_exprs=key_exprs,
+            where=(mm.group("w") or "").strip() or None,
         )
 
     # -- dispatcher -----------------------------------------------------------
@@ -418,6 +439,7 @@ class LakehouseSession:
             rf"(?:\s+JOIN\s+(?P<b2>{_IDENT})"
             r"(?:\s+VERSION\s+AS\s+OF\s+(?P<b2v>\d+))?"
             r"\s+USING\s+\((?P<on>[^)]+)\))?"
+            r"(?:\s+WHERE\s+(?P<w>.+?))?"
             r"\s+GROUP\s+BY\s+(?P<keys>.+)",
             s, flags=re.IGNORECASE | re.DOTALL,
         )
@@ -662,6 +684,8 @@ class LakehouseSession:
                 "aggregates": "; ".join(aggs),
                 "count_col": d["count_col"],
             }
+            if d.get("where"):
+                row["where"] = d["where"]
             if "base_b" in d:
                 row["base_b"] = d["base_b"]
                 row["base_b_version"] = d["base_b_version"]
@@ -718,7 +742,8 @@ class LakehouseSession:
 
         mm = re.fullmatch(
             rf"APPLY\s+CHANGES\s+INTO\s+(?P<dim>{_IDENT})\s+FROM\s+"
-            rf"CHANGES\s*\(\s*(?P<src>{_IDENT})\s*\)\s+"
+            rf"(?:CHANGES\s*\(\s*(?P<src>{_IDENT})\s*\)"
+            rf"|SNAPSHOT\s+(?P<snap>{_IDENT}))\s+"
             r"KEYS\s*\((?P<keys>[^)]+)\)\s+"
             r"(?:(?P<inu>IGNORE\s+NULL\s+UPDATES)\s+)?"
             r"(?:APPLY\s+AS\s+DELETE\s+WHEN\s+(?P<del>.+?)\s+)?"
@@ -759,6 +784,7 @@ class LakehouseSession:
                         f"plain columns, got: {c!r}\n{_GRAMMAR}"
                     )
                 track_except.append(c)
+            src_name = mm.group("src") or mm.group("snap")
             kw: dict = {
                 "seq_col": mm.group("seq"),
                 "delete_when": (
@@ -766,6 +792,7 @@ class LakehouseSession:
                 ),
                 "except_cols": except_cols,
                 "ignore_null_updates": bool(mm.group("inu")),
+                "from_snapshot": bool(mm.group("snap")),
             }
             if mm.group("ty") == "2":
                 fn = apply_changes_scd2
@@ -780,8 +807,8 @@ class LakehouseSession:
             out = fn(
                 self.spark,
                 self.table(mm.group("dim")),
-                self.table(mm.group("src")),
-                mm.group("src"),
+                self.table(src_name),
+                src_name,
                 keys,
                 **kw,
             )
@@ -1031,6 +1058,8 @@ class LakehouseSession:
                         f"DESCRIBE DETAIL: manifest v{m['version']} "
                         f"references a missing data file: {f}"
                     ) from exc
+            from .versioned import _NOTNULL_PREFIX
+
             return self.spark.createDataFrame(
                 [(
                     vt.path,
@@ -1040,10 +1069,17 @@ class LakehouseSession:
                     len(vt.versions()),
                     float(m["ts"]) if m.get("ts") else None,
                     ",".join(sorted(vt.stats_cols or [])),
+                    ",".join(vt.not_null_cols()),
+                    "; ".join(
+                        f"{n} CHECK ({e})"
+                        for n, e in sorted(m.get("constraints", {}).items())
+                        if not n.startswith(_NOTNULL_PREFIX)
+                    ),
                 )],
                 "location string, version bigint, num_files bigint, "
                 "size_bytes bigint, num_versions bigint, "
-                "last_modified double, stats_columns string",
+                "last_modified double, stats_columns string, "
+                "not_null_columns string, check_constraints string",
             )
 
         mm = re.fullmatch(
@@ -1106,6 +1142,19 @@ class LakehouseSession:
         if mm:
             v = self.table(mm.group("t")).drop_constraint(mm.group("n"))
             return self._row(op="drop_constraint", version=v)
+
+        mm = re.fullmatch(
+            rf"ALTER\s+TABLE\s+(?P<t>{_IDENT})\s+ALTER\s+COLUMN\s+"
+            rf"(?P<c>{_IDENT})\s+(?P<k>SET|DROP)\s+NOT\s+NULL",
+            s, flags=re.IGNORECASE,
+        )
+        if mm:
+            vt = self.table(mm.group("t"))
+            if mm.group("k").upper() == "SET":
+                v = vt.set_not_null(self.spark, mm.group("c"))
+                return self._row(op="set_not_null", version=v)
+            v = vt.drop_not_null(mm.group("c"))
+            return self._row(op="drop_not_null", version=v)
 
         mm = re.fullmatch(
             rf"ALTER\s+TABLE\s+(?P<t>{_IDENT})\s+SET\s+CHANGE\s+FEED\s*"

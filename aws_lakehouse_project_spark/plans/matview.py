@@ -179,14 +179,129 @@ def _with_key_exprs(df: DataFrame, d: dict) -> DataFrame:
     ``d["key_exprs"]`` holds ``[expr, alias]`` per key; plain-column
     keys (expr == alias) are no-ops, and views created before the
     feature (no ``key_exprs`` in their stored definition) fall through
-    untouched. Single-table views only — JOIN views refuse expression
-    keys at create (the join-slice rescan prunes each base by the key
-    subset that side carries, which an arbitrary cross-side expression
-    breaks)."""
+    untouched. On JOIN views each expression must be computable from
+    ONE side's columns (``_side_stampable`` — the join-slice rescan
+    prunes that base by materializing the expression on it); genuine
+    cross-side expressions refuse at create."""
     for e, a in d.get("key_exprs", []):
         if e != a:
             df = df.withColumn(a, F.expr(e))
     return df
+
+
+def _with_where(df: DataFrame, d: dict) -> DataFrame:
+    """Apply the view-level WHERE predicate (``… AS SELECT k, SUM(v)
+    FROM t WHERE p GROUP BY k`` — the reference's staging-then-
+    aggregate composition, ``dbt/models/staging/stg_erp_orders.sql``
+    feeding ``fct_daily_store_metrics.sql``, as ONE maintained view).
+    Selection is LINEAR in the signed-fold algebra — ``Δσ_p(R) =
+    σ_p(ΔR)`` — so filtering each feed/snapshot/rescan frame by ``p``
+    before it reaches any net or fold IS the exact maintenance rule:
+    an UPDATE pair that moves a row ACROSS the predicate boundary
+    keeps exactly the signed row on the side it lands (preimage
+    filtered out when the old row failed ``p``; postimage filtered
+    out when the new one does), netting to a pure insert or delete of
+    the group — precisely the recompute's answer. ``p`` references
+    BASE columns only (SQL's WHERE scope: applied before the key-expr
+    aliases materialize); views without a stored predicate fall
+    through untouched."""
+    w = d.get("where")
+    return df.where(F.expr(w)) if w else df
+
+
+def _validate_key_exprs(base_snap: DataFrame, ke: list[list[str]]) -> None:
+    """Analyze each EXPRESSION group key against the base schema at
+    CREATE time, so an unsupported aggregate that IS referenced in
+    GROUP BY (``median(x) AS k``) or a typo'd column fails HERE with
+    the offending item named — not later inside ``_with_key_exprs``'s
+    ``withColumn`` with a raw AnalysisException and the view already
+    half-armed. ``limit(0)`` + eager analysis: no job runs."""
+    from pyspark.errors import AnalysisException
+
+    probe = base_snap.limit(0)
+    for e, a in ke:
+        if e == a:
+            continue
+        try:
+            probe.withColumn(a, F.expr(e)).schema  # noqa: B018
+        except AnalysisException as exc:
+            raise ValueError(
+                f"materialized view GROUP BY expression {e!r} (AS {a}) "
+                "is not a valid per-row expression over the base "
+                f"columns {sorted(base_snap.columns)} — aggregate "
+                "functions cannot be group keys and every referenced "
+                f"column must exist ({exc.getCondition() or exc})"
+            ) from None
+
+
+def _expr_refs(spark: SparkSession, expr: str) -> set[str]:
+    """Column names an expression references (lower-cased), from the
+    SQL parser's unresolved tree — no analysis pass, so probing a side
+    that lacks a column never emits a JVM-side AnalysisException log
+    (the refresh-path probes run per side per expression)."""
+    it = (
+        spark._jsparkSession.sessionState()  # noqa: SLF001
+        .sqlParser()
+        .parseExpression(expr)
+        .references()
+        .iterator()
+    )
+    names: set[str] = set()
+    while it.hasNext():
+        names.add(it.next().name().lower())
+    return names
+
+
+def _side_stampable(side: DataFrame, expr: str, alias: str) -> bool:
+    """Whether one JOIN side can materialize an expression group key:
+    every column the expression references lives on that side
+    (case-insensitive, Spark's default resolution)."""
+    try:
+        refs = _expr_refs(side.sparkSession, expr)
+    except Exception:
+        return False  # unparsable here — create-time validation names it
+    return refs <= {c.lower() for c in side.columns}
+
+
+def _stamp_side(
+    side: DataFrame, ke: list[list[str]]
+) -> tuple[DataFrame, list[str]]:
+    """Materialize onto ONE join side every group key it can carry —
+    plain columns it owns, plus expression keys whose referenced
+    columns all live on it — returning ``(stamped_frame,
+    prunable_key_aliases)``. The join-slice rescan semi-prunes the
+    side on exactly those aliases."""
+    stamped, cols = side, []
+    for e, al in ke:
+        if e == al:
+            if al in side.columns:
+                cols.append(al)
+        elif _side_stampable(side, e, al):
+            stamped = stamped.withColumn(al, F.expr(e))
+            cols.append(al)
+    return stamped, cols
+
+
+def _validate_where(base_snap: DataFrame, where: str | None) -> None:
+    """Analyze the view-level WHERE predicate against the base schema
+    at CREATE time (``limit(0)`` — eager analysis, no job): aggregates
+    in WHERE and unknown columns fail HERE with the predicate named,
+    not later inside a refresh with the view already armed. Spark
+    itself rejects aggregate/window functions in a WHERE clause, so
+    the probe needs no function whitelist."""
+    if not where:
+        return
+    from pyspark.errors import AnalysisException
+
+    try:
+        base_snap.limit(0).where(F.expr(where)).schema  # noqa: B018
+    except AnalysisException as exc:
+        raise ValueError(
+            f"materialized view WHERE predicate {where!r} is not a "
+            "valid row-level predicate over the base columns "
+            f"{sorted(base_snap.columns)} — no aggregates, and every "
+            f"referenced column must exist ({exc.getCondition() or exc})"
+        ) from None
 
 
 def _restore_guard(mv: VersionedTable) -> None:
@@ -365,7 +480,7 @@ def _build_and_guard(
     where: str,
 ) -> int:
     """Aggregate → NULL-key guard BEFORE the commit → write_full."""
-    snap = _with_key_exprs(snap, d)
+    snap = _with_key_exprs(_with_where(snap, d), d)
     agg = _aggregate(
         snap,
         d["group_keys"],
@@ -395,6 +510,7 @@ def create_materialized_view(
     distincts: list[list[str]] = (),
     at_version: int | None = None,
     key_exprs: list[list[str]] | None = None,
+    where: str | None = None,
 ) -> int:
     """Build the MV from the base's CURRENT snapshot and stamp the
     definition + watermark into the commit meta. ``sums`` / ``mins`` /
@@ -411,7 +527,12 @@ def create_materialized_view(
     ``GROUP BY date_trunc('month', dt) AS month`` — materialized onto
     every frame the maintenance paths read (``_with_key_exprs``); an
     alias may not shadow a base column (measures would silently read
-    the transformed value)."""
+    the transformed value). ``where`` (SQL: ``… FROM t WHERE p GROUP
+    BY k``) maintains the aggregate over the FILTERED base — selection
+    is linear, so every maintenance frame (CDF delta, MIN/MAX rescan
+    slice, support fold, streaming folded state) just filters by ``p``
+    first (``_with_where``); the predicate references base columns
+    only and is validated at create."""
     _validate_output_names(keys, sums, mins, maxs, avgs, count_col, distincts)
     base_v = base.latest_version() if at_version is None else int(at_version)
     ke = [list(p) for p in (key_exprs or [[k, k] for k in keys])]
@@ -420,7 +541,8 @@ def create_materialized_view(
             f"materialized view key_exprs aliases {[a for _, a in ke]} "
             f"must equal the group keys {list(keys)}"
         )
-    base_cols = set(base.read(spark, base_v).columns)
+    base_snap = base.read(spark, base_v)
+    base_cols = set(base_snap.columns)
     shadowed = sorted(a for e, a in ke if e != a and a in base_cols)
     if shadowed:
         raise ValueError(
@@ -428,6 +550,8 @@ def create_materialized_view(
             "columns — pick aliases the base does not already use "
             "(aggregate expressions would read the transformed value)"
         )
+    _validate_key_exprs(base_snap, ke)
+    _validate_where(base_snap, where)
     d = {
         "base": base_name,
         "base_version": base_v,
@@ -440,6 +564,8 @@ def create_materialized_view(
         "distincts": [list(p) for p in distincts],
         "count_col": count_col,
     }
+    if where:
+        d["where"] = where
     return _build_and_guard(spark, base.read(spark, base_v), mv, d, "create")
 
 
@@ -460,6 +586,8 @@ def create_materialized_join_view(
     distincts: list[list[str]] = (),
     at_version: int | None = None,
     at_version_b: int | None = None,
+    where: str | None = None,
+    key_exprs: list[list[str]] | None = None,
 ) -> int:
     """Build an aggregate MV over ``a ⋈ b`` (equi-join USING ``on``)
     and stamp the two-watermark definition into the commit meta.
@@ -470,10 +598,24 @@ def create_materialized_join_view(
     value) multiplicity fold is unchanged; the support watermark just
     carries both base versions. ``at_version[_b]`` create the view AS
     OF historical snapshots of either base (SQL: ``VERSION AS OF n``
-    after the table name)."""
+    after the table name). ``where`` filters the JOINED rows (it may
+    reference columns of either side) — the bilinear delta is a signed
+    multiset of joined rows, so the same linear-selection rule applies
+    to every maintenance frame. ``key_exprs`` declares EXPRESSION
+    group keys; each expression must be computable from ONE side's
+    columns (the join-slice rescan prunes that base by materializing
+    the expression on it — ``_stamp_side``), so a genuine cross-side
+    expression refuses here rather than degrading the rescan to a
+    full ``A ⋈ B``."""
     _validate_output_names(keys, sums, mins, maxs, avgs, count_col, distincts)
     va = a.latest_version() if at_version is None else int(at_version)
     vb = b.latest_version() if at_version_b is None else int(at_version_b)
+    ke = [list(p) for p in (key_exprs or [[k, k] for k in keys])]
+    if [al for _, al in ke] != list(keys):
+        raise ValueError(
+            f"materialized view key_exprs aliases {[al for _, al in ke]} "
+            f"must equal the group keys {list(keys)}"
+        )
     d = {
         "base": a_name,
         "base_version": va,
@@ -488,7 +630,40 @@ def create_materialized_join_view(
         "distincts": [list(p) for p in distincts],
         "count_col": count_col,
     }
-    joined = a.read(spark, va).join(b.read(spark, vb), on)
+    sa, sb = a.read(spark, va), b.read(spark, vb)
+    joined = sa.join(sb, on)
+    if any(e != al for e, al in ke):
+        joined_cols = set(joined.columns)
+        shadowed = sorted(
+            al for e, al in ke if e != al and al in joined_cols
+        )
+        if shadowed:
+            raise ValueError(
+                f"materialized view key aliases {shadowed} shadow "
+                "join columns — pick aliases neither base already uses"
+            )
+        _validate_key_exprs(joined, ke)
+        cross = [
+            f"{e} AS {al}"
+            for e, al in ke
+            if e != al
+            and not (
+                _side_stampable(sa, e, al) or _side_stampable(sb, e, al)
+            )
+        ]
+        if cross:
+            raise ValueError(
+                f"expression GROUP BY keys {cross} reference columns "
+                "of BOTH join sides — the join-slice rescan prunes "
+                "each base by materializing the expression on one "
+                "side, so a cross-side expression would degrade "
+                "retraction rescans to a full join; group by per-side "
+                "expressions or pre-materialize the combined column"
+            )
+        d["key_exprs"] = ke
+    _validate_where(joined, where)
+    if where:
+        d["where"] = where
     return _build_and_guard(spark, joined, mv, d, "create")
 
 
@@ -671,12 +846,22 @@ def _merge_nets(
     # deleted value ties-or-beats its maintained extremum (the bounded
     # doctrine of fold_changes_into_minmax); dead groups delete,
     # fold-only groups take least/greatest join-free. NULL deleted
-    # values never probe (MIN/MAX ignore NULLs).
+    # values never probe (MIN/MAX ignore NULLs). A group ABSENT from
+    # the stored MV that still carries a delete-side probe must ALSO
+    # rescan: a non-netted feed (the bilinear join delta emits
+    # cancelling +1/−1 pairs instead of netting them) can land a
+    # phantom pair in a brand-new group, and with no stored extremum
+    # to probe against, least/greatest would adopt the phantom value
+    # as the group's MIN/MAX (r14 q_materialized_view_join_exprkey
+    # caught this — fine-grained expression keys make new groups
+    # common; coarse plain-key views masked it).
     probes = [
         F.coalesce(F.col(f"d.__del__{a}") <= F.col(f"m.{a}"), F.lit(False))
+        | (F.col(f"m.{cnt}").isNull() & F.col(f"d.__del__{a}").isNotNull())
         for _, a in mins
     ] + [
         F.coalesce(F.col(f"d.__del__{a}") >= F.col(f"m.{a}"), F.lit(False))
+        | (F.col(f"m.{cnt}").isNull() & F.col(f"d.__del__{a}").isNotNull())
         for _, a in maxs
     ]
     trigger = reduce(lambda x, y: x | y, probes) & (new_cnt > 0)
@@ -779,7 +964,7 @@ def refresh_materialized_view(
         )
     else:
         delta = base.changes(spark, wm, head)
-    delta = _with_key_exprs(delta, d)
+    delta = _with_key_exprs(_with_where(delta, d), d)
     nets = _nets_with_extrema(delta, keys, sums, mins, maxs, cnt).persist()
     touched = None
     try:
@@ -799,7 +984,8 @@ def refresh_materialized_view(
                     sdelta = (
                         delta if s_wm == wm
                         else _with_key_exprs(
-                            base.changes(spark, s_wm, head), d
+                            _with_where(base.changes(spark, s_wm, head), d),
+                            d,
                         )
                     )
                     snets = _nets(
@@ -849,7 +1035,7 @@ def refresh_materialized_view(
             cnt,
             head_meta={_META_KEY: {**d_adv, "base_version": head}},
             rescan_fn=lambda trig: _with_key_exprs(
-                base.read(spark, head), d
+                _with_where(base.read(spark, head), d), d
             ).join(trig, keys, "left_semi"),
             mins=mins,
             maxs=maxs,
@@ -906,8 +1092,14 @@ def refresh_materialized_join_view(
         return mv.latest_version(), "noop"
     da = a.changes(spark, wa, ha) if ha != wa else None
     db = b.changes(spark, wb, hb) if hb != wb else None
-    delta = join_signed_delta(
-        a.read(spark, wa), da, b.read(spark, wb), db, on=on
+    delta = _with_key_exprs(
+        _with_where(
+            join_signed_delta(
+                a.read(spark, wa), da, b.read(spark, wb), db, on=on
+            ),
+            d,
+        ),
+        d,
     )
     dists = d.get("distincts", [])
     if dists:
@@ -919,23 +1111,32 @@ def refresh_materialized_join_view(
 
     def _join_slice(trig: DataFrame) -> DataFrame:
         """Rows of exactly the triggered groups' join slices at the new
-        heads: semi-prune each base on its own subset of group keys,
-        cross-prune a side with no direct group key through the other
-        side's join keys, then re-assert the full key set post-join
-        (the per-side prunes are supersets when keys span both sides).
-        No forced broadcasts — AQE sizes the churn-keyed semi joins."""
+        heads: semi-prune each base on the group keys it can CARRY —
+        plain columns it owns plus expression keys stampable on it
+        (``_stamp_side``) — cross-prune a side with no direct group
+        key through the other side's join keys, then re-assert the
+        full key set post-join (the per-side prunes are supersets when
+        keys span both sides). No forced broadcasts — AQE sizes the
+        churn-keyed semi joins."""
         sa, sb = a.read(spark, ha), b.read(spark, hb)
-        ka = [k for k in keys if k in sa.columns]
-        kb = [k for k in keys if k in sb.columns]
+        ke = d.get("key_exprs", [[k, k] for k in keys])
+        sa_st, ka = _stamp_side(sa, ke)
+        sb_st, kb = _stamp_side(sb, ke)
         if ka:
-            sa = sa.join(trig.select(*ka).distinct(), ka, "left_semi")
+            sa = sa_st.join(
+                trig.select(*ka).distinct(), ka, "left_semi"
+            ).select(*sa.columns)
         if kb:
-            sb = sb.join(trig.select(*kb).distinct(), kb, "left_semi")
+            sb = sb_st.join(
+                trig.select(*kb).distinct(), kb, "left_semi"
+            ).select(*sb.columns)
         if ka and not kb:
             sb = sb.join(sa.select(*on).distinct(), on, "left_semi")
         if kb and not ka:
             sa = sa.join(sb.select(*on).distinct(), on, "left_semi")
-        return sa.join(sb, on).join(trig, keys, "left_semi")
+        return _with_key_exprs(_with_where(sa.join(sb, on), d), d).join(
+            trig, keys, "left_semi"
+        )
 
     touched = None
     try:
@@ -957,16 +1158,22 @@ def refresh_materialized_join_view(
                     sdelta = (
                         delta
                         if (s_wa, s_wb) == (wa, wb)
-                        else join_signed_delta(
-                            a.read(spark, s_wa),
-                            a.changes(spark, s_wa, ha)
-                            if ha != s_wa
-                            else None,
-                            b.read(spark, s_wb),
-                            b.changes(spark, s_wb, hb)
-                            if hb != s_wb
-                            else None,
-                            on=on,
+                        else _with_key_exprs(
+                            _with_where(
+                                join_signed_delta(
+                                    a.read(spark, s_wa),
+                                    a.changes(spark, s_wa, ha)
+                                    if ha != s_wa
+                                    else None,
+                                    b.read(spark, s_wb),
+                                    b.changes(spark, s_wb, hb)
+                                    if hb != s_wb
+                                    else None,
+                                    on=on,
+                                ),
+                                d,
+                            ),
+                            d,
                         )
                     )
                     snets = _nets(
@@ -1125,7 +1332,7 @@ def _fold_stream_batch(
                 new_floor = bv
             else:
                 break  # first unfolded data commit: floor stops here
-        live_k = _with_key_exprs(live, d)
+        live_k = _with_key_exprs(_with_where(live, d), d)
         nets = (
             _nets_with_extrema(live_k, keys, sums, mins, maxs, cnt)
             if (mins or maxs)
@@ -1146,13 +1353,17 @@ def _fold_stream_batch(
             # (trig carries alias columns) and re-derived after the
             # multiset net, which groups on the raw base columns only
             parts = [
-                _with_key_exprs(base.read(spark, new_floor), d)
+                _with_key_exprs(
+                    _with_where(base.read(spark, new_floor), d), d
+                )
                 .join(trig, keys, "left_semi")
                 .select(*base_cols, F.lit(1).alias("__s"))
             ]
             for v in sorted(new_set):
                 parts.append(
-                    _with_key_exprs(base.changes(spark, v - 1, v), d)
+                    _with_key_exprs(
+                        _with_where(base.changes(spark, v - 1, v), d), d
+                    )
                     .join(trig, keys, "left_semi")
                     .select(
                         *base_cols,

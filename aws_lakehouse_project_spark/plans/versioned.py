@@ -283,6 +283,11 @@ _FEEDLESS_OPS = (
     "set_change_feed",
 )
 
+#: Reserved constraint-name prefix backing NOT NULL columns: rides the
+#: CHECK channel (one enforcement pass, one drift check) but is
+#: surfaced and managed as column DDL, not user CHECK constraints.
+_NOTNULL_PREFIX = "__notnull__"
+
 
 def _encode_delta(full: dict, parent: dict) -> dict:
     """``full`` (version N, files in canonical parent-relative order —
@@ -2304,6 +2309,12 @@ class VersionedTable:
         violates, like Delta), then publishes the constraint as a
         metadata-only commit. Every later write path enforces it inside
         the commit's own stats pass — no extra scan per write."""
+        if name.startswith(_NOTNULL_PREFIX):
+            raise ValueError(
+                f"constraint names under {_NOTNULL_PREFIX!r} are "
+                "reserved for NOT NULL columns — use ALTER TABLE … "
+                "ALTER COLUMN c SET NOT NULL"
+            )
         m = self._manifest()
         cons = dict(m.get("constraints", {}))
         if name in cons:
@@ -2419,6 +2430,11 @@ class VersionedTable:
 
     def drop_constraint(self, name: str) -> int:
         """ALTER TABLE ... DROP CONSTRAINT: metadata-only commit."""
+        if name.startswith(_NOTNULL_PREFIX):
+            raise ValueError(
+                f"{name!r} backs a NOT NULL column — use ALTER TABLE … "
+                "ALTER COLUMN c DROP NOT NULL"
+            )
         m = self._manifest()
         cons = dict(m.get("constraints", {}))
         if name not in cons:
@@ -2432,6 +2448,73 @@ class VersionedTable:
             {"constraint": name},
             constraints=cons,
             expected_head=m["version"],
+        )
+
+    # -- NOT NULL column constraints (Delta ships these beside CHECK) --------
+
+    def set_not_null(self, spark: SparkSession, col: str) -> int:
+        """``ALTER TABLE … ALTER COLUMN col SET NOT NULL``: validates
+        the EXISTING head data (rejecting if any row is NULL, like
+        Delta), then persists the invariant as a reserved-name entry
+        (``__notnull__<col>``) in the SAME constraint channel CHECK
+        uses — so every later write path (append, merge, WAP staging,
+        schema evolution) enforces it inside the commit's stats pass
+        with no extra scan, and the OCC drift check covers it."""
+        m = self._manifest()
+        fields = [f["name"] for f in m["schema"]["fields"]]
+        if col not in fields:
+            raise ValueError(f"no column {col!r} (have: {fields})")
+        name = _NOTNULL_PREFIX + col
+        cons = dict(m.get("constraints", {}))
+        if name in cons:
+            raise ValueError(f"column {col!r} is already NOT NULL")
+        expr = f"{col} IS NOT NULL"
+        bad = _count_violations(self.read(spark), {name: expr})
+        if bad:
+            raise ConstraintViolationError(
+                f"cannot set column {col!r} NOT NULL: {bad[name]} "
+                "existing row(s) are NULL"
+            )
+        cons[name] = expr
+        return self._commit(
+            "set_constraint",
+            m["files"],
+            m["stats"],
+            m["schema"],
+            {"constraint": name, "expr": expr, "not_null": col},
+            constraints=cons,
+            expected_head=m["version"],
+        )
+
+    def drop_not_null(self, col: str) -> int:
+        """``ALTER TABLE … ALTER COLUMN col DROP NOT NULL``:
+        metadata-only commit removing the invariant."""
+        m = self._manifest()
+        name = _NOTNULL_PREFIX + col
+        cons = dict(m.get("constraints", {}))
+        if name not in cons:
+            raise ValueError(
+                f"column {col!r} is not declared NOT NULL "
+                f"(not-null columns: {self.not_null_cols()})"
+            )
+        del cons[name]
+        return self._commit(
+            "drop_constraint",
+            m["files"],
+            m["stats"],
+            m["schema"],
+            {"constraint": name, "not_null": col},
+            constraints=cons,
+            expected_head=m["version"],
+        )
+
+    def not_null_cols(self) -> list[str]:
+        """Columns declared NOT NULL (from the head manifest's
+        constraint channel — metadata-only)."""
+        return sorted(
+            n[len(_NOTNULL_PREFIX):]
+            for n in self.constraints()
+            if n.startswith(_NOTNULL_PREFIX)
         )
 
     # -- column mapping (rename/drop without rewrite) ------------------------

@@ -457,3 +457,99 @@ def test_table_changes_range_validation(lh, spark, tmp_path):
     lh.create("empty", str(tmp_path / "empty"))
     with pytest.raises(ValueError, match="no commits"):
         lh.sql("SELECT * FROM TABLE_CHANGES('empty', 0)")
+
+
+def test_table_changes_vacuumed_range_raises(lh):
+    """Review fix: a TABLE_CHANGES range whose lo falls below the
+    retention horizon raises VacuumedVersionError (Delta's behavior)
+    instead of silently returning only the retained versions' feed."""
+    from aws_lakehouse_project_spark.plans.versioned import (
+        VacuumedVersionError,
+    )
+
+    lh.sql("DELETE FROM t WHERE k = 0")                          # v1
+    lh.sql("UPDATE t SET v = v + 1 WHERE k = 5")                 # v2
+    lh.sql("VACUUM t RETAIN 1 VERSIONS NO RETENTION CHECK")
+    oldest = lh.table("t").versions()[0]
+    assert oldest > 0
+    with pytest.raises(VacuumedVersionError, match="retention horizon"):
+        lh.sql("SELECT * FROM TABLE_CHANGES('t', 0)")
+    # lo == oldest still needs the vacuumed (oldest-1) manifest to diff
+    with pytest.raises(VacuumedVersionError, match="retention horizon"):
+        lh.sql(f"SELECT * FROM TABLE_CHANGES('t', {oldest})")
+    # reading from the first servable version works
+    lh.sql("UPDATE t SET v = v + 1 WHERE k = 4")  # ensure a live commit
+    assert (
+        lh.sql(
+            f"SELECT COUNT(*) AS n FROM TABLE_CHANGES('t', {oldest + 1})"
+        ).first()["n"]
+        >= 0
+    )
+
+
+def test_not_null_constraint(lh, spark):
+    """ALTER TABLE ... ALTER COLUMN c SET NOT NULL (r14): validated
+    against existing data, enforced on every later commit through the
+    CHECK channel, surfaced in DESCRIBE DETAIL, dropped via DROP NOT
+    NULL; the reserved __notnull__ name is fenced from user CHECK DDL."""
+    r = lh.sql("ALTER TABLE t ALTER COLUMN grp SET NOT NULL").first()
+    assert r["op"] == "set_not_null"
+    row = lh.sql("DESCRIBE DETAIL t").collect()[0]
+    assert row["not_null_columns"] == "grp"
+    # a NULL insert refuses and the head does not move
+    head = lh.table("t").latest_version()
+    spark.createDataFrame(
+        [Row(k=77, grp=None, v=1.0)], "k int, grp string, v double"
+    ).createOrReplaceTempView("nn_bad")
+    with pytest.raises(ConstraintViolationError):
+        lh.sql("INSERT INTO t SELECT * FROM nn_bad")
+    assert lh.table("t").latest_version() == head
+    # non-NULL writes still flow
+    spark.createDataFrame(
+        [Row(k=78, grp="c", v=2.0)], "k int, grp string, v double"
+    ).createOrReplaceTempView("nn_ok")
+    lh.sql("INSERT INTO t SELECT * FROM nn_ok")
+    # double-SET refuses; dropping re-admits NULLs
+    with pytest.raises(ValueError, match="already NOT NULL"):
+        lh.sql("ALTER TABLE t ALTER COLUMN grp SET NOT NULL")
+    lh.sql("ALTER TABLE t ALTER COLUMN grp DROP NOT NULL")
+    lh.sql("INSERT INTO t SELECT * FROM nn_bad")
+    assert lh.sql(
+        "SELECT COUNT(*) AS n FROM t WHERE grp IS NULL"
+    ).first()["n"] == 1
+    # SET refuses while existing NULLs remain
+    with pytest.raises(ConstraintViolationError, match="NULL"):
+        lh.sql("ALTER TABLE t ALTER COLUMN grp SET NOT NULL")
+    # unknown column / not-declared drops are named
+    with pytest.raises(ValueError, match="no column"):
+        lh.sql("ALTER TABLE t ALTER COLUMN nope SET NOT NULL")
+    with pytest.raises(ValueError, match="not declared"):
+        lh.sql("ALTER TABLE t ALTER COLUMN v DROP NOT NULL")
+    # the reserved prefix is fenced from user CHECK DDL
+    with pytest.raises(ValueError, match="reserved"):
+        lh.sql(
+            "ALTER TABLE t ADD CONSTRAINT __notnull__v CHECK (v > 0)"
+        )
+    with pytest.raises(ValueError, match="DROP NOT NULL"):
+        lh.table("t").drop_constraint("__notnull__v")
+
+
+def test_not_null_wap_integration(lh, spark):
+    """NOT NULL rides the WAP staging pass: a staged write carrying a
+    NULL is rejected BEFORE any audit runs and before visibility —
+    the head never moves, staged files are cleaned up."""
+    lh.sql("ALTER TABLE t ALTER COLUMN grp SET NOT NULL")
+    head = lh.table("t").latest_version()
+    bad = spark.createDataFrame(
+        [Row(k=90, grp=None, v=3.0)], "k int, grp string, v double"
+    )
+    with pytest.raises(ConstraintViolationError):
+        lh.table("t").write_audit_publish(
+            spark, bad, audits=[], mode="append"
+        )
+    assert lh.table("t").latest_version() == head
+    good = spark.createDataFrame(
+        [Row(k=91, grp="d", v=4.0)], "k int, grp string, v double"
+    )
+    v = lh.table("t").write_audit_publish(spark, good, audits=[], mode="append")
+    assert v == head + 1

@@ -2062,11 +2062,14 @@ def test_mv_expression_group_keys(spark, tmp_path):
     lh.create("di", str(tmp_path / "d"))
     _mk_dim(spark, [("ba", "s1")]).createOrReplaceTempView("ekd")
     lh.sql("CREATE TABLE di AS SELECT * FROM ekd")
-    with pytest.raises(ValueError, match="JOIN materialized"):
+    # JOIN views accept per-side expressions (r14) but refuse a
+    # genuine cross-side one — the join-slice rescan couldn't prune
+    with pytest.raises(ValueError, match="BOTH join sides"):
         lh.sql(
             "CREATE MATERIALIZED VIEW mvx AS "
-            "SELECT upper(seg) AS s2, COUNT(*) AS n "
-            "FROM base JOIN di USING (k) GROUP BY upper(seg)"
+            "SELECT concat(seg, cast(amt as string)) AS s2, "
+            "COUNT(*) AS n FROM base JOIN di USING (k) "
+            "GROUP BY concat(seg, cast(amt as string))"
         )
 
 
@@ -2123,3 +2126,470 @@ def test_mv_rejects_unsupported_aggregate_items_precisely(spark, lh):
             "CREATE MATERIALIZED VIEW mv AS SELECT k, "
             "COUNT(amt) AS n FROM base GROUP BY k"
         )
+
+
+def test_track_history_same_commit_delete_insert_pair(spark, lha):
+    """The same-commit shape: a feed carrying delete('a') AND
+    insert('a') where the insert is untracked-only must close the old
+    row and open the new one in ONE ordinal — scd2_apply_changes's
+    documented close-old/open-new — not rewrite in place."""
+    from aws_lakehouse_project_spark.plans.apply_changes import (
+        apply_changes_scd2,
+    )
+
+    spark.createDataFrame(
+        [Row(k="a", seg="s1", bal=Decimal("10.00")),
+         Row(k="b", seg="s1", bal=Decimal("20.00"))],
+        "k string, seg string, bal decimal(12,2)",
+    ).createOrReplaceTempView("thsc0")
+    lha.sql("CREATE TABLE src AS SELECT * FROM thsc0")
+    apply_changes_scd2(
+        spark, lha.table("dim"), lha.table("src"), "src", keys=["k"],
+        track_except=["bal"],
+    )
+    # ONE source commit that deletes 'a' and inserts its untracked-only
+    # twin: an overwrite diff yields delete+insert rows in one feed
+    spark.createDataFrame(
+        [Row(k="a", seg="s1", bal=Decimal("99.00")),
+         Row(k="b", seg="s1", bal=Decimal("20.00"))],
+        "k string, seg string, bal decimal(12,2)",
+    ).createOrReplaceTempView("thsc1")
+    lha.sql("CREATE OR REPLACE TABLE src AS SELECT * FROM thsc1")
+    apply_changes_scd2(
+        spark, lha.table("dim"), lha.table("src"), "src", keys=["k"],
+        track_except=["bal"],
+    )
+    rows = {
+        tuple(r)
+        for r in lha.sql(
+            "SELECT k, seg, bal, start_v, end_v, is_current FROM dim"
+        ).collect()
+    }
+    # 'a' closed at ordinal 1 and reopened — NOT rewritten in place
+    assert ("a", "s1", Decimal("10.00"), 0, 1, False) in rows
+    assert ("a", "s1", Decimal("99.00"), 1, None, True) in rows
+    # 'b' untouched (the overwrite diff nets to nothing for it)
+    assert ("b", "s1", Decimal("20.00"), 0, None, True) in rows
+
+
+def test_apply_changes_refuses_after_restore(spark, lha):
+    """Review fix: RESTORE of the history table rolls its rows back
+    but not the apply watermark — the next APPLY must refuse (the MV
+    restore-guard doctrine) instead of folding post-watermark source
+    changes onto rolled-back rows."""
+    _mk(spark, [("a", "1.00")]).createOrReplaceTempView("rg0")
+    lha.sql("CREATE TABLE src AS SELECT * FROM rg0")
+    stmt = "APPLY CHANGES INTO dim FROM CHANGES(src) KEYS (k) SCD TYPE 2"
+    lha.sql(stmt)
+    lha.sql("UPDATE src SET amt = 2.00 WHERE k = 'a'")
+    lha.sql(stmt)  # dim now has a closed + open row pair
+    hv = lha.table("dim").latest_version()
+    lha.sql(f"RESTORE TABLE dim TO VERSION AS OF {hv - 1}")
+    lha.sql("UPDATE src SET amt = 3.00 WHERE k = 'a'")
+    with pytest.raises(ValueError, match="RESTOREd"):
+        lha.sql(stmt)
+    # SCD TYPE 1 takes the same guard
+    lha.create("dim1", str(lha.table("dim").path + "_d1"))
+    stmt1 = "APPLY CHANGES INTO dim1 FROM CHANGES(src) KEYS (k) SCD TYPE 1"
+    lha.sql(stmt1)
+    lha.sql("UPDATE src SET amt = 4.00 WHERE k = 'a'")
+    lha.sql(stmt1)
+    lha.sql("RESTORE TABLE dim1 TO VERSION AS OF 0")
+    lha.sql("UPDATE src SET amt = 5.00 WHERE k = 'a'")
+    with pytest.raises(ValueError, match="RESTOREd"):
+        lha.sql(stmt1)
+
+
+def test_mv_expr_key_validated_at_create(spark, lh):
+    """Review fix: an unsupported aggregate that IS referenced in
+    GROUP BY (median(amt) AS k) and a typo'd column both fail at
+    CREATE with the offending expression named — never a raw
+    AnalysisException later inside _with_key_exprs, and nothing armed
+    on the MV handle."""
+    _mk(spark, [("a", "1.00")]).createOrReplaceTempView("ekv0")
+    lh.sql("CREATE TABLE base AS SELECT * FROM ekv0")
+    with pytest.raises(ValueError, match="median"):
+        lh.sql(
+            "CREATE MATERIALIZED VIEW mv AS SELECT median(amt) AS m, "
+            "COUNT(*) AS n FROM base GROUP BY median(amt)"
+        )
+    with pytest.raises(ValueError, match="upper"):
+        lh.sql(
+            "CREATE MATERIALIZED VIEW mv AS SELECT upper(nope) AS u, "
+            "COUNT(*) AS n FROM base GROUP BY upper(nope)"
+        )
+    # nothing armed: the MV table has no commits
+    assert not lh.table("mv").exists()
+
+
+# ---------------------------------------------------------------------------
+# View-level WHERE (r14): filter-then-aggregate as one maintained view
+# ---------------------------------------------------------------------------
+
+
+def _where_recompute(lh):
+    return {
+        tuple(r)
+        for r in lh.sql(
+            "SELECT k, SUM(amt) AS total, MIN(amt) AS lo, COUNT(*) AS n "
+            "FROM base WHERE amt < 100.00 GROUP BY k"
+        ).collect()
+    }
+
+
+def _where_mv(lh):
+    return {
+        tuple(r)
+        for r in lh.sql("SELECT k, total, lo, n FROM mv").collect()
+    }
+
+
+def test_mv_view_level_where_boundary_crossings(spark, lh):
+    """View-level WHERE: refresh == recompute across UPDATE churn that
+    moves rows ACROSS the predicate boundary in BOTH directions — a
+    passing row leaves the filter (its group loses the MIN, forcing a
+    filtered retraction rescan) and a failing row enters it (its group
+    materializes) — plus a group retiring entirely and a FULL rebuild."""
+    _mk(
+        spark,
+        [("a", "10.00"), ("a", "20.00"), ("b", "150.00"), ("c", "50.00")],
+    ).createOrReplaceTempView("vw0")
+    lh.sql("CREATE TABLE base AS SELECT * FROM vw0")
+    lh.sql(
+        "CREATE MATERIALIZED VIEW mv AS "
+        "SELECT k, SUM(amt) AS total, MIN(amt) AS lo, COUNT(*) AS n "
+        "FROM base WHERE amt < 100.00 GROUP BY k"
+    )
+    assert _where_mv(lh) == _where_recompute(lh)
+    assert {g for g, *_ in _where_mv(lh)} == {"a", "c"}  # b filtered out
+    # leave: a's 10.00 (the group MIN) crosses out of the predicate
+    lh.sql("UPDATE base SET amt = 120.00 WHERE k = 'a' AND amt = 10.00")
+    # enter: b's 150.00 drops inside the predicate — group b appears
+    lh.sql("UPDATE base SET amt = 60.00 WHERE k = 'b'")
+    # retire: c's only passing row deleted
+    lh.sql("DELETE FROM base WHERE k = 'c'")
+    r = lh.sql("REFRESH MATERIALIZED VIEW mv").first()
+    assert r["mode"] == "incremental"
+    got = _where_mv(lh)
+    assert got == _where_recompute(lh)
+    assert {g for g, *_ in got} == {"a", "b"}
+    assert ("a", Decimal("20.00"), Decimal("20.00"), 1) in got
+    # DESCRIBE surfaces the predicate; FULL rebuild agrees
+    desc = lh.sql("DESCRIBE MATERIALIZED VIEW mv").first()
+    assert desc["where"] == "amt < 100.00"
+    lh.sql("REFRESH MATERIALIZED VIEW mv FULL")
+    assert _where_mv(lh) == _where_recompute(lh)
+    # an invalid predicate refuses at create, naming it
+    lh.create("mvx", str(lh.table("mv").path + "_x"))
+    with pytest.raises(ValueError, match="WHERE predicate"):
+        lh.sql(
+            "CREATE MATERIALIZED VIEW mvx AS SELECT k, COUNT(*) AS n "
+            "FROM base WHERE nope > 1 GROUP BY k"
+        )
+    with pytest.raises(ValueError, match="WHERE predicate"):
+        lh.sql(
+            "CREATE MATERIALIZED VIEW mvx AS SELECT k, COUNT(*) AS n "
+            "FROM base WHERE sum(amt) > 1 GROUP BY k"
+        )
+    assert not lh.table("mvx").exists()
+
+
+def test_mv_where_with_distinct_and_exprkey(spark, lh):
+    """WHERE composes with COUNT(DISTINCT) (the support fold sees only
+    predicate-passing rows) and with expression group keys."""
+    spark.createDataFrame(
+        [
+            Row(k="ax", cust=1, amt=Decimal("10.00")),
+            Row(k="ay", cust=1, amt=Decimal("20.00")),
+            Row(k="az", cust=2, amt=Decimal("500.00")),
+            Row(k="bx", cust=3, amt=Decimal("30.00")),
+        ],
+        "k string, cust int, amt decimal(12,2)",
+    ).createOrReplaceTempView("vwd0")
+    lh.sql("CREATE TABLE base AS SELECT * FROM vwd0")
+    lh.sql(
+        "CREATE MATERIALIZED VIEW mv AS "
+        "SELECT substring(k, 1, 1) AS fam, COUNT(DISTINCT cust) AS nc, "
+        "COUNT(*) AS n FROM base WHERE amt < 100.00 "
+        "GROUP BY substring(k, 1, 1)"
+    )
+
+    def recompute():
+        return {
+            tuple(r)
+            for r in lh.sql(
+                "SELECT substring(k, 1, 1) AS fam, "
+                "COUNT(DISTINCT cust) AS nc, COUNT(*) AS n "
+                "FROM base WHERE amt < 100.00 GROUP BY 1"
+            ).collect()
+        }
+
+    q = "SELECT fam, nc, n FROM mv"
+    assert {tuple(r) for r in lh.sql(q).collect()} == recompute()
+    # az enters the filter (cust 2 joins fam 'a''s distinct set);
+    # ax leaves it (cust 1 still covered by ay — count must NOT drop)
+    lh.sql("UPDATE base SET amt = 40.00 WHERE k = 'az'")
+    lh.sql("UPDATE base SET amt = 400.00 WHERE k = 'ax'")
+    lh.sql("DELETE FROM base WHERE k = 'bx'")
+    r = lh.sql("REFRESH MATERIALIZED VIEW mv").first()
+    assert r["mode"] == "incremental"
+    got = {tuple(r2) for r2 in lh.sql(q).collect()}
+    assert got == recompute()
+    assert got == {("a", 2, 2)}
+
+
+def test_mv_where_streaming_fold(spark, lhs, tmp_path):
+    """WHERE rides the streaming fold: live feed rows filter before
+    netting, and the MIN-retraction rescan over the folded state sees
+    only predicate-passing rows."""
+    _mk(
+        spark, [("a", "10.00"), ("a", "20.00"), ("b", "150.00")]
+    ).createOrReplaceTempView("vws0")
+    lhs.sql("CREATE TABLE base AS SELECT * FROM vws0")
+    lhs.sql(
+        "CREATE MATERIALIZED VIEW mv AS "
+        "SELECT k, SUM(amt) AS total, MIN(amt) AS lo, COUNT(*) AS n "
+        "FROM base WHERE amt < 100.00 GROUP BY k"
+    )
+    # retract a's MIN out of the filter + bring b inside it
+    lhs.sql("UPDATE base SET amt = 130.00 WHERE k = 'a' AND amt = 10.00")
+    lhs.sql("UPDATE base SET amt = 70.00 WHERE k = 'b'")
+    n = stream_refresh_materialized_view(
+        spark, lhs.table("mv"), lhs.table("base"), str(tmp_path / "cw")
+    )
+    assert n >= 1
+    assert _where_mv(lhs) == _where_recompute(lhs)
+
+
+def test_mv_where_join_view(spark, tmp_path):
+    """WHERE on a JOIN view filters the JOINED rows (either side's
+    columns) through create, the bilinear-delta refresh, and the
+    join-slice MIN rescan."""
+    spark_ = spark
+    lh = LakehouseSession(spark_)
+    lh.create("f", str(tmp_path / "f"), change_feed=False)
+    lh.create("di", str(tmp_path / "di"))
+    lh.create("mv", str(tmp_path / "mv"))
+    spark.createDataFrame(
+        [Row(k="a", amt=Decimal("10.00")), Row(k="a", amt=Decimal("20.00")),
+         Row(k="b", amt=Decimal("30.00")), Row(k="c", amt=Decimal("40.00"))],
+        "k string, amt decimal(12,2)",
+    ).createOrReplaceTempView("vwj_f")
+    spark.createDataFrame(
+        [Row(k="a", seg="s1"), Row(k="b", seg="s2"), Row(k="c", seg="s2")],
+        "k string, seg string",
+    ).createOrReplaceTempView("vwj_d")
+    lh.sql("CREATE TABLE f AS SELECT * FROM vwj_f")
+    lh.sql("CREATE TABLE di AS SELECT * FROM vwj_d")
+    lh.sql(
+        "CREATE MATERIALIZED VIEW mv AS "
+        "SELECT seg, SUM(amt) AS total, MIN(amt) AS lo, COUNT(*) AS n "
+        "FROM f JOIN di USING (k) WHERE amt < 35.00 AND seg <> 's3' "
+        "GROUP BY seg"
+    )
+
+    def recompute():
+        return {
+            tuple(r)
+            for r in lh.sql(
+                "SELECT seg, SUM(amt) AS total, MIN(amt) AS lo, "
+                "COUNT(*) AS n FROM f JOIN di USING (k) "
+                "WHERE amt < 35.00 AND seg <> 's3' GROUP BY seg"
+            ).collect()
+        }
+
+    q = "SELECT seg, total, lo, n FROM mv"
+    assert {tuple(r) for r in lh.sql(q).collect()} == recompute()
+    # fact churn crosses the amt boundary both ways; dim churn moves a
+    # key into the excluded segment (leaves via the dim-side predicate)
+    lh.sql("UPDATE f SET amt = 50.00 WHERE k = 'a' AND amt = 10.00")
+    lh.sql("UPDATE f SET amt = 25.00 WHERE k = 'c'")
+    lh.sql("UPDATE di SET seg = 's3' WHERE k = 'b'")
+    r = lh.sql("REFRESH MATERIALIZED VIEW mv").first()
+    assert r["mode"] == "incremental"
+    assert {tuple(r2) for r2 in lh.sql(q).collect()} == recompute()
+
+
+# ---------------------------------------------------------------------------
+# APPLY CHANGES FROM SNAPSHOT (r14): full re-ingests as the feed
+# ---------------------------------------------------------------------------
+
+
+def test_apply_changes_from_snapshot_scd2(spark, lha):
+    """FROM SNAPSHOT: each source data commit is a full re-ingested
+    snapshot; the fold diffs consecutive snapshots on KEYS. A key
+    present in snapshot N-1 and absent in N closes its history row;
+    a re-appearing key opens a NEW row; a changed key closes+opens;
+    an unchanged key is untouched (no ordinal churn for it)."""
+    _mk(spark, [("a", "1.00"), ("b", "2.00"), ("c", "3.00")]
+        ).createOrReplaceTempView("sn0")
+    lha.sql("CREATE TABLE src AS SELECT * FROM sn0")
+    stmt = "APPLY CHANGES INTO dim FROM SNAPSHOT src KEYS (k) SCD TYPE 2"
+    r = lha.sql(stmt).first()
+    assert r["mode"] == "init"
+    # snapshot 2: 'a' changes, 'b' DISAPPEARS, 'c' unchanged, 'd' new
+    _mk(spark, [("a", "9.00"), ("c", "3.00"), ("d", "4.00")]
+        ).createOrReplaceTempView("sn1")
+    lha.sql("CREATE OR REPLACE TABLE src AS SELECT * FROM sn1")
+    r = lha.sql(stmt).first()
+    assert r["mode"] == "incremental" and r["ordinals_applied"] == 1
+    assert _hist_rows(lha) == {
+        ("a", Decimal("1.00"), 0, 1, False),
+        ("a", Decimal("9.00"), 1, None, True),
+        ("b", Decimal("2.00"), 0, 1, False),   # absence closed it
+        ("c", Decimal("3.00"), 0, None, True),  # untouched
+        ("d", Decimal("4.00"), 1, None, True),
+    }
+    # snapshot 3: 'b' REAPPEARS (new history row), everything else same
+    _mk(spark, [("a", "9.00"), ("b", "5.00"), ("c", "3.00"),
+                ("d", "4.00")]).createOrReplaceTempView("sn2")
+    lha.sql("CREATE OR REPLACE TABLE src AS SELECT * FROM sn2")
+    r = lha.sql(stmt).first()
+    assert r["mode"] == "incremental"
+    rows = _hist_rows(lha)
+    assert ("b", Decimal("2.00"), 0, 1, False) in rows
+    assert ("b", Decimal("5.00"), 2, None, True) in rows
+    # no-op when nothing changed
+    assert lha.sql(stmt).first()["mode"] == "noop"
+    # verb drift refused: the history was built FROM SNAPSHOT
+    with pytest.raises(ValueError, match="FROM SNAPSHOT"):
+        lha.sql(
+            "APPLY CHANGES INTO dim FROM CHANGES(src) KEYS (k) SCD TYPE 2"
+        )
+    # CDC-only clauses refused up front
+    lha.create("dim2", lha.table("dim").path + "_2")
+    with pytest.raises(ValueError, match="change feeds only"):
+        lha.sql(
+            "APPLY CHANGES INTO dim2 FROM SNAPSHOT src KEYS (k) "
+            "SEQUENCE BY amt SCD TYPE 2"
+        )
+
+
+def test_apply_changes_from_snapshot_scd1_and_dups(spark, lha):
+    """FROM SNAPSHOT ... SCD TYPE 1 mirrors the current snapshot; a
+    key-duplicated snapshot is rejected loudly (init: full check;
+    incremental: netted-diff check)."""
+    _mk(spark, [("a", "1.00"), ("b", "2.00")]).createOrReplaceTempView("s10")
+    lha.sql("CREATE TABLE src AS SELECT * FROM s10")
+    stmt = "APPLY CHANGES INTO dim FROM SNAPSHOT src KEYS (k) SCD TYPE 1"
+    assert lha.sql(stmt).first()["mode"] == "init"
+    _mk(spark, [("a", "7.00"), ("c", "3.00")]).createOrReplaceTempView("s11")
+    lha.sql("CREATE OR REPLACE TABLE src AS SELECT * FROM s11")
+    assert lha.sql(stmt).first()["mode"] == "incremental"
+    cur = {
+        tuple(r) for r in lha.sql("SELECT k, amt FROM dim").collect()
+    }
+    assert cur == {("a", Decimal("7.00")), ("c", Decimal("3.00"))}
+    # a duplicate-key snapshot refuses at the fold
+    _mk(spark, [("a", "7.00"), ("x", "1.00"), ("x", "2.00")]
+        ).createOrReplaceTempView("s12")
+    lha.sql("CREATE OR REPLACE TABLE src AS SELECT * FROM s12")
+    with pytest.raises(ValueError, match="key-unique"):
+        lha.sql(stmt)
+    # and a duplicate-key INITIAL snapshot refuses at init
+    lha.create("dim3", lha.table("dim").path + "_3")
+    with pytest.raises(ValueError, match="key-unique"):
+        lha.sql(
+            "APPLY CHANGES INTO dim3 FROM SNAPSHOT src KEYS (k) SCD TYPE 1"
+        )
+
+
+# ---------------------------------------------------------------------------
+# Expression group keys on JOIN views (r14)
+# ---------------------------------------------------------------------------
+
+
+def test_mv_join_view_expression_keys(spark, tmp_path):
+    """Per-side expression group keys on a JOIN view: the fact-side
+    expression (amt bucket) and the dim-side expression (upper(seg))
+    both maintain incrementally — including a MIN retraction whose
+    join-slice rescan must prune each base through its OWN stamped
+    expression — and refresh == recompute across churn on both sides."""
+    lh = LakehouseSession(spark)
+    lh.create("f", str(tmp_path / "f"))
+    lh.create("di", str(tmp_path / "di"))
+    lh.create("mv", str(tmp_path / "mv"))
+    spark.createDataFrame(
+        [Row(k="a", amt=Decimal("10.00")), Row(k="a", amt=Decimal("25.00")),
+         Row(k="b", amt=Decimal("30.00")), Row(k="c", amt=Decimal("45.00"))],
+        "k string, amt decimal(12,2)",
+    ).createOrReplaceTempView("jek_f")
+    spark.createDataFrame(
+        [Row(k="a", seg="s1"), Row(k="b", seg="s2"), Row(k="c", seg="s2")],
+        "k string, seg string",
+    ).createOrReplaceTempView("jek_d")
+    lh.sql("CREATE TABLE f AS SELECT * FROM jek_f")
+    lh.sql("CREATE TABLE di AS SELECT * FROM jek_d")
+    lh.sql(
+        "CREATE MATERIALIZED VIEW mv AS "
+        "SELECT upper(seg) AS useg, floor(amt / 20) AS bucket, "
+        "SUM(amt) AS total, MIN(amt) AS lo, COUNT(*) AS n "
+        "FROM f JOIN di USING (k) "
+        "GROUP BY upper(seg), floor(amt / 20)"
+    )
+
+    def recompute():
+        return {
+            tuple(r)
+            for r in lh.sql(
+                "SELECT upper(seg) AS useg, floor(amt / 20) AS bucket, "
+                "SUM(amt) AS total, MIN(amt) AS lo, COUNT(*) AS n "
+                "FROM f JOIN di USING (k) GROUP BY 1, 2"
+            ).collect()
+        }
+
+    q = "SELECT useg, bucket, total, lo, n FROM mv"
+    assert {tuple(r) for r in lh.sql(q).collect()} == recompute()
+    # fact churn: retract the (S1, bucket0) MIN and move a row across
+    # buckets; dim churn: move 'b' across segments (the dim-side expr)
+    lh.sql("UPDATE f SET amt = 55.00 WHERE k = 'a' AND amt = 10.00")
+    lh.sql("UPDATE di SET seg = 's1' WHERE k = 'b'")
+    r = lh.sql("REFRESH MATERIALIZED VIEW mv").first()
+    assert r["mode"] == "incremental"
+    assert {tuple(r2) for r2 in lh.sql(q).collect()} == recompute()
+    # group retirement through both expressions
+    lh.sql("DELETE FROM f WHERE k = 'c'")
+    lh.sql("REFRESH MATERIALIZED VIEW mv")
+    assert {tuple(r2) for r2 in lh.sql(q).collect()} == recompute()
+    # alias shadowing a JOINED column refuses
+    lh.create("mvx", str(tmp_path / "mx"))
+    with pytest.raises(ValueError, match="shadow"):
+        lh.sql(
+            "CREATE MATERIALIZED VIEW mvx AS "
+            "SELECT upper(seg) AS amt, COUNT(*) AS n "
+            "FROM f JOIN di USING (k) GROUP BY upper(seg)"
+        )
+
+
+def test_mv_join_minmax_phantom_pair_in_new_group(spark, tmp_path):
+    """r14 fix: the bilinear join delta emits cancelling +1/-1 pairs
+    instead of netting them; when such a pair lands in a group the MV
+    does not yet hold, the MIN fold must NOT adopt the phantom value
+    (no stored extremum to probe) — the group rescans instead. Built
+    deterministically: one key changes its measure on the fact side
+    AND its group on the dim side in the same refresh window, so the
+    old measure value rides a cancelling pair into the NEW group."""
+    lh = LakehouseSession(spark)
+    lh.create("f", str(tmp_path / "f"))
+    lh.create("di", str(tmp_path / "di"))
+    lh.create("mv", str(tmp_path / "mv"))
+    spark.createDataFrame(
+        [Row(k="a", amt=Decimal("10.00"))], "k string, amt decimal(12,2)"
+    ).createOrReplaceTempView("pp_f")
+    spark.createDataFrame(
+        [Row(k="a", seg="s1")], "k string, seg string"
+    ).createOrReplaceTempView("pp_d")
+    lh.sql("CREATE TABLE f AS SELECT * FROM pp_f")
+    lh.sql("CREATE TABLE di AS SELECT * FROM pp_d")
+    lh.sql(
+        "CREATE MATERIALIZED VIEW mv AS "
+        "SELECT seg, MIN(amt) AS lo, COUNT(*) AS n "
+        "FROM f JOIN di USING (k) GROUP BY seg"
+    )
+    lh.sql("UPDATE f SET amt = 20.00 WHERE k = 'a'")
+    lh.sql("UPDATE di SET seg = 's2' WHERE k = 'a'")
+    r = lh.sql("REFRESH MATERIALIZED VIEW mv").first()
+    assert r["mode"] == "incremental"
+    got = {tuple(r2) for r2 in lh.sql("SELECT seg, lo, n FROM mv").collect()}
+    # the phantom (10.00, s2) pair must not survive as s2's MIN
+    assert got == {("s2", Decimal("20.00"), 1)}
