@@ -408,3 +408,48 @@ def test_pipeline_versioned_constraints_gate_future_writes(
     with _pytest.raises(ConstraintViolationError):
         vt.append(bad)
     assert vt.latest_version() == head
+
+
+def test_cli_module_entry_point(spark, tmp_path):
+    """The one-command CLI twin of the reference's local runner
+    (``local_runner.py:187-192``): ``python -m aws_lakehouse_project_spark
+    --output-dir DIR`` generates the built-in sample data, runs the full
+    pipeline, and materializes the FIXTURES.md §2 golden fact under
+    curated/. Invoked in-process (build_session getOrCreate rides the
+    test session)."""
+    from aws_lakehouse_project_spark.__main__ import main
+
+    out = tmp_path / "local_output"
+    assert main(["--output-dir", str(out)]) == 0
+    csv_dir = out / "curated" / "fct_daily_store_metrics" / "csv"
+    assert csv_dir.exists()
+    back = (
+        spark.read.option("header", True)
+        .csv(str(csv_dir))
+        .selectExpr(
+            "store_id",
+            "CAST(dt AS DATE) AS dt",
+            "CAST(revenue AS DECIMAL(12,2)) AS revenue",
+            "CAST(order_count AS INT) AS order_count",
+            "CAST(converted_leads AS INT) AS converted_leads",
+            "CAST(sessions AS INT) AS sessions",
+        )
+    )
+    rows = sorted(tuple(r) for r in back.collect())
+    assert rows == GOLDEN
+    # --input-dir over the generated samples reproduces the same fact
+    from aws_lakehouse_project_spark.__main__ import main as main2
+
+    out2 = tmp_path / "local_output2"
+    assert (
+        main2(
+            ["--output-dir", str(out2), "--input-dir", str(out / "samples")]
+        )
+        == 0
+    )
+    assert (out2 / "curated" / "manifest.json").exists()
+    # a missing raw file is named loudly
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError, match="erp_orders.csv"):
+        main(["--output-dir", str(out), "--input-dir", str(tmp_path)])
