@@ -59,49 +59,51 @@ def entry(spark: SparkSession) -> DataFrame:
 # q_vocab_encode, q_window_cumsum, q_zipf (43 rows); remaining slots
 # to the then-stalest r9 rows (alphabetical).
 _VERIFY_FIRST = [
-    # ROUND-13 WINDOW, honoring the r12 rotation note. NEW in round 13
-    # lead: the four remaining TPC-H shapes, COUNT(DISTINCT) on
-    # JOIN-view MVs, FILTER-clause MV aggregates, streaming MIN/MAX MV:
-    "q_tpch_q4", "q_tpch_q13", "q_tpch_q17", "q_tpch_q18",
-    "q_materialized_view_join_distinct", "q_materialized_view_filter",
-    "q_materialized_view_stream_minmax", "q_scd1_cdc",
-    "q_materialized_view_exprkey",
-    # CHANGED in r12/r13 (re-earn green): q_scd1_sql (r12-added, judge
-    # MATCH, still rowless) + q_scd2_sql (r13: _sequence_filter NULL
-    # rejection + churn-key prune), q_table_changes (r12 SQL-first
-    # rewrite + r13 range validation), q_table_clone (r13: clone
-    # inherits change_feed), and the MV family (r13: restore guard on
-    # every refresh path; join refresh grew the distinct support fold):
-    "q_scd1_sql", "q_scd2_sql", "q_table_changes", "q_table_clone",
+    # ROUND-14 WINDOW, honoring the r13 rotation note. NEW in round 14
+    # lead: view-level WHERE in declarative MVs, APPLY CHANGES FROM
+    # SNAPSHOT, expression group keys on JOIN views, NOT NULL columns:
+    "q_materialized_view_where", "q_scd2_from_snapshot",
+    "q_materialized_view_join_exprkey", "q_notnull_constraint",
+    # CHANGED in r14 (re-earn green): the APPLY CHANGES family
+    # (restore guard + delete-routing fix in _split_track_history +
+    # FROM-SNAPSHOT plumbing), TABLE_CHANGES (vacuumed-horizon
+    # validation), WAP/constraints (reserved __notnull__ fence), and
+    # the whole MV family (matview.py: _with_where threading on every
+    # maintenance frame, create-time key-expr validation, join
+    # _stamp_side prunes, and the phantom-pair new-group MIN/MAX
+    # trigger fix):
+    "q_scd1_sql", "q_scd2_sql", "q_scd1_cdc", "q_table_changes",
+    "q_wap_constraint",
     "q_materialized_view", "q_materialized_view_join",
     "q_materialized_view_stream", "q_materialized_view_cascade",
     "q_materialized_view_distinct", "q_materialized_view_join_minmax",
-    # r7-stale rows (the 16 the r12 note rolled to this window):
-    "q_stream_merge", "q_stream_sessions", "q_stream_sliding",
-    "q_tpch_q10", "q_tpch_q14", "q_tpch_q15", "q_tpch_q19",
-    "q_tpch_q21", "q_tpch_q22", "q_tpch_q5", "q_tpch_q6", "q_tpch_q8",
-    "q_unpivot", "q_vocab_encode", "q_window_cumsum", "q_zipf",
-    # stalest r9 rows (alphabetical fill; q_table_changes/_clone are
-    # r9-stale too but already above as changed):
-    "q_agg_count", "q_agg_count_filter", "q_agg_sum",
-    "q_approx_distinct", "q_approx_quantile", "q_asof_join",
-    "q_bool_agg", "q_bound_check", "q_column_mapping",
-    "q_dedup_anti_join", "q_dedup_exact", "q_delete_vectors",
-    "q_distinct_agg", "q_domain_fact_versioned", "q_except",
+    "q_materialized_view_join_distinct", "q_materialized_view_filter",
+    "q_materialized_view_stream_minmax", "q_materialized_view_exprkey",
+    # the 30 r9-stale rows the r13 note scheduled (q_wap_constraint is
+    # above as changed; 29 here):
+    "q_expectation_suite", "q_filter_eq", "q_filter_range",
+    "q_intersect", "q_join_full_outer", "q_lakehouse_sql",
+    "q_lang_mix", "q_lang_temperature", "q_length_histogram",
+    "q_monthly_trunc", "q_notnull_check", "q_optimize_zorder",
+    "q_regex", "q_replace_where", "q_scalar_subquery",
+    "q_similarity_pairs", "q_sort_topk", "q_stream_cdf",
+    "q_table_history", "q_topk_per_group", "q_tpch_q1", "q_tpch_q16",
+    "q_tpch_q9", "q_union", "q_update_where", "q_versioned_merge",
+    "q_window_rank", "q_window_rolling", "q_writer_isolation",
+    # then-stalest r10 rows (alphabetical fill):
+    "q_ann_join_docs", "q_anti_join",
 ]
-# ROUND-14 ROTATION NOTE: queries ADDED OR CHANGED in r13 or later
-# lead the r14 window, then the r9-stale remainder that did NOT fit
-# here (alphabetical from q_expectation_suite:
-# q_expectation_suite, q_filter_eq, q_filter_range,
-# q_intersect, q_join_full_outer, q_lakehouse_sql, q_lang_mix,
-# q_lang_temperature, q_length_histogram, q_monthly_trunc,
-# q_notnull_check, q_optimize_zorder, q_regex, q_replace_where,
-# q_scalar_subquery, q_similarity_pairs, q_sort_topk, q_stream_cdf,
-# q_table_history, q_topk_per_group, q_tpch_q1, q_tpch_q16,
-# q_tpch_q9, q_union, q_update_where, q_versioned_merge,
-# q_wap_constraint, q_window_rank, q_window_rolling,
-# q_writer_isolation — 30 rows), then the then-stalest r10 rows
-# (alphabetical) to fill 50.
+# ROUND-15 ROTATION NOTE: queries ADDED OR CHANGED in r14 or later
+# lead the r15 window, then the r10-stale remainder that did NOT fit
+# here (alphabetical from q_array_stats: q_array_stats, q_bm25,
+# q_bpe_pairs, q_bucketed_join, q_calendar_fill, q_chunk_dedup,
+# q_chunk_windows, q_corpus_prep, q_corr_regression,
+# q_correlated_subquery, q_dedup_clusters, q_dedup_containment,
+# q_dedup_simhash_portable, q_dedup_simhash_recall,
+# q_embedding_centroids, q_freshness, q_fuzzy_match, q_grouping_sets,
+# q_having, q_hybrid_rrf, q_interpolate, q_json_flatten,
+# q_kmeans_assign, and the rest of the r10 cohort alphabetically),
+# then the then-stalest r11 rows to fill 50.
 
 
 def _registry():
