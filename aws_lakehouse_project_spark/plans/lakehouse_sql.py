@@ -79,6 +79,10 @@ _GRAMMAR = """supported statements:
   ALTER TABLE t ALTER COLUMN c SET NOT NULL | ... DROP NOT NULL
     (validated against existing data, enforced on every later commit
     through the CHECK channel; surfaced in DESCRIBE DETAIL)
+  DROP TABLE [IF EXISTS] t | DROP MATERIALIZED VIEW [IF EXISTS] mv
+    (deletes the directory — an MV's hidden support tables go with
+    it — and unregisters; each verb refuses the other's kind)
+  SHOW TABLES   (registered names, locations, head versions)
   ALTER TABLE t RENAME COLUMN a TO b | ALTER TABLE t DROP COLUMN c
   ALTER TABLE t SET CHANGE FEED = true|false [WITH BACKFILL]
     (persisted table property — every later handle materializes each
@@ -1155,6 +1159,66 @@ class LakehouseSession:
                 return self._row(op="set_not_null", version=v)
             v = vt.drop_not_null(mm.group("c"))
             return self._row(op="drop_not_null", version=v)
+
+        mm = re.fullmatch(
+            r"DROP\s+(?P<mv>MATERIALIZED\s+VIEW|TABLE)"
+            rf"(?:\s+(?P<ie>IF\s+EXISTS))?\s+(?P<t>{_IDENT})",
+            s, flags=re.IGNORECASE,
+        )
+        if mm:
+            # Delta's DROP TABLE / Databricks' DROP MATERIALIZED VIEW:
+            # deletes the table directory (an MV's hidden _support/
+            # tables live inside it and go with it) and unregisters the
+            # name. Each verb refuses the other's artifact kind — a
+            # DROP TABLE that silently destroyed a maintained view (or
+            # vice versa) would be the destructive form of a typo.
+            name = mm.group("t")
+            if name not in self._tables or not self._tables[name].exists():
+                if mm.group("ie"):
+                    return self._row(op="drop", dropped=0)
+                raise KeyError(
+                    f"cannot drop unknown/empty table {name!r} "
+                    "(DROP ... IF EXISTS to tolerate)"
+                )
+            vt = self._tables[name]
+            is_mv = vt.latest_meta("materialized_view") is not None
+            want_mv = mm.group("mv").upper().startswith("MATERIALIZED")
+            if want_mv and not is_mv:
+                raise ValueError(
+                    f"{name!r} is a plain table, not a materialized "
+                    "view — use DROP TABLE"
+                )
+            if not want_mv and is_mv:
+                raise ValueError(
+                    f"{name!r} is a materialized view — use DROP "
+                    "MATERIALIZED VIEW (its hidden support tables drop "
+                    "with it)"
+                )
+            import shutil
+
+            shutil.rmtree(vt.path, ignore_errors=True)
+            del self._tables[name]
+            self.spark.catalog.dropTempView(name)
+            return self._row(op="drop", dropped=1)
+
+        if re.fullmatch(r"SHOW\s+TABLES", s, flags=re.IGNORECASE):
+            rows = [
+                (
+                    n,
+                    vt.path,
+                    bool(vt.exists()),
+                    -1 if vt.latest_version() is None else vt.latest_version(),
+                    vt.latest_meta("materialized_view") is not None
+                    if vt.exists()
+                    else False,
+                )
+                for n, vt in sorted(self._tables.items())
+            ]
+            return self.spark.createDataFrame(
+                rows,
+                "name string, location string, exists boolean, "
+                "version bigint, is_materialized_view boolean",
+            )
 
         mm = re.fullmatch(
             rf"ALTER\s+TABLE\s+(?P<t>{_IDENT})\s+SET\s+CHANGE\s+FEED\s*"

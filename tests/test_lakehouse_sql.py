@@ -553,3 +553,35 @@ def test_not_null_wap_integration(lh, spark):
     )
     v = lh.table("t").write_audit_publish(spark, good, audits=[], mode="append")
     assert v == head + 1
+
+
+def test_drop_table_and_show_tables(lh, spark, tmp_path):
+    """DROP TABLE / DROP MATERIALIZED VIEW (r14): deletes the directory
+    (an MV's hidden _support tables with it) and unregisters; each verb
+    refuses the other's artifact kind; IF EXISTS tolerates absence;
+    SHOW TABLES lists the registry."""
+    import os
+
+    rows = {r["name"]: r for r in lh.sql("SHOW TABLES").collect()}
+    assert rows["t"]["exists"] and not rows["t"]["is_materialized_view"]
+    # an MV with a COUNT(DISTINCT) support table
+    lh.create("mv", str(tmp_path / "mv"))
+    lh.sql(
+        "CREATE MATERIALIZED VIEW mv AS SELECT grp, "
+        "COUNT(DISTINCT k) AS nk, COUNT(*) AS n FROM t GROUP BY grp"
+    )
+    mv_path = lh.table("mv").path
+    assert os.path.isdir(os.path.join(mv_path, "_support", "nk"))
+    with pytest.raises(ValueError, match="use DROP MATERIALIZED VIEW"):
+        lh.sql("DROP TABLE mv")
+    with pytest.raises(ValueError, match="use DROP TABLE"):
+        lh.sql("DROP MATERIALIZED VIEW t")
+    r = lh.sql("DROP MATERIALIZED VIEW mv").first()
+    assert r["dropped"] == 1 and not os.path.exists(mv_path)
+    with pytest.raises(KeyError, match="cannot drop"):
+        lh.sql("DROP MATERIALIZED VIEW mv")
+    assert lh.sql("DROP TABLE IF EXISTS mv").first()["dropped"] == 0
+    t_path = lh.table("t").path
+    lh.sql("DROP TABLE t")
+    assert not os.path.exists(t_path)
+    assert "t" not in {r2["name"] for r2 in lh.sql("SHOW TABLES").collect()}
