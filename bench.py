@@ -223,6 +223,12 @@ EXTRA = [
     "q_scd1_cdc",
     # round-13: expression group keys in declarative MVs
     "q_materialized_view_exprkey",
+    # round-14: view-level WHERE, snapshot ingestion, per-side
+    # expression keys on JOIN views, NOT NULL column DDL
+    "q_materialized_view_where",
+    "q_scd2_from_snapshot",
+    "q_materialized_view_join_exprkey",
+    "q_notnull_constraint",
 ]
 
 
