@@ -655,9 +655,21 @@ class VersionedTable:
         ]
         cons = self.constraints()
         try:
-            stats = self._file_stats(
-                df.sparkSession, rel, constraints=cons, mapping=mapping
-            )
+            # stats come from the just-written parquet FOOTERS whenever
+            # possible (guide §1/§6: the row counts, min/max and null
+            # counts are already in the file metadata — re-scanning the
+            # data to recompute them is a whole second read of every
+            # commit's bytes at 100 TB, and one extra Spark job per
+            # commit locally). Active CHECK constraints still need the
+            # scan (violation counts are expression evaluation), and any
+            # footer surprise (missing/inexact stats, exotic type) falls
+            # back to the scan — the manifest contents are identical
+            # either way (tests/test_footer_stats.py asserts parity).
+            stats = None if cons else self._footer_file_stats(rel, mapping)
+            if stats is None:
+                stats = self._file_stats(
+                    df.sparkSession, rel, constraints=cons, mapping=mapping
+                )
             self._write_bloom_sidecars(
                 df.sparkSession, abs_dir, rel, stats, mapping
             )
@@ -676,6 +688,130 @@ class VersionedTable:
         if not self.exists():
             return {}
         return dict(self._manifest().get("constraints", {}))
+
+    def _footer_file_stats(
+        self, rel_files: list[str], mapping: dict
+    ) -> dict | None:
+        """``_file_stats`` computed from the just-written files' parquet
+        FOOTERS — no Spark job, no second read of the data. Returns the
+        same ``{rel: {"rows": n, phys: [min, max], "__nulls": {...}}}``
+        dict the scan path builds, or ``None`` when any needed stat is
+        not provably exact in the footer, in which case the caller runs
+        the scan (correctness over speed: manifest stats answer
+        metadata-only MIN/MAX/COUNT queries, so bounds are not enough).
+
+        Exactness argument, per type (all verified against the scan in
+        ``tests/test_footer_stats.py``):
+
+        - int32/int64/date32/boolean: footer min/max are exact by spec.
+        - float/double: parquet-mr folds NaN with java ``Math.min/max``
+          ordering, which matches Spark's NaN-greatest aggregate
+          ordering (verified incl. NaN and -0.0).
+        - strings: parquet-mr either stores the EXACT value or DROPS
+          min/max for oversized values (verified at 100 kB) — it never
+          silently truncates chunk-level stats, so ``has_min_max`` is
+          the exactness witness; byte-wise unsigned UTF-8 order equals
+          Spark's UTF8String order.
+        - decimals: decoded from the raw unscaled int/bytes.
+        - INT96 timestamps carry no footer stats at all → scan.
+
+        Only called for files THIS layer just wrote (Spark's parquet-mr
+        writer); foreign files (``convert_from_parquet``) keep the scan
+        path — their writer's stat behavior is not ours to vouch for."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        want_phys = [mapping.get(c, c) for c in (self.stats_cols or [])]
+        out: dict = {}
+        for f in rel_files:
+            try:
+                pf = pq.ParquetFile(os.path.join(self.path, f))
+            except Exception:  # noqa: BLE001 — unreadable footer → scan
+                return None
+            md = pf.metadata
+            if md.num_rows == 0:
+                out[f] = {"rows": 0}
+                continue
+            ent: dict = {"rows": md.num_rows}
+            nulls: dict = {}
+            arrow = pf.schema_arrow
+            names = arrow.names
+            for phys in want_phys:
+                if phys not in names:
+                    continue  # column absent from this commit's schema
+                idx = names.index(phys)
+                typ = arrow.field(idx).type
+                mm = self._fold_footer_col(md, idx, typ)
+                if mm is None:
+                    return None  # stats missing/inexact → scan path
+                mn, mx, n_null = mm
+                ent[phys] = [_stat_json(mn), _stat_json(mx)]
+                nulls[phys] = n_null
+            if nulls:
+                ent["__nulls"] = nulls
+            out[f] = ent
+        return out
+
+    @staticmethod
+    def _fold_footer_col(md, idx: int, typ) -> tuple | None:
+        """(min, max, null_count) of one column across all row groups of
+        one file's footer, with Spark's aggregate ordering (NaN greatest)
+        — or None when any row group's stats are absent for live rows."""
+        import math
+
+        import pyarrow as pa
+
+        from decimal import Decimal
+
+        is_dec = pa.types.is_decimal(typ)
+        supported = is_dec or (
+            pa.types.is_integer(typ)
+            or pa.types.is_floating(typ)
+            or pa.types.is_boolean(typ)
+            or pa.types.is_date32(typ)
+            or pa.types.is_string(typ)
+            or pa.types.is_large_string(typ)
+        )
+        if not supported:
+            return None
+
+        def _lt(a, b) -> bool:  # Spark ordering: NaN is greatest
+            if isinstance(a, float) and math.isnan(a):
+                return False
+            if isinstance(b, float) and math.isnan(b):
+                return True
+            return a < b
+
+        mn = mx = None
+        n_null = 0
+        for i in range(md.num_row_groups):
+            rg = md.row_group(i)
+            col = rg.column(idx)
+            st = col.statistics
+            if st is None or not st.has_null_count:
+                return None
+            n_null += st.null_count
+            if st.null_count == rg.num_rows:
+                continue  # all-null row group: no min/max to fold
+            if not st.has_min_max:
+                return None  # live rows but no stats (e.g. huge strings)
+            try:
+                if is_dec:
+                    v1, v2 = st.min_raw, st.max_raw
+                    if isinstance(v1, bytes):
+                        v1 = int.from_bytes(v1, "big", signed=True)
+                        v2 = int.from_bytes(v2, "big", signed=True)
+                    v1 = Decimal(int(v1)).scaleb(-typ.scale)
+                    v2 = Decimal(int(v2)).scaleb(-typ.scale)
+                else:
+                    v1, v2 = st.min, st.max
+            except Exception:  # noqa: BLE001 — undecodable → scan
+                return None
+            if mn is None or _lt(v1, mn):
+                mn = v1
+            if mx is None or _lt(mx, v2):
+                mx = v2
+        return mn, mx, n_null
 
     def _file_stats(
         self,
