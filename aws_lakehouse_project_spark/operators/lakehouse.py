@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.localrows import local_rows
 from ..functions.money import money
 from ..functions.scratch import scratch_dir
 from ..plans.versioned import VacuumedVersionError, VersionedTable
@@ -488,8 +489,8 @@ def q_notnull_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise AssertionError(f"DESCRIBE DETAIL missing NOT NULL: {desc}")
     vt = lh.table("dimc")
     head = vt.latest_version()
-    bad = spark.createDataFrame(
-        [(-9, None)], "cust_id bigint, segment string"
+    bad = local_rows(
+        spark, [(-9, None)], "cust_id bigint, segment string"
     )
     try:
         vt.append(bad)
@@ -514,8 +515,8 @@ def q_notnull_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
     lh.sql("ALTER TABLE dimc ALTER COLUMN segment SET NOT NULL")
     lh.sql("DELETE FROM dimc WHERE cust_id % 7 = 0")
     vt.append(
-        spark.createDataFrame(
-            [(-1, "SENTINEL")], "cust_id bigint, segment string"
+        local_rows(
+            spark, [(-1, "SENTINEL")], "cust_id bigint, segment string"
         )
     )
     return lh.sql(
@@ -785,7 +786,8 @@ def q_table_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     vt.delete_where(spark, "cust_id % 5 = 0")
     vt.restore(1, spark=spark)
     hist = vt.history()
-    return spark.createDataFrame(
+    return local_rows(
+        spark,
         [(h["version"], h["op"], h["n_rows"]) for h in hist],
         "version bigint, op string, n_rows bigint",
     )
@@ -2061,8 +2063,8 @@ def q_count_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 raise AssertionError(f"count at v{v} changed without data")
     finally:
         shutil.move(data + ".hidden", data)
-    return spark.createDataFrame(
-        sorted(counts.items()), "version bigint, n_rows bigint"
+    return local_rows(
+        spark, sorted(counts.items()), "version bigint, n_rows bigint"
     )
 
 STATS_MINMAX_ORACLE = f"""
@@ -2130,7 +2132,8 @@ def q_stats_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise AssertionError("metadata answers changed without data")
     finally:
         shutil.move(data + ".hidden", data)
-    return spark.createDataFrame(
+    return local_rows(
+        spark,
         got,
         "version bigint, min_dt string, max_dt string, "
         "min_cust bigint, max_cust bigint, n_rows bigint",

@@ -61,6 +61,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.localrows import local_rows
+
 from .versioned import _FEEDLESS_OPS, VacuumedVersionError, VersionedTable
 
 _GRAMMAR = """supported statements:
@@ -212,13 +214,21 @@ class LakehouseSession:
     # -- helpers --------------------------------------------------------------
 
     def _row(self, **cols) -> DataFrame:
-        names = list(cols)
-        return self.spark.createDataFrame(
-            [tuple(cols[n] for n in names)],
-            ", ".join(
-                f"{n} {'string' if isinstance(cols[n], str) else 'bigint'}"
-                for n in names
-            ),
+        # Literal projection over range(1), NOT createDataFrame([tuple]):
+        # a python-list frame is RDD-backed, so every .first()/collect on
+        # a statement's 1-row result paid a Python-worker round trip
+        # (~1 s on local[32]; the APPLY/REFRESH demo queries read 2-3
+        # such results each — measured in OPTIMIZATION_r14.md). The
+        # literal plan is a JVM-local relation; same names, same types
+        # (string for str, bigint for ints and None).
+        return self.spark.range(1).select(
+            *[
+                (
+                    F.lit(v) if isinstance(v, str)
+                    else F.lit(v).cast("bigint")
+                ).alias(n)
+                for n, v in cols.items()
+            ]
         )
 
     def _register_views(self) -> None:
@@ -1030,7 +1040,8 @@ class LakehouseSession:
         )
         if mm:
             hist = self.table(mm.group("t")).history()
-            return self.spark.createDataFrame(
+            return local_rows(
+                self.spark,
                 [
                     (h["version"], h["op"], h["n_files"], h["n_rows"],
                      float(h["ts"]) if h.get("ts") else None)
@@ -1064,7 +1075,8 @@ class LakehouseSession:
                     ) from exc
             from .versioned import _NOTNULL_PREFIX
 
-            return self.spark.createDataFrame(
+            return local_rows(
+                self.spark,
                 [(
                     vt.path,
                     int(m["version"]),
@@ -1214,7 +1226,8 @@ class LakehouseSession:
                 )
                 for n, vt in sorted(self._tables.items())
             ]
-            return self.spark.createDataFrame(
+            return local_rows(
+                self.spark,
                 rows,
                 "name string, location string, exists boolean, "
                 "version bigint, is_materialized_view boolean",

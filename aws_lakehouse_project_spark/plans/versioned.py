@@ -1780,17 +1780,33 @@ class VersionedTable:
                 df = df.withColumn("__pos", F.lit(None).cast("long"))
             return df
 
+        # Explicit PHYSICAL read schema instead of mergeSchema footer
+        # inference: mergeSchema launches a distributed footer-merge job
+        # on EVERY snapshot/changes/tagged read (guide §1.2/§6 — pure
+        # metadata overhead, paid per read at any scale). The manifest
+        # already knows the union schema, evolution never re-types a
+        # column (_merge_schema keeps the old field; _align_types casts
+        # incoming writes), and physical names are immutable — so the
+        # reader's per-file reconciliation (absent column → null) gives
+        # byte-identical results to the merged-footer path with ZERO
+        # inference jobs.
+        phys_schema = StructType(
+            [
+                StructField(
+                    mapping.get(f.name, f.name), f.dataType, True
+                )
+                for f in schema.fields
+            ]
+        )
+
         def _scan(files: list[str], with_meta: bool) -> DataFrame:
-            df = spark.read.option("mergeSchema", "true").parquet(
+            df = spark.read.schema(phys_schema).parquet(
                 *[os.path.join(self.path, f) for f in files]
             )
-            cols = []
-            for f in schema.fields:
-                phys = mapping.get(f.name, f.name)
-                cols.append(
-                    F.col(phys).alias(f.name) if phys in df.columns
-                    else F.lit(None).cast(f.dataType).alias(f.name)
-                )
+            cols = [
+                F.col(mapping.get(f.name, f.name)).alias(f.name)
+                for f in schema.fields
+            ]
             if with_meta:
                 cols += [
                     F.col("_metadata.file_path").alias("__fp"),

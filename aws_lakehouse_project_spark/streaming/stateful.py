@@ -18,6 +18,8 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
+
+from ..functions.localrows import local_rows
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -240,7 +242,8 @@ def q_stream_sessions(spark, sf_dir: str) -> DataFrame:
     # flush row written with the SAME ts physical type as the testdata
     # (TIMESTAMP_NTZ) so the stream's inferred schema holds for both
     flush_uid = 999_999_999
-    spark.createDataFrame(
+    local_rows(
+        spark,
         [(flush_uid, dt.datetime(2024, 6, 1), flush_uid, "view", 0.0, "{}")],
         "event_id LONG, ts TIMESTAMP_NTZ, user_id LONG, event_type STRING,"
         " value DOUBLE, props STRING",

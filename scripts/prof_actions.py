@@ -26,7 +26,20 @@ class _Cap:
 
     def onSuccess(self, funcName, qe, durationNs) -> None:  # noqa: N802
         try:
-            head = qe.executedPlan().toString().split("\n", 1)[0][:110]
+            s = qe.executedPlan().toString()
+            head = s.split("\n", 1)[0][:60]
+            import re as _re
+
+            ops = _re.findall(
+                r"(Exchange hash|Exchange range|SortMergeJoin|"
+                r"BroadcastHashJoin|Window|HashAggregate|Scan parquet|"
+                r"LocalTableScan|Generate explode)", s)
+            from collections import Counter
+
+            fp = ",".join(
+                f"{k.split()[-1]}x{v}" for k, v in Counter(ops).items()
+            )
+            head = f"{head} [{fp[:120]}]"
         except Exception:  # noqa: BLE001
             head = "?"
         self.events.append((time.perf_counter(), durationNs / 1e9, head))
@@ -52,8 +65,10 @@ def main() -> None:
     spark = build_session(app_name="prof_actions")
     registry = entrymod.queries()
 
+    from pyspark.java_gateway import ensure_callback_server_started
+
+    ensure_callback_server_started(spark.sparkContext._gateway)
     cap = _Cap()
-    jvm = spark.sparkContext._jvm
     spark._jsparkSession.listenerManager().register(cap)
 
     if args.warm:
