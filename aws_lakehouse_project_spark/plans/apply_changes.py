@@ -729,19 +729,28 @@ def apply_changes_scd2(
                         F.lit("upsert").alias("__op"),
                     )
                 )
-            hv = hist.merge_apply(
-                spark,
-                upd,
-                keys=[*keys, "start_v"],
-                op_col="__op",
-                meta={
-                    _META_KEY: {
-                        **meta_base,
-                        "src_version": wm_v,
-                        "next_ordinal": ordinal + 1,
-                    }
-                },
-            )
+            # churn-sized (closed slice + opened rows) and consumed twice
+            # by merge_apply (touched-file key discovery, then the
+            # rewrite union) — materialize once instead of re-running
+            # the history-slice joins per use (same doctrine as the
+            # replication fold's net.persist)
+            upd = upd.persist()
+            try:
+                hv = hist.merge_apply(
+                    spark,
+                    upd,
+                    keys=[*keys, "start_v"],
+                    op_col="__op",
+                    meta={
+                        _META_KEY: {
+                            **meta_base,
+                            "src_version": wm_v,
+                            "next_ordinal": ordinal + 1,
+                        }
+                    },
+                )
+            finally:
+                upd.unpersist()
             if seq_feed is not None:
                 seq_feed.unpersist()
             ordinal += 1

@@ -803,6 +803,19 @@ def _merge_nets(
     every touched group (from the support tables) and overwrites the
     published columns."""
 
+    def _commit_changes(changes_df: DataFrame) -> int:
+        # churn-sized and consumed twice by merge_apply (touched-file
+        # key discovery, then the rewrite union) — materialize once so
+        # the fold joins (and the MIN/MAX rescan subtree) never run
+        # twice per refresh
+        out = _publish_dists(changes_df).persist()
+        try:
+            return mv.merge_apply(
+                spark, out, keys, op_col="__op", meta=head_meta
+            )
+        finally:
+            out.unpersist()
+
     def _publish_dists(changes_df: DataFrame) -> DataFrame:
         if dist_df is None:
             return changes_df
@@ -838,10 +851,7 @@ def _merge_nets(
         )
         if avgs:
             changes_df = changes_df.select("*", *_avg_publish_exprs(avgs))
-        return mv.merge_apply(
-            spark, _publish_dists(changes_df), keys, op_col="__op",
-            meta=head_meta,
-        )
+        return _commit_changes(changes_df)
     # MIN/MAX path: a group needs a rescan only if it SURVIVES and a
     # deleted value ties-or-beats its maintained extremum (the bounded
     # doctrine of fold_changes_into_minmax); dead groups delete,
@@ -904,10 +914,7 @@ def _merge_nets(
         )
         if avgs:
             changes_df = changes_df.select("*", *_avg_publish_exprs(avgs))
-        return mv.merge_apply(
-            spark, _publish_dists(changes_df), keys, op_col="__op",
-            meta=head_meta,
-        )
+        return _commit_changes(changes_df)
     finally:
         pre.unpersist()
 
