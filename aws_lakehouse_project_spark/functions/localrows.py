@@ -35,11 +35,14 @@ def local_rows(
     )
     if not rows:
         return spark.createDataFrame([], schema)
+    # strict zip keeps the replaced API's fail-loud contract: a row whose
+    # arity differs from the schema must raise here, not silently
+    # truncate into a wrong-but-well-typed frame (ADVICE r14).
     structs = [
         F.struct(
             *[
                 F.lit(v).cast(f.dataType).alias(f.name)
-                for v, f in zip(tuple(row), schema.fields)
+                for v, f in zip(tuple(row), schema.fields, strict=True)
             ]
         )
         for row in rows

@@ -1317,34 +1317,57 @@ def q_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         d_min + _dt.timedelta(days=2 * span // 3),
     ]
     dt_col = F.to_date("ts")
-    ranges = [
-        dt_col < F.lit(cuts[0]),
-        (dt_col >= F.lit(cuts[0])) & (dt_col < F.lit(cuts[1])),
-        dt_col >= F.lit(cuts[1]),
-    ]
+    # ONE partitioned pass stages all three drops (was: per-drop
+    # isEmpty probe + coalesce(1) write = 6 actions over the same
+    # scan): __drop-hash-partitioned, so each drop lands as exactly one
+    # file under __drop=i/, then renamed to the flat batchN.parquet
+    # layout. Empty thirds simply produce no directory.
+    drop_no = (
+        F.when(dt_col < F.lit(cuts[0]), 0)
+        .when(dt_col < F.lit(cuts[1]), 1)
+        .otherwise(2)
+    )
+    tmp = os.path.join(drops, "stage")
+    events.withColumn("__drop", drop_no).repartition("__drop").write.mode(
+        "overwrite"
+    ).partitionBy("__drop").parquet(tmp)
     n_drops = 0
-    for i, cond in enumerate(ranges):
-        part = events.filter(cond)
-        if part.isEmpty():
+    t_base = time.time()
+    for i in range(3):
+        part_dir = os.path.join(tmp, f"__drop={i}")
+        if not os.path.isdir(part_dir):
             continue
-        tmp = os.path.join(drops, f"stage{i}")
-        part.coalesce(1).write.mode("overwrite").parquet(tmp)
-        for n in os.listdir(tmp):
+        for n in os.listdir(part_dir):
             if n.endswith(".parquet"):
-                shutil.move(
-                    os.path.join(tmp, n),
-                    os.path.join(drops, f"batch{i}.parquet"),
-                )
-        shutil.rmtree(tmp)
+                dst = os.path.join(drops, f"batch{i}.parquet")
+                shutil.move(os.path.join(part_dir, n), dst)
+                # the file stream replays drops in MTIME order, and the
+                # one-pass partitioned write stamps task-completion-order
+                # mtimes — stamp strictly increasing chronological mtimes
+                # so drop i arrives before drop i+1 (the watermark
+                # contract in the docstring above)
+                os.utime(dst, (t_base + i, t_base + i))
         n_drops += 1
+    shutil.rmtree(tmp)
 
     vt = VersionedTable(os.path.join(work, "fact"), stats_cols=["dt"])
     agg = daily_user_metrics_stream(read_events_stream(spark, drops))
 
     def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        vt.merge_upsert(batch_df.sparkSession, batch_df, keys=["dt", "cust_id"])
+        # the micro-batch frame re-executes its whole plan (file-source
+        # read + RocksDB stateful aggregation) on EVERY action, and the
+        # CoW merge consumes it three times (emptiness probe, touched-
+        # file discovery, rewrite union) — persist so the stateful agg
+        # runs once per batch (guide §1.2/§5; churn-sized by definition)
+        batch_df.persist()
+        try:
+            if batch_df.isEmpty():
+                return
+            vt.merge_upsert(
+                batch_df.sparkSession, batch_df, keys=["dt", "cust_id"]
+            )
+        finally:
+            batch_df.unpersist()
 
     query = (
         agg.writeStream.outputMode("update")

@@ -259,22 +259,44 @@ class LakehousePipeline:
         ordered inside its thread; failures alert in-thread exactly as
         in the sequential form and the first one re-raises here. The
         manifest stays deterministic: edges regroup by (domain, stage)
-        order after the pool joins."""
+        order after the pool joins.
+
+        Failure semantics (differs from the pre-r14 sequential form, by
+        design): when one domain fails, its SIBLING domains still run to
+        completion — including publishing their curated output — before
+        the first failure re-raises here. Each domain is an independent
+        Airflow-style branch with its own alert, so a sibling's publish
+        is not rolled back by another branch's failure; only the fact
+        build (which needs all three staged inputs) is skipped. Lineage
+        is re-sorted in ``finally`` so it is deterministic even on a
+        failed run."""
         domains = [d for d in DOMAIN_FORMATS if d in self.config.raw_paths]
         if len(domains) > 1:
             from concurrent.futures import ThreadPoolExecutor
 
             mark = len(self.lineage)
-            with ThreadPoolExecutor(max_workers=min(4, len(domains))) as pool:
-                list(pool.map(self.run_domain, domains))
-            stage_rank = {"ingest": 0, "validate": 1, "transform": 2, "publish": 3}
-            dom_rank = {d: i for i, d in enumerate(domains)}
+            try:
+                with ThreadPoolExecutor(
+                    max_workers=min(4, len(domains))
+                ) as pool:
+                    list(pool.map(self.run_domain, domains))
+            finally:
+                stage_rank = {
+                    "ingest": 0,
+                    "validate": 1,
+                    "transform": 2,
+                    "publish": 3,
+                }
+                dom_rank = {d: i for i, d in enumerate(domains)}
 
-            def _key(edge: dict) -> tuple:
-                verb, _, dom = edge["stage"].partition("_")
-                return (dom_rank.get(dom, len(dom_rank)), stage_rank.get(verb, 9))
+                def _key(edge: dict) -> tuple:
+                    verb, _, dom = edge["stage"].partition("_")
+                    return (
+                        dom_rank.get(dom, len(dom_rank)),
+                        stage_rank.get(verb, 9),
+                    )
 
-            self.lineage[mark:] = sorted(self.lineage[mark:], key=_key)
+                self.lineage[mark:] = sorted(self.lineage[mark:], key=_key)
         else:
             for domain in domains:
                 self.run_domain(domain)

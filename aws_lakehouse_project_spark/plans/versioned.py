@@ -647,7 +647,15 @@ class VersionedTable:
             )
         commit_dir = f"c{version_hint:08d}-{uuid.uuid4().hex[:8]}"
         abs_dir = os.path.join(self.path, _DATA_DIR, commit_dir)
-        df.write.mode("overwrite").parquet(abs_dir)
+        # Pin no-truncation chunk statistics on every commit write: the
+        # footer-stats fast path's string-exactness witness (`has_min_max`
+        # ⇒ exact value) only holds under parquet-mr's default
+        # statistics.truncate.length = Integer.MAX_VALUE; a session that
+        # lowered it would otherwise record truncated bounds as exact
+        # manifest stats (ADVICE r14).
+        df.write.mode("overwrite").option(
+            "parquet.statistics.truncate.length", str(2**31 - 1)
+        ).parquet(abs_dir)
         rel = [
             os.path.join(_DATA_DIR, commit_dir, n)
             for n in sorted(os.listdir(abs_dir))
@@ -736,11 +744,22 @@ class VersionedTable:
             nulls: dict = {}
             arrow = pf.schema_arrow
             names = arrow.names
+            # row-group columns index flattened LEAF columns (a nested
+            # field contributes one entry per leaf), so a stats column is
+            # resolved by its leaf path, never by top-level position — a
+            # struct column ahead of it would silently shift a positional
+            # index onto the wrong column's stats (ADVICE r14).
+            leaf_paths = [
+                md.row_group(0).column(j).path_in_schema
+                for j in range(md.num_columns)
+            ]
             for phys in want_phys:
                 if phys not in names:
                     continue  # column absent from this commit's schema
-                idx = names.index(phys)
-                typ = arrow.field(idx).type
+                if phys not in leaf_paths:
+                    return None  # nested/repeated stats column → scan
+                idx = leaf_paths.index(phys)
+                typ = arrow.field(phys).type
                 mm = self._fold_footer_col(md, idx, typ)
                 if mm is None:
                     return None  # stats missing/inexact → scan path

@@ -232,6 +232,32 @@ EXTRA = [
 ]
 
 
+def _scaling_probe(spark, sf_dir: str) -> "object":
+    """A CPU-bound frame whose runtime actually scales with cores.
+
+    The 21 headline queries at sf0.1 are fixed-overhead/driver bound
+    (0.2–2 s each), so their 8-core vs 32-core ratios read ~1.0 and the
+    driver's scaling heuristic cannot tell "honors $SPARK_GRAFT_CPUS"
+    from "ignores it" (PERF_r14 suspect_cpus_ignored). This probe reads
+    the events table, round-robin repartitions to defaultParallelism
+    (so task count follows the core count), replicates rows via a
+    broadcast range and folds a deep xxhash64 chain — ~10^9 hashes of
+    pure JVM compute, no shuffle, no Python. Wall time ≈ const/cores,
+    so the 8-vs-32 ratio lands near 3–4x when the env var is honored."""
+    from pyspark.sql import functions as F
+
+    n = spark.sparkContext.defaultParallelism
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_id"
+    )
+    df = ev.repartition(n).crossJoin(F.broadcast(spark.range(800)))
+    h = F.xxhash64("event_id", "id")
+    for _ in range(63):
+        h = F.xxhash64(h)
+    # bit_xor fold: overflow-free under ANSI, still consumes every hash
+    return df.select(h.alias("h")).agg(F.expr("bit_xor(h)").alias("x"))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -268,6 +294,13 @@ def main() -> None:
 
     warm(names)
     registry["q_scan_parquet"](spark, sf_dir).collect()
+    if os.path.isdir(warm_sf):
+        try:  # JIT-warm the scaling probe like every other query
+            _scaling_probe(spark, warm_sf).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception as exc:  # noqa: BLE001
+            print(f"# warm-up scaling probe failed: {exc}", file=sys.stderr)
 
     def timed(name: str, out: dict) -> None:
         # per-query fault isolation: one broken query must not abort the
@@ -334,6 +367,23 @@ def main() -> None:
         round(100.0 * (steal1 - steal0) / (cpu1 - cpu0), 2) if cpu1 > cpu0 else None
     )
 
+    # scaling probe (timed once, after everything else so it cannot
+    # perturb the comparable numbers): reported inside "queries" so the
+    # driver's 8-vs-32-core scaling table picks it up, but EXCLUDED from
+    # the headline total — "value" stays the same 21-query sum every
+    # recorded baseline uses.
+    probe: dict[str, float | None] = {}
+    try:
+        t0 = time.perf_counter()
+        _scaling_probe(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        probe["q_scaling_probe"] = round(time.perf_counter() - t0, 3)
+        print(f"# q_scaling_probe: {probe['q_scaling_probe']:.3f}s", file=sys.stderr)
+    except Exception as exc:  # noqa: BLE001
+        probe["q_scaling_probe"] = None
+        print(f"# q_scaling_probe FAILED: {exc}", file=sys.stderr)
+
     failed = [n for n, v in {**timings, **extra}.items() if v is None]
     # a partial sum must not masquerade as a clean headline number: if
     # any HEADLINE query failed, value is null (round-over-round totals
@@ -345,13 +395,29 @@ def main() -> None:
         if not headline_failed
         else None
     )
+    # per-window steal%% for the slow extras that got a best-of-2
+    # re-read (drift attribution, r12 task 8): kept OFF the one-line
+    # JSON — the line outgrew the driver's tail capture in r13 and the
+    # whole round-over-round table was lost to mid-dict truncation
+    # (VERDICT r14 §"What's wrong" 6). Published to stderr + a side
+    # file instead.
+    print(f"# extra_steal_pct: {json.dumps(extra_steal)}", file=sys.stderr)
+    try:
+        with open("/tmp/bench_extra_steal_pct.json", "w") as fh:
+            json.dump(extra_steal, fh)
+    except OSError:
+        pass
     print(
         json.dumps(
             {
                 "metric": "headline_query_wall_clock_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                # q_scaling_probe rides in "queries" (driver computes
+                # its 8-vs-32 ratio from this dict) but is NOT part of
+                # "value": the headline total remains the same 21-query
+                # sum as every recorded baseline.
+                "queries": {**timings, **probe},
                 # per-pass totals (null if any query failed that pass) +
                 # the median headline: "value" IS the median of medians
                 "runs": [
@@ -362,9 +428,6 @@ def main() -> None:
                 ],
                 "median": total,
                 "extra_queries": extra,
-                # per-window steal%% for the slow extras that got a
-                # best-of-2 re-read (drift attribution, r12 task 8)
-                "extra_steal_pct": extra_steal,
                 "failed_queries": failed,
                 "n_headline_completed": sum(
                     1 for v in timings.values() if v is not None
@@ -372,6 +435,12 @@ def main() -> None:
                 "n_headline": len(timings),
                 "sf": sf,
                 "steal_pct": steal_pct,
+                # scaling-probe credibility (VERDICT r14 item 2): the
+                # session really is local[$SPARK_GRAFT_CPUS] — publish
+                # what the JVM actually saw so the driver's scaling
+                # check can verify it instead of inferring from ratios.
+                "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+                "default_parallelism": spark.sparkContext.defaultParallelism,
             }
         )
     )

@@ -120,6 +120,56 @@ def test_pipeline_validation_aborts(spark, raw_paths, tmp_path):
     assert "erp_orders" not in pipe.staged
 
 
+def test_run_all_siblings_publish_on_one_domain_failure(
+    spark, raw_paths, tmp_path
+):
+    """run_all's documented thread-pool failure semantics: a failing
+    domain re-raises AND alerts, sibling branches still run to
+    completion (their curated output publishes), the fact build is
+    skipped, and lineage is deterministically sorted even on failure."""
+    from aws_lakehouse_project_spark.errors import ExpectationFailure
+    from aws_lakehouse_project_spark.pipeline import (
+        LakehousePipeline,
+        PipelineConfig,
+    )
+
+    bad = tmp_path / "bad_orders.csv"
+    bad.write_text(
+        "order_id,customer_id,store_id,dt,order_value,status\n"
+        "2001,C01,store_01,2024-06-01,-5.00,shipped\n"
+    )
+    alerts = []
+    cfg = PipelineConfig(
+        raw_paths=dict(raw_paths, erp_orders=str(bad)),
+        curated_dir=str(tmp_path / "c_fail"),
+        on_failure=lambda domain, stage, exc: alerts.append((domain, stage)),
+    )
+    pipe = LakehousePipeline(spark, cfg)
+    with pytest.raises(ExpectationFailure):
+        pipe.run_all()
+    assert ("erp_orders", "validate") in alerts
+    # sibling branches completed and published despite the failure
+    assert "crm_leads" in pipe.staged and "web_events" in pipe.staged
+    # the fact build never ran (needs all three staged inputs)
+    assert not any(
+        e["stage"] == "build_fct_daily_store_metrics" for e in pipe.lineage
+    )
+    # lineage is sorted by (domain, stage) — production's _key — even
+    # on the failed run (the sort runs in a finally block)
+    from aws_lakehouse_project_spark.pipeline import DOMAIN_FORMATS
+
+    dom_rank = {d: i for i, d in enumerate(DOMAIN_FORMATS)}
+    stage_rank = {"ingest": 0, "validate": 1, "transform": 2, "publish": 3}
+
+    def _key(edge):
+        verb, _, dom = edge["stage"].partition("_")
+        return (dom_rank.get(dom, 9), stage_rank.get(verb, 9))
+
+    assert [_key(e) for e in pipe.lineage] == sorted(
+        _key(e) for e in pipe.lineage
+    )
+
+
 def test_failure_callback_fires_and_failure_propagates(spark, raw_paths, tmp_path):
     """D5 alerting seam (reference airflow DAG :50-59 Slack callback): a
     stage failure invokes on_failure(domain, stage, exc) and still

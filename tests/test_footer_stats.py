@@ -126,6 +126,43 @@ def test_footer_path_skipped_under_constraints(spark, tmp_path):
     assert m["version"] == 2
 
 
+def test_footer_stats_nested_column_before_stats_col(spark, tmp_path):
+    """A struct column contributes one row-group column per LEAF, so a
+    positional top-level index would read the wrong column's stats when
+    a nested column precedes a stats column (ADVICE r14). The footer
+    path must resolve by leaf path and still match the scan exactly."""
+    df = spark.range(0, 100).select(
+        F.struct(
+            (F.col("id") * 1000).alias("a"), (-F.col("id")).alias("b")
+        ).alias("nest"),
+        F.col("id").alias("k"),
+        (F.col("id") % 7).alias("v"),
+    )
+    vt = VersionedTable(str(tmp_path / "t"), stats_cols=["k", "v"])
+    vt.write_full(df.coalesce(1))
+    m = vt._manifest()
+    (ent,) = m["stats"].values()
+    # leaf-path resolution: k's stats are k's (0..99), v's are v's
+    # (0..6) — a positional index would have recorded nest.a / nest.b
+    assert ent["k"] == [0, 99] and ent["v"] == [0, 6]
+    scan = vt._file_stats(spark, m["files"])
+    assert _nan_eq({f: m["stats"][f] for f in m["files"]}, scan)
+
+
+def test_footer_fallback_nested_stats_col(spark, tmp_path):
+    """A stats column that is ITSELF nested has no single leaf path —
+    the footer path must refuse and leave the scan to produce stats."""
+    df = spark.range(0, 10).select(
+        F.struct(F.col("id").alias("a")).alias("nest"),
+        F.col("id").alias("k"),
+    )
+    vt = VersionedTable(str(tmp_path / "t"), stats_cols=["k"])
+    vt.write_full(df.coalesce(1))
+    m = vt._manifest()
+    vt.stats_cols = ["nest", "k"]
+    assert vt._footer_file_stats(m["files"], {}) is None
+
+
 def test_footer_stats_zero_row_file(spark, tmp_path):
     """Empty partitions write zero-row part files; their manifest entry
     is {'rows': 0} on both paths."""
