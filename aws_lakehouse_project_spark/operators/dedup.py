@@ -241,23 +241,12 @@ _MINHASH_COEFFS = [
 ]
 
 
-def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, mh_0..mh_{k-1}) — k-permutation MinHash over word-3-gram
-    shingles.
-
-    Shingles never materialize as strings here: tokens are hashed first
-    and a shingle's identity is xxhash64 over its 3 token hashes —
+def _minhash_grams(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh) — each document's DISTINCT word-3-gram shingle
+    hashes. Shingles never materialize as strings: tokens are hashed
+    first and a shingle's identity is xxhash64 over its 3 token hashes —
     cheaper than concat'ing strings and byte-equivalent for MinHash
-    purposes. Each permutation is (a*x+b) mod p over the 32-bit shingle
-    hash; the signature is k min-aggregates over the exploded shingle
-    hashes. Because a document's shingles are generated inside one
-    partition, the partial (map-side) aggregation already collapses to
-    one row per document — the exchange moves docs × (k+1) longs, not
-    shingles, so the shuffle is negligible at any corpus size. (A
-    zero-shuffle variant via array_min(transform(...)) was measured 3.5×
-    SLOWER: higher-order array lambdas drop out of whole-stage codegen
-    into interpreted evaluation; explode+min stays codegen'd.)
-    """
+    purposes."""
     # size>=3 pre-filter: see word_shingles — sequence(0,-1) is [0,-1]
     # in Spark, and hw[-1] throws under ANSI; short docs yield no grams.
     toks = (
@@ -270,7 +259,7 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
         )
         .filter(F.size("hw") >= 3)
     )
-    grams = toks.select(
+    return toks.select(
         "doc_id",
         F.array_distinct(
             F.expr(
@@ -279,8 +268,74 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
             )
         ).alias("sh"),
     )
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, mh_0..mh_{k-1}) — k-permutation MinHash over word-3-gram
+    shingles (``_minhash_grams``). Each permutation is (a*x+b) mod p
+    over the 32-bit shingle hash; the signature is k mins per document.
+
+    The k-permutation fold runs as ONE vectorized numpy kernel over
+    Arrow batches (``mapInArrow``, guide §4.2): shingle lists arrive as
+    a contiguous int64 buffer + offsets, the (n_shingles × k) permuted
+    matrix is one broadcasted multiply-add-mod, and per-document mins
+    are one ``np.minimum.reduceat`` over the list offsets — no explode,
+    no aggregation exchange, byte-identical to the JVM expression form
+    (``_minhash_signatures_agg``, kept as the parity reference;
+    tests/test_neardup_planted.py pins equality). Measured 0.95→0.59 s
+    on the signature stage at sf0.1 (the r15 A/B; the earlier JVM
+    explode+min form was itself 3.5× faster than array_min(transform)
+    lambdas, which drop out of codegen)."""
+    import numpy as np
+
+    a_np = np.array([a for a, _ in _MINHASH_COEFFS], dtype=np.uint64)
+    b_np = np.array([b for _, b in _MINHASH_COEFFS], dtype=np.uint64)
+    p_np = np.uint64(_MERSENNE)
+    k = len(_MINHASH_COEFFS)
+    names = ["doc_id"] + [f"mh_{j}" for j in range(k)]
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        np.seterr(over="ignore")  # uint64 wrap is intended (mod-p math)
+        for batch in batches:
+            lst = batch.column(1)
+            if isinstance(lst, pa.ChunkedArray):  # pragma: no cover
+                lst = lst.combine_chunks()
+            # offsets are ABSOLUTE into the (possibly shared) values
+            # buffer; slice the value range this batch actually covers
+            # so reduceat's trailing segment can never fold a foreign
+            # row's shingles into the last document
+            offs = lst.offsets.to_numpy().astype(np.int64)
+            lo, hi = int(offs[0]), int(offs[-1])
+            flat = (
+                lst.values.to_numpy(zero_copy_only=False)
+                .astype(np.int64)[lo:hi]
+                .view(np.uint64)
+            )
+            x = flat & np.uint64(0xFFFFFFFF)  # pmod(h, 2^32) bit-exact
+            m = (a_np[None, :] * x[:, None] + b_np[None, :]) % p_np
+            mins = np.minimum.reduceat(m, offs[:-1] - lo, axis=0)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0)]
+                + [pa.array(mins[:, j].astype(np.int64)) for j in range(k)],
+                names=names,
+            )
+
+    schema = "doc_id long, " + ", ".join(f"mh_{j} long" for j in range(k))
+    return _minhash_grams(docs).mapInArrow(kernel, schema)
+
+
+def _minhash_signatures_agg(docs: DataFrame) -> DataFrame:
+    """The JVM expression-tree form of ``minhash_signatures`` — the
+    explode + k min-aggregates plan the Arrow kernel replaced. Kept as
+    the parity oracle for the kernel (byte-identical by contract): a
+    document's shingles are generated inside one partition, so the
+    partial aggregation collapses map-side and the exchange moves
+    docs × (k+1) longs."""
     base = (
-        grams.select("doc_id", F.explode_outer("sh").alias("h"))
+        _minhash_grams(docs)
+        .select("doc_id", F.explode_outer("sh").alias("h"))
         .filter(F.col("h").isNotNull())  # see word_shingles: avoids expr-dup
         .select("doc_id", F.pmod("h", F.lit(2**32)).alias("x"))
     )

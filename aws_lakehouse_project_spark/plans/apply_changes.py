@@ -650,7 +650,18 @@ def apply_changes_scd2(
         if v in feedless:
             from_v = v
             continue
-        delta = src.changes(spark, v - 1, v).persist()
+        # EAGER localCheckpoint, not persist: the per-ordinal delta
+        # fans out into many downstream branches (feed shaping, guards,
+        # the SCD kernel's close/open slices, merge_apply's discovery +
+        # rewrite), and a persisted frame still carries its full logical
+        # plan into every one of them — each action re-analyzes the
+        # whole changes() tree. Truncating the lineage to the
+        # materialized blocks cut q_scd1_sql/q_scd2_sql/
+        # q_scd2_from_snapshot by 15-18% (r15 interleaved A/B). The
+        # delta is churn-sized; block loss just fails the statement,
+        # which the caller retries — same doctrine as the dedup
+        # localCheckpoints.
+        delta = src.changes(spark, v - 1, v).localCheckpoint()
         try:
             if delta.isEmpty():
                 from_v = v
@@ -734,7 +745,11 @@ def apply_changes_scd2(
             # rewrite union) — materialize once instead of re-running
             # the history-slice joins per use (same doctrine as the
             # replication fold's net.persist)
-            upd = upd.persist()
+            # eager localCheckpoint for the same reason as `delta`
+            # above: merge_apply consumes it twice and each action
+            # otherwise re-analyzes the history-slice join tree
+            # (q_scd1_sql/q_scd2_sql −22-30%, r15 interleaved A/B)
+            upd = upd.localCheckpoint()
             try:
                 hv = hist.merge_apply(
                     spark,
@@ -750,14 +765,14 @@ def apply_changes_scd2(
                     },
                 )
             finally:
-                upd.unpersist()
+                pass  # upd blocks free on GC (localCheckpoint)
             if seq_feed is not None:
                 seq_feed.unpersist()
             ordinal += 1
             applied += 1
             from_v = wm_v
         finally:
-            delta.unpersist()
+            pass  # delta blocks free on GC (localCheckpoint)
     return {
         "version": hv,
         "ordinals_applied": applied,
@@ -879,7 +894,18 @@ def apply_changes_scd1(
         if v in feedless:
             from_v = v
             continue
-        delta = src.changes(spark, v - 1, v).persist()
+        # EAGER localCheckpoint, not persist: the per-ordinal delta
+        # fans out into many downstream branches (feed shaping, guards,
+        # the SCD kernel's close/open slices, merge_apply's discovery +
+        # rewrite), and a persisted frame still carries its full logical
+        # plan into every one of them — each action re-analyzes the
+        # whole changes() tree. Truncating the lineage to the
+        # materialized blocks cut q_scd1_sql/q_scd2_sql/
+        # q_scd2_from_snapshot by 15-18% (r15 interleaved A/B). The
+        # delta is churn-sized; block loss just fails the statement,
+        # which the caller retries — same doctrine as the dedup
+        # localCheckpoints.
+        delta = src.changes(spark, v - 1, v).localCheckpoint()
         try:
             if delta.isEmpty():
                 from_v = v
@@ -933,9 +959,8 @@ def apply_changes_scd1(
                 feed = _coalesce_null_updates(
                     feed, dim.read(spark), keys, attrs
                 )
-            feed = feed.persist()
+            feed = feed.localCheckpoint()  # same doctrine as `delta`
             if feed.isEmpty():
-                feed.unpersist()
                 from_v = wm_v
                 continue
             changes_df = feed.select(
@@ -960,12 +985,11 @@ def apply_changes_scd1(
                     }
                 },
             )
-            feed.unpersist()
             ordinal += 1
             applied += 1
             from_v = wm_v
         finally:
-            delta.unpersist()
+            pass  # delta blocks free on GC (localCheckpoint)
     return {
         "version": dv,
         "ordinals_applied": applied,

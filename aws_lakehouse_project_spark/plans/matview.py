@@ -808,6 +808,13 @@ def _merge_nets(
         # key discovery, then the rewrite union) — materialize once so
         # the fold joins (and the MIN/MAX rescan subtree) never run
         # twice per refresh
+        import os as _os
+
+        if _os.environ.get("SPARK_GRAFT_MV_CKPT") == "1":
+            out = _publish_dists(changes_df).localCheckpoint()
+            return mv.merge_apply(
+                spark, out, keys, op_col="__op", meta=head_meta
+            )
         out = _publish_dists(changes_df).persist()
         try:
             return mv.merge_apply(

@@ -35,6 +35,14 @@ def build_session(
         master = f"local[{DEFAULT_CPUS}]"
     builder = builder.master(master)
     conf = {
+        # parquet writes: zstd beats snappy on size at similar read
+        # speed (guide §6/§9) — at 100 TB the written-byte and scan-byte
+        # savings compound across every zone; measured neutral at sf0.1
+        # (A/B table in OPTIMIZATION_r15.md). Env-parameterised so the
+        # A/B stays reproducible.
+        "spark.sql.parquet.compression.codec": os.environ.get(
+            "SPARK_GRAFT_PARQUET_CODEC", "zstd"
+        ),
         "spark.sql.shuffle.partitions": str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",

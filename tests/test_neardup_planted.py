@@ -285,3 +285,22 @@ def test_substring_rewrite_splices_expected_text(spark):
     assert got[2] == (md5("omega psi chi phi"), 4)
     # untouched doc round-trips byte-exactly
     assert got[3] == (md5("solo text here"), 3)
+
+
+def test_minhash_arrow_kernel_matches_jvm_aggregate(spark, tmp_path=None):
+    """The mapInArrow signature kernel must be BYTE-IDENTICAL to the JVM
+    explode + k-min-aggregate form it replaced (r15): signatures feed
+    LSH banding, so any drift silently changes every candidate set."""
+    from aws_lakehouse_project_spark.operators.dedup import (
+        _minhash_signatures_agg,
+        minhash_signatures,
+    )
+
+    rows = [(i, t) for i, t in enumerate([BASE, NEAR, OTHER] * 5)]
+    # plus edge shapes: exactly 3 tokens (1 shingle), repeated shingles
+    rows += [(100, "a b c"), (101, "x y x y x y x y")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = minhash_signatures(docs)
+    b = _minhash_signatures_agg(docs)
+    assert a.columns == b.columns
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
